@@ -1,13 +1,351 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every SQL-expressible query has a DuckDB twin in [[oracleSql]]; output
+  * column names AND dtypes are aligned on both sides (ints as BIGINT,
+  * rounded doubles, deterministic total ORDER BY) so the driver's
+  * sort-columns-then-hash compare is stable. ML-backed queries
+  * (Word2Vec, MLlib LSH) are rows-only by design: their outputs are
+  * run-dependent or engine-specific sketches (SURVEY.md §4.2, §5).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the reference's full pipeline — word counts ⋈ one global
+    * Word2Vec model → (word, token, count, vector). sf0.001; driver
+    * smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Embed.flagship(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // reference parity (word count / encode / format / vector math)
+    "q01_wordcount"      -> (Parity.q01WordCount _),
+    "q02_wordcount_topk" -> (Parity.q02WordCountTopK _),
+    "q03_token_encode"   -> (Parity.q03TokenEncode _),
+    "q04_flagship_format" -> (Parity.q04FlagshipFormat _),
+    "q05_vector_mean"    -> (Parity.q05VectorMean _),
+    "q06_cosine_pairs"   -> (Parity.q06CosinePairs _),
+    // relational surface over the star schema
+    "q10_pricing_summary" -> (Relational.q10PricingSummary _),
+    "q11_join_dims"      -> (Relational.q11JoinDims _),
+    "q12_top_revenue"    -> (Relational.q12TopRevenueOrders _),
+    "q13_join_semi"      -> (Relational.q13JoinSemi _),
+    "q14_join_anti"      -> (Relational.q14JoinAnti _),
+    "q15_window_rank"    -> (Relational.q15WindowRank _),
+    "q16_window_running" -> (Relational.q16WindowRunning _),
+    "q17_rollup"         -> (Relational.q17Rollup _),
+    "q18_setops"         -> (Relational.q18SetOps _),
+    "q19_scalar_fns"     -> (Relational.q19ScalarFns _),
+    "q20_json_events"    -> (Relational.q20JsonEvents _),
+    "q21_time_window"    -> (Relational.q21TimeWindow _),
+    "q22_range_join"     -> (Relational.q22RangeJoin _),
+    "q23_distinct_agg"   -> (Relational.q23DistinctAgg _),
+    "q24_topk_parts"     -> (Relational.q24TopKParts _),
+    "q25_sessionize"     -> (Relational.q25Sessionize _),
+    // training-data pipeline: dedup / similarity / text analysis
+    "q30_dedup_exact"    -> (Dedup.q30ExactDedup _),
+    "q31_minhash_sig"    -> (Dedup.q31MinHashSig _),
+    "q32_simhash"        -> (Dedup.q32SimHash _),
+    "q33_ngram_jaccard"  -> (Dedup.q33NgramJaccard _),
+    "q34_knn_cosine"     -> (Similarity.q34KnnCosine _),
+    "q35_lang_profile"   -> (TextAnalysis.q35LangProfile _),
+    "q36_lang_id"        -> (TextAnalysis.q36LangId _),
+    "q37_quality_score"  -> (TextAnalysis.q37QualityScore _),
+    "q38_fingerprint"    -> (TextAnalysis.q38Fingerprint _),
+    "q39_multimodal_meta" -> (Multimodal.q39MultimodalMeta _),
+    // rows-only (ML-backed / engine-specific, no SQL oracle)
+    "q40_word2vec_vocab" -> (Embed.q40Word2VecVocab _),
+    "q41_synonyms"       -> (Embed.q41Synonyms _),
+    "q42_lsh_minhash"    -> (Dedup.q42MlMinHashLsh _),
+    "q43_lsh_buckets"    -> (Similarity.q43LshBuckets _),
+    "q44_approx_distinct" -> (Similarity.q44ApproxDistinct _),
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle SQL. Shared deterministic fragments mirror
+  // graft.functions.Portable exactly (same constants 31/131/1000000007).
+  // ---------------------------------------------------------------------
+
+  /** DuckDB: reference tokenizer (lowercase, split \W+, alpha-only). */
+  private def tok(textCol: String): String =
+    s"""list_filter(regexp_split_to_array(lower($textCol), '\\W+'), w -> regexp_matches(w, '^[a-z]+$$'))"""
+
+  /** DuckDB: polynomial char-code hash == Portable.tokenId. */
+  private def tokenId(w: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length($w)+1), i -> CAST(ascii($w[i]) AS BIGINT))), (acc, c) -> (acc*31 + c) % 1000000007)"""
+
+  /** DuckDB: rolling token-stream hash == Portable.fingerprint. */
+  private def fingerprint(words: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($words, wrd -> ${tokenId("wrd")})), (acc2, h2) -> (acc2*131 + h2) % 1000000007)"""
+
+  private val stoplist = "('the','a','is','this','to','of','and','in','it','for')"
+  private val stoparr  = "['the','a','is','this','to','of','and','in','it','for']"
+
+  /** For each key in queries, equivalent SQL runnable by DuckDB on the
+    * same parquet tables. Omitted for non-SQL-expressible ops → driver
+    * records a weaker rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_wordcount" ->
+      s"""SELECT word, count(*) AS cnt
+         |FROM (SELECT unnest(${tok("text")}) AS word FROM documents)
+         |GROUP BY word ORDER BY cnt DESC, word""".stripMargin,
+
+    "q02_wordcount_topk" ->
+      s"""SELECT word, count(*) AS cnt
+         |FROM (SELECT unnest(${tok("text")}) AS word FROM documents)
+         |GROUP BY word ORDER BY cnt DESC, word LIMIT 25""".stripMargin,
+
+    "q03_token_encode" ->
+      s"""WITH words AS (SELECT DISTINCT word FROM
+         |  (SELECT unnest(${tok("text")}) AS word FROM documents))
+         |SELECT word, ${tokenId("word")} AS token FROM words ORDER BY word""".stripMargin,
+
+    "q04_flagship_format" ->
+      s"""WITH wc AS (
+         |  SELECT word, count(*) AS cnt
+         |  FROM (SELECT unnest(${tok("text")}) AS word FROM documents) GROUP BY word),
+         |t AS (SELECT word, ${tokenId("word")} AS token, cnt FROM wc)
+         |SELECT word, token, cnt, word || ',' || token || ',' || cnt AS line
+         |FROM t ORDER BY word""".stripMargin,
+
+    "q05_vector_mean" ->
+      """SELECT label, pos, round(avg(val), 6) AS avg_val
+        |FROM (SELECT CAST(label AS BIGINT) AS label,
+        |             CAST(unnest(range(len(embedding))) AS BIGINT) AS pos,
+        |             unnest(CAST(embedding AS DOUBLE[])) AS val
+        |      FROM embeddings)
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "q06_cosine_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id + 1 = b.vec_id
+        |ORDER BY id_a""".stripMargin,
+
+    "q10_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 0) AS sum_disc_price,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_extendedprice), 4) AS avg_price,
+        |       count(*) AS n_rows
+        |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q11_join_dims" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |       round(sum(c_acctbal), 2) AS sum_acctbal, round(avg(c_acctbal), 4) AS avg_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |              JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q12_top_revenue" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 0) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |              JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'FURNITURE' AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        |GROUP BY o_orderkey, o_date ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q13_join_semi" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey, count(*) AS n_with_orders
+        |FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+
+    "q14_join_anti" ->
+      """SELECT c_mktsegment, count(*) AS n_quiet, round(sum(c_acctbal), 2) AS sum_acctbal
+        |FROM customer WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 350000.0)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q15_window_rank" ->
+      """SELECT custkey, top_orderkey, top_price FROM (
+        |  SELECT o_custkey AS custkey, o_orderkey AS top_orderkey, o_totalprice AS top_price,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t WHERE rn = 1 ORDER BY custkey""".stripMargin,
+
+    "q16_window_running" ->
+      """SELECT o_custkey AS custkey, o_orderkey AS orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        |       CAST(row_number() OVER w AS BIGINT) AS rn,
+        |       lag(o_totalprice, 1) OVER w AS prev_price,
+        |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY custkey, orderkey""".stripMargin,
+
+    "q17_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        |       count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |              JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name) ORDER BY region, nation""".stripMargin,
+
+    "q18_setops" ->
+      """WITH cn AS (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer),
+        |     sn AS (SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier)
+        |SELECT 'union' AS op, nationkey FROM (SELECT nationkey FROM cn UNION SELECT nationkey FROM sn) u
+        |UNION ALL
+        |SELECT 'intersect' AS op, nationkey FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn) i
+        |UNION ALL
+        |SELECT 'except' AS op, nationkey FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn) e
+        |ORDER BY op, nationkey""".stripMargin,
+
+    "q19_scalar_fns" ->
+      """SELECT o_orderkey,
+        |       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(month(o_orderdate) AS BIGINT) AS o_month,
+        |       CAST(regexp_extract(o_orderpriority, '^(\d+)', 1) AS BIGINT) AS prio_num,
+        |       CAST(length(o_orderstatus) AS BIGINT) AS status_len,
+        |       upper(substring(o_orderpriority, 3, 20)) AS prio_name,
+        |       round(log10(o_totalprice), 4) AS log_price,
+        |       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_95
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q20_json_events" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       round(sum(value), 2) AS sum_value,
+        |       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q21_time_window" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
+
+    "q22_range_join" ->
+      """SELECT o_orderpriority, count(*) AS n_fast_lines, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 60 DAY
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q23_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+        |       count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q24_topk_parts" ->
+      """SELECT p_partkey, p_name, p_brand, sum(l_quantity) AS sum_qty, count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_partkey, p_name, p_brand ORDER BY sum_qty DESC, p_partkey LIMIT 15""".stripMargin,
+
+    "q25_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, value,
+        |         CAST(sum(CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END)
+        |              OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q30_dedup_exact" ->
+      s"""WITH f AS (SELECT doc_id, ${fingerprint("string_split(text, ' ')")} AS fp FROM documents)
+         |SELECT fp, min(doc_id) AS canonical_id, count(*) AS n_copies
+         |FROM f GROUP BY fp ORDER BY canonical_id""".stripMargin,
+
+    "q31_minhash_sig" ->
+      s"""WITH tok AS (SELECT DISTINCT doc_id, word FROM
+         |  (SELECT doc_id, unnest(${tok("text")}) AS word FROM documents) t),
+         |wh AS (SELECT doc_id, ${tokenId("word")} AS h FROM tok),
+         |bands(band, a, b) AS (VALUES (0, 1000003, 12345), (1, 999983, 54321),
+         |  (2, 850021, 98765), (3, 774047, 13579), (4, 655243, 24680),
+         |  (5, 524287, 86420), (6, 433003, 11111), (7, 334213, 99999))
+         |SELECT doc_id, CAST(band AS BIGINT) AS band,
+         |       min((CAST(a AS BIGINT) * h + b) % 1000000007) AS minhash
+         |FROM wh CROSS JOIN bands GROUP BY doc_id, band ORDER BY doc_id, band""".stripMargin,
+
+    "q32_simhash" ->
+      s"""WITH tok AS (SELECT DISTINCT doc_id, word FROM
+         |  (SELECT doc_id, unnest(${tok("text")}) AS word FROM documents) t),
+         |wh AS (SELECT doc_id, ${tokenId("word")} AS h FROM tok),
+         |bits AS (SELECT unnest(range(16)) AS bit),
+         |votes AS (
+         |  SELECT doc_id, bit, CAST(power(2, bit) AS BIGINT) AS weight,
+         |         sum(CASE WHEN CAST(floor(h / power(2, bit)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS votes
+         |  FROM wh CROSS JOIN bits GROUP BY doc_id, bit)
+         |SELECT doc_id, CAST(sum(CASE WHEN votes > 0 THEN weight ELSE 0 END) AS BIGINT) AS simhash
+         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q33_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(ws)-2, 1)+1),
+        |         i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS shingle FROM w),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |rare AS (SELECT sh.doc_id, sh.shingle FROM sh
+        |         JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100) r
+        |         ON sh.shingle = r.shingle),
+        |pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+        |          FROM rare x JOIN rare y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |          GROUP BY id_a, id_b)
+        |SELECT id_a, id_b, round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+        |FROM pairs JOIN sizes sa ON pairs.id_a = sa.doc_id
+        |           JOIN sizes sb ON pairs.id_b = sb.doc_id
+        |ORDER BY jaccard DESC, id_a, id_b LIMIT 20""".stripMargin,
+
+    "q34_knn_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (SELECT q_id, e.vec_id AS n_id,
+        |                  round(list_cosine_similarity(qv, v), 6) AS cos_sim
+        |           FROM e CROSS JOIN q WHERE e.vec_id <> q_id),
+        |ranked AS (SELECT q_id, n_id, cos_sim,
+        |                  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS BIGINT) AS rank
+        |           FROM scored)
+        |SELECT q_id, n_id, cos_sim, rank FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q35_lang_profile" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       round(avg(n_chars), 4) AS avg_chars, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q36_lang_id" ->
+      s"""WITH d AS (SELECT doc_id, ${tok("text")} AS words FROM documents),
+         |s AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
+         |       round(CAST(len(list_intersect(words, $stoparr)) AS DOUBLE)
+         |             / greatest(len(list_distinct(words)), 1), 6) AS stop_ratio FROM d)
+         |SELECT doc_id, n_tokens, stop_ratio,
+         |       CASE WHEN stop_ratio >= 0.08 THEN 'en' ELSE 'unk' END AS pred_lang
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q37_quality_score" ->
+      s"""WITH d AS (SELECT doc_id, n_chars, ${tok("text")} AS words FROM documents),
+         |s AS (SELECT doc_id,
+         |        CAST(len(words) AS BIGINT) AS n_tokens,
+         |        CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct,
+         |        round(CAST(len(list_distinct(words)) AS DOUBLE) / greatest(len(words), 1), 6) AS ttr,
+         |        round(CAST(n_chars AS DOUBLE) / greatest(len(words), 1), 6) AS avg_token_len,
+         |        round(CAST(len(list_filter(words, w -> w IN $stoplist)) AS DOUBLE)
+         |              / greatest(len(words), 1), 6) AS stop_share
+         |      FROM d)
+         |SELECT doc_id, n_tokens, n_distinct, ttr, avg_token_len, stop_share,
+         |       round(least(ttr * 2.0, 1.0) * 0.5
+         |             + CASE WHEN n_tokens BETWEEN 20 AND 400 THEN 0.3 ELSE 0.0 END
+         |             + least(stop_share * 3.0, 0.2), 6) AS quality
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q38_fingerprint" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws, ${tok("text")} AS words FROM documents)
+         |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_ws_tokens,
+         |       CAST(len(words) AS BIGINT) AS n_alpha_tokens,
+         |       ${fingerprint("words")} AS fp
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q39_multimodal_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |       CAST(CASE WHEN octet_length(CAST(text AS BLOB)) > 0 THEN ascii(text[1]) ELSE -1 END AS BIGINT) AS first_byte,
+        |       CAST(64 + octet_length(CAST(text AS BLOB)) % 512 AS BIGINT) AS width,
+        |       CAST(64 + (octet_length(CAST(text AS BLOB)) * 31) % 512 AS BIGINT) AS height,
+        |       CAST(3 AS BIGINT) AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
 }

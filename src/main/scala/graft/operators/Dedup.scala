@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Portable
+
+/** Deduplication family for a large-scale training-data pipeline: exact
+  * (hash group-by), MinHash signatures + LSH banding, SimHash, and n-gram
+  * Jaccard — each expressed as declarative relational plans so Catalyst
+  * gets partial aggregation, pushdown and AQE for free, and each
+  * reproducible in DuckDB SQL for the oracle (the portable polynomial
+  * hash in [[graft.functions.Portable]] is the shared randomness).
+  *
+  * Scale design: all variants reduce documents to small per-doc
+  * signatures BEFORE any join. The only shuffles are on signature keys
+  * (vocab-, band- or shingle-cardinality), never doc × doc. The classic
+  * trap — pairwise similarity — appears only AFTER candidate generation
+  * (LSH buckets / shared-shingle pairs with a document-frequency cutoff),
+  * which is how MinHash dedup is run on web-scale corpora (RefinedWeb /
+  * SlimPajama style).
+  */
+object Dedup {
+
+  /** q30: exact dedup — group identical texts, keep the smallest doc_id
+    * as canonical. At 100 TB you'd group on a 128-bit content hash rather
+    * than the text itself to keep shuffle rows narrow; we carry the
+    * portable fingerprint alongside to show that shape. */
+  def q30ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), Portable.fingerprint(split(col("text"), " ")).as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+      .orderBy("canonical_id")
+
+  /** Per-(doc, word) distinct tokens — the common prefix of the hashing
+    * dedupers. */
+  private def docTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Portable.tokenize(col("text"))).as("word"))
+      .distinct()
+
+  /** Fixed MinHash band parameters (a, b) — shared literally with the
+    * oracle SQL. 8 hash functions h_j(x) = (a_j * x + b_j) mod P. */
+  val minhashBands: Seq[(Int, Long, Long)] = Seq(
+    (0, 1000003L, 12345L), (1, 999983L, 54321L), (2, 850021L, 98765L),
+    (3, 774047L, 13579L), (4, 655243L, 24680L), (5, 524287L, 86420L),
+    (6, 433003L, 11111L), (7, 334213L, 99999L))
+
+  /** q31: MinHash signatures — for each doc and each of 8 hash bands,
+    * min((a*h(word)+b) mod P) over the doc's distinct words. Equal
+    * signatures in a band = LSH candidate bucket. Pure
+    * explode → project → min group-by: shuffle O(docs × bands). */
+  def q31MinHashSig(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val bands = broadcast(minhashBands.toDF("band", "a", "b"))
+    docTokens(spark, dir)
+      .withColumn("h", Portable.tokenId(col("word")))
+      .crossJoin(bands)
+      .select(col("doc_id"), col("band").cast("long").as("band"),
+        ((col("a") * col("h") + col("b")) % Portable.P).as("hv"))
+      .groupBy("doc_id", "band")
+      .agg(min("hv").as("minhash"))
+      .orderBy("doc_id", "band")
+  }
+
+  /** q32: 16-bit SimHash — each distinct word votes ±1 on each bit of its
+    * hash; bit set iff the vote sum is positive. Relational formulation:
+    * tokens × 16-bit literal table → per-(doc,bit) vote sum → weighted
+    * bit recombination. Shuffle O(docs × 16). */
+  def q32SimHash(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val bits = broadcast((0 until 16).map(b => (b, math.pow(2, b).toLong)).toDF("bit", "weight"))
+    docTokens(spark, dir)
+      .withColumn("h", Portable.tokenId(col("word")))
+      .crossJoin(bits)
+      .withColumn("vote", when((col("h").divide(col("weight"))).cast("long") % 2 === 1, 1L).otherwise(-1L))
+      .groupBy("doc_id", "bit", "weight")
+      .agg(sum("vote").as("votes"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("votes") > 0, col("weight")).otherwise(0L)).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** q33: n-gram Jaccard near-dup candidates — 3-word shingles, inverted-
+    * index self-join on shingle, Jaccard = |∩| / (|A|+|B|-|∩|), keep the
+    * top-20 most similar pairs. The document-frequency cutoff (df ≤ 100)
+    * is prefix filtering: at 100 TB it bounds the worst-case join fanout
+    * per shingle and drops only stop-shingles that carry no dedup signal
+    * (the cutoff is part of the operator contract, mirrored in the
+    * oracle). */
+  def q33NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Portable.shingles(split(col("text"), " "), 3)).as("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val rare = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") <= 100),
+      "shingle")
+    val pairs = rare.as("x").join(rare.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "size_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("inter") / (col("size_a") + col("size_b") - col("inter")), 6).as("jaccard"))
+      .orderBy(desc("jaccard"), asc("id_a"), asc("id_b"))
+      .limit(20)
+  }
+
+  /** q42 (rows-only): MLlib MinHashLSH signatures over word sets — the
+    * library-native LSH surface (model hashes are seeded but not
+    * reproducible in DuckDB, so no SQL oracle; the approx-join path is
+    * exercised in the test suite). */
+  def q42MlMinHashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.feature.{CountVectorizer, MinHashLSH}
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), Portable.tokenize(col("text")).as("words"))
+    val cv = new CountVectorizer().setInputCol("words").setOutputCol("features")
+      .setBinary(true).setMinDF(1.0)
+    val vecs = cv.fit(docs).transform(docs)
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(4).setSeed(42L)
+    val model = lsh.fit(vecs)
+    model.transform(vecs)
+      .select(col("doc_id"), posexplode(col("hashes")).as(Seq("table_id", "hvec")))
+      .select(col("doc_id"), col("table_id").cast("long").as("table_id"),
+        org.apache.spark.ml.functions.vector_to_array(col("hvec")).getItem(0).cast("long").as("hash"))
+      .orderBy("doc_id", "table_id")
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.ml.feature.Word2Vec
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Portable, VectorOps}
+
+/** The reference's ML macro-operator rebuilt Spark-first: one GLOBAL
+  * distributed `ml.feature.Word2Vec` model instead of one DL4J model per
+  * mapper (the reference's per-mapper models live in unaligned embedding
+  * spaces, so averaging them is geometrically meaningless — SURVEY.md §4
+  * quirk 1; reference `MapRedWord2Vec.scala:132-174`).
+  *
+  * Hyperparameters mirror the reference config
+  * (`application.conf:3-7`): vectorSize=100, windowSize=5, maxIter=1,
+  * minCount=1, seed=42.
+  *
+  * Outputs are never golden-compared on vector VALUES (multithreaded
+  * training is run-dependent — SURVEY.md §4 quirk 2); flagship queries
+  * expose invariants (dims, norms, vocab, counts) and the relational
+  * join shape instead.
+  */
+object Embed {
+
+  def tokensDF(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Portable.tokenize(col("text")).as("words"))
+
+  def fitWordVectors(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = tokensDF(spark, dir)
+    val w2v = new Word2Vec()
+      .setInputCol("words").setOutputCol("vec")
+      .setVectorSize(100).setWindowSize(5).setMaxIter(1)
+      .setMinCount(1).setSeed(42L)
+    val model = w2v.fit(tokens)
+    model.getVectors // (word: String, vector: ml.linalg.Vector)
+      .select(col("word"), vector_to_array(col("vector")).as("vector"))
+  }
+
+  /** The flagship parity pipeline (reference output shape
+    * `word,token,count,[v1..v100]` — `README.md:22-23`): global word
+    * counts ⋈ model vectors (inner join = the reference's null-vector
+    * drop, R8), plus the token id. */
+  def flagship(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Parity.wordCounts(Tables.documents(spark, dir).select("text"))
+    val vectors = fitWordVectors(spark, dir)
+    counts.join(vectors, "word")
+      .select(
+        col("word"),
+        Portable.tokenId(col("word")).as("token"),
+        col("cnt").as("count"),
+        col("vector"))
+      .orderBy("word")
+  }
+
+  /** q40 (rows-only): flagship invariants — vector dim must equal the
+    * configured layer size and norms must be positive finite. */
+  def q40Word2VecVocab(spark: SparkSession, dir: String): DataFrame =
+    flagship(spark, dir)
+      .select(
+        col("word"), col("token"), col("count"),
+        size(col("vector")).cast("long").as("dim"),
+        round(VectorOps.l2Norm(col("vector")), 4).as("norm"))
+      .orderBy("word")
+
+  /** q41 (rows-only): cosine-similarity synonyms via the trained model —
+    * the capability the reference was graded down for (X4,
+    * `feedback.md:5`). Computed with the engine's own cosine expression
+    * over the vector table (not model.findSynonyms) so the query is a
+    * relational plan: broadcast the query word's vector, scan the vocab. */
+  def q41Synonyms(spark: SparkSession, dir: String): DataFrame = {
+    val vectors = fitWordVectors(spark, dir).cache()
+    val target = broadcast(vectors.filter(col("word") === "data")
+      .select(col("vector").as("target_vec")))
+    vectors.crossJoin(target)
+      .filter(col("word") =!= "data")
+      .select(col("word"),
+        round(VectorOps.cosine(col("vector"), col("target_vec")), 4).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("word"))
+      .limit(10)
+  }
+}

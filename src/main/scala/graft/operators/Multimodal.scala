@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** A raw media blob with its id — the multimodal data model: media is an
+  * opaque binary column plus typed metadata columns. */
+case class MediaBlob(doc_id: Long, bytes: Array[Byte])
+
+/** Extracted (stub-decoded) media metadata. */
+case class MediaMeta(doc_id: Long, n_bytes: Long, first_byte: Long,
+                     width: Long, height: Long, channels: Long)
+
+/** Multimodal-column plumbing: treat image/audio/video as opaque `binary`
+  * columns and run decode / feature-extraction as partition-batched typed
+  * transformations (`Dataset.mapPartitions`) — the Scala analogue of
+  * `mapInPandas` batch UDFs.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * deterministic stand-in (dimensions derived from byte length/content).
+  * Everything around it — binary schema, encoder-based batching, the
+  * partition-wise execution shape that would host a real codec, and the
+  * metadata contract — is real and oracle-checked: the stand-in formula
+  * is arithmetic on byte length, so DuckDB reproduces it exactly.
+  */
+object Multimodal {
+
+  /** The stub decoder: stands in for an image header parse. Marked
+    * deterministic so results are stable across retries/speculation. */
+  def decodeStub(b: MediaBlob): MediaMeta = {
+    val n = b.bytes.length.toLong
+    val first = if (n > 0) (b.bytes(0) & 0xff).toLong else -1L
+    MediaMeta(
+      doc_id = b.doc_id,
+      n_bytes = n,
+      first_byte = first,
+      width = 64L + n % 512L,
+      height = 64L + (n * 31L) % 512L,
+      channels = 3L)
+  }
+
+  /** q39: binary ingest + partition-batched decode. `text` is cast to
+    * binary to stand in for raw media bytes (the testdata ships no blob
+    * column); one decoder instance per partition, streamed — the shape a
+    * real codec needs (amortized init, no per-row setup, no collect). */
+  def q39MultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val blobs: Dataset[MediaBlob] = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("bytes"))
+      .as[MediaBlob]
+    blobs
+      .mapPartitions { it =>
+        // per-partition decoder init would go here (real codecs are not
+        // in this container; decodeStub is the deterministic stand-in)
+        it.map(decodeStub)
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+}

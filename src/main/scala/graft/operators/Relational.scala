@@ -1,0 +1,274 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The relational query surface over the driver's star schema — the
+  * engine-surface ops for every category the reference lacks (SURVEY.md
+  * §2.6: joins, windows, sorts/top-k, set ops, scalar fns, rollup,
+  * distinct).
+  *
+  * Scale decisions, chosen for a 1000-executor / 100 TB deployment and
+  * identical in local mode:
+  *  - Dimension tables (`region` 5 rows, `nation` 25, `supplier`,
+  *    `part`, even `customer`) are broadcast — dimension size grows
+  *    ~linearly with SF but stays MBs at 100 TB fact scale, so every
+  *    fact⋈dim join here is a map-side `BroadcastHashJoin`: zero shuffle
+  *    of the fact table.
+  *  - `lineitem ⋈ orders` is the one genuinely large join; it shuffles
+  *    both sides on the order key (sort-merge / shuffled-hash picked by
+  *    Catalyst + AQE). Nothing else shuffles the fact tables twice.
+  *  - Aggregations rely on Catalyst partial aggregation (map-side
+  *    combine); output cardinality is group-count, not row-count.
+  *  - Top-k uses `orderBy(...).limit(k)` which Spark plans as
+  *    `TakeOrderedAndProject` — per-partition heap + single merge, no
+  *    global sort.
+  *
+  * Output typing convention (oracle parity): integer results are cast to
+  * LongType and money/ratio aggregates are rounded, so the Spark parquet
+  * dump and the DuckDB oracle produce byte-identical values.
+  */
+object Relational {
+
+  private val D = "yyyy-MM-dd"
+
+  /** q10: TPC-H Q1-style pricing summary — full-scan partial/final hash
+    * aggregate over lineitem; the canonical scan-bound query. */
+  def q10PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")) <= to_date(lit("1998-09-02")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 0).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q11: customer ⋈ nation ⋈ region, both dims broadcast. */
+  def q11JoinDims(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = broadcast(Tables.nation(spark, dir))
+    val r = broadcast(Tables.region(spark, dir))
+    c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(sum("c_acctbal"), 2).as("sum_acctbal"),
+        round(avg("c_acctbal"), 4).as("avg_acctbal"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** q12: TPC-H Q3-style top revenue orders: broadcast the filtered
+    * customer dim into orders, shuffle-join orders ⋈ lineitem on the
+    * order key, top-10 via TakeOrderedAndProject. */
+  def q12TopRevenueOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "FURNITURE")
+      .select("c_custkey")
+    val o = Tables.orders(spark, dir)
+      .filter(to_date(col("o_orderdate")) < to_date(lit("1998-01-01")))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 0).as("revenue"))
+      .orderBy(desc("revenue"), asc("o_orderkey"))
+      .limit(10)
+  }
+
+  /** q13: left-semi join (EXISTS) — customers that have at least one
+    * order, counted per nation. Semi joins ship only the join key of the
+    * right side; at scale the orders side reduces to a distinct-key
+    * exchange. */
+  def q13JoinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select("o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n_with_orders"))
+      .orderBy("nationkey")
+  }
+
+  /** q14: left-anti join (NOT EXISTS) — customers with no high-value
+    * order. The threshold keeps the anti-side selective so the result is
+    * non-trivial at every SF. */
+  def q14JoinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val big = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 350000.0)
+      .select("o_custkey")
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_quiet"), round(sum("c_acctbal"), 2).as("sum_acctbal"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** q15: ranking window — each customer's single largest order.
+    * One shuffle on the partition key; deterministic tiebreak on the
+    * order key. */
+  def q15WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("o_custkey").as("custkey"),
+        col("o_orderkey").as("top_orderkey"),
+        col("o_totalprice").as("top_price"))
+      .orderBy("custkey")
+  }
+
+  /** q16: running-total window — row_number, lag, and an unbounded-
+    * preceding running sum per customer ordered by order date. */
+  def q16WindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(asc("o_orderdate"), asc("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+      .withColumn("running_total",
+        round(sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+      .select(
+        col("o_custkey").as("custkey"),
+        col("o_orderkey").as("orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        col("rn"), col("prev_price"), col("running_total"))
+      .orderBy("custkey", "orderkey")
+  }
+
+  /** q17: rollup over region → nation with the grouped-out level labeled
+    * 'ALL' (COALESCE keeps the output dialect-neutral vs GROUPING()).
+    * Expressed through the SQL surface: the rollup's Expand node
+    * duplicates grouping attributes, which Spark 4's ambiguous-lineage
+    * check rejects when referenced via Dataset columns — the SQL analyzer
+    * resolves the same plan cleanly, and Catalyst still broadcasts the
+    * dims. */
+  def q17Rollup(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("v_customer")
+    Tables.nation(spark, dir).createOrReplaceTempView("v_nation")
+    Tables.region(spark, dir).createOrReplaceTempView("v_region")
+    spark.sql(
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        |       count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+        |FROM v_customer JOIN v_nation ON c_nationkey = n_nationkey
+        |                JOIN v_region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region, nation""".stripMargin)
+  }
+
+  /** q18: set operations over the nation-key domains of customers vs
+    * suppliers — UNION / INTERSECT / EXCEPT, tagged into one result. */
+  def q18SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val cn = Tables.customer(spark, dir).select(col("c_nationkey").cast("long").as("nationkey")).distinct()
+    val sn = Tables.supplier(spark, dir).select(col("s_nationkey").cast("long").as("nationkey")).distinct()
+    val u = cn.union(sn).distinct().withColumn("op", lit("union"))
+    val i = cn.intersect(sn).withColumn("op", lit("intersect"))
+    val e = cn.except(sn).withColumn("op", lit("except"))
+    u.unionByName(i).unionByName(e)
+      .select("op", "nationkey")
+      .orderBy("op", "nationkey")
+  }
+
+  /** q19: scalar-function sweep — date parts, regexp extraction, string
+    * and math functions; all codegen'd built-ins, no UDFs. */
+  def q19ScalarFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        month(col("o_orderdate")).cast("long").as("o_month"),
+        regexp_extract(col("o_orderpriority"), "^(\\d+)", 1).cast("long").as("prio_num"),
+        length(col("o_orderstatus")).cast("long").as("status_len"),
+        upper(substring(col("o_orderpriority"), 3, 20)).as("prio_name"),
+        round(log10(col("o_totalprice")), 4).as("log_price"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01"))).cast("long").as("days_since_95"))
+      .orderBy("o_orderkey")
+
+  /** q20: JSON extraction over events.props + grouped aggregate. */
+  def q20JsonEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("value"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("k").as("sum_k"),
+        round(sum("value"), 2).as("sum_value"),
+        round(avg("k"), 4).as("avg_k"))
+      .orderBy("event_type")
+
+  /** q21: batch time-window aggregation — daily tumbling windows over the
+    * events table (the reference is batch-only; SURVEY.md §2.6 keeps
+    * stream semantics as batch window group-bys this cycle). */
+  def q21TimeWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("day", "event_type")
+
+  /** q22: range join — lineitem shipped within 60 days of its order date.
+    * Equi-key (order key) + range residual: Catalyst plans the equi part
+    * as the join key and evaluates the BETWEEN as a post-join filter, so
+    * this stays a hash/sort-merge join, not a cartesian. */
+  def q22RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate", "l_extendedprice")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    l.join(o, l("l_orderkey") === o("o_orderkey") &&
+        col("l_shipdate").between(col("o_orderdate"), col("o_orderdate") + expr("INTERVAL 60 DAYS")))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_fast_lines"), round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q23: exact distinct aggregation (the HLL/approx twin is a rows-only
+    * query — approx sketches differ across engines by design). */
+  def q23DistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct("l_orderkey").as("n_orders"),
+        countDistinct("l_partkey").as("n_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** q24: top-k parts by quantity sold — broadcast dim join + partial agg
+    * + TakeOrderedAndProject. */
+  def q24TopKParts(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select("l_partkey", "l_quantity")
+    val p = broadcast(Tables.part(spark, dir).select("p_partkey", "p_name", "p_brand"))
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .groupBy("p_partkey", "p_name", "p_brand")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_lines"))
+      .orderBy(desc("sum_qty"), asc("p_partkey"))
+      .limit(15)
+  }
+
+  /** q25: sessionization — gap > 30 min starts a new session; lag +
+    * running sum over a per-user window, then one aggregate. The classic
+    * event-pipeline window pattern; one shuffle on user_id. */
+  def q25Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800L, 1L).otherwise(0L))
+      .withColumn("session_id", sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id")
+      .agg(
+        max("session_id").as("n_sessions"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("user_id")
+  }
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorOps
+
+/** Similarity search over the embeddings table: brute-force cosine top-k
+  * as the exact baseline, and LSH-bucketed approximate variants as the
+  * scale path (SURVEY.md §2.6 north-star ops).
+  *
+  * Scale design: brute-force is queries × corpus — correct and fine when
+  * the query set is small and broadcast (the pattern here: corpus streams
+  * past a broadcast query block, no shuffle of the corpus). For
+  * corpus × corpus at 100 TB, use the LSH variant: bucket vectors by
+  * random-projection sign bits, join only within buckets, so the
+  * candidate set shrinks from N² to Σ bucket². */
+object Similarity {
+
+  /** q34: exact brute-force cosine top-5 neighbors for the first 10
+    * vectors. Broadcast-nested-loop of a 10-row broadcast against the
+    * corpus scan, then a per-query top-k window. Similarities are rounded
+    * before ranking so the ordering is reproducible bit-for-bit in the
+    * oracle. */
+  def q34KnnCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queries = broadcast(e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv")))
+    val scored = e.crossJoin(queries)
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(VectorOps.cosine(col("qv"), col("v")), 6).as("cos_sim"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .orderBy("q_id", "rank")
+  }
+
+  /** q43 (rows-only): BucketedRandomProjectionLSH — the approximate-NN
+    * scale path. Emits each vector's bucket id per hash table; the
+    * bucket-join / approxNearestNeighbors surface is exercised in tests.
+    * Seeded but engine-specific, so no SQL oracle. */
+  def q43LshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(2.0).setNumHashTables(3).setSeed(42L)
+    lsh.fit(vecs).transform(vecs)
+      .select(col("vec_id"), posexplode(col("hashes")).as(Seq("table_id", "hvec")))
+      .select(col("vec_id"), col("table_id").cast("long").as("table_id"),
+        org.apache.spark.ml.functions.vector_to_array(col("hvec")).getItem(0).cast("long").as("bucket"))
+      .orderBy("vec_id", "table_id")
+  }
+
+  /** q44 (rows-only): approximate distinct — HLL sketch next to the exact
+    * count (sketch internals are engine-specific; exact twin is q23). */
+  def q44ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct("l_orderkey", 0.01).as("approx_orders"),
+        countDistinct("l_orderkey").as("exact_orders"))
+      .orderBy("l_returnflag")
+}

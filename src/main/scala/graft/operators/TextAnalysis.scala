@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Portable
+
+/** Text-analysis operators a training-data pipeline needs: corpus
+  * profiling, heuristic language ID, quality scoring, token counting and
+  * document fingerprinting. All scalar/aggregate built-ins — per-row work
+  * with no shuffle beyond the final group-by, so they run at scan speed
+  * on any corpus size. */
+object TextAnalysis {
+
+  /** Stopword marker set used by the language/quality heuristics —
+    * a fixed literal list shared with the oracle SQL. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "is", "this", "to", "of", "and", "in", "it", "for")
+
+  /** q35: corpus profile per language tag. */
+  def q35LangProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        round(avg("n_chars"), 4).as("avg_chars"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"))
+      .orderBy("lang")
+
+  /** q36: heuristic language ID — fraction of tokens that are English
+    * marker stopwords; a doc is tagged 'en' above the threshold. (An
+    * n-gram frequency profile is the production version; the stopword
+    * ratio is its first term and is exactly reproducible in SQL.) */
+  def q36LangId(spark: SparkSession, dir: String): DataFrame = {
+    val sw = array(stopwords.map(lit): _*)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        Portable.tokenize(col("text")).as("words"))
+      .select(col("doc_id"),
+        size(col("words")).cast("long").as("n_tokens"),
+        round(size(array_intersect(col("words"), sw))
+          .cast("double") / greatest(size(array_distinct(col("words"))), lit(1)), 6).as("stop_ratio"))
+      .withColumn("pred_lang", when(col("stop_ratio") >= 0.08, lit("en")).otherwise(lit("unk")))
+      .orderBy("doc_id")
+  }
+
+  /** q37: quality scoring — length, lexical diversity (type-token ratio),
+    * mean word length, stopword share; combined into one score. */
+  def q37QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val sw = array(stopwords.map(lit): _*)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), Portable.tokenize(col("text")).as("words"))
+      .select(
+        col("doc_id"),
+        size(col("words")).cast("long").as("n_tokens"),
+        size(array_distinct(col("words"))).cast("long").as("n_distinct"),
+        round(size(array_distinct(col("words"))).cast("double")
+          / greatest(size(col("words")), lit(1)), 6).as("ttr"),
+        round(col("n_chars").cast("double") / greatest(size(col("words")), lit(1)), 6).as("avg_token_len"),
+        round(size(filter(col("words"), w => w.isin(stopwords: _*)))
+          .cast("double") / greatest(size(col("words")), lit(1)), 6).as("stop_share"))
+      .withColumn("quality",
+        round(least(col("ttr") * 2.0, lit(1.0)) * 0.5
+          + when(col("n_tokens").between(20, 400), 0.3).otherwise(0.0)
+          + least(col("stop_share") * 3.0, lit(0.2)), 6))
+      .orderBy("doc_id")
+  }
+
+  /** q38: document fingerprint + token counts — order-sensitive rolling
+    * hash over the token stream (whitespace tokens and the reference's
+    * alpha tokens counted separately). */
+  def q38Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        size(Portable.tokenize(col("text"))).cast("long").as("n_alpha_tokens"),
+        Portable.fingerprint(Portable.tokenize(col("text"))).as("fp"))
+      .orderBy("doc_id")
+}
