@@ -58,6 +58,18 @@ object Similarity {
       .orderBy("vec_id", "table_id")
   }
 
+  /** Library API: exact cosine top-k neighbors of an arbitrary query
+    * vector against an embeddings table (vec_id, embedding). The corpus
+    * streams past the broadcast query; one TakeOrderedAndProject. */
+  def topKCosine(embeddings: DataFrame, query: Array[Double], k: Int): DataFrame = {
+    val qv = array(query.map(lit): _*)
+    embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), VectorOps.cosine(col("v"), qv).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** q44 (rows-only): approximate distinct — HLL sketch next to the exact
     * count (sketch internals are engine-specific; exact twin is q23). */
   def q44ApproxDistinct(spark: SparkSession, dir: String): DataFrame =

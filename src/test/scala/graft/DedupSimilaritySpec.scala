@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Multimodal, Similarity, MediaBlob}
+
+/** Behavior tests for the dedup + similarity-search APIs on constructed
+  * data with planted duplicates/neighbors. */
+class DedupSimilaritySpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+
+  test("approxNearDupPairs finds planted exact and near duplicates, not distinct docs") {
+    val docs = Seq(
+      (0L, base),
+      (1L, base),                                   // exact duplicate of 0
+      (2L, base.replace("today", "tomorrow")),      // near duplicate
+      (3L, "completely different words about spark catalyst optimizer plans and shuffles"),
+    ).toDF("id", "text")
+    val pairs = Dedup.approxNearDupPairs(docs, maxDistance = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("topKCosine ranks a duplicate vector first") {
+    val target = Array(1.0, 2.0, 3.0, 4.0)
+    val emb = Seq(
+      (0L, target),
+      (1L, Array(4.0, 3.0, 2.0, 1.0)),
+      (2L, Array(1.0, 2.0, 3.0, 4.1)),   // near-identical direction
+      (3L, Array(-1.0, -2.0, -3.0, -4.0)),
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.topKCosine(emb, target, 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(top.head == 0L)     // exact duplicate: cosine 1
+    assert(top(1) == 2L)       // then the near-identical one
+  }
+
+  test("exact dedup groups identical texts under one canonical id") {
+    val docs = Seq((10L, "a b c"), (11L, "a b c"), (12L, "a b d"))
+      .toDF("doc_id", "text")
+    val grouped = docs
+      .select(col("doc_id"), graft.functions.Portable.fingerprint(split(col("text"), " ")).as("fp"))
+      .groupBy("fp").agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select("canonical_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(grouped == Map(10L -> 2L, 12L -> 1L))
+  }
+
+  test("simhash of near-identical docs differs in few bits; distinct docs differ more") {
+    // run the q32 relational simhash over a tiny parquet-free path by
+    // reusing the public query on sf0.001 is heavy; instead check the
+    // bit-vote construction directly on word hashes
+    val h = (w: String) => w.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % graft.functions.Portable.P)
+    def simhash(words: Seq[String]): Long =
+      (0 until 16).map { b =>
+        val votes = words.map(w => if (((h(w) >> b) & 1L) == 1L) 1 else -1).sum
+        if (votes > 0) 1L << b else 0L
+      }.sum
+    val a = base.split(" ").toSeq
+    val b = base.replace("today", "tomorrow").split(" ").toSeq
+    val c = "totally unrelated content with spark shuffles exchanges and aggregates".split(" ").toSeq
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(hamming(simhash(a), simhash(b)) <= hamming(simhash(a), simhash(c)))
+  }
+
+  test("multimodal decodeStub is deterministic and matches the metadata contract") {
+    val blob = MediaBlob(7L, "hello world".getBytes("UTF-8"))
+    val m1 = Multimodal.decodeStub(blob)
+    val m2 = Multimodal.decodeStub(blob)
+    assert(m1 == m2)
+    assert(m1.n_bytes == 11L)
+    assert(m1.first_byte == 'h'.toLong)
+    assert(m1.width == 64 + 11 % 512 && m1.height == 64 + (11 * 31) % 512 && m1.channels == 3)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Portable
+
+/** Unit tests for the portable scalar functions, incl. the reference's
+  * own tokenizer fixtures (reference `Test.scala:68,88`,
+  * `input/test-file1.txt`: digits dropped, per-word counts). */
+class PortableSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  /** JVM twin of the SQL fold — the spec the column must match. */
+  private def tokenIdRef(w: String): Long =
+    w.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % Portable.P)
+
+  test("tokenId matches the polynomial fold spec") {
+    val words = Seq("a", "hello", "spark", "zzz", "x")
+    val got = words.toDF("w").select(Portable.tokenId(col("w"))).as[Long].collect()
+    assert(got.toSeq == words.map(tokenIdRef))
+    assert(tokenIdRef("a") == 97L)
+  }
+
+  test("tokenId is deterministic, total and bounded (property, 200 samples)") {
+    val gen = Gen.listOfN(200, Gen.chooseNum(0, 30).flatMap(n => Gen.stringOfN(n, Gen.alphaLowerChar)))
+    val words = gen(Gen.Parameters.default, Seed(42L)).get
+    val got = words.toDF("w").select(Portable.tokenId(col("w"))).as[Long].collect()
+    assert(got.toSeq == words.map(tokenIdRef))
+    assert(got.forall(h => h >= 0L && h < Portable.P))
+  }
+
+  test("tokenize reproduces the reference fixture: digits dropped, counts kept") {
+    // reference input/test-file1.txt: "hello 123 hello 456 hello this is a test"
+    val words = Seq("hello 123 hello 456 hello this is a test").toDF("text")
+      .select(explode(Portable.tokenize(col("text"))).as("w"))
+      .as[String].collect().toSeq
+    assert(words.count(_ == "hello") == 3)
+    assert(!words.exists(w => w.exists(_.isDigit)))
+    assert(words.toSet == Set("hello", "this", "is", "a", "test"))
+  }
+
+  test("tokenize splits punctuation like \\W+ (reference test-file2)") {
+    val words = Seq("hello, this is a test file for map reduce program").toDF("text")
+      .select(Portable.tokenize(col("text"))).as[Seq[String]].head()
+    assert(words.head == "hello")
+    assert(words.size == 10)
+  }
+
+  test("fingerprint is order-sensitive") {
+    val fps = Seq(Seq("a", "b", "c"), Seq("c", "b", "a"), Seq("a", "b", "c"))
+      .toDF("words").select(Portable.fingerprint(col("words"))).as[Long].collect()
+    assert(fps(0) == fps(2))
+    assert(fps(0) != fps(1))
+  }
+
+  test("shingles produce distinct n-grams incl. short-doc degenerate case") {
+    val got = Seq(Seq("a", "b", "c", "d"), Seq("x"))
+      .toDF("words").select(Portable.shingles(col("words"), 3)).as[Seq[String]].collect()
+    assert(got(0).toSet == Set("a b c", "b c d"))
+    assert(got(1) == Seq("x"))
+  }
+}

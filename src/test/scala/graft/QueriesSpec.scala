@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sanity/invariant tests of the declared query surface on sf0.001.
+  * Value-exact correctness is the DuckDB oracle's job (driver gate +
+  * tools/oracle_check.py); these assert structural invariants so `sbt
+  * test` catches breakage without DuckDB. */
+class QueriesSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf0001}
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf0001)
+
+  test("every declared query executes and q* oracle keys all exist in queries") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("q01 word count finds the corpus vocabulary") {
+    val rows = run("q01_wordcount").collect()
+    assert(rows.nonEmpty)
+    val words = rows.map(_.getString(0)).toSet
+    assert(words.contains("the"))
+    // counts positive, ordered desc
+    val counts = rows.map(_.getLong(1))
+    assert(counts.forall(_ > 0) && counts.sameElements(counts.sortBy(-_)))
+  }
+
+  test("q15 window rank yields exactly one row per customer with orders") {
+    val df = run("q15_window_rank")
+    val n = df.count()
+    assert(n == df.select("custkey").distinct().count())
+  }
+
+  test("q18 set ops: intersect plus except partition the customer nation set") {
+    val rows = run("q18_setops").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert((rows("intersect") & rows("except")).isEmpty)
+    assert(rows("intersect").subsetOf(rows("union")))
+    assert(rows("except").subsetOf(rows("union")))
+  }
+
+  test("q30 exact dedup: copies sum to the document count") {
+    val total = run("q30_dedup_exact").agg(org.apache.spark.sql.functions.sum("n_copies"))
+      .head().getLong(0)
+    assert(total == 500L)
+  }
+
+  test("q31 minhash: 8 bands per doc, values in [0, P)") {
+    val df = run("q31_minhash_sig")
+    assert(df.count() == 500L * 8)
+    val bad = df.filter(s"minhash < 0 OR minhash >= ${graft.functions.Portable.P}").count()
+    assert(bad == 0)
+  }
+
+  test("q34 knn: 5 neighbors per query, similarity non-increasing") {
+    val rows = run("q34_knn_cosine").collect()
+    assert(rows.length == 50)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sims = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(sims.sameElements(sims.sortBy(x => -x)))
+    }
+  }
+
+  test("q40 word2vec invariants: dim 100, positive norms, vocab joined to counts") {
+    val rows = run("q40_word2vec_vocab").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) == 100L)          // dim
+      assert(r.getDouble(4) > 0.0)          // norm
+      assert(r.getLong(2) > 0L)             // count
+    }
+  }
+}
