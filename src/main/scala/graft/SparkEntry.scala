@@ -277,11 +277,11 @@ object SparkEntry {
 
     "q33_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(ws)-2, 1)+1),
-        |         i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS shingle FROM w),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(ws)-3, 1)+1),
+        |         i -> array_to_string(ws[i:i+3], ' ')))) AS shingle FROM w),
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         |rare AS (SELECT sh.doc_id, sh.shingle FROM sh
-        |         JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100) r
+        |         JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50) r
         |         ON sh.shingle = r.shingle),
         |pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
         |          FROM rare x JOIN rare y ON x.shingle = y.shingle AND x.doc_id < y.doc_id

@@ -48,11 +48,14 @@ object Portable {
     filter(split(lower(text), "\\W+"), w => w.rlike("^[a-z]+$"))
 
   /** Word n-gram shingles: array of space-joined n-grams of `words`.
-    * Docs shorter than n shingle to their full text. */
+    * Docs shorter than n shingle to their full text (slice clamps at the
+    * end). slice+array_join keeps the generated code small — an earlier
+    * n-way concat_ws(try_element_at…) form compiled to enough Janino
+    * source to dominate cold-start time. */
   def shingles(words: Column, n: Int): Column = {
     val grams = transform(
       sequence(lit(1), greatest(size(words) - lit(n - 1), lit(1))),
-      i => concat_ws(" ", (0 until n).map(k => try_element_at(words, i + lit(k))): _*))
+      i => array_join(slice(words, i, lit(n)), " "))
     array_distinct(grams)
   }
 }
