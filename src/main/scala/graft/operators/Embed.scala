@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{Portable, VectorOps}
+import graft.plans.CosineSim
 
 /** The reference's ML macro-operator rebuilt Spark-first: one GLOBAL
   * distributed `ml.feature.Word2Vec` model instead of one DL4J model per
@@ -85,7 +86,7 @@ object Embed {
     vectors.crossJoin(target)
       .filter(col("word") =!= "data")
       .select(col("word"),
-        round(VectorOps.cosine(col("vector"), col("target_vec")), 4).as("cos_sim"))
+        round(CosineSim.cosine(col("vector"), col("target_vec")), 4).as("cos_sim"))
       .orderBy(desc("cos_sim"), asc("word"))
       .limit(10)
   }

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{Portable, VectorOps}
+import graft.functions.Portable
+import graft.plans.CosineSim
 
 /** Reference-parity relational surface: the word-count half of the
   * reference job (R4, R5, R10, R11 — `MapRedWord2Vec.scala:99-118,193-238`),
@@ -89,7 +90,7 @@ object Parity {
       .select(
         col("a.vec_id").as("id_a"),
         col("b.vec_id").as("id_b"),
-        round(VectorOps.cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+        round(CosineSim.cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
       .orderBy("id_a")
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.VectorOps
+import graft.plans.CosineSim
 
 /** Similarity search over the embeddings table: brute-force cosine top-k
   * as the exact baseline, and LSH-bucketed approximate variants as the
@@ -32,7 +32,7 @@ object Similarity {
     val scored = e.crossJoin(queries)
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        round(VectorOps.cosine(col("qv"), col("v")), 6).as("cos_sim"))
+        round(CosineSim.cosine(col("qv"), col("v")), 6).as("cos_sim"))
     val w = Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
@@ -65,7 +65,7 @@ object Similarity {
     val qv = array(query.map(lit): _*)
     embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .select(col("vec_id"), VectorOps.cosine(col("v"), qv).as("cos_sim"))
+      .select(col("vec_id"), CosineSim.cosine(col("v"), qv).as("cos_sim"))
       .orderBy(desc("cos_sim"), asc("vec_id"))
       .limit(k)
   }

@@ -1,0 +1,14 @@
+// Declared inside org.apache.spark.sql.* solely to reach two
+// private[sql] helpers (Expression <-> Column conversion). This is the
+// standard seam Spark extension libraries use; everything else in this
+// repo lives under the graft package.
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+object SqlBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -48,6 +48,31 @@ class VectorSpec extends AnyFunSuite {
     assert(got(3).isEmpty)
   }
 
+  test("fused CosineSim expression matches the HOF cosine bit-for-bit") {
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(50)((Array.fill(64)(rnd.nextGaussian()), Array.fill(64)(rnd.nextGaussian())))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      graft.plans.CosineSim.cosine(col("a"), col("b")).as("fused"),
+      VectorOps.cosine(col("a"), col("b")).as("hof")).collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // interpreted (non-codegen) path too
+    val one = rows.head
+    val interp = graft.plans.CosineSim(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(one._1, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(one._2, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))).eval(null)
+    assert(interp.asInstanceOf[Double] == got.head.getDouble(1))
+  }
+
+  test("CosineSim: length mismatch and zero vectors yield null") {
+    val df = Seq(
+      (Array(1.0, 2.0), Array(1.0, 2.0, 3.0)),
+      (Array(0.0, 0.0), Array(1.0, 2.0)),
+    ).toDF("a", "b")
+    val got = df.select(graft.plans.CosineSim.cosine(col("a"), col("b"))).collect()
+    assert(got.forall(_.isNullAt(0)))
+  }
+
   test("dot and l2Norm agree with plain Scala") {
     val a = Array(1.5, -2.0, 0.25)
     val b = Array(4.0, 1.0, -8.0)
