@@ -30,23 +30,28 @@ object Embed {
     Tables.documents(spark, dir)
       .select(col("doc_id"), Portable.tokenize(col("text")).as("words"))
 
-  /** Fitted vector tables memoized per corpus dir: several queries
-    * (flagship, q40, q41) share one training run per process, the same
-    * way a production pipeline trains once and serves many lookups. */
+  /** Fitted vector tables memoized per (corpus dir, hyperparams):
+    * several queries (flagship, q40, q41) share one training run per
+    * process, the same way a production pipeline trains once and serves
+    * many lookups. Hyperparameters come from [[graft.GraftConfig]] (the
+    * reference's application.conf values by default, R3). */
   private val fitted = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  def fitWordVectors(spark: SparkSession, dir: String): DataFrame =
-    fitted.getOrElseUpdate(dir, {
+  def fitWordVectors(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = graft.GraftConfig.from(spark)
+    fitted.getOrElseUpdate(s"$dir|$cfg", {
       val tokens = tokensDF(spark, dir)
       val w2v = new Word2Vec()
         .setInputCol("words").setOutputCol("vec")
-        .setVectorSize(100).setWindowSize(5).setMaxIter(1)
-        .setMinCount(1).setSeed(42L)
+        .setVectorSize(cfg.layerSize).setWindowSize(cfg.windowSize)
+        .setMaxIter(cfg.iterations).setMinCount(cfg.minWordFrequency)
+        .setSeed(cfg.seed)
       val model = w2v.fit(tokens)
       model.getVectors // (word: String, vector: ml.linalg.Vector)
         .select(col("word"), vector_to_array(col("vector")).as("vector"))
         .cache()
     })
+  }
 
   /** The flagship parity pipeline (reference output shape
     * `word,token,count,[v1..v100]` — `README.md:22-23`): global word

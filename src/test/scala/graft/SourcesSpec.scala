@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Parity
+import graft.sources.TextCorpus
+
+/** R1 text scan + R2 CSV sink against the reference's own fixture
+  * content (test-file1/2 from the reference's input dir). */
+class SourcesSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("text corpus scan reads a directory of files line by line (R1)") {
+    val dir = Files.createTempDirectory("graft-corpus")
+    Files.writeString(dir.resolve("test-file1.txt"), "hello 123 hello 456 hello this is a test\n")
+    Files.writeString(dir.resolve("test-file2.txt"), "hello, this is a test file for map reduce program\n")
+    val corpus = TextCorpus.read(spark, dir.toString)
+    assert(corpus.count() == 2)
+    // the reference word-count half over the scanned corpus
+    val counts = Parity.wordCounts(corpus.select(col("value").as("text")))
+      .as[(String, Long)].collect().toMap
+    assert(counts("hello") == 4)   // 3 from file1 + 1 from file2
+    assert(counts("test") == 2)
+    assert(!counts.contains("123"))
+  }
+
+  test("CSV sink writes comma-separated parts plus _SUCCESS (R2)") {
+    val out = Files.createTempDirectory("graft-out").resolve("csv").toString
+    val df = Seq(("hello", 97L, 3L), ("world", 119L, 1L)).toDF("word", "token", "count")
+    TextCorpus.writeCsv(df.coalesce(1), out)
+    assert(new java.io.File(s"$out/_SUCCESS").exists())
+    val back = spark.read.option("sep", ",").csv(out)
+    assert(back.count() == 2)
+    assert(back.head().getString(0) == "hello" || back.head().getString(0) == "world")
+  }
+
+  test("GraftConfig defaults to the reference hyperparameters and reads overrides (R3)") {
+    assert(GraftConfig.from(spark) == GraftConfig(100, 5, 1, 1, 42L))
+    spark.conf.set("graft.w2v.layerSize", "20")
+    try assert(GraftConfig.from(spark).layerSize == 20)
+    finally spark.conf.unset("graft.w2v.layerSize")
+  }
+}
