@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Skew
+import graft.sources.Bucketing
+
+/** Scale-path mechanics: bucketed joins must plan without shuffle
+  * exchanges; salted joins must return exactly the plain join's rows. */
+class ScaleSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf0001}
+
+  test("bucketed co-located join plans with zero shuffle exchanges") {
+    val orders = Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice")
+    val lineitem = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
+    Bucketing.writeBucketed(orders, "b_orders", "o_orderkey", 4)
+    Bucketing.writeBucketed(lineitem, "b_lineitem", "l_orderkey", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.cojoin(spark, "b_lineitem", "b_orders", "l_orderkey", "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"expected exchange-free bucketed join, got:\n$plan")
+      // and it computes the right thing
+      assert(joined.count() == Tables.lineitem(spark, sf0001)
+        .join(Tables.orders(spark, sf0001),
+          col("l_orderkey") === col("o_orderkey")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted join returns exactly the plain join result") {
+    val lineitem = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity", "l_partkey")
+    val orders = Tables.orders(spark, sf0001).select("o_orderkey", "o_orderpriority")
+    val plain = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+    val salted = Skew.saltedJoin(lineitem, orders, "l_orderkey", "o_orderkey", 8)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+}
