@@ -47,6 +47,8 @@ object SparkEntry {
     "q23_distinct_agg"   -> (Relational.q23DistinctAgg _),
     "q24_topk_parts"     -> (Relational.q24TopKParts _),
     "q25_sessionize"     -> (Relational.q25Sessionize _),
+    "q26_cube"           -> (Relational.q26Cube _),
+    "q27_array_fns"      -> (Relational.q27ArrayFns _),
     // training-data pipeline: dedup / similarity / text analysis
     "q30_dedup_exact"    -> (Dedup.q30ExactDedup _),
     "q31_minhash_sig"    -> (Dedup.q31MinHashSig _),
@@ -64,6 +66,7 @@ object SparkEntry {
     "q42_lsh_minhash"    -> (Dedup.q42MlMinHashLsh _),
     "q43_lsh_buckets"    -> (Similarity.q43LshBuckets _),
     "q44_approx_distinct" -> (Similarity.q44ApproxDistinct _),
+    "q45_ivf_cells"      -> (Similarity.q45IvfCells _),
   )
 
   // ---------------------------------------------------------------------
@@ -246,6 +249,24 @@ object SparkEntry {
         |  FROM g)
         |SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q26_cube" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE (c_mktsegment, o_orderpriority)
+        |ORDER BY segment, priority""".stripMargin,
+
+    "q27_array_fns" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT vec_id,
+        |       round(list_reduce(list_prepend(0.0, list_transform(v[1:8], x -> abs(x))), (a, b) -> a + b), 6) AS l1_head,
+        |       round(list_reduce(list_prepend(0.0, list_transform(v, x -> least(greatest(x, -0.1), 0.1))), (a, b) -> a + b), 6) AS clipped_sum,
+        |       CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos,
+        |       round(list_min(v), 6) AS min_val,
+        |       round(list_max(v), 6) AS max_val
+        |FROM e ORDER BY vec_id""".stripMargin,
 
     "q30_dedup_exact" ->
       s"""WITH f AS (SELECT doc_id, ${fingerprint("string_split(text, ' ')")} AS fp FROM documents)

@@ -164,6 +164,38 @@ object Relational {
         |ORDER BY region, nation""".stripMargin)
   }
 
+  /** q26: cube over market segment × order priority — all four grouping
+    * sets in one pass over the Expand-multiplied input. SQL-parsed for
+    * the same reason as q17. */
+  def q26Cube(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("v_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("v_orders")
+    spark.sql(
+      """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+        |FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+        |GROUP BY CUBE (c_mktsegment, o_orderpriority)
+        |ORDER BY segment, priority""".stripMargin)
+  }
+
+  /** q27: array higher-order functions over the embedding vectors —
+    * slice/transform/filter/aggregate, all codegen'd, the idiomatic
+    * replacement for per-element UDF loops. */
+  def q27ArrayFns(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    Tables.embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        round(aggregate(transform(slice(v, 1, 8), abs(_)), lit(0.0), _ + _), 6).as("l1_head"),
+        round(aggregate(transform(v, x => least(greatest(x, lit(-0.1)), lit(0.1))), lit(0.0), _ + _), 6)
+          .as("clipped_sum"),
+        size(filter(v, _ > 0.0)).cast("long").as("n_pos"),
+        round(array_min(v), 6).as("min_val"),
+        round(array_max(v), 6).as("max_val"))
+      .orderBy("vec_id")
+  }
+
   /** q18: set operations over the nation-key domains of customers vs
     * suppliers — UNION / INTERSECT / EXCEPT, tagged into one result. */
   def q18SetOps(spark: SparkSession, dir: String): DataFrame = {

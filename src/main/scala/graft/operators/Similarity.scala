@@ -70,6 +70,54 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-style ANN index: k-means centroids + per-vector cell
+    * assignment. At corpus scale the assigned table is written
+    * partitioned by cell, so a query scans only `nprobe` cells —
+    * the cluster-prune path that replaces N-scan brute force. */
+  def ivfIndex(spark: SparkSession, dir: String, k: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(10).fit(vecs)
+    val assigned = model.transform(vecs)
+      .select(col("vec_id"), col("v"), col("prediction").cast("long").as("cell"))
+    val spark2 = spark
+    import spark2.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+    (centroids, assigned)
+  }
+
+  /** Query the IVF index: rank cells by query-to-centroid cosine, scan
+    * the top `nprobe` cells, exact cosine within. The centroid table is
+    * index metadata (k rows) — driver-side by design. */
+  def ivfTopK(assigned: DataFrame, centroids: DataFrame, query: Array[Double],
+              k: Int, nprobe: Int): DataFrame = {
+    val spark = assigned.sparkSession
+    val qv = array(query.map(lit): _*)
+    val probeCells = centroids
+      .select(col("cell"), CosineSim.cosine(col("centroid").cast("array<double>"), qv).as("sim"))
+      .orderBy(desc("sim")).limit(nprobe)
+      .select("cell").collect().map(_.getLong(0))
+    assigned
+      .filter(col("cell").isin(probeCells.toSeq: _*))
+      .select(col("vec_id"), CosineSim.cosine(col("v"), qv).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** q45 (rows-only): IVF cell histogram — index build + assignment
+    * shape (k-means is seeded but engine-specific; no SQL oracle). */
+  def q45IvfCells(spark: SparkSession, dir: String): DataFrame = {
+    val (_, assigned) = ivfIndex(spark, dir, 8)
+    assigned.groupBy("cell")
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy("cell")
+  }
+
   /** q44 (rows-only): approximate distinct — HLL sketch next to the exact
     * count (sketch internals are engine-specific; exact twin is q23). */
   def q44ApproxDistinct(spark: SparkSession, dir: String): DataFrame =

@@ -41,6 +41,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(top(1) == 2L)       // then the near-identical one
   }
 
+  test("IVF ANN achieves good recall vs brute force while scanning fewer cells") {
+    val (centroids, assigned) = Similarity.ivfIndex(spark, TestSpark.sf0001, k = 8)
+    assigned.cache(); centroids.cache()
+    val emb = graft.Tables.embeddings(spark, TestSpark.sf0001)
+    val query = emb.filter(col("vec_id") === 3)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    val exact = Similarity.topKCosine(emb, query, 5).select("vec_id").as[Long].collect().toSet
+    val approx = Similarity.ivfTopK(assigned, centroids, query, k = 5, nprobe = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert((exact & approx).size >= 3, s"recall too low: $exact vs $approx")
+    // and the probed subset really is a subset of the corpus
+    assert(approx.size == 5)
+  }
+
   test("exact dedup groups identical texts under one canonical id") {
     val docs = Seq((10L, "a b c"), (11L, "a b c"), (12L, "a b d"))
       .toDF("doc_id", "text")

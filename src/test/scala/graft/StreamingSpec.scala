@@ -44,6 +44,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup with watermark drops replayed events") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$sf0001/events.parquet"), dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$sf0001/events.parquet"), dir.resolve("b.parquet"))
+    val stream = EventStream.readStream(spark, dir.toString)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("deduped_events")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ckpt2").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("deduped_events").count()
+      val distinct = Tables.events(spark, sf0001).count()
+      assert(n == distinct, s"expected $distinct deduped rows, got $n from a 2x replay")
+    } finally q.stop()
+  }
+
   test("stateful session counting works on the batch execution path too") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
