@@ -49,6 +49,7 @@ object SparkEntry {
     "q25_sessionize"     -> (Relational.q25Sessionize _),
     "q26_cube"           -> (Relational.q26Cube _),
     "q27_array_fns"      -> (Relational.q27ArrayFns _),
+    "q28_map_fns"        -> (Relational.q28MapFns _),
     // training-data pipeline: dedup / similarity / text analysis
     "q30_dedup_exact"    -> (Dedup.q30ExactDedup _),
     "q31_minhash_sig"    -> (Dedup.q31MinHashSig _),
@@ -60,6 +61,7 @@ object SparkEntry {
     "q37_quality_score"  -> (TextAnalysis.q37QualityScore _),
     "q38_fingerprint"    -> (TextAnalysis.q38Fingerprint _),
     "q39_multimodal_meta" -> (Multimodal.q39MultimodalMeta _),
+    "q46_frame_sample"   -> (Multimodal.q46FrameSample _),
     // rows-only (ML-backed / engine-specific, no SQL oracle)
     "q40_word2vec_vocab" -> (Embed.q40Word2VecVocab _),
     "q41_synonyms"       -> (Embed.q41Synonyms _),
@@ -268,6 +270,14 @@ object SparkEntry {
         |       round(list_max(v), 6) AS max_val
         |FROM e ORDER BY vec_id""".stripMargin,
 
+    "q28_map_fns" ->
+      """WITH kv AS (
+        |  SELECT key, CAST(json_extract_string(props, '$.' || key) AS BIGINT) AS val
+        |  FROM (SELECT props, unnest(json_keys(props)) AS key FROM events) t)
+        |SELECT key, count(*) AS n, CAST(sum(val) AS BIGINT) AS sum_val,
+        |       min(val) AS min_val, max(val) AS max_val
+        |FROM kv GROUP BY key ORDER BY key""".stripMargin,
+
     "q30_dedup_exact" ->
       s"""WITH f AS (SELECT doc_id, ${fingerprint("string_split(text, ' ')")} AS fp FROM documents)
          |SELECT fp, min(doc_id) AS canonical_id, count(*) AS n_copies
@@ -368,5 +378,13 @@ object SparkEntry {
         |       CAST(64 + (octet_length(CAST(text AS BLOB)) * 31) % 512 AS BIGINT) AS height,
         |       CAST(3 AS BIGINT) AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q46_frame_sample" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  list_transform(range(1, greatest(n_chars - 15, 1)+1, 64), i -> substring(text, i, 16)) AS frames
+         |  FROM documents WHERE n_chars >= 16)
+         |SELECT doc_id, CAST(pos AS BIGINT) AS frame_idx, ${tokenId("frame")} AS frame_hash
+         |FROM (SELECT doc_id, unnest(range(len(frames))) AS pos, unnest(frames) AS frame FROM d) t
+         |ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

@@ -41,6 +41,24 @@ object Multimodal {
       channels = 3L)
   }
 
+  /** q46: frame sampling — the video-shaped access pattern: stride
+    * through a blob, lift a fixed-size window ("frame") at each step,
+    * fingerprint it. Here the window hash is the portable polynomial
+    * fold so the DuckDB oracle checks the full plumbing (stride
+    * arithmetic, window extraction, per-frame rows); a real codec would
+    * replace the hash with a decode inside the same per-frame shape. */
+  def q46FrameSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .filter(col("n_chars") >= 16)
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(1, greatest(n_chars - 15, 1), 64), i -> substring(text, i, 16))"))
+          .as(Seq("idx", "frame")))
+      .select(col("doc_id"), col("idx").cast("long").as("frame_idx"),
+        graft.functions.Portable.tokenId(col("frame")).as("frame_hash"))
+      .orderBy("doc_id", "frame_idx")
+
   /** q39: binary ingest + partition-batched decode. `text` is cast to
     * binary to stand in for raw media bytes (the testdata ships no blob
     * column); one decoder instance per partition, streamed — the shape a

@@ -196,6 +196,19 @@ object Relational {
       .orderBy("vec_id")
   }
 
+  /** q28: map-typed functions — parse the JSON props into a
+    * map<string,bigint>, explode to (key, value) rows, aggregate per
+    * key. The map type surface the reference's stringly-typed pipeline
+    * never had. */
+  def q28MapFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(explode(from_json(col("props"),
+        org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>"))).as(Seq("key", "val")))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"), sum("val").as("sum_val"),
+        min("val").as("min_val"), max("val").as("max_val"))
+      .orderBy("key")
+
   /** q18: set operations over the nation-key domains of customers vs
     * suppliers — UNION / INTERSECT / EXCEPT, tagged into one result. */
   def q18SetOps(spark: SparkSession, dir: String): DataFrame = {
