@@ -40,16 +40,22 @@ object Embed {
   def fitWordVectors(spark: SparkSession, dir: String): DataFrame = {
     val cfg = graft.GraftConfig.from(spark)
     fitted.getOrElseUpdate(s"$dir|$cfg", {
-      val tokens = tokensDF(spark, dir)
+      // Word2Vec makes several passes (vocab build + per-iteration
+      // training); cache the tokenized corpus so the regexp tokenize
+      // runs once, then release it after fit.
+      val tokens = tokensDF(spark, dir).persist()
       val w2v = new Word2Vec()
         .setInputCol("words").setOutputCol("vec")
         .setVectorSize(cfg.layerSize).setWindowSize(cfg.windowSize)
         .setMaxIter(cfg.iterations).setMinCount(cfg.minWordFrequency)
         .setSeed(cfg.seed)
       val model = w2v.fit(tokens)
-      model.getVectors // (word: String, vector: ml.linalg.Vector)
+      val vectors = model.getVectors // (word: String, vector: ml.linalg.Vector)
         .select(col("word"), vector_to_array(col("vector")).as("vector"))
         .cache()
+      vectors.count() // materialize before releasing the token cache
+      tokens.unpersist()
+      vectors
     })
   }
 

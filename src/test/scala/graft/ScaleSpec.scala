@@ -31,6 +31,31 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("partitioned writes enable partition pruning on read") {
+    val out = java.nio.file.Files.createTempDirectory("graft-part").resolve("events").toString
+    Tables.events(spark, sf0001)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("day").parquet(out)
+    // AQE wraps the plan and re-instantiates scans; disable it here so
+    // the executed tree (and its metrics) is directly inspectable.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val pruned = spark.read.parquet(out).filter(col("day") === "2024-01-02")
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("day#"),
+        s"expected partition filter in scan:\n$plan")
+      assert(pruned.collect().length ==
+        Tables.events(spark, sf0001).filter(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-02").count())
+      // pruning is real: the scan touched exactly 1 of 30 partition files
+      val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+      assert(scan.metrics("numFiles").value == 1L,
+        s"expected 1 file scanned, got ${scan.metrics("numFiles").value}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("salted join returns exactly the plain join result") {
     val lineitem = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity", "l_partkey")
     val orders = Tables.orders(spark, sf0001).select("o_orderkey", "o_orderpriority")
