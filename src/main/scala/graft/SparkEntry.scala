@@ -50,6 +50,7 @@ object SparkEntry {
     "q26_cube"           -> (Relational.q26Cube _),
     "q27_array_fns"      -> (Relational.q27ArrayFns _),
     "q28_map_fns"        -> (Relational.q28MapFns _),
+    "q29_pivot"          -> (Relational.q29Pivot _),
     // training-data pipeline: dedup / similarity / text analysis
     "q30_dedup_exact"    -> (Dedup.q30ExactDedup _),
     "q31_minhash_sig"    -> (Dedup.q31MinHashSig _),
@@ -60,6 +61,7 @@ object SparkEntry {
     "q36_lang_id"        -> (TextAnalysis.q36LangId _),
     "q37_quality_score"  -> (TextAnalysis.q37QualityScore _),
     "q38_fingerprint"    -> (TextAnalysis.q38Fingerprint _),
+    "q47_edit_distance"  -> (TextAnalysis.q47EditDistance _),
     "q39_multimodal_meta" -> (Multimodal.q39MultimodalMeta _),
     "q46_frame_sample"   -> (Multimodal.q46FrameSample _),
     // rows-only (ML-backed / engine-specific, no SQL oracle)
@@ -278,6 +280,15 @@ object SparkEntry {
         |       min(val) AS min_val, max(val) AS max_val
         |FROM kv GROUP BY key ORDER BY key""".stripMargin,
 
+    "q29_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |       round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+        |       round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error,
+        |       round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+        |       round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+        |       round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
+
     "q30_dedup_exact" ->
       s"""WITH f AS (SELECT doc_id, ${fingerprint("string_split(text, ' ')")} AS fp FROM documents)
          |SELECT fp, min(doc_id) AS canonical_id, count(*) AS n_copies
@@ -369,6 +380,13 @@ object SparkEntry {
          |       CAST(len(words) AS BIGINT) AS n_alpha_tokens,
          |       ${fingerprint("words")} AS fp
          |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q47_edit_distance" ->
+      """WITH d AS (SELECT doc_id, substring(text, 1, 40) AS prefix FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist
+        |FROM d a JOIN d b ON a.doc_id + 1 = b.doc_id
+        |ORDER BY id_a""".stripMargin,
 
     "q39_multimodal_meta" ->
       """SELECT doc_id,

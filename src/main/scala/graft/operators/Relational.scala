@@ -209,6 +209,17 @@ object Relational {
         min("val").as("min_val"), max("val").as("max_val"))
       .orderBy("key")
 
+  /** q29: pivot — daily value totals spread across event-type columns.
+    * The explicit value list keeps the output schema static (required
+    * for the oracle and the only sane form at scale: an unbounded pivot
+    * needs a driver-side distinct first). */
+  def q29Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(round(sum("value"), 2))
+      .orderBy("day")
+
   /** q18: set operations over the nation-key domains of customers vs
     * suppliers — UNION / INTERSECT / EXCEPT, tagged into one result. */
   def q18SetOps(spark: SparkSession, dir: String): DataFrame = {

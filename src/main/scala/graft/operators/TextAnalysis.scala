@@ -69,6 +69,22 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q47: edit distance between neighboring documents' prefixes — the
+    * character-level similarity measure (levenshtein is a codegen'd
+    * built-in; bounded to a 40-char prefix because edit distance is
+    * O(len²) and at corpus scale you only run it on candidate pairs the
+    * cheap hashes already produced). */
+  def q47EditDistance(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("prefix"))
+    d.as("a").join(d.as("b"), col("a.doc_id") + 1 === col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("id_a"),
+        col("b.doc_id").as("id_b"),
+        levenshtein(col("a.prefix"), col("b.prefix")).cast("long").as("edit_dist"))
+      .orderBy("id_a")
+  }
+
   /** q38: document fingerprint + token counts — order-sensitive rolling
     * hash over the token stream (whitespace tokens and the reference's
     * alpha tokens counted separately). */
