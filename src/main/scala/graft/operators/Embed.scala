@@ -39,24 +39,46 @@ object Embed {
 
   def fitWordVectors(spark: SparkSession, dir: String): DataFrame = {
     val cfg = graft.GraftConfig.from(spark)
-    fitted.getOrElseUpdate(s"$dir|$cfg", {
-      // Word2Vec makes several passes (vocab build + per-iteration
-      // training); cache the tokenized corpus so the regexp tokenize
-      // runs once, then release it after fit.
-      val tokens = tokensDF(spark, dir).persist()
-      val w2v = new Word2Vec()
-        .setInputCol("words").setOutputCol("vec")
-        .setVectorSize(cfg.layerSize).setWindowSize(cfg.windowSize)
-        .setMaxIter(cfg.iterations).setMinCount(cfg.minWordFrequency)
-        .setSeed(cfg.seed)
-      val model = w2v.fit(tokens)
-      val vectors = model.getVectors // (word: String, vector: ml.linalg.Vector)
-        .select(col("word"), vector_to_array(col("vector")).as("vector"))
-        .cache()
-      vectors.count() // materialize before releasing the token cache
-      tokens.unpersist()
-      vectors
-    })
+    fitted.getOrElseUpdate(s"$dir|$cfg",
+      fitWordVectorsFromTokens(spark, tokensDF(spark, dir)))
+  }
+
+  /** Train on any token-array DataFrame (column `words`). */
+  def fitWordVectorsFromTokens(spark: SparkSession, tokensIn: DataFrame): DataFrame = {
+    val cfg = graft.GraftConfig.from(spark)
+    // Word2Vec makes several passes (vocab build + per-iteration
+    // training); cache the tokenized corpus so the regexp tokenize
+    // runs once, then release it after fit.
+    val tokens = tokensIn.persist()
+    val w2v = new Word2Vec()
+      .setInputCol("words").setOutputCol("vec")
+      .setVectorSize(cfg.layerSize).setWindowSize(cfg.windowSize)
+      .setMaxIter(cfg.iterations).setMinCount(cfg.minWordFrequency)
+      .setSeed(cfg.seed)
+    val model = w2v.fit(tokens)
+    val vectors = model.getVectors // (word: String, vector: ml.linalg.Vector)
+      .select(col("word"), vector_to_array(col("vector")).as("vector"))
+      .cache()
+    vectors.count() // materialize before releasing the token cache
+    tokens.unpersist()
+    vectors
+  }
+
+  /** The full reference pipeline over an arbitrary text corpus (column
+    * `text`): word counts ⋈ one global model → (word, token, count,
+    * vector). The corpus-general core behind [[flagship]] and the
+    * [[graft.Word2VecDriver]] CLI. */
+  def flagshipFromText(spark: SparkSession, texts: DataFrame): DataFrame = {
+    val counts = Parity.wordCounts(texts.select("text"))
+    val vectors = fitWordVectorsFromTokens(spark,
+      texts.select(Portable.tokenize(col("text")).as("words")))
+    counts.join(vectors, "word")
+      .select(
+        col("word"),
+        Portable.tokenId(col("word")).as("token"),
+        col("cnt").as("count"),
+        col("vector"))
+      .orderBy("word")
   }
 
   /** The flagship parity pipeline (reference output shape

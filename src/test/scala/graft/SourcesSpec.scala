@@ -38,6 +38,19 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.head().getString(0) == "hello" || back.head().getString(0) == "world")
   }
 
+  test("flagship pipeline runs over an arbitrary text corpus (the CLI path)") {
+    val dir = Files.createTempDirectory("graft-cli-corpus")
+    Files.writeString(dir.resolve("f1.txt"), "hello 123 hello 456 hello this is a test\n")
+    Files.writeString(dir.resolve("f2.txt"), "hello, this is a test file for map reduce program\n")
+    val corpus = TextCorpus.read(spark, dir.toString).select(col("value").as("text"))
+    val result = graft.operators.Embed.flagshipFromText(spark, corpus).collect()
+    val byWord = result.map(r => r.getString(0) -> r).toMap
+    assert(byWord.keySet.contains("hello") && !byWord.keySet.exists(_.exists(_.isDigit)))
+    assert(byWord("hello").getLong(2) == 4L)                    // count col
+    assert(byWord("hello").getSeq[Double](3).length == 100)     // vector dim
+    assert(byWord("a").getLong(1) == 97L)                       // token id
+  }
+
   test("GraftConfig defaults to the reference hyperparameters and reads overrides (R3)") {
     assert(GraftConfig.from(spark) == GraftConfig(100, 5, 1, 1, 42L))
     spark.conf.set("graft.w2v.layerSize", "20")
