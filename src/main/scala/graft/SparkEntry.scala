@@ -51,6 +51,7 @@ object SparkEntry {
     "q27_array_fns"      -> (Relational.q27ArrayFns _),
     "q28_map_fns"        -> (Relational.q28MapFns _),
     "q29_pivot"          -> (Relational.q29Pivot _),
+    "q48_asof_join"      -> (AsOf.q48AsOfJoin _),
     // training-data pipeline: dedup / similarity / text analysis
     "q30_dedup_exact"    -> (Dedup.q30ExactDedup _),
     "q31_minhash_sig"    -> (Dedup.q31MinHashSig _),
@@ -288,6 +289,17 @@ object SparkEntry {
         |       round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
         |       round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view
         |FROM events GROUP BY day ORDER BY day""".stripMargin,
+
+    "q48_asof_join" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS asof_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id,
+        |       strftime(r.o_orderdate, '%Y-%m-%d') AS asof_date,
+        |       r.asof_orderkey
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        |ORDER BY event_id""".stripMargin,
 
     "q30_dedup_exact" ->
       s"""WITH f AS (SELECT doc_id, ${fingerprint("string_split(text, ' ')")} AS fp FROM documents)

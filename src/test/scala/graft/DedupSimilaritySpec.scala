@@ -82,6 +82,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(hamming(simhash(a), simhash(b)) <= hamming(simhash(a), simhash(c)))
   }
 
+  test("as-of join picks the latest right row at or before each left time") {
+    import graft.operators.AsOf
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 12:00:00"), 101L),
+      (2L, ts("2024-01-01 09:00:00"), 200L),  // before any right row
+    ).toDF("key", "lt", "left_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), "a"),
+      (1L, ts("2024-01-01 11:00:00"), "b"),
+      (1L, ts("2024-01-01 12:00:00"), "c"),   // equal time: <= is inclusive
+      (2L, ts("2024-01-01 23:00:00"), "z"),
+    ).toDF("key", "rt", "tag")
+    val got = AsOf.join(left, right, "key", "lt", "rt", Seq("tag"))
+      .select("left_id", "tag").as[(Long, Option[String])].collect().toMap
+    assert(got(100L) == Some("a"))
+    assert(got(101L) == Some("c"))
+    assert(got(200L) == None)
+  }
+
   test("multimodal decodeStub is deterministic and matches the metadata contract") {
     val blob = MediaBlob(7L, "hello world".getBytes("UTF-8"))
     val m1 = Multimodal.decodeStub(blob)
