@@ -57,6 +57,7 @@ object SparkEntry {
     "q31_minhash_sig"    -> (Dedup.q31MinHashSig _),
     "q32_simhash"        -> (Dedup.q32SimHash _),
     "q33_ngram_jaccard"  -> (Dedup.q33NgramJaccard _),
+    "q49_embedding_neardup" -> (Dedup.q49EmbeddingNearDup _),
     "q34_knn_cosine"     -> (Similarity.q34KnnCosine _),
     "q35_lang_profile"   -> (TextAnalysis.q35LangProfile _),
     "q36_lang_id"        -> (TextAnalysis.q36LangId _),
@@ -72,6 +73,7 @@ object SparkEntry {
     "q43_lsh_buckets"    -> (Similarity.q43LshBuckets _),
     "q44_approx_distinct" -> (Similarity.q44ApproxDistinct _),
     "q45_ivf_cells"      -> (Similarity.q45IvfCells _),
+    "q50_vector_mean_agg" -> (Parity.q50VectorMeanAgg _),
   )
 
   // ---------------------------------------------------------------------
@@ -344,6 +346,14 @@ object SparkEntry {
         |FROM pairs JOIN sizes sa ON pairs.id_a = sa.doc_id
         |           JOIN sizes sb ON pairs.id_b = sb.doc_id
         |ORDER BY jaccard DESC, id_a, id_b LIMIT 20""".stripMargin,
+
+    "q49_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+        |ORDER BY cos_sim DESC, id_a, id_b""".stripMargin,
 
     "q34_knn_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

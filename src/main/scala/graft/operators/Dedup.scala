@@ -148,6 +148,23 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
   }
 
+  /** q49: embedding-cosine near-duplicates — exact pairs above a cosine
+    * threshold. Brute force is the oracle-checkable exact baseline (the
+    * blocked variants — MinHashLSH q42, random-projection q43, IVF
+    * q45 — are the scale path that feeds candidate pairs to this same
+    * scoring). The fused [[graft.plans.CosineSim]] expression keeps the
+    * N²/2 inner loop allocation-free. */
+  def q49EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.CosineSim
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(CosineSim.cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.45)
+      .orderBy(desc("cos_sim"), asc("id_a"), asc("id_b"))
+  }
+
   /** q42 (rows-only): MLlib MinHashLSH signatures over word sets — the
     * library-native LSH surface (model hashes are seeded but not
     * reproducible in DuckDB, so no SQL oracle; the approx-join path is

@@ -77,6 +77,23 @@ object Parity {
       .agg(round(avg("val"), 6).as("avg_val"))
       .orderBy("label", "pos")
 
+  /** q50 (rows-only): the R12 vector mean through the genuine typed
+    * Aggregator (partial/final split with Tungsten-encoded buffers —
+    * the reference reducer's exact role). Output reports per-group
+    * invariants (dim, rounded norm) because cross-partition merge order
+    * makes raw mean bits run-dependent. */
+  def q50VectorMeanAgg(spark: SparkSession, dir: String): DataFrame = {
+    val mean = udaf(graft.functions.VectorMean)
+    Tables.embeddings(spark, dir)
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(mean(col("embedding").cast("array<double>")).as("mean_vec"),
+        count(lit(1)).as("n_vectors"))
+      .select(col("label"), col("n_vectors"),
+        size(col("mean_vec")).cast("long").as("dim"),
+        round(graft.functions.VectorOps.l2Norm(col("mean_vec")), 4).as("mean_norm"))
+      .orderBy("label")
+  }
+
   /** q06: cosine similarity between consecutive embeddings — the scalar
     * capability the reference lost a point for (X4, `feedback.md:5`).
     * Self-join on vec_id+1 is a broadcast-able equi-join on a key the scan
