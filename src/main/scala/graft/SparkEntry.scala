@@ -52,6 +52,8 @@ object SparkEntry {
     "q28_map_fns"        -> (Relational.q28MapFns _),
     "q29_pivot"          -> (Relational.q29Pivot _),
     "q48_asof_join"      -> (AsOf.q48AsOfJoin _),
+    "q51_percentiles"    -> (Relational.q51Percentiles _),
+    "q52_stats"          -> (Relational.q52Stats _),
     // training-data pipeline: dedup / similarity / text analysis
     "q30_dedup_exact"    -> (Dedup.q30ExactDedup _),
     "q31_minhash_sig"    -> (Dedup.q31MinHashSig _),
@@ -346,6 +348,21 @@ object SparkEntry {
         |FROM pairs JOIN sizes sa ON pairs.id_a = sa.doc_id
         |           JOIN sizes sb ON pairs.id_b = sb.doc_id
         |ORDER BY jaccard DESC, id_a, id_b LIMIT 20""".stripMargin,
+
+    "q51_percentiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        |       round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
+        |       round(quantile_cont(l_discount, 0.25), 6) AS p25_discount
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q52_stats" ->
+      """SELECT l_returnflag,
+        |       round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |       round(var_samp(l_quantity), 2) AS var_qty,
+        |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |       round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q49_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -220,6 +220,34 @@ object Relational {
       .agg(round(sum("value"), 2))
       .orderBy("day")
 
+  /** q51: exact percentiles — `percentile` (exact interpolated, matches
+    * DuckDB quantile_cont) rather than percentile_approx, whose sketch
+    * is engine-specific. Exact percentile needs the group's values
+    * together (sort-based agg); at 100 TB prefer approx_percentile and
+    * drop the oracle — both surfaces exist here, approx in q44's
+    * family. */
+  def q51Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"),
+        round(expr("percentile(l_discount, 0.25)"), 6).as("p25_discount"))
+      .orderBy("l_returnflag")
+
+  /** q52: moment-based statistics — stddev/variance/correlation/skew
+    * surface; all single-pass partial-aggregatable (Welford-style
+    * merge), so they scale like any sum. */
+  def q52Stats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 2).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covar_qty_disc"))
+      .orderBy("l_returnflag")
+
   /** q18: set operations over the nation-key domains of customers vs
     * suppliers — UNION / INTERSECT / EXCEPT, tagged into one result. */
   def q18SetOps(spark: SparkSession, dir: String): DataFrame = {
