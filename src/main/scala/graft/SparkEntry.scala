@@ -54,6 +54,7 @@ object SparkEntry {
     "q48_asof_join"      -> (AsOf.q48AsOfJoin _),
     "q51_percentiles"    -> (Relational.q51Percentiles _),
     "q52_stats"          -> (Relational.q52Stats _),
+    "q53_scalar_subquery" -> (Relational.q53ScalarSubquery _),
     // training-data pipeline: dedup / similarity / text analysis
     "q30_dedup_exact"    -> (Dedup.q30ExactDedup _),
     "q31_minhash_sig"    -> (Dedup.q31MinHashSig _),
@@ -363,6 +364,13 @@ object SparkEntry {
         |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
         |       round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q53_scalar_subquery" ->
+      """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey, c_acctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) * 1.5 FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q49_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

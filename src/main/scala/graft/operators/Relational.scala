@@ -248,6 +248,19 @@ object Relational {
         round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covar_qty_disc"))
       .orderBy("l_returnflag")
 
+  /** q53: correlated scalar subquery — customers above their nation's
+    * average balance. Catalyst decorrelates it into an aggregate +
+    * join; the SQL surface mirrors what an analyst would write. */
+  def q53ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("v_customer")
+    spark.sql(
+      """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey, c_acctbal
+        |FROM v_customer c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) * 1.5 FROM v_customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** q18: set operations over the nation-key domains of customers vs
     * suppliers — UNION / INTERSECT / EXCEPT, tagged into one result. */
   def q18SetOps(spark: SparkSession, dir: String): DataFrame = {

@@ -51,6 +51,19 @@ class SourcesSpec extends AnyFunSuite {
     assert(byWord("a").getLong(1) == 97L)                       // token id
   }
 
+  test("orc and json sinks round-trip the star-schema rows") {
+    val base = Files.createTempDirectory("graft-io")
+    val nation = Tables.nation(spark, TestSpark.sf0001)
+    nation.write.orc(s"$base/orc")
+    nation.write.json(s"$base/json")
+    val orc = spark.read.orc(s"$base/orc")
+    val json = spark.read.json(s"$base/json")
+      .select(col("n_nationkey").cast("int"), col("n_name"), col("n_regionkey").cast("int"))
+    assert(orc.exceptAll(nation).count() == 0 && nation.exceptAll(orc).count() == 0)
+    assert(json.exceptAll(nation.select(orc.columns.map(col): _*)).count() == 0)
+    assert(orc.count() == 25 && json.count() == 25)
+  }
+
   test("GraftConfig defaults to the reference hyperparameters and reads overrides (R3)") {
     assert(GraftConfig.from(spark) == GraftConfig(100, 5, 1, 1, 42L))
     spark.conf.set("graft.w2v.layerSize", "20")
