@@ -212,7 +212,7 @@ object SparkEntry {
       """SELECT o_orderkey,
         |       CAST(year(o_orderdate) AS BIGINT) AS o_year,
         |       CAST(month(o_orderdate) AS BIGINT) AS o_month,
-        |       CAST(regexp_extract(o_orderpriority, '^(\d+)', 1) AS BIGINT) AS prio_num,
+        |       TRY_CAST(regexp_extract(o_orderpriority, '^(\d+)', 1) AS BIGINT) AS prio_num,
         |       CAST(length(o_orderstatus) AS BIGINT) AS status_len,
         |       upper(substring(o_orderpriority, 3, 20)) AS prio_name,
         |       round(log10(o_totalprice), 4) AS log_price,
@@ -280,7 +280,7 @@ object SparkEntry {
 
     "q28_map_fns" ->
       """WITH kv AS (
-        |  SELECT key, CAST(json_extract_string(props, '$.' || key) AS BIGINT) AS val
+        |  SELECT key, TRY_CAST(json_extract_string(props, '$.' || key) AS BIGINT) AS val
         |  FROM (SELECT props, unnest(json_keys(props)) AS key FROM events) t)
         |SELECT key, count(*) AS n, CAST(sum(val) AS BIGINT) AS sum_val,
         |       min(val) AS min_val, max(val) AS max_val

@@ -33,8 +33,10 @@ object Tables {
     * to the same boundaries. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integer `div`, not `/`: Column./ is double division, and epoch
+    // nanos (~1.7e18) exceed double's 2^53 exact range — a boundary
+    // timestamp could round down one microsecond
     table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
 }

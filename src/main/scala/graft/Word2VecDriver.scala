@@ -28,13 +28,14 @@ object Word2VecDriver {
     spark.sparkContext.setLogLevel("WARN")
 
     val corpus = TextCorpus.read(spark, in).select(col("value").as("text"))
-    val result = Embed.flagshipFromText(spark, corpus)
+    val result = Embed.flagshipFromText(spark, corpus).cache()
     result
       .select(concat(
         col("word"), lit(","), col("token"), lit(","), col("count"),
         lit(",["), array_join(col("vector"), ","), lit("]")).as("value"))
       .write.mode("overwrite").text(out)
     println(s"[word2vec-driver] wrote ${result.count()} vocabulary rows to $out")
+    result.unpersist()
     spark.stop()
   }
 }

@@ -26,7 +26,4 @@ object VectorOps {
     when(n === 0.0, lit(null)).otherwise(d / n)
   }
 
-  /** Elementwise sum / scale — building blocks for centroid math. */
-  def add(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x + y)
-  def scale(a: Column, k: Column): Column = transform(a, x => x * k)
 }

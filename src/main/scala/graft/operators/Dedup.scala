@@ -98,7 +98,10 @@ object Dedup {
     // One scan, persisted: both downstream consumers (pair generation
     // and per-doc sizes) would otherwise re-run the explode. At cluster
     // scale this is a checkpoint of O(corpus shingles), the standard
-    // shape for multi-pass dedup.
+    // shape for multi-pass dedup. Lifetime caveat: the cache is held
+    // until session end (the returned plan is lazy, so this operator
+    // cannot unpersist it itself); long-lived sessions re-running this
+    // query should spark.catalog.clearCache() between rounds.
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(Portable.shingles(split(col("text"), " "), 4)).as("shingle"))
       .persist()

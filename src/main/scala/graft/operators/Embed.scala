@@ -39,7 +39,9 @@ object Embed {
 
   def fitWordVectors(spark: SparkSession, dir: String): DataFrame = {
     val cfg = graft.GraftConfig.from(spark)
-    fitted.getOrElseUpdate(s"$dir|$cfg",
+    // key includes the session: cached DataFrames are bound to the
+    // session that built them and must not outlive it
+    fitted.getOrElseUpdate(s"${System.identityHashCode(spark)}|$dir|$cfg",
       fitWordVectorsFromTokens(spark, tokensDF(spark, dir)))
   }
 

@@ -31,7 +31,11 @@ object Multimodal {
     * deterministic so results are stable across retries/speculation. */
   def decodeStub(b: MediaBlob): MediaMeta = {
     val n = b.bytes.length.toLong
-    val first = if (n > 0) (b.bytes(0) & 0xff).toLong else -1L
+    // "decode" the first codepoint (not the raw byte): keeps the value
+    // well-defined — and oracle-reproducible — for non-ASCII content
+    val first =
+      if (n > 0) new String(b.bytes, java.nio.charset.StandardCharsets.UTF_8).codePointAt(0).toLong
+      else -1L
     MediaMeta(
       doc_id = b.doc_id,
       n_bytes = n,

@@ -33,8 +33,6 @@ import graft.Tables
   */
 object Relational {
 
-  private val D = "yyyy-MM-dd"
-
   /** q10: TPC-H Q1-style pricing summary — full-scan partial/final hash
     * aggregate over lineitem; the canonical scan-bound query. */
   def q10PricingSummary(spark: SparkSession, dir: String): DataFrame =
@@ -202,8 +200,12 @@ object Relational {
     * never had. */
   def q28MapFns(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
+      // parse values as strings then try_cast: a single non-numeric
+      // value must null that entry, not (as map<string,bigint> parsing
+      // would) null the whole map and drop every key in the row
       .select(explode(from_json(col("props"),
-        org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>"))).as(Seq("key", "val")))
+        org.apache.spark.sql.types.DataType.fromDDL("map<string,string>"))).as(Seq("key", "raw")))
+      .select(col("key"), expr("try_cast(raw AS BIGINT)").as("val"))
       .groupBy("key")
       .agg(count(lit(1)).as("n"), sum("val").as("sum_val"),
         min("val").as("min_val"), max("val").as("max_val"))
@@ -282,7 +284,7 @@ object Relational {
         col("o_orderkey"),
         year(col("o_orderdate")).cast("long").as("o_year"),
         month(col("o_orderdate")).cast("long").as("o_month"),
-        regexp_extract(col("o_orderpriority"), "^(\\d+)", 1).cast("long").as("prio_num"),
+        expr("try_cast(regexp_extract(o_orderpriority, '^(\\\\d+)', 1) AS BIGINT)").as("prio_num"),
         length(col("o_orderstatus")).cast("long").as("status_len"),
         upper(substring(col("o_orderpriority"), 3, 20)).as("prio_name"),
         round(log10(col("o_totalprice")), 4).as("log_price"),

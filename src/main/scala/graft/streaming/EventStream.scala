@@ -34,7 +34,7 @@ object EventStream {
   def readStream(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream.schema(rawSchema).parquet(path)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)")) // integer div: see Tables.events
   }
 
   /** Tumbling daily windows per event type with a 1-hour watermark —
