@@ -66,6 +66,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join enriches streaming events with a dimension table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ss-join")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$sf0001/events.parquet"), dir.resolve("events.parquet"))
+    val stream = EventStream.readStream(spark, dir.toString)
+    val dim = Tables.customer(spark, sf0001)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    import spark.implicits._
+    val q = stream.join(dim, Seq("user_id"), "inner")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("seg_counts")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("seg_counts").as[(String, Long)].collect().toMap
+      val want = Tables.events(spark, sf0001).join(dim, Seq("user_id"))
+        .groupBy("c_mktsegment").count().as[(String, Long)].collect().toMap
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful session counting works on the batch execution path too") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
