@@ -31,8 +31,15 @@ object Portable {
     filter(split(c, ""), ch => ch =!= lit(""))
 
   /** word -> Long token id: fold (acc*31 + codepoint) % P over characters.
-    * Stands in for the reference's first-BPE-token encode (R6). */
-  def tokenId(c: Column): Column =
+    * Stands in for the reference's first-BPE-token encode (R6).
+    * Dispatches to the native codegen'd expression
+    * ([[graft.plans.TokenId]]); [[tokenIdHof]] is the pure-built-ins
+    * twin kept as the executable spec. */
+  def tokenId(c: Column): Column = graft.plans.TokenId.tokenId(c)
+
+  /** HOF reference implementation of [[tokenId]] (identical values,
+    * asserted in tests). */
+  def tokenIdHof(c: Column): Column =
     aggregate(chars(c), lit(0L), (acc, ch) => (acc * lit(31L) + ascii(ch)) % lit(P))
 
   /** Order-sensitive document fingerprint: fold (acc*131 + tokenId(word)) % P

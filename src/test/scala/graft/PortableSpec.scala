@@ -33,6 +33,15 @@ class PortableSpec extends AnyFunSuite {
     assert(got.forall(h => h >= 0L && h < Portable.P))
   }
 
+  test("native TokenId expression equals the HOF spec, incl. non-ASCII") {
+    val words = Seq("", "a", "hello", "zzzzzzzzzzzzzzzzzzzz", "héllo", "日本語", "a b,c")
+    val got = words.toDF("w")
+      .select(Portable.tokenId(col("w")).as("native"), Portable.tokenIdHof(col("w")).as("hof"))
+      .as[(Long, Long)].collect()
+    got.zip(words).foreach { case ((n, h), w) => assert(n == h, s"mismatch for '$w'") }
+    assert(got(1)._1 == 97L)
+  }
+
   test("tokenize reproduces the reference fixture: digits dropped, counts kept") {
     // reference input/test-file1.txt: "hello 123 hello 456 hello this is a test"
     val words = Seq("hello 123 hello 456 hello this is a test").toDF("text")
