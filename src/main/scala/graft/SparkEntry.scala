@@ -307,9 +307,8 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
 
     "q30_dedup_exact" ->
-      s"""WITH f AS (SELECT doc_id, ${fingerprint("string_split(text, ' ')")} AS fp FROM documents)
-         |SELECT fp, min(doc_id) AS canonical_id, count(*) AS n_copies
-         |FROM f GROUP BY fp ORDER BY canonical_id""".stripMargin,
+      """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM documents GROUP BY content_hash ORDER BY canonical_id""".stripMargin,
 
     "q31_minhash_sig" ->
       s"""WITH tok AS (SELECT DISTINCT doc_id, word FROM
@@ -322,17 +321,21 @@ object SparkEntry {
          |       min((CAST(a AS BIGINT) * h + b) % 1000000007) AS minhash
          |FROM wh CROSS JOIN bands GROUP BY doc_id, band ORDER BY doc_id, band""".stripMargin,
 
-    "q32_simhash" ->
+    "q32_simhash" -> {
+      val votes = (0 until 16).map(b =>
+        s"sum(CASE WHEN CAST(floor(h / ${1L << b}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS v$b")
+        .mkString(",\n|  ")
+      val simhash = (0 until 16).map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ")
       s"""WITH tok AS (SELECT DISTINCT doc_id, word FROM
          |  (SELECT doc_id, unnest(${tok("text")}) AS word FROM documents) t),
          |wh AS (SELECT doc_id, ${tokenId("word")} AS h FROM tok),
-         |bits AS (SELECT unnest(range(16)) AS bit),
-         |votes AS (
-         |  SELECT doc_id, bit, CAST(power(2, bit) AS BIGINT) AS weight,
-         |         sum(CASE WHEN CAST(floor(h / power(2, bit)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS votes
-         |  FROM wh CROSS JOIN bits GROUP BY doc_id, bit)
-         |SELECT doc_id, CAST(sum(CASE WHEN votes > 0 THEN weight ELSE 0 END) AS BIGINT) AS simhash
-         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |v AS (SELECT doc_id,
+         |  $votes
+         |  FROM wh GROUP BY doc_id)
+         |SELECT doc_id, CAST($simhash AS BIGINT) AS simhash
+         |FROM v ORDER BY doc_id""".stripMargin
+    },
 
     "q33_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -23,14 +23,18 @@ import graft.functions.Portable
   */
 object Dedup {
 
-  /** q30: exact dedup — group identical texts, keep the smallest doc_id
-    * as canonical. At 100 TB you'd group on a 128-bit content hash rather
-    * than the text itself to keep shuffle rows narrow; we carry the
-    * portable fingerprint alongside to show that shape. */
+  /** q30: exact dedup — group identical texts by a 128-bit content hash
+    * (md5 of the UTF-8 bytes; byte-identical in DuckDB), keep the
+    * smallest doc_id as canonical. The hash keeps shuffle rows narrow at
+    * corpus scale. Width matters: an earlier version grouped on the
+    * 30-bit portable fingerprint and a 100× amplification run (500k
+    * docs) produced ~844 birthday collisions — false merges an exact
+    * dedup must not have. The rolling fingerprint remains the right tool
+    * for order-sensitive similarity (q38), not identity. */
   def q30ExactDedup(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"), Portable.fingerprint(split(col("text"), " ")).as("fp"))
-      .groupBy("fp")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("content_hash"))
+      .groupBy("content_hash")
       .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
       .orderBy("canonical_id")
 
@@ -66,22 +70,24 @@ object Dedup {
       .orderBy("doc_id", "band")
   }
 
-  /** q32: 16-bit SimHash — each distinct word votes ±1 on each bit of its
-    * hash; bit set iff the vote sum is positive. Relational formulation:
-    * tokens × 16-bit literal table → per-(doc,bit) vote sum → weighted
-    * bit recombination. Shuffle O(docs × 16). */
+  /** q32: 16-bit SimHash — each distinct word votes ±1 on each bit of
+    * its hash; bit set iff the vote sum is positive. The 16 bit-votes
+    * are 16 static aggregate columns over one (doc, word-hash) row —
+    * NOT a ×16 bits-table join: at a 100×-amplified corpus the join
+    * form pushed 240M rows through the shuffle (11s) where this shape
+    * shuffles O(docs) partial-agg buffers. */
   def q32SimHash(spark: SparkSession, dir: String): DataFrame = {
-    val spark2 = spark
-    import spark2.implicits._
-    val bits = broadcast((0 until 16).map(b => (b, math.pow(2, b).toLong)).toDF("bit", "weight"))
+    val votes = (0 until 16).map { b =>
+      sum(when((col("h").divide(lit(1L << b))).cast("long") % 2 === 1, 1L).otherwise(-1L)).as(s"v$b")
+    }
+    val simhash = (0 until 16)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
     docTokens(spark, dir)
       .withColumn("h", Portable.tokenId(col("word")))
-      .crossJoin(bits)
-      .withColumn("vote", when((col("h").divide(col("weight"))).cast("long") % 2 === 1, 1L).otherwise(-1L))
-      .groupBy("doc_id", "bit", "weight")
-      .agg(sum("vote").as("votes"))
       .groupBy("doc_id")
-      .agg(sum(when(col("votes") > 0, col("weight")).otherwise(0L)).as("simhash"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), simhash.as("simhash"))
       .orderBy("doc_id")
   }
 
