@@ -310,16 +310,22 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
         |FROM documents GROUP BY content_hash ORDER BY canonical_id""".stripMargin,
 
-    "q31_minhash_sig" ->
+    "q31_minhash_sig" -> {
+      val mins = Seq((0, 1000003L, 12345L), (1, 999983L, 54321L), (2, 850021L, 98765L),
+        (3, 774047L, 13579L), (4, 655243L, 24680L), (5, 524287L, 86420L),
+        (6, 433003L, 11111L), (7, 334213L, 99999L))
+        .map { case (band, a, b) => s"min((h * $a + $b) % 1000000007) AS m$band" }
+        .mkString(",\n|  ")
       s"""WITH tok AS (SELECT DISTINCT doc_id, word FROM
          |  (SELECT doc_id, unnest(${tok("text")}) AS word FROM documents) t),
          |wh AS (SELECT doc_id, ${tokenId("word")} AS h FROM tok),
-         |bands(band, a, b) AS (VALUES (0, 1000003, 12345), (1, 999983, 54321),
-         |  (2, 850021, 98765), (3, 774047, 13579), (4, 655243, 24680),
-         |  (5, 524287, 86420), (6, 433003, 11111), (7, 334213, 99999))
-         |SELECT doc_id, CAST(band AS BIGINT) AS band,
-         |       min((CAST(a AS BIGINT) * h + b) % 1000000007) AS minhash
-         |FROM wh CROSS JOIN bands GROUP BY doc_id, band ORDER BY doc_id, band""".stripMargin,
+         |m AS (SELECT doc_id,
+         |  $mins
+         |  FROM wh GROUP BY doc_id)
+         |SELECT doc_id, CAST(unnest(range(8)) AS BIGINT) AS band,
+         |       unnest([m0, m1, m2, m3, m4, m5, m6, m7]) AS minhash
+         |FROM m ORDER BY doc_id, band""".stripMargin
+    },
 
     "q32_simhash" -> {
       val votes = (0 until 16).map(b =>

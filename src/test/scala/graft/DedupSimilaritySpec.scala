@@ -41,6 +41,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(top(1) == 2L)       // then the near-identical one
   }
 
+  test("LSH-blocked embedding near-dup finds the pairs exact brute force finds") {
+    val emb = graft.Tables.embeddings(spark, TestSpark.sf0001)
+    val exact = Dedup.q49EmbeddingNearDup(spark, TestSpark.sf0001)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val approx = Dedup.approxEmbeddingNearDup(emb, minCosine = 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // LSH recall: every exact pair should be discoverable; allow 1 miss
+    assert((exact -- approx).size <= math.max(1, exact.size / 5),
+      s"missed too many exact pairs: ${exact -- approx}")
+    // precision by construction (distance filter), modulo rounding
+    assert(approx.forall { case (a, b) => a < b })
+  }
+
   test("IVF ANN achieves good recall vs brute force while scanning fewer cells") {
     val (centroids, assigned) = Similarity.ivfIndex(spark, TestSpark.sf0001, k = 8)
     assigned.cache(); centroids.cache()
