@@ -88,6 +88,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked stream-stream join matches the batch time-range join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssj")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$sf0001/events.parquet"), dir.resolve("events.parquet"))
+    val q = EventStream.viewToPurchase(EventStream.readStream(spark, dir.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("view_purchase")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ckpt3").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      q.processAllAvailable() // flush watermark-closed state
+      val got = spark.table("view_purchase")
+      val batch = EventStream.viewToPurchase(Tables.events(spark, sf0001))
+      // every emitted streaming row appears in the batch answer...
+      assert(got.exceptAll(batch).count() == 0)
+      // ...and the join found real matches
+      assert(got.count() > 0)
+    } finally q.stop()
+  }
+
   test("stateful session counting works on the batch execution path too") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
