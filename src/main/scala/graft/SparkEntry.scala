@@ -96,8 +96,9 @@ object SparkEntry {
   private def fingerprint(words: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($words, wrd -> ${tokenId("wrd")})), (acc2, h2) -> (acc2*131 + h2) % 1000000007)"""
 
-  private val stoplist = "('the','a','is','this','to','of','and','in','it','for')"
-  private val stoparr  = "['the','a','is','this','to','of','and','in','it','for']"
+  // single source of truth: the operator-side marker set
+  private val stoplist = TextAnalysis.stopwords.map(w => s"'$w'").mkString("(", ",", ")")
+  private val stoparr  = TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops → driver
@@ -141,7 +142,7 @@ object SparkEntry {
         |ORDER BY id_a""".stripMargin,
 
     "q10_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
         |       round(sum(l_extendedprice), 2) AS sum_base_price,
         |       round(sum(l_extendedprice * (1.0 - l_discount)), 0) AS sum_disc_price,
         |       round(avg(l_quantity), 4) AS avg_qty,
@@ -242,7 +243,7 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q24_topk_parts" ->
-      """SELECT p_partkey, p_name, p_brand, sum(l_quantity) AS sum_qty, count(*) AS n_lines
+      """SELECT p_partkey, p_name, p_brand, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_partkey, p_name, p_brand ORDER BY sum_qty DESC, p_partkey LIMIT 15""".stripMargin,
 
@@ -280,7 +281,7 @@ object SparkEntry {
 
     "q28_map_fns" ->
       """WITH kv AS (
-        |  SELECT key, TRY_CAST(json_extract_string(props, '$.' || key) AS BIGINT) AS val
+        |  SELECT key, TRY_CAST(json_extract_string(props, '/' || key) AS BIGINT) AS val
         |  FROM (SELECT props, unnest(json_keys(props)) AS key FROM events) t)
         |SELECT key, count(*) AS n, CAST(sum(val) AS BIGINT) AS sum_val,
         |       min(val) AS min_val, max(val) AS max_val
@@ -311,9 +312,9 @@ object SparkEntry {
         |FROM documents GROUP BY content_hash ORDER BY canonical_id""".stripMargin,
 
     "q31_minhash_sig" -> {
-      val mins = Seq((0, 1000003L, 12345L), (1, 999983L, 54321L), (2, 850021L, 98765L),
-        (3, 774047L, 13579L), (4, 655243L, 24680L), (5, 524287L, 86420L),
-        (6, 433003L, 11111L), (7, 334213L, 99999L))
+      // band constants come from the operator (Dedup.minhashBands) so
+      // the oracle can never drift from the implementation
+      val mins = Dedup.minhashBands
         .map { case (band, a, b) => s"min((h * $a + $b) % 1000000007) AS m$band" }
         .mkString(",\n|  ")
       s"""WITH tok AS (SELECT DISTINCT doc_id, word FROM
@@ -377,16 +378,17 @@ object SparkEntry {
     "q53_scalar_subquery" ->
       """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey, c_acctbal
         |FROM customer c
-        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) * 1.5 FROM customer c2
+        |WHERE c_acctbal > (SELECT round(avg(c2.c_acctbal) * 1.5, 2) FROM customer c2
         |                   WHERE c2.c_nationkey = c.c_nationkey)
         |ORDER BY c_custkey""".stripMargin,
 
     "q49_embedding_neardup" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.45
         |ORDER BY cos_sim DESC, id_a, id_b""".stripMargin,
 
     "q34_knn_cosine" ->
@@ -438,7 +440,9 @@ object SparkEntry {
          |FROM d ORDER BY doc_id""".stripMargin,
 
     "q47_edit_distance" ->
-      """WITH d AS (SELECT doc_id, substring(text, 1, 40) AS prefix FROM documents)
+      """WITH d AS (SELECT doc_id,
+        |  regexp_replace(substring(text, 1, 40), '[^\x20-\x7e]', '_', 'g') AS prefix
+        |  FROM documents)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |       CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist
         |FROM d a JOIN d b ON a.doc_id + 1 = b.doc_id

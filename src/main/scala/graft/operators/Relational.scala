@@ -40,7 +40,7 @@ object Relational {
       .filter(to_date(col("l_shipdate")) <= to_date(lit("1998-09-02")))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum("l_quantity").as("sum_qty"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
         round(sum("l_extendedprice"), 2).as("sum_base_price"),
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 0).as("sum_disc_price"),
         round(avg("l_quantity"), 4).as("avg_qty"),
@@ -258,7 +258,7 @@ object Relational {
     spark.sql(
       """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey, c_acctbal
         |FROM v_customer c
-        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) * 1.5 FROM v_customer c2
+        |WHERE c_acctbal > (SELECT round(avg(c2.c_acctbal) * 1.5, 2) FROM v_customer c2
         |                   WHERE c2.c_nationkey = c.c_nationkey)
         |ORDER BY c_custkey""".stripMargin)
   }
@@ -347,7 +347,7 @@ object Relational {
     val p = broadcast(Tables.part(spark, dir).select("p_partkey", "p_name", "p_brand"))
     l.join(p, l("l_partkey") === p("p_partkey"))
       .groupBy("p_partkey", "p_name", "p_brand")
-      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_lines"))
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n_lines"))
       .orderBy(desc("sum_qty"), asc("p_partkey"))
       .limit(15)
   }

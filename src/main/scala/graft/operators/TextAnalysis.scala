@@ -75,8 +75,12 @@ object TextAnalysis {
     * O(len²) and at corpus scale you only run it on candidate pairs the
     * cheap hashes already produced). */
   def q47EditDistance(spark: SparkSession, dir: String): DataFrame = {
+    // sanitize to printable ASCII first: Spark levenshtein counts
+    // characters while DuckDB's counts bytes, so the oracle contract
+    // only holds on a domain where the two coincide
     val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), substring(col("text"), 1, 40).as("prefix"))
+      .select(col("doc_id"),
+        regexp_replace(substring(col("text"), 1, 40), "[^\\x20-\\x7e]", "_").as("prefix"))
     d.as("a").join(d.as("b"), col("a.doc_id") + 1 === col("b.doc_id"))
       .select(
         col("a.doc_id").as("id_a"),
