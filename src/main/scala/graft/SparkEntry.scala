@@ -55,6 +55,8 @@ object SparkEntry {
     "q51_percentiles"    -> (Relational.q51Percentiles _),
     "q52_stats"          -> (Relational.q52Stats _),
     "q53_scalar_subquery" -> (Relational.q53ScalarSubquery _),
+    "q54_grouping_sets"  -> (Relational.q54GroupingSets _),
+    "q55_window_dist"    -> (Relational.q55WindowDistribution _),
     // training-data pipeline: dedup / similarity / text analysis
     "q30_dedup_exact"    -> (Dedup.q30ExactDedup _),
     "q31_minhash_sig"    -> (Dedup.q31MinHashSig _),
@@ -381,6 +383,27 @@ object SparkEntry {
         |WHERE c_acctbal > (SELECT round(avg(c2.c_acctbal) * 1.5, 2) FROM customer c2
         |                   WHERE c2.c_nationkey = c.c_nationkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q54_grouping_sets" ->
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        |       count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |              JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (n_name))
+        |ORDER BY region, nation""".stripMargin,
+
+    "q55_window_dist" ->
+      """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       round(percent_rank() OVER w, 6) AS pct_rank,
+        |       round(cume_dist() OVER w, 6) AS cume,
+        |       first_value(o_totalprice) OVER wa AS first_price,
+        |       last_value(o_totalprice) OVER wa AS last_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |       wa AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY custkey, orderkey""".stripMargin,
 
     "q49_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

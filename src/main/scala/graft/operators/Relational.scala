@@ -263,6 +263,38 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** q54: explicit GROUPING SETS — region-only and nation-only margins
+    * in one pass (rollup/cube's general form; SQL-parsed like q17). */
+  def q54GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("v_customer")
+    Tables.nation(spark, dir).createOrReplaceTempView("v_nation")
+    Tables.region(spark, dir).createOrReplaceTempView("v_region")
+    spark.sql(
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        |       count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_acctbal
+        |FROM v_customer JOIN v_nation ON c_nationkey = n_nationkey
+        |                JOIN v_region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (n_name))
+        |ORDER BY region, nation""".stripMargin)
+  }
+
+  /** q55: distribution window functions — ntile quartiles, percent_rank,
+    * cume_dist, first/last order price per customer. */
+  def q55WindowDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(asc("o_orderdate"), asc("o_orderkey"))
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey").as("custkey"),
+        col("o_orderkey").as("orderkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        first("o_totalprice").over(wAll).as("first_price"),
+        last("o_totalprice").over(wAll).as("last_price"))
+      .orderBy("custkey", "orderkey")
+  }
+
   /** q18: set operations over the nation-key domains of customers vs
     * suppliers — UNION / INTERSECT / EXCEPT, tagged into one result. */
   def q18SetOps(spark: SparkSession, dir: String): DataFrame = {
