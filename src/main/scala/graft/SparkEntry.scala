@@ -100,7 +100,6 @@ object SparkEntry {
 
   // single source of truth: the operator-side marker set
   private val stoplist = TextAnalysis.stopwords.map(w => s"'$w'").mkString("(", ",", ")")
-  private val stoparr  = TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops → driver
@@ -433,8 +432,8 @@ object SparkEntry {
     "q36_lang_id" ->
       s"""WITH d AS (SELECT doc_id, ${tok("text")} AS words FROM documents),
          |s AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
-         |       round(CAST(len(list_intersect(words, $stoparr)) AS DOUBLE)
-         |             / greatest(len(list_distinct(words)), 1), 6) AS stop_ratio FROM d)
+         |       round(CAST(len(list_filter(words, w -> w IN $stoplist)) AS DOUBLE)
+         |             / greatest(len(words), 1), 6) AS stop_ratio FROM d)
          |SELECT doc_id, n_tokens, stop_ratio,
          |       CASE WHEN stop_ratio >= 0.08 THEN 'en' ELSE 'unk' END AS pred_lang
          |FROM s ORDER BY doc_id""".stripMargin,

@@ -31,27 +31,39 @@ object AsOf {
            leftTime: String, rightTime: String, payload: Seq[String]): DataFrame = {
     val t = "__asof_t"
     val isRight = "__asof_r"
+    val p = "__asof_p"
+    val internal = Set(t, isRight, p)
+    require(payload.forall(c => !left.columns.contains(c)),
+      s"payload columns ${payload.filter(left.columns.contains)} collide with left columns")
+    require((left.columns ++ right.columns ++ payload).forall(!internal.contains(_)),
+      s"column names $internal are reserved by AsOf.join")
+    // the payload travels as ONE struct so every carried column comes
+    // from the SAME right row (per-column last(ignoreNulls) would
+    // stitch values from different rows when the latest row has nulls)
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(c).copy(name = c)))
     val l = left
       .withColumn(t, col(leftTime).cast("timestamp"))
       .withColumn(isRight, lit(0))
       .select(Seq(col(key), col(t), col(isRight)) ++
-        left.columns.filter(_ != key).map(col) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        left.columns.filter(_ != key).map(col) :+
+        lit(null).cast(payloadType).as(p): _*)
     val r = right
       .withColumn(t, col(rightTime).cast("timestamp"))
       .withColumn(isRight, lit(1))
       .select(Seq(col(key), col(t), col(isRight)) ++
-        left.columns.filter(_ != key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(col): _*)
+        left.columns.filter(_ != key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payload.map(col): _*).as(p): _*)
     // right rows sort before left rows at equal time: <= is inclusive
     val w = Window.partitionBy(key)
       .orderBy(col(t).asc, col(isRight).desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
-      .select(Seq(col(key), col(t), col(isRight)) ++
+      .withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    carried.filter(col(isRight) === 0)
+      .select(Seq(col(key)) ++
         left.columns.filter(_ != key).map(col) ++
-        payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
-    carried.filter(col(isRight) === 0).drop(t, isRight)
+        payload.map(c => col(s"$p.$c").as(c)): _*)
   }
 
   /** q48: each event joined as-of to the user's latest order on or

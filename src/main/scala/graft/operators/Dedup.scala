@@ -214,6 +214,7 @@ object Dedup {
     import org.apache.spark.ml.feature.{CountVectorizer, MinHashLSH}
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), Portable.tokenize(col("text")).as("words"))
+      .filter(size(col("words")) > 0) // MinHashLSH rejects all-zero vectors
     val cv = new CountVectorizer().setInputCol("words").setOutputCol("features")
       .setBinary(true).setMinDF(1.0)
     val vecs = cv.fit(docs).transform(docs)

@@ -35,13 +35,22 @@ object Embed {
     * process, the same way a production pipeline trains once and serves
     * many lookups. Hyperparameters come from [[graft.GraftConfig]] (the
     * reference's application.conf values by default, R3). */
-  private val fitted = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val fitted =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]())
 
   def fitWordVectors(spark: SparkSession, dir: String): DataFrame = {
     val cfg = graft.GraftConfig.from(spark)
-    // key includes the session: cached DataFrames are bound to the
-    // session that built them and must not outlive it
-    fitted.getOrElseUpdate(s"${System.identityHashCode(spark)}|$dir|$cfg",
+    // weak-keyed by session: cached DataFrames are bound to the session
+    // that built them, must not outlive it, and must not pin it
+    val perSession = fitted.synchronized {
+      Option(fitted.get(spark)).getOrElse {
+        val m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        fitted.put(spark, m)
+        m
+      }
+    }
+    perSession.getOrElseUpdate(s"$dir|$cfg",
       fitWordVectorsFromTokens(spark, tokensDF(spark, dir)))
   }
 
@@ -115,7 +124,7 @@ object Embed {
     * over the vector table (not model.findSynonyms) so the query is a
     * relational plan: broadcast the query word's vector, scan the vocab. */
   def q41Synonyms(spark: SparkSession, dir: String): DataFrame = {
-    val vectors = fitWordVectors(spark, dir).cache()
+    val vectors = fitWordVectors(spark, dir)
     val target = broadcast(vectors.filter(col("word") === "data")
       .select(col("vector").as("target_vec")))
     vectors.crossJoin(target)

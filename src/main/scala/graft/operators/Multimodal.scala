@@ -27,14 +27,17 @@ case class MediaMeta(doc_id: Long, n_bytes: Long, first_byte: Long,
   */
 object Multimodal {
 
-  /** The stub decoder: stands in for an image header parse. Marked
+  /** The stub decoder: stands in for an image header parse;
     * deterministic so results are stable across retries/speculation. */
   def decodeStub(b: MediaBlob): MediaMeta = {
     val n = b.bytes.length.toLong
-    // "decode" the first codepoint (not the raw byte): keeps the value
-    // well-defined — and oracle-reproducible — for non-ASCII content
+    // "decode" only the first codepoint (bounded 4-byte prefix decode —
+    // a full-blob String would allocate O(blob) per row): keeps the
+    // value well-defined and oracle-reproducible for non-ASCII content
     val first =
-      if (n > 0) new String(b.bytes, java.nio.charset.StandardCharsets.UTF_8).codePointAt(0).toLong
+      if (n > 0)
+        new String(b.bytes, 0, math.min(4, b.bytes.length),
+          java.nio.charset.StandardCharsets.UTF_8).codePointAt(0).toLong
       else -1L
     MediaMeta(
       doc_id = b.doc_id,

@@ -33,6 +33,15 @@ import graft.Tables
   */
 object Relational {
 
+  /** Register a dir-scoped temp view (name embeds the dir hash): fixed
+    * names would race when one session runs queries against different
+    * dirs concurrently. Returns the view name to splice into SQL. */
+  private def view(spark: SparkSession, dir: String, table: String): String = {
+    val v = s"v_${table}_${Integer.toHexString(dir.hashCode & Int.MaxValue)}"
+    Tables.table(spark, dir, table).createOrReplaceTempView(v)
+    v
+  }
+
   /** q10: TPC-H Q1-style pricing summary — full-scan partial/final hash
     * aggregate over lineitem; the canonical scan-bound query. */
   def q10PricingSummary(spark: SparkSession, dir: String): DataFrame =
@@ -150,31 +159,28 @@ object Relational {
     * resolves the same plan cleanly, and Catalyst still broadcasts the
     * dims. */
   def q17Rollup(spark: SparkSession, dir: String): DataFrame = {
-    Tables.customer(spark, dir).createOrReplaceTempView("v_customer")
-    Tables.nation(spark, dir).createOrReplaceTempView("v_nation")
-    Tables.region(spark, dir).createOrReplaceTempView("v_region")
+    val (c, n, r) = (view(spark, dir, "customer"), view(spark, dir, "nation"), view(spark, dir, "region"))
     spark.sql(
-      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
-        |       count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
-        |FROM v_customer JOIN v_nation ON c_nationkey = n_nationkey
-        |                JOIN v_region ON n_regionkey = r_regionkey
-        |GROUP BY ROLLUP (r_name, n_name)
-        |ORDER BY region, nation""".stripMargin)
+      s"""SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+         |       count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+         |FROM $c JOIN $n ON c_nationkey = n_nationkey
+         |        JOIN $r ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP (r_name, n_name)
+         |ORDER BY region, nation""".stripMargin)
   }
 
   /** q26: cube over market segment × order priority — all four grouping
     * sets in one pass over the Expand-multiplied input. SQL-parsed for
     * the same reason as q17. */
   def q26Cube(spark: SparkSession, dir: String): DataFrame = {
-    Tables.customer(spark, dir).createOrReplaceTempView("v_customer")
-    Tables.orders(spark, dir).createOrReplaceTempView("v_orders")
+    val (c, o) = (view(spark, dir, "customer"), view(spark, dir, "orders"))
     spark.sql(
-      """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
-        |       coalesce(o_orderpriority, 'ALL') AS priority,
-        |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
-        |FROM v_orders JOIN v_customer ON o_custkey = c_custkey
-        |GROUP BY CUBE (c_mktsegment, o_orderpriority)
-        |ORDER BY segment, priority""".stripMargin)
+      s"""SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+         |       coalesce(o_orderpriority, 'ALL') AS priority,
+         |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+         |FROM $o JOIN $c ON o_custkey = c_custkey
+         |GROUP BY CUBE (c_mktsegment, o_orderpriority)
+         |ORDER BY segment, priority""".stripMargin)
   }
 
   /** q27: array higher-order functions over the embedding vectors —
@@ -254,28 +260,26 @@ object Relational {
     * average balance. Catalyst decorrelates it into an aggregate +
     * join; the SQL surface mirrors what an analyst would write. */
   def q53ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
-    Tables.customer(spark, dir).createOrReplaceTempView("v_customer")
+    val cv = view(spark, dir, "customer")
     spark.sql(
-      """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey, c_acctbal
-        |FROM v_customer c
-        |WHERE c_acctbal > (SELECT round(avg(c2.c_acctbal) * 1.5, 2) FROM v_customer c2
-        |                   WHERE c2.c_nationkey = c.c_nationkey)
-        |ORDER BY c_custkey""".stripMargin)
+      s"""SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey, c_acctbal
+         |FROM $cv c
+         |WHERE c_acctbal > (SELECT round(avg(c2.c_acctbal) * 1.5, 2) FROM $cv c2
+         |                   WHERE c2.c_nationkey = c.c_nationkey)
+         |ORDER BY c_custkey""".stripMargin)
   }
 
   /** q54: explicit GROUPING SETS — region-only and nation-only margins
     * in one pass (rollup/cube's general form; SQL-parsed like q17). */
   def q54GroupingSets(spark: SparkSession, dir: String): DataFrame = {
-    Tables.customer(spark, dir).createOrReplaceTempView("v_customer")
-    Tables.nation(spark, dir).createOrReplaceTempView("v_nation")
-    Tables.region(spark, dir).createOrReplaceTempView("v_region")
+    val (c, n, r) = (view(spark, dir, "customer"), view(spark, dir, "nation"), view(spark, dir, "region"))
     spark.sql(
-      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
-        |       count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_acctbal
-        |FROM v_customer JOIN v_nation ON c_nationkey = n_nationkey
-        |                JOIN v_region ON n_regionkey = r_regionkey
-        |GROUP BY GROUPING SETS ((r_name), (n_name))
-        |ORDER BY region, nation""".stripMargin)
+      s"""SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+         |       count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_acctbal
+         |FROM $c JOIN $n ON c_nationkey = n_nationkey
+         |        JOIN $r ON n_regionkey = r_regionkey
+         |GROUP BY GROUPING SETS ((r_name), (n_name))
+         |ORDER BY region, nation""".stripMargin)
   }
 
   /** q55: distribution window functions — ntile quartiles, percent_rank,

@@ -96,7 +96,6 @@ object Similarity {
     * index metadata (k rows) — driver-side by design. */
   def ivfTopK(assigned: DataFrame, centroids: DataFrame, query: Array[Double],
               k: Int, nprobe: Int): DataFrame = {
-    val spark = assigned.sparkSession
     val qv = array(query.map(lit): _*)
     val probeCells = centroids
       .select(col("cell"), CosineSim.cosine(col("centroid").cast("array<double>"), qv).as("sim"))

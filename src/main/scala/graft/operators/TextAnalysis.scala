@@ -30,22 +30,22 @@ object TextAnalysis {
         max("doc_id").as("max_doc"))
       .orderBy("lang")
 
-  /** q36: heuristic language ID — fraction of tokens that are English
-    * marker stopwords; a doc is tagged 'en' above the threshold. (An
+  /** q36: heuristic language ID — fraction of token OCCURRENCES that are
+    * English marker stopwords; a doc is tagged 'en' above the threshold.
+    * Occurrence share is length-invariant (a distinct-types ratio would
+    * shrink with vocabulary and misclassify any long document). An
     * n-gram frequency profile is the production version; the stopword
-    * ratio is its first term and is exactly reproducible in SQL.) */
-  def q36LangId(spark: SparkSession, dir: String): DataFrame = {
-    val sw = array(stopwords.map(lit): _*)
+    * share is its first term and is exactly reproducible in SQL. */
+  def q36LangId(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         Portable.tokenize(col("text")).as("words"))
       .select(col("doc_id"),
         size(col("words")).cast("long").as("n_tokens"),
-        round(size(array_intersect(col("words"), sw))
-          .cast("double") / greatest(size(array_distinct(col("words"))), lit(1)), 6).as("stop_ratio"))
+        round(size(filter(col("words"), w => w.isin(stopwords: _*)))
+          .cast("double") / greatest(size(col("words")), lit(1)), 6).as("stop_ratio"))
       .withColumn("pred_lang", when(col("stop_ratio") >= 0.08, lit("en")).otherwise(lit("unk")))
       .orderBy("doc_id")
-  }
 
   /** q37: quality scoring — length, lexical diversity (type-token ratio),
     * mean word length, stopword share; combined into one score. */

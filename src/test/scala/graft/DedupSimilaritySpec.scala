@@ -116,6 +116,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got(200L) == None)
   }
 
+  test("as-of join carries all payload columns from the SAME right row (null payloads stay null)") {
+    import graft.operators.AsOf
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), 100L)).toDF("key", "lt", "left_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), Some("a"), Some(5L)),
+      (1L, ts("2024-01-01 11:00:00"), Some("b"), None),   // latest row: extra is null
+    ).toDF("key", "rt", "tag", "extra")
+    val row = AsOf.join(left, right, "key", "lt", "rt", Seq("tag", "extra"))
+      .select("tag", "extra").head()
+    assert(row.getString(0) == "b")
+    assert(row.isNullAt(1), "null payload in the latest right row must not be backfilled from older rows")
+  }
+
   test("multimodal decodeStub is deterministic and matches the metadata contract") {
     val blob = MediaBlob(7L, "hello world".getBytes("UTF-8"))
     val m1 = Multimodal.decodeStub(blob)
