@@ -11,19 +11,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Execute the FULL plan: under count() Catalyst prunes unreferenced
+    // projections and EliminateSorts drops final sorts, so projection-
+    // heavy queries would be partially un-measured. The noop sink pulls
+    // every column and keeps the ORDER BY.
+    def runFull(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     // Warm-up: run the whole query set once at the smallest SF so JVM
     // classloading + whole-stage-codegen compilation (which is plan-
     // shaped, not data-sized) doesn't land on the first timed query.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => }
+        try runFull(fn(spark, warmDir)) catch { case _: Throwable => }
       }
     }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count() catch { case e: Throwable =>
+      try runFull(fn(spark, sfDir)) catch { case e: Throwable =>
         failed += name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }

@@ -23,8 +23,10 @@ object RunOne {
     if (explain) fn(spark, sfDir).explain("formatted")
     (1 to iters).foreach { i =>
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"[runone] iter $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      // noop sink = full plan (projections + final sort survive), unlike
+      // count() which lets Catalyst prune both.
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      println(f"[runone] iter $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }

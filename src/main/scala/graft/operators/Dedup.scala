@@ -109,35 +109,40 @@ object Dedup {
     // One scan, persisted: both downstream consumers (pair generation
     // and per-doc sizes) would otherwise re-run the explode. At cluster
     // scale this is a checkpoint of O(corpus shingles), the standard
-    // shape for multi-pass dedup. Lifetime caveat: the cache is held
-    // until session end (the returned plan is lazy, so this operator
-    // cannot unpersist it itself); long-lived sessions re-running this
-    // query should spark.catalog.clearCache() between rounds.
+    // shape for multi-pass dedup.
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(Portable.shingles(split(col("text"), " "), 4)).as("shingle"))
       .persist()
-    // Candidate pairs by bucket, not by self-join: group each shingle's
-    // doc list (the df ≤ 50 cutoff bounds the list, so no skew bomb),
-    // emit ordered (a, b) pairs with one HOF — one shuffle on shingle
-    // replaces the self-join's two, and pair generation is codegen'd.
-    val pairs = sh.groupBy("shingle")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, 50))
-      .select(explode(expr(
-        "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a AS id_a, b AS id_b))))"
-      )).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("inter"))
-    // per-doc shingle-set sizes: tiny (one row per doc) — broadcast.
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    pairs
-      .join(broadcast(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("size_a"))), "id_a")
-      .join(broadcast(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("size_b"))), "id_b")
-      .select(col("id_a"), col("id_b"),
-        round(col("inter") / (col("size_a") + col("size_b") - col("inter")), 6).as("jaccard"))
-      .orderBy(desc("jaccard"), asc("id_a"), asc("id_b"))
-      .limit(20)
+    try {
+      // Candidate pairs by bucket, not by self-join: group each shingle's
+      // doc list (the df ≤ 50 cutoff bounds the list, so no skew bomb),
+      // emit ordered (a, b) pairs with one HOF — one shuffle on shingle
+      // replaces the self-join's two, and pair generation is codegen'd.
+      val pairs = sh.groupBy("shingle")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")).between(2, 50))
+        .select(explode(expr(
+          "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a AS id_a, b AS id_b))))"
+        )).as("p"))
+        .select(col("p.id_a"), col("p.id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("inter"))
+      // per-doc shingle-set sizes: tiny (one row per doc) — broadcast.
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val top = pairs
+        .join(broadcast(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("size_a"))), "id_a")
+        .join(broadcast(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("size_b"))), "id_b")
+        .select(col("id_a"), col("id_b"),
+          round(col("inter") / (col("size_a") + col("size_b") - col("inter")), 6).as("jaccard"))
+        .orderBy(desc("jaccard"), asc("id_a"), asc("id_b"))
+        .limit(20)
+      // Materialize eagerly so the shingle cache can be released before
+      // returning (a lazy plan would pin it for the session lifetime).
+      // The result is a top-20 by contract, so collecting is driver-safe
+      // at any corpus size — the LIMIT, not the corpus, bounds it.
+      val rows = top.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), top.schema)
+    } finally sh.unpersist()
   }
 
   /** Library API: approximate near-duplicate pairs via MinHashLSH over
