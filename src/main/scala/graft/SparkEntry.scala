@@ -404,14 +404,37 @@ object SparkEntry {
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY custkey, orderkey""".stripMargin,
 
-    "q49_embedding_neardup" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |scored AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |         round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
-        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-        |SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.45
-        |ORDER BY cos_sim DESC, id_a, id_b""".stripMargin,
+    // Blocked-exact near-dup: the band expressions inline the SAME ±1
+    // hyperplane literals the Spark side uses (Dedup.simhashPlanes), so
+    // candidate generation — not just scoring — is reproduced exactly.
+    "q49_embedding_neardup" -> {
+      val bandExprs = (0 until operators.Dedup.nBands).map { k =>
+        val bits = (0 until operators.Dedup.bandBits).map { t =>
+          val j = k * operators.Dedup.bandBits + t
+          val wl = operators.Dedup.simhashPlanes(j)
+            .map(w => if (w > 0) "1" else "-1").mkString("[", ",", "]")
+          s"(CASE WHEN list_dot_product(v, $wl::DOUBLE[]) >= 0 THEN ${1L << t} ELSE 0 END)"
+        }
+        s"(${bits.mkString(" + ")}) AS band$k"
+      }
+      val unions = (0 until operators.Dedup.nBands)
+        .map(k => s"SELECT vec_id, $k AS band, band$k AS val FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sig AS (SELECT vec_id, ${bandExprs.mkString(",\n        ")} FROM e),
+         |ub AS ($unions),
+         |sized AS (SELECT band, val FROM ub GROUP BY band, val
+         |          HAVING count(*) BETWEEN 2 AND ${operators.Dedup.bucketCap}),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |         FROM ub a JOIN ub b USING (band, val) JOIN sized USING (band, val)
+         |         WHERE a.vec_id < b.vec_id),
+         |scored AS (SELECT id_a, id_b,
+         |                  round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+         |           FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+         |                     JOIN e eb ON eb.vec_id = cand.id_b)
+         |SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.45
+         |ORDER BY cos_sim DESC, id_a, id_b""".stripMargin
+    },
 
     "q34_knn_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -167,13 +167,114 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
   }
 
-  /** q49: embedding-cosine near-duplicates — exact pairs above a cosine
-    * threshold. Brute force is the oracle-checkable exact baseline (the
-    * blocked variants — MinHashLSH q42, random-projection q43, IVF
-    * q45 — are the scale path that feeds candidate pairs to this same
-    * scoring). The fused [[graft.plans.CosineSim]] expression keeps the
-    * N²/2 inner loop allocation-free. */
-  def q49EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+  /** Embedding-simhash blocking constants. `nBands` bands of `bandBits`
+    * sign bits each; bit j is the sign of the dot product with a fixed
+    * ±1 hyperplane over the first `planeDim` dimensions. Wider bands
+    * (8 bits = 256 buckets/band) keep bucket occupancy ~N/256 per band;
+    * `bucketCap` is the contract's hard bound on per-bucket fanout —
+    * buckets larger than the cap carry no near-dup signal (they are the
+    * blocking analogue of q33's stop-shingle df cutoff). */
+  val planeDim = 64
+  val nBands = 4
+  val bandBits = 8
+  val bucketCap = 200
+
+  /** splitmix64 — the standard public-domain 64-bit finalizer (Steele et
+    * al., "Fast splittable pseudorandom number generators"). A linear
+    * hash's parity is itself linear (an earlier attempt made all 32
+    * hyperplanes identical); this mixes properly. */
+  private def splitmix64(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic ±1 hyperplanes, plane j = `simhashPlanes(j)`. The
+    * same literals are inlined into the DuckDB oracle SQL (SparkEntry) —
+    * shared randomness, the same contract style as [[minhashBands]]. */
+  val simhashPlanes: Array[Array[Double]] =
+    Array.tabulate(nBands * bandBits, planeDim) { (j, i) =>
+      if ((splitmix64((j * planeDim + i).toLong) & 1L) == 0L) 1.0 else -1.0
+    }
+
+  /** Blocked-exact embedding near-dup — the scale-safe declared form of
+    * q49. Candidates are pairs sharing at least one of `nBands` simhash
+    * band values; survivors are scored with EXACT cosine and filtered at
+    * `minCosine`. Semantics are "blocked-exact" by contract: a pair in
+    * the output has its true cosine (no approximation), and a pair is
+    * eligible iff the banding blocks it together — deterministic, so the
+    * oracle reproduces it bit-for-bit.
+    *
+    * Scale shape: the signature is a pure per-row projection (one HOF
+    * fold per plane, no shuffle, order-deterministic so the sign matches
+    * the oracle's sequential dot product); then ONE shuffle on
+    * (band, value) with `bucketCap` bounding per-bucket pair fanout, a
+    * distinct on candidate pairs, and two key joins to rescore. No
+    * doc × doc join anywhere — the plan the O(N²/2) theta-join version
+    * (now [[exactEmbeddingNearDupAllPairs]], test-only) could never be.
+    *
+    * Recall is geometry-dependent: ~0.99 for true near-dups (cos ≥ 0.95)
+    * but low in the isotropic-noise tail near the threshold — measured
+    * against the exact baseline in DedupSimilaritySpec.
+    *
+    * @param e (vec_id: long, v: array&lt;double&gt;) */
+  def blockedEmbeddingNearDup(e: DataFrame, minCosine: Double): DataFrame = {
+    import graft.plans.CosineSim
+    // All 32 dots in one nested HOF: transform over the 32-plane literal,
+    // each an order-deterministic fold of zip_with products. Interpreted
+    // (HOFs skip codegen) but shuffle-free and O(rows · bits · dim).
+    val planesLit = array(simhashPlanes.map(p => array(p.map(lit): _*)): _*)
+    val dots = transform(planesLit, p =>
+      aggregate(zip_with(col("v"), p, (x, w) => x * w), lit(0.0), (acc, y) => acc + y))
+    val bandCols = (0 until nBands).map { k =>
+      (0 until bandBits)
+        .map(t => when(element_at(col("dots"), k * bandBits + t + 1) >= 0, lit(1L << t)).otherwise(0L))
+        .reduce(_ + _).as(s"band$k")
+    }
+    val sig = e.withColumn("dots", dots)
+      .select(col("vec_id") +: bandCols: _*)
+    // Unpivot to (vec_id, band, val) AFTER the per-row computation (the
+    // q31/q32 lesson: never multiply rows before aggregation/shuffle).
+    val ub = sig.select(col("vec_id"),
+      posexplode(array((0 until nBands).map(k => col(s"band$k")): _*)).as(Seq("band", "val")))
+    // Bucket-collect pair generation — the proven q33 shape.
+    val pairs = ub.groupBy("band", "val")
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, bucketCap))
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a AS id_a, b AS id_b))))"
+      )).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct() // a pair can collide in several bands
+    pairs
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(CosineSim.cosine(col("va"), col("vb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= minCosine)
+      .orderBy(desc("cos_sim"), asc("id_a"), asc("id_b"))
+  }
+
+  /** q49: embedding-cosine near-duplicates, blocked-exact (simhash-band
+    * candidate generation + exact cosine rescoring) at threshold 0.45.
+    * Replaced the all-pairs theta-join form, which planned as a
+    * BroadcastNestedLoopJoin with O(N²/2) cosine evaluations (measured:
+    * 212 s at 20k vectors) — that form survives as the test-only recall
+    * baseline [[exactEmbeddingNearDupAllPairs]]. */
+  def q49EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    blockedEmbeddingNearDup(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      minCosine = 0.45)
+
+  /** TEST-ONLY exact baseline: every pair above the cosine threshold via
+    * an all-pairs theta-join — O(N²/2), BroadcastNestedLoopJoin. Kept off
+    * the declared query surface (it cannot survive 100× scale) as the
+    * ground truth that DedupSimilaritySpec measures blocking recall
+    * against. The fused [[graft.plans.CosineSim]] expression keeps the
+    * inner loop allocation-free. */
+  def exactEmbeddingNearDupAllPairs(spark: SparkSession, dir: String): DataFrame = {
     import graft.plans.CosineSim
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

@@ -43,7 +43,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
 
   test("LSH-blocked embedding near-dup finds the pairs exact brute force finds") {
     val emb = graft.Tables.embeddings(spark, TestSpark.sf0001)
-    val exact = Dedup.q49EmbeddingNearDup(spark, TestSpark.sf0001)
+    val exact = Dedup.exactEmbeddingNearDupAllPairs(spark, TestSpark.sf0001)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val approx = Dedup.approxEmbeddingNearDup(emb, minCosine = 0.45)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
@@ -52,6 +52,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"missed too many exact pairs: ${exact -- approx}")
     // precision by construction (distance filter), modulo rounding
     assert(approx.forall { case (a, b) => a < b })
+  }
+
+  test("blocked-exact q49 is a subset of brute force with identical scores and no nested-loop join") {
+    val blocked = Dedup.q49EmbeddingNearDup(spark, TestSpark.sf0001)
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "the declared near-dup query must not plan an all-pairs nested loop")
+    val b = blocked.select("id_a", "id_b", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    val exact = Dedup.exactEmbeddingNearDupAllPairs(spark, TestSpark.sf0001)
+      .select("id_a", "id_b", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    // blocking never invents a pair, and survivors carry the EXACT cosine
+    assert(b.subsetOf(exact), s"blocked produced non-exact pairs: ${b -- exact}")
+  }
+
+  test("blocked-exact near-dup recalls planted high-cosine duplicates") {
+    // 64-dim corpus of seeded noise + 10 planted near-identical pairs
+    // (tiny perturbation => cosine ~0.999). Band recall at cos >= 0.95 is
+    // ~0.99 by the sign-agreement geometry; allow one miss.
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(Dedup.planeDim)(rnd.nextGaussian())
+    val base = (0 until 50).map(i => (i.toLong, vec()))
+    val planted = (0 until 10).map { i =>
+      val src = base(i)._2
+      (100L + i, src.map(x => x + 0.02 * rnd.nextGaussian()))
+    }
+    val e = (base ++ planted).toDF("vec_id", "v")
+    val found = Dedup.blockedEmbeddingNearDup(e, minCosine = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = (0 until 10).map(i => (i.toLong, 100L + i)).toSet
+    assert((expected -- found).size <= 1,
+      s"blocking missed planted near-dups: ${expected -- found}")
+    // and nothing in the noise should reach cosine 0.95
+    assert(found.subsetOf(expected), s"false positives: ${found -- expected}")
   }
 
   test("IVF ANN achieves good recall vs brute force while scanning fewer cells") {
