@@ -71,6 +71,7 @@ object SparkEntry {
     "q47_edit_distance"  -> (TextAnalysis.q47EditDistance _),
     "q39_multimodal_meta" -> (Multimodal.q39MultimodalMeta _),
     "q46_frame_sample"   -> (Multimodal.q46FrameSample _),
+    "q56_bpe_encode"     -> (Bpe.q56BpeEncode _),
     // rows-only (ML-backed / engine-specific, no SQL oracle)
     "q40_word2vec_vocab" -> (Embed.q40Word2VecVocab _),
     "q41_synonyms"       -> (Embed.q41Synonyms _),
@@ -79,6 +80,7 @@ object SparkEntry {
     "q44_approx_distinct" -> (Similarity.q44ApproxDistinct _),
     "q45_ivf_cells"      -> (Similarity.q45IvfCells _),
     "q50_vector_mean_agg" -> (Parity.q50VectorMeanAgg _),
+    "q57_bpe_train"      -> (Bpe.q57BpeTrain _),
   )
 
   // ---------------------------------------------------------------------
@@ -434,6 +436,24 @@ object SparkEntry {
          |                     JOIN e eb ON eb.vec_id = cand.id_b)
          |SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.45
          |ORDER BY cos_sim DESC, id_a, id_b""".stripMargin
+    },
+
+    // BPE application in rank order == greedy lowest-rank-first (a
+    // merge's sides always have lower ranks than the merge), so the
+    // oracle is a chain of non-overlapping replaces over '<tok>'-wrapped
+    // segmentations, one per frozen merge rule (Bpe.pretrainedMerges —
+    // same constants, same order).
+    "q56_bpe_encode" -> {
+      val chain = operators.Bpe.pretrainedMerges.foldLeft(
+        s"regexp_replace(word, '(.)', '<\\1>', 'g')") { case (acc, (l, r)) =>
+          s"replace($acc, '<$l><$r>', '<$l$r>')"
+      }
+      s"""WITH words AS (SELECT DISTINCT unnest(${tok("text")}) AS word FROM documents),
+         |seg AS (SELECT word, $chain AS s FROM words)
+         |SELECT word,
+         |       replace(replace(replace(s, '><', ' '), '<', ''), '>', '') AS tokens,
+         |       CAST(length(s) - length(replace(s, '<', '')) AS BIGINT) AS n_tokens
+         |FROM seg ORDER BY word""".stripMargin
     },
 
     "q34_knn_cosine" ->
