@@ -163,6 +163,50 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(row.isNullAt(1), "null payload in the latest right row must not be backfilled from older rows")
   }
 
+  test("bucketed as-of join equals the plain as-of join under a hot key") {
+    import graft.operators.AsOf
+    // one user owns ~all events: the raw-key window serializes this key
+    // through one task; the bucketed form splits it by time bucket
+    val rnd = new scala.util.Random(5)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val left = (0 until 4000).map { i =>
+      val key = if (i % 100 == 0) (i / 100) % 7 + 2L else 1L // key 1 is hot
+      (key, new java.sql.Timestamp(base + rnd.nextInt(86400 * 10) * 1000L), i.toLong)
+    }.toDF("key", "lt", "left_id")
+    val right = (0 until 50).map { i =>
+      (i % 9 + 1L, new java.sql.Timestamp(base + i * 17231L * 1000L), s"p$i")
+    }.toDF("key", "rt", "tag")
+      // contract: (key, rightTime) unique
+      .groupBy("key", "rt").agg(max("tag").as("tag"))
+    val plain = AsOf.join(left, right, "key", "lt", "rt", Seq("tag"))
+      .select("left_id", "tag").as[(Long, Option[String])].collect().toMap
+    // equality must hold for ANY bucket width, incl. one finer than the
+    // right-row spacing and one so coarse everything shares a bucket
+    for (bucketSeconds <- Seq(3600L, 86400L, 86400L * 100)) {
+      val bucketed = AsOf.joinBucketed(left, right, "key", "lt", "rt", Seq("tag"), bucketSeconds)
+        .select("left_id", "tag").as[(Long, Option[String])].collect().toMap
+      assert(bucketed == plain, s"bucketSeconds=$bucketSeconds diverged")
+    }
+  }
+
+  test("bucketed as-of join matches q48 on real tables") {
+    import graft.operators.AsOf
+    val events = graft.Tables.events(spark, TestSpark.sf0001).select("event_id", "user_id", "ts")
+    val orders = graft.Tables.orders(spark, TestSpark.sf0001)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max("o_orderkey").as("asof_orderkey"))
+      .withColumn("asof_date", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.select("event_id", "asof_orderkey").as[(Long, Option[Long])].collect().toMap
+    val plain = run(AsOf.join(
+      events.withColumnRenamed("user_id", "key"), orders.withColumnRenamed("o_custkey", "key"),
+      "key", "ts", "o_orderdate", Seq("asof_date", "asof_orderkey")))
+    val bucketed = run(AsOf.joinBucketed(
+      events.withColumnRenamed("user_id", "key"), orders.withColumnRenamed("o_custkey", "key"),
+      "key", "ts", "o_orderdate", Seq("asof_date", "asof_orderkey"), bucketSeconds = 86400L * 30))
+    assert(bucketed == plain)
+  }
+
   test("multimodal decodeStub is deterministic and matches the metadata contract") {
     val blob = MediaBlob(7L, "hello world".getBytes("UTF-8"))
     val m1 = Multimodal.decodeStub(blob)
