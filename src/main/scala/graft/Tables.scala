@@ -30,7 +30,15 @@ object Tables {
     * reader rejects; read it as raw long nanos (legacy conf) and rebuild
     * a microsecond timestamp column. Micro-truncation is invisible to the
     * day/second granularity the queries use, and the DuckDB oracle floors
-    * to the same boundaries. */
+    * to the same boundaries.
+    *
+    * The nanos flag is SESSION-GLOBAL (Spark exposes no per-read option
+    * for it): it changes how any later parquet read in the session
+    * decodes TIMESTAMP(NANOS) columns. All engine entry points (Verify /
+    * Bench / RunOne / Smoke / drivers / TestSpark) therefore set it at
+    * session construction; the set below is a defensive idempotent
+    * repeat for ad-hoc sessions, not the mechanism — do not rely on it
+    * under concurrent first-reads. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // integer `div`, not `/`: Column./ is double division, and epoch
