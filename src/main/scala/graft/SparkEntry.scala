@@ -72,6 +72,7 @@ object SparkEntry {
     "q39_multimodal_meta" -> (Multimodal.q39MultimodalMeta _),
     "q46_frame_sample"   -> (Multimodal.q46FrameSample _),
     "q56_bpe_encode"     -> (Bpe.q56BpeEncode _),
+    "q58_dropped_vocab"  -> (Embed.q58DroppedVocab _),
     // rows-only (ML-backed / engine-specific, no SQL oracle)
     "q40_word2vec_vocab" -> (Embed.q40Word2VecVocab _),
     "q41_synonyms"       -> (Embed.q41Synonyms _),
@@ -455,6 +456,14 @@ object SparkEntry {
          |       CAST(length(s) - length(replace(s, '<', '')) AS BIGINT) AS n_tokens
          |FROM seg ORDER BY word""".stripMargin
     },
+
+    "q58_dropped_vocab" ->
+      s"""WITH wc AS (
+         |  SELECT word, count(*) AS cnt
+         |  FROM (SELECT unnest(${tok("text")}) AS word FROM documents) GROUP BY word)
+         |SELECT word, cnt FROM wc
+         |WHERE word NOT IN (SELECT word FROM wc WHERE cnt >= (SELECT max(cnt) FROM wc) * 0.05)
+         |ORDER BY word""".stripMargin,
 
     "q34_knn_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -118,6 +118,33 @@ object Embed {
         round(VectorOps.l2Norm(col("vector")), 4).as("norm"))
       .orderBy("word")
 
+  /** Diagnostic for the flagship join's silent drop: the reference LOGS
+    * words that got no vector before discarding them
+    * (`MapRedWord2Vec.scala:160-164`); the engine's inner join drops
+    * them silently. This left-anti twin restores the observability —
+    * run it next to [[flagship]] to see exactly what the join lost.
+    * @param counts (word, …) corpus word counts
+    * @param vocab  (word, …) the vocabulary that DID get vectors */
+  def droppedVocabulary(counts: DataFrame, vocab: DataFrame): DataFrame =
+    counts.join(vocab.select("word"), Seq("word"), "left_anti")
+
+  /** q58: dropped-vocabulary report under a frequency-thresholded
+    * trainer — words whose count falls below 5% of the modal word count
+    * (the deterministic vocab rule: Word2Vec's vocabulary is exactly
+    * {word : cnt >= minCount}, so the anti-join is SQL-expressible even
+    * though vector values are not). At the reference config
+    * (minCount=1) the flagship drop set is empty — that invariant is
+    * asserted in EmbedSpec; this declared query uses the relative
+    * threshold so the report is non-trivial at every scale factor. */
+  def q58DroppedVocab(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Parity.wordCounts(Tables.documents(spark, dir).select("text"))
+    val maxCnt = counts.agg(max(col("cnt")).as("max_cnt"))
+    val vocab = counts.crossJoin(broadcast(maxCnt))
+      .filter(col("cnt") >= col("max_cnt") * 0.05)
+      .select("word")
+    droppedVocabulary(counts, vocab).orderBy("word")
+  }
+
   /** q41 (rows-only): cosine-similarity synonyms via the trained model —
     * the capability the reference was graded down for (X4,
     * `feedback.md:5`). Computed with the engine's own cosine expression

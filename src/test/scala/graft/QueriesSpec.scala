@@ -70,4 +70,21 @@ class QueriesSpec extends AnyFunSuite {
       assert(r.getLong(2) > 0L)             // count
     }
   }
+
+  test("flagship join drops NO vocabulary at the reference config (minCount=1)") {
+    import graft.operators.{Embed, Parity}
+    val counts = Parity.wordCounts(Tables.documents(spark, TestSpark.sf0001).select("text"))
+    val vectors = Embed.fitWordVectors(spark, TestSpark.sf0001)
+    assert(Embed.droppedVocabulary(counts, vectors).count() == 0L,
+      "at minCount=1 every counted word must receive a vector")
+  }
+
+  test("q58 dropped-vocab report flags exactly the sub-threshold words via left-anti") {
+    val df = run("q58_dropped_vocab")
+    assert(df.queryExecution.executedPlan.toString.contains("LeftAnti"),
+      "the diagnostic must be a left-anti join, not a filter rewrite")
+    val dropped = df.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // 'dup' is the one rare word in the corpus (~2.8% of the modal count)
+    assert(dropped.keySet == Set("dup"), s"unexpected drop set: $dropped")
+  }
 }
