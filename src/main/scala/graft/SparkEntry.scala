@@ -80,8 +80,9 @@ object SparkEntry {
     "q43_lsh_buckets"    -> (Similarity.q43LshBuckets _),
     "q44_approx_distinct" -> (Similarity.q44ApproxDistinct _),
     "q45_ivf_cells"      -> (Similarity.q45IvfCells _),
-    "q50_vector_mean_agg" -> (Parity.q50VectorMeanAgg _),
     "q57_bpe_train"      -> (Bpe.q57BpeTrain _),
+    // custom UDAF — oracle-checked via the rounded-norm contract
+    "q50_vector_mean_agg" -> (Parity.q50VectorMeanAgg _),
   )
 
   // ---------------------------------------------------------------------
@@ -464,6 +465,27 @@ object SparkEntry {
          |SELECT word, cnt FROM wc
          |WHERE word NOT IN (SELECT word FROM wc WHERE cnt >= (SELECT max(cnt) FROM wc) * 0.05)
          |ORDER BY word""".stripMargin,
+
+    // The custom UDAF's output CAN be oracle-checked even though double
+    // addition is merge-order-sensitive: the declared output rounds the
+    // mean's norm to 4 decimals, orders of magnitude above the ~1e-15
+    // relative wobble of reassociated FP sums (q05 already proves
+    // per-dimension avg parity at round-6). DuckDB computes the same
+    // mean per (label, dim) and folds it to the norm.
+    "q50_vector_mean_agg" ->
+      """WITH x AS (SELECT CAST(label AS BIGINT) AS label,
+        |                  CAST(unnest(range(len(embedding))) AS BIGINT) AS pos,
+        |                  unnest(CAST(embedding AS DOUBLE[])) AS val
+        |           FROM embeddings),
+        |m AS (SELECT label, pos, avg(val) AS a FROM x GROUP BY label, pos),
+        |agg AS (SELECT label, CAST(count(*) AS BIGINT) AS dim,
+        |               round(sqrt(sum(a * a)), 4) AS mean_norm
+        |        FROM m GROUP BY label),
+        |c AS (SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vectors
+        |      FROM embeddings GROUP BY 1)
+        |SELECT c.label, c.n_vectors, agg.dim, agg.mean_norm
+        |FROM c JOIN agg ON c.label = agg.label
+        |ORDER BY c.label""".stripMargin,
 
     "q34_knn_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -21,6 +21,18 @@ case class VecMeanBuf(sum: Array[Double], n: Long)
   * partition to one (sum, n) buffer per key before the shuffle, so shuffle
   * bytes are O(groups × dim), independent of row count. That is the 100 TB
   * story: the only full-data pass is the scan.
+  *
+  * Why NOT a `DeclarativeAggregate` (considered, rejected): HashAggregateExec
+  * requires mutable fixed-width buffer fields, so an array&lt;double&gt;-buffered
+  * declarative aggregate falls back to SortAggregateExec — an extra sort on
+  * the grouping key per partition. The Aggregator/udaf form plans as
+  * ObjectHashAggregateExec (asserted shape: partial ObjectHashAggregate →
+  * exchange → final), which hashes instead of sorting. Nor would declarative
+  * merge expressions fix FP merge-order sensitivity — merge ORDER is task
+  * scheduling, not aggregate API. The oracle problem is instead solved
+  * contractually: q50's declared output rounds the mean's norm to 4
+  * decimals, far above reassociation noise (~1e-15 relative), which is why
+  * it carries a DuckDB oracle despite the custom UDAF.
   */
 object VectorMean extends Aggregator[Array[Double], VecMeanBuf, Array[Double]] {
   override def zero: VecMeanBuf = VecMeanBuf(Array.emptyDoubleArray, 0L)
