@@ -69,14 +69,27 @@ object EventStream {
       .select("user_id", "view_id", "purchase_id", "purchase_value")
   }
 
-  case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class Event(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(lastTsMicros: Long, sessions: Long, events: Long)
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Full-precision epoch micros of a Timestamp. `getTime` alone is
+    * MILLISECOND-truncated; the sub-second detail lives in `getNanos`
+    * (which overlaps the millisecond part of getTime — hence the /1000
+    * floor to whole seconds first). Sub-ms gaps matter for ordering
+    * parity with the batch q25 twin, which compares at microseconds. */
+  def eventMicros(ts: java.sql.Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
   /** Custom state machine via flatMapGroupsWithState: per-user session
     * counting with a 30-minute gap rule — the streaming twin of the
     * batch q25 window query. State is one small record per active user,
-    * evicted after an hour of silence. */
+    * evicted after an hour of silence.
+    *
+    * Ordering parity with q25: rows sort by (full-precision micros,
+    * event_id) — the batch twin's exact sort key. A ms-truncated sort
+    * with a value tie-break (the previous form) could count sessions
+    * differently on sub-millisecond gaps or equal-timestamp events. */
   def sessionCounts(events: Dataset[Event]): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
@@ -87,10 +100,10 @@ object EventStream {
             state.remove()
             Iterator(UserSessions(userId, s.sessions, s.events))
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            val sorted = rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id))
             var s = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
             sorted.foreach { e =>
-              val tsMicros = e.ts.getTime * 1000L
+              val tsMicros = eventMicros(e.ts)
               val newSession = s.lastTsMicros == Long.MinValue ||
                 tsMicros - s.lastTsMicros > 30L * 60 * 1000 * 1000
               s = SessionState(tsMicros,

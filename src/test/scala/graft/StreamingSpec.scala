@@ -115,10 +115,10 @@ class StreamingSpec extends AnyFunSuite {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
     val events = Seq(
-      EventStream.Event(1L, at(0), 1.0),
-      EventStream.Event(1L, at(10), 1.0),   // same session (10 min gap)
-      EventStream.Event(1L, at(60), 1.0),   // new session (50 min gap)
-      EventStream.Event(2L, at(5), 1.0),
+      EventStream.Event(1L, 10L, at(0), 1.0),
+      EventStream.Event(1L, 11L, at(10), 1.0),   // same session (10 min gap)
+      EventStream.Event(1L, 12L, at(60), 1.0),   // new session (50 min gap)
+      EventStream.Event(2L, 13L, at(5), 1.0),
     ).toDS()
     // flatMapGroupsWithState on a batch Dataset: state starts empty and
     // times out never; output comes from the per-group iterator pass
@@ -139,5 +139,17 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(u => u.user_id -> ((u.n_sessions, u.n_events))).toMap
     assert(got(1L) == ((2L, 3L)))
     assert(got(2L) == ((1L, 1L)))
+  }
+
+  test("eventMicros keeps sub-millisecond precision that getTime truncates") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    ts.setNanos(123456789) // 123.456789 ms into the second
+    assert(ts.getTime % 1000 == 123L, "getTime floors to milliseconds")
+    assert(EventStream.eventMicros(ts) % 1000000L == 123456L,
+      "micros must carry the sub-ms digits the batch q25 sort key sees")
+    // ordering: two events 1µs apart must not compare equal
+    val t2 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    t2.setNanos(123457789)
+    assert(EventStream.eventMicros(t2) == EventStream.eventMicros(ts) + 1)
   }
 }
