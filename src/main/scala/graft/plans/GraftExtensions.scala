@@ -1,0 +1,58 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftbridge.SqlBridge
+
+/** SQL surface for the engine's native expressions, injected via
+  * `SparkSessionExtensions` — the sanctioned extension seam (builder
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`). After
+  * registration the expressions compose in plain SQL exactly like
+  * built-ins (and keep their codegen):
+  *
+  * {{{
+  *   SELECT token_id(word), cosine_sim(a, b), bpe_encode(word)
+  * }}}
+  *
+  * `bpe_encode` binds [[graft.operators.Bpe.pretrainedMerges]] — the
+  * frozen artifact — matching how a pretrained tokenizer ships as a
+  * versioned function in SQL engines. Training-time merge tables stay
+  * on the Scala API ([[BpeEncode.bpe]]), where the table is a value.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+
+  /** (identifier, info, builder) triples in the shape
+    * `SparkSessionExtensions.injectFunction` expects. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("token_id"), info("token_id"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "token_id expects 1 argument")
+        TokenId(args.head)
+      }),
+    (FunctionIdentifier("cosine_sim"), info("cosine_sim"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_sim expects 2 arguments")
+        CosineSim(args(0), args(1))
+      }),
+    (FunctionIdentifier("bpe_encode"), info("bpe_encode"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "bpe_encode expects 1 argument")
+        BpeEncode(args.head, graft.operators.Bpe.pretrainedMerges)
+      }))
+
+  /** Register on an EXISTING session (tests, notebooks) — same
+    * builders, via the session's function registry. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (ident, inf, builder) =>
+      SqlBridge.registerFunction(spark, ident, inf, builder)
+    }
+}

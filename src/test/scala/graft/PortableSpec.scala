@@ -72,4 +72,17 @@ class PortableSpec extends AnyFunSuite {
     assert(got(0).toSet == Set("a b c", "b c d"))
     assert(got(1) == Seq("x"))
   }
+
+  test("GraftExtensions exposes the native expressions to plain SQL") {
+    graft.plans.GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT token_id('spark')                             AS t,
+        |       cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+        |       bpe_encode('customer')                        AS b""".stripMargin).head()
+    assert(row.getLong(0) == tokenIdRef("spark"))
+    assert(row.getDouble(1) == 1.0)
+    assert(row.getSeq[String](2).toList == List("c", "u", "st", "o", "mer"))
+    // arity errors surface at analysis, like built-ins
+    intercept[Exception](spark.sql("SELECT token_id('a', 'b')").head())
+  }
 }
