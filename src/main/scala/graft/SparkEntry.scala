@@ -69,6 +69,7 @@ object SparkEntry {
     "q37_quality_score"  -> (TextAnalysis.q37QualityScore _),
     "q38_fingerprint"    -> (TextAnalysis.q38Fingerprint _),
     "q47_edit_distance"  -> (TextAnalysis.q47EditDistance _),
+    "q59_line_dedup"     -> (TextAnalysis.q59LineDedup _),
     "q39_multimodal_meta" -> (Multimodal.q39MultimodalMeta _),
     "q46_frame_sample"   -> (Multimodal.q46FrameSample _),
     "q56_bpe_encode"     -> (Bpe.q56BpeEncode _),
@@ -486,6 +487,24 @@ object SparkEntry {
         |SELECT c.label, c.n_vectors, agg.dim, agg.mean_norm
         |FROM c JOIN agg ON c.label = agg.label
         |ORDER BY c.label""".stripMargin,
+
+    // Line dedup: first-occurrence keep decided by min(doc_id*1e5+idx);
+    // DuckDB rebuilds cleaned text with an ordered, filtered string_agg.
+    "q59_line_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |segs AS (SELECT doc_id, CAST(i.i AS BIGINT) AS seg_idx,
+        |                array_to_string(words[i.i*10+1 : i.i*10+10], ' ') AS seg,
+        |                doc_id * 100000 + CAST(i.i AS BIGINT) AS occ_key
+        |         FROM w, LATERAL (SELECT unnest(range(CAST(ceil(len(words)/10.0) AS BIGINT))) AS i) i),
+        |firsts AS (SELECT seg, min(occ_key) AS first_key, count(*) AS n_occ
+        |           FROM segs GROUP BY seg),
+        |marked AS (SELECT s.doc_id, s.seg_idx, s.seg,
+        |                  (f.n_occ = 1 OR s.occ_key = f.first_key) AS keep
+        |           FROM segs s JOIN firsts f USING (seg))
+        |SELECT doc_id, count(*) AS n_segments,
+        |       CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped,
+        |       coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE keep), '') AS clean_text
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q34_knn_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -89,6 +89,45 @@ object TextAnalysis {
       .orderBy("id_a")
   }
 
+  /** q59: C4/RefinedWeb-style LINE deduplication — drop text spans that
+    * occur verbatim elsewhere in the corpus, keeping only the FIRST
+    * occurrence, and return the cleaned text. The corpus has no
+    * newlines, so a "line" is a pseudo-sentence: a consecutive
+    * `segWords`-word segment (the same normalization choice C4 makes
+    * with its three-sentence spans).
+    *
+    * Scale shape: segmentation is a per-row HOF; the dedup decision is
+    * ONE group-by on the segment (shuffle O(segments), key width
+    * bounded by the segment text — swap in md5(seg) at corpus scale the
+    * way q30 does for whole docs), then a join back on the same key.
+    * First-occurrence keep is deterministic: the winner is the minimum
+    * (doc_id, seg_idx), encoded as doc_id * 100000 + seg_idx so MIN
+    * works on both engines (contract: < 100000 segments per doc).
+    * Cleaned text is rebuilt in segment order with collect-sort-join —
+    * nulls (dropped segments) vanish inside collect_list. */
+  def q59LineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val segWords = 10
+    val segs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, cast(ceil(size(words) / $segWords.0) as int) - 1)," +
+          s" i -> struct(cast(i as bigint) AS seg_idx, array_join(slice(words, i * $segWords + 1, $segWords), ' ') AS seg))"
+      )).as("s"))
+      .select(col("doc_id"), col("s.seg_idx"), col("s.seg"),
+        (col("doc_id") * 100000L + col("s.seg_idx")).as("occ_key"))
+    val firsts = segs.groupBy("seg")
+      .agg(min("occ_key").as("first_key"), count(lit(1)).as("n_occ"))
+    segs.join(firsts, "seg")
+      .withColumn("keep", col("n_occ") === 1L || col("occ_key") === col("first_key"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+        array_join(expr("transform(sort_array(collect_list(CASE WHEN keep THEN struct(seg_idx, seg) END)), x -> x.seg)"), " ")
+          .as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** q38: document fingerprint + token counts — order-sensitive rolling
     * hash over the token stream (whitespace tokens and the reference's
     * alpha tokens counted separately). */

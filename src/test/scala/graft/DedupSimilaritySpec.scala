@@ -163,6 +163,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(row.isNullAt(1), "null payload in the latest right row must not be backfilled from older rows")
   }
 
+  test("line dedup keeps first occurrences and rebuilds cleaned text in order") {
+    val segA = (1 to 10).map(i => s"a$i").mkString(" ")
+    val segB = (1 to 10).map(i => s"b$i").mkString(" ")
+    val segC = (1 to 10).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$segA $segB"),  // first occurrence of A and B
+      (1L, s"$segA $segC"),  // A is a cross-doc duplicate -> dropped
+      (2L, s"$segB $segA"),  // both duplicated -> everything dropped
+      (3L, "short tail"))    // sub-width remainder segment, unique
+      .toDF("doc_id", "text")
+    // exercise the real operator end-to-end: write the constructed docs
+    // as a documents table in a temp dir and point the query at it
+    val dir = java.nio.file.Files.createTempDirectory("graft-linededup").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis.q59LineDedup(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(0L) == ((2L, 0L, s"$segA $segB")))
+    assert(got(1L) == ((2L, 1L, segC)))
+    assert(got(2L) == ((2L, 2L, "")))
+    assert(got(3L) == ((1L, 0L, "short tail")))
+  }
+
   test("bucketed as-of join equals the plain as-of join under a hot key") {
     import graft.operators.AsOf
     // one user owns ~all events: the raw-key window serializes this key
