@@ -31,4 +31,19 @@ object TextCorpus {
     * parity with the reference's output contract. */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("sep", ",").csv(path)
+
+  /** JSON-lines sink — the interchange format LLM-data pipelines expect
+    * (one JSON document per line, splittable when uncompressed, same
+    * Hadoop committer semantics as the CSV sink). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** JSON-lines source with an EXPLICIT schema. Never rely on inference
+    * at scale: `spark.read.json` without a schema runs a full extra pass
+    * over the data just to infer one, and silently widens mixed types.
+    * With the schema supplied the scan is single-pass and malformed rows
+    * land in PERMISSIVE-mode nulls rather than killing the job. */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
 }

@@ -69,6 +69,28 @@ object EventStream {
       .select("user_id", "view_id", "purchase_id", "purchase_value")
   }
 
+  /** One micro-batch of the idempotent sink: the batch lands in its own
+    * `batch_id=<id>` partition under dynamic partition overwrite, so a
+    * REPLAYED batch (failure/retry re-delivers the same id) overwrites
+    * itself instead of appending duplicates. Exactly-once for file
+    * output without the built-in file sink's append-only metadata log —
+    * the pattern to use when downstream compaction or partition
+    * rewrites would break that log. */
+  def writeBatchIdempotent(batch: DataFrame, id: Long, path: String): Unit = {
+    batch.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    batch.withColumn("batch_id", lit(id))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(path)
+  }
+
+  /** Stream → parquet through [[writeBatchIdempotent]] via foreachBatch. */
+  def idempotentParquetSink(stream: DataFrame, path: String,
+                            checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        writeBatchIdempotent(batch.toDF(), id, path))
+      .start()
+
   case class Event(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(lastTsMicros: Long, sessions: Long, events: Long)
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)

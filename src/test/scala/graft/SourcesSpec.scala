@@ -64,6 +64,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(orc.count() == 25 && json.count() == 25)
   }
 
+  test("jsonl source with explicit schema is single-pass and survives malformed rows") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-jsonl")
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    TextCorpus.writeJsonl(docs, s"$dir/docs")
+    assert(new java.io.File(s"$dir/docs/_SUCCESS").exists())
+    // append a malformed line next to the valid parts
+    Files.writeString(java.nio.file.Path.of(s"$dir/docs/zz-malformed.json"),
+      "{\"doc_id\": \"not-a-number\", \"text\": 12}\nnot json at all\n")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val back = TextCorpus.readJsonl(spark, s"$dir/docs", schema)
+    // valid rows round-trip; malformed rows become nulls, not failures
+    assert(back.filter(col("doc_id").isNotNull).as[(Long, String)].collect().toSet ==
+      Set((1L, "alpha beta"), (2L, "gamma")))
+    assert(back.count() >= 2)
+  }
+
   test("GraftConfig defaults to the reference hyperparameters and reads overrides (R3)") {
     assert(GraftConfig.from(spark) == GraftConfig(100, 5, 1, 1, 42L))
     spark.conf.set("graft.w2v.layerSize", "20")

@@ -110,6 +110,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("idempotent foreachBatch sink: replayed batches do not duplicate rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-sink")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val out = java.nio.file.Files.createTempDirectory("graft-sink-out").resolve("events").toString
+    val q = EventStream.idempotentParquetSink(
+      EventStream.readStream(spark, dir.toString), out,
+      java.nio.file.Files.createTempDirectory("graft-sink-ckpt").toString)
+    try q.processAllAvailable() finally q.stop()
+    val total = Tables.events(spark, sf0001).count()
+    assert(spark.read.parquet(out).count() == total)
+    // simulate a failure/retry: the SAME batch id is delivered again —
+    // dynamic partition overwrite must replace, not append
+    val replay = spark.read.parquet(out).filter(col("batch_id") === 0).drop("batch_id")
+    EventStream.writeBatchIdempotent(replay, 0L, out)
+    assert(spark.read.parquet(out).count() == total,
+      "replaying batch 0 must leave the row count unchanged")
+  }
+
   test("stateful session counting works on the batch execution path too") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
