@@ -37,6 +37,20 @@ object Examples {
     println("top-5 cosine neighbors of vec 0:")
     Similarity.topKCosine(emb, query, 5).show()
 
+    // train a BPE tokenizer on any corpus and inspect the merges
+    val merges = operators.Bpe.train(docs.withColumnRenamed("text", "body"), "body", numMerges = 8)
+    println(s"learned merges: $merges")
+    println("encodings under the frozen pretrained table:")
+    Seq("customer", "window", "stream").toDF("word")
+      .select(col("word"), graft.plans.BpeEncode.bpe(col("word"), operators.Bpe.pretrainedMerges).as("tokens"))
+      .show(truncate = false)
+
+    // the native expressions are plain SQL functions after registration
+    graft.plans.GraftExtensions.register(spark)
+    spark.sql(
+      """SELECT word, token_id(word) AS token, bpe_encode(word) AS pieces
+        |FROM VALUES ('spark'), ('catalyst') AS t(word)""".stripMargin).show(truncate = false)
+
     spark.stop()
   }
 }
