@@ -97,9 +97,11 @@ object TextAnalysis {
     * with its three-sentence spans).
     *
     * Scale shape: segmentation is a per-row HOF; the dedup decision is
-    * ONE group-by on the segment (shuffle O(segments), key width
-    * bounded by the segment text — swap in md5(seg) at corpus scale the
-    * way q30 does for whole docs), then a join back on the same key.
+    * ONE window over the segment key (min occurrence + count in the
+    * same pass — one shuffle of O(segments), one corpus scan; an
+    * aggregate-plus-self-join form would scan and segment the corpus
+    * twice). Key width is bounded by the segment text — swap in
+    * md5(seg) at corpus scale the way q30 does for whole docs.
     * First-occurrence keep is deterministic: the winner is the minimum
     * (doc_id, seg_idx), encoded as doc_id * 100000 + seg_idx so MIN
     * works on both engines (contract: < 100000 segments per doc).
@@ -115,10 +117,10 @@ object TextAnalysis {
       )).as("s"))
       .select(col("doc_id"), col("s.seg_idx"), col("s.seg"),
         (col("doc_id") * 100000L + col("s.seg_idx")).as("occ_key"))
-    val firsts = segs.groupBy("seg")
-      .agg(min("occ_key").as("first_key"), count(lit(1)).as("n_occ"))
-    segs.join(firsts, "seg")
-      .withColumn("keep", col("n_occ") === 1L || col("occ_key") === col("first_key"))
+    val bySeg = org.apache.spark.sql.expressions.Window.partitionBy("seg")
+    segs
+      .withColumn("keep",
+        count(lit(1)).over(bySeg) === 1L || col("occ_key") === min("occ_key").over(bySeg))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_segments"),
