@@ -72,6 +72,7 @@ object SparkEntry {
     "q59_line_dedup"     -> (TextAnalysis.q59LineDedup _),
     "q39_multimodal_meta" -> (Multimodal.q39MultimodalMeta _),
     "q46_frame_sample"   -> (Multimodal.q46FrameSample _),
+    "q60_chunk_dedup"    -> (Multimodal.q60ChunkDedup _),
     "q56_bpe_encode"     -> (Bpe.q56BpeEncode _),
     "q58_dropped_vocab"  -> (Embed.q58DroppedVocab _),
     // rows-only (ML-backed / engine-specific, no SQL oracle)
@@ -505,6 +506,19 @@ object SparkEntry {
         |       CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped,
         |       coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE keep), '') AS clean_text
         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q60_chunk_dedup" ->
+      """WITH chunks AS (
+        |  SELECT md5(substring(text, CAST(i.i AS INT), 64)) AS chunk_md5,
+        |         length(substring(text, CAST(i.i AS INT), 64)) AS n_b
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(range(1, greatest(n_chars, 1) + 1, 64)) AS i) i
+        |  WHERE length(substring(text, CAST(i.i AS INT), 64)) > 0)
+        |SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n_refs,
+        |       CAST(max(n_b) AS BIGINT) AS n_bytes,
+        |       CAST((count(*) - 1) * max(n_b) AS BIGINT) AS bytes_saved
+        |FROM chunks GROUP BY chunk_md5 HAVING count(*) >= 2
+        |ORDER BY chunk_md5""".stripMargin,
 
     "q34_knn_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

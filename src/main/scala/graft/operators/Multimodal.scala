@@ -66,6 +66,33 @@ object Multimodal {
         graft.functions.Portable.tokenId(col("frame")).as("frame_hash"))
       .orderBy("doc_id", "frame_idx")
 
+  /** q60: content-addressed chunk deduplication — the blob-store
+    * primitive: split every payload into fixed 64-byte chunks, address
+    * each by md5, and report chunks stored more than once with the
+    * bytes a content-addressed store would save. Completes the dedup
+    * ladder: whole-doc (q30) → line/segment (q59) → binary chunk (this)
+    * — the level at which media blobs dedup when documents don't.
+    *
+    * Scale shape: chunking is a per-row generator; the only shuffle is
+    * the group-by on the 128-bit chunk address (partial-aggregated), so
+    * cost is O(corpus bytes) scan + O(chunks) shuffle. The text column
+    * stands in for media bytes as in q39; the md5-over-bytes plumbing
+    * is identical for real blobs. */
+  def q60ChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(posexplode(expr(
+        "transform(sequence(1, greatest(n_chars, 1), 64), i -> substring(text, i, 64))"))
+        .as(Seq("idx", "chunk")))
+      .filter(length(col("chunk")) > 0)
+      .select(md5(col("chunk").cast("binary")).as("chunk_md5"),
+        length(col("chunk")).cast("long").as("n_b"))
+      .groupBy("chunk_md5")
+      .agg(count(lit(1)).as("n_refs"), max("n_b").as("n_bytes"))
+      .filter(col("n_refs") >= 2)
+      .select(col("chunk_md5"), col("n_refs"), col("n_bytes"),
+        ((col("n_refs") - 1L) * col("n_bytes")).as("bytes_saved"))
+      .orderBy("chunk_md5")
+
   /** q39: binary ingest + partition-batched decode. `text` is cast to
     * binary to stand in for raw media bytes (the testdata ships no blob
     * column); one decoder instance per partition, streamed — the shape a

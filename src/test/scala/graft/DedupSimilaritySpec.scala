@@ -185,6 +185,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got(3L) == ((1L, 0L, "short tail")))
   }
 
+  test("chunk dedup content-addresses identical 64-byte chunks across payloads") {
+    val block = "x" * 64 // one full chunk, shared by docs 0 and 1
+    val docs = Seq(
+      (0L, block + "tail-one"),
+      (1L, block + "different-tail"),
+      (2L, "y" * 40)) // unique, sub-chunk-size payload
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("int"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunks").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.Multimodal.q60ChunkDedup(spark, dir).collect()
+    // exactly one duplicated chunk: the shared 64-byte block
+    assert(rows.length == 1)
+    assert(rows(0).getString(0).matches("[0-9a-f]{32}"))
+    assert(rows(0).getLong(1) == 2L && rows(0).getLong(2) == 64L && rows(0).getLong(3) == 64L)
+  }
+
   test("bucketed as-of join equals the plain as-of join under a hot key") {
     import graft.operators.AsOf
     // one user owns ~all events: the raw-key window serializes this key
