@@ -64,6 +64,7 @@ object SparkEntry {
     "q33_ngram_jaccard"  -> (Dedup.q33NgramJaccard _),
     "q49_embedding_neardup" -> (Dedup.q49EmbeddingNearDup _),
     "q34_knn_cosine"     -> (Similarity.q34KnnCosine _),
+    "q61_knn_join"       -> (Similarity.q61KnnJoin _),
     "q35_lang_profile"   -> (TextAnalysis.q35LangProfile _),
     "q36_lang_id"        -> (TextAnalysis.q36LangId _),
     "q37_quality_score"  -> (TextAnalysis.q37QualityScore _),
@@ -103,6 +104,33 @@ object SparkEntry {
   /** DuckDB: rolling token-stream hash == Portable.fingerprint. */
   private def fingerprint(words: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($words, wrd -> ${tokenId("wrd")})), (acc2, h2) -> (acc2*131 + h2) % 1000000007)"""
+
+  /** DuckDB: the simhash-band candidate CTE chain shared by q49/q61 —
+    * embeddings → 4×8-bit band signatures (Dedup.simhashPlanes inlined
+    * as ±1 literals) → capped buckets → distinct ordered candidate
+    * pairs. Yields CTEs named e, sig, ub, sized, cand. */
+  private def simhashCandCte: String = {
+    val bandExprs = (0 until operators.Dedup.nBands).map { k =>
+      val bits = (0 until operators.Dedup.bandBits).map { t =>
+        val j = k * operators.Dedup.bandBits + t
+        val wl = operators.Dedup.simhashPlanes(j)
+          .map(w => if (w > 0) "1" else "-1").mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product(v, $wl::DOUBLE[]) >= 0 THEN ${1L << t} ELSE 0 END)"
+      }
+      s"(${bits.mkString(" + ")}) AS band$k"
+    }
+    val unions = (0 until operators.Dedup.nBands)
+      .map(k => s"SELECT vec_id, $k AS band, band$k AS val FROM sig")
+      .mkString(" UNION ALL ")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sig AS (SELECT vec_id, ${bandExprs.mkString(",\n        ")} FROM e),
+       |ub AS ($unions),
+       |sized AS (SELECT band, val FROM ub GROUP BY band, val
+       |          HAVING count(*) BETWEEN 2 AND ${operators.Dedup.bucketCap}),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |         FROM ub a JOIN ub b USING (band, val) JOIN sized USING (band, val)
+       |         WHERE a.vec_id < b.vec_id)""".stripMargin
+  }
 
   // single source of truth: the operator-side marker set
   private val stoplist = TextAnalysis.stopwords.map(w => s"'$w'").mkString("(", ",", ")")
@@ -410,37 +438,33 @@ object SparkEntry {
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY custkey, orderkey""".stripMargin,
 
-    // Blocked-exact near-dup: the band expressions inline the SAME ±1
+    // Blocked-exact near-dup: simhashCandCte inlines the SAME ±1
     // hyperplane literals the Spark side uses (Dedup.simhashPlanes), so
     // candidate generation — not just scoring — is reproduced exactly.
-    "q49_embedding_neardup" -> {
-      val bandExprs = (0 until operators.Dedup.nBands).map { k =>
-        val bits = (0 until operators.Dedup.bandBits).map { t =>
-          val j = k * operators.Dedup.bandBits + t
-          val wl = operators.Dedup.simhashPlanes(j)
-            .map(w => if (w > 0) "1" else "-1").mkString("[", ",", "]")
-          s"(CASE WHEN list_dot_product(v, $wl::DOUBLE[]) >= 0 THEN ${1L << t} ELSE 0 END)"
-        }
-        s"(${bits.mkString(" + ")}) AS band$k"
-      }
-      val unions = (0 until operators.Dedup.nBands)
-        .map(k => s"SELECT vec_id, $k AS band, band$k AS val FROM sig")
-        .mkString(" UNION ALL ")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |sig AS (SELECT vec_id, ${bandExprs.mkString(",\n        ")} FROM e),
-         |ub AS ($unions),
-         |sized AS (SELECT band, val FROM ub GROUP BY band, val
-         |          HAVING count(*) BETWEEN 2 AND ${operators.Dedup.bucketCap}),
-         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         |         FROM ub a JOIN ub b USING (band, val) JOIN sized USING (band, val)
-         |         WHERE a.vec_id < b.vec_id),
+    "q49_embedding_neardup" ->
+      s"""WITH $simhashCandCte,
          |scored AS (SELECT id_a, id_b,
          |                  round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
          |           FROM cand JOIN e ea ON ea.vec_id = cand.id_a
          |                     JOIN e eb ON eb.vec_id = cand.id_b)
          |SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.45
-         |ORDER BY cos_sim DESC, id_a, id_b""".stripMargin
-    },
+         |ORDER BY cos_sim DESC, id_a, id_b""".stripMargin,
+
+    // Blocked kNN join: same candidates, both orientations, per-vector
+    // top-3 by (cos desc, n_id).
+    "q61_knn_join" ->
+      s"""WITH $simhashCandCte,
+         |directed AS (SELECT id_a AS q_id, id_b AS n_id FROM cand
+         |             UNION ALL SELECT id_b, id_a FROM cand),
+         |scored AS (SELECT q_id, n_id,
+         |                  round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+         |           FROM directed JOIN e a ON a.vec_id = q_id
+         |                         JOIN e b ON b.vec_id = n_id),
+         |ranked AS (SELECT q_id, n_id, cos_sim,
+         |                  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS BIGINT) AS rank
+         |           FROM scored)
+         |SELECT q_id, n_id, cos_sim, rank FROM ranked WHERE rank <= 3
+         |ORDER BY q_id, rank""".stripMargin,
 
     // BPE application in rank order == greedy lowest-rank-first (a
     // merge's sides always have lower ranks than the merge), so the

@@ -219,11 +219,15 @@ object Dedup {
     * against the exact baseline in DedupSimilaritySpec.
     *
     * @param e (vec_id: long, v: array&lt;double&gt;) */
-  def blockedEmbeddingNearDup(e: DataFrame, minCosine: Double): DataFrame = {
-    import graft.plans.CosineSim
-    // All 32 dots in one nested HOF: transform over the 32-plane literal,
-    // each an order-deterministic fold of zip_with products. Interpreted
-    // (HOFs skip codegen) but shuffle-free and O(rows · bits · dim).
+  /** Unpivoted simhash band table (vec_id, band, val) for an embedding
+    * table (vec_id, v: array&lt;double&gt;). All 32 dots in one nested HOF:
+    * transform over the 32-plane literal, each an order-deterministic
+    * fold of zip_with products. Interpreted (HOFs skip codegen) but
+    * shuffle-free and O(rows · bits · dim); unpivot happens AFTER the
+    * per-row computation (the q31/q32 lesson: never multiply rows
+    * before aggregation/shuffle). Shared by the near-dup pair
+    * generator and the blocked kNN join. */
+  def simhashBandTable(e: DataFrame): DataFrame = {
     val planesLit = array(simhashPlanes.map(p => array(p.map(lit): _*)): _*)
     val dots = transform(planesLit, p =>
       aggregate(zip_with(col("v"), p, (x, w) => x * w), lit(0.0), (acc, y) => acc + y))
@@ -232,12 +236,15 @@ object Dedup {
         .map(t => when(element_at(col("dots"), k * bandBits + t + 1) >= 0, lit(1L << t)).otherwise(0L))
         .reduce(_ + _).as(s"band$k")
     }
-    val sig = e.withColumn("dots", dots)
+    e.withColumn("dots", dots)
       .select(col("vec_id") +: bandCols: _*)
-    // Unpivot to (vec_id, band, val) AFTER the per-row computation (the
-    // q31/q32 lesson: never multiply rows before aggregation/shuffle).
-    val ub = sig.select(col("vec_id"),
-      posexplode(array((0 until nBands).map(k => col(s"band$k")): _*)).as(Seq("band", "val")))
+      .select(col("vec_id"),
+        posexplode(array((0 until nBands).map(k => col(s"band$k")): _*)).as(Seq("band", "val")))
+  }
+
+  def blockedEmbeddingNearDup(e: DataFrame, minCosine: Double): DataFrame = {
+    import graft.plans.CosineSim
+    val ub = simhashBandTable(e)
     // Bucket-collect pair generation — the proven q33 shape.
     val pairs = ub.groupBy("band", "val")
       .agg(sort_array(collect_list(col("vec_id"))).as("ids"))

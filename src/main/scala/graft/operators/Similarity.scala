@@ -117,6 +117,43 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** q61: blocked kNN JOIN — top-3 cosine neighbors for EVERY vector
+    * (q34 is the small-query-block shape; this is the corpus-wide one).
+    * Brute force here is N² — instead candidates come from the shared
+    * simhash bands ([[Dedup.simhashBandTable]], the q49 geometry),
+    * symmetrized so each pair serves both endpoints, then exact cosine
+    * and a per-vector top-k window. Deterministic (fixed hyperplanes,
+    * rounded scores, (rank, n_id) tiebreak) — hence oracle-checkable,
+    * unlike the seeded MLlib approxNearestNeighbors path. Vectors whose
+    * buckets hold no other vector get no rows: the blocking IS the
+    * declared contract, as in q49. */
+  def q61KnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.CosineSim
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val ub = Dedup.simhashBandTable(e)
+    val pairs = ub.groupBy("band", "val")
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, Dedup.bucketCap))
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a AS id_a, b AS id_b))))"
+      )).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+    // symmetrize: each unordered candidate pair serves both endpoints
+    val directed = pairs.select(col("id_a").as("q_id"), col("id_b").as("n_id"))
+      .unionAll(pairs.select(col("id_b").as("q_id"), col("id_a").as("n_id")))
+    val scored = directed
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv")), "q_id")
+      .join(e.select(col("vec_id").as("n_id"), col("v").as("nv")), "n_id")
+      .select(col("q_id"), col("n_id"),
+        round(CosineSim.cosine(col("qv"), col("nv")), 6).as("cos_sim"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .orderBy("q_id", "rank")
+  }
+
   /** q44 (rows-only): approximate distinct — HLL sketch next to the exact
     * count (sketch internals are engine-specific; exact twin is q23).
     *

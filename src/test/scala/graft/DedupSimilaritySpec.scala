@@ -185,6 +185,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got(3L) == ((1L, 0L, "short tail")))
   }
 
+  test("blocked kNN join ranks a planted near-duplicate as the top neighbor") {
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.fill(Dedup.planeDim)(rnd.nextGaussian().toFloat)
+    val base = (0 until 40).map(i => (i.toLong, vec()))
+    val planted = (0 until 8).map { i =>
+      (200L + i, base(i)._2.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-knnjoin").toString
+    (base ++ planted).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val top1 = Similarity.q61KnnJoin(spark, dir)
+      .filter(col("rank") === 1)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toMap
+    // a near-identical copy dominates isotropic noise; allow one banding miss
+    val hits = (0 until 8).count(i => top1.get(200L + i).contains(i.toLong))
+    assert(hits >= 7, s"planted originals not top-ranked: $top1")
+  }
+
   test("chunk dedup content-addresses identical 64-byte chunks across payloads") {
     val block = "x" * 64 // one full chunk, shared by docs 0 and 1
     val docs = Seq(
