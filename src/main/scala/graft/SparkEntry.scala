@@ -71,6 +71,8 @@ object SparkEntry {
     "q38_fingerprint"    -> (TextAnalysis.q38Fingerprint _),
     "q47_edit_distance"  -> (TextAnalysis.q47EditDistance _),
     "q59_line_dedup"     -> (TextAnalysis.q59LineDedup _),
+    "q62_corpus_split"   -> (TextAnalysis.q62CorpusSplit _),
+    "q63_seq_packing"    -> (TextAnalysis.q63SequencePacking _),
     "q39_multimodal_meta" -> (Multimodal.q39MultimodalMeta _),
     "q46_frame_sample"   -> (Multimodal.q46FrameSample _),
     "q60_chunk_dedup"    -> (Multimodal.q60ChunkDedup _),
@@ -543,6 +545,27 @@ object SparkEntry {
         |       CAST((count(*) - 1) * max(n_b) AS BIGINT) AS bytes_saved
         |FROM chunks GROUP BY chunk_md5 HAVING count(*) >= 2
         |ORDER BY chunk_md5""".stripMargin,
+
+    "q62_corpus_split" ->
+      s"""SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM (SELECT lang, n_chars,
+         |             CASE WHEN ${tokenId("text")} % 100 < 90 THEN 'train'
+         |                  WHEN ${tokenId("text")} % 100 < 95 THEN 'validation'
+         |                  ELSE 'test' END AS split
+         |      FROM documents)
+         |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+
+    "q63_seq_packing" ->
+      """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |                  doc_id // 100 AS shard
+        |           FROM documents),
+        |c AS (SELECT shard, n_tokens,
+        |             coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |      FROM d)
+        |SELECT shard * 1000 + cum // 256 AS bin,
+        |       count(*) AS n_docs, sum(n_tokens) AS n_tokens
+        |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "q34_knn_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

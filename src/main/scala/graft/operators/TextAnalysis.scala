@@ -130,6 +130,46 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q62: deterministic corpus splitting — every document lands in
+    * train/validation/test by a CONTENT-hash bucket (portable tokenId
+    * of the text, mod 100 → 90/5/5), so the split is stable under
+    * re-sharding, re-ordering and doc-id reassignment — the property
+    * that keeps eval sets leak-free across pipeline re-runs. Pure
+    * per-row scalar + one small aggregate. */
+  def q62CorpusSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket", Portable.tokenId(col("text")) % 100L)
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "validation")
+          .otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("split", "lang")
+
+  /** q63: sequence packing — assign documents to fixed-token-budget
+    * bins (budget 256 whitespace tokens), the packing step that turns a
+    * shuffled corpus into dense training sequences. Deterministic
+    * shard-local form: docs pack in doc_id order WITHIN a 100-doc
+    * shard (bin = shard * 1000 + exclusive-cumsum div budget), because
+    * a single global running sum would serialize the corpus through
+    * one window partition — shard-local packing is embarrassingly
+    * parallel and loses at most one partially-filled bin per shard. */
+  def q63SequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        expr("doc_id div 100").as("shard"))
+      .withColumn("cum", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(expr("shard * 1000 + cum div 256").as("bin"), col("n_tokens"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .orderBy("bin")
+  }
+
   /** q38: document fingerprint + token counts — order-sensitive rolling
     * hash over the token stream (whitespace tokens and the reference's
     * alpha tokens counted separately). */

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Sanity/invariant tests of the declared query surface on sf0.001.
@@ -69,6 +70,37 @@ class QueriesSpec extends AnyFunSuite {
       assert(r.getDouble(4) > 0.0)          // norm
       assert(r.getLong(2) > 0L)             // count
     }
+  }
+
+  test("corpus split is content-stable: reassigning doc ids changes nothing") {
+    import graft.operators.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("graft-split").toString
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    docs.write.mode("overwrite").parquet(s"$dir/a/documents.parquet")
+    // same corpus, shuffled ids — the split must not move a single doc
+    docs.withColumn("doc_id", col("doc_id") * 7919L + 13L)
+      .write.mode("overwrite").parquet(s"$dir/b/documents.parquet")
+    val a = TextAnalysis.q62CorpusSplit(spark, s"$dir/a").collect().map(_.toSeq).toSet
+    val b = TextAnalysis.q62CorpusSplit(spark, s"$dir/b").collect().map(_.toSeq).toSet
+    assert(a == b)
+    // and the ratios are roughly 90/5/5
+    val bySplit = TextAnalysis.q62CorpusSplit(spark, TestSpark.sf0001)
+      .groupBy("split").agg(sum("n_docs").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = bySplit.values.sum.toDouble
+    assert(bySplit("train") / total > 0.8 && bySplit("train") / total < 0.97)
+  }
+
+  test("sequence packing fills bins to the token budget without splitting docs") {
+    import graft.operators.TextAnalysis
+    val bins = TextAnalysis.q63SequencePacking(spark, TestSpark.sf0001).collect()
+    val docs = Tables.documents(spark, TestSpark.sf0001).count()
+    assert(bins.map(_.getLong(1)).sum == docs, "every doc must land in exactly one bin")
+    val maxDocTokens = Tables.documents(spark, TestSpark.sf0001)
+      .select(max(size(split(col("text"), " ")))).head().getInt(0).toLong
+    // a bin exceeds the budget only by the one doc that straddles it
+    bins.foreach(r => assert(r.getLong(2) < 256L + maxDocTokens,
+      s"bin ${r.getLong(0)} overfilled: ${r.getLong(2)} tokens"))
   }
 
   test("flagship join drops NO vocabulary at the reference config (minCount=1)") {
