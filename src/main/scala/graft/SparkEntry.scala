@@ -563,7 +563,7 @@ object SparkEntry {
         |             coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
         |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
         |      FROM d)
-        |SELECT shard * 1000 + cum // 256 AS bin,
+        |SELECT shard * 100000 + cum // 256 AS bin,
         |       count(*) AS n_docs, sum(n_tokens) AS n_tokens
         |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
 

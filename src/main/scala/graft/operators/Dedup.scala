@@ -140,6 +140,9 @@ object Dedup {
       // returning (a lazy plan would pin it for the session lifetime).
       // The result is a top-20 by contract, so collecting is driver-safe
       // at any corpus size — the LIMIT, not the corpus, bounds it.
+      // Known tradeoff: callers see a LocalTableScan, not the real plan
+      // (inspect `top.queryExecution` here, or the plan audit in
+      // SCALING.md, for the executed shape).
       val rows = top.collect()
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), top.schema)
     } finally sh.unpersist()
@@ -198,6 +201,52 @@ object Dedup {
       if ((splitmix64((j * planeDim + i).toLong) & 1L) == 0L) 1.0 else -1.0
     }
 
+  /** Unpivoted simhash band table (vec_id, band, val) for an embedding
+    * table (vec_id, v: array&lt;double&gt;). All 32 dots in one nested HOF:
+    * transform over the 32-plane literal, each an order-deterministic
+    * fold of zip_with products. Interpreted (HOFs skip codegen) but
+    * shuffle-free and O(rows · bits · dim); unpivot happens AFTER the
+    * per-row computation (the q31/q32 lesson: never multiply rows
+    * before aggregation/shuffle). Shared by the near-dup pair
+    * generator and the blocked kNN join.
+    *
+    * Dimension contract: the signature reads the FIRST `planeDim` dims
+    * (vectors are sliced, so longer embeddings — e.g. 100-dim Word2Vec
+    * output — work; without the slice zip_with would null-pad the
+    * shorter side and every dot product would silently collapse to
+    * bucket 0). Vectors SHORTER than planeDim still degenerate that
+    * way and are a contract violation; the DuckDB twin assumes exactly
+    * planeDim. */
+  def simhashBandTable(e: DataFrame): DataFrame = {
+    val planesLit = array(simhashPlanes.map(p => array(p.map(lit): _*)): _*)
+    val dots = transform(planesLit, p =>
+      aggregate(zip_with(slice(col("v"), 1, planeDim), p, (x, w) => x * w),
+        lit(0.0), (acc, y) => acc + y))
+    val bandCols = (0 until nBands).map { k =>
+      (0 until bandBits)
+        .map(t => when(element_at(col("dots"), k * bandBits + t + 1) >= 0, lit(1L << t)).otherwise(0L))
+        .reduce(_ + _).as(s"band$k")
+    }
+    e.withColumn("dots", dots)
+      .select(col("vec_id") +: bandCols: _*)
+      .select(col("vec_id"),
+        posexplode(array((0 until nBands).map(k => col(s"band$k")): _*)).as(Seq("band", "val")))
+  }
+
+  /** Distinct ordered candidate pairs (id_a < id_b) from an unpivoted
+    * band table — the bucket-collect pair generation both q49 and the
+    * q61 kNN join use (one Spark body ↔ one shared oracle CTE in
+    * SparkEntry.simhashCandCte; keep them in lockstep). */
+  def candidatePairs(ub: DataFrame): DataFrame =
+    ub.groupBy("band", "val")
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, bucketCap))
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a AS id_a, b AS id_b))))"
+      )).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct() // a pair can collide in several bands
+
   /** Blocked-exact embedding near-dup — the scale-safe declared form of
     * q49. Candidates are pairs sharing at least one of `nBands` simhash
     * band values; survivors are scored with EXACT cosine and filtered at
@@ -219,41 +268,9 @@ object Dedup {
     * against the exact baseline in DedupSimilaritySpec.
     *
     * @param e (vec_id: long, v: array&lt;double&gt;) */
-  /** Unpivoted simhash band table (vec_id, band, val) for an embedding
-    * table (vec_id, v: array&lt;double&gt;). All 32 dots in one nested HOF:
-    * transform over the 32-plane literal, each an order-deterministic
-    * fold of zip_with products. Interpreted (HOFs skip codegen) but
-    * shuffle-free and O(rows · bits · dim); unpivot happens AFTER the
-    * per-row computation (the q31/q32 lesson: never multiply rows
-    * before aggregation/shuffle). Shared by the near-dup pair
-    * generator and the blocked kNN join. */
-  def simhashBandTable(e: DataFrame): DataFrame = {
-    val planesLit = array(simhashPlanes.map(p => array(p.map(lit): _*)): _*)
-    val dots = transform(planesLit, p =>
-      aggregate(zip_with(col("v"), p, (x, w) => x * w), lit(0.0), (acc, y) => acc + y))
-    val bandCols = (0 until nBands).map { k =>
-      (0 until bandBits)
-        .map(t => when(element_at(col("dots"), k * bandBits + t + 1) >= 0, lit(1L << t)).otherwise(0L))
-        .reduce(_ + _).as(s"band$k")
-    }
-    e.withColumn("dots", dots)
-      .select(col("vec_id") +: bandCols: _*)
-      .select(col("vec_id"),
-        posexplode(array((0 until nBands).map(k => col(s"band$k")): _*)).as(Seq("band", "val")))
-  }
-
   def blockedEmbeddingNearDup(e: DataFrame, minCosine: Double): DataFrame = {
     import graft.plans.CosineSim
-    val ub = simhashBandTable(e)
-    // Bucket-collect pair generation — the proven q33 shape.
-    val pairs = ub.groupBy("band", "val")
-      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, bucketCap))
-      .select(explode(expr(
-        "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a AS id_a, b AS id_b))))"
-      )).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .distinct() // a pair can collide in several bands
+    val pairs = candidatePairs(simhashBandTable(e))
     pairs
       .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
       .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")

@@ -131,15 +131,7 @@ object Similarity {
     import graft.plans.CosineSim
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val ub = Dedup.simhashBandTable(e)
-    val pairs = ub.groupBy("band", "val")
-      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, Dedup.bucketCap))
-      .select(explode(expr(
-        "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a AS id_a, b AS id_b))))"
-      )).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
+    val pairs = Dedup.candidatePairs(Dedup.simhashBandTable(e))
     // symmetrize: each unordered candidate pair serves both endpoints
     val directed = pairs.select(col("id_a").as("q_id"), col("id_b").as("n_id"))
       .unionAll(pairs.select(col("id_b").as("q_id"), col("id_a").as("n_id")))

@@ -154,7 +154,10 @@ object TextAnalysis {
     * shard (bin = shard * 1000 + exclusive-cumsum div budget), because
     * a single global running sum would serialize the corpus through
     * one window partition — shard-local packing is embarrassingly
-    * parallel and loses at most one partially-filled bin per shard. */
+    * parallel and loses at most one partially-filled bin per shard.
+    * Bin-id contract: 100000 bin slots per shard — collision-free up to
+    * 100-doc shards averaging 256k tokens/doc (the q59 occ_key style of
+    * documented headroom; both engines use the same literal). */
   def q63SequencePacking(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("doc_id")
@@ -164,7 +167,7 @@ object TextAnalysis {
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         expr("doc_id div 100").as("shard"))
       .withColumn("cum", coalesce(sum("n_tokens").over(w), lit(0L)))
-      .select(expr("shard * 1000 + cum div 256").as("bin"), col("n_tokens"))
+      .select(expr("shard * 100000 + cum div 256").as("bin"), col("n_tokens"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
       .orderBy("bin")

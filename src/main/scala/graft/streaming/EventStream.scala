@@ -76,11 +76,14 @@ object EventStream {
     * output without the built-in file sink's append-only metadata log —
     * the pattern to use when downstream compaction or partition
     * rewrites would break that log. */
-  def writeBatchIdempotent(batch: DataFrame, id: Long, path: String): Unit = {
-    batch.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+  def writeBatchIdempotent(batch: DataFrame, id: Long, path: String): Unit =
     batch.withColumn("batch_id", lit(id))
-      .write.mode("overwrite").partitionBy("batch_id").parquet(path)
-  }
+      .write.mode("overwrite")
+      // per-WRITE option, not a session conf set: flipping the session
+      // global would silently turn every later partitioned overwrite in
+      // the application from truncate-table into replace-touched-only
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(path)
 
   /** Stream → parquet through [[writeBatchIdempotent]] via foreachBatch. */
   def idempotentParquetSink(stream: DataFrame, path: String,
@@ -98,8 +101,10 @@ object EventStream {
   /** Full-precision epoch micros of a Timestamp. `getTime` alone is
     * MILLISECOND-truncated; the sub-second detail lives in `getNanos`
     * (which overlaps the millisecond part of getTime — hence the /1000
-    * floor to whole seconds first). Sub-ms gaps matter for ordering
-    * parity with the batch q25 twin, which compares at microseconds. */
+    * floor to whole seconds first). Sub-ms detail matters for ORDERING
+    * parity with the batch q25 twin, which sorts at full timestamp
+    * precision (its GAP comparison is separately second-floored —
+    * see sessionCounts). */
   def eventMicros(ts: java.sql.Timestamp): Long =
     Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
@@ -126,8 +131,13 @@ object EventStream {
             var s = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
             sorted.foreach { e =>
               val tsMicros = eventMicros(e.ts)
-              val newSession = s.lastTsMicros == Long.MinValue ||
-                tsMicros - s.lastTsMicros > 30L * 60 * 1000 * 1000
+              // gap compares SECOND-floored stamps — q25's unix_timestamp
+              // diff semantics — while state/order keep full micros; a
+              // raw-micros gap would split sessions the batch twin keeps
+              // (0.0s → 1800.9s is diff=1800 in q25: same session)
+              val gapSeconds =
+                Math.floorDiv(tsMicros, 1000000L) - Math.floorDiv(s.lastTsMicros, 1000000L)
+              val newSession = s.lastTsMicros == Long.MinValue || gapSeconds > 30L * 60
               s = SessionState(tsMicros,
                 s.sessions + (if (newSession) 1 else 0), s.events + 1)
             }

@@ -185,6 +185,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got(3L) == ((1L, 0L, "short tail")))
   }
 
+  test("simhash bands read the first planeDim dims of LONGER vectors (no null collapse)") {
+    val rnd = new scala.util.Random(3)
+    // 100-dim vectors (e.g. Word2Vec output) — wider than the 64-dim planes
+    val e = (0 until 20).map(i => (i.toLong, Array.fill(100)(rnd.nextGaussian())))
+      .toDF("vec_id", "v")
+    val bands = Dedup.simhashBandTable(e).collect()
+    assert(bands.length == 20 * Dedup.nBands)
+    // degenerate zip_with null-padding would put EVERY vector in val=0
+    assert(bands.map(_.getLong(2)).distinct.length > 1,
+      "band values collapsed — dimension slice is broken")
+  }
+
   test("blocked kNN join ranks a planted near-duplicate as the top neighbor") {
     val rnd = new scala.util.Random(11)
     def vec() = Array.fill(Dedup.planeDim)(rnd.nextGaussian().toFloat)
