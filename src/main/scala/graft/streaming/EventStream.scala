@@ -108,6 +108,33 @@ object EventStream {
   def eventMicros(ts: java.sql.Timestamp): Long =
     Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
+  /** Update-mode twin of [[sessionCounts]]: emits the RUNNING per-user
+    * session/event totals after every micro-batch instead of waiting
+    * for the idle timeout — the shape to use with an upsert sink (and
+    * the deterministically testable one: the final emission per user
+    * equals the batch answer, asserted in StreamingSpec). Same state,
+    * same second-floored 30-minute gap rule, same (micros, event_id)
+    * ordering as [[sessionCounts]]. */
+  def sessionCountsSnapshot(events: Dataset[Event]): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
+          val sorted = rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id))
+          var s = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          sorted.foreach { e =>
+            val tsMicros = eventMicros(e.ts)
+            val gapSeconds =
+              Math.floorDiv(tsMicros, 1000000L) - Math.floorDiv(s.lastTsMicros, 1000000L)
+            val newSession = s.lastTsMicros == Long.MinValue || gapSeconds > 30L * 60
+            s = SessionState(tsMicros,
+              s.sessions + (if (newSession) 1 else 0), s.events + 1)
+          }
+          state.update(s)
+          Iterator(UserSessions(userId, s.sessions, s.events))
+        })
+  }
+
   /** Custom state machine via flatMapGroupsWithState: per-user session
     * counting with a 30-minute gap rule — the streaming twin of the
     * batch q25 window query. State is one small record per active user,

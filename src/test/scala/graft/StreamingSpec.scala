@@ -130,6 +130,39 @@ class StreamingSpec extends AnyFunSuite {
       "replaying batch 0 must leave the row count unchanged")
   }
 
+  test("streaming session snapshot converges to the batch 30-minute-gap answer") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = EventStream.readStream(spark, dir.toString)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[EventStream.Event]
+    val q = EventStream.sessionCountsSnapshot(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("session_snapshot")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-sess-ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // update mode re-emits per batch; the LAST emission per user is the total
+    val got = spark.table("session_snapshot")
+      .groupBy("user_id").agg(max("n_sessions").as("s"), max("n_events").as("e"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // batch expectation: same second-floored 30-min gap rule over (ts, event_id)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val want = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("gap_s", unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(w)))
+      .withColumn("new_sess", when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum("new_sess").as("s"), count(lit(1)).as("e"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+  }
+
   test("stateful session counting works on the batch execution path too") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
