@@ -151,7 +151,7 @@ object TextAnalysis {
     * bins (budget 256 whitespace tokens), the packing step that turns a
     * shuffled corpus into dense training sequences. Deterministic
     * shard-local form: docs pack in doc_id order WITHIN a 100-doc
-    * shard (bin = shard * 1000 + exclusive-cumsum div budget), because
+    * shard (bin = shard * 100000 + exclusive-cumsum div budget), because
     * a single global running sum would serialize the corpus through
     * one window partition — shard-local packing is embarrassingly
     * parallel and loses at most one partially-filled bin per shard.

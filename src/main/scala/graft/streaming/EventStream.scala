@@ -13,9 +13,11 @@ import org.apache.spark.sql.types._
   *
   * Scale design: windowed aggregation state is bounded by the watermark
   * (late data beyond 1 hour is dropped and state evicted); session state
-  * is per-key and expires via processing-time timeout. Both operators
-  * shuffle once on their grouping key per micro-batch — the streaming
-  * analogues of the batch plans' single-exchange shapes.
+  * is per-key and expires via processing-time timeout in the append form
+  * (the update-mode snapshot keeps per-user totals by contract — see its
+  * scaladoc). All operators shuffle once on their grouping key per
+  * micro-batch — the streaming analogues of the batch plans'
+  * single-exchange shapes.
   */
 object EventStream {
 
@@ -108,28 +110,46 @@ object EventStream {
   def eventMicros(ts: java.sql.Timestamp): Long =
     Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
+  /** The ONE session state machine both streaming session operators
+    * fold with: sort the micro-batch by (full-precision micros,
+    * event_id) — the batch q25 sort key — and advance the per-user
+    * state under the second-floored 30-minute gap rule (q25's
+    * unix_timestamp diff semantics; a raw-micros gap would split
+    * sessions the batch twin keeps, e.g. 0.0s → 1800.9s is diff=1800:
+    * same session). */
+  private def advanceSessions(init: SessionState, rows: Iterator[Event]): SessionState = {
+    var s = init
+    rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id)).foreach { e =>
+      val tsMicros = eventMicros(e.ts)
+      val gapSeconds =
+        Math.floorDiv(tsMicros, 1000000L) - Math.floorDiv(s.lastTsMicros, 1000000L)
+      val newSession = s.lastTsMicros == Long.MinValue || gapSeconds > 30L * 60
+      s = SessionState(tsMicros, s.sessions + (if (newSession) 1 else 0), s.events + 1)
+    }
+    s
+  }
+
   /** Update-mode twin of [[sessionCounts]]: emits the RUNNING per-user
     * session/event totals after every micro-batch instead of waiting
     * for the idle timeout — the shape to use with an upsert sink (and
     * the deterministically testable one: the final emission per user
-    * equals the batch answer, asserted in StreamingSpec). Same state,
-    * same second-floored 30-minute gap rule, same (micros, event_id)
-    * ordering as [[sessionCounts]]. */
+    * equals the batch answer, asserted in StreamingSpec). Same fold as
+    * [[sessionCounts]] ([[advanceSessions]]).
+    *
+    * State-size tradeoff, explicit: running TOTALS require keeping one
+    * record per user EVER seen — no timeout eviction (evicting would
+    * silently reset a returning user's totals; and a processing-time
+    * timeout here would also re-arm batches forever, which blocks
+    * `processAllAvailable`-style draining). For unbounded user
+    * cardinality use [[sessionCounts]], whose append-mode contract
+    * allows eviction after an hour of silence. */
   def sessionCountsSnapshot(events: Dataset[Event]): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
-          val sorted = rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id))
-          var s = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
-          sorted.foreach { e =>
-            val tsMicros = eventMicros(e.ts)
-            val gapSeconds =
-              Math.floorDiv(tsMicros, 1000000L) - Math.floorDiv(s.lastTsMicros, 1000000L)
-            val newSession = s.lastTsMicros == Long.MinValue || gapSeconds > 30L * 60
-            s = SessionState(tsMicros,
-              s.sessions + (if (newSession) 1 else 0), s.events + 1)
-          }
+          val s = advanceSessions(
+            state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L)), rows)
           state.update(s)
           Iterator(UserSessions(userId, s.sessions, s.events))
         })
@@ -154,20 +174,8 @@ object EventStream {
             state.remove()
             Iterator(UserSessions(userId, s.sessions, s.events))
           } else {
-            val sorted = rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id))
-            var s = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
-            sorted.foreach { e =>
-              val tsMicros = eventMicros(e.ts)
-              // gap compares SECOND-floored stamps — q25's unix_timestamp
-              // diff semantics — while state/order keep full micros; a
-              // raw-micros gap would split sessions the batch twin keeps
-              // (0.0s → 1800.9s is diff=1800 in q25: same session)
-              val gapSeconds =
-                Math.floorDiv(tsMicros, 1000000L) - Math.floorDiv(s.lastTsMicros, 1000000L)
-              val newSession = s.lastTsMicros == Long.MinValue || gapSeconds > 30L * 60
-              s = SessionState(tsMicros,
-                s.sessions + (if (newSession) 1 else 0), s.events + 1)
-            }
+            val s = advanceSessions(
+              state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L)), rows)
             state.update(s)
             state.setTimeoutDuration("1 hour")
             Iterator.empty

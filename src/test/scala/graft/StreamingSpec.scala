@@ -150,15 +150,9 @@ class StreamingSpec extends AnyFunSuite {
     val got = spark.table("session_snapshot")
       .groupBy("user_id").agg(max("n_sessions").as("s"), max("n_events").as("e"))
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    // batch expectation: same second-floored 30-min gap rule over (ts, event_id)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy("ts", "event_id")
-    val want = Tables.events(spark, sf0001)
-      .select(col("user_id"), col("event_id"), col("ts"))
-      .withColumn("gap_s", unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(w)))
-      .withColumn("new_sess", when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
-      .groupBy("user_id")
-      .agg(sum("new_sess").as("s"), count(lit(1)).as("e"))
+    // the batch answer IS the declared q25 operator — reuse it, per-user grain
+    val want = SparkEntry.queries("q25_sessionize")(spark, sf0001)
+      .select("user_id", "n_sessions", "n_events")
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got == want)
   }
