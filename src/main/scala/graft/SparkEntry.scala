@@ -73,6 +73,7 @@ object SparkEntry {
     "q59_line_dedup"     -> (TextAnalysis.q59LineDedup _),
     "q62_corpus_split"   -> (TextAnalysis.q62CorpusSplit _),
     "q63_seq_packing"    -> (TextAnalysis.q63SequencePacking _),
+    "q64_tfidf"          -> (TextAnalysis.q64TfIdf _),
     "q39_multimodal_meta" -> (Multimodal.q39MultimodalMeta _),
     "q46_frame_sample"   -> (Multimodal.q46FrameSample _),
     "q60_chunk_dedup"    -> (Multimodal.q60ChunkDedup _),
@@ -566,6 +567,22 @@ object SparkEntry {
         |SELECT shard * 100000 + cum // 256 AS bin,
         |       count(*) AS n_docs, sum(n_tokens) AS n_tokens
         |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "q64_tfidf" ->
+      s"""WITH words AS (SELECT doc_id, unnest(${tok("text")}) AS word FROM documents),
+         |tf AS (SELECT doc_id, word, count(*) AS n_occ FROM words GROUP BY doc_id, word),
+         |tf2 AS (SELECT doc_id, word, n_occ,
+         |               sum(n_occ) OVER (PARTITION BY doc_id) AS n_doc_tokens FROM tf),
+         |dfreq AS (SELECT word, count(DISTINCT doc_id) AS df FROM words GROUP BY word),
+         |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         |scored AS (SELECT doc_id, word,
+         |                  round((n_occ * 1.0 / n_doc_tokens) * ln(n_docs * 1.0 / df), 6) AS tfidf
+         |           FROM tf2 JOIN dfreq USING (word) CROSS JOIN n),
+         |ranked AS (SELECT doc_id, word, tfidf,
+         |                  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS BIGINT) AS rank
+         |           FROM scored)
+         |SELECT doc_id, word, tfidf, rank FROM ranked WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin,
 
     "q34_knn_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -173,6 +173,35 @@ object TextAnalysis {
       .orderBy("bin")
   }
 
+  /** q64: TF-IDF feature extraction — the classic sparse text feature:
+    * tf = in-doc occurrences / doc tokens, idf = ln(N / df), top-3
+    * terms per doc by tf·idf. All relational: one (doc, word) count,
+    * one word-level df aggregate joined back (broadcast — vocabulary ≪
+    * corpus), one scalar N (broadcast single row), a rank window.
+    * Shuffles are O(doc·distinct-word) partial-aggregated — no
+    * collect, no vocabulary driver loop. */
+  def q64TfIdf(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Portable.tokenize(col("text"))).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("n_occ"))
+      .withColumn("n_doc_tokens", sum("n_occ").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+    val df = words.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, dir).agg(countDistinct("doc_id").as("n_docs"))
+    val scored = tf
+      .join(broadcast(df), "word")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("word"),
+        round((col("n_occ") / col("n_doc_tokens")) * log(col("n_docs") / col("df")), 6)
+          .as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("tfidf"), asc("word"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .orderBy("doc_id", "rank")
+  }
+
   /** q38: document fingerprint + token counts — order-sensitive rolling
     * hash over the token stream (whitespace tokens and the reference's
     * alpha tokens counted separately). */

@@ -103,6 +103,20 @@ class QueriesSpec extends AnyFunSuite {
       s"bin ${r.getLong(0)} overfilled: ${r.getLong(2)} tokens"))
   }
 
+  test("q64 tf-idf: 3 ranked terms per doc, scores non-increasing, rare word scores high") {
+    val rows = run("q64_tfidf").collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(3)).sorted.sameElements(1L to rs.length))
+      val scores = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(scores.sameElements(scores.sortBy(x => -x)))
+    }
+    // 'dup' is the one rare corpus word -> highest idf; in docs containing
+    // it, it should dominate the common words
+    val dupRows = rows.filter(_.getString(1) == "dup")
+    assert(dupRows.nonEmpty && dupRows.forall(_.getLong(3) == 1L))
+  }
+
   test("flagship join drops NO vocabulary at the reference config (minCount=1)") {
     import graft.operators.{Embed, Parity}
     val counts = Parity.wordCounts(Tables.documents(spark, TestSpark.sf0001).select("text"))
