@@ -81,6 +81,42 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("runtime bloom filter from a selective dimension side prunes the fact scan") {
+    // at 100 TB the single biggest join lever after broadcast is the
+    // runtime (bloom) filter: the selective side's keys are sketched and
+    // pushed into the big side's scan. Thresholds are sized for clusters,
+    // so force them down to demonstrate the plan shape at test scale.
+    val restore = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    // creationSideThreshold is a MAX (creation side must be smaller than it);
+    // applicationSideScanSizeThreshold is a MIN (big side must be larger).
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // SMJ: filter actually matters
+    try {
+      val orders = Tables.orders(spark, sf0001)
+        .filter(col("o_totalprice") > 400000).select("o_orderkey")
+      val joined = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected a runtime bloom filter on the fact side:\n$plan")
+      // and the filtered join is still exact
+      val expected = Tables.lineitem(spark, sf0001)
+        .join(Tables.orders(spark, sf0001).filter(col("o_totalprice") > 400000),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("salted join returns exactly the plain join result") {
     val lineitem = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity", "l_partkey")
     val orders = Tables.orders(spark, sf0001).select("o_orderkey", "o_orderpriority")
