@@ -74,6 +74,9 @@ object SparkEntry {
     "q62_corpus_split"   -> (TextAnalysis.q62CorpusSplit _),
     "q63_seq_packing"    -> (TextAnalysis.q63SequencePacking _),
     "q64_tfidf"          -> (TextAnalysis.q64TfIdf _),
+    "q65_repetition"     -> (TextAnalysis.q65RepetitionFilter _),
+    "q66_strat_sample"   -> (TextAnalysis.q66StratifiedSample _),
+    "q67_source_cap"     -> (TextAnalysis.q67SourceCap _),
     "q39_multimodal_meta" -> (Multimodal.q39MultimodalMeta _),
     "q46_frame_sample"   -> (Multimodal.q46FrameSample _),
     "q60_chunk_dedup"    -> (Multimodal.q60ChunkDedup _),
@@ -583,6 +586,44 @@ object SparkEntry {
          |           FROM scored)
          |SELECT doc_id, word, tfidf, rank FROM ranked WHERE rank <= 3
          |ORDER BY doc_id, rank""".stripMargin,
+
+    // Repetition filter: bigram multiset per doc; both engines drop
+    // single-word docs (no bigrams) identically.
+    "q65_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |bg AS (SELECT doc_id, words[i.i] || ' ' || words[i.i+1] AS bigram
+        |       FROM w, LATERAL (SELECT unnest(range(1, len(words))) AS i) i),
+        |cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |               CAST(count(*) AS BIGINT) AS n_distinct,
+        |               CAST(max(c) AS BIGINT) AS top_cnt
+        |        FROM cnt GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, n_distinct,
+        |       round(top_cnt * 1.0 / n_bigrams, 6) AS top_bigram_frac,
+        |       round(1 - n_distinct * 1.0 / n_bigrams, 6) AS dup_bigram_frac,
+        |       CAST(CASE WHEN top_cnt * 1.0 / n_bigrams <= 0.1
+        |                  AND 1 - n_distinct * 1.0 / n_bigrams <= 0.1
+        |            THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // Stratified sample / source caps: the rate map and cap literal are
+    // single-sourced from TextAnalysis so both engines see one truth.
+    "q66_strat_sample" ->
+      s"""WITH d AS (SELECT doc_id, lang, ${tokenId("text")} % 1000 AS bucket FROM documents)
+         |SELECT doc_id, lang, bucket FROM d
+         |WHERE bucket < CASE lang ${TextAnalysis.sampleRatePerMille
+                .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")} ELSE 0 END
+         |ORDER BY doc_id""".stripMargin,
+
+    "q67_source_cap" ->
+      s"""WITH p AS (SELECT doc_id, source, n_chars, ${tokenId("text")} AS prio FROM documents),
+         |r AS (SELECT source, n_chars,
+         |             row_number() OVER (PARTITION BY source ORDER BY prio, doc_id) AS rk
+         |      FROM p)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(count(*) FILTER (WHERE rk <= 15) AS BIGINT) AS n_kept,
+         |       CAST(coalesce(sum(n_chars) FILTER (WHERE rk <= 15), 0) AS BIGINT) AS chars_kept
+         |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     "q34_knn_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -202,6 +202,88 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** q65: repetition quality filter — the Gopher/MassiveText-style
+    * repetitiveness signals: the share of the document claimed by its
+    * single most frequent word bigram, and the fraction of bigram
+    * occurrences that are repeats (1 − distinct/total). Boilerplate,
+    * keyword-stuffed and template docs spike on both; a training-data
+    * pipeline drops them before dedup ever runs.
+    *
+    * Scale shape: bigrams come from one `zip_with` over the token array
+    * (per-row, codegen'd — no self-join), then two partial-aggregated
+    * group-bys: O(doc·distinct-bigram) rows into the first shuffle,
+    * O(docs) into the second. Single-word docs have no bigrams and drop
+    * out of both engines identically. */
+  def q65RepetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("words"), lit(1), size(col("words")) - 1),
+        slice(col("words"), lit(2), size(col("words")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+    bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("top_cnt"))
+      .select(
+        col("doc_id"), col("n_bigrams"), col("n_distinct"),
+        round(col("top_cnt").cast("double") / col("n_bigrams"), 6).as("top_bigram_frac"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"), 6).as("dup_bigram_frac"))
+      .withColumn("keep",
+        (col("top_bigram_frac") <= 0.1 && col("dup_bigram_frac") <= 0.1).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-language keep rates (per mille) for q66 — the data-mix
+    * rebalancing literal, shared verbatim with the oracle SQL. English
+    * dominates the corpus, so it is downsampled; unknown languages are
+    * dropped (rate 0). */
+  val sampleRatePerMille: Seq[(String, Long)] =
+    Seq("en" -> 400L, "de" -> 1000L, "es" -> 1000L, "fr" -> 1000L, "zh" -> 1000L)
+
+  /** q66: deterministic stratified sampling — the data-mix step that
+    * turns a raw crawl into a language-balanced training set. The keep
+    * decision is a CONTENT-hash Bernoulli trial (portable tokenId mod
+    * 1000 vs the per-language rate), so the sample is reproducible,
+    * stable under doc-id reassignment / re-sharding (q62's property),
+    * and needs no global count or second pass — pure per-row scalar
+    * work at scan speed, unlike `df.sample` whose RNG is
+    * partitioning-dependent. */
+  def q66StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = sampleRatePerMille.foldLeft(lit(0L)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .withColumn("bucket", Portable.tokenId(col("text")) % 1000L)
+      .filter(col("bucket") < rate)
+      .select("doc_id", "lang", "bucket")
+      .orderBy("doc_id")
+  }
+
+  /** q67: per-source document caps — the C4/RefinedWeb "domain cap"
+    * that stops any single site template from flooding the training
+    * set. Priority within a source is the content hash (tie-broken by
+    * doc_id), so which docs survive is again independent of ingest
+    * order. One rank window partitioned by source (shuffle keyed on
+    * source — salting applies if one domain dominates, see Skew), one
+    * partial-aggregated rollup. */
+  def q67SourceCap(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 15
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("prio"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("prio", Portable.tokenId(col("text")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("rk") <= cap, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rk") <= cap, col("n_chars")).otherwise(0L)).as("chars_kept"))
+      .orderBy("source")
+  }
+
   /** q38: document fingerprint + token counts — order-sensitive rolling
     * hash over the token stream (whitespace tokens and the reference's
     * alpha tokens counted separately). */

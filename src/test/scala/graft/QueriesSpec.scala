@@ -133,4 +133,58 @@ class QueriesSpec extends AnyFunSuite {
     // 'dup' is the one rare word in the corpus (~2.8% of the modal count)
     assert(dropped.keySet == Set("dup"), s"unexpected drop set: $dropped")
   }
+
+  test("q65 repetition filter flags a planted template doc and keeps prose") {
+    import graft.operators.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("graft-rep").toString
+    import spark.implicits._
+    Seq(
+      (1L, "buy now buy now buy now buy now buy now"), // one bigram dominates
+      // corpus-typical length: with n distinct bigrams the top fraction is
+      // 1/n, so a short doc can never pass a 10% threshold — use ~30 words
+      (2L, "the quick brown fox jumps over the lazy sleeping dog while a " +
+        "cold rain settles quietly across the narrow valley and every " +
+        "bird waits silently under dark dripping leaves for morning light")
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val byId = TextAnalysis.q65RepetitionFilter(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Long]("keep") == 0L, "template doc must be dropped")
+    assert(byId(2L).getAs[Long]("keep") == 1L, "prose doc must be kept")
+    // n_bigrams == n_words - 1 for every doc
+    assert(byId(1L).getAs[Long]("n_bigrams") == 9L)
+    assert(byId(1L).getAs[Long]("n_distinct") == 2L) // "buy now", "now buy"
+  }
+
+  test("q66 stratified sample is content-stable and actually rebalances the mix") {
+    import graft.operators.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("graft-strat").toString
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    docs.write.parquet(s"$dir/a/documents.parquet")
+    docs.withColumn("doc_id", col("doc_id") * 7919L + 13L)
+      .write.parquet(s"$dir/b/documents.parquet")
+    // the KEPT CONTENT is id-invariant (compare by (lang, bucket) multiset
+    // plus per-lang counts; ids themselves are reassigned by construction)
+    val a = TextAnalysis.q66StratifiedSample(spark, s"$dir/a")
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = TextAnalysis.q66StratifiedSample(spark, s"$dir/b")
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    // en is downsampled to ~40%; other languages pass through whole
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a("en") < before("en"), "en must be downsampled")
+    Seq("de", "es", "fr", "zh").foreach(l =>
+      assert(a.getOrElse(l, 0L) == before(l), s"$l must be kept whole"))
+  }
+
+  test("q67 source cap keeps at most 15 docs per source and all of small sources") {
+    val rows = run("q67_source_cap").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, nKept) = (r.getLong(1), r.getLong(2))
+      assert(nKept == math.min(nDocs, 15L),
+        s"source ${r.getString(0)}: kept $nKept of $nDocs (cap 15)")
+      assert(r.getLong(3) >= 0L)
+    }
+  }
 }
