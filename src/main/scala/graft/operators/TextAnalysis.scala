@@ -108,15 +108,7 @@ object TextAnalysis {
     * Cleaned text is rebuilt in segment order with collect-sort-join —
     * nulls (dropped segments) vanish inside collect_list. */
   def q59LineDedup(spark: SparkSession, dir: String): DataFrame = {
-    val segWords = 10
-    val segs = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("words"))
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, cast(ceil(size(words) / $segWords.0) as int) - 1)," +
-          s" i -> struct(cast(i as bigint) AS seg_idx, array_join(slice(words, i * $segWords + 1, $segWords), ' ') AS seg))"
-      )).as("s"))
-      .select(col("doc_id"), col("s.seg_idx"), col("s.seg"),
-        (col("doc_id") * 100000L + col("s.seg_idx")).as("occ_key"))
+    val segs = segments(Tables.documents(spark, dir))
     val bySeg = org.apache.spark.sql.expressions.Window.partitionBy("seg")
     segs
       .withColumn("keep",
@@ -136,6 +128,21 @@ object TextAnalysis {
     * re-sharding, re-ordering and doc-id reassignment — the property
     * that keeps eval sets leak-free across pipeline re-runs. Pure
     * per-row scalar + one small aggregate. */
+  /** Shared pseudo-sentence segmentation (q59 and its streaming twin):
+    * consecutive `segWords`-word spans of each document, keyed for
+    * first-occurrence arithmetic as doc_id * 100000 + seg_idx
+    * (documented headroom contract: < 100000 segments per doc). Works
+    * on batch AND streaming DataFrames — per-row HOF only, no shuffle. */
+  private[graft] def segments(docs: DataFrame, segWords: Int = 10): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, cast(ceil(size(words) / $segWords.0) as int) - 1)," +
+          s" i -> struct(cast(i as bigint) AS seg_idx, array_join(slice(words, i * $segWords + 1, $segWords), ' ') AS seg))"
+      )).as("s"))
+      .select(col("doc_id"), col("s.seg_idx"), col("s.seg"),
+        (col("doc_id") * 100000L + col("s.seg_idx")).as("occ_key"))
+
   def q62CorpusSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("bucket", Portable.tokenId(col("text")) % 100L)

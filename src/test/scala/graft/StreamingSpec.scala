@@ -188,6 +188,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(2L) == ((1L, 1L)))
   }
 
+  test("streaming line dedup keeps exactly the batch q59 survivors under id-ordered arrival") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // 10-word segments by construction: segA/segB/segC are exact spans
+    def seg(w: String) = (1 to 10).map(i => s"$w$i").mkString(" ")
+    val (segA, segB, segC) = (seg("a"), seg("b"), seg("c"))
+    val docs = Seq(
+      1L -> s"$segA $segB",
+      2L -> s"$segB $segC", // segB is a replay — must be dropped
+      3L -> segA)           // whole doc is a replay — nothing survives
+    // batch answer on the same fixture
+    val dir = java.nio.file.Files.createTempDirectory("graft-linededup").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val want = graft.operators.TextAnalysis.q59LineDedup(spark, dir)
+      .select("doc_id", "clean_text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // stream the docs one micro-batch per doc, in doc_id order
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStream.lineDedup(ms.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("line_dedup_stream")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ld-ckpt").toString)
+      .start()
+    try {
+      docs.foreach { d => ms.addData(d); q.processAllAvailable() }
+      val kept = spark.table("line_dedup_stream")
+        .groupBy("doc_id")
+        .agg(array_join(expr(
+          "transform(sort_array(collect_list(struct(seg_idx, seg))), x -> x.seg)"), " ")
+          .as("clean_text"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // doc 3 emits nothing in the stream; batch says clean_text = ''
+      assert(kept == want.filter(_._2.nonEmpty),
+        s"streaming survivors $kept != batch $want")
+      assert(!kept.contains(3L))
+      assert(kept(2L) == segC)
+    } finally q.stop()
+  }
+
   test("eventMicros keeps sub-millisecond precision that getTime truncates") {
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     ts.setNanos(123456789) // 123.456789 ms into the second
