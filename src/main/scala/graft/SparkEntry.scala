@@ -63,6 +63,7 @@ object SparkEntry {
     "q32_simhash"        -> (Dedup.q32SimHash _),
     "q33_ngram_jaccard"  -> (Dedup.q33NgramJaccard _),
     "q49_embedding_neardup" -> (Dedup.q49EmbeddingNearDup _),
+    "q68_dedup_clusters" -> (Dedup.q68DedupClusters _),
     "q34_knn_cosine"     -> (Similarity.q34KnnCosine _),
     "q61_knn_join"       -> (Similarity.q61KnnJoin _),
     "q35_lang_profile"   -> (TextAnalysis.q35LangProfile _),
@@ -455,6 +456,28 @@ object SparkEntry {
          |                     JOIN e eb ON eb.vec_id = cand.id_b)
          |SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.45
          |ORDER BY cos_sim DESC, id_a, id_b""".stripMargin,
+
+    // Cluster resolution over the q49 pair graph. The oracle computes
+    // components as a recursive transitive closure (min reachable id);
+    // Spark computes them iteratively (Graph.connectedComponents) —
+    // same fixpoint, different engines' natural idiom.
+    "q68_dedup_clusters" ->
+      s"""WITH RECURSIVE $simhashCandCte,
+         |pairs AS (SELECT id_a, id_b
+         |          FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+         |                    JOIN e eb ON eb.vec_id = cand.id_b
+         |          WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.45),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (SELECT DISTINCT a, a FROM edges
+         |                 UNION
+         |                 SELECT ed.a, reach.r FROM edges ed JOIN reach ON reach.id = ed.b),
+         |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         |sizes AS (SELECT cluster, count(*) AS n_members FROM comp GROUP BY cluster)
+         |SELECT c.id AS vec_id, c.cluster, s.n_members,
+         |       CAST(CASE WHEN c.id = c.cluster THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+         |FROM comp c JOIN sizes s USING (cluster)
+         |ORDER BY cluster, vec_id""".stripMargin,
 
     // Blocked kNN join: same candidates, both orientations, per-vector
     // top-3 by (cos desc, n_id).

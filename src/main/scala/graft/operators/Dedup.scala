@@ -292,6 +292,26 @@ object Dedup {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
       minCosine = 0.45)
 
+  /** q68: dedup CLUSTER resolution — the step after pair generation
+    * that an actual dedup pipeline needs: near-dup pairs (the q49 edge
+    * list) resolved into groups via [[Graph.connectedComponents]], with
+    * the minimum vec_id elected canonical. A pipeline keeps the
+    * canonical row per cluster and drops the rest; pairs alone can't
+    * tell you that (A~B, B~C must collapse to ONE survivor even when
+    * A~C was never emitted). Only vectors that appear in some pair are
+    * listed — everything else is trivially its own singleton. */
+  def q68DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q49EmbeddingNearDup(spark, dir).select("id_a", "id_b")
+    val comp = Graph.connectedComponents(pairs)
+    val sizes = comp.groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n_members"))
+    comp.select(col("id").as("vec_id"), col("label").as("cluster"))
+      .join(sizes, "cluster")
+      .select(col("vec_id"), col("cluster"), col("n_members"),
+        (col("vec_id") === col("cluster")).cast("long").as("is_canonical"))
+      .orderBy("cluster", "vec_id")
+  }
+
   /** TEST-ONLY exact baseline: every pair above the cosine threshold via
     * an all-pairs theta-join — O(N²/2), BroadcastNestedLoopJoin. Kept off
     * the declared query surface (it cannot survive 100× scale) as the

@@ -101,6 +101,55 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(approx.size == 5)
   }
 
+  test("connected components resolve a chain that pairwise edges never close") {
+    import graft.operators.Graph
+    // 1-2-3-4 is a path: (1,4) is never an edge, yet they must share a
+    // cluster; {10,11} is separate. Diameter 3 forces multi-round
+    // propagation (a one-round implementation would fail on node 4).
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Graph.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components match a local union-find on random graphs") {
+    import graft.operators.Graph
+    val rnd = new scala.util.Random(7)
+    val n = 60
+    val edges = Seq.fill(45)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // local union-find ground truth
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      .map(id => id -> {
+        // component label = min id in the component, among ids with edges
+        val root = find(id.toInt)
+        edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+          .filter(o => find(o.toInt) == root).min
+      }).toMap
+    val got = Graph.connectedComponents(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("q68 elects exactly one canonical (the min id) per near-dup cluster") {
+    val rows = SparkEntry.queries("q68_dedup_clusters")(spark, TestSpark.sf0001).collect()
+    if (rows.nonEmpty) {
+      val byCluster = rows.groupBy(_.getLong(1))
+      byCluster.foreach { case (cluster, members) =>
+        assert(members.map(_.getLong(0)).min == cluster, "cluster label must be the min member id")
+        assert(members.count(_.getLong(3) == 1L) == 1, "exactly one canonical per cluster")
+        assert(members.forall(_.getLong(2) == members.length), "n_members must equal the group size")
+        assert(members.length >= 2, "every clustered vector came from some pair")
+      }
+    }
+  }
+
   test("exact dedup groups identical texts under one canonical id") {
     val docs = Seq((10L, "a b c"), (11L, "a b c"), (12L, "a b d"))
       .toDF("doc_id", "text")
