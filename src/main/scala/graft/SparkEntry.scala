@@ -78,6 +78,7 @@ object SparkEntry {
     "q65_repetition"     -> (TextAnalysis.q65RepetitionFilter _),
     "q66_strat_sample"   -> (TextAnalysis.q66StratifiedSample _),
     "q67_source_cap"     -> (TextAnalysis.q67SourceCap _),
+    "q69_pii_scrub"      -> (TextAnalysis.q69PiiScrub _),
     "q39_multimodal_meta" -> (Multimodal.q39MultimodalMeta _),
     "q46_frame_sample"   -> (Multimodal.q46FrameSample _),
     "q60_chunk_dedup"    -> (Multimodal.q60ChunkDedup _),
@@ -456,6 +457,22 @@ object SparkEntry {
          |                     JOIN e eb ON eb.vec_id = cand.id_b)
          |SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.45
          |ORDER BY cos_sim DESC, id_a, id_b""".stripMargin,
+
+    // PII scrub: pattern literals single-sourced from TextAnalysis
+    // (backslashes pass through DuckDB single-quoted strings verbatim,
+    // so the same Java/RE2-compatible pattern text serves both engines).
+    "q69_pii_scrub" -> {
+      val Seq((email, _), (phone, _), (ip, _)) = TextAnalysis.piiPatterns
+      s"""SELECT doc_id,
+         |       CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+         |       CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones,
+         |       CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips,
+         |       regexp_replace(regexp_replace(regexp_replace(text,
+         |         '$email', '<EMAIL>', 'g'),
+         |         '$phone', '<PHONE>', 'g'),
+         |         '$ip', '<IP>', 'g') AS clean_text
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     // Cluster resolution over the q49 pair graph. The oracle computes
     // components as a recursive transitive closure (min reachable id);

@@ -291,6 +291,38 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** PII patterns for q69 — written to mean the same thing in Java
+    * regex (Spark) and RE2 (DuckDB): no backreferences, no lookaround.
+    * Order matters: emails before phones (an email's digits must not be
+    * half-eaten by the phone pattern first). */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\+?[0-9][0-9()\\- ]{7,}[0-9]"                   -> "<PHONE>",
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}" -> "<IP>")
+
+  /** Redact PII from a text column: emails, phone-number runs and IPv4
+    * literals replaced by typed placeholders, applied in [[piiPatterns]]
+    * order. Pure per-row `regexp_replace` chain — codegen'd, no
+    * shuffle, scan-speed at any corpus size. */
+  def redactPii(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, tag)) => regexp_replace(c, pat, tag) }
+
+  /** q69: PII scrubbing report — per-doc counts of each redaction class
+    * plus the scrubbed text. The synthetic corpus contains no PII, so
+    * at test scale this verifies the no-op property (counts 0, text
+    * unchanged) and cross-engine regex parity; the planted-fixture spec
+    * proves the actual redaction behavior. */
+  def q69PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val Seq((emailPat, _), (phonePat, _), (ipPat, _)) = piiPatterns
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(emailPat)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(phonePat)).cast("long").as("n_phones"),
+        regexp_count(col("text"), lit(ipPat)).cast("long").as("n_ips"),
+        redactPii(col("text")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** q38: document fingerprint + token counts — order-sensitive rolling
     * hash over the token stream (whitespace tokens and the reference's
     * alpha tokens counted separately). */

@@ -177,6 +177,27 @@ class QueriesSpec extends AnyFunSuite {
       assert(a.getOrElse(l, 0L) == before(l), s"$l must be kept whole"))
   }
 
+  test("q69 pii scrub redacts planted emails, phones and IPs but leaves prose alone") {
+    import graft.operators.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("graft-pii").toString
+    import spark.implicits._
+    Seq(
+      (1L, "contact alice.smith+dev@example.co.uk or call +1 (415) 555-0123 now"),
+      (2L, "server at 10.0.142.7 responded"),
+      (3L, "plain prose with no identifiers at all")
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.q69PiiScrub(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getAs[Long]("n_emails") == 1L)
+    assert(rows(1L).getAs[Long]("n_phones") == 1L)
+    assert(rows(1L).getAs[String]("clean_text") == "contact <EMAIL> or call <PHONE> now")
+    assert(rows(2L).getAs[Long]("n_ips") == 1L)
+    assert(rows(2L).getAs[String]("clean_text") == "server at <IP> responded")
+    assert(rows(3L).getAs[String]("clean_text") == "plain prose with no identifiers at all")
+    assert(rows(3L).getAs[Long]("n_emails") + rows(3L).getAs[Long]("n_phones")
+      + rows(3L).getAs[Long]("n_ips") == 0L)
+  }
+
   test("q67 source cap keeps at most 15 docs per source and all of small sources") {
     val rows = run("q67_source_cap").collect()
     assert(rows.nonEmpty)
