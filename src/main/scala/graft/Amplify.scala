@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: build the amplified corpora behind SCALING.md's "Measured
+  * 100× amplification" table, reproducibly.
+  *
+  * `sbt "runMain graft.Amplify /root/testdata/sf0.1 /tmp/amp 100 10"`
+  * writes `documents.parquet` (docCopies copies, each perturbed with a
+  * unique suffix word so copies are near- not exact-duplicates) and
+  * `embeddings.parquet` (vecCopies copies, dim-0 perturbed per copy so
+  * copies are genuine high-cosine near-duplicates). Ids are offset by
+  * copy × 1e6 — far above any sf's id range. */
+object Amplify {
+  def main(args: Array[String]): Unit = {
+    val Array(src, dest, docCopiesS, vecCopiesS) = args.take(4)
+    val (docCopies, vecCopies) = (docCopiesS.toInt, vecCopiesS.toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val slot = 1000000L
+
+    Tables.documents(spark, src)
+      .crossJoin(spark.range(docCopies).toDF("copy"))
+      .select(
+        (col("copy") * slot + col("doc_id")).as("doc_id"),
+        concat(col("text"), lit(" uniq"), col("copy")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dest/documents.parquet")
+
+    Tables.embeddings(spark, src)
+      .crossJoin(spark.range(vecCopies).toDF("copy"))
+      .select(
+        (col("copy") * slot + col("vec_id")).as("vec_id"),
+        expr("transform(embedding, (x, i) -> CASE WHEN i = 0" +
+          " THEN cast(x + copy * 0.0001 AS float) ELSE x END)").as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$dest/embeddings.parquet")
+
+    println(s"[amplify] wrote $dest: documents x$docCopies, embeddings x$vecCopies")
+    spark.stop()
+  }
+}

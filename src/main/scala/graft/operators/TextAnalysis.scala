@@ -216,32 +216,33 @@ object TextAnalysis {
     * keyword-stuffed and template docs spike on both; a training-data
     * pipeline drops them before dedup ever runs.
     *
-    * Scale shape: bigrams come from one `zip_with` over the token array
-    * (per-row, codegen'd — no self-join), then two partial-aggregated
-    * group-bys: O(doc·distinct-bigram) rows into the first shuffle,
-    * O(docs) into the second. Single-word docs have no bigrams and drop
-    * out of both engines identically. */
-  def q65RepetitionFilter(spark: SparkSession, dir: String): DataFrame = {
-    val bg = Tables.documents(spark, dir)
+    * Scale shape: the whole signal is per-document, so NOTHING
+    * shuffles — the three statistics come from ONE native pass
+    * ([[graft.plans.RepetitionStats]]: hash adjacent word pairs to
+    * longs, primitive sort, read run lengths; no bigram string is ever
+    * built). Measured at 500k docs (warm, local[32], noop sink):
+    * explode + groupBy(doc, bigram) = 50.8 s (30M-row string shuffle);
+    * struct-accumulator `aggregate` fold = 97 s; a zip_with/array_sort/
+    * filter HOF chain = ~40 s (interpreted lambdas, ~4-5 s per HOF
+    * pass); the native expression = see SCALING.md — the CosineSim
+    * lesson again: per-row hot loops belong in a codegen'd kernel.
+    * Single-word docs have no bigrams and drop out of both engines
+    * identically. */
+  def q65RepetitionFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
-      .select(col("doc_id"), explode(zip_with(
-        slice(col("words"), lit(1), size(col("words")) - 1),
-        slice(col("words"), lit(2), size(col("words")) - 1),
-        (a, b) => concat(a, lit(" "), b))).as("bigram"))
-    bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(
-        sum("c").as("n_bigrams"),
-        count(lit(1)).as("n_distinct"),
-        max("c").as("top_cnt"))
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"),
+        graft.plans.RepetitionStats.repetitionStats(col("words")).as("st"))
       .select(
-        col("doc_id"), col("n_bigrams"), col("n_distinct"),
-        round(col("top_cnt").cast("double") / col("n_bigrams"), 6).as("top_bigram_frac"),
-        round(lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"), 6).as("dup_bigram_frac"))
+        col("doc_id"),
+        col("st.n_bigrams").as("n_bigrams"),
+        col("st.n_distinct").as("n_distinct"),
+        round(col("st.top_cnt").cast("double") / col("st.n_bigrams"), 6).as("top_bigram_frac"),
+        round(lit(1.0) - col("st.n_distinct").cast("double") / col("st.n_bigrams"), 6).as("dup_bigram_frac"))
       .withColumn("keep",
         (col("top_bigram_frac") <= 0.1 && col("dup_bigram_frac") <= 0.1).cast("long"))
       .orderBy("doc_id")
-  }
 
   /** Per-language keep rates (per mille) for q66 — the data-mix
     * rebalancing literal, shared verbatim with the oracle SQL. English
@@ -300,12 +301,28 @@ object TextAnalysis {
     "\\+?[0-9][0-9()\\- ]{7,}[0-9]"                   -> "<PHONE>",
     "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}" -> "<IP>")
 
+  /** Cheap NECESSARY conditions for each PII class — an exact
+    * equivalence, not a heuristic: the email pattern cannot match
+    * without an '@' and the phone/IP patterns cannot match without a
+    * digit, so a doc failing the guard has zero matches by
+    * construction. The guard is a single literal/class scan (no
+    * per-position regex restarts); on clean corpora — the common case
+    * in production and the whole corpus here — the regex engine never
+    * runs. Measured at 500k docs: 54 s unguarded → see SCALING.md. */
+  private val piiGuards: Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = Seq(
+    t => t.contains("@"),
+    t => t.rlike("[0-9]"),
+    t => t.rlike("[0-9]"))
+
   /** Redact PII from a text column: emails, phone-number runs and IPv4
     * literals replaced by typed placeholders, applied in [[piiPatterns]]
-    * order. Pure per-row `regexp_replace` chain — codegen'd, no
-    * shuffle, scan-speed at any corpus size. */
+    * order, each stage guard-skipped ([[piiGuards]]) when the class
+    * cannot occur. Pure per-row work — no shuffle, scan-speed at any
+    * corpus size. */
   def redactPii(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    piiPatterns.foldLeft(text) { case (c, (pat, tag)) => regexp_replace(c, pat, tag) }
+    piiPatterns.zip(piiGuards).foldLeft(text) { case (c, ((pat, tag), guard)) =>
+      when(guard(c), regexp_replace(c, pat, tag)).otherwise(c)
+    }
 
   /** q69: PII scrubbing report — per-doc counts of each redaction class
     * plus the scrubbed text. The synthetic corpus contains no PII, so
@@ -314,11 +331,14 @@ object TextAnalysis {
     * proves the actual redaction behavior. */
   def q69PiiScrub(spark: SparkSession, dir: String): DataFrame = {
     val Seq((emailPat, _), (phonePat, _), (ipPat, _)) = piiPatterns
+    val Seq(emailGuard, digitGuard, _) = piiGuards
+    def counted(pat: String, guard: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      when(guard(col("text")), regexp_count(col("text"), lit(pat))).otherwise(0).cast("long")
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        regexp_count(col("text"), lit(emailPat)).cast("long").as("n_emails"),
-        regexp_count(col("text"), lit(phonePat)).cast("long").as("n_phones"),
-        regexp_count(col("text"), lit(ipPat)).cast("long").as("n_ips"),
+        counted(emailPat, emailGuard).as("n_emails"),
+        counted(phonePat, digitGuard).as("n_phones"),
+        counted(ipPat, digitGuard).as("n_ips"),
         redactPii(col("text")).as("clean_text"))
       .orderBy("doc_id")
   }

@@ -13,7 +13,8 @@ import org.apache.spark.sql.graftbridge.SqlBridge
   * built-ins (and keep their codegen):
   *
   * {{{
-  *   SELECT token_id(word), cosine_sim(a, b), bpe_encode(word)
+  *   SELECT token_id(word), cosine_sim(a, b), bpe_encode(word),
+  *          repetition_stats(words)
   * }}}
   *
   * `bpe_encode` binds [[graft.operators.Bpe.pretrainedMerges]] — the
@@ -47,6 +48,11 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "bpe_encode expects 1 argument")
         BpeEncode(args.head, graft.operators.Bpe.pretrainedMerges)
+      }),
+    (FunctionIdentifier("repetition_stats"), info("repetition_stats"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "repetition_stats expects 1 argument")
+        RepetitionStats(args.head)
       }))
 
   /** Register on an EXISTING session (tests, notebooks) — same
