@@ -198,6 +198,35 @@ class QueriesSpec extends AnyFunSuite {
       + rows(3L).getAs[Long]("n_ips") == 0L)
   }
 
+  test("RepetitionStats matches a naive bigram count on random word arrays") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // small alphabet forces real collisions (repeated bigrams)
+    val gen = Gen.listOfN(120,
+      Gen.chooseNum(2, 40).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("a", "b", "c", "ab", "ba", "x"))))
+    val docs = gen(Gen.Parameters.default, Seed(7L)).get.zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws) }
+    val got = docs.toDF("id", "words")
+      .select(col("id"), graft.plans.RepetitionStats.repetitionStats(col("words")).as("st"))
+      .select(col("id"), col("st.n_bigrams"), col("st.n_distinct"), col("st.top_cnt"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    docs.foreach { case (id, ws) =>
+      val bigrams = ws.sliding(2).map(_.mkString(" ")).toSeq
+      val counts = bigrams.groupBy(identity).map(_._2.size)
+      val want = (bigrams.size.toLong, counts.size.toLong, counts.max.toLong)
+      assert(got(id) == want, s"doc $id words=$ws")
+    }
+  }
+
+  test("q65's plan is shuffle-free up to the final sort (no explode, no aggregate)") {
+    val plan = run("q65_repetition").queryExecution.executedPlan.toString
+    assert(plan.contains("repetition_stats"), "must use the native expression")
+    assert(!plan.contains("Generate"), "no explode — the signal is per-row")
+    assert(!plan.contains("HashAggregate"), "no aggregation — nothing shuffles but the sort")
+  }
+
   test("q67 source cap keeps at most 15 docs per source and all of small sources") {
     val rows = run("q67_source_cap").collect()
     assert(rows.nonEmpty)

@@ -117,6 +117,23 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_percentile tracks exact rank within the sketch bound (q51's 100 TB path)") {
+    // q51's exact percentile buffers EVERY group value in the aggregation
+    // state — fine at bench scale, memory-unbounded at 100 TB. The scale
+    // path is the GK sketch (approx_percentile), whose contract is a RANK
+    // error <= n/accuracy. Assert that contract holds here so the
+    // documented swap is a measured claim, not an assumption.
+    val df = Tables.lineitem(spark, sf0001).select("l_extendedprice")
+    val n = df.count()
+    val accuracy = 1000
+    val approx = df.agg(
+      expr(s"approx_percentile(l_extendedprice, 0.9, $accuracy)")).head().getDouble(0)
+    val rank = df.filter(col("l_extendedprice") <= approx).count()
+    val rankErr = math.abs(rank - 0.9 * n)
+    assert(rankErr <= 2.0 * n / accuracy,
+      s"approx p90 rank off by $rankErr of $n rows (bound ${2.0 * n / accuracy})")
+  }
+
   test("salted join returns exactly the plain join result") {
     val lineitem = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity", "l_partkey")
     val orders = Tables.orders(spark, sf0001).select("o_orderkey", "o_orderpriority")
