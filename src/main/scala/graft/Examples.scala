@@ -51,6 +51,22 @@ object Examples {
       """SELECT word, token_id(word) AS token, bpe_encode(word) AS pieces
         |FROM VALUES ('spark'), ('catalyst') AS t(word)""".stripMargin).show(truncate = false)
 
+    // resolve near-dup pairs into clusters and elect canonicals
+    val pairs = Seq((0L, 1L), (1L, 2L)).toDF("id_a", "id_b") // 0~1, 1~2 ⇒ one cluster
+    println("connected components over the pair graph:")
+    operators.Graph.connectedComponents(pairs).orderBy("id").show()
+
+    // scrub PII and report what was redacted
+    println("PII scrub:")
+    Seq((0L, "reach me at jane@example.com or 415 555 0142"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), operators.TextAnalysis.redactPii(col("text")).as("clean"))
+      .show(truncate = false)
+
+    // per-doc repetition statistics via the native one-pass expression
+    println("repetition stats (n_bigrams, n_distinct, top_cnt):")
+    spark.sql("SELECT repetition_stats(array('buy','now','buy','now','buy')) AS st").show()
+
     spark.stop()
   }
 }
