@@ -13,7 +13,16 @@ case class GraftConfig(
     windowSize: Int = 5,
     iterations: Int = 1,
     minWordFrequency: Int = 1,
-    seed: Long = 42L)
+    seed: Long = 42L,
+    /** MLlib's distributed-training knob: the corpus is split into this
+      * many partitions whose gradient updates merge per iteration.
+      * Default 1 = exactly sequential skip-gram (reference parity, and
+      * the single-node bench optimum); a 100 TB corpus sets this to
+      * O(executors) and accepts MLlib's documented accuracy/speed
+      * trade, which is principled model averaging WITHIN one training
+      * run — not the reference's geometrically meaningless averaging of
+      * independently trained embedding spaces (SURVEY.md §4.1). */
+    numPartitions: Int = 1)
 
 object GraftConfig {
   def from(spark: SparkSession): GraftConfig = {
@@ -23,6 +32,7 @@ object GraftConfig {
       windowSize = i("graft.w2v.windowSize", 5),
       iterations = i("graft.w2v.iterations", 1),
       minWordFrequency = i("graft.w2v.minWordFrequency", 1),
-      seed = spark.conf.getOption("graft.w2v.seed").map(_.toLong).getOrElse(42L))
+      seed = spark.conf.getOption("graft.w2v.seed").map(_.toLong).getOrElse(42L),
+      numPartitions = i("graft.w2v.numPartitions", 1))
   }
 }

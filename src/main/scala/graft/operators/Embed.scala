@@ -65,7 +65,7 @@ object Embed {
       .setInputCol("words").setOutputCol("vec")
       .setVectorSize(cfg.layerSize).setWindowSize(cfg.windowSize)
       .setMaxIter(cfg.iterations).setMinCount(cfg.minWordFrequency)
-      .setSeed(cfg.seed)
+      .setSeed(cfg.seed).setNumPartitions(cfg.numPartitions)
     val model = w2v.fit(tokens)
     val vectors = model.getVectors // (word: String, vector: ml.linalg.Vector)
       .select(col("word"), vector_to_array(col("vector")).as("vector"))
