@@ -79,6 +79,8 @@ object SparkEntry {
     "q66_strat_sample"   -> (TextAnalysis.q66StratifiedSample _),
     "q67_source_cap"     -> (TextAnalysis.q67SourceCap _),
     "q69_pii_scrub"      -> (TextAnalysis.q69PiiScrub _),
+    "q70_decontaminate"  -> (TextAnalysis.q70Decontaminate _),
+    "q71_unigram_logp"   -> (TextAnalysis.q71UnigramLogProb _),
     "q39_multimodal_meta" -> (Multimodal.q39MultimodalMeta _),
     "q46_frame_sample"   -> (Multimodal.q46FrameSample _),
     "q60_chunk_dedup"    -> (Multimodal.q60ChunkDedup _),
@@ -473,6 +475,32 @@ object SparkEntry {
          |         '$ip', '<IP>', 'g') AS clean_text
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    // Decontamination: 8-word shingles (ws[i:i+7] is inclusive — 8
+    // elements), q62's bucket literals; eval docs excluded from output.
+    "q70_decontaminate" ->
+      s"""WITH d AS (SELECT doc_id, text, ${tokenId("text")} % 100 AS bucket FROM documents),
+         |w AS (SELECT doc_id, bucket, string_split(text, ' ') AS ws FROM d),
+         |sh AS (SELECT doc_id, bucket, unnest(list_distinct(list_transform(range(1, greatest(len(ws)-7, 1)+1),
+         |         i -> array_to_string(ws[i:i+7], ' ')))) AS shingle FROM w),
+         |ev AS (SELECT DISTINCT shingle, 1 AS hit FROM sh WHERE bucket >= 95)
+         |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |       CAST(coalesce(sum(ev.hit), 0) AS BIGINT) AS n_contaminated,
+         |       CAST(CASE WHEN coalesce(sum(ev.hit), 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+         |FROM sh s LEFT JOIN ev USING (shingle)
+         |WHERE s.bucket < 95
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    // Unigram LM scoring: ln() in both engines; round(6) absorbs the
+    // last-ulp differences of the two libm implementations.
+    "q71_unigram_logp" ->
+      s"""WITH words AS (SELECT doc_id, unnest(${tok("text")}) AS word FROM documents),
+         |freq AS (SELECT word, count(*) AS cnt FROM words GROUP BY word),
+         |t AS (SELECT sum(cnt) AS total FROM freq)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       round(avg(ln(cnt * 1.0 / total)), 6) AS avg_logp
+         |FROM words JOIN freq USING (word) CROSS JOIN t
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Cluster resolution over the q49 pair graph. The oracle computes
     // components as a recursive transitive closure (min reachable id);

@@ -343,6 +343,63 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q70: eval-set DECONTAMINATION — the GPT-3/Pile-style check that no
+    * training document leaks benchmark content: flag every train-split
+    * doc sharing an 8-word shingle with any test-split doc (the splits
+    * are q62's content-hash buckets, so the whole check is
+    * deterministic and self-contained). Exact duplicates can never
+    * straddle the split (same text ⇒ same bucket), so what this catches
+    * is precisely the dangerous case: NEAR-duplicates of eval docs
+    * hiding in train.
+    *
+    * Scale shape: the eval side collapses to a distinct shingle set —
+    * at production scale the benchmark suite is MBs against a corpus of
+    * TBs, so it BROADCASTS and the train side streams past in one pass
+    * (shingle → broadcast left-join marker → per-doc count); no
+    * shuffle of corpus shingles at all. */
+  def q70Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val n = 8
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (Portable.tokenId(col("text")) % 100L).as("bucket"),
+        explode(Portable.shingles(split(col("text"), " "), n)).as("shingle"))
+    val evalSh = sh.filter(col("bucket") >= 95)
+      .select("shingle").distinct().withColumn("hit", lit(1L))
+    sh.filter(col("bucket") < 95)
+      .join(broadcast(evalSh), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("contaminated", (col("n_contaminated") > 0).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** q71: unigram language-model scoring — the simplest member of the
+    * KenLM-style quality-filter family: score each doc by its mean
+    * token log-probability under a unigram LM fitted on the corpus
+    * itself. Far-below-average docs are gibberish/rare-token soup;
+    * far-above-average docs are boilerplate — both tails get clipped
+    * in a production mix.
+    *
+    * Scale shape: the LM is the word-frequency table — O(vocabulary),
+    * broadcast; scoring is one pass over token occurrences with a
+    * partial-aggregated per-doc mean. Nothing corpus-sized shuffles
+    * except the vocabulary count itself (O(vocab) after partial agg). */
+  def q71UnigramLogProb(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Portable.tokenize(col("text"))).as("word"))
+    val freq = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum("cnt").as("total"))
+    words.join(broadcast(freq), "word")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(log(col("cnt").cast("double") / col("total"))), 6).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
   /** q38: document fingerprint + token counts — order-sensitive rolling
     * hash over the token stream (whitespace tokens and the reference's
     * alpha tokens counted separately). */

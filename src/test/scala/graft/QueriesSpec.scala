@@ -227,6 +227,56 @@ class QueriesSpec extends AnyFunSuite {
     assert(!plan.contains("HashAggregate"), "no aggregation — nothing shuffles but the sort")
   }
 
+  test("q70 flags a planted near-duplicate of an eval doc, not clean train docs") {
+    import graft.operators.TextAnalysis
+    import graft.functions.Portable
+    import spark.implicits._
+    def bucketOf(text: String): Long = Seq(text).toDF("text")
+      .select((Portable.tokenId(col("text")) % 100L).as("b")).head().getLong(0)
+    // search deterministic suffixes until the doc lands in the wanted split
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    def find(pred: Long => Boolean, tag: String): String =
+      Iterator.from(0).map(i => s"$base $tag$i").find(t => pred(bucketOf(t))).get
+    val evalText = find(_ >= 95, "marker")   // lands in the test split
+    val leakText = find(_ < 95, "filler")    // train split, shares the 10-word prefix
+    val cleanText = {
+      val b = "one two three four five six seven eight nine ten"
+      Iterator.from(0).map(i => s"$b clean$i").find(t => bucketOf(t) < 95).get
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-decon").toString
+    Seq((1L, evalText), (2L, leakText), (3L, cleanText)).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.q70Decontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!got.contains(1L), "eval docs are not scored")
+    // 11-word docs have 4 8-shingles; the 3 inside the shared 10-word
+    // prefix match the eval doc's shingles
+    assert(got(2L).getAs[Long]("n_contaminated") == 3L)
+    assert(got(2L).getAs[Long]("contaminated") == 1L)
+    assert(got(3L).getAs[Long]("n_contaminated") == 0L)
+    assert(got(3L).getAs[Long]("contaminated") == 0L)
+  }
+
+  test("q71 unigram scores: rare-word docs score below common-word docs") {
+    val rows = run("q71_unigram_logp").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) < 0.0, "log-probabilities are negative")
+      assert(r.getLong(1) > 0L)
+    }
+    // a doc containing the rare word 'dup' must score below the average
+    // (rare tokens pull the mean log-prob down)
+    val dupDocs = Tables.documents(spark, TestSpark.sf0001)
+      .filter(col("text").contains("dup")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    if (dupDocs.nonEmpty) {
+      val byId = rows.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      val avgAll = byId.values.sum / byId.size
+      val avgDup = dupDocs.map(byId).sum / dupDocs.size
+      assert(avgDup < avgAll, s"rare-word docs ($avgDup) should score below corpus mean ($avgAll)")
+    }
+  }
+
   test("q67 source cap keeps at most 15 docs per source and all of small sources") {
     val rows = run("q67_source_cap").collect()
     assert(rows.nonEmpty)
