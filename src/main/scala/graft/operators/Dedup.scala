@@ -110,8 +110,12 @@ object Dedup {
     // and per-doc sizes) would otherwise re-run the explode. At cluster
     // scale this is a checkpoint of O(corpus shingles), the standard
     // shape for multi-pass dedup.
+    // shingle EQUALITY is all the bucketing needs, so shingles are
+    // native 64-bit hashes (plans.ShingleHashes) — no shingle string is
+    // ever built; the HOF string form paid ~5µs per window interpreted
     val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(Portable.shingles(split(col("text"), " "), 4)).as("shingle"))
+      .select(col("doc_id"), explode(
+        graft.plans.ShingleHashes.shingleHashes(split(col("text"), " "), 4)).as("shingle"))
       .persist()
     try {
       // Candidate pairs by bucket, not by self-join: group each shingle's

@@ -356,17 +356,24 @@ object TextAnalysis {
     * at production scale the benchmark suite is MBs against a corpus of
     * TBs, so it BROADCASTS and the train side streams past in one pass
     * (shingle → broadcast left-join marker → per-doc count); no
-    * shuffle of corpus shingles at all. */
+    * shuffle of corpus shingles at all. The join key is the shingle's
+    * 64-bit hash, not the string: overlap detection only needs
+    * equality (the RepetitionStats argument; a spurious flag needs a
+    * cross-doc xxhash64 collision, ~1e-19 per probe), and the hash
+    * shrinks the broadcast map and its probes by the full shingle
+    * width. Shingles are hashed NATIVELY ([[graft.plans.ShingleHashes]] —
+    * no shingle string is ever built; the HOF string form measured
+    * 111 s over 400k docs against ~2 s for the kernel). */
   def q70Decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val n = 8
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"),
         (Portable.tokenId(col("text")) % 100L).as("bucket"),
-        explode(Portable.shingles(split(col("text"), " "), n)).as("shingle"))
+        explode(graft.plans.ShingleHashes.shingleHashes(split(col("text"), " "), n)).as("shash"))
     val evalSh = sh.filter(col("bucket") >= 95)
-      .select("shingle").distinct().withColumn("hit", lit(1L))
+      .select("shash").distinct().withColumn("hit", lit(1L))
     sh.filter(col("bucket") < 95)
-      .join(broadcast(evalSh), Seq("shingle"), "left")
+      .join(broadcast(evalSh), Seq("shash"), "left")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_shingles"),

@@ -73,6 +73,28 @@ class PortableSpec extends AnyFunSuite {
     assert(got(1) == Seq("x"))
   }
 
+  test("ShingleHashes preserves string-shingle equality structure (property, 80 docs)") {
+    // the kernel replaces shingle STRINGS with hashes; every consumer
+    // only needs equality, so the distinct count per doc and the
+    // cross-doc overlap sizes must match the string form exactly
+    val gen = Gen.listOfN(80,
+      Gen.chooseNum(1, 30).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e"))))
+    val docs = gen(Gen.Parameters.default, Seed(11L)).get.zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws) }
+    val rows = docs.toDF("id", "words")
+      .select(col("id"),
+        graft.plans.ShingleHashes.shingleHashes(col("words"), 3).as("hashes"),
+        Portable.shingles(col("words"), 3).as("strings"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Long](1).toSet, r.getSeq[String](2).toSet))).toMap
+    rows.values.foreach { case (hs, ss) =>
+      assert(hs.size == ss.size, "distinct shingle count must match the string form")
+    }
+    for ((ia, (ha, sa)) <- rows; (ib, (hb, sb)) <- rows if ia < ib)
+      assert((ha & hb).size == (sa & sb).size,
+        s"overlap size mismatch between docs $ia and $ib")
+  }
+
   test("GraftExtensions exposes the native expressions to plain SQL") {
     graft.plans.GraftExtensions.register(spark)
     val row = spark.sql(
