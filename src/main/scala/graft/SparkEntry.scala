@@ -80,6 +80,7 @@ object SparkEntry {
     "q67_source_cap"     -> (TextAnalysis.q67SourceCap _),
     "q69_pii_scrub"      -> (TextAnalysis.q69PiiScrub _),
     "q70_decontaminate"  -> (TextAnalysis.q70Decontaminate _),
+    "q72_funnel"         -> (operators.Funnel.q72Funnel _),
     "q71_unigram_logp"   -> (TextAnalysis.q71UnigramLogProb _),
     "q39_multimodal_meta" -> (Multimodal.q39MultimodalMeta _),
     "q46_frame_sample"   -> (Multimodal.q46FrameSample _),
@@ -501,6 +502,52 @@ object SparkEntry {
          |       round(avg(ln(cnt * 1.0 / total)), 6) AS avg_logp
          |FROM words JOIN freq USING (word) CROSS JOIN t
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The training-data funnel: the same flag algebra as the Spark
+    // plan, stage by stage — rank-among-survivors via (pass DESC, id)
+    // window ordering in both engines.
+    "q72_funnel" -> {
+      val rateCase = s"CASE lang ${TextAnalysis.sampleRatePerMille
+        .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")} ELSE 0 END"
+      s"""WITH base AS (SELECT doc_id, lang, source,
+         |                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+         |                     md5(text) AS content_md5,
+         |                     ${tokenId("text")} % 1000 AS bucket,
+         |                     ${tokenId("text")} AS prio
+         |              FROM documents),
+         |tokq AS (SELECT doc_id,
+         |                least(len(list_distinct(ws))*1.0/greatest(len(ws),1)*2, 1.0)*0.5
+         |                + CASE WHEN len(ws) BETWEEN 20 AND 400 THEN 0.3 ELSE 0 END
+         |                + least(len(list_filter(ws, w -> w IN $stoplist))*1.0/greatest(len(ws),1)*3, 0.2) AS qual
+         |         FROM (SELECT doc_id, ${tok("text")} AS ws FROM documents)),
+         |w2 AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |bgr AS (SELECT doc_id, words[i.i] || ' ' || words[i.i+1] AS bigram
+         |        FROM w2, LATERAL (SELECT unnest(range(1, len(words))) AS i) i),
+         |cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bgr GROUP BY doc_id, bigram),
+         |rep AS (SELECT doc_id, sum(c) AS nb, count(*) AS nd, max(c) AS tc FROM cnt GROUP BY doc_id),
+         |sig AS (SELECT b.*, (round(t.qual, 6) >= 0.6) AS s1,
+         |               coalesce(r.tc*1.0/r.nb <= 0.1 AND 1 - r.nd*1.0/r.nb <= 0.1, FALSE) AS rep_keep
+         |        FROM base b JOIN tokq t USING (doc_id) LEFT JOIN rep r USING (doc_id)),
+         |s2s AS (SELECT *, (s1 AND rep_keep) AS s2 FROM sig),
+         |s3s AS (SELECT *, (s2 AND row_number() OVER (PARTITION BY content_md5
+         |                     ORDER BY CAST(s2 AS INT) DESC, doc_id) = 1) AS s3 FROM s2s),
+         |s4s AS (SELECT *, (s3 AND bucket < $rateCase) AS s4 FROM s3s),
+         |s5s AS (SELECT *, (s4 AND row_number() OVER (PARTITION BY source
+         |                     ORDER BY CAST(s4 AS INT) DESC, prio, doc_id) <= 15) AS s5 FROM s4s)
+         |SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
+         |       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_ws) AS BIGINT) AS n_tokens FROM s5s
+         |UNION ALL SELECT 1, 'quality', CAST(count(*) FILTER (WHERE s1) AS BIGINT),
+         |       CAST(coalesce(sum(n_ws) FILTER (WHERE s1), 0) AS BIGINT) FROM s5s
+         |UNION ALL SELECT 2, 'repetition', CAST(count(*) FILTER (WHERE s2) AS BIGINT),
+         |       CAST(coalesce(sum(n_ws) FILTER (WHERE s2), 0) AS BIGINT) FROM s5s
+         |UNION ALL SELECT 3, 'dedup', CAST(count(*) FILTER (WHERE s3) AS BIGINT),
+         |       CAST(coalesce(sum(n_ws) FILTER (WHERE s3), 0) AS BIGINT) FROM s5s
+         |UNION ALL SELECT 4, 'sample', CAST(count(*) FILTER (WHERE s4) AS BIGINT),
+         |       CAST(coalesce(sum(n_ws) FILTER (WHERE s4), 0) AS BIGINT) FROM s5s
+         |UNION ALL SELECT 5, 'source_cap', CAST(count(*) FILTER (WHERE s5) AS BIGINT),
+         |       CAST(coalesce(sum(n_ws) FILTER (WHERE s5), 0) AS BIGINT) FROM s5s
+         |ORDER BY stage""".stripMargin
+    },
 
     // Cluster resolution over the q49 pair graph. The oracle computes
     // components as a recursive transitive closure (min reachable id);

@@ -277,6 +277,37 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q72 funnel is monotone and the cap ranks among survivors, not raw docs") {
+    import graft.operators.Funnel
+    import spark.implicits._
+    val rows = run("q72_funnel").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L to 5L))
+    val nDocs = rows.map(_.getLong(2))
+    assert(nDocs.zip(nDocs.tail).forall { case (a, b) => a >= b }, "funnel must be monotone")
+    assert(nDocs.head == Tables.documents(spark, TestSpark.sf0001).count())
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("raw", "quality", "repetition", "dedup", "sample", "source_cap"))
+
+    // planted: one source with 20 docs, 5 failing quality (too short).
+    // The 15 cap slots must all go to the 15 SURVIVORS — a raw-rank
+    // implementation would waste slots on the filtered-out docs.
+    val passing = (1 to 15).map { i =>
+      (i.toLong,
+        s"the quick brown fox jumps over a lazy dog while cold rain falls in this narrow valley and all birds wait marker$i",
+        "de", "srcX")
+    }
+    val failing = (16 to 20).map(i => (i.toLong, s"zz yy ww$i", "de", "srcX"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    (passing ++ failing).toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val planted = Funnel.q72Funnel(spark, dir).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(planted("raw") == 20L)
+    assert(planted("quality") == 15L, s"short docs must fail quality: $planted")
+    assert(planted("source_cap") == 15L,
+      s"all 15 survivors must fill the cap slots: $planted")
+  }
+
   test("q67 source cap keeps at most 15 docs per source and all of small sources") {
     val rows = run("q67_source_cap").collect()
     assert(rows.nonEmpty)
