@@ -229,6 +229,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("per-row text kernels (repetition stats, PII scrub) run unchanged on a doc stream") {
+    // the text-pipeline scalar operators are stateless per-row plans, so
+    // the SAME expressions work at ingest time with no code changes —
+    // assert the streaming answer equals the batch answer on real docs
+    val dir = java.nio.file.Files.createTempDirectory("graft-textstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$sf0001/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    def signals(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      graft.plans.RepetitionStats.repetitionStats(split(col("text"), " ")).as("st"),
+      graft.operators.TextAnalysis.redactPii(col("text")).as("clean"))
+      .select(col("doc_id"), col("st.n_distinct").as("nd"), col("clean"))
+    val q = signals(graft.streaming.DocStream.readStream(spark, dir.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("text_signals_stream")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ts-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("text_signals_stream")
+      val want = signals(Tables.documents(spark, sf0001))
+      assert(got.count() == want.count())
+      assert(got.exceptAll(want).count() == 0)
+    } finally q.stop()
+  }
+
   test("eventMicros keeps sub-millisecond precision that getTime truncates") {
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     ts.setNanos(123456789) // 123.456789 ms into the second
