@@ -137,6 +137,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("star-alternation components close a 2000-node chain min-label propagation cannot") {
+    import graft.operators.Graph
+    // a path graph has diameter 1999: min-label would need 1999 rounds
+    // (its maxIter throws long before); the star rounds are O(log n)
+    val chain = (0L until 1999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Graph.connectedComponentsStar(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 2000)
+    assert(labels.values.forall(_ == 0L), "every chain node must label to the minimum")
+    // and the low-diameter algorithm really does give up on this graph
+    intercept[IllegalStateException](Graph.connectedComponents(chain).collect())
+  }
+
+  test("star-alternation components match union-find and min-label on random graphs") {
+    import graft.operators.Graph
+    val rnd = new scala.util.Random(23)
+    val n = 80
+    val edges = Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val df = edges.toDF("id_a", "id_b")
+    val star = Graph.connectedComponentsStar(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = Graph.connectedComponents(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop, "both algorithms must produce the identical labeling")
+  }
+
   test("q68 elects exactly one canonical (the min id) per near-dup cluster") {
     val rows = SparkEntry.queries("q68_dedup_clusters")(spark, TestSpark.sf0001).collect()
     if (rows.nonEmpty) {
