@@ -82,6 +82,8 @@ object SparkEntry {
     "q70_decontaminate"  -> (TextAnalysis.q70Decontaminate _),
     "q72_funnel"         -> (operators.Funnel.q72Funnel _),
     "q71_unigram_logp"   -> (TextAnalysis.q71UnigramLogProb _),
+    "q73_incr_dedup"     -> (Dedup.q73IncrementalDedup _),
+    "q74_bigram_logp"    -> (TextAnalysis.q74BigramLogProb _),
     "q39_multimodal_meta" -> (Multimodal.q39MultimodalMeta _),
     "q46_frame_sample"   -> (Multimodal.q46FrameSample _),
     "q60_chunk_dedup"    -> (Multimodal.q60ChunkDedup _),
@@ -501,6 +503,42 @@ object SparkEntry {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
          |       round(avg(ln(cnt * 1.0 / total)), 6) AS avg_logp
          |FROM words JOIN freq USING (word) CROSS JOIN t
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Incremental ingest dedup: the shard (doc_id % 10 = 7) against the
+    // corpus-index slice — same md5 contract as q30.
+    "q73_incr_dedup" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |b AS (SELECT doc_id, h FROM d WHERE doc_id % 10 = 7),
+        |c AS (SELECT h, min(doc_id) AS corpus_canonical FROM d WHERE doc_id % 10 <> 7 GROUP BY h),
+        |bm AS (SELECT h, min(doc_id) AS batch_min FROM b GROUP BY h)
+        |SELECT b.doc_id,
+        |       CASE WHEN c.corpus_canonical IS NOT NULL THEN 'dup_corpus'
+        |            WHEN b.doc_id > bm.batch_min THEN 'dup_batch'
+        |            ELSE 'new' END AS status,
+        |       coalesce(c.corpus_canonical, bm.batch_min) AS canonical_id
+        |FROM b LEFT JOIN c USING (h) JOIN bm USING (h)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Interpolated bigram LM: identical arithmetic order and literal
+    // weights (0.9 / 0.1) on both engines; round(6) absorbs libm ulps
+    // as in q71.
+    "q74_bigram_logp" ->
+      s"""WITH w AS (SELECT doc_id, ${tok("text")} AS ws FROM documents),
+         |pr AS (SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM
+         |  (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+         |     i -> {'w1': ws[i], 'w2': ws[i+1]})) AS p
+         |   FROM w WHERE len(ws) >= 2)),
+         |words AS (SELECT unnest(${tok("text")}) AS word FROM documents),
+         |uni AS (SELECT word, count(*) AS cnt1 FROM words GROUP BY word),
+         |t AS (SELECT sum(cnt1) AS total FROM uni),
+         |bi AS (SELECT w1, w2, count(*) AS cnt2 FROM pr GROUP BY w1, w2 HAVING count(*) >= 3)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
+         |       round(avg(ln(coalesce(cnt2 * 0.9 / u1.cnt1, 0.0) + 0.1 * u2.cnt1 / total)), 6) AS avg_logp
+         |FROM pr LEFT JOIN bi USING (w1, w2)
+         |JOIN uni u1 ON pr.w1 = u1.word
+         |JOIN uni u2 ON pr.w2 = u2.word
+         |CROSS JOIN t
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // The training-data funnel: the same flag algebra as the Spark

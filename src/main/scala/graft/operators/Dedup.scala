@@ -360,6 +360,44 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
   }
 
+  /** q73: INCREMENTAL ingest dedup — the shape a production pipeline
+    * actually runs: a small incoming shard is checked against the huge
+    * existing corpus index, not the corpus against itself. Every batch
+    * doc is classified `dup_corpus` (content hash already indexed — the
+    * existing corpus row stays canonical), `dup_batch` (first seen
+    * earlier IN this shard) or `new`, with the canonical doc_id it
+    * resolves to. The shard here is the deterministic doc_id % 10 == 7
+    * slice; the other 90% of `documents` plays the corpus index.
+    *
+    * Scale shape — the asymmetry is the whole point: shard ≪ corpus, so
+    * the shard's distinct hash set BROADCASTS and the corpus streams
+    * past it in one scan (left-semi) with **zero corpus shuffle**; only
+    * the matched hashes (≤ shard cardinality) are aggregated and joined
+    * back, also broadcast. Intra-shard firsts are one window over the
+    * shard alone. A deployed index would serve the same contract from a
+    * stored hash table with a bloom-filter pre-screen — the runtime
+    * bloom pruning demonstrated in ScaleSpec is exactly that screen. */
+  def q73IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("content_hash"))
+    val batch = docs.filter(col("doc_id") % 10 === 7)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val matched = corpus
+      .join(broadcast(batch.select("content_hash").distinct()), Seq("content_hash"), "left_semi")
+      .groupBy("content_hash").agg(min("doc_id").as("corpus_canonical"))
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy("content_hash")
+    batch
+      .withColumn("batch_min", min("doc_id").over(byHash))
+      .join(broadcast(matched), Seq("content_hash"), "left")
+      .select(
+        col("doc_id"),
+        when(col("corpus_canonical").isNotNull, lit("dup_corpus"))
+          .when(col("doc_id") > col("batch_min"), lit("dup_batch"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("corpus_canonical"), col("batch_min")).as("canonical_id"))
+      .orderBy("doc_id")
+  }
+
   /** q42 (rows-only): MLlib MinHashLSH signatures over word sets — the
     * library-native LSH surface (model hashes are seeded but not
     * reproducible in DuckDB, so no SQL oracle; the approx-join path is

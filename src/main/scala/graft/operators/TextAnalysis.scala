@@ -407,6 +407,58 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q74: interpolated BIGRAM language-model scoring — the next member
+    * of the q71 KenLM family and the signal that actually separates
+    * fluent text from bag-of-frequent-words soup (a unigram LM scores
+    * "the the the" highly; a bigram LM does not). Each in-document word
+    * transition (w1 → w2) is scored
+    * `p = λ·cnt(w1,w2)/cnt(w1) + (1−λ)·cnt(w2)/total` with λ = 0.9,
+    * falling back to the unigram term alone when the bigram was pruned;
+    * a doc's score is its mean ln p over transitions.
+    *
+    * Scale shape: the unigram table is O(vocab) as in q71. The bigram
+    * table is the dangerous one — O(distinct bigrams) approaches
+    * O(corpus tokens) unpruned — so the model is PRUNED at count ≥ 3
+    * (exactly KenLM's count-threshold pruning; the interpolation term
+    * makes pruned mass land on the unigram backoff instead of zero).
+    * After pruning both model tables broadcast; scoring is one corpus
+    * pass with a partial-aggregated per-doc mean, no corpus-sized
+    * shuffle. The transition stream reuses the token array per row
+    * (zip words with their tail) rather than a positions self-join —
+    * no O(tokens) join, no window. */
+  def q74BigramLogProb(spark: SparkSession, dir: String): DataFrame = {
+    // Both weights are literals (not 1 − λ: constant folding would give
+    // 0.09999999999999998 while the oracle's literal 0.1 is exact).
+    val lambda = 0.9
+    val backoffWeight = 0.1
+    val minBigramCount = 3
+    val pairs = Tables.documents(spark, dir)
+      .select(col("doc_id"), Portable.tokenize(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
+          " (a, b) -> struct(a AS w1, b AS w2))")).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+    val words = Tables.documents(spark, dir)
+      .select(explode(Portable.tokenize(col("text"))).as("word"))
+    val uni = words.groupBy("word").agg(count(lit(1)).as("cnt1"))
+    val total = uni.agg(sum("cnt1").as("total"))
+    val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
+      .filter(col("cnt2") >= minBigramCount)
+    pairs
+      .join(broadcast(bi), Seq("w1", "w2"), "left")
+      .join(broadcast(uni.select(col("word").as("w1"), col("cnt1").as("cnt_w1"))), Seq("w1"))
+      .join(broadcast(uni.select(col("word").as("w2"), col("cnt1").as("cnt_w2"))), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        log(coalesce(col("cnt2") * lambda / col("cnt_w1"), lit(0.0))
+          + lit(backoffWeight) * col("cnt_w2") / col("total")).as("logp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_transitions"),
+        round(avg("logp"), 6).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
   /** q38: document fingerprint + token counts — order-sensitive rolling
     * hash over the token stream (whitespace tokens and the reference's
     * alpha tokens counted separately). */

@@ -277,6 +277,43 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q73 incremental dedup classifies corpus-dup, batch-dup and new shard docs") {
+    import spark.implicits._
+    // batch = doc_id % 10 == 7: 7, 17, 27, 37; corpus = the rest
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    Seq(
+      (3L,  "existing corpus text"),
+      (4L,  "other corpus text"),
+      (17L, "existing corpus text"),  // already indexed -> dup_corpus(3)
+      (7L,  "fresh shard text"),      // first in batch   -> new(7)
+      (27L, "fresh shard text"),      // repeat in batch  -> dup_batch(7)
+      (37L, "unique shard text")      //                  -> new(37)
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Dedup.q73IncrementalDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      7L  -> (("new", 7L)),
+      17L -> (("dup_corpus", 3L)),
+      27L -> (("dup_batch", 7L)),
+      37L -> (("new", 37L))))
+  }
+
+  test("q74 bigram LM scores fluent word order above a rare permutation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bigram").toString
+    // corpus-common transitions: alpha->beta, beta->gamma, gamma->delta
+    val fluent = "alpha beta gamma delta"
+    val docs = (1L to 4L).map(i => (i, fluent)) ++ Seq(
+      (10L, fluent),                      // all transitions survive pruning
+      (11L, "delta gamma beta alpha"))    // same words, every bigram pruned -> backoff
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis.q74BigramLogProb(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.values.forall { case (n, lp) => n == 3L && lp < 0.0 })
+    assert(got(10L)._2 > got(11L)._2 + 1.0,
+      s"fluent order ${got(10L)._2} should score well above the pruned permutation ${got(11L)._2}")
+  }
+
   test("q72 funnel is monotone and the cap ranks among survivors, not raw docs") {
     import graft.operators.Funnel
     import spark.implicits._

@@ -134,6 +134,50 @@ class ScaleSpec extends AnyFunSuite {
       s"approx p90 rank off by $rankErr of $n rows (bound ${2.0 * n / accuracy})")
   }
 
+  test("z-ordered layout prunes row groups for 2-D box predicates") {
+    // The multi-dim layout lever: a 100 TB fact table queried by two
+    // independent dimensions can't be sorted by both, but it CAN be
+    // z-ordered. Write the same rows (a) in natural order and (b)
+    // z-ordered by (l_partkey, l_suppkey), with small row groups so the
+    // effect is visible at test scale, then run the same 2-D box filter
+    // against both and compare how many rows the parquet reader actually
+    // surfaced after row-group/page-stat skipping.
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder")
+    val cols = Seq("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+    val df = Tables.lineitem(spark, "/root/testdata/sf0.01").select(cols.map(col): _*)
+    val natural = dir.resolve("natural").toString
+    val zordered = dir.resolve("zordered").toString
+    df.repartition(1)
+      .write.option("parquet.block.size", "65536").parquet(natural)
+    Bucketing.writeZOrdered(df, zordered, "l_partkey", "l_suppkey",
+      files = 1, rowGroupBytes = 65536L)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def scannedRows(path: String): (Long, Long) = {
+        val q = spark.read.parquet(path)
+          .filter(col("l_partkey").between(100, 300) && col("l_suppkey").between(10, 40))
+        // execute THIS plan (collect), then read its scan metrics —
+        // count() would build and run a different plan, leaving these at 0
+        val kept = q.collect().length.toLong
+        val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.get
+        (scan.metrics("numOutputRows").value, kept)
+      }
+      val (naturalScanned, naturalKept) = scannedRows(natural)
+      val (zScanned, zKept) = scannedRows(zordered)
+      assert(zKept == naturalKept, "layouts must agree on the answer")
+      assert(naturalKept > 0, "box predicate should match something")
+      // natural order is uncorrelated with the box, so its row-group
+      // stats prune nothing; the z-ordered layout concentrates the box
+      info(s"scan rows surfaced: natural=$naturalScanned z-ordered=$zScanned " +
+        f"(${naturalScanned.toDouble / zScanned}%.1f× pruning)")
+      assert(zScanned * 4 <= naturalScanned,
+        s"expected ≥4× row-group pruning: z-ordered scanned $zScanned, natural $naturalScanned")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("salted join returns exactly the plain join result") {
     val lineitem = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity", "l_partkey")
     val orders = Tables.orders(spark, sf0001).select("o_orderkey", "o_orderpriority")
