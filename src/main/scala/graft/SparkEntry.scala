@@ -84,6 +84,7 @@ object SparkEntry {
     "q71_unigram_logp"   -> (TextAnalysis.q71UnigramLogProb _),
     "q73_incr_dedup"     -> (Dedup.q73IncrementalDedup _),
     "q74_bigram_logp"    -> (TextAnalysis.q74BigramLogProb _),
+    "q75_dup_fraction"   -> (TextAnalysis.q75DupFraction _),
     "q39_multimodal_meta" -> (Multimodal.q39MultimodalMeta _),
     "q46_frame_sample"   -> (Multimodal.q46FrameSample _),
     "q60_chunk_dedup"    -> (Multimodal.q60ChunkDedup _),
@@ -540,6 +541,20 @@ object SparkEntry {
          |JOIN uni u2 ON pr.w2 = u2.word
          |CROSS JOIN t
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Corpus-wide duplication fraction: string shingles on the oracle
+    // side vs native hashes on the Spark side (the q70 equivalence —
+    // identical modulo an in-corpus xxhash64 collision).
+    "q75_dup_fraction" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(ws)-7, 1)+1),
+        |         i -> array_to_string(ws[i:i+7], ' ')))) AS shingle FROM w),
+        |d AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+        |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |       CAST(sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |       round(sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_frac
+        |FROM sh JOIN d USING (shingle)
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
 
     // The training-data funnel: the same flag algebra as the Spark
     // plan, stage by stage — rank-among-survivors via (pass DESC, id)

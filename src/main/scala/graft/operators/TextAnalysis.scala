@@ -507,6 +507,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q75: per-document DUPLICATION fraction — the RefinedWeb-style
+    * novelty signal: what share of a doc's distinct 8-word shingles
+    * appear in at least one OTHER document (corpus-wide document
+    * frequency ≥ 2). q70 asks "does this train doc overlap the eval
+    * set"; this asks "how boilerplate is this doc against the whole
+    * corpus" — the score a mix pipeline thresholds to drop template
+    * pages that exact and near dedup both miss (no single doc is a
+    * duplicate, but every shingle is shared).
+    *
+    * Scale shape: shingles are native 64-bit hashes (ShingleHashes —
+    * never strings); the df computation is ONE window over the shingle
+    * key — the q59 shape: count + per-doc rollup in the same shuffle
+    * of O(corpus distinct shingles) rows. No shingle table joins back
+    * to docs; nothing is doc × doc. */
+  def q75DupFraction(spark: SparkSession, dir: String): DataFrame = {
+    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy("shash")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.plans.ShingleHashes.shingleHashes(split(col("text"), " "), 8)).as("shash"))
+      .withColumn("df", count(lit(1)).over(byShingle))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("dup_frac", round(col("n_shared") / col("n_shingles"), 6))
+      .orderBy("doc_id")
+  }
+
   /** q38: document fingerprint + token counts — order-sensitive rolling
     * hash over the token stream (whitespace tokens and the reference's
     * alpha tokens counted separately). */

@@ -48,4 +48,56 @@ object DocStream {
     TextAnalysis.segments(docs)
       .select("doc_id", "seg_idx", "seg")
       .dropDuplicates("seg")
+
+  case class HashedDoc(doc_id: Long, content_hash: String, corpus_canonical: Option[Long])
+  case class DedupStatus(doc_id: Long, status: String, canonical_id: Long)
+
+  /** Streaming twin of the batch q73 incremental dedup: classify every
+    * arriving document against (a) a STATIC corpus hash index — a
+    * stream-static broadcast join, the stored-index probe a deployed
+    * ingest pipeline runs — and (b) everything seen earlier IN the
+    * stream, via one state record per distinct content hash
+    * (`flatMapGroupsWithState`). Emits (doc_id, status, canonical_id)
+    * with q73's exact semantics: `dup_corpus` beats `dup_batch`; the
+    * in-stream canonical is the first-seen doc.
+    *
+    * Batch parity: q73's in-batch winner is min(doc_id); the stream
+    * keeps the ARRIVAL-first doc (micro-batches are doc_id-sorted
+    * within the group fold below), so under id-ordered delivery the
+    * two coincide — the lineDedup contract, asserted in StreamingSpec.
+    *
+    * State contract: one (hash → first doc_id) record per distinct
+    * NOVEL hash ever — unbounded, like lineDedup; RocksDB state at
+    * scale. Corpus-matched docs never enter state (their canonical is
+    * the index's).
+    *
+    * @param docs        streaming documents (doc_id, text, …)
+    * @param corpusIndex static (content_hash, corpus_canonical) */
+  def incrementalDedup(docs: DataFrame,
+                       corpusIndex: DataFrame): org.apache.spark.sql.Dataset[DedupStatus] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val hashed = docs
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("content_hash"))
+      .join(broadcast(corpusIndex.select("content_hash", "corpus_canonical")),
+        Seq("content_hash"), "left")
+      .as[HashedDoc]
+    hashed.groupByKey(_.content_hash)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[HashedDoc], state: GroupState[Long]) => {
+          var first: Option[Long] = if (state.exists) Some(state.get) else None
+          val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+            d.corpus_canonical match {
+              case Some(c) => DedupStatus(d.doc_id, "dup_corpus", c)
+              case None => first match {
+                case Some(f) => DedupStatus(d.doc_id, "dup_batch", f)
+                case None    => first = Some(d.doc_id); DedupStatus(d.doc_id, "new", d.doc_id)
+              }
+            }
+          }
+          first.foreach(state.update)
+          out.iterator
+        })
+  }
 }

@@ -314,6 +314,22 @@ class QueriesSpec extends AnyFunSuite {
       s"fluent order ${got(10L)._2} should score well above the pruned permutation ${got(11L)._2}")
   }
 
+  test("q75 duplication fraction scores a shared template high and unique text zero") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dupfrac").toString
+    val tmpl = (1 to 12).map(i => s"t$i").mkString(" ")   // 12 words -> 5 8-shingles
+    Seq(
+      (1L, tmpl),                                         // all 5 shingles shared with doc 2
+      (2L, s"$tmpl u1 u2 u3"),                            // 15 words -> 8 shingles, 5 shared
+      (3L, (1 to 12).map(i => s"x$i").mkString(" "))      // fully unique
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis.q75DupFraction(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((5L, 5L, 1.0)))
+    assert(got(2L) == ((8L, 5L, 0.625)))
+    assert(got(3L) == ((5L, 0L, 0.0)))
+  }
+
   test("q72 funnel is monotone and the cap ranks among survivors, not raw docs") {
     import graft.operators.Funnel
     import spark.implicits._

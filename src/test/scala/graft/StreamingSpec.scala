@@ -229,6 +229,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup matches the batch q73 classification under id-ordered arrival") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // static corpus index — the stored hash table a deployed ingest probes
+    val corpus = Seq(3L -> "existing corpus text", 4L -> "other corpus text")
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("content_hash"))
+      .groupBy("content_hash").agg(min("doc_id").as("corpus_canonical"))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStream
+      .incrementalDedup(ms.toDF().toDF("doc_id", "text"), corpus)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("incr_dedup_stream")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-id-ckpt").toString)
+      .start()
+    try {
+      // one micro-batch per doc: the dup_batch case (27 after 7) crosses
+      // micro-batches, so it exercises the state store, not batch-local sort
+      Seq(7L -> "fresh shard text", 17L -> "existing corpus text",
+        27L -> "fresh shard text", 37L -> "unique shard text")
+        .foreach { d => ms.addData(d); q.processAllAvailable() }
+      val got = spark.table("incr_dedup_stream").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      // q73's exact classification on the same fixture (QueriesSpec twin)
+      assert(got == Map(
+        7L  -> (("new", 7L)),
+        17L -> (("dup_corpus", 3L)),
+        27L -> (("dup_batch", 7L)),
+        37L -> (("new", 37L))))
+    } finally q.stop()
+  }
+
   test("per-row text kernels (repetition stats, PII scrub) run unchanged on a doc stream") {
     // the text-pipeline scalar operators are stateless per-row plans, so
     // the SAME expressions work at ingest time with no code changes —
