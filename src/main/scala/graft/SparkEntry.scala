@@ -85,6 +85,8 @@ object SparkEntry {
     "q73_incr_dedup"     -> (Dedup.q73IncrementalDedup _),
     "q74_bigram_logp"    -> (TextAnalysis.q74BigramLogProb _),
     "q75_dup_fraction"   -> (TextAnalysis.q75DupFraction _),
+    "q79_curriculum_bins" -> (TextAnalysis.q79CurriculumBins _),
+    "q80_event_zscore"   -> (Relational.q80EventZscore _),
     "q39_multimodal_meta" -> (Multimodal.q39MultimodalMeta _),
     "q46_frame_sample"   -> (Multimodal.q46FrameSample _),
     "q60_chunk_dedup"    -> (Multimodal.q60ChunkDedup _),
@@ -555,6 +557,56 @@ object SparkEntry {
         |       round(sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_frac
         |FROM sh JOIN d USING (shingle)
         |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+
+    // Curriculum bins: the explicit (rank-1)*n div total formula is the
+    // shared cross-engine semantics (ntile's remainder rule differs);
+    // the oracle may use a plain global row_number, the Spark plan
+    // assembles the same rank scale-safely from a value histogram.
+    "q79_curriculum_bins" ->
+      s"""WITH d AS (SELECT doc_id, ${tok("text")} AS words FROM documents),
+         |s AS (SELECT doc_id,
+         |        CAST(len(words) AS BIGINT) AS n_tokens,
+         |        round(CAST(len(list_distinct(words)) AS DOUBLE) / greatest(len(words), 1), 6) AS ttr,
+         |        round(CAST(len(list_filter(words, w -> w IN $stoplist)) AS DOUBLE)
+         |              / greatest(len(words), 1), 6) AS stop_share
+         |      FROM d),
+         |q AS (SELECT doc_id, n_tokens,
+         |        round(least(ttr * 2.0, 1.0) * 0.5
+         |              + CASE WHEN n_tokens BETWEEN 20 AND 400 THEN 0.3 ELSE 0.0 END
+         |              + least(stop_share * 3.0, 0.2), 6) AS quality
+         |      FROM s),
+         |r AS (SELECT n_tokens, quality,
+         |        row_number() OVER (ORDER BY quality DESC, doc_id) AS rnk,
+         |        count(*) OVER () AS total_docs,
+         |        sum(n_tokens) OVER () AS total_tokens
+         |      FROM q),
+         |g AS (SELECT CAST((rnk - 1) * 10 // total_docs + 1 AS BIGINT) AS bin,
+         |             count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |             round(avg(quality), 6) AS avg_quality,
+         |             CAST(max(total_tokens) AS BIGINT) AS total_tokens
+         |      FROM r GROUP BY 1)
+         |SELECT bin, n_docs, sum_tokens, avg_quality,
+         |       round(CAST(sum(sum_tokens) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         |             / total_tokens, 6) AS cum_token_share
+         |FROM g ORDER BY bin""".stripMargin,
+
+    // Trailing z-score: identical exclusive frame and warm-up guards on
+    // both engines; ties on ts broken by event_id (the q25 contract).
+    "q80_event_zscore" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |         count(value) OVER w AS n_prev,
+        |         avg(value) OVER w AS mu,
+        |         stddev_samp(value) OVER w AS sigma
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, event_type, value,
+        |       round(mu, 6) AS trailing_mean, n_prev,
+        |       round((value - mu) / sigma, 4) AS z
+        |FROM t
+        |WHERE n_prev >= 10 AND sigma > 1e-12 AND abs((value - mu) / sigma) >= 2.5
+        |ORDER BY event_id""".stripMargin,
 
     // The training-data funnel: the same flag algebra as the Spark
     // plan, stage by stage — rank-among-survivors via (pass DESC, id)

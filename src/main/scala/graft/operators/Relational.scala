@@ -406,4 +406,36 @@ object Relational {
         round(sum("value"), 2).as("sum_value"))
       .orderBy("user_id")
   }
+
+  /** q80: trailing z-score anomaly detection — per user, each event's
+    * value scored against the mean/stddev of its previous 20 events
+    * (exclusive frame: the current value must not contaminate its own
+    * baseline); events ≥ 2.5σ from their trailing mean are flagged.
+    * The standard streaming-monitor quality gate, here in its batch
+    * form (the window frame IS the ring buffer a stateful stream
+    * operator would keep).
+    *
+    * Scale shape: one shuffle on user_id; within a user the sliding
+    * frame is O(1) amortized per row. Warm-up guard: a baseline needs
+    * ≥ 10 observations and nonzero spread before it may flag anything
+    * (stddev over a near-constant window divides by ~0 and would flag
+    * every tick). Deterministic frame membership — ties on ts are
+    * broken by event_id, the q25 ordering contract. */
+  def q80EventZscore(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    val trailing = w.rowsBetween(-20, -1)
+    Tables.events(spark, dir)
+      .withColumn("n_prev", count("value").over(trailing))
+      .withColumn("mu", avg("value").over(trailing))
+      .withColumn("sigma", stddev_samp("value").over(trailing))
+      .filter(col("n_prev") >= 10 && col("sigma") > 1e-12)
+      .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+      .filter(abs(col("z")) >= 2.5)
+      .select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        round(col("mu"), 6).as("trailing_mean"),
+        col("n_prev"),
+        round(col("z"), 4).as("z"))
+      .orderBy("event_id")
+  }
 }

@@ -535,6 +535,55 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q79: curriculum quality bins — split the corpus into `nBins`
+    * equal-population deciles by quality score (descending) and report
+    * each bin's doc count, token budget and cumulative token share: the
+    * planning table a curriculum / data-mix scheduler consumes ("train
+    * on the top 3 bins first, that's 31% of tokens").
+    *
+    * Scale shape: a naive `ntile(10) OVER (ORDER BY quality)` is a
+    * SINGLE-TASK global window — the one shape that cannot survive a
+    * corpus scale-up. Instead the global rank is assembled from parts
+    * that all parallelize: (1) a histogram of quality VALUES (cardinality
+    * ≤ score resolution, ~1e6 after round-6 — independent of corpus
+    * size), (2) a running docs-above count over that small histogram,
+    * (3) a per-value tie rank windowed BY quality (parallel across
+    * values), (4) `rank = n_above + tie_rank`, bin by integer
+    * arithmetic. Shuffles: one O(docs) hash by quality + one tiny
+    * broadcast. The bin formula `(rank-1)*nBins div total + 1` is shared
+    * literally with the oracle (ntile's remainder-distribution rule
+    * differs; the explicit formula pins one cross-engine semantics). */
+  def q79CurriculumBins(spark: SparkSession, dir: String): DataFrame = {
+    val nBins = 10
+    val w = org.apache.spark.sql.expressions.Window
+    val scored = q37QualityScore(spark, dir).select(col("doc_id"), col("n_tokens"), col("quality"))
+    val hist = scored.groupBy("quality").agg(count(lit(1)).as("n_q"))
+    val above = hist.withColumn("n_above",
+      coalesce(sum("n_q").over(
+        w.orderBy(desc("quality")).rowsBetween(Long.MinValue, -1)), lit(0L)))
+    val tieRank = row_number().over(w.partitionBy("quality").orderBy(asc("doc_id")))
+    val totals = scored.agg(
+      count(lit(1)).as("total_docs"), sum("n_tokens").as("total_tokens"))
+    val binned = scored
+      .withColumn("tie_rn", tieRank)
+      .join(broadcast(above.select("quality", "n_above")), Seq("quality"))
+      .crossJoin(broadcast(totals))
+      .withColumn("rnk", col("n_above") + col("tie_rn"))
+      .withColumn("bin", expr(s"(rnk - 1) * $nBins div total_docs") + 1L)
+    binned
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        round(avg("quality"), 6).as("avg_quality"),
+        max("total_tokens").as("total_tokens"))
+      .withColumn("cum_token_share",
+        round(sum("sum_tokens").over(
+          w.orderBy("bin").rowsBetween(Long.MinValue, 0)) / col("total_tokens"), 6))
+      .select("bin", "n_docs", "sum_tokens", "avg_quality", "cum_token_share")
+      .orderBy("bin")
+  }
+
   /** q38: document fingerprint + token counts — order-sensitive rolling
     * hash over the token stream (whitespace tokens and the reference's
     * alpha tokens counted separately). */

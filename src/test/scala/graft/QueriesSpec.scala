@@ -314,6 +314,37 @@ class QueriesSpec extends AnyFunSuite {
       s"fluent order ${got(10L)._2} should score well above the pruned permutation ${got(11L)._2}")
   }
 
+  test("q79 curriculum bins: balanced populations, monotone quality and token share") {
+    val rows = run("q79_curriculum_bins").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq, "bins are dense 1..n")
+    val nDocs = rows.map(_.getLong(1))
+    assert(nDocs.max - nDocs.min <= 1, s"equal-population bins, got ${nDocs.toSeq}")
+    val avgQ = rows.map(_.getDouble(3))
+    assert(avgQ.zip(avgQ.tail).forall { case (a, b) => a >= b },
+      "bin 1 holds the highest-quality docs")
+    val share = rows.map(_.getDouble(4))
+    assert(share.zip(share.tail).forall { case (a, b) => a <= b } && share.last == 1.0,
+      s"cumulative token share is monotone to 1.0, got ${share.toSeq}")
+  }
+
+  test("q80 flags a planted spike after warm-up but never a constant series") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-zscore").toString
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def ev(id: Long, user: Long, value: Double) =
+      (id, base.plusSeconds(id * 60).toEpochMilli * 1000000L, user, "tick", value)
+    // user 1: alternating 9/11 baseline, then a spike; user 2: constant
+    // (zero spread -> the sigma guard must keep it silent)
+    val events = (1L to 24L).map(i => ev(i, 1L, if (i % 2 == 0) 11.0 else 9.0)) ++
+      Seq(ev(25L, 1L, 50.0)) ++ (30L to 60L).map(i => ev(i, 2L, 5.0))
+    events.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = graft.operators.Relational.q80EventZscore(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(25L), s"only the spike is flagged: ${rows.toSeq}")
+    assert(rows.head.getDouble(6) > 2.5, "spike z-score is large and positive")
+    assert(rows.head.getLong(5) == 20L, "baseline frame was the full 20 events")
+  }
+
   test("q75 duplication fraction scores a shared template high and unique text zero") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-dupfrac").toString
