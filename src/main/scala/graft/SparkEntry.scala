@@ -87,6 +87,9 @@ object SparkEntry {
     "q75_dup_fraction"   -> (TextAnalysis.q75DupFraction _),
     "q79_curriculum_bins" -> (TextAnalysis.q79CurriculumBins _),
     "q80_event_zscore"   -> (Relational.q80EventZscore _),
+    "q76_quantize_int8"  -> (Quantize.q76QuantizeInt8 _),
+    "q77_minhash_calibration" -> (Dedup.q77MinhashCalibration _),
+    "q78_semantic_prune" -> (Dedup.q78SemanticPrune _),
     "q39_multimodal_meta" -> (Multimodal.q39MultimodalMeta _),
     "q46_frame_sample"   -> (Multimodal.q46FrameSample _),
     "q60_chunk_dedup"    -> (Multimodal.q60ChunkDedup _),
@@ -589,6 +592,74 @@ object SparkEntry {
          |       round(CAST(sum(sum_tokens) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS DOUBLE)
          |             / total_tokens, 6) AS cum_token_share
          |FROM g ORDER BY bin""".stripMargin,
+
+    // int8 quantization: every step (widen, abs-max, /127, floor(x+0.5),
+    // clamp, dequant, sequential error fold) is the same IEEE op in the
+    // same order on both engines — floor(x+0.5) instead of round()
+    // because Spark/DuckDB rounding rules differ at .5 boundaries.
+    "q76_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        greatest(list_aggregate(list_transform(v, x -> abs(x)), 'max'), 1e-12) / 127.0 AS scale
+        |      FROM e),
+        |d AS (SELECT vec_id, v, scale,
+        |        list_transform(v, x -> CAST(greatest(-127.0, least(127.0, floor(x / scale + 0.5))) AS BIGINT) * scale) AS dq
+        |      FROM s),
+        |r AS (SELECT vec_id, scale, v, dq,
+        |        list_reduce(list_prepend(0.0, list_transform(range(1, len(v)+1),
+        |          i -> (v[i] - dq[i]) * (v[i] - dq[i]))), (acc, x) -> acc + x) AS sq_err
+        |      FROM d)
+        |SELECT vec_id, scale, round(sqrt(sq_err / len(v)), 6) AS rmse,
+        |       round(list_cosine_similarity(v, dq), 6) AS cos_q
+        |FROM r ORDER BY vec_id""".stripMargin,
+
+    // MinHash calibration: q31's band constants + the exact word-set
+    // Jaccard over adjacent-id pairs; est is an exact multiple of 1/8.
+    "q77_minhash_calibration" -> {
+      val mins = Dedup.minhashBands
+        .map { case (band, a, b) => s"min((h * $a + $b) % 1000000007) AS m$band" }
+        .mkString(",\n|    ")
+      val eq = Dedup.minhashBands.indices
+        .map(k => s"(CASE WHEN sa.m$k = sb.m$k THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH tok AS (SELECT DISTINCT doc_id, word FROM
+         |  (SELECT doc_id, unnest(${tok("text")}) AS word FROM documents) t),
+         |wh AS (SELECT doc_id, ${tokenId("word")} AS h FROM tok),
+         |m AS (SELECT doc_id, count(*) AS n_words,
+         |    $mins
+         |  FROM wh GROUP BY doc_id),
+         |i AS (SELECT a.doc_id AS id_a, count(*) AS n_inter
+         |      FROM tok a JOIN tok b ON b.word = a.word AND b.doc_id = a.doc_id + 1
+         |      GROUP BY 1),
+         |p AS (SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
+         |        round(coalesce(i.n_inter, 0) * 1.0
+         |              / (sa.n_words + sb.n_words - coalesce(i.n_inter, 0)), 6) AS jaccard,
+         |        ($eq) / 8.0 AS est
+         |      FROM m sa JOIN m sb ON sa.doc_id + 1 = sb.doc_id
+         |      LEFT JOIN i ON i.id_a = sa.doc_id)
+         |SELECT id_a, id_b, jaccard, est, round(abs(jaccard - est), 6) AS abs_err
+         |FROM p ORDER BY id_a""".stripMargin
+    },
+
+    // SemDeDup cluster-anchor prune: cell = the first 8-bit simhash
+    // band (same ±1 hyperplane literals as q49's candidate CTE).
+    "q78_semantic_prune" -> {
+      val cell = (0 until operators.Dedup.bandBits).map { t =>
+        val wl = operators.Dedup.simhashPlanes(t)
+          .map(w => if (w > 0) "1" else "-1").mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product(v, $wl::DOUBLE[]) >= 0 THEN ${1L << t} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sig AS (SELECT vec_id, v, CAST($cell AS BIGINT) AS cell FROM e),
+         |anch AS (SELECT cell, min(vec_id) AS anchor_id FROM sig GROUP BY cell),
+         |av AS (SELECT a.cell, a.anchor_id, s.v AS avec
+         |       FROM anch a JOIN sig s ON s.vec_id = a.anchor_id)
+         |SELECT s.vec_id, s.cell, av.anchor_id,
+         |       round(list_cosine_similarity(s.v, av.avec), 6) AS cos_anchor,
+         |       round(list_cosine_similarity(s.v, av.avec), 6) >= 0.45 AS is_dup
+         |FROM sig s JOIN av USING (cell)
+         |WHERE s.vec_id <> av.anchor_id
+         |ORDER BY s.vec_id""".stripMargin
+    },
 
     // Trailing z-score: identical exclusive frame and warm-up guards on
     // both engines; ties on ts broken by event_id (the q25 contract).

@@ -398,6 +398,84 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q77: MinHash calibration — the sketch-quality audit a dedup
+    * deployment runs before trusting signature agreement as a Jaccard
+    * proxy: for a deterministic pair set (adjacent doc ids — cheap,
+    * reproducible, and spanning the low-similarity spectrum random
+    * pairs live in), compare the 8-band MinHash agreement estimate
+    * against the EXACT word-set Jaccard and report the error. If
+    * |est − jaccard| drifts, the band count is too low for the corpus'
+    * similarity profile (E[est] = jaccard, σ = √(J(1−J)/8)).
+    *
+    * Scale shape: signatures are the q31 aggregate (one O(doc tokens)
+    * shuffle); the exact intersection joins the token table to itself
+    * on the COMPOSITE key (word, doc_id+1=doc_id) — both sides hash on
+    * (word, id), so a stop-word appearing in every doc produces no
+    * fanout (keying on word alone would quadratically explode on
+    * high-df words at corpus scale). */
+  def q77MinhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docTokens(spark, dir)
+    val mins = minhashBands.map { case (band, a, b) =>
+      min((col("h") * a + b) % Portable.P).as(s"m$band")
+    }
+    val sigs = toks.withColumn("h", Portable.tokenId(col("word")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), mins: _*)
+    val inter = toks.as("a")
+      .join(toks.as("b"),
+        col("a.word") === col("b.word") && col("a.doc_id") + 1 === col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"))
+      .agg(count(lit(1)).as("n_inter"))
+    val nEqual = (0 until minhashBands.size)
+      .map(k => when(col(s"sa.m$k") === col(s"sb.m$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    sigs.as("sa")
+      .join(sigs.as("sb"), col("sa.doc_id") + 1 === col("sb.doc_id"))
+      .join(inter, col("sa.doc_id") === col("id_a"), "left")
+      .select(
+        col("sa.doc_id").as("id_a"),
+        col("sb.doc_id").as("id_b"),
+        round(coalesce(col("n_inter"), lit(0L)).cast("double")
+          / (col("sa.n_words") + col("sb.n_words") - coalesce(col("n_inter"), lit(0L))), 6)
+          .as("jaccard"),
+        (nEqual.cast("double") / minhashBands.size).as("est"))
+      .withColumn("abs_err", round(abs(col("jaccard") - col("est")), 6))
+      .orderBy("id_a")
+  }
+
+  /** q78: SemDeDup-style semantic prune — partition the embedding space
+    * into cells, elect one anchor per cell, and mark every member whose
+    * cosine to its cell's anchor clears the near-dup threshold
+    * (SemDeDup, Abbas et al. 2023: semantic dedup = drop all-but-one of
+    * each tight cluster; duplicates this cheap pass misses across cell
+    * boundaries are q49/q68's job). Production SemDeDup uses k-means
+    * cells (the q45 IVF machinery); the declared query uses the first
+    * 8-bit simhash band as a DETERMINISTIC cell id so the oracle can
+    * reproduce the partition — the algebra (cell → anchor → cosine →
+    * threshold) is identical either way.
+    *
+    * Scale shape: cell assignment is per-row projection; anchor
+    * election is a 256-group aggregate (partial agg collapses it before
+    * the shuffle); anchors then BROADCAST back — no doc×doc join, one
+    * O(rows) shuffle total. */
+  def q78SemanticPrune(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.CosineSim
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cells = simhashBandTable(e).filter(col("band") === 0)
+      .select(col("vec_id"), col("val").as("cell"))
+    val anchors = cells.groupBy("cell").agg(min("vec_id").as("anchor_id"))
+    val anchorVecs = anchors
+      .join(e.select(col("vec_id").as("anchor_id"), col("v").as("av")), Seq("anchor_id"))
+    cells.join(e, Seq("vec_id"))
+      .join(broadcast(anchorVecs), Seq("cell"))
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .select(col("vec_id"), col("cell"), col("anchor_id"),
+        round(CosineSim.cosine(col("v"), col("av")), 6).as("cos_anchor"))
+      .withColumn("is_dup", col("cos_anchor") >= 0.45)
+      .orderBy("vec_id")
+  }
+
   /** q42 (rows-only): MLlib MinHashLSH signatures over word sets — the
     * library-native LSH surface (model hashes are seeded but not
     * reproducible in DuckDB, so no SQL oracle; the approx-join path is

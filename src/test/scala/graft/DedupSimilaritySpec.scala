@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Multimodal, Similarity, MediaBlob}
+import graft.operators.{Dedup, Multimodal, Quantize, Similarity, MediaBlob}
 
 /** Behavior tests for the dedup + similarity-search APIs on constructed
   * data with planted duplicates/neighbors. */
@@ -350,6 +350,66 @@ class DedupSimilaritySpec extends AnyFunSuite {
       events.withColumnRenamed("user_id", "key"), orders.withColumnRenamed("o_custkey", "key"),
       "key", "ts", "o_orderdate", Seq("asof_date", "asof_orderkey"), bucketSeconds = 86400L * 30))
     assert(bucketed == plain)
+  }
+
+  test("q76 int8 quantization: exact levels on hand vectors, zero vector safe") {
+    val e = Seq(
+      (1L, Array(1.0, -0.5, 0.0, 0.25)),
+      (2L, Array(0.0, 0.0, 0.0, 0.0))
+    ).toDF("vec_id", "v")
+    val q = Quantize.quantized(e).orderBy("vec_id")
+      .select("vec_id", "scale", "qvec").as[(Long, Double, Seq[Long])].collect()
+    // scale = 1/127; -0.5 -> floor(-63.5 + 0.5) = -63; 0.25 -> floor(32.25) = 32
+    assert(q(0)._2 == 1.0 / 127.0)
+    assert(q(0)._3 == Seq(127L, -63L, 0L, 32L))
+    assert(q(1)._3 == Seq(0L, 0L, 0L, 0L), "all-zero vector quantizes to zeros, no div-by-zero")
+    // reconstruction bound: max-abs scaling never clips, so |v - q*scale| <= scale/2
+    val err = q(0)._3.zip(Seq(1.0, -0.5, 0.0, 0.25)).map { case (qi, vi) => math.abs(vi - qi * q(0)._2) }
+    assert(err.forall(_ <= q(0)._2 / 2 + 1e-15), s"per-dim error within half a level: $err")
+  }
+
+  test("q76 on real embeddings: cosine fidelity stays high, rmse within half a level") {
+    val rows = SparkEntry.queries("q76_quantize_int8")(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (scale, rmse, cosQ) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(rmse <= scale / 2 + 1e-12, "rmse is bounded by half a quantization level")
+      assert(cosQ > 0.995, s"int8 must preserve cosine geometry, got $cosQ")
+    }
+  }
+
+  test("q77 calibration: identical docs estimate jaccard 1 exactly; error is sketch-bounded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cal").toString
+    Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),          // same word set -> jaccard 1, est 1
+      (3L, "epsilon zeta eta theta")           // disjoint from 2 -> jaccard 0
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = Dedup.q77MinhashCalibration(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((1.0, 1.0, 0.0)), "identical word sets: all 8 minima agree")
+    assert(got(2L)._1 == 0.0, "disjoint word sets have jaccard 0")
+    // corpus-level: mean |est - jaccard| within ~2 sigma of the 8-band binomial bound
+    val errs = Dedup.q77MinhashCalibration(spark, TestSpark.sf0001)
+      .select("abs_err").as[Double].collect()
+    assert(errs.sum / errs.length < 0.25, s"mean calibration error ${errs.sum / errs.length}")
+  }
+
+  test("q78 semantic prune flags a planted same-cell duplicate and respects anchor order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-semdedup").toString
+    def vec(seed: Int) = Array.tabulate(64)(i => math.sin(i * 0.7 + seed).toFloat)
+    Seq(
+      (1L, vec(0), 0), (2L, vec(0), 0),        // identical -> same cell, cos 1
+      (3L, vec(5), 1), (4L, vec(9), 1)
+    ).toDF("vec_id", "embedding", "label").write.parquet(s"$dir/embeddings.parquet")
+    val rows = Dedup.q78SemanticPrune(spark, dir).collect()
+    val byId = rows.map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(byId(2L)._1 == 1L && byId(2L)._2 == 1.0 && byId(2L)._3,
+      s"vec 2 is a semantic dup of its cell anchor 1: ${byId.get(2L)}")
+    rows.foreach { r =>
+      assert(r.getLong(2) < r.getLong(0), "anchors are cell minima and never listed as members")
+      assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9)
+    }
   }
 
   test("multimodal decodeStub is deterministic and matches the metadata contract") {
