@@ -155,6 +155,67 @@ object EventStream {
         })
   }
 
+  case class TypedEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+                        event_type: String, value: Double)
+  /** Last ≤20 values per user, frame order (oldest first) — the window
+    * frame of the batch q80, carried as stream state. */
+  case class ZBuffer(recent: Seq[Double])
+  case class Anomaly(event_id: Long, user_id: Long, event_type: String, value: Double,
+                     trailing_mean: Double, n_prev: Long, z: Double)
+
+  private def roundHalfUp(x: Double, scale: Int): Double =
+    BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Streaming twin of the batch q80 trailing z-score monitor: per user,
+    * the state IS the window frame — a ring of the last ≤20 values —
+    * and each arriving event is scored against it before being pushed.
+    *
+    * Numeric parity with the batch plan is exact, not approximate: the
+    * trailing mean replicates Spark's `Average` (sequential sum ÷ n over
+    * the frame in order) and sigma replicates `CentralMomentAgg`'s
+    * Welford recurrence (delta/deltaN/m2), so a value that rounds to
+    * z = 2.5000 flags identically in both engines. Guards match q80:
+    * ≥ 10 observations, sigma > 1e-12, |z| ≥ 2.5.
+    *
+    * State is O(20 doubles) per user with no timeout (an evicted buffer
+    * would silently re-enter warm-up and miss anomalies on return);
+    * micro-batch rows fold in the batch sort order (full-precision
+    * micros, event_id). */
+  def zscoreAnomalies(events: Dataset[TypedEvent]): Dataset[Anomaly] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[TypedEvent], state: GroupState[ZBuffer]) => {
+          var buf = state.getOption.map(_.recent.toVector).getOrElse(Vector.empty[Double])
+          val out = Vector.newBuilder[Anomaly]
+          rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id)).foreach { e =>
+            val n = buf.size
+            if (n >= 10) {
+              var sum = 0.0
+              buf.foreach(sum += _)
+              val mu = sum / n
+              var wAvg = 0.0; var m2 = 0.0; var i = 0.0
+              buf.foreach { x =>
+                i += 1.0
+                val delta = x - wAvg
+                wAvg += delta / i
+                m2 += delta * (x - wAvg)
+              }
+              val sigma = math.sqrt(m2 / (n - 1.0))
+              if (sigma > 1e-12) {
+                val z = (e.value - mu) / sigma
+                if (math.abs(z) >= 2.5)
+                  out += Anomaly(e.event_id, userId, e.event_type, e.value,
+                    roundHalfUp(mu, 6), n.toLong, roundHalfUp(z, 4))
+              }
+            }
+            buf = (buf :+ e.value).takeRight(20)
+          }
+          state.update(ZBuffer(buf))
+          out.result().iterator
+        })
+  }
+
   /** Custom state machine via flatMapGroupsWithState: per-user session
     * counting with a 30-minute gap rule — the streaming twin of the
     * batch q25 window query. State is one small record per active user,

@@ -157,6 +157,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming z-score monitor emits exactly the batch q80 anomalies") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-zstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = EventStream.readStream(spark, dir.toString)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+      .as[EventStream.TypedEvent]
+    val q = EventStream.zscoreAnomalies(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("z_anomalies")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-z-ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("z_anomalies")
+      .select("event_id", "trailing_mean", "n_prev", "z")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getDouble(3)))).toMap
+    val want = SparkEntry.queries("q80_event_zscore")(spark, sf0001)
+      .select("event_id", "trailing_mean", "n_prev", "z")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(want.nonEmpty, "batch twin must flag something at sf0.001 or the parity is vacuous")
+    assert(got == want, "streaming anomalies = batch anomalies, bit-for-bit incl. rounding")
+  }
+
   test("stateful session counting works on the batch execution path too") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
