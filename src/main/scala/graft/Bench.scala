@@ -27,6 +27,12 @@ object Bench {
         try runFull(fn(spark, warmDir)) catch { case _: Throwable => }
       }
     }
+    // Per-query progress lines go to stderr AS EACH QUERY FINISHES, so
+    // even if the driver's tail window truncates stdout the timings
+    // survive in the log. The final stdout line is ONE compact JSON with
+    // 3-decimal times (halves the line length vs full doubles), printed
+    // last so the tail always captures it.
+    def r3(v: Double): String = f"$v%.3f"
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -34,15 +40,17 @@ object Bench {
         failed += name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(s"[bench] $name ${r3(sec)}s")
+      name -> sec
+    }
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(",")}")
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     val fails = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$fails}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$fails}""")
     spark.stop()
   }
 }

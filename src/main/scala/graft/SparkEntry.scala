@@ -156,7 +156,23 @@ object SparkEntry {
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops → driver
-    * records a weaker rows-only check. */
+    * records a weaker rows-only check.
+    *
+    * ORACLE SQL TYPE RULES (learned the hard way — q63, round 2):
+    * the driver's comparison frame hashes VALUES AND TYPES, and DuckDB
+    * promotes integer aggregates beyond Spark's types. Always:
+    *  1. CAST(sum(<int col>) ...) AS BIGINT — DuckDB promotes
+    *     sum(BIGINT) to HUGEINT, which lands in the frame as float64
+    *     and hash-mismatches even when every value is identical.
+    *  2. Same for window sums: CAST(coalesce(sum(x) OVER (...),0) AS BIGINT),
+    *     and for any column DERIVED from such a sum (a bin id computed
+    *     from a cumsum inherits HUGEINT).
+    *  3. count(*) is already BIGINT in both engines; no cast needed,
+    *     but count(*) FILTER / arithmetic on counts follows rule 1.
+    *  4. Spark double aggregates (avg, round(...,k)) match DuckDB's
+    *     double — round BOTH sides to the same k decimals.
+    *  5. Alias every computed column identically on both sides; the
+    *     driver sorts columns by NAME before hashing. */
   def oracleSql: Map[String, String] = Map(
     "q01_wordcount" ->
       s"""SELECT word, count(*) AS cnt
@@ -855,11 +871,11 @@ object SparkEntry {
         |                  doc_id // 100 AS shard
         |           FROM documents),
         |c AS (SELECT shard, n_tokens,
-        |             coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |             CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
         |      FROM d)
-        |SELECT shard * 100000 + cum // 256 AS bin,
-        |       count(*) AS n_docs, sum(n_tokens) AS n_tokens
+        |SELECT CAST(shard * 100000 + cum // 256 AS BIGINT) AS bin,
+        |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
         |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "q64_tfidf" ->

@@ -196,8 +196,11 @@ object TextAnalysis {
     val df = words.select("doc_id", "word").distinct()
       .groupBy("word").agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(spark, dir).agg(countDistinct("doc_id").as("n_docs"))
+    // df is corpus-derived (O(vocab)) — size-guarded, not hard-hinted:
+    // at web scale a billion-row vocabulary must shuffle-join instead
+    // of OOMing the driver. nDocs is one row; always broadcast.
     val scored = tf
-      .join(broadcast(df), "word")
+      .join(Guard.modelBroadcast(df), "word")
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("word"),
         round((col("n_occ") / col("n_doc_tokens")) * log(col("n_docs") / col("df")), 6)
@@ -398,7 +401,8 @@ object TextAnalysis {
       .select(col("doc_id"), explode(Portable.tokenize(col("text"))).as("word"))
     val freq = words.groupBy("word").agg(count(lit(1)).as("cnt"))
     val total = freq.agg(sum("cnt").as("total"))
-    words.join(broadcast(freq), "word")
+    // freq is O(vocab) — size-guarded (see Guard); total is one row.
+    words.join(Guard.modelBroadcast(freq), "word")
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
       .agg(
@@ -445,14 +449,28 @@ object TextAnalysis {
           " (a, b) -> struct(a AS w1, b AS w2))")).as("p"))
       .select(col("doc_id"), col("p.w1"), col("p.w2"))
 
+  /** A fitted bigram LM for one corpus: hash-keyed model tables
+    * (cached), their row counts (free input to the broadcast size
+    * guard), and the corpus token total. */
+  final case class LmModel(uniH: DataFrame, biH: DataFrame,
+      total: Long, nUni: Long, nBi: Long)
+
   /** Fitted bigram LMs memoized per (session, corpus dir) — the Embed
     * pattern: a model is fitted ONCE per corpus and serves every
     * scoring run; the fit's big bigram-count shuffle never repeats.
-    * Weak-keyed by session so cached DataFrames can't outlive it. */
+    * Weak-keyed by session so cached DataFrames can't outlive it.
+    * LRU of ONE per session: fitting a new corpus unpersists the
+    * previous corpus' cached tables first, so a long session touching
+    * many corpora holds at most one model's blocks at a time. */
   private val lmFitted =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession,
-        scala.collection.concurrent.TrieMap[String, (DataFrame, DataFrame, Long)]]())
+        scala.collection.concurrent.TrieMap[String, LmModel]]())
+
+  /** Test hook: the corpus dirs whose LM blocks are currently cached
+    * for this session (asserting the LRU-1 eviction actually ran). */
+  private[graft] def lmCachedDirs(spark: SparkSession): Set[String] =
+    Option(lmFitted.get(spark)).map(_.keySet.toSet).getOrElse(Set.empty)
 
   /** Fit the count-pruned interpolated bigram LM on a corpus:
     * `(uniByHash (wk, cnt_w2), biByHash (bk, bigram_term), total)`.
@@ -465,39 +483,50 @@ object TextAnalysis {
     * the oracle's string-keyed twin would catch one), and the broadcast
     * maps shrink from string tuples to longs. Both tables are
     * materialized eagerly (cache + count), so re-fits are cache hits. */
-  def fitBigramLm(spark: SparkSession, dir: String): (DataFrame, DataFrame, Long) = {
+  def fitBigramLm(spark: SparkSession, dir: String): LmModel = {
     val perSession = lmFitted.synchronized {
       Option(lmFitted.get(spark)).getOrElse {
-        val m = scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame, Long)]
+        val m = scala.collection.concurrent.TrieMap.empty[String, LmModel]
         lmFitted.put(spark, m)
         m
       }
     }
-    perSession.getOrElseUpdate(dir, {
-      val uni = Tables.documents(spark, dir)
-        .select(explode(Portable.tokenize(col("text"))).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("cnt1"))
-      val total = uni.agg(sum("cnt1")).head().getLong(0)
-      val biH = transitions(spark, dir)
-        .groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
-        .filter(col("cnt2") >= lmMinBigramCount)
-        .join(uni.select(col("word").as("w1"), col("cnt1").as("cnt_w1")), Seq("w1"))
-        .select(xxhash64(col("w1"), col("w2")).as("bk"),
-          (col("cnt2") * lmLambda / col("cnt_w1")).as("bigram_term"))
-        .cache()
-      val uniH = uni.select(xxhash64(col("word")).as("wk"), col("cnt1").as("cnt_w2")).cache()
-      biH.count(); uniH.count() // materialize now; later runs reuse the blocks
-      (uniH, biH, total)
+    perSession.getOrElse(dir, perSession.synchronized {
+      perSession.getOrElseUpdate(dir, {
+        // LRU of 1: release the previous corpus' blocks before caching
+        // a new model, so cached storage stays bounded by one model.
+        perSession.filterInPlace { (other, old) =>
+          if (other != dir) { old.uniH.unpersist(); old.biH.unpersist() }
+          other == dir
+        }
+        val uni = Tables.documents(spark, dir)
+          .select(explode(Portable.tokenize(col("text"))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("cnt1"))
+        val total = uni.agg(sum("cnt1")).head().getLong(0)
+        val biH = transitions(spark, dir)
+          .groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
+          .filter(col("cnt2") >= lmMinBigramCount)
+          .join(uni.select(col("word").as("w1"), col("cnt1").as("cnt_w1")), Seq("w1"))
+          .select(xxhash64(col("w1"), col("w2")).as("bk"),
+            (col("cnt2") * lmLambda / col("cnt_w1")).as("bigram_term"))
+          .cache()
+        val uniH = uni.select(xxhash64(col("word")).as("wk"), col("cnt1").as("cnt_w2")).cache()
+        val nBi = biH.count(); val nUni = uniH.count() // materialize now; later runs reuse the blocks
+        LmModel(uniH, biH, total, nUni, nBi)
+      })
     })
   }
 
   def q74BigramLogProb(spark: SparkSession, dir: String): DataFrame = {
-    val (uniH, biH, total) = fitBigramLm(spark, dir)
+    val m = fitBigramLm(spark, dir)
+    val (total, uniH, biH) = (m.total, m.uniH, m.biH)
     transitions(spark, dir)
       .select(col("doc_id"), xxhash64(col("w1"), col("w2")).as("bk"),
         xxhash64(col("w2")).as("wk"))
-      .join(broadcast(biH), Seq("bk"), "left")
-      .join(broadcast(uniH), Seq("wk"))
+      // model tables are O(vocab)/O(pruned bigrams) — size-guarded; the
+      // memoized fit already counted them so the guard costs nothing.
+      .join(Guard.modelBroadcast(biH, Some(m.nBi)), Seq("bk"), "left")
+      .join(Guard.modelBroadcast(uniH, Some(m.nUni)), Seq("wk"))
       .select(col("doc_id"),
         log(coalesce(col("bigram_term"), lit(0.0))
           + lit(lmBackoffWeight) * col("cnt_w2") / lit(total)).as("logp"))
@@ -553,29 +582,54 @@ object TextAnalysis {
     * broadcast. The bin formula `(rank-1)*nBins div total + 1` is shared
     * literally with the oracle (ntile's remainder-distribution rule
     * differs; the explicit formula pins one cross-engine semantics). */
-  def q79CurriculumBins(spark: SparkSession, dir: String): DataFrame = {
-    val nBins = 10
+  def q79CurriculumBins(spark: SparkSession, dir: String): DataFrame =
+    curriculumBins(spark, q37QualityScore(spark, dir), nBins = 10)
+
+  /** The q79 core over any (doc_id, n_tokens, quality) table — split out
+    * so the two-level tie rank is testable on a planted skewed corpus. */
+  def curriculumBins(spark: SparkSession, qualityScored: DataFrame, nBins: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     // Three consumers (histogram, totals, the rank join) would otherwise
     // each re-run the quality-scoring scan — measured 67 s -> ~25 s at a
     // 100x corpus with the scan cached. Output is nBins rows by
     // contract, so the q33 materialize-then-unpersist shape applies and
     // the cache is released before returning.
-    val scored = q37QualityScore(spark, dir)
+    val scored = qualityScored
       .select(col("doc_id"), col("n_tokens"), col("quality")).persist()
     try {
       val hist = scored.groupBy("quality").agg(count(lit(1)).as("n_q"))
       val above = hist.withColumn("n_above",
         coalesce(sum("n_q").over(
           w.orderBy(desc("quality")).rowsBetween(Long.MinValue, -1)), lit(0L)))
-      val tieRank = row_number().over(w.partitionBy("quality").orderBy(asc("doc_id")))
+      // Two-level tie rank. A row_number() partitioned by quality alone
+      // is parallel across DISTINCT values but degenerate when one value
+      // dominates (a corpus of identical boilerplate all scoring exactly
+      // 0.0 pushes millions of rows through ONE window task). Sub-salt
+      // the tie by MONOTONE doc_id ranges: rank within (quality, grp) in
+      // parallel, then add the count of docs in earlier groups of the
+      // same value from a small (quality, grp) histogram — identical
+      // total order (grp is monotone in doc_id), no single-task window.
+      val grpWidth = 4096L
+      val grpCol = expr(s"doc_id div $grpWidth")
+      val subRank = row_number().over(
+        w.partitionBy("quality", "grp").orderBy(asc("doc_id")))
+      val tieAbove = scored.groupBy(col("quality"), grpCol.as("grp"))
+        .agg(count(lit(1)).as("n_g"))
+        .withColumn("tie_above", coalesce(sum("n_g").over(
+          w.partitionBy("quality").orderBy(asc("grp"))
+            .rowsBetween(Long.MinValue, -1)), lit(0L)))
+        .select("quality", "grp", "tie_above")
       val totals = scored.agg(
         count(lit(1)).as("total_docs"), sum("n_tokens").as("total_tokens"))
       val binned = scored
-        .withColumn("tie_rn", tieRank)
+        .withColumn("grp", grpCol)
+        .withColumn("sub_rn", subRank)
+        // histogram join keys == window keys: the exchange is reused;
+        // O(values × groups) rows, AQE broadcasts it when small
+        .join(tieAbove, Seq("quality", "grp"))
         .join(broadcast(above.select("quality", "n_above")), Seq("quality"))
         .crossJoin(broadcast(totals))
-        .withColumn("rnk", col("n_above") + col("tie_rn"))
+        .withColumn("rnk", col("n_above") + col("tie_above") + col("sub_rn"))
         .withColumn("bin", expr(s"(rnk - 1) * $nBins div total_docs") + 1L)
       val out = binned
         .groupBy("bin")

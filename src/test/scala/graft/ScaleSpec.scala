@@ -178,6 +178,93 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("model broadcast guard: web-scale vocab degrades to a shuffle join, same result") {
+    import graft.operators.{Guard, TextAnalysis}
+    // Default: the model table is tiny -> broadcast path (today's plan).
+    val viaBroadcast = TextAnalysis.q71UnigramLogProb(spark, sf0001).collect().toSeq
+    // Simulate an amplified web-scale vocabulary by dropping the row
+    // bound to 1: the guard must NOT hint, and with the broadcast
+    // threshold disabled the model join must plan as a shuffle join
+    // instead of OOMing the driver on a forced broadcast.
+    val prevBound = spark.conf.getOption(Guard.maxModelRowsKey)
+    val prevBjt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set(Guard.maxModelRowsKey, "1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val guarded = TextAnalysis.q71UnigramLogProb(spark, sf0001)
+      val plan = guarded.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected the vocab join to degrade to a shuffle join:\n$plan")
+      assert(guarded.collect().toSeq == viaBroadcast,
+        "shuffle-join path must produce the broadcast path's exact rows")
+    } finally {
+      prevBound match {
+        case Some(v) => spark.conf.set(Guard.maxModelRowsKey, v)
+        case None    => spark.conf.unset(Guard.maxModelRowsKey)
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBjt)
+    }
+  }
+
+  test("q79 two-level tie rank matches a global rank on a 90%-one-value corpus") {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.expressions.Window
+    // Planted pathological corpus: 90% of docs share ONE quality value
+    // (identical boilerplate), doc_ids deliberately NOT contiguous so the
+    // range-group sub-salt sees many groups within the tie.
+    import spark.implicits._
+    val n = 5000
+    val planted = (0 until n).map { i =>
+      val docId = i.toLong * 37 // sparse ids
+      val q = if (i % 10 == 0) math.rint(i.toDouble / n * 1e6) / 1e6 else 0.5
+      (docId, (i % 300 + 1).toLong, q)
+    }.toDF("doc_id", "n_tokens", "quality")
+    val got = TextAnalysis.curriculumBins(spark, planted, nBins = 10).collect().toSeq
+    // Naive reference: one global window (fine at test size, the exact
+    // shape q79 exists to avoid at scale).
+    val ranked = planted.withColumn("rnk",
+      row_number().over(Window.orderBy(desc("quality"), asc("doc_id"))))
+    val totals = planted.agg(count(lit(1)).as("total_docs"),
+      sum("n_tokens").as("total_tokens"))
+    val expected = ranked.crossJoin(totals)
+      .withColumn("bin", expr("(rnk - 1) * 10 div total_docs") + 1L)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+        round(avg("quality"), 6).as("avg_quality"),
+        max("total_tokens").as("total_tokens"))
+      .withColumn("cum_token_share",
+        round(sum("sum_tokens").over(
+          Window.orderBy("bin").rowsBetween(Long.MinValue, 0)) / col("total_tokens"), 6))
+      .select("bin", "n_docs", "sum_tokens", "avg_quality", "cum_token_share")
+      .orderBy("bin").collect().toSeq
+    assert(got == expected)
+  }
+
+  test("bigram LM fit keeps at most one corpus cached (LRU of 1)") {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.storage.StorageLevel
+    val mA = TextAnalysis.fitBigramLm(spark, sf0001)
+    assert(mA.uniH.storageLevel != StorageLevel.NONE, "fresh fit must be cached")
+    // Fitting a SECOND corpus must evict the first corpus' blocks: a long
+    // session touching many corpora holds at most one model in storage.
+    val otherDir = {
+      val d = java.nio.file.Files.createTempDirectory("graft-lm2")
+      Tables.documents(spark, sf0001).limit(50)
+        .write.mode("overwrite").parquet(d.resolve("documents.parquet").toString)
+      d.toString
+    }
+    val mB = TextAnalysis.fitBigramLm(spark, otherDir)
+    assert(TextAnalysis.lmCachedDirs(spark) == Set(otherDir))
+    assert(mA.uniH.storageLevel == StorageLevel.NONE,
+      "previous corpus' unigram table must be unpersisted")
+    assert(mA.biH.storageLevel == StorageLevel.NONE,
+      "previous corpus' bigram table must be unpersisted")
+    assert(mB.uniH.storageLevel != StorageLevel.NONE)
+    // refit the original so later suites (q74 oracle) see a warm model
+    TextAnalysis.fitBigramLm(spark, sf0001)
+    assert(TextAnalysis.lmCachedDirs(spark) == Set(sf0001))
+  }
+
   test("salted join returns exactly the plain join result") {
     val lineitem = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity", "l_partkey")
     val orders = Tables.orders(spark, sf0001).select("o_orderkey", "o_orderpriority")
