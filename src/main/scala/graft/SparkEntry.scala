@@ -53,6 +53,7 @@ object SparkEntry {
     "q29_pivot"          -> (Relational.q29Pivot _),
     "q48_asof_join"      -> (AsOf.q48AsOfJoin _),
     "q51_percentiles"    -> (Relational.q51Percentiles _),
+    "q51b_percentiles_approx" -> (Relational.q51bPercentilesApprox _),
     "q52_stats"          -> (Relational.q52Stats _),
     "q53_scalar_subquery" -> (Relational.q53ScalarSubquery _),
     "q54_grouping_sets"  -> (Relational.q54GroupingSets _),

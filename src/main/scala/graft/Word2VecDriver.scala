@@ -15,6 +15,23 @@ import graft.sources.TextCorpus
   * `README.md:22-23`). Hyperparameters tune via `--conf graft.w2v.*`
   * (see [[GraftConfig]]). */
 object Word2VecDriver {
+  /** The driver's whole pipeline, session-agnostic (so the e2e test can
+    * run it on the shared test session without the CLI's stop()):
+    * text dir in → reference-format text sink out. Returns the
+    * vocabulary row count. */
+  def run(spark: SparkSession, in: String, out: String): Long = {
+    val corpus = TextCorpus.read(spark, in).select(col("value").as("text"))
+    val result = Embed.flagshipFromText(spark, corpus).cache()
+    try {
+      result
+        .select(concat(
+          col("word"), lit(","), col("token"), lit(","), col("count"),
+          lit(",["), array_join(col("vector"), ","), lit("]")).as("value"))
+        .write.mode("overwrite").text(out)
+      result.count()
+    } finally result.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length == 2, "usage: Word2VecDriver <inputDir> <outputDir>")
     val Array(in, out) = args
@@ -27,16 +44,8 @@ object Word2VecDriver {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    val corpus = TextCorpus.read(spark, in).select(col("value").as("text"))
-    val result = Embed.flagshipFromText(spark, corpus).cache()
-    result
-      .select(concat(
-        col("word"), lit(","), col("token"), lit(","), col("count"),
-        lit(",["), array_join(col("vector"), ","), lit("]")).as("value"))
-      .write.mode("overwrite").text(out)
-    println(s"[word2vec-driver] wrote ${result.count()} vocabulary rows to $out")
-    result.unpersist()
+    val n = run(spark, in, out)
+    println(s"[word2vec-driver] wrote $n vocabulary rows to $out")
     spark.stop()
   }
 }

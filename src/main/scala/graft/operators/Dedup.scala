@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -413,8 +413,24 @@ object Dedup {
     * (word, id), so a stop-word appearing in every doc produces no
     * fanout (keying on word alone would quadratically explode on
     * high-df words at corpus scale). */
-  def q77MinhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+  def q77MinhashCalibration(spark: SparkSession, dir: String): DataFrame =
+    minhashCalibration(spark, dir, pairSamplePct = 100)
+
+  /** Library form with production pair sampling. Calibration needs a
+    * statistical read on sketch error, not every pair: at corpus scale
+    * the exact-Jaccard side (two full token passes) is the expensive
+    * half, so sample the pair set FIRST — a deterministic hash
+    * Bernoulli on the pair's anchor id (the q66 reproducible-sampling
+    * pattern: stable across runs, no RNG state) applied to the token
+    * stream before signatures or intersections are computed, so both
+    * corpus passes shrink to ~pct% of docs, not just the final rows. */
+  def minhashCalibration(spark: SparkSession, dir: String, pairSamplePct: Int): DataFrame = {
+    // a pair (id, id+1) is sampled iff sampled(anchor = id); a doc
+    // participates if it anchors a sampled pair OR is the +1 member
+    def sampledAnchor(id: Column): Column =
+      pmod(xxhash64(id), lit(100L)) < lit(pairSamplePct.toLong)
     val toks = docTokens(spark, dir)
+      .filter(sampledAnchor(col("doc_id")) || sampledAnchor(col("doc_id") - 1))
     val mins = minhashBands.map { case (band, a, b) =>
       min((col("h") * a + b) % Portable.P).as(s"m$band")
     }
@@ -429,7 +445,9 @@ object Dedup {
     val nEqual = (0 until minhashBands.size)
       .map(k => when(col(s"sa.m$k") === col(s"sb.m$k"), 1).otherwise(0))
       .reduce(_ + _)
-    sigs.as("sa")
+    // only SAMPLED anchors may emit a pair: a partner doc (present
+    // because id−1 was sampled) must not anchor an unsampled pair
+    sigs.filter(sampledAnchor(col("doc_id"))).as("sa")
       .join(sigs.as("sb"), col("sa.doc_id") + 1 === col("sb.doc_id"))
       .join(inter, col("sa.doc_id") === col("id_a"), "left")
       .select(

@@ -243,6 +243,25 @@ object Relational {
         round(expr("percentile(l_discount, 0.25)"), 6).as("p25_discount"))
       .orderBy("l_returnflag")
 
+  /** q51b: the declared 100 TB percentile path — `approx_percentile`
+    * (Greenwald-Khanna sketch) with accuracy 1000, so aggregation state
+    * is O(accuracy) per group instead of q51's O(distinct values)
+    * buffer (exact percentile must hold the group's values together;
+    * fine at bench scale, memory-unbounded on a 100 TB fact column).
+    * Sketch internals are engine-specific, so the query is declared
+    * rows-only (the q44 HLL precedent); its contracts are tested
+    * instead: the rank-error bound |rank(p̂) − p·n| ≤ 2n/accuracy in
+    * ScaleSpec, and value agreement with q51's exact answer within
+    * sketch tolerance in QueriesSpec. */
+  def q51bPercentilesApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("approx_percentile(l_quantity, 0.5, 1000)"), 4).as("median_qty"),
+        round(expr("approx_percentile(l_extendedprice, 0.9, 1000)"), 2).as("p90_price"),
+        round(expr("approx_percentile(l_discount, 0.25, 1000)"), 6).as("p25_discount"))
+      .orderBy("l_returnflag")
+
   /** q52: moment-based statistics — stddev/variance/correlation/skew
     * surface; all single-pass partial-aggregatable (Welford-style
     * merge), so they scale like any sum. */

@@ -367,6 +367,17 @@ object TextAnalysis {
     * width. Shingles are hashed NATIVELY ([[graft.plans.ShingleHashes]] —
     * no shingle string is ever built; the HOF string form measured
     * 111 s over 400k docs against ~2 s for the kernel). */
+  /** The eval split's distinct shingle-hash set — the static probe table
+    * shared by batch q70 and the streaming twin ([[graft.streaming
+    * .DocStream.decontaminate]]): at production scale this is the
+    * benchmark suite's shingles, MBs against a corpus of TBs. */
+  def evalShingleSet(spark: SparkSession, dir: String, n: Int = 8): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(Portable.tokenId(col("text")) % 100L >= 95)
+      .select(explode(
+        graft.plans.ShingleHashes.shingleHashes(split(col("text"), " "), n)).as("shash"))
+      .distinct()
+
   def q70Decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val n = 8
     val sh = Tables.documents(spark, dir)

@@ -49,6 +49,41 @@ object DocStream {
       .select("doc_id", "seg_idx", "seg")
       .dropDuplicates("seg")
 
+  /** Streaming twin of the batch q70 eval-set decontamination: probe
+    * every arriving train-split document's 8-word shingle hashes
+    * against a STATIC eval-shingle set, flagging leaks the moment a doc
+    * is ingested instead of in a post-hoc corpus pass. The batch shape
+    * (eval set broadcasts, train corpus streams past) is already
+    * ingest-shaped; here it degenerates further: a doc's verdict
+    * derives from its own row plus the static set, so the query is
+    * STATELESS — append mode, zero streaming state, nothing to
+    * checkpoint but source offsets. The eval set collapses to one
+    * array row cross-joined in (stream-static), and `array_intersect`
+    * does the per-row probe; `ShingleHashes` emits each doc's distinct
+    * window hashes, so `size(...)` matches the batch explode+count.
+    *
+    * Output = q70's exact columns (doc_id, n_shingles, n_contaminated,
+    * contaminated); docs with no 8-word window emit nothing, as the
+    * batch explode drops them (StreamingSpec asserts full parity).
+    *
+    * @param docs         streaming documents (doc_id, text, …)
+    * @param evalShingles static distinct eval shingle hashes (`shash`) —
+    *                     [[graft.operators.TextAnalysis.evalShingleSet]] */
+  def decontaminate(docs: DataFrame, evalShingles: DataFrame, n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val evalArr = evalShingles.agg(collect_set(col("shash")).as("eval_sh"))
+    docs
+      .select(col("doc_id"),
+        (graft.functions.Portable.tokenId(col("text")) % 100L).as("bucket"),
+        graft.plans.ShingleHashes.shingleHashes(split(col("text"), " "), n).as("sh"))
+      .filter(col("bucket") < 95 && size(col("sh")) > 0)
+      .crossJoin(broadcast(evalArr))
+      .select(col("doc_id"),
+        size(col("sh")).cast("long").as("n_shingles"),
+        size(array_intersect(col("sh"), col("eval_sh"))).cast("long").as("n_contaminated"))
+      .withColumn("contaminated", (col("n_contaminated") > 0).cast("long"))
+  }
+
   case class HashedDoc(doc_id: Long, content_hash: String, corpus_canonical: Option[Long])
   case class DedupStatus(doc_id: Long, status: String, canonical_id: Long)
 

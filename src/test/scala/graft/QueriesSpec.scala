@@ -26,6 +26,25 @@ class QueriesSpec extends AnyFunSuite {
     assert(counts.forall(_ > 0) && counts.sameElements(counts.sortBy(-_)))
   }
 
+  test("q51b approx percentiles track the exact q51 answer within sketch tolerance") {
+    // q51b is the declared 100 TB path (GK sketch, O(accuracy) state);
+    // rows-only by contract since sketch internals are engine-specific.
+    // Its value contract: approx_percentile returns an ACTUAL data value
+    // whose rank is within n/accuracy of the target, so each column must
+    // sit close to q51's exact interpolated answer.
+    val exact = run("q51_percentiles").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val approx = run("q51b_percentiles_approx").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    exact.foreach { case (flag, (mq, p90, p25)) =>
+      val (amq, ap90, ap25) = approx(flag)
+      assert(math.abs(amq - mq) <= 1.0, s"$flag median_qty: $amq vs exact $mq")
+      assert(math.abs(ap90 - p90) / p90 <= 0.02, s"$flag p90_price: $ap90 vs exact $p90")
+      assert(math.abs(ap25 - p25) <= 0.011, s"$flag p25_discount: $ap25 vs exact $p25")
+    }
+  }
+
   test("q15 window rank yields exactly one row per customer with orders") {
     val df = run("q15_window_rank")
     val n = df.count()

@@ -51,6 +51,37 @@ class SourcesSpec extends AnyFunSuite {
     assert(byWord("a").getLong(1) == 97L)                       // token id
   }
 
+  test("Word2VecDriver e2e: reference corpus layout in, exact output line grammar out") {
+    // mirror the reference's input/ directory layout (a dir of small
+    // text files; fixture strings from the reference's test-file1/2)
+    // and assert the reference's EXACT sink grammar
+    // `word,token,count,[v1,...,vN]` (MapRedWord2Vec.scala:235 output
+    // format, Test.scala:134-135 exact-string assertion, README.md:22-23)
+    val in = Files.createTempDirectory("graft-e2e-in")
+    Files.writeString(in.resolve("test-file1.txt"), "hello 123 hello 456 hello this is a test\n")
+    Files.writeString(in.resolve("test-file2.txt"), "hello, this is a test file for map reduce program\n")
+    val out = Files.createTempDirectory("graft-e2e-out").resolve("w2v").toString
+    val n = Word2VecDriver.run(spark, in.toString, out)
+    assert(new java.io.File(s"$out/_SUCCESS").exists(), "sink must commit _SUCCESS")
+    val lines = spark.read.text(out).as[String].collect()
+    assert(lines.length == n.toInt && n > 0)
+    // exact line grammar: word, signed token id, count, bracketed vector
+    val grammar = "^([a-z]+),(-?\\d+),(\\d+),\\[(.+)\\]$".r
+    val parsed = lines.map {
+      case grammar(word, token, count, vec) =>
+        val vs = vec.split(",")
+        assert(vs.length == 100, s"vector dim ${vs.length} != layerSize 100 for '$word'")
+        vs.foreach(v => assert(v.toDouble == v.toDouble)) // every element parses
+        word -> ((token.toLong, count.toLong))
+      case bad => fail(s"line does not match the reference grammar: $bad")
+    }.toMap
+    // reference semantics on the fixture: digits dropped, counts summed
+    assert(parsed("hello")._2 == 4L) // 3 from file1 + 1 from file2
+    assert(parsed("test")._2 == 2L)
+    assert(!parsed.keySet.exists(_.exists(_.isDigit)))
+    assert(parsed("a")._1 == 97L) // the portable token encoding
+  }
+
   test("orc and json sinks round-trip the star-schema rows") {
     val base = Files.createTempDirectory("graft-io")
     val nation = Tables.nation(spark, TestSpark.sf0001)

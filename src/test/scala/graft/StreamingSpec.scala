@@ -289,6 +289,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination emits exactly the batch q70 rows") {
+    // the last major text operator without an ingest-time twin: probe
+    // arriving docs against the static eval-shingle set. Stateless, so
+    // parity is unconditional (no arrival-order caveat).
+    val dir = java.nio.file.Files.createTempDirectory("graft-decon-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$sf0001/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val evalSet = graft.operators.TextAnalysis.evalShingleSet(spark, sf0001)
+    val q = graft.streaming.DocStream
+      .decontaminate(graft.streaming.DocStream.readStream(spark, dir.toString), evalSet)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("decon_stream")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-decon-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("decon_stream")
+      val want = SparkEntry.queries("q70_decontaminate")(spark, sf0001)
+      assert(got.count() == want.count())
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+        "streaming decontamination must equal batch q70 row-for-row")
+      assert(want.filter(col("contaminated") === 1).count() > 0,
+        "fixture must contain real contamination or the parity is vacuous")
+    } finally q.stop()
+  }
+
   test("per-row text kernels (repetition stats, PII scrub) run unchanged on a doc stream") {
     // the text-pipeline scalar operators are stateless per-row plans, so
     // the SAME expressions work at ingest time with no code changes —
