@@ -88,6 +88,9 @@ object SparkEntry {
     "q75_dup_fraction"   -> (TextAnalysis.q75DupFraction _),
     "q79_curriculum_bins" -> (TextAnalysis.q79CurriculumBins _),
     "q80_event_zscore"   -> (Relational.q80EventZscore _),
+    "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
+    "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
+    "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
     "q76_quantize_int8"  -> (Quantize.q76QuantizeInt8 _),
     "q77_minhash_calibration" -> (Dedup.q77MinhashCalibration _),
     "q78_semantic_prune" -> (Dedup.q78SemanticPrune _),
@@ -680,6 +683,51 @@ object SparkEntry {
 
     // Trailing z-score: identical exclusive frame and warm-up guards on
     // both engines; ties on ts broken by event_id (the q25 contract).
+    // DSIR importance weights: string-keyed model twin of the Spark
+    // plan; target add-one smoothing over the raw vocabulary. Sums of
+    // counts CAST to BIGINT (oracle type rule 1).
+    "q81_dsir_weight" ->
+      s"""WITH d AS (SELECT doc_id, text, ${tokenId("text")} % 100 AS bucket FROM documents),
+         |w AS (SELECT doc_id, bucket, unnest(${tok("text")}) AS word FROM d),
+         |raw AS (SELECT word, count(*) AS cr FROM w GROUP BY word),
+         |rawtot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, count(*) AS v FROM raw),
+         |tgt AS (SELECT word, count(*) AS ct FROM w WHERE bucket >= 95 GROUP BY word),
+         |tgttot AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS nt FROM tgt)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |       round(avg(ln((coalesce(ct, 0) + 1.0) / (nt + v)) - ln(cr * 1.0 / nr)), 6)
+         |         AS dsir_weight
+         |FROM w JOIN raw USING (word) LEFT JOIN tgt USING (word)
+         |CROSS JOIN rawtot CROSS JOIN tgttot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // N-gram novelty: string-shingle twin (the q75 pattern — only
+    // equality semantics matter, so the oracle's strings and the
+    // plan's 64-bit hashes agree on every count).
+    "q82_novelty" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(ws)-7, 1)+1),
+        |         i -> array_to_string(ws[i:i+7], ' ')))) AS shingle FROM w),
+        |f AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle)
+        |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |       CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |       round(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS novelty
+        |FROM sh JOIN f USING (shingle)
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+
+    // Domain mix: τ = 0.5 and the 1e9 budget are literals shared with
+    // the Spark plan; identical operation order inside round().
+    "q83_domain_mix" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |                    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |             FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |               sum(pow(n_tokens, 0.5)) AS z FROM per)
+        |SELECT source, n_docs, n_tokens,
+        |       round(n_tokens * 1.0 / total_tokens, 6) AS share,
+        |       round(pow(n_tokens, 0.5) / z, 6) AS mix_weight,
+        |       round(1e9 * (pow(n_tokens, 0.5) / z) / n_tokens, 4) AS epochs_at_1b
+        |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
+
     "q80_event_zscore" ->
       """WITH t AS (
         |  SELECT event_id, user_id, event_type, value,

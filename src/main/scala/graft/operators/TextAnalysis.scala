@@ -659,6 +659,102 @@ object TextAnalysis {
     } finally scored.unpersist()
   }
 
+  /** q81: DSIR-style importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023): score every doc by how much more
+    * likely its tokens are under a TARGET-domain LM than under the raw
+    * corpus LM — `avg_w[ ln p_target(w) − ln p_raw(w) ]`. Docs that
+    * look like the target domain get high weights; the training mix
+    * then samples proportionally. The target here is the q62 'test'
+    * split (content-hash buckets ≥ 95) — deterministic and
+    * self-contained, the q70 pattern; production swaps in a curated
+    * in-domain seed corpus. Target probabilities are add-one smoothed
+    * over the raw vocabulary (a target LM is tiny and sparse; unseen
+    * tokens must not yield −∞).
+    *
+    * Scale shape: two O(vocab) model tables (size-guarded broadcasts,
+    * the q71/q74 Guard pattern), one scoring pass with a partial-
+    * aggregated per-doc mean. No corpus-sized shuffle. */
+  def q81DsirWeight(spark: SparkSession, dir: String): DataFrame = {
+    val w = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (Portable.tokenId(col("text")) % 100L).as("bucket"),
+        explode(Portable.tokenize(col("text"))).as("word"))
+    val raw = w.groupBy("word").agg(count(lit(1)).as("cr"))
+    val rawTot = raw.agg(sum("cr").as("nr"), count(lit(1)).as("v"))
+    val tgt = w.filter(col("bucket") >= 95)
+      .groupBy("word").agg(count(lit(1)).as("ct"))
+    val tgtTot = tgt.agg(coalesce(sum("ct"), lit(0L)).as("nt"))
+    w.join(Guard.modelBroadcast(raw), "word")
+      .join(Guard.modelBroadcast(tgt), Seq("word"), "left")
+      .crossJoin(broadcast(rawTot))
+      .crossJoin(broadcast(tgtTot))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(
+          log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("nt") + col("v")))
+            - log(col("cr") * lit(1.0) / col("nr"))), 6).as("dsir_weight"))
+      .orderBy("doc_id")
+  }
+
+  /** q82: n-gram novelty — the share of each doc's distinct 8-word
+    * shingles that no EARLIER doc (lower doc_id) contains: the marginal-
+    * contribution metric a dedup/curation pass uses to measure how much
+    * genuinely new content each source adds (a doc of pure boilerplate
+    * scores ~0; the first occurrence of content scores it).
+    *
+    * Scale shape: the q75/q59 window shape — one shuffle of O(corpus
+    * distinct shingles) hashed rows, first-occurrence via min(doc_id)
+    * per shingle and the per-doc rollup in the same exchange; shingles
+    * are native 64-bit hashes ([[graft.plans.ShingleHashes]]), never
+    * strings; nothing is doc × doc. */
+  def q82NgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy("shash")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.plans.ShingleHashes.shingleHashes(split(col("text"), " "), 8)).as("shash"))
+      .withColumn("first_doc", min("doc_id").over(byShingle))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", round(col("n_novel") * lit(1.0) / col("n_shingles"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** q83: domain-mix planner — the table a training run starts from:
+    * per-source token counts, raw corpus share, temperature-scaled
+    * sampling weight `w_s ∝ tokens_s^τ` (τ = 0.5 literal shared with
+    * the oracle — the multilingual/data-mix temperature-sampling rule:
+    * τ < 1 upweights small sources so head domains don't drown the
+    * tail), and the effective epochs each source sustains under a
+    * 1e9-token budget (epochs ≫ 1 flags a source the mix would repeat
+    * to exhaustion — the DoReMi/PaLM mixing diagnostic).
+    *
+    * Scale shape: one partial-aggregated groupBy(source) — the
+    * O(sources) result then self-normalizes via a one-row cross join.
+    * Nothing here grows with corpus size except the first scan. */
+  def q83DomainMix(spark: SparkSession, dir: String): DataFrame = {
+    val tau = 0.5
+    val budget = 1.0e9
+    val per = Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val tot = per.agg(
+      sum("n_tokens").as("total_tokens"),
+      sum(pow(col("n_tokens").cast("double"), tau)).as("z"))
+    per.crossJoin(broadcast(tot))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") * lit(1.0) / col("total_tokens"), 6).as("share"),
+        round(pow(col("n_tokens").cast("double"), tau) / col("z"), 6).as("mix_weight"),
+        round(lit(budget) * (pow(col("n_tokens").cast("double"), tau) / col("z"))
+          / col("n_tokens"), 4).as("epochs_at_1b"))
+      .orderBy("source")
+  }
+
   /** q38: document fingerprint + token counts — order-sensitive rolling
     * hash over the token stream (whitespace tokens and the reference's
     * alpha tokens counted separately). */

@@ -45,6 +45,51 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q81 DSIR weights: target-split docs score above the corpus mean") {
+    // the point of importance weighting: docs that ARE the target domain
+    // must look target-like. Membership uses the same deterministic
+    // bucket the operator uses.
+    val scored = run("q81_dsir_weight")
+      .join(Tables.documents(spark, sf0001)
+        .select(col("doc_id"),
+          (graft.functions.Portable.tokenId(col("text")) % 100L >= 95L).as("is_target")),
+        "doc_id")
+    val Array(tgtMean, restMean) = Seq(true, false).map { t =>
+      scored.filter(col("is_target") === t).agg(avg("dsir_weight")).head().getDouble(0)
+    }.toArray
+    assert(scored.filter(col("is_target")).count() > 0, "fixture must have target docs")
+    assert(tgtMean > restMean,
+      s"target docs must outscore the rest: target $tgtMean vs rest $restMean")
+    assert(scored.filter(col("dsir_weight").isNull || isnan(col("dsir_weight"))).count() == 0)
+  }
+
+  test("q82 novelty: a copied doc scores zero, first occurrences score one") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-novelty").toString
+    import spark.implicits._
+    val uniqueA = (1 to 12).map(i => s"alpha$i").mkString(" ")
+    val uniqueB = (1 to 12).map(i => s"beta$i").mkString(" ")
+    Seq((1L, uniqueA), (2L, uniqueA), (3L, uniqueB))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis.q82NgramNovelty(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got == Map(1L -> 1.0, 2L -> 0.0, 3L -> 1.0),
+      s"novelty must credit first occurrences only, got $got")
+  }
+
+  test("q83 domain mix: weights normalize and temperature upweights small sources") {
+    val rows = run("q83_domain_mix").collect()
+    assert(rows.length > 1, "fixture must have multiple sources")
+    val weights = rows.map(_.getDouble(4))
+    assert(math.abs(weights.sum - 1.0) < 1e-4, s"mix weights must normalize, got ${weights.sum}")
+    // τ = 0.5 < 1: the smallest source's weight exceeds its raw share,
+    // the largest source's weight sits below its raw share
+    val byTokens = rows.sortBy(_.getLong(2))
+    assert(byTokens.head.getDouble(4) > byTokens.head.getDouble(3),
+      "smallest source must be upweighted")
+    assert(byTokens.last.getDouble(4) < byTokens.last.getDouble(3),
+      "largest source must be downweighted")
+  }
+
   test("q15 window rank yields exactly one row per customer with orders") {
     val df = run("q15_window_rank")
     val n = df.count()
