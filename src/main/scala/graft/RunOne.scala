@@ -20,7 +20,14 @@ object RunOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries(name)
+    // dev-only variants not on the declared surface: q77_sampled_<pct>
+    // runs the production sampled calibration mode
+    val sampled = "q77_sampled_(\\d+)".r
+    val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame = name match {
+      case sampled(pct) =>
+        (s, d) => operators.Dedup.minhashCalibration(s, d, pct.toInt)
+      case _ => SparkEntry.queries(name)
+    }
     if (explain) fn(spark, sfDir).explain("formatted")
     (1 to iters).foreach { i =>
       val t0 = System.nanoTime()
