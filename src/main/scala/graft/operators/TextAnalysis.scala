@@ -697,6 +697,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Library twin of q81 for true web scale — DSIR's actual
+    * hashed-feature form (Xie et al. 2023 hash n-grams, not raw
+    * words): tokens hash into a FIXED number of buckets, so both model
+    * tables are at most `buckets` rows regardless of vocabulary —
+    * always broadcastable with no Guard branch, O(buckets) driver
+    * memory at any corpus size — and add-one smoothing uses the bucket
+    * count as its base. Same score algebra as q81 over bucketed
+    * counts; collisions blur individual words but preserve the
+    * domain-likelihood signal (the feature-hashing trick), which
+    * QueriesSpec checks by correlating the two forms. */
+  def dsirWeightHashed(spark: SparkSession, dir: String, buckets: Int = 10000): DataFrame = {
+    val w = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (Portable.tokenId(col("text")) % 100L).as("bucket"),
+        explode(Portable.tokenize(col("text"))).as("word"))
+      .select(col("doc_id"), col("bucket"),
+        pmod(xxhash64(col("word")), lit(buckets.toLong)).as("wb"))
+    val raw = w.groupBy("wb").agg(count(lit(1)).as("cr"))
+    val rawTot = raw.agg(sum("cr").as("nr"))
+    val tgt = w.filter(col("bucket") >= 95)
+      .groupBy("wb").agg(count(lit(1)).as("ct"))
+    val tgtTot = tgt.agg(coalesce(sum("ct"), lit(0L)).as("nt"))
+    w.join(broadcast(raw), "wb")
+      .join(broadcast(tgt), Seq("wb"), "left")
+      .crossJoin(broadcast(rawTot))
+      .crossJoin(broadcast(tgtTot))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(
+          log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("nt") + lit(buckets.toLong)))
+            - log(col("cr") * lit(1.0) / col("nr"))), 6).as("dsir_weight"))
+      .orderBy("doc_id")
+  }
+
   /** q82: n-gram novelty — the share of each doc's distinct 8-word
     * shingles that no EARLIER doc (lower doc_id) contains: the marginal-
     * contribution metric a dedup/curation pass uses to measure how much

@@ -63,6 +63,27 @@ class QueriesSpec extends AnyFunSuite {
     assert(scored.filter(col("dsir_weight").isNull || isnan(col("dsir_weight"))).count() == 0)
   }
 
+  test("hashed-feature DSIR stays O(buckets) and tracks the exact-vocab form") {
+    // the web-scale variant: model tables bounded by the bucket count
+    // (always broadcastable), scores correlated with the string-keyed
+    // q81 despite hash collisions — the feature-hashing contract.
+    val hashed = graft.operators.TextAnalysis.dsirWeightHashed(spark, sf0001, buckets = 4096)
+    val exact = run("q81_dsir_weight")
+    val joined = hashed.select(col("doc_id"), col("dsir_weight").as("wh"))
+      .join(exact.select(col("doc_id"), col("dsir_weight").as("we")), "doc_id")
+    val r = joined.agg(corr(col("wh"), col("we"))).head().getDouble(0)
+    assert(r > 0.8, s"hashed and exact DSIR weights must correlate strongly, got r=$r")
+    assert(joined.count() == exact.count())
+    // target docs still outscore the rest under hashing
+    val scored = hashed.join(Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        (graft.functions.Portable.tokenId(col("text")) % 100L >= 95L).as("is_target")),
+      "doc_id")
+    val Array(t, rest) = Seq(true, false).map(v =>
+      scored.filter(col("is_target") === v).agg(avg("dsir_weight")).head().getDouble(0)).toArray
+    assert(t > rest, s"target docs must outscore the rest under hashing: $t vs $rest")
+  }
+
   test("q82 novelty: a copied doc scores zero, first occurrences score one") {
     val dir = java.nio.file.Files.createTempDirectory("graft-novelty").toString
     import spark.implicits._
