@@ -240,6 +240,41 @@ class ScaleSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q79 two-level tie rank matches a global rank on random tie profiles") {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // three seeded corpora spanning tie regimes: all-unique qualities,
+    // heavy ties over few values, and mixed — the two-level assembly
+    // must equal the naive global window on each
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val nVals = seed match { case 1 => 10000; case 7 => 3; case _ => 50 }
+      val planted = (0 until 3000).map { i =>
+        (rnd.nextLong(1L << 40).abs, (rnd.nextInt(500) + 1).toLong,
+          math.rint(rnd.nextInt(nVals).toDouble / nVals * 1e6) / 1e6)
+      }.distinct.map { case (id, t, q) => (id, t, q) }
+        .toDF("doc_id", "n_tokens", "quality")
+      val got = TextAnalysis.curriculumBins(spark, planted, nBins = 7).collect().toSeq
+      val totals = planted.agg(count(lit(1)).as("total_docs"),
+        sum("n_tokens").as("total_tokens"))
+      val expected = planted.withColumn("rnk",
+          row_number().over(Window.orderBy(desc("quality"), asc("doc_id"))))
+        .crossJoin(totals)
+        .withColumn("bin", expr("(rnk - 1) * 7 div total_docs") + 1L)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+          round(avg("quality"), 6).as("avg_quality"),
+          max("total_tokens").as("total_tokens"))
+        .withColumn("cum_token_share",
+          round(sum("sum_tokens").over(
+            Window.orderBy("bin").rowsBetween(Long.MinValue, 0)) / col("total_tokens"), 6))
+        .select("bin", "n_docs", "sum_tokens", "avg_quality", "cum_token_share")
+        .orderBy("bin").collect().toSeq
+      assert(got == expected, s"seed $seed (${nVals} quality values)")
+    }
+  }
+
   test("bigram LM fit keeps at most one corpus cached (LRU of 1)") {
     import graft.operators.TextAnalysis
     import org.apache.spark.storage.StorageLevel
