@@ -14,7 +14,7 @@ import org.apache.spark.sql.graftbridge.SqlBridge
   *
   * {{{
   *   SELECT token_id(word), cosine_sim(a, b), bpe_encode(word),
-  *          repetition_stats(words)
+  *          repetition_stats(words), shingle_hashes(words, 8)
   * }}}
   *
   * `bpe_encode` binds [[graft.operators.Bpe.pretrainedMerges]] — the
@@ -53,6 +53,16 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "repetition_stats expects 1 argument")
         RepetitionStats(args.head)
+      }),
+    (FunctionIdentifier("shingle_hashes"), info("shingle_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "shingle_hashes expects (words, n)")
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"shingle_hashes n must be an integer literal, got $other")
+        }
+        ShingleHashes(args.head, n)
       }))
 
   /** Register on an EXISTING session (tests, notebooks) — same

@@ -101,13 +101,16 @@ class PortableSpec extends AnyFunSuite {
       """SELECT token_id('spark')                             AS t,
         |       cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
         |       bpe_encode('customer')                        AS b,
-        |       repetition_stats(array('a', 'b', 'a', 'b'))   AS r""".stripMargin).head()
+        |       repetition_stats(array('a', 'b', 'a', 'b'))   AS r,
+        |       shingle_hashes(array('a', 'b', 'a', 'b'), 2)  AS s""".stripMargin).head()
     assert(row.getLong(0) == tokenIdRef("spark"))
     assert(row.getDouble(1) == 1.0)
     assert(row.getSeq[String](2).toList == List("c", "u", "st", "o", "mer"))
     // bigrams of [a b a b]: "a b"×2, "b a"×1 → (3, 2, 2)
     val r = row.getStruct(3)
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 2L)))
+    // 2-shingles of [a b a b]: windows ab, ba, ab → 2 distinct hashes
+    assert(row.getSeq[Long](4).length == 2)
     // arity errors surface at analysis, like built-ins
     intercept[Exception](spark.sql("SELECT token_id('a', 'b')").head())
   }
