@@ -91,7 +91,9 @@ object SparkEntry {
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
+    "q85_dup_spans"      -> (TextAnalysis.q85DupSpans _),
     "q76_quantize_int8"  -> (Quantize.q76QuantizeInt8 _),
+    "q84_binary_quant_knn" -> (Quantize.q84BinaryQuantKnn _),
     "q77_minhash_calibration" -> (Dedup.q77MinhashCalibration _),
     "q78_semantic_prune" -> (Dedup.q78SemanticPrune _),
     "q39_multimodal_meta" -> (Multimodal.q39MultimodalMeta _),
@@ -727,6 +729,65 @@ object SparkEntry {
         |       round(pow(n_tokens, 0.5) / z, 6) AS mix_weight,
         |       round(1e9 * (pow(n_tokens, 0.5) / z) / n_tokens, 4) AS epochs_at_1b
         |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
+
+    // Duplicated-substring spans: string-window twin of the Spark
+    // plan's xxhash64 windows (the q75 equivalence); gaps-and-islands
+    // runs over 0-based window positions, identical on both engines.
+    "q85_dup_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |p0 AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws)-7, 1)+1)) AS i FROM w),
+        |p AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, array_to_string(ws[i:i+7], ' ') AS win FROM p0),
+        |d AS (SELECT win, count(*) AS n_occ FROM p GROUP BY win),
+        |f AS (SELECT p.doc_id, p.idx, (d.n_occ >= 2) AS dup FROM p JOIN d USING (win)),
+        |r AS (SELECT doc_id, idx,
+        |        idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS grp
+        |      FROM f WHERE dup),
+        |runs AS (SELECT doc_id, CAST(max(run_len) AS BIGINT) AS max_dup_run FROM (
+        |           SELECT doc_id, grp, count(*) AS run_len FROM r GROUP BY doc_id, grp)
+        |         GROUP BY doc_id),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |               CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        |        FROM f GROUP BY doc_id)
+        |SELECT a.doc_id, n_windows, n_dup,
+        |       coalesce(max_dup_run, 0) AS max_dup_run,
+        |       round(n_dup * 1.0 / n_windows, 6) AS dup_cover
+        |FROM agg a LEFT JOIN runs USING (doc_id) ORDER BY a.doc_id""".stripMargin,
+
+    // Binary-quantized retrieval: the sign-bit band fold is the same
+    // sequential big-endian reduce on both engines (list_reduce with a
+    // prepended 0 == Spark's aggregate with init 0); Hamming via
+    // bit_count(xor), all rank ties broken on vec_id, cosines rounded
+    // before ranking.
+    "q84_binary_quant_knn" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sig AS (SELECT vec_id, v,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(v[1:16],  x -> CASE WHEN x > 0 THEN 1::BIGINT ELSE 0::BIGINT END)), (a, b) -> a*2 + b) AS b0,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(v[17:32], x -> CASE WHEN x > 0 THEN 1::BIGINT ELSE 0::BIGINT END)), (a, b) -> a*2 + b) AS b1,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(v[33:48], x -> CASE WHEN x > 0 THEN 1::BIGINT ELSE 0::BIGINT END)), (a, b) -> a*2 + b) AS b2,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(v[49:64], x -> CASE WHEN x > 0 THEN 1::BIGINT ELSE 0::BIGINT END)), (a, b) -> a*2 + b) AS b3
+        |  FROM e),
+        |q AS (SELECT vec_id AS q_id, v AS qv, b0 AS qb0, b1 AS qb1, b2 AS qb2, b3 AS qb3
+        |      FROM sig WHERE vec_id < 10),
+        |ham AS (SELECT q_id, s.vec_id AS n_id, qv, s.v,
+        |          CAST(bit_count(xor(qb0, b0)) + bit_count(xor(qb1, b1))
+        |             + bit_count(xor(qb2, b2)) + bit_count(xor(qb3, b3)) AS BIGINT) AS hamming
+        |        FROM sig s CROSS JOIN q WHERE s.vec_id <> q_id),
+        |short AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY hamming, n_id) AS hrank FROM ham),
+        |resc AS (SELECT q_id, n_id, hamming,
+        |           round(list_cosine_similarity(qv, v), 6) AS cos_sim
+        |         FROM short WHERE hrank <= 30),
+        |rr AS (SELECT q_id, n_id, hamming, cos_sim,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS BIGINT) AS rank
+        |       FROM resc),
+        |truth AS (SELECT q_id, n_id FROM (
+        |            SELECT q_id, e.vec_id AS n_id,
+        |              row_number() OVER (PARTITION BY q_id ORDER BY round(list_cosine_similarity(qv, e.v), 6) DESC, e.vec_id) AS trank
+        |            FROM e CROSS JOIN q WHERE e.vec_id <> q_id)
+        |          WHERE trank <= 10)
+        |SELECT rr.q_id, rr.rank, rr.n_id, rr.hamming, rr.cos_sim,
+        |       CAST(CASE WHEN t.n_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_exact_topk
+        |FROM rr LEFT JOIN truth t ON rr.q_id = t.q_id AND rr.n_id = t.n_id
+        |WHERE rr.rank <= 10 ORDER BY rr.q_id, rr.rank""".stripMargin,
 
     "q80_event_zscore" ->
       """WITH t AS (

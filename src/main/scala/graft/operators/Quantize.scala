@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -59,5 +59,81 @@ object Quantize {
         round(sqrt(col("sq_err") / size(col("v"))), 6).as("rmse"),
         round(graft.plans.CosineSim.cosine(col("v"), col("dq")), 6).as("cos_q"))
       .orderBy("vec_id")
+  }
+
+  /** Pack the sign bits of dims [lo, lo+width) into one big-endian
+    * integer band: bit i is 1 iff v(lo+i) > 0. The fold is sequential
+    * ((0*2+b₁)*2+b₂…) so the oracle's `list_reduce` reproduces it
+    * exactly. Four 16-bit bands cover a 64-dim vector — 32× smaller
+    * than float32, and Hamming distance over the bands is 4 XOR +
+    * POPCNT ops versus 64 float multiplies. */
+  def signBand(v: Column, lo: Int, width: Int): Column =
+    aggregate(slice(v, lo + 1, width), lit(0L),
+      (acc, x) => acc * 2 + when(x > 0d, 1L).otherwise(0L))
+
+  /** Sign-bit (binary-quantized) signature table: (vec_id, v, b0..b3).
+    * Pure per-row projection — no shuffle; at corpus scale the four
+    * band columns are what gets stored, scanned and shuffled in place
+    * of the float vectors. */
+  def binarySignatures(e: DataFrame): DataFrame =
+    e.withColumn("b0", signBand(col("v"), 0, 16))
+      .withColumn("b1", signBand(col("v"), 16, 16))
+      .withColumn("b2", signBand(col("v"), 32, 16))
+      .withColumn("b3", signBand(col("v"), 48, 16))
+
+  /** q84: binary-quantized two-stage retrieval — the production shape of
+    * vector search over a sign-bit compressed corpus (the "BQ" mode of
+    * modern vector stores): (1) shortlist by Hamming distance over the
+    * packed sign bits (cheap integer ops on 1/32 the bytes), (2) re-rank
+    * the shortlist by exact cosine on the full vectors, (3) report
+    * recall against the exact brute-force top-k, which is what decides
+    * whether the corpus can be served from the quantized form at all.
+    *
+    * Contract mirrors q34: a 10-row query block broadcast against the
+    * corpus scan (the corpus never shuffles); shortlist/top-k are
+    * per-query rank windows over 10×N candidate rows. The truth side is
+    * a second broadcast pass — the CALIBRATION cost (like q77): a
+    * production query path runs only stages 1–2 and scans bands, not
+    * floats. All ordering ties break on vec_id, and cosines are rounded
+    * before ranking, so the oracle reproduces every row bit-for-bit. */
+  def q84BinaryQuantKnn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val sig = binarySignatures(e)
+    val queries = broadcast(sig
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("b0").as("qb0"), col("b1").as("qb1"),
+        col("b2").as("qb2"), col("b3").as("qb3")))
+    val hamming = Seq(("b0", "qb0"), ("b1", "qb1"), ("b2", "qb2"), ("b3", "qb3"))
+      .map { case (c, q) => bit_count(col(c).bitwiseXOR(col(q))) }
+      .reduce(_ + _).cast("long")
+    val byHamming = Window.partitionBy("q_id").orderBy(asc("hamming"), asc("n_id"))
+    val byCosine = Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
+    val shortlist = sig.crossJoin(queries)
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("qv"), col("v"),
+        hamming.as("hamming"))
+      .withColumn("hrank", row_number().over(byHamming))
+      .filter(col("hrank") <= 30)
+      .select(col("q_id"), col("n_id"), col("hamming"),
+        round(graft.plans.CosineSim.cosine(col("qv"), col("v")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(byCosine).cast("long"))
+      .filter(col("rank") <= 10)
+    // truth: exact brute-force cosine top-10 (the q34 plan) — flags which
+    // shortlist hits the float-precision search would have returned
+    val truth = e.crossJoin(queries.select(col("q_id"), col("qv")))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(graft.plans.CosineSim.cosine(col("qv"), col("v")), 6).as("tcos"))
+      .withColumn("trank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("tcos"), asc("n_id"))))
+      .filter(col("trank") <= 10)
+      .select(col("q_id"), col("n_id"), lit(1L).as("in_exact_topk"))
+    shortlist.join(truth, Seq("q_id", "n_id"), "left")
+      .select(col("q_id"), col("rank"), col("n_id"), col("hamming"),
+        col("cos_sim"), coalesce(col("in_exact_topk"), lit(0L)).as("in_exact_topk"))
+      .orderBy("q_id", "rank")
   }
 }

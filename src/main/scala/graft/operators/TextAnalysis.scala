@@ -790,6 +790,54 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** q85: duplicated-substring spans — the positional form of substring
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): a repeated token span of length L ≥ k shows up as
+    * a run of exactly L−k+1 consecutive duplicated k-token windows, so
+    * per-doc `max_dup_run + k − 1` IS the longest duplicated substring
+    * length, and `dup_cover` is the share of window positions a
+    * span-excision pass would cut. q75 answers "how much of this doc is
+    * duplicated?"; this answers "WHERE, and in how long a block?" — the
+    * signal that separates boilerplate headers (short runs) from wholesale
+    * copied passages (long runs).
+    *
+    * Scale shape: the suffix-array construction the paper uses is a
+    * global sort over the whole corpus; the blocked equivalent here is
+    * two O(corpus-token) hash shuffles — windows keyed by hash for the
+    * occurrence count, then by doc for the run/rollup — plus a window
+    * per doc for gaps-and-islands. Window hashes are xxhash64 (never
+    * materialized strings); the oracle joins the window STRINGS, the
+    * q75 hash↔string equivalence. */
+  def q85DupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val w = org.apache.spark.sql.expressions.Window
+    val windows = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(1, greatest(size(ws) - ${k - 1}, 1)), i -> xxhash64(array_join(slice(ws, i, $k), ' ')))"))
+          .as(Seq("idx", "wh")))
+      .select(col("doc_id"), col("idx").cast("long").as("idx"), col("wh"))
+    val flagged = windows
+      .withColumn("n_occ", count(lit(1)).over(w.partitionBy("wh")))
+      .withColumn("dup", col("n_occ") >= 2)
+    val runs = flagged.filter(col("dup"))
+      .withColumn("grp",
+        col("idx") - row_number().over(w.partitionBy("doc_id").orderBy("idx")).cast("long"))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("run_len"))
+      .groupBy("doc_id").agg(max("run_len").as("max_dup_run"))
+    flagged
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"), col("n_dup"),
+        coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"),
+        round(col("n_dup") * lit(1.0) / col("n_windows"), 6).as("dup_cover"))
+      .orderBy("doc_id")
+  }
+
   /** q38: document fingerprint + token counts — order-sensitive rolling
     * hash over the token stream (whitespace tokens and the reference's
     * alpha tokens counted separately). */

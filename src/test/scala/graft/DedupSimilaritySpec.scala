@@ -378,6 +378,52 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q84 sign bands: exact big-endian packing on hand vectors") {
+    // dims 0-15 alternate +/- (first bit is the most significant),
+    // 16-31 all positive, 32-47 all non-positive (zero is a 0 bit),
+    // 48-63 only the first dim positive
+    val v = (0 until 16).map(i => if (i % 2 == 0) 1.0 else -1.0) ++
+      Seq.fill(16)(0.5) ++ Seq.fill(8)(0.0) ++ Seq.fill(8)(-0.5) ++
+      (1.0 +: Seq.fill(15)(-1.0))
+    val sig = Quantize.binarySignatures(Seq((1L, v.toArray)).toDF("vec_id", "v"))
+      .select("b0", "b1", "b2", "b3").as[(Long, Long, Long, Long)].head()
+    assert(sig == ((0xAAAAL, 0xFFFFL, 0L, 0x8000L)))
+  }
+
+  test("q84 binary-quantized retrieval: planted sign-identical twin is rank 1 at hamming 0") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bq").toString
+    // deterministic pseudo-random 64-dim vectors: prime modulus > id
+    // range so no two ids collide into the same vector, no exact zeros
+    def vec(id: Long): Array[Float] =
+      Array.tabulate(64)(j => (((id * 48271 + j * 16807) % 101) - 50.2).toFloat / 50.2f)
+    val twin = vec(0L).map(x => x + math.signum(x) * 0.001f) // same signs as vec 0
+    val rows = (0L until 60L).map(i => (i, vec(i))) :+ (100L, twin)
+    rows.toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    val got = Quantize.q84BinaryQuantKnn(spark, dir).collect()
+    val byQ = got.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 10L).toSet, "one block per query vector")
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getLong(1)).sorted.sameElements(1L to 10L), "exactly ranks 1..10")
+      assert(rs.forall(r => r.getLong(3) >= 0L && r.getLong(3) <= 64L), "hamming in [0, 64]")
+    }
+    val top0 = got.filter(r => r.getLong(0) == 0L && r.getLong(1) == 1L).head
+    assert(top0.getLong(2) == 100L, "the sign-identical twin is retrieved first")
+    assert(top0.getLong(3) == 0L, "twin signature is bit-identical -> hamming 0")
+    assert(top0.getDouble(4) > 0.999, "exact re-rank confirms near-identity")
+    assert(top0.getLong(5) == 1L, "the twin is also in the exact brute-force top-k")
+  }
+
+  test("q84 recall on real embeddings is measured, nonzero, and honest about BQ limits") {
+    val got = SparkEntry.queries("q84_binary_quant_knn")(spark, TestSpark.sf0001).collect()
+    assert(got.length == 100, "10 queries x top-10")
+    val recall = got.map(_.getLong(5)).sum / 100.0
+    // on isotropic noise sign-bit recall is mid-range (measured ~0.5 at
+    // sf0.01); the query's whole point is to REPORT it before a corpus
+    // commits to BQ serving. Anything near zero means the shortlist
+    // stage is broken; near one would be suspicious on this data.
+    assert(recall >= 0.2, s"hamming shortlist must carry signal, got $recall")
+  }
+
   test("q77 calibration: identical docs estimate jaccard 1 exactly; error is sketch-bounded") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cal").toString
     Seq(

@@ -446,6 +446,25 @@ class QueriesSpec extends AnyFunSuite {
     assert(got(3L) == ((5L, 0L, 0.0)))
   }
 
+  test("q85 dup spans: a copied 20-token passage is one run of exactly 13 duplicated windows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dupspans").toString
+    val a = (1 to 30).map(i => s"a$i")              // doc 1: 30 unique tokens
+    val span = a.slice(4, 24)                       // a5..a24 — a 20-token passage
+    Seq(
+      (1L, a.mkString(" ")),
+      (2L, ((1 to 10).map(i => s"b$i") ++ span ++ (1 to 5).map(i => s"c$i")).mkString(" ")),
+      (3L, (1 to 20).map(i => s"x$i").mkString(" "))
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis.q85DupSpans(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // a shared span of L=20 tokens = exactly L-k+1 = 13 consecutive
+    // duplicated 8-windows, so max_dup_run + k - 1 recovers L
+    assert(got(1L) == ((23L, 13L, 13L)), s"doc 1: $got")
+    assert(got(2L) == ((28L, 13L, 13L)), s"doc 2: $got")
+    assert(got(3L) == ((13L, 0L, 0L)), "unique doc has no duplicated window")
+  }
+
   test("q72 funnel is monotone and the cap ranks among survivors, not raw docs") {
     import graft.operators.Funnel
     import spark.implicits._
