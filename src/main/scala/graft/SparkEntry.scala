@@ -65,6 +65,7 @@ object SparkEntry {
     "q33_ngram_jaccard"  -> (Dedup.q33NgramJaccard _),
     "q49_embedding_neardup" -> (Dedup.q49EmbeddingNearDup _),
     "q68_dedup_clusters" -> (Dedup.q68DedupClusters _),
+    "q86_hybrid_dedup"   -> (Dedup.q86HybridDedup _),
     "q34_knn_cosine"     -> (Similarity.q34KnnCosine _),
     "q61_knn_join"       -> (Similarity.q61KnnJoin _),
     "q35_lang_profile"   -> (TextAnalysis.q35LangProfile _),
@@ -872,6 +873,49 @@ object SparkEntry {
          |       CAST(CASE WHEN c.id = c.cluster THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
          |FROM comp c JOIN sizes s USING (cluster)
          |ORDER BY cluster, vec_id""".stripMargin,
+
+    // Multi-signal dedup resolution: the q33 text-edge CTEs (thresholded
+    // at jaccard >= 0.5, no LIMIT) unioned with the q68 embedding edges,
+    // transitive closure, plus per-cluster signal-provenance flags.
+    "q86_hybrid_dedup" ->
+      s"""WITH RECURSIVE $simhashCandCte,
+         |epairs AS (SELECT id_a, id_b
+         |           FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+         |                     JOIN e eb ON eb.vec_id = cand.id_b
+         |           WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.45),
+         |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(ws)-3, 1)+1),
+         |         i -> array_to_string(ws[i:i+3], ' ')))) AS shingle FROM w),
+         |shsizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |rare AS (SELECT sh.doc_id, sh.shingle FROM sh
+         |         JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50) r
+         |         ON sh.shingle = r.shingle),
+         |tpairs0 AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+         |            FROM rare x JOIN rare y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |            GROUP BY id_a, id_b),
+         |tpairs AS (SELECT id_a, id_b FROM tpairs0
+         |           JOIN shsizes sa ON tpairs0.id_a = sa.doc_id
+         |           JOIN shsizes sb ON tpairs0.id_b = sb.doc_id
+         |           WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5),
+         |upairs AS (SELECT id_a, id_b, max(st) AS sig_text, max(se) AS sig_emb FROM (
+         |             SELECT id_a, id_b, 1 AS st, 0 AS se FROM tpairs
+         |             UNION ALL SELECT id_a, id_b, 0 AS st, 1 AS se FROM epairs)
+         |           GROUP BY id_a, id_b),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM upairs
+         |          UNION SELECT id_b, id_a FROM upairs),
+         |reach(id, r) AS (SELECT DISTINCT a, a FROM edges
+         |                 UNION
+         |                 SELECT ed.a, reach.r FROM edges ed JOIN reach ON reach.id = ed.b),
+         |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         |csizes AS (SELECT cluster, count(*) AS n_members FROM comp GROUP BY cluster),
+         |flags AS (SELECT c.cluster, CAST(max(u.sig_text) AS BIGINT) AS has_text,
+         |                 CAST(max(u.sig_emb) AS BIGINT) AS has_emb
+         |          FROM upairs u JOIN comp c ON u.id_a = c.id GROUP BY c.cluster)
+         |SELECT c.id AS doc_id, c.cluster, s.n_members,
+         |       CAST(CASE WHEN c.id = c.cluster THEN 1 ELSE 0 END AS BIGINT) AS is_canonical,
+         |       f.has_text, f.has_emb
+         |FROM comp c JOIN csizes s USING (cluster) JOIN flags f USING (cluster)
+         |ORDER BY cluster, doc_id""".stripMargin,
 
     // Blocked kNN join: same candidates, both orientations, per-vector
     // top-3 by (cos desc, n_id).

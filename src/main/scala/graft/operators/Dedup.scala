@@ -118,26 +118,12 @@ object Dedup {
         graft.plans.ShingleHashes.shingleHashes(split(col("text"), " "), 4)).as("shingle"))
       .persist()
     try {
-      // Candidate pairs by bucket, not by self-join: group each shingle's
-      // doc list (the df ≤ 50 cutoff bounds the list, so no skew bomb),
-      // emit ordered (a, b) pairs with one HOF — one shuffle on shingle
-      // replaces the self-join's two, and pair generation is codegen'd.
-      val pairs = sh.groupBy("shingle")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")).between(2, 50))
-        .select(explode(expr(
-          "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a AS id_a, b AS id_b))))"
-        )).as("p"))
-        .select(col("p.id_a"), col("p.id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(count(lit(1)).as("inter"))
-      // per-doc shingle-set sizes: tiny (one row per doc) — broadcast.
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val top = pairs
-        .join(broadcast(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("size_a"))), "id_a")
-        .join(broadcast(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("size_b"))), "id_b")
-        .select(col("id_a"), col("id_b"),
-          round(col("inter") / (col("size_a") + col("size_b") - col("inter")), 6).as("jaccard"))
+      // Candidate pairs by bucket, not by self-join (shingleJaccardPairs):
+      // group each shingle's doc list (the df ≤ 50 cutoff bounds the
+      // list, so no skew bomb), emit ordered (a, b) pairs with one HOF —
+      // one shuffle on shingle replaces the self-join's two, and pair
+      // generation is codegen'd. Doc-size side is tiny — broadcast.
+      val top = shingleJaccardPairs(sh, dfCap = 50)
         .orderBy(desc("jaccard"), asc("id_a"), asc("id_b"))
         .limit(20)
       // Materialize eagerly so the shingle cache can be released before
@@ -501,6 +487,91 @@ object Dedup {
     * library-native LSH surface (model hashes are seeded but not
     * reproducible in DuckDB, so no SQL oracle; the approx-join path is
     * exercised in the test suite). */
+  /** Thresholded text near-dup edge list — the q33 blocked shape
+    * (native shingle hashes, bucketed pair generation, df ≤ `dfCap`
+    * bound) without q33's top-k contract: every ordered pair whose
+    * rounded shingle-set Jaccard clears `minJaccard`. The shingle
+    * explode is persisted for its two consumers (pair counts, set
+    * sizes) and the edge list is materialized via localCheckpoint
+    * before the cache is released — the Graph CC pattern, since the
+    * edge list (unlike q33's LIMIT 20) is not driver-bounded. */
+  def textNearDupEdges(docs: DataFrame, k: Int, dfCap: Int, minJaccard: Double): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(
+        graft.plans.ShingleHashes.shingleHashes(split(col("text"), " "), k)).as("shingle"))
+      .persist()
+    try
+      shingleJaccardPairs(sh, dfCap)
+        .filter(col("jaccard") >= minJaccard)
+        .localCheckpoint(true)
+    finally sh.unpersist()
+  }
+
+  /** Shared pair-generation plan over a (persisted) doc-shingle table:
+    * bucketed candidate pairs under the df cap, scored with shingle-set
+    * Jaccard. Pure plan builder — callers own the cache lifecycle. */
+  private def shingleJaccardPairs(sh: DataFrame, dfCap: Int): DataFrame = {
+    val pairs = sh.groupBy("shingle")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, dfCap))
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a AS id_a, b AS id_b))))"
+      )).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    pairs
+      .join(broadcast(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("size_a"))), "id_a")
+      .join(broadcast(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("size_b"))), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("inter") / (col("size_a") + col("size_b") - col("inter")), 6).as("jaccard"))
+  }
+
+  /** q86: multi-signal dedup resolution — real pipelines run SEVERAL
+    * near-dup detectors (surface text, semantic embedding, URL, exact
+    * hash) and must resolve the UNION of their edge lists into one
+    * cluster decision, tracking which signal found what (a cluster only
+    * the embedding signal sees is a paraphrase family; only the text
+    * signal, boilerplate). Here: q33-shape text edges (4-gram Jaccard
+    * ≥ 0.5) unioned with the q49 embedding edges (blocked-exact cosine
+    * ≥ 0.45, vec_id keyed to doc_id by the data model), resolved via
+    * [[Graph.connectedComponents]], min-id canonical — with per-cluster
+    * signal provenance flags.
+    *
+    * Scale shape: both edge generators are the already-audited blocked
+    * plans (no all-pairs anywhere); the union adds one distinct-shuffle
+    * over O(edges); CC is the q68 machinery. Nothing new grows faster
+    * than its inputs. */
+  def q86HybridDedup(spark: SparkSession, dir: String): DataFrame = {
+    val text = textNearDupEdges(
+      Tables.documents(spark, dir).select("doc_id", "text"),
+      k = 4, dfCap = 50, minJaccard = 0.5)
+      .select(col("id_a"), col("id_b"),
+        lit(1L).as("sig_text"), lit(0L).as("sig_emb"))
+    val emb = blockedEmbeddingNearDup(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      minCosine = 0.45)
+      .select(col("id_a"), col("id_b"),
+        lit(0L).as("sig_text"), lit(1L).as("sig_emb"))
+    val edges = text.unionByName(emb)
+      .groupBy("id_a", "id_b")
+      .agg(max("sig_text").as("sig_text"), max("sig_emb").as("sig_emb"))
+    val comp = Graph.connectedComponents(edges.select("id_a", "id_b"))
+    val members = comp.select(col("id").as("doc_id"), col("label").as("cluster"))
+    val sizes = members.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+    val flags = edges
+      .join(members.select(col("doc_id").as("id_a"), col("cluster")), "id_a")
+      .groupBy("cluster")
+      .agg(max("sig_text").as("has_text"), max("sig_emb").as("has_emb"))
+    members.join(sizes, "cluster").join(flags, "cluster")
+      .select(col("doc_id"), col("cluster"), col("n_members"),
+        (col("doc_id") === col("cluster")).cast("long").as("is_canonical"),
+        col("has_text"), col("has_emb"))
+      .orderBy("cluster", "doc_id")
+  }
+
   def q42MlMinHashLsh(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.feature.{CountVectorizer, MinHashLSH}
     val docs = Tables.documents(spark, dir)

@@ -378,6 +378,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q86 hybrid dedup: text and embedding edges merge transitively with provenance") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hybrid").toString
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t4 = "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    def uniq(i: Int) = (1 to 10).map(j => s"u${i}w$j").mkString(" ")
+    Seq(
+      (1L, t1), (2L, t1),           // text duplicates 1-2
+      (3L, uniq(3)),
+      (4L, t4), (5L, t4),           // text duplicates 4-5
+      (6L, uniq(6)), (7L, uniq(7))
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    def onehot(i: Int) = Array.tabulate(64)(j => if (j == i) 1.0f else -0.01f)
+    val shared23 = Array.tabulate(64)(j => if (j % 2 == 0) 0.7f else -0.7f)
+    val shared67 = Array.tabulate(64)(j => if (j % 3 == 0) 0.9f else -0.4f)
+    Seq(
+      (1L, onehot(1)),
+      (2L, shared23), (3L, shared23),   // embedding duplicates 2-3
+      (4L, onehot(4)), (5L, onehot(5)),
+      (6L, shared67), (7L, shared67)    // embedding duplicates 6-7
+    ).toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    val got = Dedup.q86HybridDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // text 1-2 and embedding 2-3 chain into ONE cluster — the merge no
+    // single-signal pass can make — flagged with both provenances
+    assert(got(1L) == ((1L, 3L, 1L, 1L, 1L)), s"got $got")
+    assert(got(2L) == ((1L, 3L, 0L, 1L, 1L)))
+    assert(got(3L) == ((1L, 3L, 0L, 1L, 1L)))
+    // single-signal clusters carry only their own flag
+    assert(got(4L) == ((4L, 2L, 1L, 1L, 0L)), "text-only cluster")
+    assert(got(6L) == ((6L, 2L, 1L, 0L, 1L)), "embedding-only cluster")
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+  }
+
   test("q84 sign bands: exact big-endian packing on hand vectors") {
     // dims 0-15 alternate +/- (first bit is the most significant),
     // 16-31 all positive, 32-47 all non-positive (zero is a 0 bit),
