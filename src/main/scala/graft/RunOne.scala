@@ -21,11 +21,15 @@ object RunOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // dev-only variants not on the declared surface: q77_sampled_<pct>
-    // runs the production sampled calibration mode
+    // runs the production sampled calibration mode; q81_hashed_<buckets>
+    // runs the vocabulary-independent hashed-feature DSIR
     val sampled = "q77_sampled_(\\d+)".r
+    val hashed = "q81_hashed_(\\d+)".r
     val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame = name match {
       case sampled(pct) =>
         (s, d) => operators.Dedup.minhashCalibration(s, d, pct.toInt)
+      case hashed(buckets) =>
+        (s, d) => operators.TextAnalysis.dsirWeightHashed(s, d, buckets.toInt)
       case _ => SparkEntry.queries(name)
     }
     if (explain) fn(spark, sfDir).explain("formatted")

@@ -101,6 +101,7 @@ object SparkEntry {
     "q46_frame_sample"   -> (Multimodal.q46FrameSample _),
     "q60_chunk_dedup"    -> (Multimodal.q60ChunkDedup _),
     "q56_bpe_encode"     -> (Bpe.q56BpeEncode _),
+    "q87_tokenizer_fertility" -> (Bpe.q87TokenizerFertility _),
     "q58_dropped_vocab"  -> (Embed.q58DroppedVocab _),
     // rows-only (ML-backed / engine-specific, no SQL oracle)
     "q40_word2vec_vocab" -> (Embed.q40Word2VecVocab _),
@@ -949,6 +950,28 @@ object SparkEntry {
          |       replace(replace(replace(s, '><', ' '), '<', ''), '>', '') AS tokens,
          |       CAST(length(s) - length(replace(s, '<', '')) AS BIGINT) AS n_tokens
          |FROM seg ORDER BY word""".stripMargin
+    },
+
+    // Tokenizer fertility: the q56 replace-chain encodes each DISTINCT
+    // word; occurrences probe the encoded vocabulary — identical
+    // per-distinct-word shape on both engines.
+    "q87_tokenizer_fertility" -> {
+      val chain = operators.Bpe.pretrainedMerges.foldLeft(
+        s"regexp_replace(word, '(.)', '<\\1>', 'g')") { case (acc, (l, r)) =>
+          s"replace($acc, '<$l><$r>', '<$l$r>')"
+      }
+      s"""WITH words AS (SELECT lang, unnest(${tok("text")}) AS word FROM documents),
+         |dv AS (SELECT DISTINCT word FROM words),
+         |enc AS (SELECT word,
+         |          CAST(length(s) - length(replace(s, '<', '')) AS BIGINT) AS n_sub,
+         |          CAST(length(word) AS BIGINT) AS n_chars
+         |        FROM (SELECT word, $chain AS s FROM dv))
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(n_sub) AS BIGINT) AS n_subtokens,
+         |       round(sum(n_sub) * 1.0 / count(*), 6) AS fertility,
+         |       round(sum(n_chars) * 1.0 / sum(n_sub), 6) AS bytes_per_token
+         |FROM words JOIN enc USING (word)
+         |GROUP BY lang ORDER BY lang""".stripMargin
     },
 
     "q58_dropped_vocab" ->

@@ -163,4 +163,41 @@ object Bpe {
       .map { case ((l, r), i) => (i.toLong, l, r, l + r) }
       .toDF("rank", "left", "right", "merged")
   }
+
+  /** q87: tokenizer fertility by language — subword tokens per word and
+    * bytes per subword token, the standard multilingual tokenizer-
+    * efficiency report (a language whose fertility is 2× pays 2× the
+    * sequence length for the same text, which is a data-mix and cost
+    * input, not a curiosity).
+    *
+    * Scale shape: the corpus is never BPE-encoded row by row — the
+    * frozen tokenizer runs once per DISTINCT word (the q56 rationale:
+    * vocabulary ≪ occurrences) and occurrences probe the encoded
+    * vocabulary through a size-guarded broadcast join
+    * ([[Guard.modelBroadcast]] — vocabulary is corpus-derived, so at
+    * web scale the hint must be allowed to degrade to a shuffle join).
+    * One explode scan + one vocab aggregate + one O(sources) rollup. */
+  def q87TokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.BpeEncode
+    val words = Tables.documents(spark, dir)
+      .select(col("lang"), explode(Portable.tokenize(col("text"))).as("word"))
+    // Materialize the encoded vocabulary ONCE: without the checkpoint,
+    // the guard's row count and the broadcast build each re-run the
+    // explode + distinct + encode subtree (3 executions — measured 36 s
+    // at the 100× corpus; ~14 s with it). Model-sized blocks, the
+    // memoized-LM-fit precedent.
+    val enc = words.select("word").distinct()
+      .select(col("word"),
+        size(BpeEncode.bpe(col("word"), pretrainedMerges)).cast("long").as("n_sub"),
+        length(col("word")).cast("long").as("n_chars"))
+      .localCheckpoint(true)
+    words.join(Guard.modelBroadcast(enc, knownCount = Some(enc.count())), "word")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum("n_sub").as("n_subtokens"),
+        round(sum("n_sub") * lit(1.0) / count(lit(1)), 6).as("fertility"),
+        round(sum("n_chars") * lit(1.0) / sum("n_sub"), 6).as("bytes_per_token"))
+      .orderBy("lang")
+  }
 }

@@ -555,9 +555,15 @@ object Dedup {
       minCosine = 0.45)
       .select(col("id_a"), col("id_b"),
         lit(0L).as("sig_text"), lit(1L).as("sig_emb"))
+    // Materialize the union once: CC's iterative rounds and the flags
+    // join both consume it, and without the checkpoint each consumer
+    // would re-run BOTH edge generators (measured 6.5 s -> 5.3 s at
+    // sf0.1; the remainder is the edge generators themselves plus CC's
+    // per-round fixed cost).
     val edges = text.unionByName(emb)
       .groupBy("id_a", "id_b")
       .agg(max("sig_text").as("sig_text"), max("sig_emb").as("sig_emb"))
+      .localCheckpoint(true)
     val comp = Graph.connectedComponents(edges.select("id_a", "id_b"))
     val members = comp.select(col("id").as("doc_id"), col("label").as("cluster"))
     val sizes = members.groupBy("cluster").agg(count(lit(1)).as("n_members"))

@@ -818,24 +818,38 @@ object TextAnalysis {
           s"transform(sequence(1, greatest(size(ws) - ${k - 1}, 1)), i -> xxhash64(array_join(slice(ws, i, $k), ' ')))"))
           .as(Seq("idx", "wh")))
       .select(col("doc_id"), col("idx").cast("long").as("idx"), col("wh"))
+    // dup flag via one `count() OVER (PARTITION BY wh)` pass — the
+    // q59/q75 window shape. Persisted: the run detector and the per-doc
+    // rollup both consume it, and re-running the explode + window
+    // exchange for each costs a second O(corpus-token) shuffle
+    // (measured at the 100× corpus: 47 s unpersisted -> 42 s persisted;
+    // the gap widens with corpus size as the shuffle dominates the
+    // cache). Also measured and REJECTED: replacing the window with a
+    // partial-agged dup-hash broadcast join — on a duplication-heavy
+    // corpus the cache passes + 2M-entry hash probe cost more than the
+    // window sort they save (55 s).
     val flagged = windows
       .withColumn("n_occ", count(lit(1)).over(w.partitionBy("wh")))
       .withColumn("dup", col("n_occ") >= 2)
-    val runs = flagged.filter(col("dup"))
-      .withColumn("grp",
-        col("idx") - row_number().over(w.partitionBy("doc_id").orderBy("idx")).cast("long"))
-      .groupBy("doc_id", "grp").agg(count(lit(1)).as("run_len"))
-      .groupBy("doc_id").agg(max("run_len").as("max_dup_run"))
-    flagged
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_windows"),
-        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup"))
-      .join(runs, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_windows"), col("n_dup"),
-        coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"),
-        round(col("n_dup") * lit(1.0) / col("n_windows"), 6).as("dup_cover"))
-      .orderBy("doc_id")
+      .persist()
+    try {
+      val runs = flagged.filter(col("dup"))
+        .withColumn("grp",
+          col("idx") - row_number().over(w.partitionBy("doc_id").orderBy("idx")).cast("long"))
+        .groupBy("doc_id", "grp").agg(count(lit(1)).as("run_len"))
+        .groupBy("doc_id").agg(max("run_len").as("max_dup_run"))
+      flagged
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_windows"),
+          sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup"))
+        .join(runs, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_windows"), col("n_dup"),
+          coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"),
+          round(col("n_dup") * lit(1.0) / col("n_windows"), 6).as("dup_cover"))
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+    } finally flagged.unpersist()
   }
 
   /** q38: document fingerprint + token counts — order-sensitive rolling

@@ -465,6 +465,34 @@ class QueriesSpec extends AnyFunSuite {
     assert(got(3L) == ((13L, 0L, 0L)), "unique doc has no duplicated window")
   }
 
+  test("q87 tokenizer fertility agrees with the library encoder word by word") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fert").toString
+    // 'spark' and 'window' saturate the frozen merges (1 token each);
+    // 'zzq' has no applicable merge (3 single-char tokens)
+    Seq(
+      (1L, "spark window spark", "en"),
+      (2L, "zzq zzq", "xx")
+    ).toDF("doc_id", "text", "lang").write.parquet(s"$dir/documents.parquet")
+    val merges = graft.operators.Bpe.pretrainedMerges.toArray
+    def subs(w: String) = graft.operators.Bpe.encode(w, merges).length.toLong
+    val got = graft.operators.Bpe.q87TokenizerFertility(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val en = 2 * subs("spark") + subs("window")
+    assert(got("en") == ((3L, en,
+      BigDecimal(en / 3.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(16.0 / en).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got("xx")._1 == 2L)
+    assert(got("xx")._2 == 2 * subs("zzq"))
+    // fertility is bounded by [1, word length] for any corpus
+    val real = SparkEntry.queries("q87_tokenizer_fertility")(spark, TestSpark.sf0001).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getDouble(3) >= 1.0 && r.getDouble(4) >= 1.0,
+        s"fertility and bytes/token are >= 1 by construction: $r")
+    }
+  }
+
   test("q72 funnel is monotone and the cap ranks among survivors, not raw docs") {
     import graft.operators.Funnel
     import spark.implicits._
