@@ -96,31 +96,46 @@ object Quantize {
     * production query path runs only stages 1–2 and scans bands, not
     * floats. All ordering ties break on vec_id, and cosines are rounded
     * before ranking, so the oracle reproduces every row bit-for-bit. */
-  def q84BinaryQuantKnn(spark: SparkSession, dir: String): DataFrame = {
+  /** The two-stage retrieval core (stages 1–2 of q84, and the whole
+    * production query path): Hamming-shortlist each query against the
+    * signed corpus, re-rank the shortlist by exact cosine. `queries`
+    * carries (q_id, qv, qb0..qb3) — a broadcast-sized query block by
+    * contract (the corpus side never shuffles; the only exchange is
+    * the per-query rank window over |queries|×N candidate rows). */
+  def bqTopK(sig: DataFrame, queries: DataFrame,
+             shortlistN: Int = 30, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val sig = binarySignatures(e)
-    val queries = broadcast(sig
-      .filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("b0").as("qb0"), col("b1").as("qb1"),
-        col("b2").as("qb2"), col("b3").as("qb3")))
     val hamming = Seq(("b0", "qb0"), ("b1", "qb1"), ("b2", "qb2"), ("b3", "qb3"))
       .map { case (c, q) => bit_count(col(c).bitwiseXOR(col(q))) }
       .reduce(_ + _).cast("long")
     val byHamming = Window.partitionBy("q_id").orderBy(asc("hamming"), asc("n_id"))
     val byCosine = Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
-    val shortlist = sig.crossJoin(queries)
+    sig.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"), col("qv"), col("v"),
         hamming.as("hamming"))
       .withColumn("hrank", row_number().over(byHamming))
-      .filter(col("hrank") <= 30)
+      .filter(col("hrank") <= shortlistN)
       .select(col("q_id"), col("n_id"), col("hamming"),
         round(graft.plans.CosineSim.cosine(col("qv"), col("v")), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(byCosine).cast("long"))
-      .filter(col("rank") <= 10)
+      .filter(col("rank") <= k)
+  }
+
+  /** A query block in [[bqTopK]]'s shape from any (vec_id, v) table. */
+  def asQueryBlock(e: DataFrame): DataFrame =
+    binarySignatures(e)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("b0").as("qb0"), col("b1").as("qb1"),
+        col("b2").as("qb2"), col("b3").as("qb3"))
+
+  def q84BinaryQuantKnn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val sig = binarySignatures(e)
+    val queries = asQueryBlock(e.filter(col("vec_id") < 10))
+    val shortlist = bqTopK(sig, queries)
     // truth: exact brute-force cosine top-10 (the q34 plan) — flags which
     // shortlist hits the float-precision search would have returned
     val truth = e.crossJoin(queries.select(col("q_id"), col("qv")))

@@ -317,6 +317,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("online BQ retrieval answers a query stream bit-identically to batch q84") {
+    import org.apache.spark.sql.DataFrame
+    val dir = java.nio.file.Files.createTempDirectory("graft-vec-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$sf0001/embeddings.parquet"),
+      dir.resolve("embeddings.parquet"))
+    val corpus = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val corpusSig = graft.operators.Quantize.binarySignatures(corpus)
+    val queries = spark.readStream
+      .schema(spark.read.parquet(s"$dir/embeddings.parquet").schema)
+      .parquet(dir.toString)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Double)]
+    val q = queries.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val out = graft.streaming.VecStream.bqProbe(corpusSig, batch).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        results.synchronized { results ++= out }
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-vec-ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val want = SparkEntry.queries("q84_binary_quant_knn")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(results.nonEmpty && results.toSet == want.toSet,
+      s"online answers must equal the batch top-k (got ${results.size}, want ${want.length})")
+  }
+
   test("per-row text kernels (repetition stats, PII scrub) run unchanged on a doc stream") {
     // the text-pipeline scalar operators are stateless per-row plans, so
     // the SAME expressions work at ingest time with no code changes —
