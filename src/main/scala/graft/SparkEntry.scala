@@ -93,6 +93,7 @@ object SparkEntry {
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
     "q85_dup_spans"      -> (TextAnalysis.q85DupSpans _),
+    "q88_source_report"  -> (TextAnalysis.q88SourceReport _),
     "q76_quantize_int8"  -> (Quantize.q76QuantizeInt8 _),
     "q84_binary_quant_knn" -> (Quantize.q84BinaryQuantKnn _),
     "q77_minhash_calibration" -> (Dedup.q77MinhashCalibration _),
@@ -1089,6 +1090,43 @@ object SparkEntry {
         |                  AND 1 - n_distinct * 1.0 / n_bigrams <= 0.1
         |            THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // Per-source report card: q37's rounded quality intermediates +
+    // q65's bigram CTE + q30's md5, rolled up by source; the repetition
+    // keep compares ROUNDED fractions at the 0.1 boundary (the q65
+    // contract).
+    "q88_source_report" ->
+      s"""WITH d AS (SELECT doc_id, source, lang, text,
+         |             string_split(text, ' ') AS ws, ${tok("text")} AS words FROM documents),
+         |s AS (SELECT doc_id, source, lang, md5(text) AS h,
+         |        CAST(len(ws) AS BIGINT) AS n_ws, len(words) AS n_alpha,
+         |        round(CAST(len(list_distinct(words)) AS DOUBLE) / greatest(len(words), 1), 6) AS ttr,
+         |        round(CAST(len(list_filter(words, w -> w IN $stoplist)) AS DOUBLE)
+         |              / greatest(len(words), 1), 6) AS stop_share,
+         |        ws FROM d),
+         |q AS (SELECT doc_id, source, lang, h, n_ws,
+         |        round(least(ttr * 2.0, 1.0) * 0.5
+         |              + CASE WHEN n_alpha BETWEEN 20 AND 400 THEN 0.3 ELSE 0.0 END
+         |              + least(stop_share * 3.0, 0.2), 6) AS quality
+         |      FROM s),
+         |bg AS (SELECT doc_id, ws[i.i] || ' ' || ws[i.i+1] AS bigram
+         |       FROM s, LATERAL (SELECT unnest(range(1, len(ws))) AS i) i),
+         |cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram),
+         |rep AS (SELECT doc_id, sum(c) AS nb, count(*) AS nd, max(c) AS tc FROM cnt GROUP BY doc_id),
+         |j AS (SELECT q.*,
+         |        CASE WHEN rep.nb > 0 THEN 1 ELSE 0 END AS rep_eval,
+         |        CASE WHEN rep.nb > 0 AND round(tc * 1.0 / nb, 6) <= 0.1
+         |                  AND round(1 - nd * 1.0 / nb, 6) <= 0.1 THEN 1 ELSE 0 END AS rep_keep
+         |      FROM q LEFT JOIN rep USING (doc_id))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |       CAST(sum(n_ws) AS BIGINT) AS n_tokens,
+         |       round(avg(quality), 6) AS avg_quality,
+         |       CAST(sum(rep_eval) AS BIGINT) AS n_rep_eval,
+         |       CAST(sum(rep_keep) AS BIGINT) AS n_rep_keep,
+         |       round(sum(rep_keep) * 1.0 / greatest(sum(rep_eval), 1), 6) AS rep_keep_rate,
+         |       round(1 - count(DISTINCT h) * 1.0 / count(*), 6) AS dup_rate
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     // Stratified sample / source caps: the rate map and cap literal are
     // single-sourced from TextAnalysis so both engines see one truth.

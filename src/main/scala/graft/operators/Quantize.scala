@@ -146,7 +146,9 @@ object Quantize {
         Window.partitionBy("q_id").orderBy(desc("tcos"), asc("n_id"))))
       .filter(col("trank") <= 10)
       .select(col("q_id"), col("n_id"), lit(1L).as("in_exact_topk"))
-    shortlist.join(truth, Seq("q_id", "n_id"), "left")
+    // truth is ≤ |queries|×k rows by construction — broadcast, so the
+    // calibration join adds no shuffle
+    shortlist.join(broadcast(truth), Seq("q_id", "n_id"), "left")
       .select(col("q_id"), col("rank"), col("n_id"), col("hamming"),
         col("cos_sim"), coalesce(col("in_exact_topk"), lit(0L)).as("in_exact_topk"))
       .orderBy("q_id", "rank")

@@ -852,6 +852,60 @@ object TextAnalysis {
     } finally flagged.unpersist()
   }
 
+  /** q88: per-source corpus report card — the health table a pipeline
+    * owner reads before touching the mix: per source, volume (docs,
+    * tokens, languages), mean q37 quality, the q65 repetition pass rate,
+    * and the exact-duplicate rate (1 − distinct md5 / docs). One scan
+    * computes every per-row signal (tokenize HOFs, the native
+    * RepetitionStats kernel, md5) and ONE partial-aggregated
+    * groupBy(source) rolls them up — the q72 flag-algebra lesson applied
+    * to reporting; the two DISTINCT aggregates (lang, md5) expand-rewrite
+    * exactly like q23.
+    *
+    * Signal contracts are shared with their parent queries: quality uses
+    * q37's rounded ttr/stop_share intermediates; the repetition keep
+    * compares q65's ROUNDED fractions against the 0.1 thresholds (the
+    * rounding is part of the cross-engine semantics at the boundary);
+    * docs without a bigram are counted as evaluated=0 like q65's ≥2-word
+    * filter. */
+  def q88SourceReport(spark: SparkSession, dir: String): DataFrame = {
+    val words = Portable.tokenize(col("text"))
+    val denom = greatest(size(words), lit(1)).cast("double")
+    val ttr = round(size(array_distinct(words)).cast("double") / denom, 6)
+    val stopShare = round(
+      size(filter(words, w => w.isin(stopwords: _*))).cast("double") / denom, 6)
+    val quality = round(
+      least(ttr * 2.0, lit(1.0)) * 0.5
+        + when(size(words).between(20, 400), 0.3).otherwise(0.0)
+        + least(stopShare * 3.0, lit(0.2)), 6)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_ws"),
+        quality.as("quality"),
+        graft.plans.RepetitionStats.repetitionStats(split(col("text"), " ")).as("st"),
+        md5(col("text")).as("h"))
+      .withColumn("rep_eval", (col("st.n_bigrams") > 0L).cast("long"))
+      .withColumn("rep_keep", (col("st.n_bigrams") > 0L &&
+        round(col("st.top_cnt").cast("double") / col("st.n_bigrams"), 6) <= 0.1 &&
+        round(lit(1.0) - col("st.n_distinct").cast("double") / col("st.n_bigrams"), 6) <= 0.1
+        ).cast("long"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum("n_ws").as("n_tokens"),
+        round(avg("quality"), 6).as("avg_quality"),
+        sum("rep_eval").as("n_rep_eval"),
+        sum("rep_keep").as("n_rep_keep"),
+        countDistinct(col("h")).as("n_uniq"))
+      .select(col("source"), col("n_docs"), col("n_langs"), col("n_tokens"),
+        col("avg_quality"), col("n_rep_eval"), col("n_rep_keep"),
+        round(col("n_rep_keep") * lit(1.0) / greatest(col("n_rep_eval"), lit(1L)), 6)
+          .as("rep_keep_rate"),
+        round(lit(1.0) - col("n_uniq") * lit(1.0) / col("n_docs"), 6).as("dup_rate"))
+      .orderBy("source")
+  }
+
   /** q38: document fingerprint + token counts — order-sensitive rolling
     * hash over the token stream (whitespace tokens and the reference's
     * alpha tokens counted separately). */

@@ -493,6 +493,34 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q88 source report: duplicate, repetition and language signals roll up per source") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-report").toString
+    val prose = (1 to 30).map(i => s"w$i").mkString(" ")
+    Seq(
+      (1L, prose, "en", "srcA"),              // unique, 30 distinct bigrams
+      (2L, prose, "en", "srcA"),              // exact duplicate of 1
+      (3L, "solo", "de", "srcA"),             // single word: no bigram to evaluate
+      (4L, "spam spam spam spam spam spam", "en", "srcB") // one bigram repeated
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis.q88SourceReport(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = got("srcA")
+    assert(a.getLong(1) == 3L && a.getLong(2) == 2L, "3 docs, 2 languages")
+    assert(a.getLong(3) == 61L, "30 + 30 + 1 whitespace tokens")
+    assert(a.getLong(5) == 2L, "the single-word doc is not repetition-evaluated")
+    assert(a.getLong(6) == 2L, "both prose docs pass the repetition gate")
+    assert(a.getDouble(8) == BigDecimal(1.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      "one of three docs is an exact duplicate")
+    val b = got("srcB")
+    assert(b.getLong(5) == 1L && b.getLong(6) == 0L,
+      "the all-spam doc is evaluated and fails the repetition gate")
+    assert(b.getDouble(8) == 0.0)
+  }
+
   test("q72 funnel is monotone and the cap ranks among survivors, not raw docs") {
     import graft.operators.Funnel
     import spark.implicits._

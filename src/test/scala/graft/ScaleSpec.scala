@@ -300,6 +300,19 @@ class ScaleSpec extends AnyFunSuite {
     assert(TextAnalysis.lmCachedDirs(spark) == Set(sf0001))
   }
 
+  test("q84 BQ retrieval: corpus joins the query block by broadcast, never by shuffle or cartesian") {
+    // the q84/q34 contract: the corpus side streams past a broadcast
+    // query block — a SortMergeJoin (corpus shuffle on a join key it
+    // doesn't have) or a CartesianProduct (corpus × corpus) would mean
+    // the contract broke and the plan cannot survive a 100× corpus
+    val plan = SparkEntry.queries("q84_binary_quant_knn")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query block must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"corpus must never shuffle into the join or pair with itself:\n$plan")
+  }
+
   test("salted join returns exactly the plain join result") {
     val lineitem = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity", "l_partkey")
     val orders = Tables.orders(spark, sf0001).select("o_orderkey", "o_orderpriority")
