@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Portable
+
+/** Learned quality filter — the engine's second ML macro-operator
+  * (after the Word2Vec flagship): a fastText/CCNet-style classifier
+  * pipeline that DISTILLS a rule-based quality gate into a parametric
+  * model emitting a smooth keep-probability per document.
+  *
+  * Real pipelines train such filters on weak labels (curated-source
+  * vs crawl); this corpus has no curated source, so the weak label is
+  * the engine's own q37 heuristic gate (quality ≥ 0.6) and the value
+  * demonstrated is the DISTILLATION shape itself: labels from one
+  * signal family, features extending it with the repetition kernel's
+  * signals the label never saw, a content-hash train split (q62's
+  * determinism rule — no random split, reproducible across runs), one
+  * LR fit on the driver-side-small coefficient space, and a full-corpus
+  * scoring pass.
+  *
+  * Scale shape: feature extraction is the per-row kernels (tokenize
+  * HOFs + native RepetitionStats — no shuffle); the LBFGS fit
+  * aggregates gradients treewise (O(features) driver state, like the
+  * IVF centroids); scoring is one broadcast-model projection at scan
+  * speed. Rows-only by the q40/q42 contract: coefficients are
+  * engine-specific ML output, so the gate checks invariants
+  * (QueriesSpec holds out a content-hash test split and asserts AUC),
+  * not values.
+  */
+object QualityFilter {
+
+  /** Per-doc feature/label frame: q37's signals + q65's repetition
+    * fractions (0 for bigram-less docs) + the weak label. */
+  private[graft] def featureFrame(spark: SparkSession, dir: String): DataFrame = {
+    val words = Portable.tokenize(col("text"))
+    val denom = greatest(size(words), lit(1)).cast("double")
+    val ttr = round(size(array_distinct(words)).cast("double") / denom, 6)
+    val stopShare = round(
+      size(filter(words, w => w.isin(TextAnalysis.stopwords: _*))).cast("double") / denom, 6)
+    val quality = round(
+      least(ttr * 2.0, lit(1.0)) * 0.5
+        + when(size(words).between(20, 400), 0.3).otherwise(0.0)
+        + least(stopShare * 3.0, lit(0.2)), 6)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), col("text"),
+        size(words).cast("double").as("n_tokens"),
+        ttr.as("ttr"), stopShare.as("stop_share"),
+        (col("n_chars").cast("double") / denom).as("avg_token_len"),
+        quality.as("quality"),
+        graft.plans.RepetitionStats.repetitionStats(split(col("text"), " ")).as("st"))
+      .select(col("doc_id"), col("n_tokens"), col("ttr"), col("stop_share"),
+        col("avg_token_len"),
+        coalesce(col("st.top_cnt").cast("double")
+          / nullif(col("st.n_bigrams").cast("double"), lit(0.0)), lit(0.0))
+          .as("top_bigram_frac"),
+        coalesce(lit(1.0) - col("st.n_distinct").cast("double")
+          / nullif(col("st.n_bigrams").cast("double"), lit(0.0)), lit(0.0))
+          .as("dup_bigram_frac"),
+        (col("quality") >= 0.6).cast("double").as("label"),
+        (Portable.tokenId(col("text")) % 100L).as("bucket"))
+  }
+
+  private val featureCols =
+    Seq("n_tokens", "ttr", "stop_share", "avg_token_len",
+      "top_bigram_frac", "dup_bigram_frac")
+
+  /** q89 (rows-only): train on the content-hash buckets < 80, score the
+    * WHOLE corpus — (doc_id, label, p_keep, pred, is_train). */
+  def q89QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.functions.vector_to_array
+    val frame = featureFrame(spark, dir)
+    val assembler = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("features")
+    val all = assembler.transform(frame)
+    val model = new LogisticRegression()
+      .setMaxIter(50).setRegParam(0.01).setStandardization(true)
+      .fit(all.filter(col("bucket") < 80))
+    model.transform(all)
+      .select(col("doc_id"), col("label").cast("long").as("label"),
+        round(vector_to_array(col("probability")).getItem(1), 4).as("p_keep"),
+        col("prediction").cast("long").as("pred"),
+        (col("bucket") < 80).cast("long").as("is_train"))
+      .orderBy("doc_id")
+  }
+}

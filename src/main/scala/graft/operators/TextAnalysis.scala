@@ -513,7 +513,10 @@ object TextAnalysis {
         val uni = Tables.documents(spark, dir)
           .select(explode(Portable.tokenize(col("text"))).as("word"))
           .groupBy("word").agg(count(lit(1)).as("cnt1"))
-        val total = uni.agg(sum("cnt1")).head().getLong(0)
+        // coalesce: sum over zero rows is NULL — an empty corpus (or an
+        // empty shard of one) must yield an empty score table, not a
+        // ROW_VALUE_IS_NULL crash (caught by the empty-corpus sweep)
+        val total = uni.agg(coalesce(sum("cnt1"), lit(0L))).head().getLong(0)
         val biH = transitions(spark, dir)
           .groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
           .filter(col("cnt2") >= lmMinBigramCount)

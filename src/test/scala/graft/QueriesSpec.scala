@@ -493,6 +493,52 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("every declared query degrades gracefully on an empty corpus") {
+    // at 100 TB a partition, a source, or a whole filtered corpus can
+    // legitimately be empty — a query that throws there takes down the
+    // pipeline. ML FITS are the documented exception: a model cannot be
+    // trained on nothing, and failing fast is the correct behavior.
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$sf0001/$t.parquet").limit(0)
+        .write.parquet(s"$dir/$t.parquet")
+    }
+    val mlFits = Set("q40_word2vec_vocab", "q41_synonyms", "q42_lsh_minhash",
+      "q43_lsh_buckets", "q45_ivf_cells", "q57_bpe_train", "q89_quality_classifier")
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => mlFits(q._1))
+      .flatMap { case (name, fn) =>
+        try { fn(spark, dir).collect(); None }
+        catch { case e: Throwable =>
+          Some(s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(120)}")
+        }
+      }
+    assert(failures.isEmpty,
+      s"queries must return (possibly empty) results on an empty corpus:\n${failures.mkString("\n")}")
+  }
+
+  test("q89 learned quality filter separates the held-out gate labels (AUC) and is reproducible") {
+    val rows = run("q89_quality_classifier").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    // held-out discrimination: rank-AUC of p_keep against the weak label
+    // on the content-hash test split (is_train = 0)
+    val test = rows.filter(_.getLong(4) == 0L)
+      .map(r => (r.getDouble(2), r.getLong(1)))
+    val pos = test.filter(_._2 == 1L).map(_._1)
+    val neg = test.filter(_._2 == 0L).map(_._1)
+    assert(pos.nonEmpty && neg.nonEmpty, "test split must contain both classes")
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val auc = wins / (pos.length.toLong * neg.length)
+    assert(auc >= 0.9, s"distilled filter must separate held-out labels, AUC=$auc")
+    // content-hash split + deterministic fit: a second run is identical
+    val again = run("q89_quality_classifier").collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "scoring must be reproducible run over run")
+  }
+
   test("q88 source report: duplicate, repetition and language signals roll up per source") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-report").toString
