@@ -94,6 +94,8 @@ object SparkEntry {
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
     "q85_dup_spans"      -> (TextAnalysis.q85DupSpans _),
     "q88_source_report"  -> (TextAnalysis.q88SourceReport _),
+    "q90_packing_manifest" -> (TextAnalysis.q90PackingManifest _),
+    "q91_mix_sample"     -> (TextAnalysis.q91MixSample _),
     "q76_quantize_int8"  -> (Quantize.q76QuantizeInt8 _),
     "q84_binary_quant_knn" -> (Quantize.q84BinaryQuantKnn _),
     "q77_minhash_calibration" -> (Dedup.q77MinhashCalibration _),
@@ -1056,6 +1058,43 @@ object SparkEntry {
         |SELECT CAST(shard * 100000 + cum // 256 AS BIGINT) AS bin,
         |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
         |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    // Packing manifest: q63's exclusive-cumsum frame + per-bin slot
+    // rank and in-bin offset; identical straddle semantics.
+    "q90_packing_manifest" ->
+      """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |                  doc_id // 100 AS shard
+        |           FROM documents),
+        |c AS (SELECT doc_id, n_tokens, shard,
+        |             CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+        |      FROM d),
+        |b AS (SELECT doc_id, n_tokens,
+        |             CAST(shard * 100000 + cum // 256 AS BIGINT) AS bin,
+        |             CAST(cum % 256 AS BIGINT) AS bin_offset
+        |      FROM c)
+        |SELECT bin, CAST(row_number() OVER (PARTITION BY bin ORDER BY doc_id) AS BIGINT) AS slot,
+        |       doc_id, bin_offset, n_tokens
+        |FROM b ORDER BY bin, slot""".stripMargin,
+
+    // Mix-plan execution: q83's temperature weights as per-source keep
+    // rates against a 10%-of-corpus token budget, q66's content-hash
+    // Bernoulli draw; floor() pins the ppm threshold on both engines.
+    "q91_mix_sample" ->
+      s"""WITH per AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+         |             FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+         |               sum(pow(src_tokens, 0.5)) AS z FROM per),
+         |rates AS (SELECT source,
+         |            CAST(floor(least(1.0, (total_tokens * 0.1) * (pow(src_tokens, 0.5) / z)
+         |                 / src_tokens) * 1000000) AS BIGINT) AS rate_ppm
+         |          FROM per CROSS JOIN tot),
+         |d AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |             ${tokenId("text")} % 1000000 AS bucket
+         |      FROM documents)
+         |SELECT doc_id, d.source, n_tokens, rate_ppm
+         |FROM d JOIN rates ON d.source = rates.source
+         |WHERE bucket < rate_ppm ORDER BY doc_id""".stripMargin,
 
     "q64_tfidf" ->
       s"""WITH words AS (SELECT doc_id, unnest(${tok("text")}) AS word FROM documents),

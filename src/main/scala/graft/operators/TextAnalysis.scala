@@ -180,6 +180,65 @@ object TextAnalysis {
       .orderBy("bin")
   }
 
+  /** q90: sequence-packing MANIFEST — q63 tells you how full the bins
+    * are; this emits the artifact a training loader actually consumes:
+    * one row per (bin, slot) with the doc's token offset inside the
+    * bin, in deterministic order. Same exclusive-cumsum bin assignment
+    * as q63 (shard-local, so no single-task global cumsum); the slot
+    * and offset derive from the same frame with one additional
+    * per-bin rank window. A doc whose tokens straddle the 256 boundary
+    * stays in its starting bin — q63's documented approximate-packing
+    * semantics, inherited verbatim. */
+  def q90PackingManifest(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val cumW = w.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        expr("doc_id div 100").as("shard"))
+      .withColumn("cum", coalesce(sum("n_tokens").over(cumW), lit(0L)))
+      .withColumn("bin", expr("shard * 100000 + cum div 256"))
+      .withColumn("bin_offset", expr("cum % 256"))
+      .withColumn("slot",
+        row_number().over(w.partitionBy("bin").orderBy("doc_id")).cast("long"))
+      .select(col("bin"), col("slot"), col("doc_id"), col("bin_offset"), col("n_tokens"))
+      .orderBy("bin", "slot")
+  }
+
+  /** q91: EXECUTE the q83 mix plan — close the plan→act loop: the
+    * temperature weights become per-source keep rates against a token
+    * budget (10% of the corpus), and the sample is drawn with the q66
+    * content-hash Bernoulli (reproducible, no global pass, stable
+    * under doc-id reassignment). rate_s = min(1, B·w_s / tokens_s):
+    * sources the τ=0.5 weights upsample beyond their size saturate at
+    * 1.0 — the "epochs > 1" sources q83 flags are exactly the ones
+    * that cap here. floor() pins the per-mille threshold on both
+    * engines (double→int casts round differently across engines). */
+  def q91MixSample(spark: SparkSession, dir: String): DataFrame = {
+    val tau = 0.5
+    val per = Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("src_tokens"))
+    val tot = per.agg(
+      sum("src_tokens").as("total_tokens"),
+      sum(pow(col("src_tokens").cast("double"), tau)).as("z"))
+    val rates = per.crossJoin(broadcast(tot))
+      .select(col("source"),
+        floor(least(lit(1.0),
+          (col("total_tokens") * 0.1)
+            * (pow(col("src_tokens").cast("double"), tau) / col("z"))
+            / col("src_tokens")) * 1000000).cast("long").as("rate_ppm"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        (Portable.tokenId(col("text")) % 1000000L).as("bucket"))
+      .join(broadcast(rates), "source")
+      .filter(col("bucket") < col("rate_ppm"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("rate_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** q64: TF-IDF feature extraction — the classic sparse text feature:
     * tf = in-doc occurrences / doc tokens, idf = ln(N / df), top-3
     * terms per doc by tf·idf. All relational: one (doc, word) count,

@@ -493,6 +493,39 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q90 packing manifest folds back to exactly the q63 bin table") {
+    val manifest = run("q90_packing_manifest").collect()
+    assert(manifest.nonEmpty)
+    // slots are dense 1..n per bin; offsets live inside the 256 budget
+    manifest.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.sameElements(1L to rows.length))
+    }
+    assert(manifest.forall(r => r.getLong(3) >= 0L && r.getLong(3) < 256L))
+    // the manifest is a refinement of q63: per-bin doc counts and token
+    // sums must aggregate back to the declared bin table exactly
+    val folded = manifest.groupBy(_.getLong(0))
+      .map { case (bin, rows) => (bin, rows.length.toLong, rows.map(_.getLong(4)).sum) }
+      .toSet
+    val bins = run("q63_seq_packing").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(folded == bins)
+  }
+
+  test("q91 mix sample: smaller sources draw at strictly higher rates (tau < 1)") {
+    val rows = run("q91_mix_sample").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(3) > 0L && r.getLong(3) <= 1000000L))
+    // rate ∝ tokens^(τ−1) with τ=0.5: monotone decreasing in source size
+    // (until saturation at 1.0)
+    val srcTokens = Tables.documents(spark, sf0001)
+      .groupBy("source").agg(sum(size(split(col("text"), " "))).cast("long").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = rows.map(r => r.getString(1) -> r.getLong(3)).toMap
+    for ((a, ra) <- rates; (b, rb) <- rates
+         if srcTokens(a) < srcTokens(b) && ra < 1000000L && rb < 1000000L)
+      assert(ra >= rb, s"smaller source $a must not draw below larger $b ($ra vs $rb)")
+  }
+
   test("every declared query degrades gracefully on an empty corpus") {
     // at 100 TB a partition, a source, or a whole filtered corpus can
     // legitimately be empty — a query that throws there takes down the
