@@ -67,6 +67,29 @@ object Examples {
     println("repetition stats (n_bigrams, n_distinct, top_cnt):")
     spark.sql("SELECT repetition_stats(array('buy','now','buy','now','buy')) AS st").show()
 
+    // binary-quantized retrieval: sign-bit signatures + two-stage search
+    val corpus = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val corpusSig = operators.Quantize.binarySignatures(corpus)
+    println("BQ two-stage top-3 for vectors 0-1 (Hamming shortlist, exact re-rank):")
+    operators.Quantize.bqTopK(corpusSig,
+      operators.Quantize.asQueryBlock(corpus.filter(col("vec_id") < 2)),
+      shortlistN = 20, k = 3).show()
+
+    // thresholded text near-dup edge list (the q33 shape, no top-k cap)
+    println("text near-dup edges at jaccard >= 0.5:")
+    operators.Dedup.textNearDupEdges(
+      docs.withColumnRenamed("id", "doc_id"), k = 4, dfCap = 50, minJaccard = 0.5)
+      .orderBy("id_a", "id_b").show()
+
+    // vocabulary-independent DSIR (hashed features) and sampled MinHash
+    // calibration — the production modes of q81/q77
+    println("hashed-feature DSIR weights (bounded model at any corpus size):")
+    operators.TextAnalysis.dsirWeightHashed(spark, "/root/testdata/sf0.001", buckets = 1000)
+      .show(3)
+    println("sampled MinHash calibration (10% of pairs):")
+    operators.Dedup.minhashCalibration(spark, "/root/testdata/sf0.001", pairSamplePct = 10)
+      .show(3)
+
     spark.stop()
   }
 }
