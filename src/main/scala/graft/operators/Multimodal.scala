@@ -28,8 +28,12 @@ case class MediaMeta(doc_id: Long, n_bytes: Long, first_byte: Long,
 object Multimodal {
 
   /** The stub decoder: stands in for an image header parse;
-    * deterministic so results are stable across retries/speculation. */
-  def decodeStub(b: MediaBlob): MediaMeta = {
+    * deterministic so results are stable across retries/speculation.
+    * Null-tolerant: a missing/unfetched blob (inevitable in a crawl)
+    * decodes as zero-byte media instead of poisoning the task — the
+    * contract a real codec wrapper needs too. */
+  def decodeStub(blob: MediaBlob): MediaMeta = {
+    val b = if (blob.bytes == null) MediaBlob(blob.doc_id, Array.emptyByteArray) else blob
     val n = b.bytes.length.toLong
     // "decode" only the first codepoint (bounded 4-byte prefix decode —
     // a full-blob String would allocate O(blob) per row): keeps the

@@ -551,6 +551,50 @@ class QueriesSpec extends AnyFunSuite {
       s"queries must return (possibly empty) results on an empty corpus:\n${failures.mkString("\n")}")
   }
 
+  test("document queries survive dirty rows: null, empty and whitespace-only text") {
+    import spark.implicits._
+    // a 100 TB crawl WILL contain these; a query that NPEs on one row
+    // poisons its whole stage. ML fits and embeddings-only queries are
+    // out of scope (no dirty-text exposure / documented fit contract).
+    val dir = java.nio.file.Files.createTempDirectory("graft-dirty").toString
+    val clean = (1 to 40).map { i =>
+      (i.toLong,
+        s"the quick brown fox number $i jumps over the lazy dog and waits for rain marker$i",
+        if (i % 2 == 0) "en" else "de", s"src${i % 3}")
+    }
+    val dirty = Seq(
+      (101L, null.asInstanceOf[String], "en", "src0"),
+      (102L, "", "en", "src1"),
+      (103L, "   ", "de", "src2"))
+    (clean ++ dirty).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", coalesce(length(col("text")).cast("long"), lit(0L)))
+      .write.parquet(s"$dir/documents.parquet")
+    // embeddings for the doc-id domain so hybrid/doc+vec queries run
+    (1 to 40).map(i => (i.toLong, Array.tabulate(64)(j =>
+      (((i * 48271 + j * 16807) % 101) - 50.2).toFloat / 50.2f)))
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    val docQueries = Seq(
+      "q01_wordcount", "q02_wordcount_topk", "q03_token_encode", "q30_dedup_exact",
+      "q31_minhash_sig", "q32_simhash", "q33_ngram_jaccard", "q35_lang_profile",
+      "q36_lang_id", "q37_quality_score", "q38_fingerprint", "q39_multimodal_meta",
+      "q46_frame_sample", "q47_edit_distance", "q56_bpe_encode", "q58_dropped_vocab",
+      "q59_line_dedup", "q60_chunk_dedup", "q62_corpus_split", "q63_seq_packing",
+      "q64_tfidf", "q65_repetition", "q66_strat_sample", "q67_source_cap",
+      "q69_pii_scrub", "q70_decontaminate", "q71_unigram_logp", "q72_funnel",
+      "q73_incr_dedup", "q74_bigram_logp", "q75_dup_fraction", "q77_minhash_calibration",
+      "q79_curriculum_bins", "q81_dsir_weight", "q82_novelty", "q83_domain_mix",
+      "q85_dup_spans", "q86_hybrid_dedup", "q87_tokenizer_fertility",
+      "q88_source_report", "q90_packing_manifest", "q91_mix_sample")
+    val failures = docQueries.flatMap { name =>
+      try { SparkEntry.queries(name)(spark, dir).collect(); None }
+      catch { case e: Throwable =>
+        Some(s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(120)}")
+      }
+    }
+    assert(failures.isEmpty,
+      s"document queries must tolerate dirty text rows:\n${failures.mkString("\n")}")
+  }
+
   test("q89 learned quality filter separates the held-out gate labels (AUC) and is reproducible") {
     val rows = run("q89_quality_classifier").collect()
     assert(rows.nonEmpty)
