@@ -108,6 +108,43 @@ object DocStream {
     *
     * @param docs        streaming documents (doc_id, text, …)
     * @param corpusIndex static (content_hash, corpus_canonical) */
+  case class CappedDoc(doc_id: Long, source: String)
+  case class CapDecision(doc_id: Long, source: String, slot: Long, kept: Long)
+
+  /** Streaming twin of the batch q67 source cap: per-source ingest
+    * QUOTA enforcement — every arriving doc gets its source's next
+    * slot number and a kept flag (slot ≤ cap). The state class differs
+    * from the dedup twins in the best way: ONE counter per source, so
+    * state is bounded by the source cardinality — nothing grows with
+    * the stream.
+    *
+    * Batch parity: q67 fills its slots by (content-hash priority,
+    * doc_id); the stream fills by arrival. Under priority-ordered
+    * delivery the kept sets coincide (the lineDedup arrival-order
+    * contract, asserted in StreamingSpec); under any other order the
+    * stream still enforces the quota exactly — first-come adjudication
+    * is what an ingest gate means.
+    *
+    * @param docs streaming documents (doc_id, source, …)
+    * @param cap  max docs admitted per source */
+  def sourceCap(docs: DataFrame, cap: Long): org.apache.spark.sql.Dataset[CapDecision] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs.select(col("doc_id"), col("source")).as[CappedDoc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (source: String, rows: Iterator[CappedDoc], state: GroupState[Long]) => {
+          var used = if (state.exists) state.get else 0L
+          val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+            used += 1
+            CapDecision(d.doc_id, source, used, if (used <= cap) 1L else 0L)
+          }
+          state.update(used)
+          out.iterator
+        })
+  }
+
   def incrementalDedup(docs: DataFrame,
                        corpusIndex: DataFrame): org.apache.spark.sql.Dataset[DedupStatus] = {
     import docs.sparkSession.implicits._

@@ -349,6 +349,54 @@ class StreamingSpec extends AnyFunSuite {
       s"online answers must equal the batch top-k (got ${results.size}, want ${want.length})")
   }
 
+  test("streaming source cap admits exactly the batch q67 winners under priority-ordered ids") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("graft-cap-stream")
+    // doc ids assigned in ascending content-hash priority, so within
+    // every source ascending doc_id == q67's (prio, doc_id) fill order
+    // — the arrival-order contract under which the ingest gate and the
+    // batch cap admit the same docs
+    val raw = (1 to 60).map { i =>
+      (i.toLong, s"document body number $i with marker $i", "en", s"src${i % 3}")
+    }.toDF("tmp", "text", "lang", "source")
+    raw
+      .withColumn("prio", graft.functions.Portable.tokenId(col("text")))
+      .withColumn("doc_id",
+        row_number().over(Window.orderBy("prio", "tmp")).cast("long"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).orderBy("doc_id")
+      .write.parquet(dir.resolve("documents.parquet").toString)
+    val want = SparkEntry.queries("q67_source_cap")(spark, dir.toString).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap // source -> n_kept
+    val q = graft.streaming.DocStream
+      .sourceCap(graft.streaming.DocStream.readStream(
+        spark, dir.resolve("documents.parquet").toString), cap = 15)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cap_stream")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-cap-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cap_stream").collect()
+      assert(got.length == 60, "every arriving doc gets a decision")
+      got.groupBy(_.getString(1)).foreach { case (src, rows) =>
+        assert(rows.map(_.getLong(2)).sorted.sameElements(1L to rows.length),
+          s"slots must be dense per source: $src")
+        val kept = rows.filter(_.getLong(3) == 1L)
+        assert(kept.length.toLong == want(src),
+          s"stream must admit exactly the batch winners for $src")
+        assert(kept.forall(_.getLong(2) <= 15L))
+        // under priority-ordered ids the admitted docs are the lowest ids
+        val keptIds = kept.map(_.getLong(0)).sorted.toSeq
+        val allIds = rows.map(_.getLong(0)).sorted.toSeq
+        assert(keptIds == allIds.take(kept.length))
+      }
+    } finally q.stop()
+  }
+
   test("per-row text kernels (repetition stats, PII scrub) run unchanged on a doc stream") {
     // the text-pipeline scalar operators are stateless per-row plans, so
     // the SAME expressions work at ingest time with no code changes —
