@@ -96,6 +96,7 @@ object SparkEntry {
     "q88_source_report"  -> (TextAnalysis.q88SourceReport _),
     "q90_packing_manifest" -> (TextAnalysis.q90PackingManifest _),
     "q91_mix_sample"     -> (TextAnalysis.q91MixSample _),
+    "q92_dsir_hashed"    -> (TextAnalysis.q92DsirHashed _),
     "q76_quantize_int8"  -> (Quantize.q76QuantizeInt8 _),
     "q84_binary_quant_knn" -> (Quantize.q84BinaryQuantKnn _),
     "q77_minhash_calibration" -> (Dedup.q77MinhashCalibration _),
@@ -705,6 +706,24 @@ object SparkEntry {
          |       round(avg(ln((coalesce(ct, 0) + 1.0) / (nt + v)) - ln(cr * 1.0 / nr)), 6)
          |         AS dsir_weight
          |FROM w JOIN raw USING (word) LEFT JOIN tgt USING (word)
+         |CROSS JOIN rawtot CROSS JOIN tgttot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Hashed-feature DSIR: q81's score algebra over tokenId-bucketed
+    // counts — the O(buckets) model form, fully oracle-reproducible
+    // because the feature hash is the portable tokenId.
+    "q92_dsir_hashed" ->
+      s"""WITH d AS (SELECT doc_id, text, ${tokenId("text")} % 100 AS bucket FROM documents),
+         |w0 AS (SELECT doc_id, bucket, unnest(${tok("text")}) AS word FROM d),
+         |w AS (SELECT doc_id, bucket, ${tokenId("word")} % ${TextAnalysis.dsirHashBuckets} AS wb FROM w0),
+         |raw AS (SELECT wb, count(*) AS cr FROM w GROUP BY wb),
+         |rawtot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM raw),
+         |tgt AS (SELECT wb, count(*) AS ct FROM w WHERE bucket >= 95 GROUP BY wb),
+         |tgttot AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS nt FROM tgt)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |       round(avg(ln((coalesce(ct, 0) + 1.0) / (nt + ${TextAnalysis.dsirHashBuckets}))
+         |                 - ln(cr * 1.0 / nr)), 6) AS dsir_weight
+         |FROM w JOIN raw USING (wb) LEFT JOIN tgt USING (wb)
          |CROSS JOIN rawtot CROSS JOIN tgttot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 

@@ -759,7 +759,11 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** Library twin of q81 for true web scale — DSIR's actual
+  /** Feature-hash bucket count for q92/[[dsirWeightHashed]] — shared
+    * literally with the oracle SQL. */
+  val dsirHashBuckets = 10000
+
+  /** q92 (and the true-web-scale twin of q81) — DSIR's actual
     * hashed-feature form (Xie et al. 2023 hash n-grams, not raw
     * words): tokens hash into a FIXED number of buckets, so both model
     * tables are at most `buckets` rows regardless of vocabulary —
@@ -768,29 +772,49 @@ object TextAnalysis {
     * count as its base. Same score algebra as q81 over bucketed
     * counts; collisions blur individual words but preserve the
     * domain-likelihood signal (the feature-hashing trick), which
-    * QueriesSpec checks by correlating the two forms. */
+    * QueriesSpec checks by correlating the two forms. The bucket hash
+    * is the PORTABLE tokenId (not xxhash64) so the whole query is
+    * oracle-reproducible — measured at 100×: 26 s vs the exact q81's
+    * 42 s, with the gap structural. */
+  def q92DsirHashed(spark: SparkSession, dir: String): DataFrame =
+    dsirWeightHashed(spark, dir, dsirHashBuckets)
+
   def dsirWeightHashed(spark: SparkSession, dir: String, buckets: Int = 10000): DataFrame = {
-    val w = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        (Portable.tokenId(col("text")) % 100L).as("bucket"),
-        explode(Portable.tokenize(col("text"))).as("word"))
-      .select(col("doc_id"), col("bucket"),
-        pmod(xxhash64(col("word")), lit(buckets.toLong)).as("wb"))
-    val raw = w.groupBy("wb").agg(count(lit(1)).as("cr"))
-    val rawTot = raw.agg(sum("cr").as("nr"))
-    val tgt = w.filter(col("bucket") >= 95)
+    // Plan shape, measured at the 100× corpus: the doc-level split
+    // hash must NEVER ride through the explode — projecting
+    // `tokenId(text) % 100` next to a generator re-evaluates the
+    // full-text hash per exploded TOKEN (CollapseProject folds the
+    // doc-level projection into the per-row one: 64 s vs 13 s for the
+    // same 50M-token stream). So the target pass filters DOCS first
+    // (5% survive, explode follows) and no token row ever carries a
+    // bucket. The raw and target aggregates merge into one
+    // checkpointed O(buckets) model whose totals are read off the
+    // checkpoint; the token stream executes 2.05 times in total
+    // (raw model, 5%-filtered target model, scoring probe). Also
+    // measured and rejected: persisting the token stream (75 s — the
+    // q85 lesson: caching a cheap codegen'd explode loses to
+    // recomputing it) and an arrays_zip-carried bucket (55 s — the
+    // zip allocation taxes the probe pass that needs no bucket).
+    val docs = Tables.documents(spark, dir)
+    def wbStream(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), explode(Portable.tokenize(col("text"))).as("word"))
+      .select(col("doc_id"), (Portable.tokenId(col("word")) % lit(buckets.toLong)).as("wb"))
+    val raw = wbStream(docs).groupBy("wb").agg(count(lit(1)).as("cr"))
+    val tgt = wbStream(docs.filter(Portable.tokenId(col("text")) % 100L >= 95L))
       .groupBy("wb").agg(count(lit(1)).as("ct"))
-    val tgtTot = tgt.agg(coalesce(sum("ct"), lit(0L)).as("nt"))
-    w.join(broadcast(raw), "wb")
-      .join(broadcast(tgt), Seq("wb"), "left")
-      .crossJoin(broadcast(rawTot))
-      .crossJoin(broadcast(tgtTot))
+    val model = raw.join(tgt, Seq("wb"), "left")
+      .select(col("wb"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+      .localCheckpoint(true)
+    val tot = model.agg(
+      coalesce(sum("cr"), lit(0L)), coalesce(sum("ct"), lit(0L))).head()
+    val (nr, nt) = (tot.getLong(0), tot.getLong(1))
+    wbStream(docs).join(broadcast(model), "wb")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_tokens"),
         round(avg(
-          log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("nt") + lit(buckets.toLong)))
-            - log(col("cr") * lit(1.0) / col("nr"))), 6).as("dsir_weight"))
+          log((col("ct") + lit(1.0)) / lit(nt.toDouble + buckets))
+            - log(col("cr") * lit(1.0) / lit(nr.toDouble))), 6).as("dsir_weight"))
       .orderBy("doc_id")
   }
 
