@@ -23,8 +23,13 @@ import org.apache.spark.sql.graftbridge.SqlBridge
   * on the Scala API ([[BpeEncode.bpe]]), where the table is a value.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // guard sessions against the generator-projection trap (SCALING.md:
+    // a doc-level expression carried through an explode re-evaluates
+    // per generated row; measured 64 s vs 13 s per stream pass)
+    ext.injectOptimizerRule(_ => PushExpensiveProjectionsBelowGenerate)
+  }
 }
 
 object GraftExtensions {

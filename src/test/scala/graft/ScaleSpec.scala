@@ -300,6 +300,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(TextAnalysis.lmCachedDirs(spark) == Set(sf0001))
   }
 
+  test("optimizer rule moves a doc-level hash below the generator, same rows") {
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    def trap = Tables.documents(spark, sf0001).select(
+      (graft.functions.Portable.tokenId(col("text")) % 100L).as("bucket"),
+      explode(graft.functions.Portable.tokenize(col("text"))).as("word"))
+    def hasTokenIdBelowGenerate(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      plan.collect { case g: Generate => g.child }.exists(
+        _.expressions.exists(_.exists(_.isInstanceOf[graft.plans.TokenId])))
+    val baseline = trap.collect().toSeq
+    assert(!hasTokenIdBelowGenerate(trap.queryExecution.optimizedPlan),
+      "without the rule the hash is carried above the generator (the measured 5x trap)")
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.PushExpensiveProjectionsBelowGenerate
+    try {
+      assert(hasTokenIdBelowGenerate(trap.queryExecution.optimizedPlan),
+        s"the rule must compute the hash once per document, below the Generate:\n${trap.queryExecution.optimizedPlan}")
+      assert(trap.collect().toSeq == baseline, "the rewrite must not change a single row")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("q84 BQ retrieval: corpus joins the query block by broadcast, never by shuffle or cartesian") {
     // the q84/q34 contract: the corpus side streams past a broadcast
     // query block — a SortMergeJoin (corpus shuffle on a join key it
