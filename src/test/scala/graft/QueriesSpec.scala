@@ -493,6 +493,62 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q85 span recovery theorem: a planted L-token copy yields a run of exactly L-k+1 windows") {
+    // property across span lengths: longest duplicated substring length
+    // is recoverable as max_dup_run + k - 1 for ANY L >= k
+    import spark.implicits._
+    val k = 8
+    val rnd = new scala.util.Random(7)
+    val spans = Seq(8, 9, 12, 17, 23, 30)
+    val dir = java.nio.file.Files.createTempDirectory("graft-spans-prop").toString
+    val donorLen = 60
+    val docs = spans.zipWithIndex.flatMap { case (l, i) =>
+      val donor = (1 to donorLen).map(j => s"d${i}w$j")
+      val span = {
+        val off = rnd.nextInt(donorLen - l + 1)
+        donor.slice(off, off + l)
+      }
+      val pre = (1 to 5 + rnd.nextInt(10)).map(j => s"p${i}x$j")
+      val post = (1 to 5 + rnd.nextInt(10)).map(j => s"q${i}y$j")
+      Seq(
+        (i * 10L, donor.mkString(" ")),
+        (i * 10L + 1, (pre ++ span ++ post).mkString(" ")))
+    }
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis.q85DupSpans(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    spans.zipWithIndex.foreach { case (l, i) =>
+      assert(got(i * 10L + 1) == l - k + 1,
+        s"span L=$l must surface as a run of ${l - k + 1} windows, got ${got(i * 10L + 1)}")
+    }
+  }
+
+  test("q91 saturates exactly the sources q83 flags as repeating at the budget") {
+    // cross-query invariant: a source whose temperature weight demands
+    // more tokens than it has clamps its q91 keep rate at 1.0 — both
+    // queries compare B*w_s against tokens_s. Planted so BOTH branches
+    // are exercised: a tiny source (τ<1 upweights it past its size)
+    // and a dominant one.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mixinv").toString
+    val tiny = (1 to 3).map(i => (i.toLong, (1 to 5).map(j => s"t${i}w$j").mkString(" "), "en", "tiny"))
+    val big = (1 to 40).map(i => (100L + i, (1 to 50).map(j => s"b${i}w$j").mkString(" "), "en", "big"))
+    (tiny ++ big).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val epochs = graft.operators.TextAnalysis.q83DomainMix(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(5)).toMap
+    val rates = graft.operators.TextAnalysis.q91MixSample(spark, dir).collect()
+      .map(r => r.getString(1) -> r.getLong(3)).toMap
+    val corpusTokens = 3 * 5 + 40 * 50
+    def epochsAtQ91Budget(src: String) = epochs(src) * (0.1 * corpusTokens) / 1e9
+    assert(epochsAtQ91Budget("tiny") > 1.0, "fixture: the tiny source must repeat at the budget")
+    assert(rates("tiny") == 1000000L, s"repeating source must clamp, got ${rates("tiny")}")
+    assert(epochsAtQ91Budget("big") < 1.0, "fixture: the big source must not repeat")
+    assert(rates("big") < 1000000L && rates("big") > 0L,
+      s"non-repeating source draws a partial rate, got ${rates("big")}")
+  }
+
   test("q90 packing manifest folds back to exactly the q63 bin table") {
     val manifest = run("q90_packing_manifest").collect()
     assert(manifest.nonEmpty)
