@@ -102,6 +102,7 @@ object SparkEntry {
     "q77_minhash_calibration" -> (Dedup.q77MinhashCalibration _),
     "q78_semantic_prune" -> (Dedup.q78SemanticPrune _),
     "q39_multimodal_meta" -> (Multimodal.q39MultimodalMeta _),
+    "q93_media_features" -> (Multimodal.q93MediaFeatures _),
     "q46_frame_sample"   -> (Multimodal.q46FrameSample _),
     "q60_chunk_dedup"    -> (Multimodal.q60ChunkDedup _),
     "q56_bpe_encode"     -> (Bpe.q56BpeEncode _),
@@ -1271,6 +1272,35 @@ object SparkEntry {
         |       CAST(64 + (octet_length(CAST(text AS BLOB)) * 31) % 512 AS BIGINT) AS height,
         |       CAST(3 AS BIGINT) AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Media resize + feature extraction: the q39 stub dims letterboxed
+    // to a 224 budget (integer div on both engines) + code-point
+    // moments from INTEGER sums; floor(x*1e6+0.5) is the q76 rounding
+    // contract.
+    "q93_media_features" ->
+      """WITH d AS (SELECT doc_id, text,
+        |             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nb,
+        |             CAST(length(text) AS BIGINT) AS nc
+        |      FROM documents),
+        |m AS (SELECT doc_id, nb AS n_bytes,
+        |             CAST(64 + nb % 512 AS BIGINT) AS width,
+        |             CAST(64 + (nb * 31) % 512 AS BIGINT) AS height,
+        |             nc, text FROM d),
+        |s AS (SELECT doc_id, n_bytes, width, height, nc,
+        |        CAST(coalesce(list_sum(list_transform(range(1, nc + 1),
+        |             i -> CAST(ascii(text[i]) AS BIGINT))), 0) AS BIGINT) AS sc,
+        |        CAST(coalesce(list_sum(list_transform(range(1, nc + 1),
+        |             i -> CAST(ascii(text[i]) AS BIGINT) * CAST(ascii(text[i]) AS BIGINT))), 0) AS BIGINT) AS sc2
+        |      FROM m)
+        |SELECT doc_id, n_bytes, width, height,
+        |       CAST(CASE WHEN greatest(width, height) <= 224 THEN width
+        |                 ELSE width * 224 // greatest(width, height) END AS BIGINT) AS out_w,
+        |       CAST(CASE WHEN greatest(width, height) <= 224 THEN height
+        |                 ELSE height * 224 // greatest(width, height) END AS BIGINT) AS out_h,
+        |       floor((CASE WHEN nc > 0 THEN sc * 1.0 / nc ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS code_mean,
+        |       floor((CASE WHEN nc > 0 THEN sc2 * 1.0 / nc
+        |                  - (sc * 1.0 / nc) * (sc * 1.0 / nc) ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS code_var
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q46_frame_sample" ->
       s"""WITH d AS (SELECT doc_id,

@@ -97,6 +97,65 @@ object Multimodal {
         ((col("n_refs") - 1L) * col("n_bytes")).as("bytes_saved"))
       .orderBy("chunk_md5")
 
+  /** Resized + feature-extracted media record: the q39 metadata plus
+    * the preprocessing a vision pipeline runs before embedding. */
+  case class MediaFeatures(doc_id: Long, n_bytes: Long,
+                           width: Long, height: Long,
+                           out_w: Long, out_h: Long,
+                           code_mean: Double, code_var: Double)
+
+  /** q93: resize + feature extraction over the decoded media — the two
+    * remaining preprocessing stages a multimodal training pipeline runs
+    * between decode (q39) and embedding: (1) RESIZE the stub-decoded
+    * dimensions to fit a 224-pixel budget preserving aspect ratio
+    * (integer arithmetic, the letterbox computation every vision
+    * pipeline performs), (2) EXTRACT a content feature from the raw
+    * payload — here first/second moments of the byte stream (for real
+    * images this is where the pixel-statistics / CLIP-preprocess
+    * normalization sits). Moments come from INTEGER sums (Σc, Σc²)
+    * folded per row, so mean/variance are exact on both engines and
+    * the oracle checks every value; only the final division rounds.
+    *
+    * Same partition-batched `mapPartitions` shape as q39: one
+    * extractor instance per partition, streamed, no per-row setup, no
+    * shuffle — scan-speed preprocessing at any corpus size. */
+  def q93MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val blobs: Dataset[MediaBlob] = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("bytes"))
+      .as[MediaBlob]
+    blobs
+      .mapPartitions { it =>
+        // per-partition extractor init would go here (the real pixel
+        // pipeline; code-point moments are the deterministic stand-in —
+        // a "symbol histogram" both engines can reproduce exactly from
+        // INTEGER sums; floor(x*1e6+0.5) is the q76 rounding contract)
+        it.map { blob =>
+          val m = decodeStub(blob)
+          val bytes = if (blob.bytes == null) Array.emptyByteArray else blob.bytes
+          val str = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          var i = 0; var n = 0L; var s = 0L; var s2 = 0L
+          while (i < str.length) {
+            val cp = str.codePointAt(i)
+            s += cp; s2 += cp.toLong * cp; n += 1
+            i += Character.charCount(cp)
+          }
+          val budget = 224L
+          val longSide = math.max(m.width, m.height)
+          val outW = if (longSide <= budget) m.width else m.width * budget / longSide
+          val outH = if (longSide <= budget) m.height else m.height * budget / longSide
+          val mean = if (n > 0) s.toDouble / n else 0.0
+          val variance = if (n > 0) s2.toDouble / n - mean * mean else 0.0
+          def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+          MediaFeatures(m.doc_id, m.n_bytes, m.width, m.height, outW, outH,
+            r6(mean), r6(variance))
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** q39: binary ingest + partition-batched decode. `text` is cast to
     * binary to stand in for raw media bytes (the testdata ships no blob
     * column); one decoder instance per partition, streamed — the shape a
