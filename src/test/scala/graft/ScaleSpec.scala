@@ -321,6 +321,27 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("optimizer rule leaves cheap projections alone") {
+    // over-firing would be its own regression: pushing trivial
+    // arithmetic below the Generate adds a carried column to every
+    // generated row for no savings
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Project}
+    val cheap = Tables.documents(spark, sf0001).select(
+      (col("doc_id") + 1L).as("next_id"),
+      explode(split(col("text"), " ")).as("word"))
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.PushExpensiveProjectionsBelowGenerate
+    try {
+      import org.apache.spark.sql.catalyst.expressions.AttributeReference
+      val below = cheap.queryExecution.optimizedPlan
+        .collect { case g: Generate => g.child }
+        .collect { case p: Project => p }
+      assert(below.forall(_.projectList.forall(_.isInstanceOf[AttributeReference])),
+        "cheap arithmetic must stay above the generator")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("q84 BQ retrieval: corpus joins the query block by broadcast, never by shuffle or cartesian") {
     // the q84/q34 contract: the corpus side streams past a broadcast
     // query block — a SortMergeJoin (corpus shuffle on a join key it
