@@ -582,6 +582,20 @@ class QueriesSpec extends AnyFunSuite {
       assert(ra >= rb, s"smaller source $a must not draw below larger $b ($ra vs $rb)")
   }
 
+  test("no declared query plans a CartesianProduct") {
+    // one-row-total cross joins plan as BroadcastNestedLoopJoin (fine:
+    // a broadcast of one aggregate row); an actual CartesianProduct —
+    // both sides unbounded, no join key — is always a scale bug. Pin
+    // the whole declared surface against it.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+      } catch { case _: Throwable => None } // execution failures are other tests' business
+    }
+    assert(offenders.isEmpty, s"cartesian plans found: ${offenders.mkString(", ")}")
+  }
+
   test("every declared query degrades gracefully on an empty corpus") {
     // at 100 TB a partition, a source, or a whole filtered corpus can
     // legitimately be empty — a query that throws there takes down the
