@@ -108,6 +108,51 @@ object DocStream {
     *
     * @param docs        streaming documents (doc_id, text, …)
     * @param corpusIndex static (content_hash, corpus_canonical) */
+  case class ShardDoc(doc_id: Long, shard: Long, n_tokens: Long)
+  case class PackSlot(bin: Long, slot: Long, doc_id: Long, bin_offset: Long, n_tokens: Long)
+  case class PackState(cum: Long, bin: Long, slot: Long)
+
+  /** Streaming twin of the q90 packing manifest: assign every arriving
+    * document its training-loader slot — (bin, slot, offset) — AT
+    * INGEST, from a running per-shard token cursor instead of a batch
+    * cumsum window. State is one (cum, bin, slot) record per shard:
+    * bounded by shard cardinality, nothing grows with the stream —
+    * the numeric-accumulator state class (vs the dedup twins' hash
+    * sets and the cap twin's quota counters).
+    *
+    * Batch parity: q90's exclusive cumsum orders by doc_id within a
+    * shard; the stream's cursor advances in arrival order (micro-
+    * batches are doc_id-sorted within the group fold), so under
+    * id-ordered delivery per shard — monotone crawl ids, the lineDedup
+    * contract — the emitted manifest is row-identical to batch q90
+    * (asserted in StreamingSpec). Same straddle semantics: a doc keeps
+    * the bin its cursor position starts in.
+    *
+    * @param docs streaming documents (doc_id, text, …) */
+  def packingManifest(docs: DataFrame): org.apache.spark.sql.Dataset[PackSlot] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs
+      .select(col("doc_id"), expr("doc_id div 100").as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .as[ShardDoc]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (shard: Long, rows: Iterator[ShardDoc], state: GroupState[PackState]) => {
+          var st = if (state.exists) state.get else PackState(0L, -1L, 0L)
+          val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+            val bin = shard * 100000L + st.cum / 256L
+            val slot = if (bin == st.bin) st.slot + 1 else 1L
+            val emitted = PackSlot(bin, slot, d.doc_id, st.cum % 256L, d.n_tokens)
+            st = PackState(st.cum + d.n_tokens, bin, slot)
+            emitted
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
   case class CappedDoc(doc_id: Long, source: String)
   case class CapDecision(doc_id: Long, source: String, slot: Long, kept: Long)
 

@@ -397,6 +397,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming packing manifest equals batch q90 row for row under id-ordered arrival") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pack-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$sf0001/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val q = graft.streaming.DocStream
+      .packingManifest(graft.streaming.DocStream.readStream(spark, dir.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pack_stream")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-pack-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("pack_stream")
+        .select("bin", "slot", "doc_id", "bin_offset", "n_tokens")
+      val want = SparkEntry.queries("q90_packing_manifest")(spark, sf0001)
+      assert(got.count() == want.count() && got.count() > 0)
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+        "ingest-time slots must equal the batch manifest exactly")
+    } finally q.stop()
+  }
+
   test("per-row text kernels (repetition stats, PII scrub) run unchanged on a doc stream") {
     // the text-pipeline scalar operators are stateless per-row plans, so
     // the SAME expressions work at ingest time with no code changes —
