@@ -97,6 +97,7 @@ object SparkEntry {
     "q90_packing_manifest" -> (TextAnalysis.q90PackingManifest _),
     "q91_mix_sample"     -> (TextAnalysis.q91MixSample _),
     "q92_dsir_hashed"    -> (TextAnalysis.q92DsirHashed _),
+    "q94_ngram_langid"   -> (TextAnalysis.q94NgramLangId _),
     "q76_quantize_int8"  -> (Quantize.q76QuantizeInt8 _),
     "q84_binary_quant_knn" -> (Quantize.q84BinaryQuantKnn _),
     "q77_minhash_calibration" -> (Dedup.q77MinhashCalibration _),
@@ -727,6 +728,32 @@ object SparkEntry {
          |FROM w JOIN raw USING (wb) LEFT JOIN tgt USING (wb)
          |CROSS JOIN rawtot CROSS JOIN tgttot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Char-bigram language ID: dense (langs × vocab) smoothed model,
+    // per-(doc, lang) log-likelihood sums rounded at 6 BEFORE the
+    // argmax rank (the q71/q74 FP-sum contract), ties on model_lang.
+    "q94_ngram_langid" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |             unnest(list_transform(range(1, greatest(length(text) - 1, 1) + 1),
+        |                    i -> substring(text, i, 2))) AS bg
+        |           FROM documents),
+        |c AS (SELECT lang, bg, count(*) AS cnt FROM b GROUP BY lang, bg),
+        |v AS (SELECT DISTINCT bg FROM c),
+        |vs AS (SELECT count(*) AS vocab FROM v),
+        |l AS (SELECT DISTINCT lang FROM c),
+        |t AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY lang),
+        |m AS (SELECT l.lang AS model_lang, v.bg,
+        |        ln((coalesce(c.cnt, 0) + 1.0) / (t.tot + vs.vocab)) AS logp
+        |      FROM v CROSS JOIN l
+        |      LEFT JOIN c ON c.lang = l.lang AND c.bg = v.bg
+        |      JOIN t ON t.lang = l.lang
+        |      CROSS JOIN vs),
+        |s AS (SELECT b.doc_id, b.lang, m.model_lang, round(sum(m.logp), 6) AS score
+        |      FROM b JOIN m USING (bg) GROUP BY b.doc_id, b.lang, m.model_lang),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, model_lang) AS rk FROM s)
+        |SELECT doc_id, lang, model_lang AS pred_lang, score,
+        |       CAST(CASE WHEN model_lang = lang THEN 1 ELSE 0 END AS BIGINT) AS is_correct
+        |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
 
     // N-gram novelty: string-shingle twin (the q75 pattern — only
     // equality semantics matter, so the oracle's strings and the

@@ -47,6 +47,54 @@ object TextAnalysis {
       .withColumn("pred_lang", when(col("stop_ratio") >= 0.08, lit("en")).otherwise(lit("unk")))
       .orderBy("doc_id")
 
+  /** q94: character-n-gram language identification — the REAL n-gram
+    * language profile (textcat/CLD shape) that q36's stopword share is
+    * the first term of: per-language char-bigram log-likelihood models
+    * trained on the corpus's own language labels, every doc scored
+    * under all five profiles, argmax wins. Add-one smoothing over the
+    * global bigram vocabulary; the model is built DENSE (langs ×
+    * observed bigrams) so the scoring join needs no missed-key
+    * handling — every doc bigram scores under every language.
+    *
+    * Scale shape: the model is O(langs × distinct bigrams) — charset-
+    * bounded, checkpointed once, size-guard-broadcast; scoring is one
+    * explode pass joined against it with a partial-aggregated
+    * per-(doc, lang) sum and one tiny rank window. In production the
+    * model trains once on a labeled seed corpus and the scoring pass
+    * is the only per-corpus cost. Scores round at 6 (the q71/q74
+    * FP-sum contract). */
+  def q94NgramLangId(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    def bigrams(d: DataFrame) = d.select(col("doc_id"), col("lang"),
+      explode(expr("transform(sequence(1, greatest(length(text) - 1, 1)), i -> substring(text, i, 2))")).as("bg"))
+    val counts = bigrams(docs).groupBy("lang", "bg").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val langs = counts.select("lang").distinct()
+    val vocab = counts.select("bg").distinct()
+    val vocabSize = vocab.count()
+    val totals = counts.groupBy("lang").agg(sum("cnt").as("tot"))
+    val model = vocab.crossJoin(langs)
+      .join(counts, Seq("lang", "bg"), "left")
+      .join(totals, "lang")
+      .select(col("lang").as("model_lang"), col("bg"),
+        log((coalesce(col("cnt"), lit(0L)) + lit(1.0))
+          / (col("tot") + lit(vocabSize.toDouble))).as("logp"))
+      .localCheckpoint(true)
+    val scored = bigrams(docs)
+      .join(Guard.modelBroadcast(model, Some(model.count())), "bg")
+      .groupBy("doc_id", "lang", "model_lang")
+      .agg(round(sum("logp"), 6).as("score"))
+    scored
+      .withColumn("rk", row_number().over(
+        w.partitionBy("doc_id").orderBy(desc("score"), asc("model_lang"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang"), col("model_lang").as("pred_lang"),
+        col("score"),
+        (col("model_lang") === col("lang")).cast("long").as("is_correct"))
+      .orderBy("doc_id")
+  }
+
   /** q37: quality scoring — length, lexical diversity (type-token ratio),
     * mean word length, stopword share; combined into one score. */
   def q37QualityScore(spark: SparkSession, dir: String): DataFrame = {

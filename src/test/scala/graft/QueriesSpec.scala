@@ -549,6 +549,27 @@ class QueriesSpec extends AnyFunSuite {
       s"non-repeating source draws a partial rate, got ${rates("big")}")
   }
 
+  test("q94 char-bigram language ID separates planted character distributions perfectly") {
+    import spark.implicits._
+    // the real corpus shares one vocabulary across its lang labels, so
+    // accuracy there is chance BY CONSTRUCTION — assert mechanics on
+    // it, and assert discrimination on distributions that differ
+    val real = run("q94_ngram_langid").collect()
+    assert(real.length == Tables.documents(spark, sf0001).count())
+    assert(real.forall(r => Seq("en", "de", "es", "fr", "zh").contains(r.getString(2))))
+    val dir = java.nio.file.Files.createTempDirectory("graft-langid").toString
+    val rnd = new scala.util.Random(11)
+    def textOf(chars: String, n: Int) =
+      (1 to n).map(_ => (1 to 4).map(_ => chars(rnd.nextInt(chars.length))).mkString).mkString(" ")
+    val docs = (1 to 10).map(i => (i.toLong, textOf("abcd", 30), "aa")) ++
+      (11 to 20).map(i => (i.toLong, textOf("wxyz", 30), "zz"))
+    docs.toDF("doc_id", "text", "lang").write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis.q94NgramLangId(spark, dir).collect()
+    assert(got.length == 20)
+    assert(got.forall(_.getLong(4) == 1L),
+      s"disjoint character distributions must classify perfectly: ${got.filter(_.getLong(4) == 0L).toSeq}")
+  }
+
   test("q90 packing manifest folds back to exactly the q63 bin table") {
     val manifest = run("q90_packing_manifest").collect()
     assert(manifest.nonEmpty)
@@ -655,7 +676,7 @@ class QueriesSpec extends AnyFunSuite {
       "q79_curriculum_bins", "q81_dsir_weight", "q82_novelty", "q83_domain_mix",
       "q85_dup_spans", "q86_hybrid_dedup", "q87_tokenizer_fertility",
       "q88_source_report", "q90_packing_manifest", "q91_mix_sample",
-      "q92_dsir_hashed", "q93_media_features")
+      "q92_dsir_hashed", "q93_media_features", "q94_ngram_langid")
     val failures = docQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
