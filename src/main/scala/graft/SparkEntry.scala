@@ -735,7 +735,7 @@ object SparkEntry {
     "q94_ngram_langid" ->
       """WITH b AS (SELECT doc_id, lang,
         |             unnest(list_transform(range(1, greatest(length(text) - 1, 1) + 1),
-        |                    i -> substring(text, i, 2))) AS bg
+        |                    i -> CAST(ascii(text[i]) AS BIGINT) * 1114112 + CAST(ascii(text[i+1]) AS BIGINT))) AS bg
         |           FROM documents),
         |c AS (SELECT lang, bg, count(*) AS cnt FROM b GROUP BY lang, bg),
         |v AS (SELECT DISTINCT bg FROM c),
@@ -748,8 +748,9 @@ object SparkEntry {
         |      LEFT JOIN c ON c.lang = l.lang AND c.bg = v.bg
         |      JOIN t ON t.lang = l.lang
         |      CROSS JOIN vs),
-        |s AS (SELECT b.doc_id, b.lang, m.model_lang, round(sum(m.logp), 6) AS score
-        |      FROM b JOIN m USING (bg) GROUP BY b.doc_id, b.lang, m.model_lang),
+        |db AS (SELECT doc_id, lang, bg, count(*) AS n FROM b GROUP BY doc_id, lang, bg),
+        |s AS (SELECT db.doc_id, db.lang, m.model_lang, round(sum(db.n * m.logp), 6) AS score
+        |      FROM db JOIN m USING (bg) GROUP BY db.doc_id, db.lang, m.model_lang),
         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, model_lang) AS rk FROM s)
         |SELECT doc_id, lang, model_lang AS pred_lang, score,
         |       CAST(CASE WHEN model_lang = lang THEN 1 ELSE 0 END AS BIGINT) AS is_correct

@@ -66,8 +66,16 @@ object TextAnalysis {
   def q94NgramLangId(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
+    // bigram IDENTITY is an exact integer — cp1 * 0x110000 + cp2 over
+    // code points (injective — not even a hash) — emitted by the
+    // native CharBigramIds kernel, so the explode side allocates
+    // nothing per character and the whole model/probe pipeline (group
+    // keys, join keys, dense cross) stays numeric. Measured at 100×:
+    // string bigrams 500 s; SQL-expression integer ids (two substring
+    // allocations per position) no better; the native kernel is the
+    // q33/q75/q65 lesson again.
     def bigrams(d: DataFrame) = d.select(col("doc_id"), col("lang"),
-      explode(expr("transform(sequence(1, greatest(length(text) - 1, 1)), i -> substring(text, i, 2))")).as("bg"))
+      explode(graft.plans.CharBigramIds.charBigramIds(col("text"))).as("bg"))
     val counts = bigrams(docs).groupBy("lang", "bg").agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)
     val langs = counts.select("lang").distinct()
@@ -81,10 +89,18 @@ object TextAnalysis {
         log((coalesce(col("cnt"), lit(0L)) + lit(1.0))
           / (col("tot") + lit(vocabSize.toDouble))).as("logp"))
       .localCheckpoint(true)
+    // Collapse each doc's repeated bigrams BEFORE the model probe: the
+    // naive per-occurrence join expands O(corpus chars × langs) rows
+    // (timed out at the 100× corpus); the collapsed form probes once
+    // per (doc, DISTINCT bigram) and weights by the count, and the
+    // per-(doc, lang) sums partial-aggregate map-side. Production
+    // trains the model on a labeled seed sample once — scoring is the
+    // only corpus-sized pass.
     val scored = bigrams(docs)
+      .groupBy("doc_id", "lang", "bg").agg(count(lit(1)).as("n"))
       .join(Guard.modelBroadcast(model, Some(model.count())), "bg")
       .groupBy("doc_id", "lang", "model_lang")
-      .agg(round(sum("logp"), 6).as("score"))
+      .agg(round(sum(col("n") * col("logp")), 6).as("score"))
     scored
       .withColumn("rk", row_number().over(
         w.partitionBy("doc_id").orderBy(desc("score"), asc("model_lang"))))
