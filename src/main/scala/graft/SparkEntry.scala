@@ -68,6 +68,8 @@ object SparkEntry {
     "q86_hybrid_dedup"   -> (Dedup.q86HybridDedup _),
     "q34_knn_cosine"     -> (Similarity.q34KnnCosine _),
     "q61_knn_join"       -> (Similarity.q61KnnJoin _),
+    "q95_bm25"           -> (Retrieval.q95Bm25 _),
+    "q96_hybrid_rrf"     -> (Retrieval.q96HybridRrf _),
     "q35_lang_profile"   -> (TextAnalysis.q35LangProfile _),
     "q36_lang_id"        -> (TextAnalysis.q36LangId _),
     "q37_quality_score"  -> (TextAnalysis.q37QualityScore _),
@@ -1245,6 +1247,56 @@ object SparkEntry {
         |                  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS BIGINT) AS rank
         |           FROM scored)
         |SELECT q_id, n_id, cos_sim, rank FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // BM25 and the Spark side share one parenthesization:
+    // idf * (tf*(k1+1)) / (tf + k1*(1 - b + b*dl/avgdl)), summed left-assoc,
+    // rounded AFTER the sum — same float op order in both engines.
+    "q95_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split(coalesce(text, ''), ' '), w -> w <> '')) AS DOUBLE) AS dl,
+        |         CAST(len(list_filter(string_split(coalesce(text, ''), ' '), w -> w = 'spark')) AS DOUBLE) AS tf0,
+        |         CAST(len(list_filter(string_split(coalesce(text, ''), ' '), w -> w = 'join')) AS DOUBLE) AS tf1,
+        |         CAST(len(list_filter(string_split(coalesce(text, ''), ' '), w -> w = 'stream')) AS DOUBLE) AS tf2
+        |  FROM documents),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+        |             CAST(count(*) FILTER (WHERE tf0 > 0) AS DOUBLE) AS df0,
+        |             CAST(count(*) FILTER (WHERE tf1 > 0) AS DOUBLE) AS df1,
+        |             CAST(count(*) FILTER (WHERE tf2 > 0) AS DOUBLE) AS df2
+        |      FROM d),
+        |scored AS (
+        |  SELECT doc_id, round(
+        |      ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    + ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25
+        |  FROM d CROSS JOIN s)
+        |SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q96_hybrid_rrf" ->
+      """WITH d AS (SELECT doc_id,
+        |             list_distinct(list_filter(string_split(coalesce(text, ''), ' '), w -> w <> '')) AS tset
+        |           FROM documents),
+        |e AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT d.doc_id, tset, v FROM d JOIN e USING (doc_id)),
+        |q AS (SELECT doc_id AS q_id, tset AS q_tset, v AS qv FROM c WHERE doc_id < 10),
+        |sc AS (SELECT q_id, c.doc_id,
+        |         round(list_cosine_similarity(qv, v), 6) AS cos_sim,
+        |         round(CAST(len(list_intersect(tset, q_tset)) AS DOUBLE)
+        |               / greatest(len(list_distinct(list_concat(tset, q_tset))), 1), 6) AS jaccard
+        |       FROM c CROSS JOIN q WHERE c.doc_id <> q_id),
+        |r AS (SELECT q_id, doc_id, cos_sim, jaccard,
+        |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS r_dense,
+        |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY jaccard DESC, doc_id) AS BIGINT) AS r_lex
+        |      FROM sc),
+        |f AS (SELECT q_id, doc_id,
+        |        round(1.0 / (60.0 + r_dense) + 1.0 / (60.0 + r_lex), 6) AS rrf, r_dense, r_lex
+        |      FROM r),
+        |ranked AS (SELECT q_id, doc_id, rrf, r_dense, r_lex,
+        |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+        |           FROM f)
+        |SELECT q_id, rank, doc_id, rrf, r_dense, r_lex
+        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
 
     "q35_lang_profile" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -676,7 +676,8 @@ class QueriesSpec extends AnyFunSuite {
       "q79_curriculum_bins", "q81_dsir_weight", "q82_novelty", "q83_domain_mix",
       "q85_dup_spans", "q86_hybrid_dedup", "q87_tokenizer_fertility",
       "q88_source_report", "q90_packing_manifest", "q91_mix_sample",
-      "q92_dsir_hashed", "q93_media_features", "q94_ngram_langid")
+      "q92_dsir_hashed", "q93_media_features", "q94_ngram_langid",
+      "q95_bm25", "q96_hybrid_rrf")
     val failures = docQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
