@@ -113,9 +113,16 @@ object TextAnalysis {
 
   /** q37: quality scoring — length, lexical diversity (type-token ratio),
     * mean word length, stopword share; combined into one score. */
-  def q37QualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val sw = array(stopwords.map(lit): _*)
-    Tables.documents(spark, dir)
+  def q37QualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityScored(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** The q37 scorer over any (doc_id, text, n_chars) table — one
+    * stateless projection, so the SAME expressions serve the batch
+    * query and [[graft.streaming.DocStream.qualityGate]] (an ingest
+    * gate that diverged from the curation query would admit docs the
+    * curation pass then drops). */
+  def qualityScored(docs: DataFrame): DataFrame = {
+    docs
       .select(col("doc_id"), col("n_chars"), Portable.tokenize(col("text")).as("words"))
       .select(
         col("doc_id"),
@@ -130,7 +137,6 @@ object TextAnalysis {
         round(least(col("ttr") * 2.0, lit(1.0)) * 0.5
           + when(col("n_tokens").between(20, 400), 0.3).otherwise(0.0)
           + least(col("stop_share") * 3.0, lit(0.2)), 6))
-      .orderBy("doc_id")
   }
 
   /** q47: edit distance between neighboring documents' prefixes — the

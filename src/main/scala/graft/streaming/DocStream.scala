@@ -84,6 +84,21 @@ object DocStream {
       .withColumn("contaminated", (col("n_contaminated") > 0).cast("long"))
   }
 
+  /** Ingest-time quality gate: score every arriving document with the
+    * EXACT batch q37 expressions ([[TextAnalysis.qualityScored]] — one
+    * shared projection, so the gate can never admit a doc the batch
+    * curation pass would drop) and emit only docs scoring at least
+    * `minQuality`. Stateless — append mode, zero streaming state; at a
+    * 100 TB/day crawl this runs at scan speed on however many ingest
+    * executors the source feeds, because rows never cross the network.
+    * Emits q37's full score breakdown so downstream consumers (the
+    * curriculum binner, the mix planner) reuse the columns without
+    * rescoring. */
+  def qualityGate(docs: DataFrame, minQuality: Double): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    TextAnalysis.qualityScored(docs).filter(col("quality") >= minQuality)
+  }
+
   case class HashedDoc(doc_id: Long, content_hash: String, corpus_canonical: Option[Long])
   case class DedupStatus(doc_id: Long, status: String, canonical_id: Long)
 

@@ -317,6 +317,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming quality gate admits exactly the batch q37 rows above threshold") {
+    // stateless twin sharing q37's scorer verbatim: parity is
+    // unconditional and the gate can never disagree with batch curation
+    val dir = java.nio.file.Files.createTempDirectory("graft-qgate-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$sf0001/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val q = graft.streaming.DocStream
+      .qualityGate(graft.streaming.DocStream.readStream(spark, dir.toString), 0.6)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("qgate_stream")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-qgate-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("qgate_stream")
+      val want = SparkEntry.queries("q37_quality_score")(spark, sf0001)
+        .filter(col("quality") >= 0.6)
+      assert(got.count() == want.count())
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+        "streaming quality gate must equal the batch q37 filter row-for-row")
+      val total = SparkEntry.queries("q37_quality_score")(spark, sf0001).count()
+      assert(want.count() > 0 && want.count() < total,
+        "threshold must genuinely split the fixture or the parity is vacuous")
+    } finally q.stop()
+  }
+
   test("online BQ retrieval answers a query stream bit-identically to batch q84") {
     import org.apache.spark.sql.DataFrame
     val dir = java.nio.file.Files.createTempDirectory("graft-vec-stream")
