@@ -81,6 +81,7 @@ object SparkEntry {
     "q64_tfidf"          -> (TextAnalysis.q64TfIdf _),
     "q65_repetition"     -> (TextAnalysis.q65RepetitionFilter _),
     "q66_strat_sample"   -> (TextAnalysis.q66StratifiedSample _),
+    "q97_weighted_sample" -> (TextAnalysis.q97WeightedSample _),
     "q67_source_cap"     -> (TextAnalysis.q67SourceCap _),
     "q69_pii_scrub"      -> (TextAnalysis.q69PiiScrub _),
     "q70_decontaminate"  -> (TextAnalysis.q70Decontaminate _),
@@ -1226,6 +1227,27 @@ object SparkEntry {
          |WHERE bucket < CASE lang ${TextAnalysis.sampleRatePerMille
                 .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")} ELSE 0 END
          |ORDER BY doc_id""".stripMargin,
+
+    // Efraimidis–Spirakis keys ranked as ln(u)/w (same order as
+    // u^(1/w), no cross-engine pow); u from the shared content hash.
+    "q97_weighted_sample" ->
+      s"""WITH d AS (SELECT doc_id, n_chars, ${tok("text")} AS words,
+         |                  ${tokenId("text")} % 1000000 AS uh
+         |           FROM documents),
+         |s AS (SELECT doc_id, uh,
+         |        CAST(len(words) AS BIGINT) AS n_tokens,
+         |        round(CAST(len(list_distinct(words)) AS DOUBLE) / greatest(len(words), 1), 6) AS ttr,
+         |        round(CAST(len(list_filter(words, w -> w IN $stoplist)) AS DOUBLE)
+         |              / greatest(len(words), 1), 6) AS stop_share
+         |      FROM d),
+         |q AS (SELECT doc_id, uh,
+         |        round(least(ttr * 2.0, 1.0) * 0.5
+         |              + CASE WHEN n_tokens BETWEEN 20 AND 400 THEN 0.3 ELSE 0.0 END
+         |              + least(stop_share * 3.0, 0.2), 6) AS quality
+         |      FROM s)
+         |SELECT doc_id, quality, round(ln((uh + 1.0) / 1000000.0) / quality, 6) AS es_key
+         |FROM q WHERE quality > 0
+         |ORDER BY es_key DESC, doc_id LIMIT 20""".stripMargin,
 
     "q67_source_cap" ->
       s"""WITH p AS (SELECT doc_id, source, n_chars, ${tokenId("text")} AS prio FROM documents),

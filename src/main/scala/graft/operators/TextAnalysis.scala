@@ -118,21 +118,25 @@ object TextAnalysis {
 
   /** The q37 scorer over any (doc_id, text, n_chars) table — one
     * stateless projection, so the SAME expressions serve the batch
-    * query and [[graft.streaming.DocStream.qualityGate]] (an ingest
-    * gate that diverged from the curation query would admit docs the
-    * curation pass then drops). */
-  def qualityScored(docs: DataFrame): DataFrame = {
+    * query, [[graft.streaming.DocStream.qualityGate]] (an ingest gate
+    * that diverged from the curation query would admit docs the
+    * curation pass then drops) and the q97 weighted sampler. `carry`
+    * names extra input columns to thread through the projection — the
+    * one-scan alternative to scoring and then self-joining the corpus
+    * back on doc_id for a column the scorer dropped. */
+  def qualityScored(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     docs
-      .select(col("doc_id"), col("n_chars"), Portable.tokenize(col("text")).as("words"))
-      .select(
-        col("doc_id"),
-        size(col("words")).cast("long").as("n_tokens"),
-        size(array_distinct(col("words"))).cast("long").as("n_distinct"),
+      .select(col("doc_id") +: col("n_chars") +:
+        Portable.tokenize(col("text")).as("words") +: carry.map(col): _*)
+      .select(col("doc_id") +:
+        size(col("words")).cast("long").as("n_tokens") +:
+        size(array_distinct(col("words"))).cast("long").as("n_distinct") +:
         round(size(array_distinct(col("words"))).cast("double")
-          / greatest(size(col("words")), lit(1)), 6).as("ttr"),
-        round(col("n_chars").cast("double") / greatest(size(col("words")), lit(1)), 6).as("avg_token_len"),
+          / greatest(size(col("words")), lit(1)), 6).as("ttr") +:
+        round(col("n_chars").cast("double") / greatest(size(col("words")), lit(1)), 6).as("avg_token_len") +:
         round(size(filter(col("words"), w => w.isin(stopwords: _*)))
-          .cast("double") / greatest(size(col("words")), lit(1)), 6).as("stop_share"))
+          .cast("double") / greatest(size(col("words")), lit(1)), 6).as("stop_share") +:
+        carry.map(col): _*)
       .withColumn("quality",
         round(least(col("ttr") * 2.0, lit(1.0)) * 0.5
           + when(col("n_tokens").between(20, 400), 0.3).otherwise(0.0)
@@ -400,6 +404,38 @@ object TextAnalysis {
       .filter(col("bucket") < rate)
       .select("doc_id", "lang", "bucket")
       .orderBy("doc_id")
+  }
+
+  /** q97: weighted sampling without replacement (Efraimidis–Spirakis
+    * A-Res, Inf. Proc. Letters 2006) — draw k documents with inclusion
+    * probability proportional to their q37 quality score: the "pick
+    * 1000 docs for human eval / an ablation run, weighted by quality"
+    * primitive. Each doc gets the key u^(1/w) for a uniform u and
+    * weight w; the top-k keys ARE the weighted sample. Ranking by
+    * ln(u)/w is the same order without the cross-engine pow hazard.
+    *
+    * Determinism: u derives from the content hash (the q66 convention —
+    * the sample is a pure function of corpus content, independent of
+    * ingest order and doc-id assignment), mapped to (0, 1] so ln is
+    * finite. Zero-quality docs are excluded — weight 0 means inclusion
+    * probability 0 in the A-Res scheme.
+    *
+    * Scale shape: the scorer's one projection (quality and the hash
+    * carried through a single scan — no score-then-self-join) + a
+    * global TakeOrderedAndProject. No shuffle at all: each partition
+    * offers its local top-k, the driver merges k rows. */
+  def q97WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val k = 20
+    qualityScored(
+      Tables.documents(spark, dir)
+        .withColumn("u_hash", Portable.tokenId(col("text")) % 1000000L),
+      carry = Seq("u_hash"))
+      .filter(col("quality") > 0)
+      .withColumn("es_key",
+        round(log((col("u_hash") + 1.0) / 1000000.0) / col("quality"), 6))
+      .select("doc_id", "quality", "es_key")
+      .orderBy(desc("es_key"), asc("doc_id"))
+      .limit(k)
   }
 
   /** q67: per-source document caps — the C4/RefinedWeb "domain cap"

@@ -262,6 +262,36 @@ class QueriesSpec extends AnyFunSuite {
       assert(a.getOrElse(l, 0L) == before(l), s"$l must be kept whole"))
   }
 
+  test("q97 weighted sample is the exact top-k of independently recomputed A-Res keys") {
+    import graft.operators.TextAnalysis
+    val got = run("q97_weighted_sample").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.length == 20)
+    assert(got.forall(_._2 > 0), "zero-weight docs must be unsampleable")
+    // recompute every doc's key from the scored corpus and take top-20:
+    // the query must agree exactly (same keys, same order)
+    val all = TextAnalysis.qualityScored(
+      Tables.documents(spark, TestSpark.sf0001)
+        .withColumn("u_hash", graft.functions.Portable.tokenId(col("text")) % 1000000L),
+      carry = Seq("u_hash"))
+      .filter(col("quality") > 0)
+      .select("doc_id", "quality", "u_hash").collect()
+      .map { r =>
+        val key = math.log((r.getLong(2) + 1.0) / 1000000.0) / r.getDouble(1)
+        // Spark round() is HALF_UP — mirror it, not rint's half-even
+        (r.getLong(0), r.getDouble(1),
+          BigDecimal(key).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    val want = all.sortBy { case (id, _, k) => (-k, id) }.take(20)
+    assert(got.toSeq == want.toSeq,
+      s"sample must be the deterministic top-20 by ln(u)/w:\n got=${got.take(3).mkString(",")}\nwant=${want.take(3).mkString(",")}")
+    // the A-Res key is monotone in the weight: for a FIXED uniform, a
+    // heavier doc can only move toward the sample, never away
+    val u = 0.37
+    val keys = Seq(0.1, 0.5, 1.0).map(w => math.log(u) / w)
+    assert(keys == keys.sorted, "ln(u)/w must increase with w for u<1")
+  }
+
   test("q69 pii scrub redacts planted emails, phones and IPs but leaves prose alone") {
     import graft.operators.TextAnalysis
     val dir = java.nio.file.Files.createTempDirectory("graft-pii").toString
@@ -677,7 +707,7 @@ class QueriesSpec extends AnyFunSuite {
       "q85_dup_spans", "q86_hybrid_dedup", "q87_tokenizer_fertility",
       "q88_source_report", "q90_packing_manifest", "q91_mix_sample",
       "q92_dsir_hashed", "q93_media_features", "q94_ngram_langid",
-      "q95_bm25", "q96_hybrid_rrf")
+      "q95_bm25", "q96_hybrid_rrf", "q97_weighted_sample")
     val failures = docQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
