@@ -82,6 +82,7 @@ object SparkEntry {
     "q65_repetition"     -> (TextAnalysis.q65RepetitionFilter _),
     "q66_strat_sample"   -> (TextAnalysis.q66StratifiedSample _),
     "q97_weighted_sample" -> (TextAnalysis.q97WeightedSample _),
+    "q98_snapshot_drift"  -> (TextAnalysis.q98SnapshotDrift _),
     "q67_source_cap"     -> (TextAnalysis.q67SourceCap _),
     "q69_pii_scrub"      -> (TextAnalysis.q69PiiScrub _),
     "q70_decontaminate"  -> (TextAnalysis.q70Decontaminate _),
@@ -1248,6 +1249,34 @@ object SparkEntry {
          |SELECT doc_id, quality, round(ln((uh + 1.0) / 1000000.0) / quality, 6) AS es_key
          |FROM q WHERE quality > 0
          |ORDER BY es_key DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q98_snapshot_drift" ->
+      s"""WITH d AS (SELECT lang, source,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+         |             ${tokenId("text")} % 100 AS bucket
+         |           FROM documents),
+         |o AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs_old,
+         |             CAST(sum(n_ws) AS BIGINT) AS n_tokens_old
+         |      FROM d WHERE bucket < 50 GROUP BY lang, source),
+         |n AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs_new,
+         |             CAST(sum(n_ws) AS BIGINT) AS n_tokens_new
+         |      FROM d WHERE bucket >= 50 GROUP BY lang, source),
+         |ot AS (SELECT CAST(coalesce(sum(n_tokens_old), 0) AS BIGINT) AS tot_old FROM o),
+         |nt AS (SELECT CAST(coalesce(sum(n_tokens_new), 0) AS BIGINT) AS tot_new FROM n),
+         |oo AS (SELECT o.*, round(CAST(n_tokens_old AS DOUBLE) / greatest(tot_old, 1), 6) AS share_old
+         |       FROM o CROSS JOIN ot),
+         |nn AS (SELECT n.*, round(CAST(n_tokens_new AS DOUBLE) / greatest(tot_new, 1), 6) AS share_new
+         |       FROM n CROSS JOIN nt)
+         |SELECT coalesce(oo.lang, nn.lang) AS lang,
+         |       coalesce(oo.source, nn.source) AS source,
+         |       CAST(coalesce(n_docs_old, 0) AS BIGINT) AS n_docs_old,
+         |       CAST(coalesce(n_docs_new, 0) AS BIGINT) AS n_docs_new,
+         |       coalesce(share_old, 0.0) AS share_old,
+         |       coalesce(share_new, 0.0) AS share_new,
+         |       round(abs(coalesce(share_new, 0.0) - coalesce(share_old, 0.0)), 6) AS share_drift,
+         |       round(ln((coalesce(n_docs_new, 0) + 1.0) / (coalesce(n_docs_old, 0) + 1.0)), 6) AS doc_log_ratio
+         |FROM oo FULL OUTER JOIN nn ON oo.lang = nn.lang AND oo.source = nn.source
+         |ORDER BY lang, source""".stripMargin,
 
     "q67_source_cap" ->
       s"""WITH p AS (SELECT doc_id, source, n_chars, ${tokenId("text")} AS prio FROM documents),

@@ -1102,6 +1102,57 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** q98: snapshot drift report — compare two corpus snapshots' doc and
+    * token distributions per (lang, source) cell and flag the cells
+    * whose share moved: the crawl-over-crawl monitor that catches "this
+    * week's crawl lost half its German" or "one domain flooded the mix"
+    * BEFORE a training run consumes the data. Shares are each cell's
+    * token fraction of its snapshot; drift is the absolute
+    * share delta plus a smoothed log-ratio (add-one on doc counts so a
+    * cell that vanished entirely still reports finite drift).
+    *
+    * Scale shape: one scan + one partial-agged groupBy per snapshot
+    * down to O(lang × source) cells, a full outer join of the two cell
+    * tables, one broadcast one-row totals cross-join each. Nothing
+    * grows with corpus size. */
+  def snapshotDrift(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    def cells(df: DataFrame, suffix: String) = df
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as(s"n_docs_$suffix"),
+        sum(size(split(col("text"), " ")).cast("long")).as(s"n_tokens_$suffix"))
+    def withShare(df: DataFrame, suffix: String) = {
+      val tot = df.agg(
+        coalesce(sum(s"n_tokens_$suffix"), lit(0L)).as(s"tot_$suffix"))
+      df.crossJoin(broadcast(tot))
+        .withColumn(s"share_$suffix",
+          round(col(s"n_tokens_$suffix").cast("double")
+            / greatest(col(s"tot_$suffix"), lit(1L)), 6))
+        .drop(s"tot_$suffix")
+    }
+    val old_ = withShare(cells(oldSnap, "old"), "old")
+    val new_ = withShare(cells(newSnap, "new"), "new")
+    old_.join(new_, Seq("lang", "source"), "full_outer")
+      .na.fill(0L, Seq("n_docs_old", "n_tokens_old", "n_docs_new", "n_tokens_new"))
+      .na.fill(0.0, Seq("share_old", "share_new"))
+      .select(col("lang"), col("source"),
+        col("n_docs_old"), col("n_docs_new"),
+        col("share_old"), col("share_new"),
+        round(abs(col("share_new") - col("share_old")), 6).as("share_drift"),
+        round(log((col("n_docs_new") + 1.0) / (col("n_docs_old") + 1.0)), 6)
+          .as("doc_log_ratio"))
+      .orderBy("lang", "source")
+  }
+
+  /** q98 declared form: the corpus' content-hash halves stand in for
+    * last week's and this week's crawl (bucket < 50 vs ≥ 50 of the q62
+    * hash — deterministic, self-contained; production passes two real
+    * snapshot directories). */
+  def q98SnapshotDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("bucket", Portable.tokenId(col("text")) % 100L)
+    snapshotDrift(docs.filter(col("bucket") < 50), docs.filter(col("bucket") >= 50))
+  }
+
   /** q38: document fingerprint + token counts — order-sensitive rolling
     * hash over the token stream (whitespace tokens and the reference's
     * alpha tokens counted separately). */

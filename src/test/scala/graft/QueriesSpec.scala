@@ -292,6 +292,33 @@ class QueriesSpec extends AnyFunSuite {
     assert(keys == keys.sorted, "ln(u)/w must increase with w for u<1")
   }
 
+  test("q98 snapshot drift flags vanished, new and shifted cells with finite scores") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    def snap(rows: Seq[(Long, String, String, String)]) =
+      rows.toDF("doc_id", "text", "lang", "source")
+    val old_ = snap(Seq(
+      (1L, "one two three four", "en", "s0"),
+      (2L, "five six seven eight", "en", "s0"),
+      (3L, "eins zwei drei vier", "de", "s1")))
+    val new_ = snap(Seq(
+      (11L, "one two three four", "en", "s0"),
+      (12L, "un deux trois quatre", "fr", "s2")))
+    val got = TextAnalysis.snapshotDrift(old_, new_).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val de = got(("de", "s1"))
+    assert(de.getLong(3) == 0 && de.getDouble(5) == 0.0,
+      "a vanished cell must appear with zero new-side counts")
+    assert(de.getDouble(7) < 0, "vanished cell log-ratio must be negative and finite")
+    val fr = got(("fr", "s2"))
+    assert(fr.getLong(2) == 0 && fr.getDouble(7) > 0,
+      "a brand-new cell must appear with zero old-side counts and positive log-ratio")
+    // shares within each snapshot sum to ~1
+    val sumOld = got.values.map(_.getDouble(4)).sum
+    val sumNew = got.values.map(_.getDouble(5)).sum
+    assert(math.abs(sumOld - 1.0) < 1e-4 && math.abs(sumNew - 1.0) < 1e-4)
+  }
+
   test("q69 pii scrub redacts planted emails, phones and IPs but leaves prose alone") {
     import graft.operators.TextAnalysis
     val dir = java.nio.file.Files.createTempDirectory("graft-pii").toString
@@ -707,7 +734,7 @@ class QueriesSpec extends AnyFunSuite {
       "q85_dup_spans", "q86_hybrid_dedup", "q87_tokenizer_fertility",
       "q88_source_report", "q90_packing_manifest", "q91_mix_sample",
       "q92_dsir_hashed", "q93_media_features", "q94_ngram_langid",
-      "q95_bm25", "q96_hybrid_rrf", "q97_weighted_sample")
+      "q95_bm25", "q96_hybrid_rrf", "q97_weighted_sample", "q98_snapshot_drift")
     val failures = docQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
