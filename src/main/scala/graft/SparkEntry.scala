@@ -69,6 +69,7 @@ object SparkEntry {
     "q34_knn_cosine"     -> (Similarity.q34KnnCosine _),
     "q61_knn_join"       -> (Similarity.q61KnnJoin _),
     "q95_bm25"           -> (Retrieval.q95Bm25 _),
+    "q99_knn_label_eval" -> (Similarity.q99KnnLabelEval _),
     "q96_hybrid_rrf"     -> (Retrieval.q96HybridRrf _),
     "q35_lang_profile"   -> (TextAnalysis.q35LangProfile _),
     "q36_lang_id"        -> (TextAnalysis.q36LangId _),
@@ -1348,6 +1349,26 @@ object SparkEntry {
         |           FROM f)
         |SELECT q_id, rank, doc_id, rrf, r_dense, r_lex
         |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    "q99_knn_label_eval" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |                  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, label AS true_label, v AS qv FROM e WHERE vec_id < 50),
+        |scored AS (SELECT q_id, true_label, e.label, e.vec_id,
+        |                  round(list_cosine_similarity(qv, v), 6) AS cos_sim
+        |           FROM e CROSS JOIN q WHERE e.vec_id <> q_id),
+        |nbr AS (SELECT * FROM (
+        |          SELECT q_id, true_label, label,
+        |                 row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rk
+        |          FROM scored) WHERE rk <= 5),
+        |votes AS (SELECT q_id, true_label, label, CAST(count(*) AS BIGINT) AS n_votes
+        |          FROM nbr GROUP BY q_id, true_label, label),
+        |pred AS (SELECT q_id, true_label, label, n_votes,
+        |                row_number() OVER (PARTITION BY q_id ORDER BY n_votes DESC, label) AS vote_rank
+        |         FROM votes)
+        |SELECT q_id AS vec_id, true_label, label AS pred_label, n_votes,
+        |       CAST(CASE WHEN label = true_label THEN 1 ELSE 0 END AS BIGINT) AS correct
+        |FROM pred WHERE vote_rank = 1 ORDER BY vec_id""".stripMargin,
 
     "q35_lang_profile" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,

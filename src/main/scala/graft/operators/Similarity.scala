@@ -58,6 +58,45 @@ object Similarity {
       .orderBy("vec_id", "table_id")
   }
 
+  /** q99: leave-one-out kNN label evaluation — for each vector in the
+    * eval block (vec_id < 50), predict its label by majority vote of
+    * its 5 nearest neighbors (itself excluded) and report the vote
+    * against the true label. The standard "are these embeddings any
+    * good" probe: if labels don't propagate across cosine neighbors,
+    * the embedding space won't support semantic dedup (q78), ANN
+    * retrieval (q45/q84) or label transfer at all.
+    *
+    * Determinism: similarities round to 6 before ranking and every
+    * ranking tie-breaks on id (neighbor rank) or label (vote rank), so
+    * prediction is engine-portable. Plan: the q34 broadcast-block
+    * contract — the corpus streams past the 50-row eval block and is
+    * never shuffled; the rank window and vote aggregation run over
+    * block×corpus candidate rows only. */
+  def q99KnnLabelEval(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val queries = broadcast(e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("label").as("true_label"), col("v").as("qv")))
+    val nw = Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("vec_id"))
+    val neighbors = e.crossJoin(queries)
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("true_label"), col("label"), col("vec_id"),
+        round(CosineSim.cosine(col("qv"), col("v")), 6).as("cos_sim"))
+      .withColumn("rk", row_number().over(nw))
+      .filter(col("rk") <= 5)
+    val vw = Window.partitionBy("q_id").orderBy(desc("n_votes"), asc("label"))
+    neighbors
+      .groupBy("q_id", "true_label", "label")
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("vote_rank", row_number().over(vw))
+      .filter(col("vote_rank") === 1)
+      .select(col("q_id").as("vec_id"), col("true_label"),
+        col("label").as("pred_label"), col("n_votes"),
+        (col("label") === col("true_label")).cast("long").as("correct"))
+      .orderBy("vec_id")
+  }
+
   /** Library API: exact cosine top-k neighbors of an arbitrary query
     * vector against an embeddings table (vec_id, embedding). The corpus
     * streams past the broadcast query; one TakeOrderedAndProject. */

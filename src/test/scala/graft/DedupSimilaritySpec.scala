@@ -458,6 +458,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.2, s"hamming shortlist must carry signal, got $recall")
   }
 
+  test("q99 kNN label eval: planted clusters predict their own label leave-one-out") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-knnlabel").toString
+    // three well-separated clusters of 8 vectors each: a shared cluster
+    // direction plus small per-vector jitter, labels = cluster id
+    def vec(cluster: Int, j: Int): Array[Float] = Array.tabulate(64) { d =>
+      val base = if (d % 3 == cluster) 1.0f else 0.05f
+      base + 0.01f * ((j * 31 + d * 7) % 5)
+    }
+    val rows = for (c <- 0 until 3; j <- 0 until 8)
+      yield ((c * 8 + j).toLong, vec(c, j), c)
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = graft.operators.Similarity.q99KnnLabelEval(spark, dir).collect()
+    assert(out.length == 24)
+    assert(out.forall(_.getLong(4) == 1L),
+      s"every planted query must recover its cluster label: " +
+        out.filter(_.getLong(4) == 0L).mkString("; "))
+    assert(out.forall(_.getLong(3) == 5L),
+      "all 5 neighbors must come from the query's own cluster")
+  }
+
   test("q77 calibration: identical docs estimate jaccard 1 exactly; error is sketch-bounded") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cal").toString
     Seq(
