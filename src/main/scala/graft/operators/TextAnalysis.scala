@@ -1115,11 +1115,26 @@ object TextAnalysis {
     * down to O(lang × source) cells, a full outer join of the two cell
     * tables, one broadcast one-row totals cross-join each. Nothing
     * grows with corpus size. */
-  def snapshotDrift(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+  def snapshotDrift(oldSnap: DataFrame, newSnap: DataFrame): DataFrame =
+    cellDrift(corpusCells(oldSnap), corpusCells(newSnap))
+
+  /** One snapshot's per-(lang, source) doc/token cell table — the
+    * distribution summary drift compares. Shared verbatim with
+    * [[graft.streaming.DocStream.ingestCells]], the streaming
+    * aggregation that maintains the same cells incrementally. */
+  def corpusCells(df: DataFrame): DataFrame = df
+    .groupBy("lang", "source")
+    .agg(count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+
+  /** The q98 comparison over two precomputed cell tables (the batch
+    * query compares two corpus scans; an ingest monitor compares a
+    * static baseline against the stream's live cells each trigger). */
+  def cellDrift(oldCells: DataFrame, newCells: DataFrame): DataFrame = {
     def cells(df: DataFrame, suffix: String) = df
-      .groupBy("lang", "source")
-      .agg(count(lit(1)).as(s"n_docs_$suffix"),
-        sum(size(split(col("text"), " ")).cast("long")).as(s"n_tokens_$suffix"))
+      .select(col("lang"), col("source"),
+        col("n_docs").as(s"n_docs_$suffix"),
+        col("n_tokens").as(s"n_tokens_$suffix"))
     def withShare(df: DataFrame, suffix: String) = {
       val tot = df.agg(
         coalesce(sum(s"n_tokens_$suffix"), lit(0L)).as(s"tot_$suffix"))
@@ -1129,8 +1144,8 @@ object TextAnalysis {
             / greatest(col(s"tot_$suffix"), lit(1L)), 6))
         .drop(s"tot_$suffix")
     }
-    val old_ = withShare(cells(oldSnap, "old"), "old")
-    val new_ = withShare(cells(newSnap, "new"), "new")
+    val old_ = withShare(cells(oldCells, "old"), "old")
+    val new_ = withShare(cells(newCells, "new"), "new")
     old_.join(new_, Seq("lang", "source"), "full_outer")
       .na.fill(0L, Seq("n_docs_old", "n_tokens_old", "n_docs_new", "n_tokens_new"))
       .na.fill(0.0, Seq("share_old", "share_new"))

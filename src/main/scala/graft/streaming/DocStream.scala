@@ -99,6 +99,21 @@ object DocStream {
     TextAnalysis.qualityScored(docs).filter(col("quality") >= minQuality)
   }
 
+  /** Live ingest cells for the q98 drift monitor: the SAME
+    * per-(lang, source) doc/token aggregation as
+    * [[TextAnalysis.corpusCells]], maintained incrementally over the
+    * stream. State is one record per (lang, source) cell — bounded by
+    * the corpus' language×source cardinality, not its size — so run it
+    * in complete output mode and feed each trigger's cell table to
+    * [[TextAnalysis.cellDrift]] against a static baseline (Spark
+    * doesn't allow a join downstream of a streaming aggregation, so
+    * the compare runs in the sink via foreachBatch — the standard
+    * monitor-sink shape). An ingest pipeline alarms on `share_drift`
+    * the moment a crawl slice goes wrong, instead of discovering it in
+    * next week's batch report. */
+  def ingestCells(docs: DataFrame): DataFrame =
+    TextAnalysis.corpusCells(docs)
+
   case class HashedDoc(doc_id: Long, content_hash: String, corpus_canonical: Option[Long])
   case class DedupStatus(doc_id: Long, status: String, canonical_id: Long)
 

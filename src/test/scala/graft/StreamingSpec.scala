@@ -317,6 +317,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming drift monitor converges to the batch q98 comparison") {
+    // the stream maintains the q98 cell table incrementally (complete
+    // mode, O(lang × source) state); once the source drains, drift
+    // against a static baseline must equal the batch two-snapshot query
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$sf0001/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val q = graft.streaming.DocStream
+      .ingestCells(graft.streaming.DocStream.readStream(spark, dir.toString))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("drift_cells")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-drift-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val live = spark.table("drift_cells")
+      val docs = Tables.documents(spark, sf0001)
+      // baseline: a skewed half of the corpus, so drift is non-trivial
+      val baseline = graft.operators.TextAnalysis.corpusCells(
+        docs.filter(col("doc_id") % 3 === 0))
+      val got = graft.operators.TextAnalysis.cellDrift(baseline, live)
+      val want = graft.operators.TextAnalysis.snapshotDrift(
+        docs.filter(col("doc_id") % 3 === 0), docs)
+      assert(got.count() == want.count())
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+        "monitor drift must equal the batch snapshot comparison row-for-row")
+      assert(want.filter(col("share_drift") > 0).count() > 0,
+        "fixture must produce real drift or the parity is vacuous")
+    } finally q.stop()
+  }
+
   test("streaming quality gate admits exactly the batch q37 rows above threshold") {
     // stateless twin sharing q37's scorer verbatim: parity is
     // unconditional and the gate can never disagree with batch curation
