@@ -90,6 +90,23 @@ object Examples {
     operators.Dedup.minhashCalibration(spark, "/root/testdata/sf0.001", pairSamplePct = 10)
       .show(3)
 
+    // BM25 search over any (doc_id, text) table
+    println("BM25 top-3 for {quick, fox}:")
+    operators.Retrieval.bm25TopK(
+      docs.withColumnRenamed("id", "doc_id"), Seq("quick", "fox"), 3).show()
+
+    // drift between two corpus snapshots (vanished cells stay finite)
+    println("snapshot drift, old = half the corpus:")
+    val snap = Tables.documents(spark, "/root/testdata/sf0.001")
+    operators.TextAnalysis.snapshotDrift(snap.filter(col("doc_id") % 2 === 0), snap)
+      .show(5)
+
+    // the one-call materialized build: corpus in, training set out
+    val outDir = java.nio.file.Files.createTempDirectory("graft-example-build").toString
+    val report = operators.TrainingSet.build(spark, "/root/testdata/sf0.001", outDir)
+    println(s"training-set build: $report")
+    println(s"artifacts under $outDir: train/ validation/ test/ manifest/")
+
     spark.stop()
   }
 }
