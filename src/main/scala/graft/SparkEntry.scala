@@ -84,6 +84,7 @@ object SparkEntry {
     "q66_strat_sample"   -> (TextAnalysis.q66StratifiedSample _),
     "q97_weighted_sample" -> (TextAnalysis.q97WeightedSample _),
     "q98_snapshot_drift"  -> (TextAnalysis.q98SnapshotDrift _),
+    "q100_padding_waste"  -> (TextAnalysis.q100PaddingWaste _),
     "q67_source_cap"     -> (TextAnalysis.q67SourceCap _),
     "q69_pii_scrub"      -> (TextAnalysis.q69PiiScrub _),
     "q70_decontaminate"  -> (TextAnalysis.q70Decontaminate _),
@@ -1250,6 +1251,19 @@ object SparkEntry {
          |SELECT doc_id, quality, round(ln((uh + 1.0) / 1000000.0) / quality, 6) AS es_key
          |FROM q WHERE quality > 0
          |ORDER BY es_key DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q100_padding_waste" -> {
+      val ladder = (4 to 20).map(1L << _)
+      val caseExpr = ladder.map(b => s"WHEN n <= $b THEN $b").mkString(" ")
+      s"""WITH d AS (SELECT greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1) AS n
+         |           FROM documents),
+         |b AS (SELECT n, CAST(CASE $caseExpr ELSE ${ladder.last} END AS BIGINT) AS bucket FROM d)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n) AS BIGINT) AS sum_tokens,
+         |       CAST(count(*) * bucket AS BIGINT) AS padded_tokens,
+         |       round(1.0 - CAST(sum(n) AS DOUBLE) / (count(*) * bucket), 6) AS waste
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
 
     "q98_snapshot_drift" ->
       s"""WITH d AS (SELECT lang, source,

@@ -1168,6 +1168,39 @@ object TextAnalysis {
     snapshotDrift(docs.filter(col("bucket") < 50), docs.filter(col("bucket") >= 50))
   }
 
+  /** q100: padding-waste report — group documents into power-of-two
+    * length buckets (the shape dynamic batchers pad to) and report, per
+    * bucket, how many tokens a batch padded to the bucket ceiling
+    * wastes: the planning table for inference/training batch-shape
+    * decisions ("bucket 128 is 41% padding — split it"). The ceiling
+    * for a doc of n tokens is the smallest power of two ≥ n (floor 16,
+    * so tiny docs share one bucket); waste = 1 − sum(n)/(docs·ceiling).
+    *
+    * Scale shape: one scan, integer log2 arithmetic per row, one
+    * partial-agged groupBy over ≤ ~20 buckets. Nothing grows. */
+  def q100PaddingWaste(spark: SparkSession, dir: String): DataFrame = {
+    val n = greatest(size(split(col("text"), " ")).cast("long"), lit(1L))
+    // smallest power of two >= n via an integer compare ladder —
+    // ceil(log2) through doubles puts exact powers of two on a
+    // rounding knife-edge, and the two engines' log implementations
+    // need not fall the same way
+    val ladder = (4 to 20).map(1L << _) // 16 … 1048576
+    val bucket = ladder.foldRight(lit(ladder.last)) { (b, acc) =>
+      when(n <= b, lit(b)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .select(bucket.as("bucket"), n.as("n_tokens"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"))
+      .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+        (col("n_docs") * col("bucket")).as("padded_tokens"),
+        round(lit(1.0) - col("sum_tokens").cast("double")
+          / (col("n_docs") * col("bucket")), 6).as("waste"))
+      .orderBy("bucket")
+  }
+
   /** q38: document fingerprint + token counts — order-sensitive rolling
     * hash over the token stream (whitespace tokens and the reference's
     * alpha tokens counted separately). */

@@ -319,6 +319,43 @@ class QueriesSpec extends AnyFunSuite {
     assert(math.abs(sumOld - 1.0) < 1e-4 && math.abs(sumNew - 1.0) < 1e-4)
   }
 
+  test("q100 padding buckets put exact powers of two in their own bucket") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pad").toString
+    // 16 tokens -> bucket 16 (the knife-edge a float log2 gets wrong),
+    // 17 -> 32, 100 -> 128, 1 -> the 16 floor
+    def words(k: Int) = (1 to k).map(i => s"w$i").mkString(" ")
+    Seq((1L, words(16)), (2L, words(17)), (3L, words(100)), (4L, words(1)))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.q100PaddingWaste(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(got(16L) == ((2L, 32L)), "the 16- and 1-token docs share bucket 16")
+    assert(got(32L) == ((1L, 32L)), "17 tokens must pad to 32")
+    assert(got(128L) == ((1L, 128L)), "100 tokens must pad to 128")
+    // waste is in [0, 1) and zero only when every doc fills its bucket
+    val all = TextAnalysis.q100PaddingWaste(spark, TestSpark.sf0001).collect()
+    assert(all.forall(r => r.getDouble(4) >= 0.0 && r.getDouble(4) < 1.0))
+  }
+
+  test("declared-surface contract: every oracle is totally ordered, every query is checked") {
+    // the driver's hash compare needs a deterministic frame: each oracle
+    // must end in a total ORDER BY, and every declared query must carry
+    // an oracle unless it is a documented rows-only (run-dependent ML /
+    // engine-specific sketch) entry. This lint pins the contract so a
+    // future query can't silently drop out of the gate.
+    val rowsOnly = Set("q40_word2vec_vocab", "q41_synonyms", "q42_lsh_minhash",
+      "q43_lsh_buckets", "q44_approx_distinct", "q45_ivf_cells",
+      "q51b_percentiles_approx", "q57_bpe_train", "q89_quality_classifier")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+    assert(missing.isEmpty, s"queries with neither oracle nor rows-only justification: $missing")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without a declared query: $orphans")
+    val unordered = SparkEntry.oracleSql.filterNot(_._2.toUpperCase.contains("ORDER BY")).keySet
+    assert(unordered.isEmpty, s"oracle SQL without a total ORDER BY: $unordered")
+  }
+
   test("q69 pii scrub redacts planted emails, phones and IPs but leaves prose alone") {
     import graft.operators.TextAnalysis
     val dir = java.nio.file.Files.createTempDirectory("graft-pii").toString
@@ -734,7 +771,8 @@ class QueriesSpec extends AnyFunSuite {
       "q85_dup_spans", "q86_hybrid_dedup", "q87_tokenizer_fertility",
       "q88_source_report", "q90_packing_manifest", "q91_mix_sample",
       "q92_dsir_hashed", "q93_media_features", "q94_ngram_langid",
-      "q95_bm25", "q96_hybrid_rrf", "q97_weighted_sample", "q98_snapshot_drift")
+      "q95_bm25", "q96_hybrid_rrf", "q97_weighted_sample", "q98_snapshot_drift",
+      "q100_padding_waste")
     val failures = docQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
