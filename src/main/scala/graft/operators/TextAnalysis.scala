@@ -522,7 +522,11 @@ object TextAnalysis {
     *
     * Scale shape: the eval side collapses to a distinct shingle set —
     * at production scale the benchmark suite is MBs against a corpus of
-    * TBs, so it BROADCASTS and the train side streams past in one pass
+    * TBs, so it broadcasts and the train side streams past in one pass.
+    * But THIS query's stand-in eval split is 5% of the corpus itself,
+    * which grows with the corpus — so the broadcast goes through the
+    * size guard and degrades to a shuffle join past the bound, like
+    * every other corpus-derived model table
     * (shingle → broadcast left-join marker → per-doc count); no
     * shuffle of corpus shingles at all. The join key is the shingle's
     * 64-bit hash, not the string: overlap detection only needs
@@ -549,10 +553,14 @@ object TextAnalysis {
       .select(col("doc_id"),
         (Portable.tokenId(col("text")) % 100L).as("bucket"),
         explode(graft.plans.ShingleHashes.shingleHashes(split(col("text"), " "), n)).as("shash"))
+    // the eval table is corpus-derived and GROWS with the corpus (here
+    // it stands in for a fixed benchmark suite): size-guard the
+    // broadcast like every other model table, so at web scale the probe
+    // degrades to a shuffle join instead of OOMing the driver
     val evalSh = sh.filter(col("bucket") >= 95)
       .select("shash").distinct().withColumn("hit", lit(1L))
     sh.filter(col("bucket") < 95)
-      .join(broadcast(evalSh), Seq("shash"), "left")
+      .join(Guard.modelBroadcast(evalSh), Seq("shash"), "left")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_shingles"),

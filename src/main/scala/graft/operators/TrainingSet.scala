@@ -63,19 +63,24 @@ object TrainingSet {
       val deduped = scored
         .withColumn("s_dedup", col("s_rep") && row_number().over(dw) === 1)
       // decontamination: drop train-side docs sharing an 8-shingle with
-      // the eval (test) split — the q70 probe, broadcast eval set
+      // the eval (test) split — the q70 probe. The eval table grows
+      // with the corpus, so it reaches the probe through the
+      // size-guarded broadcast (shuffle join beyond the bound), and the
+      // contaminated id list joins back by key — never a driver-side
+      // collected set
+      val shingles = graft.plans.ShingleHashes
+        .shingleHashes(split(col("text"), " "), 8)
       val evalSh = scored.filter(col("bucket") >= 95)
-        .select(explode(graft.plans.ShingleHashes
-          .shingleHashes(split(col("text"), " "), 8)).as("shash"))
-        .distinct()
-      val evalArr = evalSh.agg(collect_set(col("shash")).as("eval_sh"))
+        .select(explode(shingles).as("shash")).distinct()
+      val contaminatedIds = scored.filter(col("bucket") < 95)
+        .select(col("doc_id"), explode(shingles).as("shash"))
+        .join(Guard.modelBroadcast(evalSh), "shash")
+        .select("doc_id").distinct()
+        .withColumn("is_cont", lit(true))
       val flagged = deduped
-        .crossJoin(broadcast(evalArr))
-        .withColumn("contaminated",
-          col("bucket") < 95 &&
-            size(array_intersect(
-              graft.plans.ShingleHashes.shingleHashes(split(col("text"), " "), 8),
-              col("eval_sh"))) > 0)
+        .join(contaminatedIds, Seq("doc_id"), "left")
+        .withColumn("contaminated", coalesce(col("is_cont"), lit(false)))
+        .drop("is_cont")
         .withColumn("s_decon", col("s_dedup") && !col("contaminated"))
         .withColumn("split",
           when(col("bucket") < 90, "train")

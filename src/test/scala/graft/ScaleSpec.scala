@@ -206,6 +206,31 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("q70 decontamination probe degrades to a shuffle join past the guard, same result") {
+    import graft.operators.{Guard, TextAnalysis}
+    // the eval shingle table is corpus-derived (the q64/q71/q74 class):
+    // both guard branches must flag exactly the same documents
+    val viaBroadcast = TextAnalysis.q70Decontaminate(spark, sf0001).collect().toSeq
+    val prevBound = spark.conf.getOption(Guard.maxModelRowsKey)
+    val prevBjt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set(Guard.maxModelRowsKey, "1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val guarded = TextAnalysis.q70Decontaminate(spark, sf0001)
+      val plan = guarded.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected the eval-shingle probe to degrade to a shuffle join:\n$plan")
+      assert(guarded.collect().toSeq == viaBroadcast,
+        "shuffle-join path must flag the broadcast path's exact rows")
+    } finally {
+      prevBound match {
+        case Some(v) => spark.conf.set(Guard.maxModelRowsKey, v)
+        case None    => spark.conf.unset(Guard.maxModelRowsKey)
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBjt)
+    }
+  }
+
   test("q79 two-level tie rank matches a global rank on a 90%-one-value corpus") {
     import graft.operators.TextAnalysis
     import org.apache.spark.sql.expressions.Window
@@ -353,6 +378,27 @@ class ScaleSpec extends AnyFunSuite {
       s"query block must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
       s"corpus must never shuffle into the join or pair with itself:\n$plan")
+  }
+
+  test("q97 weighted sample plans as scan + TakeOrdered with zero exchanges") {
+    // the A-Res draw must stay a per-partition top-k merge: any
+    // Exchange here means the corpus is being shuffled to sort, which
+    // cannot survive a 100× scale-up
+    val plan = SparkEntry.queries("q97_weighted_sample")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must be TakeOrdered:\n$plan")
+    assert(!plan.contains("Exchange"), s"the draw must not shuffle the corpus:\n$plan")
+  }
+
+  test("q100 padding report partial-aggregates before its one tiny exchange") {
+    // one scan into <= ~20 bucket groups: the only exchange carries
+    // partial aggregates, never rows
+    val plan = SparkEntry.queries("q100_padding_waste")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("partial_sum")
+      || plan.contains("HashAggregate"), s"map-side combine must run:\n$plan")
+    assert(plan.split("Exchange").length - 1 <= 2,
+      s"at most the aggregate + sort exchanges:\n$plan")
   }
 
   test("salted join returns exactly the plain join result") {
