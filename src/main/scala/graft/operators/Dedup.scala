@@ -520,10 +520,17 @@ object Dedup {
       .select(col("p.id_a"), col("p.id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
+    // sizes is O(docs) — corpus-sized, so the two probe joins go
+    // through the size guard (shuffle join past the bound; the pair
+    // side is already candidate-bounded by the df cap)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      .localCheckpoint(true)
+    val sizesCount = Some(sizes.count())
     pairs
-      .join(broadcast(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("size_a"))), "id_a")
-      .join(broadcast(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("size_b"))), "id_b")
+      .join(Guard.modelBroadcast(
+        sizes.select(col("doc_id").as("id_a"), col("n_sh").as("size_a")), sizesCount), "id_a")
+      .join(Guard.modelBroadcast(
+        sizes.select(col("doc_id").as("id_b"), col("n_sh").as("size_b")), sizesCount), "id_b")
       .select(col("id_a"), col("id_b"),
         round(col("inter") / (col("size_a") + col("size_b") - col("inter")), 6).as("jaccard"))
   }

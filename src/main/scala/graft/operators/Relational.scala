@@ -84,8 +84,12 @@ object Relational {
       .select("o_orderkey", "o_custkey", "o_orderdate")
     val l = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_extendedprice", "l_discount")
+    // customer scales with the data — size-guarded hint, not a hard
+    // one; the guard checkpoints, so column refs must come from the
+    // guarded frame, not the original
+    val cG = Guard.modelBroadcast(c)
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(cG, o("o_custkey") === cG("c_custkey"))
       .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 0).as("revenue"))
       .orderBy(desc("revenue"), asc("o_orderkey"))
@@ -396,10 +400,14 @@ object Relational {
       .orderBy("l_returnflag")
 
   /** q24: top-k parts by quantity sold — broadcast dim join + partial agg
-    * + TakeOrderedAndProject. */
+    * + TakeOrderedAndProject. `part` SCALES with the data (unlike
+    * nation/region's fixed 25/5 rows), so the hint goes through the
+    * size guard and the join degrades to sort-merge at a scale factor
+    * where the dim no longer fits an executor. */
   def q24TopKParts(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir).select("l_partkey", "l_quantity")
-    val p = broadcast(Tables.part(spark, dir).select("p_partkey", "p_name", "p_brand"))
+    val p = Guard.modelBroadcast(
+      Tables.part(spark, dir).select("p_partkey", "p_name", "p_brand"))
     l.join(p, l("l_partkey") === p("p_partkey"))
       .groupBy("p_partkey", "p_name", "p_brand")
       .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n_lines"))

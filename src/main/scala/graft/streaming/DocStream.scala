@@ -225,9 +225,14 @@ object DocStream {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // the corpus index GROWS with the corpus: size-guard the broadcast
+    // so a web-scale index degrades to a per-micro-batch shuffle join
+    // of the (small) batch side instead of shipping billions of hashes
+    // to every executor
     val hashed = docs
       .select(col("doc_id"), md5(col("text").cast("binary")).as("content_hash"))
-      .join(broadcast(corpusIndex.select("content_hash", "corpus_canonical")),
+      .join(graft.operators.Guard.modelBroadcast(
+        corpusIndex.select("content_hash", "corpus_canonical")),
         Seq("content_hash"), "left")
       .as[HashedDoc]
     hashed.groupByKey(_.content_hash)
