@@ -95,6 +95,8 @@ object SparkEntry {
     "q75_dup_fraction"   -> (TextAnalysis.q75DupFraction _),
     "q79_curriculum_bins" -> (TextAnalysis.q79CurriculumBins _),
     "q80_event_zscore"   -> (Relational.q80EventZscore _),
+    "q101_retention_cohorts" -> (Relational.q101RetentionCohorts _),
+    "q102_event_funnel"  -> (Relational.q102EventFunnel _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -1251,6 +1253,42 @@ object SparkEntry {
          |SELECT doc_id, quality, round(ln((uh + 1.0) / 1000000.0) / quality, 6) AS es_key
          |FROM q WHERE quality > 0
          |ORDER BY es_key DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q101_retention_cohorts" ->
+      """WITH e AS (SELECT user_id, date_trunc('week', ts) AS week FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, week FROM e),
+        |c AS (SELECT cohort_week,
+        |             CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,
+        |             CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        |      FROM a JOIN f USING (user_id) GROUP BY cohort_week, week_offset),
+        |s AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size FROM f GROUP BY cohort_week)
+        |SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week, week_offset, n_active,
+        |       cohort_size, round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+        |FROM c JOIN s USING (cohort_week) ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // timestamps compare as integer MICROSECONDS on both engines — the
+    // parquet is nanosecond and a nanos-vs-micros comparison could order
+    // two sub-microsecond events differently
+    "q102_event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |t1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN t1 USING (user_id)
+        |       WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN t2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id),
+        |n AS (SELECT (SELECT count(*) FROM t1) AS n1,
+        |             (SELECT count(*) FROM t2) AS n2,
+        |             (SELECT count(*) FROM t3) AS n3)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name,
+        |         CAST(n1 AS BIGINT) AS n_users,
+        |         CAST(CASE WHEN n1 > 0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS conversion FROM n
+        |  UNION ALL SELECT 2, 'click_after_view', CAST(n2 AS BIGINT),
+        |         CAST(CASE WHEN n1 > 0 THEN round(CAST(n2 AS DOUBLE) / n1, 6) ELSE 0.0 END AS DOUBLE) FROM n
+        |  UNION ALL SELECT 3, 'purchase_after_click', CAST(n3 AS BIGINT),
+        |         CAST(CASE WHEN n2 > 0 THEN round(CAST(n3 AS DOUBLE) / n2, 6) ELSE 0.0 END AS DOUBLE) FROM n)
+        |ORDER BY stage""".stripMargin,
 
     "q100_padding_waste" -> {
       val ladder = (4 to 20).map(1L << _)

@@ -374,6 +374,72 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       .orderBy("day", "event_type")
 
+  /** q101: retention cohorts — the week a user first appears is their
+    * cohort; count how many of each cohort come back in each later
+    * week. The classic product-analytics retention matrix, emitted as
+    * (cohort_week, week_offset, n_active, cohort_size, retention).
+    *
+    * Scale shape: first-seen week is one partial-agged groupBy(user);
+    * activity cells are a second groupBy over (user, week); the final
+    * matrix is O(weeks²) rows. The user-keyed shuffle is reused by the
+    * join (same key), and nothing else grows with the event count. */
+  def q101RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+    val first = e.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val active = e.select("user_id", "week").distinct()
+    val cells = active.join(first, "user_id")
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("long").as("week_offset"))
+      .agg(countDistinct("user_id").as("n_active"))
+    val sizes = first.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    cells.join(sizes, "cohort_week")
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_active"), col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6).as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** q102: ordered event funnel — users who viewed, then clicked AFTER
+    * their first view, then purchased after that click: the sequence
+    * constraint is what distinguishes a funnel from three filters
+    * (a user who purchases before ever viewing does not convert).
+    * Timestamps compare as integer microseconds on BOTH engines — the
+    * events table is nanosecond parquet, and a comparison done in nanos
+    * on one side but micros on the other could order two sub-µs events
+    * differently.
+    *
+    * Scale shape: three partial-agged groupBy(user) passes, each joined
+    * on the user key it already shuffled on; output is 3 rows. */
+  def q102EventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t1"))
+    val t2 = e.join(t1, "user_id")
+      .filter(col("event_type") === "click" && col("us") > col("t1"))
+      .groupBy("user_id").agg(min("us").as("t2"))
+    val t3 = e.join(t2, "user_id")
+      .filter(col("event_type") === "purchase" && col("us") > col("t2"))
+      .groupBy("user_id").agg(min("us").as("t3"))
+    // one declarative plan (no driver-side counts): three one-row
+    // aggregates cross-joined, unpivoted to stage rows; identical
+    // subtrees reuse their exchanges
+    val row = t1.agg(count(lit(1)).as("n1"))
+      .crossJoin(t2.agg(count(lit(1)).as("n2")))
+      .crossJoin(t3.agg(count(lit(1)).as("n3")))
+    row.select(expr(
+      """stack(3,
+        |  1L, 'view', n1,
+        |    CASE WHEN n1 > 0 THEN 1.0D ELSE 0.0D END,
+        |  2L, 'click_after_view', n2,
+        |    CASE WHEN n1 > 0 THEN round(CAST(n2 AS DOUBLE) / n1, 6) ELSE 0.0D END,
+        |  3L, 'purchase_after_click', n3,
+        |    CASE WHEN n2 > 0 THEN round(CAST(n3 AS DOUBLE) / n2, 6) ELSE 0.0D END
+        |) AS (stage, stage_name, n_users, conversion)""".stripMargin))
+      .orderBy("stage")
+  }
+
   /** q22: range join — lineitem shipped within 60 days of its order date.
     * Equi-key (order key) + range residual: Catalyst plans the equi part
     * as the join key and evaluates the BETWEEN as a post-join filter, so

@@ -524,6 +524,47 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.head.getLong(5) == 20L, "baseline frame was the full 20 events")
   }
 
+  test("q102 funnel enforces event ORDER, not mere presence") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def ev(id: Long, user: Long, typ: String, minute: Long) =
+      (id, base.plusSeconds(minute * 60).toEpochMilli * 1000000L, user, typ, 1.0)
+    val events = Seq(
+      ev(1, 1, "view", 1), ev(2, 1, "click", 2), ev(3, 1, "purchase", 3), // full convert
+      ev(4, 2, "purchase", 1), ev(5, 2, "view", 2), ev(6, 2, "click", 3), // buys BEFORE funnel
+      ev(7, 3, "click", 1), ev(8, 3, "view", 2),                          // clicks before viewing
+      ev(9, 4, "view", 1))                                                // views only
+    events.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = graft.operators.Relational.q102EventFunnel(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(rows(1L)._1 == 4, "all four users viewed")
+    assert(rows(2L)._1 == 2, "only users 1 and 2 clicked AFTER their first view")
+    assert(rows(3L)._1 == 1,
+      "only user 1 purchased after the click; user 2's pre-funnel purchase must not count")
+    assert(rows(3L)._2 == 0.5, "stage-3 conversion is from stage-2 survivors")
+  }
+
+  test("q101 retention counts only cohort members returning in later weeks") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cohort").toString
+    // week 1 = Mon 2024-01-01; user 1 active weeks 1+2, user 2 week 1
+    // only, user 3 first seen week 2
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def ev(id: Long, user: Long, day: Long) =
+      (id, base.plusSeconds(day * 86400).toEpochMilli * 1000000L, user, "view", 1.0)
+    Seq(ev(1, 1, 0), ev(2, 1, 8), ev(3, 2, 1), ev(4, 3, 9))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = graft.operators.Relational.q101RetentionCohorts(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(rows(("2024-01-01", 0L)) == ((2L, 2L, 1.0)), "cohort week 0 is everyone in it")
+    assert(rows(("2024-01-01", 1L)) == ((1L, 2L, 0.5)), "only user 1 returned in week 2")
+    assert(rows(("2024-01-08", 0L)) == ((1L, 1L, 1.0)), "user 3 forms the week-2 cohort")
+    assert(!rows.contains(("2024-01-08", 1L)))
+  }
+
   test("q75 duplication fraction scores a shared template high and unique text zero") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-dupfrac").toString
