@@ -155,6 +155,47 @@ object EventStream {
         })
   }
 
+  case class FunnelState(t1: Long, t2: Long, t3: Long) // -1 = stage open
+  case class StageAdvance(user_id: Long, stage: Long, stage_name: String, us: Long)
+
+  /** Streaming twin of the batch q102 ordered funnel: per-user state is
+    * just the three stage timestamps, advanced as events arrive — a
+    * user's `view → click-after → purchase-after` progress is KNOWN the
+    * moment it happens, not at the next batch report. Emits one
+    * StageAdvance row per stage completion; counting users per stage
+    * reproduces q102's funnel table.
+    *
+    * Parity contract: the batch query takes min() over each stage's
+    * candidates; the stream keeps the FIRST qualifying event in
+    * (event-time, event_id) order, folding each micro-batch in that
+    * order — identical when delivery is time-ordered across batches
+    * (the lineDedup/incrementalDedup contract; a crawl/event log with
+    * monotone ingest satisfies it). State is three longs per user,
+    * no timeout: a funnel stage completed once stays completed. */
+  def funnelStages(events: Dataset[TypedEvent]): Dataset[StageAdvance] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[TypedEvent], state: GroupState[FunnelState]) => {
+          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val out = Vector.newBuilder[StageAdvance]
+          rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id)).foreach { e =>
+            val us = eventMicros(e.ts)
+            e.event_type match {
+              case "view" if s.t1 < 0 =>
+                s = s.copy(t1 = us); out += StageAdvance(userId, 1L, "view", us)
+              case "click" if s.t2 < 0 && s.t1 >= 0 && us > s.t1 =>
+                s = s.copy(t2 = us); out += StageAdvance(userId, 2L, "click_after_view", us)
+              case "purchase" if s.t3 < 0 && s.t2 >= 0 && us > s.t2 =>
+                s = s.copy(t3 = us); out += StageAdvance(userId, 3L, "purchase_after_click", us)
+              case _ => ()
+            }
+          }
+          state.update(s)
+          out.result().iterator
+        })
+  }
+
   case class TypedEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
                         event_type: String, value: Double)
   /** Last ≤20 values per user, frame order (oldest first) — the window

@@ -183,6 +183,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, "streaming anomalies = batch anomalies, bit-for-bit incl. rounding")
   }
 
+  test("streaming funnel stage counts equal the batch q102 table") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = EventStream.readStream(spark, dir.toString)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+      .as[EventStream.TypedEvent]
+    val q = EventStream.funnelStages(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_stages")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-funnel-ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("funnel_stages")
+      .groupBy("stage").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = SparkEntry.queries("q102_event_funnel")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).filter(_._2 > 0).toMap
+    assert(got == want, s"stream stage counts must equal batch q102: got=$got want=$want")
+
+    // narrowing case (sf0.001's 15 users all convert): the planted
+    // out-of-order users from the batch fixture must stall mid-funnel
+    // in the stream exactly as they do in batch
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-funnel-stream2")
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def ev(id: Long, user: Long, typ: String, minute: Long) =
+      (id, base.plusSeconds(minute * 60).toEpochMilli * 1000000L, user, typ, 1.0)
+    Seq(
+      ev(1, 1, "view", 1), ev(2, 1, "click", 2), ev(3, 1, "purchase", 3),
+      ev(4, 2, "purchase", 1), ev(5, 2, "view", 2), ev(6, 2, "click", 3),
+      ev(7, 3, "click", 1), ev(8, 3, "view", 2),
+      ev(9, 4, "view", 1))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir2/events.parquet")
+    val stream2 = EventStream.readStream(spark, s"$dir2/events.parquet")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+      .as[EventStream.TypedEvent]
+    val q2 = EventStream.funnelStages(stream2)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_stages2")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-funnel-ckpt2").toString)
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got2 = spark.table("funnel_stages2")
+      .groupBy("stage").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(1L -> 4L, 2L -> 2L, 3L -> 1L),
+      s"planted out-of-order users must stall mid-funnel: $got2")
+  }
+
   test("stateful session counting works on the batch execution path too") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
