@@ -379,20 +379,28 @@ object Relational {
     * week. The classic product-analytics retention matrix, emitted as
     * (cohort_week, week_offset, n_active, cohort_size, retention).
     *
-    * Scale shape: first-seen week is one partial-agged groupBy(user);
-    * activity cells are a second groupBy over (user, week); the final
-    * matrix is O(weeks²) rows. The user-keyed shuffle is reused by the
-    * join (same key), and nothing else grows with the event count. */
+    * Scale shape: each user collapses to (cohort_week, distinct weeks)
+    * in one partial-agged groupBy (the week set is bounded by history
+    * length, not event count); the cells and cohort-size aggregations
+    * branch off that subtree. Catalyst prunes the branches differently
+    * (the size branch never reads the week array), so the plan runs two
+    * NARROW scans rather than materializing an O(users × weeks)
+    * intermediate — still down from the join-based form's three scans
+    * and three user shuffles of the full table. The final matrix is
+    * O(weeks²) rows. */
   def q101RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
-    val first = e.groupBy("user_id").agg(min("week").as("cohort_week"))
-    val active = e.select("user_id", "week").distinct()
-    val cells = active.join(first, "user_id")
+    val perUser = e.groupBy("user_id")
+      .agg(min("week").as("cohort_week"), collect_set("week").as("weeks"))
+    // each user contributes exactly once per distinct active week, so a
+    // plain count is the distinct-user count
+    val cells = perUser
+      .select(col("cohort_week"), explode(col("weeks")).as("week"))
       .groupBy(col("cohort_week"),
         (datediff(col("week"), col("cohort_week")) / 7).cast("long").as("week_offset"))
-      .agg(countDistinct("user_id").as("n_active"))
-    val sizes = first.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = perUser.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
     cells.join(sizes, "cohort_week")
       .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
         col("week_offset"), col("n_active"), col("cohort_size"),
