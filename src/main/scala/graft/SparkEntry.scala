@@ -125,6 +125,7 @@ object SparkEntry {
     "q44_approx_distinct" -> (Similarity.q44ApproxDistinct _),
     "q45_ivf_cells"      -> (Similarity.q45IvfCells _),
     "q89_quality_classifier" -> (QualityFilter.q89QualityClassifier _),
+    "q103_pca_variance"  -> (LinAlg.q103PcaVariance _),
     "q57_bpe_train"      -> (Bpe.q57BpeTrain _),
     // custom UDAF — oracle-checked via the rounded-norm contract
     "q50_vector_mean_agg" -> (Parity.q50VectorMeanAgg _),

@@ -347,7 +347,8 @@ class QueriesSpec extends AnyFunSuite {
     // future query can't silently drop out of the gate.
     val rowsOnly = Set("q40_word2vec_vocab", "q41_synonyms", "q42_lsh_minhash",
       "q43_lsh_buckets", "q44_approx_distinct", "q45_ivf_cells",
-      "q51b_percentiles_approx", "q57_bpe_train", "q89_quality_classifier")
+      "q51b_percentiles_approx", "q57_bpe_train", "q89_quality_classifier",
+      "q103_pca_variance")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries with neither oracle nor rows-only justification: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -764,7 +765,8 @@ class QueriesSpec extends AnyFunSuite {
         .write.parquet(s"$dir/$t.parquet")
     }
     val mlFits = Set("q40_word2vec_vocab", "q41_synonyms", "q42_lsh_minhash",
-      "q43_lsh_buckets", "q45_ivf_cells", "q57_bpe_train", "q89_quality_classifier")
+      "q43_lsh_buckets", "q45_ivf_cells", "q57_bpe_train", "q89_quality_classifier",
+      "q103_pca_variance")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => mlFits(q._1))
       .flatMap { case (name, fn) =>
