@@ -99,6 +99,18 @@ object DocStream {
     TextAnalysis.qualityScored(docs).filter(col("quality") >= minQuality)
   }
 
+  /** Ingest-time PII scrubbing: rewrite every arriving document with
+    * the batch q69 redaction chain ([[TextAnalysis.redactPii]] — same
+    * expressions, so stored text equals what the batch scrub would
+    * produce) BEFORE it lands in storage. The compliance ordering
+    * matters: a scrub that runs as a later batch job means raw PII was
+    * persisted in the meantime. Stateless per-row rewrite — append
+    * mode, scan speed, zero state. */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    docs.withColumn("text", TextAnalysis.redactPii(col("text")))
+  }
+
   /** Live ingest cells for the q98 drift monitor: the SAME
     * per-(lang, source) doc/token aggregation as
     * [[TextAnalysis.corpusCells]], maintained incrementally over the

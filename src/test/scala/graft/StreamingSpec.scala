@@ -404,6 +404,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming PII scrub rewrites arriving docs exactly as batch q69 would") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pii-stream")
+    Seq(
+      (1L, "contact alice.smith+dev@example.co.uk or call +1 (415) 555-0123 now", "en", "s0"),
+      (2L, "server at 10.0.142.7 responded", "en", "s1"),
+      (3L, "plain prose with no identifiers at all", "de", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val q = graft.streaming.DocStream
+      .piiScrub(graft.streaming.DocStream.readStream(spark, s"$dir/documents.parquet"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pii_stream")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-pii-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("pii_stream").select("doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val want = graft.operators.TextAnalysis.q69PiiScrub(spark, dir.toString)
+        .select("doc_id", "clean_text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == want, "stream-scrubbed text must equal the batch q69 clean_text")
+      assert(!got(1L).contains("alice") && got(1L).contains("<EMAIL>"),
+        "planted email must be redacted at ingest")
+      assert(got(3L) == "plain prose with no identifiers at all",
+        "clean prose must pass through untouched")
+    } finally q.stop()
+  }
+
   test("streaming quality gate admits exactly the batch q37 rows above threshold") {
     // stateless twin sharing q37's scorer verbatim: parity is
     // unconditional and the gate can never disagree with batch curation
