@@ -32,27 +32,17 @@ import graft.functions.Portable
   */
 object QualityFilter {
 
-  /** Per-doc feature/label frame: q37's signals + q65's repetition
+  /** Per-doc feature/label frame: q37's signals (via the ONE shared
+    * scorer, [[TextAnalysis.qualityScored]] — a weak label that drifted
+    * from the batch gate would train the filter against a different
+    * definition of quality than the one it replaces) + q65's repetition
     * fractions (0 for bigram-less docs) + the weak label. */
-  private[graft] def featureFrame(spark: SparkSession, dir: String): DataFrame = {
-    val words = Portable.tokenize(col("text"))
-    val denom = greatest(size(words), lit(1)).cast("double")
-    val ttr = round(size(array_distinct(words)).cast("double") / denom, 6)
-    val stopShare = round(
-      size(filter(words, w => w.isin(TextAnalysis.stopwords: _*))).cast("double") / denom, 6)
-    val quality = round(
-      least(ttr * 2.0, lit(1.0)) * 0.5
-        + when(size(words).between(20, 400), 0.3).otherwise(0.0)
-        + least(stopShare * 3.0, lit(0.2)), 6)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("n_chars"), col("text"),
-        size(words).cast("double").as("n_tokens"),
-        ttr.as("ttr"), stopShare.as("stop_share"),
-        (col("n_chars").cast("double") / denom).as("avg_token_len"),
-        quality.as("quality"),
-        graft.plans.RepetitionStats.repetitionStats(split(col("text"), " ")).as("st"))
-      .select(col("doc_id"), col("n_tokens"), col("ttr"), col("stop_share"),
-        col("avg_token_len"),
+  private[graft] def featureFrame(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScored(Tables.documents(spark, dir), carry = Seq("text"))
+      .withColumn("st",
+        graft.plans.RepetitionStats.repetitionStats(split(col("text"), " ")))
+      .select(col("doc_id"), col("n_tokens").cast("double").as("n_tokens"),
+        col("ttr"), col("stop_share"), col("avg_token_len"),
         coalesce(col("st.top_cnt").cast("double")
           / nullif(col("st.n_bigrams").cast("double"), lit(0.0)), lit(0.0))
           .as("top_bigram_frac"),
@@ -61,7 +51,6 @@ object QualityFilter {
           .as("dup_bigram_frac"),
         (col("quality") >= 0.6).cast("double").as("label"),
         (Portable.tokenId(col("text")) % 100L).as("bucket"))
-  }
 
   private val featureCols =
     Seq("n_tokens", "ttr", "stop_share", "avg_token_len",

@@ -263,11 +263,19 @@ object TextAnalysis {
     * per-bin rank window. A doc whose tokens straddle the 256 boundary
     * stays in its starting bin — q63's documented approximate-packing
     * semantics, inherited verbatim. */
-  def q90PackingManifest(spark: SparkSession, dir: String): DataFrame = {
+  def q90PackingManifest(spark: SparkSession, dir: String): DataFrame =
+    packingManifest(Tables.documents(spark, dir))
+
+  /** The q90 manifest plan over any (doc_id, text) table — the ONE
+    * place the packing geometry (100-doc shards, 256-token bins,
+    * shard·100000 bin ids) lives, so the declared query, the
+    * [[TrainingSet]] build artifact and the streaming twin can never
+    * emit incompatible loader addresses. */
+  def packingManifest(docs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val cumW = w.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         expr("doc_id div 100").as("shard"))
@@ -1073,19 +1081,13 @@ object TextAnalysis {
     * docs without a bigram are counted as evaluated=0 like q65's ≥2-word
     * filter. */
   def q88SourceReport(spark: SparkSession, dir: String): DataFrame = {
-    val words = Portable.tokenize(col("text"))
-    val denom = greatest(size(words), lit(1)).cast("double")
-    val ttr = round(size(array_distinct(words)).cast("double") / denom, 6)
-    val stopShare = round(
-      size(filter(words, w => w.isin(stopwords: _*))).cast("double") / denom, 6)
-    val quality = round(
-      least(ttr * 2.0, lit(1.0)) * 0.5
-        + when(size(words).between(20, 400), 0.3).otherwise(0.0)
-        + least(stopShare * 3.0, lit(0.2)), 6)
-    Tables.documents(spark, dir)
+    // quality comes from the ONE shared scorer — a report card scoring
+    // docs differently than the gate/curation queries would misreport
+    // exactly the number it exists to track
+    qualityScored(Tables.documents(spark, dir), carry = Seq("text", "lang", "source"))
       .select(col("source"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_ws"),
-        quality.as("quality"),
+        col("quality"),
         graft.plans.RepetitionStats.repetitionStats(split(col("text"), " ")).as("st"),
         md5(col("text")).as("h"))
       .withColumn("rep_eval", (col("st.n_bigrams") > 0L).cast("long"))

@@ -95,26 +95,20 @@ object TrainingSet {
           out.filter(col("split") === s).drop("split")
             .write.mode("overwrite").parquet(s"$outDir/$s")
         }
-        // q90's manifest over the train split: shard-local exclusive
-        // cumsum into 256-token bins, (bin, slot) loader addresses
+        // the SHARED q90 manifest plan over the train split — same
+        // geometry and schema as the declared query and the streaming
+        // twin, by construction
         val train = spark.read.parquet(s"$outDir/train")
-        val cw = Window.partitionBy("shard").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val manifest = train
-          .select(col("doc_id"),
-            size(split(col("text"), " ")).cast("long").as("n_ws"),
-            expr("doc_id div 100").as("shard"))
-          .withColumn("cum", coalesce(sum("n_ws").over(cw), lit(0L)))
-          .withColumn("bin", col("shard") * 100000L + (col("cum") / 256L).cast("long"))
-          .withColumn("bin_offset", col("cum") % 256L)
-          .withColumn("slot", row_number().over(
-            Window.partitionBy("bin").orderBy("doc_id")).cast("long"))
-          .select("bin", "slot", "doc_id", "bin_offset", "n_ws")
-        manifest.write.mode("overwrite").parquet(s"$outDir/manifest")
+        TextAnalysis.packingManifest(train)
+          .write.mode("overwrite").parquet(s"$outDir/manifest")
+        // coalesce: sum() over ZERO rows is null, and an empty corpus
+        // (a fully filtered shard) must yield a zero report, not an NPE
         val counts = flagged.agg(
-          count(lit(1)), sum(col("s_quality").cast("long")),
-          sum(col("s_rep").cast("long")), sum(col("s_dedup").cast("long")),
-          sum(col("s_decon").cast("long"))).head()
+          count(lit(1)),
+          coalesce(sum(col("s_quality").cast("long")), lit(0L)),
+          coalesce(sum(col("s_rep").cast("long")), lit(0L)),
+          coalesce(sum(col("s_dedup").cast("long")), lit(0L)),
+          coalesce(sum(col("s_decon").cast("long")), lit(0L))).head()
         val splits = flagged.filter(col("s_decon")).groupBy("split").count()
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         BuildReport(

@@ -8,6 +8,17 @@ import graft.operators.TrainingSet
 class TrainingSetSpec extends AnyFunSuite {
   import TestSpark.spark
 
+  test("build yields a zero report on an empty corpus instead of throwing") {
+    // a fully filtered shard or empty source partition is routine at
+    // scale; sum() over zero rows is null and must not NPE the report
+    val dir = java.nio.file.Files.createTempDirectory("graft-build-empty").toString
+    spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet").limit(0)
+      .write.parquet(s"$dir/documents.parquet")
+    val out = java.nio.file.Files.createTempDirectory("graft-build-empty-out").toString
+    val r = TrainingSet.build(spark, dir, out)
+    assert(r == TrainingSet.BuildReport(0, 0, 0, 0, 0, 0, 0, 0, 0), s"got $r")
+  }
+
   test("build materializes a consistent training set from the sf0.001 corpus") {
     val out = java.nio.file.Files.createTempDirectory("graft-build").toString
     val r = TrainingSet.build(spark, TestSpark.sf0001, out)
