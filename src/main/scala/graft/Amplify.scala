@@ -45,7 +45,23 @@ object Amplify {
         col("label"))
       .write.mode("overwrite").parquet(s"$dest/embeddings.parquet")
 
-    println(s"[amplify] wrote $dest: documents x$docCopies, embeddings x$vecCopies")
+    // events amplify by USER (user_id offset per copy, event ids slotted,
+    // timestamps jittered forward one second per copy): per-user history
+    // length stays realistic while user cardinality scales — the axis
+    // the event operators (q80/q101/q102) actually shuffle on. The raw
+    // nanos column is preserved (no Tables.events micros rebuild) so the
+    // amplified table round-trips the TIMESTAMP(NANOS) ingest path.
+    val evCopies = docCopies
+    Tables.table(spark, src, "events")
+      .crossJoin(spark.range(evCopies).toDF("copy"))
+      .select(
+        (col("copy") * slot + col("event_id")).as("event_id"),
+        (col("ts") + col("copy") * 1000000000L).as("ts"),
+        (col("copy") * slot + col("user_id")).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dest/events.parquet")
+
+    println(s"[amplify] wrote $dest: documents x$docCopies, embeddings x$vecCopies, events x$evCopies")
     spark.stop()
   }
 }
