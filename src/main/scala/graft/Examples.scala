@@ -107,6 +107,11 @@ object Examples {
     println(s"training-set build: $report")
     println(s"artifacts under $outDir: train/ validation/ test/ manifest/")
 
+    // embedding-space anisotropy check + projection
+    val (comps, ratios) = operators.LinAlg.pca(emb, k = 4)
+    println(s"PCA explained-variance spectrum: ${ratios.map(r => f"$r%.4f").mkString(", ")}")
+    operators.LinAlg.project(emb, comps.take(2)).show(3)
+
     spark.stop()
   }
 }
