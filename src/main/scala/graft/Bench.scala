@@ -46,11 +46,27 @@ object Bench {
     }
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(",")}")
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val fails = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$fails}""")
+    // Full-precision, full-name JSON → a file, immune to any stdout
+    // truncation; the stdout line is the parse-critical artifact so it
+    // uses the SHORT query ids ("q101_retention_cohorts" → "q101") and
+    // 3-decimal times. Round 2 lost 14 queries to a ~2 KB tail window
+    // on a 2.8 KB line; short ids keep 103+ queries under ~1.6 KB.
+    def fullJson(times: String => String) = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + times(k) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$fails}"""
+    }
+    val byName = results.toMap
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
+      fullJson(k => byName(k).toString) + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] file dump failed: ${e.getMessage}") }
+    def shortId(name: String) = name.takeWhile(_ != '_')
+    val shortQs = results.map { case (k, v) => "\"" + shortId(k) + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$shortQs,"sf":"$sfDir","failures":$fails}""")
     spark.stop()
   }
 }
