@@ -106,6 +106,10 @@ object SparkEntry {
     "q91_mix_sample"     -> (TextAnalysis.q91MixSample _),
     "q92_dsir_hashed"    -> (TextAnalysis.q92DsirHashed _),
     "q94_ngram_langid"   -> (TextAnalysis.q94NgramLangId _),
+    "q94b_langid_seed"   -> (TextAnalysis.q94bLangIdSeed _),
+    "q103b_covariance"   -> (LinAlg.q103bCovariance _),
+    "q104_embedding_drift" -> (LinAlg.q104EmbeddingDrift _),
+    "q105_whitened_neardup" -> (LinAlg.q105WhitenedNearDup _),
     "q76_quantize_int8"  -> (Quantize.q76QuantizeInt8 _),
     "q84_binary_quant_knn" -> (Quantize.q84BinaryQuantKnn _),
     "q77_minhash_calibration" -> (Dedup.q77MinhashCalibration _),
@@ -764,6 +768,70 @@ object SparkEntry {
         |SELECT doc_id, lang, model_lang AS pred_lang, score,
         |       CAST(CASE WHEN model_lang = lang THEN 1 ELSE 0 END AS BIGINT) AS is_correct
         |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    // Seed-fit language ID: the q94 model CTE trains on the 30 % seed
+    // (doc_id mod 10 < 3) while scoring covers every doc; bigrams
+    // outside the seed vocabulary drop out of the inner probe join on
+    // both engines identically.
+    "q94b_langid_seed" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |             unnest(list_transform(range(1, greatest(length(text) - 1, 1) + 1),
+        |                    i -> CAST(ascii(text[i]) AS BIGINT) * 1114112 + CAST(ascii(text[i+1]) AS BIGINT))) AS bg
+        |           FROM documents),
+        |c AS (SELECT lang, bg, count(*) AS cnt FROM b WHERE doc_id % 10 < 3 GROUP BY lang, bg),
+        |v AS (SELECT DISTINCT bg FROM c),
+        |vs AS (SELECT count(*) AS vocab FROM v),
+        |l AS (SELECT DISTINCT lang FROM c),
+        |t AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY lang),
+        |m AS (SELECT l.lang AS model_lang, v.bg,
+        |        ln((coalesce(c.cnt, 0) + 1.0) / (t.tot + vs.vocab)) AS logp
+        |      FROM v CROSS JOIN l
+        |      LEFT JOIN c ON c.lang = l.lang AND c.bg = v.bg
+        |      JOIN t ON t.lang = l.lang
+        |      CROSS JOIN vs),
+        |db AS (SELECT doc_id, lang, bg, count(*) AS n FROM b GROUP BY doc_id, lang, bg),
+        |s AS (SELECT db.doc_id, db.lang, m.model_lang, round(sum(db.n * m.logp), 6) AS score
+        |      FROM db JOIN m USING (bg) GROUP BY db.doc_id, db.lang, m.model_lang),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, model_lang) AS rk FROM s)
+        |SELECT doc_id, lang, model_lang AS pred_lang, score,
+        |       CAST(CASE WHEN model_lang = lang THEN 1 ELSE 0 END AS BIGINT) AS is_correct
+        |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    // PCA covariance input: exact sample covariance of the embedding
+    // columns (upper triangle). Both engines cast the float embeddings
+    // to double before any product and round the assembled cell at 6
+    // (the FP-sum contract); cell ids are 0-based on both sides.
+    "q103b_covariance" ->
+      """WITH e AS (SELECT vec_id,
+        |             unnest(range(1, len(embedding) + 1)) AS ix,
+        |             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+        |           FROM embeddings),
+        |s AS (SELECT ix, sum(x) AS sx FROM e GROUP BY ix),
+        |n AS (SELECT count(*) AS n FROM embeddings),
+        |c AS (SELECT a.ix AS i, b.ix AS j, sum(a.x * b.x) AS sxx
+        |      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.ix <= b.ix
+        |      GROUP BY a.ix, b.ix)
+        |SELECT CAST(c.i - 1 AS BIGINT) AS i, CAST(c.j - 1 AS BIGINT) AS j,
+        |       round((c.sxx - si.sx * sj.sx / n.n) / (n.n - 1), 6) AS cov
+        |FROM c JOIN s si ON si.ix = c.i JOIN s sj ON sj.ix = c.j CROSS JOIN n
+        |ORDER BY i, j""".stripMargin,
+
+    // Embedding-space drift: snapshots are the vec_id parity split (the
+    // q98 convention); conditional aggregates (FILTER ↔ when()) over one
+    // posexplode/unnest pass. All stats round at 6 (FP-sum contract);
+    // mean_shift is computed from the UNrounded means on both engines.
+    "q104_embedding_drift" ->
+      """WITH e AS (SELECT vec_id % 2 = 0 AS a,
+        |             unnest(range(1, len(embedding) + 1)) AS dim1,
+        |             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+        |           FROM embeddings)
+        |SELECT CAST(dim1 - 1 AS BIGINT) AS dim,
+        |       round(avg(x) FILTER (WHERE a), 6) AS mean_a,
+        |       round(avg(x) FILTER (WHERE NOT a), 6) AS mean_b,
+        |       round(avg(x) FILTER (WHERE NOT a) - avg(x) FILTER (WHERE a), 6) AS mean_shift,
+        |       round(var_samp(x) FILTER (WHERE a), 6) AS var_a,
+        |       round(var_samp(x) FILTER (WHERE NOT a), 6) AS var_b
+        |FROM e GROUP BY dim1 ORDER BY dim""".stripMargin,
 
     // N-gram novelty: string-shingle twin (the q75 pattern — only
     // equality semantics matter, so the oracle's strings and the

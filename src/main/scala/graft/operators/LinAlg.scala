@@ -34,6 +34,117 @@ object LinAlg {
       .orderBy("component")
   }
 
+  /** q103b: the PCA INPUT, oracle-checked — the exact sample covariance
+    * matrix of the embedding columns (upper triangle, 6 dp). This is
+    * the d×d Gramian `RowMatrix` tree-aggregates before its driver-side
+    * eigensolve, so declaring it puts the deterministic half of q103
+    * under the DuckDB hash gate; only the eigensolve (sign/rotation
+    * ambiguity) stays rows-only.
+    *
+    * Scale shape: the `RowMatrix` tree-aggregated Gramian itself — each
+    * partition accumulates a dense d(d+1)/2 BLAS buffer (no per-element
+    * rows ever exist), partials merge in a tree, and the driver holds
+    * O(d²) state. This is the ONE sanctioned RDD boundary (README
+    * design rules: MLlib distributed linear algebra). The first-cut
+    * declarative form — per-row HOF outer-product explode + cell-keyed
+    * partial aggregate — was plan-correct but 17× slower at sf0.1
+    * (8.5 s vs 0.5 s): 41M interpreted lambda evals + struct
+    * allocations against one fused BLAS `spr` per row. Same values
+    * either way (round-6 absorbs FP merge order; the spec checks cells
+    * against an independent driver-side computation). */
+  def q103bCovariance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val rows = Tables.embeddings(spark, dir)
+      .select(col("embedding").cast("array<double>").as("v"))
+      .rdd.map(r => OldVectors.dense(r.getSeq[Double](0).toArray))
+    if (rows.isEmpty()) return Seq.empty[(Long, Long, Double)].toDF("i", "j", "cov")
+    val cov = new RowMatrix(rows).computeCovariance()
+    // HALF_UP mirrors round(x, 6) on both engines (away-from-zero ties)
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d = cov.numRows
+    val cells = for { i <- 0 until d; j <- i until d }
+      yield (i.toLong, j.toLong, r6(cov(i, j)))
+    cells.toDF("i", "j", "cov").orderBy("i", "j")
+  }
+
+  /** q104 (oracle): embedding-space drift between two corpus snapshots —
+    * the vector-side twin of q98's text-distribution drift monitor. A
+    * pipeline that reuses cosine thresholds or an ANN index across
+    * snapshots needs to know whether the embedding distribution moved;
+    * per-dimension mean shift and variance change are the standard
+    * first-order alarm (and, unlike the eigensolve, exact arithmetic —
+    * so this sits under the DuckDB hash gate). Snapshots are the
+    * deterministic vec_id parity split, the q98 convention.
+    *
+    * Scale shape: ONE corpus pass — posexplode to (dim, x) with the
+    * snapshot flag, then conditional aggregates partial-combine
+    * map-side; the shuffle carries O(d) rows per partition and the
+    * result is d rows. Nothing corpus-sized moves. */
+  def q104EmbeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select((col("vec_id") % 2 === 0).as("a"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+    e.groupBy(col("dim").cast("long").as("dim"))
+      .agg(
+        avg(when(col("a"), col("x"))).as("ma"),
+        avg(when(!col("a"), col("x"))).as("mb"),
+        var_samp(when(col("a"), col("x"))).as("va"),
+        var_samp(when(!col("a"), col("x"))).as("vb"))
+      .select(col("dim"),
+        round(col("ma"), 6).as("mean_a"), round(col("mb"), 6).as("mean_b"),
+        round(col("mb") - col("ma"), 6).as("mean_shift"),
+        round(col("va"), 6).as("var_a"), round(col("vb"), 6).as("var_b"))
+      .orderBy("dim")
+  }
+
+  /** q105 (rows-only): whitened semantic near-dup ranking — the payoff
+    * of the PCA front end. Cosine thresholds on anisotropic embedding
+    * spaces are dominated by the top principal directions (the SemDeDup
+    * motivation documented on this object); whitening — project onto
+    * the top-k components, standardize each coordinate — removes that
+    * bias before scoring. Output: the top 200 candidate pairs ranked by
+    * exact whitened cosine (rows-only: the eigensolve isn't
+    * SQL-expressible; determinism and planted-dup recovery are
+    * spec-tested instead).
+    *
+    * Scale shape: the PCA pass is the q103 tree-aggregated Gramian
+    * (O(d²) driver state); projection + whitening are per-row codegen
+    * (the k×d matrix and k scales are plan literals); candidate
+    * generation and exact rescoring are the audited q49 blocked plan on
+    * the whitened vectors — zero-padded to `planeDim` so the SHARED
+    * simhash banding reads a full-width vector (zeros beyond k change
+    * neither band dots nor cosine). A global top-200 over band-bounded
+    * candidates is TakeOrderedAndProject, not a full sort. */
+  def q105WhitenedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.CosineSim
+    val emb = Tables.embeddings(spark, dir)
+    val k = 16
+    if (emb.limit(1).collect().isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "white_cos")
+    }
+    val (comps, _) = pca(emb, k)
+    val proj = project(emb, comps)
+    val sd = proj.select((0 until k).map(i => stddev_samp(col(s"pc$i")).as(s"s$i")): _*).head()
+    val scales = (0 until k).map(i => math.max(sd.getDouble(i), 1e-12))
+    val white = proj.select(col("vec_id"),
+      concat(
+        array((0 until k).map(i => col(s"pc$i") / scales(i)): _*),
+        array_repeat(lit(0.0), Dedup.planeDim - k)).as("v"))
+      .localCheckpoint(true) // consumed 3× (band table + both pair sides)
+    val cand = Dedup.candidatePairs(Dedup.simhashBandTable(white))
+    cand
+      .join(white.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+      .join(white.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(CosineSim.cosine(col("va"), col("vb")), 6).as("white_cos"))
+      .orderBy(desc("white_cos"), asc("id_a"), asc("id_b"))
+      .limit(200)
+  }
+
   /** Principal components + explained-variance ratios of an
     * (vec_id, embedding) table. Returns (d×k column-major components,
     * k ratios). */

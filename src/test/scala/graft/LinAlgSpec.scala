@@ -19,6 +19,91 @@ class LinAlgSpec extends AnyFunSuite {
     assert(ratios.sum <= 1.0 + 1e-9)
   }
 
+  test("q103b covariance cells agree with an independent driver-side computation") {
+    val cells = SparkEntry.queries("q103b_covariance")(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val d = 64
+    assert(cells.size == d * (d + 1) / 2, "upper triangle of a 64x64 matrix")
+    // plain-Scala sample covariance over the collected vectors (500×64
+    // at sf0.001) — shares no code with the engine path under test
+    val vecs = Tables.embeddings(spark, TestSpark.sf0001)
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val n = vecs.length
+    val mean = Array.tabulate(d)(i => vecs.map(_(i)).sum / n)
+    def ref(i: Int, j: Int): Double =
+      vecs.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / (n - 1)
+    for (i <- 0 until d; j <- i until d)
+      assert(math.abs(cells((i.toLong, j.toLong)) - ref(i, j)) < 2e-6,
+        s"cell ($i,$j): got ${cells((i.toLong, j.toLong))}, reference ${ref(i, j)}")
+    // the PCA spectrum must be consistent with its declared input:
+    // total variance = trace of the covariance
+    val trace = (0 until d).map(i => cells((i.toLong, i.toLong))).sum
+    assert(trace > 0.0)
+  }
+
+  test("q103b covariance returns empty (not a crash) on an empty corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cov-empty").toString
+    import spark.implicits._
+    Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    assert(SparkEntry.queries("q103b_covariance")(spark, dir).collect().isEmpty)
+  }
+
+  test("q104 drift detects a planted parity-correlated mean shift on one dimension") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    def noise(i: Int, d: Int) = 0.01 * (((i * 29 + d * 11) % 13) - 6)
+    // snapshot B (odd vec_id) is shifted by +0.5 on dim 5 only
+    (0 until 400).map { i =>
+      val v = Array.tabulate(64)(d => noise(i, d).toFloat)
+      if (i % 2 == 1) v(5) += 0.5f
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("q104_embedding_drift")(spark, dir).collect()
+    assert(rows.length == 64)
+    val shift = rows.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(math.abs(shift(5L) - 0.5) < 0.01,
+      s"planted +0.5 shift on dim 5 must be reported: ${shift(5L)}")
+    assert((0 until 64).filter(_ != 5).forall(d => math.abs(shift(d.toLong)) < 0.01),
+      "undrifted dimensions must report ~zero shift")
+    val vars = rows.map(r => (r.getLong(0), (r.getDouble(4), r.getDouble(5)))).toMap
+    assert(vars.forall { case (_, (va, vb)) => va >= 0 && vb >= 0 })
+  }
+
+  test("q105 whitened near-dup ranks a planted duplicate pair first") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-white").toString
+    // seeded Random, NOT a modular pattern: periodic arithmetic noise
+    // mints accidental exact duplicates that legitimately outrank the
+    // planted pair
+    val rnd = new scala.util.Random(42)
+    // anisotropic base: dim 0 carries 50x the spread, so RAW cosine is
+    // dominated by dim-0 agreement; whitening must undo that.
+    val base = (0 until 300).map { i =>
+      val v = Array.tabulate(64)(_ => (0.02 * (rnd.nextDouble() - 0.5)).toFloat)
+      v(0) = (if (i % 2 == 0) 0.5f else -0.5f) + (0.02 * (rnd.nextDouble() - 0.5)).toFloat
+      (i.toLong, v)
+    }
+    // planted near-dup: row 1000 = row 7 + tiny perturbation
+    val dup = base(7)._2.clone()
+    dup(11) = dup(11) + 0.001f
+    (base :+ (1000L, dup)).toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("q105_whitened_neardup")(spark, dir).collect()
+    assert(rows.nonEmpty, "candidate generation must produce pairs")
+    val top = rows.head
+    assert((top.getLong(0), top.getLong(1)) == (7L, 1000L),
+      s"planted duplicate must rank first, got (${top.getLong(0)},${top.getLong(1)})")
+    assert(top.getDouble(2) > 0.99, s"whitened cosine of a near-copy: ${top.getDouble(2)}")
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+  }
+
+  test("q105 returns empty (not a crash) on an empty corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-white-empty").toString
+    Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    assert(SparkEntry.queries("q105_whitened_neardup")(spark, dir).collect().isEmpty)
+  }
+
   test("pca finds a planted dominant axis and returns orthonormal components") {
     // variance 100x larger along dimension 3 than anywhere else: the
     // first principal component must align with e3 and claim almost

@@ -706,6 +706,39 @@ class QueriesSpec extends AnyFunSuite {
       s"disjoint character distributions must classify perfectly: ${got.filter(_.getLong(4) == 0L).toSeq}")
   }
 
+  test("q94b seed fit/score: a 30% seed model still separates planted distributions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-langid-seed").toString
+    val rnd = new scala.util.Random(13)
+    def textOf(chars: String, n: Int) =
+      (1 to n).map(_ => (1 to 4).map(_ => chars(rnd.nextInt(chars.length))).mkString).mkString(" ")
+    // ids chosen so BOTH langs land docs in the doc_id % 10 < 3 seed
+    val docs = (1 to 10).map(i => (i.toLong, textOf("abcd", 30), "aa")) ++
+      (11 to 20).map(i => (i.toLong, textOf("wxyz", 30), "zz"))
+    docs.toDF("doc_id", "text", "lang").write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis.q94bLangIdSeed(spark, dir).collect()
+    assert(got.length == 20, "seed vocab covers both charsets, so no doc drops")
+    assert(got.forall(_.getLong(4) == 1L),
+      s"seed-fit model must classify the held-out docs: ${got.filter(_.getLong(4) == 0L).toSeq}")
+  }
+
+  test("langIdFit model is reusable: one fit scores a corpus the model never saw") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    def textOf(chars: String, n: Int) =
+      (1 to n).map(_ => (1 to 4).map(_ => chars(rnd.nextInt(chars.length))).mkString).mkString(" ")
+    val seed = ((1 to 5).map(i => (i.toLong, textOf("abcd", 30), "aa")) ++
+      (6 to 10).map(i => (i.toLong, textOf("wxyz", 30), "zz"))).toDF("doc_id", "text", "lang")
+    // unlabeled target corpus: lang column holds a placeholder tag
+    val target = ((21 to 25).map(i => (i.toLong, textOf("abcd", 20), "?")) ++
+      (26 to 30).map(i => (i.toLong, textOf("wxyz", 20), "?"))).toDF("doc_id", "text", "lang")
+    val model = graft.operators.TextAnalysis.langIdFit(seed)
+    val got = graft.operators.TextAnalysis.langIdScore(target, model).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert((21L to 25L).forall(got(_) == "aa") && (26L to 30L).forall(got(_) == "zz"),
+      s"fitted profiles must transfer to unseen docs: $got")
+  }
+
   test("q90 packing manifest folds back to exactly the q63 bin table") {
     val manifest = run("q90_packing_manifest").collect()
     assert(manifest.nonEmpty)
@@ -814,8 +847,8 @@ class QueriesSpec extends AnyFunSuite {
       "q85_dup_spans", "q86_hybrid_dedup", "q87_tokenizer_fertility",
       "q88_source_report", "q90_packing_manifest", "q91_mix_sample",
       "q92_dsir_hashed", "q93_media_features", "q94_ngram_langid",
-      "q95_bm25", "q96_hybrid_rrf", "q97_weighted_sample", "q98_snapshot_drift",
-      "q100_padding_waste")
+      "q94b_langid_seed", "q95_bm25", "q96_hybrid_rrf", "q97_weighted_sample",
+      "q98_snapshot_drift", "q100_padding_waste")
     val failures = docQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
