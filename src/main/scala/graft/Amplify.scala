@@ -26,6 +26,13 @@ object Amplify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val slot = 1000000L
+    // repartition before every write: the base sf tables are single
+    // small files, so the crossJoin output inherits ONE partition and
+    // lands as ONE compressed file — which then feeds every
+    // explode-heavy first stage as a single scan task and serializes
+    // the very measurements this corpus exists for. cpus splittable
+    // files restore honest scan parallelism.
+    val splits = cpus.toInt
 
     Tables.documents(spark, src)
       .crossJoin(spark.range(docCopies).toDF("copy"))
@@ -34,6 +41,7 @@ object Amplify {
         concat(col("text"), lit(" uniq"), col("copy")).as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(splits)
       .write.mode("overwrite").parquet(s"$dest/documents.parquet")
 
     Tables.embeddings(spark, src)
@@ -43,6 +51,7 @@ object Amplify {
         expr("transform(embedding, (x, i) -> CASE WHEN i = 0" +
           " THEN cast(x + copy * 0.0001 AS float) ELSE x END)").as("embedding"),
         col("label"))
+      .repartition(splits)
       .write.mode("overwrite").parquet(s"$dest/embeddings.parquet")
 
     // events amplify by USER (user_id offset per copy, event ids slotted,
@@ -59,6 +68,7 @@ object Amplify {
         (col("ts") + col("copy") * 1000000000L).as("ts"),
         (col("copy") * slot + col("user_id")).as("user_id"),
         col("event_type"), col("value"), col("props"))
+      .repartition(splits)
       .write.mode("overwrite").parquet(s"$dest/events.parquet")
 
     println(s"[amplify] wrote $dest: documents x$docCopies, embeddings x$vecCopies, events x$evCopies")

@@ -98,19 +98,28 @@ object TextAnalysis {
     * runs once on a labeled seed sample; [[langIdScore]] is the only
     * per-corpus cost. O(langs × distinct bigrams) — charset-bounded. */
   def langIdFit(labeled: DataFrame): DataFrame = {
+    // persist (not localCheckpoint): the counts are scaffolding for the
+    // fit's four consumers below and are RELEASED before returning —
+    // Dataset.unpersist frees cached plans, but a localCheckpoint's
+    // blocks only die with their RDD
     val counts = charBigrams(labeled).groupBy("lang", "bg").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+      .persist()
     val langs = counts.select("lang").distinct()
     val vocab = counts.select("bg").distinct()
     val vocabSize = vocab.count()
     val totals = counts.groupBy("lang").agg(sum("cnt").as("tot"))
-    vocab.crossJoin(langs)
+    val model = vocab.crossJoin(langs)
       .join(counts, Seq("lang", "bg"), "left")
       .join(totals, "lang")
       .select(col("lang").as("model_lang"), col("bg"),
         log((coalesce(col("cnt"), lit(0L)) + lit(1.0))
           / (col("tot") + lit(vocabSize.toDouble))).as("logp"))
       .localCheckpoint(true)
+    // the raw counts fed the (eager) model checkpoint above and are
+    // dead now — release their blocks so repeated fits (a bench loop,
+    // a multi-corpus session) don't accumulate storage
+    counts.unpersist()
+    model
   }
 
   /** SCORE half: every doc scored under every fitted profile, argmax

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
 
-import graft.operators.Quantize
+import graft.operators.{LinAlg, Quantize}
 
 /** Streaming twin of the similarity-search surface: ONLINE retrieval,
   * where query vectors arrive as a stream and the corpus is the static,
@@ -43,4 +44,28 @@ object VecStream {
               shortlistN: Int = 30, k: Int = 10): DataFrame =
     Quantize.bqTopK(corpusSig, Quantize.asQueryBlock(queryBatch), shortlistN, k)
       .select("q_id", "rank", "n_id", "hamming", "cos_sim")
+
+  /** The embeddings schema, declared (streaming sources cannot infer). */
+  val vecSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", StringType)))
+
+  /** Open an embeddings parquet directory as a file stream. */
+  def readStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(vecSchema).parquet(path)
+
+  /** Streaming twin of q104's live half: maintain the per-dimension
+    * (mean, variance) table incrementally as vectors arrive — the SAME
+    * [[LinAlg.dimStats]] body, run by the incremental planner. State is
+    * one aggregation record per dimension (O(d), corpus-size-free), so
+    * run complete output mode and feed each trigger's table to
+    * [[LinAlg.dimDrift]] against a static baseline in the sink (a join
+    * downstream of a streaming aggregation is disallowed, so the
+    * compare runs in `foreachBatch` — the q98 monitor-sink shape,
+    * [[DocStream.ingestCells]]). An embedding pipeline alarms the
+    * moment a new encoder checkpoint or crawl slice shifts the space,
+    * before any cosine threshold or ANN index silently degrades. */
+  def ingestDimStats(vecs: DataFrame): DataFrame =
+    LinAlg.dimStats(vecs)
 }

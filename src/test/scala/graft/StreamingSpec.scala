@@ -371,6 +371,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming embedding-drift stats converge to the batch q104 comparison") {
+    // the stream maintains the per-dimension stats table incrementally
+    // (complete mode, O(d) state); streaming only the ODD-id vectors
+    // and comparing against a static even-id baseline must reproduce
+    // the batch q104 parity-split drift exactly
+    val dir = java.nio.file.Files.createTempDirectory("graft-vecdrift-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$sf0001/embeddings.parquet"),
+      dir.resolve("embeddings.parquet"))
+    val q = graft.streaming.VecStream
+      .ingestDimStats(
+        graft.streaming.VecStream.readStream(spark, dir.toString)
+          .filter(col("vec_id") % 2 =!= 0))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("vec_dim_stats")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-vecdrift-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val live = spark.table("vec_dim_stats")
+      val emb = Tables.embeddings(spark, sf0001)
+      val baseline = graft.operators.LinAlg.dimStats(
+        emb.filter(col("vec_id") % 2 === 0))
+      val got = graft.operators.LinAlg.dimDrift(baseline, live).collect()
+        .map(r => r.getLong(0) -> (1 to 5).map(r.getDouble)).toMap
+      val want = SparkEntry.queries("q104_embedding_drift")(spark, sf0001)
+        .collect().map(r => r.getLong(0) -> (1 to 5).map(r.getDouble)).toMap
+      assert(got.keySet == want.keySet && got.nonEmpty)
+      for (d <- want.keys; c <- 0 until 5)
+        assert(math.abs(got(d)(c) - want(d)(c)) <= 1e-6 + 1e-12,
+          s"dim $d col $c: ${got(d)(c)} vs ${want(d)(c)}")
+    } finally q.stop()
+  }
+
   test("streaming drift monitor converges to the batch q98 comparison") {
     // the stream maintains the q98 cell table incrementally (complete
     // mode, O(lang × source) state); once the source drains, drift
