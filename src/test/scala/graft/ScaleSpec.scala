@@ -401,6 +401,33 @@ class ScaleSpec extends AnyFunSuite {
       s"at most the aggregate + sort exchanges:\n$plan")
   }
 
+  test("q104 drift partial-aggregates the exploded stream before one O(d) exchange") {
+    // the conditional aggregates must combine map-side: the only
+    // exchange carries O(dims) partial buffers per partition, never
+    // the exploded (dim, x) stream — the property that keeps the
+    // drift monitor one cheap pass at any corpus size
+    val plan = SparkEntry.queries("q104_embedding_drift")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_avg") || plan.contains("partial_var")
+      || plan.contains("HashAggregate"), s"map-side combine must run:\n$plan")
+    assert(plan.split("Exchange").length - 1 <= 2,
+      s"at most the aggregate + sort exchanges:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("CartesianProduct"), s"no corpus-sized join:\n$plan")
+  }
+
+  test("q105 whitened near-dup never plans an all-pairs join") {
+    // the q49 guarantee must survive the whitening front end: candidate
+    // pairs come from band buckets (hash exchanges), never a nested
+    // loop over vector pairs
+    val plan = SparkEntry.queries("q105_whitened_neardup")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("CartesianProduct"), s"no all-pairs join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-200 must be TakeOrdered, not a full sort:\n$plan")
+  }
+
   test("salted join returns exactly the plain join result") {
     val lineitem = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity", "l_partkey")
     val orders = Tables.orders(spark, sf0001).select("o_orderkey", "o_orderpriority")
