@@ -84,6 +84,7 @@ object SparkEntry {
     "q66_strat_sample"   -> (TextAnalysis.q66StratifiedSample _),
     "q97_weighted_sample" -> (TextAnalysis.q97WeightedSample _),
     "q98_snapshot_drift"  -> (TextAnalysis.q98SnapshotDrift _),
+    "q106_snapshot_delta" -> (TextAnalysis.q106SnapshotDelta _),
     "q100_padding_waste"  -> (TextAnalysis.q100PaddingWaste _),
     "q67_source_cap"     -> (TextAnalysis.q67SourceCap _),
     "q69_pii_scrub"      -> (TextAnalysis.q69PiiScrub _),
@@ -1399,6 +1400,27 @@ object SparkEntry {
          |       round(ln((coalesce(n_docs_new, 0) + 1.0) / (coalesce(n_docs_old, 0) + 1.0)), 6) AS doc_log_ratio
          |FROM oo FULL OUTER JOIN nn ON oo.lang = nn.lang AND oo.source = nn.source
          |ORDER BY lang, source""".stripMargin,
+
+    // Snapshot content delta: the synthetic revision (removals % 13,
+    // rewrites % 7, re-crawls % 11 under +10M ids) derives identically
+    // on both engines; md5 hex agrees cross-engine (the q30 contract).
+    "q106_snapshot_delta" ->
+      """WITH rev AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0),
+        |a AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |b AS (SELECT doc_id, md5(text) AS h FROM rev),
+        |j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |        CASE WHEN a.doc_id IS NULL THEN 'added'
+        |             WHEN b.doc_id IS NULL THEN 'removed'
+        |             WHEN a.h <> b.h THEN 'changed'
+        |             ELSE 'unchanged' END AS status
+        |      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT doc_id, status FROM j WHERE status <> 'unchanged'
+        |ORDER BY doc_id, status""".stripMargin,
 
     "q67_source_cap" ->
       s"""WITH p AS (SELECT doc_id, source, n_chars, ${tokenId("text")} AS prio FROM documents),

@@ -1163,6 +1163,52 @@ object TextAnalysis {
   def snapshotDrift(oldSnap: DataFrame, newSnap: DataFrame): DataFrame =
     cellDrift(corpusCells(oldSnap), corpusCells(newSnap))
 
+  /** Exact content DELTA between two corpus snapshots — the complement
+    * of [[snapshotDrift]]: drift says the DISTRIBUTION moved, delta
+    * says exactly WHICH documents did. This is the crawl-refresh
+    * primitive: a pipeline reprocesses `added`/`changed` docs, retires
+    * `removed` ones, and skips the (overwhelmingly common) unchanged
+    * majority — so the delta, not the corpus, sizes the incremental
+    * work. Emits only the delta rows (doc_id, status ∈
+    * added/removed/changed).
+    *
+    * Scale shape: each side collapses to (doc_id, md5) — 16 bytes a
+    * row, the q30 fingerprint — then ONE full-outer hash join on
+    * doc_id (co-partitioned and exchange-free when both snapshots are
+    * bucketed by doc_id, the Bucketing.scala path). Nothing else
+    * touches the text. */
+  def snapshotDelta(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    def fp(df: DataFrame) = df.select(col("doc_id"), md5(col("text")).as("h"))
+    fp(oldSnap).as("a")
+      .join(fp(newSnap).as("b"), col("a.doc_id") === col("b.doc_id"), "full_outer")
+      .select(
+        coalesce(col("a.doc_id"), col("b.doc_id")).as("doc_id"),
+        when(col("a.doc_id").isNull, lit("added"))
+          .when(col("b.doc_id").isNull, lit("removed"))
+          .when(col("a.h") =!= col("b.h"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .filter(col("status") =!= "unchanged")
+      .orderBy("doc_id", "status")
+  }
+
+  /** q106: [[snapshotDelta]] on the declared surface. The "new"
+    * snapshot is a deterministic synthetic revision of the corpus —
+    * doc_id % 13 = 0 removed, doc_id % 7 = 0 rewritten (" v2"
+    * appended), doc_id % 11 = 0 re-crawled under a fresh id (+10M) —
+    * so both engines derive the same two snapshots and the full
+    * added/removed/changed surface is exercised under the DuckDB hash
+    * gate. */
+  def q106SnapshotDelta(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val revised = docs.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    val recrawled = docs.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    snapshotDelta(docs, revised.unionByName(recrawled))
+  }
+
   /** One snapshot's per-(lang, source) doc/token cell table — the
     * distribution summary drift compares. Shared verbatim with
     * [[graft.streaming.DocStream.ingestCells]], the streaming

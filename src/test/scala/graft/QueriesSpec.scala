@@ -739,6 +739,24 @@ class QueriesSpec extends AnyFunSuite {
       s"fitted profiles must transfer to unseen docs: $got")
   }
 
+  test("q106 snapshot delta classifies a planted revision exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-delta").toString
+    (1 to 100).map(i => (i.toLong, s"document number $i body", "en", "web", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q106_snapshot_delta")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val removed = (1 to 100).filter(_ % 13 == 0).map(_.toLong)
+    val changed = (1 to 100).filter(i => i % 7 == 0 && i % 13 != 0).map(_.toLong)
+    val added = (1 to 100).filter(_ % 11 == 0).map(i => 10000000L + i)
+    assert(got.size == removed.size + changed.size + added.size,
+      s"unchanged docs must not appear: $got")
+    assert(removed.forall(got.get(_).contains("removed")), s"removals: $got")
+    assert(changed.forall(got.get(_).contains("changed")), s"rewrites: $got")
+    assert(added.forall(got.get(_).contains("added")), s"re-crawls: $got")
+  }
+
   test("q90 packing manifest folds back to exactly the q63 bin table") {
     val manifest = run("q90_packing_manifest").collect()
     assert(manifest.nonEmpty)
@@ -848,7 +866,7 @@ class QueriesSpec extends AnyFunSuite {
       "q88_source_report", "q90_packing_manifest", "q91_mix_sample",
       "q92_dsir_hashed", "q93_media_features", "q94_ngram_langid",
       "q94b_langid_seed", "q95_bm25", "q96_hybrid_rrf", "q97_weighted_sample",
-      "q98_snapshot_drift", "q100_padding_waste")
+      "q98_snapshot_drift", "q100_padding_waste", "q106_snapshot_delta")
     val failures = docQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
