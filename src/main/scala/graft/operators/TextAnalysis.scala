@@ -1200,13 +1200,20 @@ object TextAnalysis {
     * gate. */
   def q106SnapshotDelta(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    snapshotDelta(docs, syntheticRevision(docs))
+  }
+
+  /** The q106 synthetic "new crawl" (one definition, shared with the
+    * StreamingSpec parity fixture): removals % 13, rewrites % 7,
+    * re-crawls % 11 under fresh +10M ids. */
+  private[graft] def syntheticRevision(docs: DataFrame): DataFrame = {
     val revised = docs.filter(col("doc_id") % 13 =!= 0)
       .select(col("doc_id"),
         when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
           .otherwise(col("text")).as("text"))
     val recrawled = docs.filter(col("doc_id") % 11 === 0)
       .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
-    snapshotDelta(docs, revised.unionByName(recrawled))
+    revised.unionByName(recrawled)
   }
 
   /** One snapshot's per-(lang, source) doc/token cell table — the

@@ -111,6 +111,40 @@ object DocStream {
     docs.withColumn("text", TextAnalysis.redactPii(col("text")))
   }
 
+  /** Streaming twin of the batch q106 snapshot delta: classify every
+    * ARRIVING document of the new crawl against the previous snapshot's
+    * fingerprint index — `added` (id unseen before), `changed` (id
+    * known, md5 differs), or dropped (unchanged). Stateless: a doc's
+    * verdict derives from its own row plus the static index, so this is
+    * a stream-static left join in append mode — the q73 index-probe
+    * shape — and at scale the index side is (doc_id, md5) rows, 16
+    * bytes each, broadcast or shuffle-joined per Guard policy.
+    *
+    * `removed` is the one status ingest CANNOT emit: absence is only
+    * knowable once the new crawl is complete, so the batch
+    * [[graft.operators.TextAnalysis.snapshotDelta]] closes the loop
+    * with one anti-join at end of crawl (StreamingSpec asserts the
+    * stream's verdicts equal batch q106 minus its `removed` rows). */
+  def snapshotDeltaProbe(docs: DataFrame, oldIndex: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(oldIndex.select(col("doc_id"), col("h").as("old_h")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("old_h").isNull, lit("added"))
+          .when(col("h") =!= col("old_h"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .filter(col("status") =!= "unchanged")
+  }
+
+  /** The previous snapshot's fingerprint index for
+    * [[snapshotDeltaProbe]] — computed once per crawl, outside the
+    * stream. */
+  def fingerprintIndex(snapshot: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    snapshot.select(col("doc_id"), md5(col("text")).as("h"))
+  }
+
   /** Live ingest cells for the q98 drift monitor: the SAME
     * per-(lang, source) doc/token aggregation as
     * [[TextAnalysis.corpusCells]], maintained incrementally over the

@@ -371,6 +371,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming snapshot-delta probe equals batch q106 minus its removed rows") {
+    // the new crawl ARRIVES as a stream and probes the old snapshot's
+    // static fingerprint index; added/changed verdicts must match the
+    // batch delta exactly, and `removed` is exactly the set the stream
+    // cannot know (closed by the batch anti-join at end of crawl)
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val revisionDir = java.nio.file.Files.createTempDirectory("graft-delta-stream")
+    graft.operators.TextAnalysis.syntheticRevision(docs)
+      .write.parquet(revisionDir.resolve("documents.parquet").toString)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .parquet(revisionDir.resolve("documents.parquet").toString)
+    val q = graft.streaming.DocStream
+      .snapshotDeltaProbe(stream, graft.streaming.DocStream.fingerprintIndex(docs))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("delta_probe")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-delta-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val live = spark.table("delta_probe").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val batch = SparkEntry.queries("q106_snapshot_delta")(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val removed = batch.filter(_._2 == "removed")
+      assert(removed.nonEmpty, "fixture must exercise removals or the split is vacuous")
+      assert(live == batch -- removed,
+        s"stream verdicts must equal batch delta minus removed; diff: ${
+          (live diff (batch -- removed)) ++ ((batch -- removed) diff live)}")
+    } finally q.stop()
+  }
+
   test("streaming embedding-drift stats converge to the batch q104 comparison") {
     // the stream maintains the per-dimension stats table incrementally
     // (complete mode, O(d) state); streaming only the ODD-id vectors
