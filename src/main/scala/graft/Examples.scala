@@ -112,6 +112,28 @@ object Examples {
     println(s"PCA explained-variance spectrum: ${ratios.map(r => f"$r%.4f").mkString(", ")}")
     operators.LinAlg.project(emb, comps.take(2)).show(3)
 
+    // embedding drift: did the space move between snapshots?
+    println("embedding drift, snapshot split by vec_id parity:")
+    operators.LinAlg.dimDrift(
+      operators.LinAlg.dimStats(emb.filter(col("vec_id") % 2 === 0)),
+      operators.LinAlg.dimStats(emb.filter(col("vec_id") % 2 =!= 0)))
+      .orderBy(abs(col("mean_shift")).desc).show(3)
+
+    // whitened near-dup: anisotropy-corrected semantic duplicates
+    println("top whitened near-dup pairs:")
+    operators.LinAlg.q105WhitenedNearDup(spark, "/root/testdata/sf0.001").show(3)
+
+    // exact snapshot delta: which docs changed between crawls?
+    println("snapshot content delta (synthetic revision):")
+    operators.TextAnalysis.q106SnapshotDelta(spark, "/root/testdata/sf0.001")
+      .groupBy("status").count().show()
+
+    // language-ID: fit once on a labeled seed, score any corpus
+    println("seed-fit language ID accuracy:")
+    val model = operators.TextAnalysis.langIdFit(snap.filter(col("doc_id") % 10 < 3))
+    operators.TextAnalysis.langIdScore(snap, model)
+      .agg(avg(col("is_correct")).as("accuracy")).show()
+
     spark.stop()
   }
 }
