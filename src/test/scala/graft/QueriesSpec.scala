@@ -348,7 +348,11 @@ class QueriesSpec extends AnyFunSuite {
     val rowsOnly = Set("q40_word2vec_vocab", "q41_synonyms", "q42_lsh_minhash",
       "q43_lsh_buckets", "q44_approx_distinct", "q45_ivf_cells",
       "q51b_percentiles_approx", "q57_bpe_train", "q89_quality_classifier",
-      "q103_pca_variance")
+      "q103_pca_variance",
+      // q105: the whitening projection rides on the eigensolve, which
+      // is not SQL-expressible; determinism + planted-dup recovery are
+      // spec-tested (LinAlgSpec) instead
+      "q105_whitened_neardup")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries with neither oracle nor rows-only justification: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

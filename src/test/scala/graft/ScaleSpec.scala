@@ -428,6 +428,30 @@ class ScaleSpec extends AnyFunSuite {
       s"global top-200 must be TakeOrdered, not a full sort:\n$plan")
   }
 
+  test("bucketed snapshots make the q106 delta join exchange-free") {
+    // the fingerprint full-outer join must inherit the bucket layout:
+    // two snapshots written bucketed by doc_id plan a SortMergeJoin
+    // with NO hash exchange — the property that makes a daily delta a
+    // scan-sized job at 100 TB (the only exchange left is the
+    // delta-sized output sort)
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val rev = graft.operators.TextAnalysis.syntheticRevision(docs)
+    Bucketing.writeBucketed(docs, "b_snap_a", "doc_id", 4)
+    Bucketing.writeBucketed(rev, "b_snap_b", "doc_id", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val delta = graft.operators.TextAnalysis.snapshotDelta(
+        spark.table("b_snap_a"), spark.table("b_snap_b"))
+      val plan = delta.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed delta must not shuffle either snapshot:\n$plan")
+      val want = SparkEntry.queries("q106_snapshot_delta")(spark, sf0001).collect().toSeq
+      assert(delta.collect().toSeq == want, "bucketed path must return the same delta")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("salted join returns exactly the plain join result") {
     val lineitem = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity", "l_partkey")
     val orders = Tables.orders(spark, sf0001).select("o_orderkey", "o_orderpriority")
