@@ -21,7 +21,6 @@ object Amplify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -57,15 +56,17 @@ object Amplify {
     // events amplify by USER (user_id offset per copy, event ids slotted,
     // timestamps jittered forward one second per copy): per-user history
     // length stays realistic while user cardinality scales — the axis
-    // the event operators (q80/q101/q102) actually shuffle on. The raw
-    // nanos column is preserved (no Tables.events micros rebuild) so the
-    // amplified table round-trips the TIMESTAMP(NANOS) ingest path.
+    // the event operators (q80/q101/q102) actually shuffle on. Reading
+    // via Tables.events keeps this tool working across the driver's ts
+    // encodings (nanos-long and micros both normalize to TimestampType);
+    // the output lands as standard micros parquet, which the adaptive
+    // ingest reads back.
     val evCopies = docCopies
-    Tables.table(spark, src, "events")
+    Tables.events(spark, src)
       .crossJoin(spark.range(evCopies).toDF("copy"))
       .select(
         (col("copy") * slot + col("event_id")).as("event_id"),
-        (col("ts") + col("copy") * 1000000000L).as("ts"),
+        expr("ts + make_interval(0, 0, 0, 0, 0, 0, copy)").as("ts"),
         (col("copy") * slot + col("user_id")).as("user_id"),
         col("event_type"), col("value"), col("props"))
       .repartition(splits)

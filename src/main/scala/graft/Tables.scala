@@ -1,6 +1,13 @@
 package graft
 
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Readers for the driver-generated tables (TESTDATA.md / FIXTURES.md §B):
   * TPC-H-ish star schema (`region nation customer supplier part orders
@@ -26,25 +33,87 @@ object Tables {
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as raw long nanos (legacy conf) and rebuild
-    * a microsecond timestamp column. Micro-truncation is invisible to the
-    * day/second granularity the queries use, and the DuckDB oracle floors
-    * to the same boundaries.
-    *
-    * The nanos flag is SESSION-GLOBAL (Spark exposes no per-read option
-    * for it): it changes how any later parquet read in the session
-    * decodes TIMESTAMP(NANOS) columns. All engine entry points (Verify /
-    * Bench / RunOne / Smoke / drivers / TestSpark) therefore set it at
-    * session construction; the set below is a defensive idempotent
-    * repeat for ad-hoc sessions, not the mechanism — do not rely on it
-    * under concurrent first-reads. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** Physical encodings the events `ts` column has shipped as across
+    * testdata generations. The driver regenerates the corpus between
+    * rounds and has already switched encodings once (TIMESTAMP(NANOS) →
+    * TIMESTAMP(MICROS)); the ingest probes the parquet footer and adapts
+    * instead of hard-coding whichever encoding was current. */
+  sealed trait TsEncoding
+  object TsEncoding {
+    /** INT64 annotated TIMESTAMP(NANOS) — Spark's vectorized reader
+      * rejects it unless the session decodes it as a raw long. */
+    case object NanosAnnotated extends TsEncoding
+    /** INT64 with no logical annotation — epoch nanos by the testdata
+      * convention (and what NanosAnnotated decodes to under the legacy
+      * conf). */
+    case object PlainLong extends TsEncoding
+    /** TIMESTAMP(MICROS/MILLIS, adjusted to UTC) — reads as session-TZ
+      * TimestampType directly. */
+    case object InstantTimestamp extends TsEncoding
+    /** TIMESTAMP(MICROS/MILLIS, not adjusted) — reads as TIMESTAMP_NTZ
+      * (the current driver encoding). */
+    case object LocalTimestamp extends TsEncoding
+  }
+
+  /** Probe the parquet footer at `path` (a file, or a directory of part
+    * files) for the physical encoding of its `ts` column. Footer-only:
+    * reads one file's metadata, no row groups. */
+  def tsEncodingAt(spark: SparkSession, path: String): TsEncoding = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).map(_.getPath)
+          .filter { p =>
+            val n = p.getName
+            n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+          }
+          .sortBy(_.getName).headOption
+          .getOrElse(throw new IllegalArgumentException(s"no parquet files under $path"))
+      else root
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val schema = reader.getFileMetaData.getSchema
+      val ts = schema.getFields.get(schema.getFieldIndex("ts")).asPrimitiveType()
+      ts.getLogicalTypeAnnotation match {
+        case t: TimestampLogicalTypeAnnotation
+            if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS =>
+          TsEncoding.NanosAnnotated
+        case t: TimestampLogicalTypeAnnotation =>
+          if (t.isAdjustedToUTC) TsEncoding.InstantTimestamp else TsEncoding.LocalTimestamp
+        case _ => TsEncoding.PlainLong
+      }
+    } finally reader.close()
+  }
+
+  /** Normalize whatever `ts` decoded to into the ONE type every event
+    * query is written against: session-TZ TimestampType at microsecond
+    * precision. Long epoch nanos are floored to micros (invisible at the
+    * day/second granularity the queries use; the DuckDB oracle floors to
+    * the same boundaries); TIMESTAMP_NTZ is re-interpreted in the session
+    * time zone (entry points pin it to UTC, matching the naive-UTC
+    * convention the testdata and the DuckDB oracle share). */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
     // integer `div`, not `/`: Column./ is double division, and epoch
     // nanos (~1.7e18) exceed double's 2^53 exact range — a boundary
     // timestamp could round down one microsecond
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case TimestampType    => df
+    case other =>
+      throw new IllegalStateException(s"events.ts decoded to unsupported type $other")
+  }
+
+  /** Schema-adaptive events reader: probe the footer, set the
+    * nanos-as-long legacy conf ONLY when annotated-nanos data is actually
+    * present (the conf is session-global — Spark exposes no per-read
+    * option — but for every other encoding it is a no-op, so flipping it
+    * lazily here is safe), then normalize `ts`. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    if (tsEncodingAt(spark, s"$dir/events.parquet") == TsEncoding.NanosAnnotated)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeTs(table(spark, dir, "events"))
   }
 }

@@ -413,9 +413,9 @@ object Relational {
     * constraint is what distinguishes a funnel from three filters
     * (a user who purchases before ever viewing does not convert).
     * Timestamps compare as integer microseconds on BOTH engines — the
-    * events table is nanosecond parquet, and a comparison done in nanos
-    * on one side but micros on the other could order two sub-µs events
-    * differently.
+    * normalized ingest (Tables.normalizeTs) floors any finer encoding
+    * to micros, and a comparison done at different precisions per side
+    * could order two sub-µs events differently.
     *
     * Scale shape: three partial-agged groupBy(user) passes, each joined
     * on the user key it already shuffled on; output is 3 rows. */

@@ -21,22 +21,32 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** The events schema as the file stream source needs it declared.
-    * ts arrives as raw int64 nanos (see Tables.events) and is rebuilt
-    * into a microsecond timestamp. */
-  val rawSchema: StructType = StructType(Seq(
+  /** The events schema as the file stream source needs it declared,
+    * parameterized on how `ts` physically decodes (the stream source
+    * requires the schema up front, so the batch reader's post-read
+    * branch becomes a pre-read probe here — see Tables.tsEncodingAt). */
+  def rawSchema(tsType: org.apache.spark.sql.types.DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Open the events parquet path as a file stream. */
+  /** Open the events parquet path (a directory of part files) as a file
+    * stream — schema-adaptive across the ts encodings the batch reader
+    * handles, normalized to the same session-TZ micros TimestampType. */
   def readStream(spark: SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema).parquet(path)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)")) // integer div: see Tables.events
+    import graft.Tables, graft.Tables.TsEncoding
+    val tsType = Tables.tsEncodingAt(spark, path) match {
+      case TsEncoding.NanosAnnotated =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        LongType
+      case TsEncoding.PlainLong        => LongType
+      case TsEncoding.LocalTimestamp   => TimestampNTZType
+      case TsEncoding.InstantTimestamp => TimestampType
+    }
+    Tables.normalizeTs(spark.readStream.schema(rawSchema(tsType)).parquet(path))
   }
 
   /** Tumbling daily windows per event type with a 1-hour watermark —
