@@ -3,7 +3,7 @@ package graft
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
 import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -83,6 +83,9 @@ object Tables {
           TsEncoding.NanosAnnotated
         case t: TimestampLogicalTypeAnnotation =>
           if (t.isAdjustedToUTC) TsEncoding.InstantTimestamp else TsEncoding.LocalTimestamp
+        // legacy Impala/Hive instant timestamps carry no annotation
+        case _ if ts.getPrimitiveTypeName == PrimitiveType.PrimitiveTypeName.INT96 =>
+          TsEncoding.InstantTimestamp
         case _ => TsEncoding.PlainLong
       }
     } finally reader.close()
