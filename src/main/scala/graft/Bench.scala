@@ -17,14 +17,15 @@ object Bench {
     // every column and keeps the ORDER BY.
     def runFull(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    // Warm-up: run the whole query set once at the smallest SF so JVM
-    // classloading + whole-stage-codegen compilation (which is plan-
-    // shaped, not data-sized) doesn't land on the first timed query.
-    val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try runFull(fn(spark, warmDir)) catch { case _: Throwable => }
-      }
+    // Warm-up: run the whole query set once AT THE MEASURED SF before
+    // timing. JVM classloading + whole-stage codegen compile is plan-
+    // shaped, but AQE re-plans at runtime sizes — a warm-up at a smaller
+    // SF leaves the sf-specific plans (and their codegen) cold, and
+    // round 3's recorded times carried 6-17 s of first-run compile on
+    // the worst queries (q56 9.10 s recorded vs 0.95 s steady). Timing
+    // the second run of two makes cross-round deltas honest.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try runFull(fn(spark, sfDir)) catch { case _: Throwable => }
     }
     // Per-query progress lines go to stderr AS EACH QUERY FINISHES, so
     // even if the driver's tail window truncates stdout the timings

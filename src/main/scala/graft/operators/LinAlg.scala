@@ -34,12 +34,15 @@ object LinAlg {
       .orderBy("component")
   }
 
-  /** q103b: the PCA INPUT, oracle-checked — the exact sample covariance
-    * matrix of the embedding columns (upper triangle, 6 dp). This is
-    * the d×d Gramian `RowMatrix` tree-aggregates before its driver-side
-    * eigensolve, so declaring it puts the deterministic half of q103
-    * under the DuckDB hash gate; only the eigensolve (sign/rotation
-    * ambiguity) stays rows-only.
+  /** q103b: the PCA INPUT — the sample covariance matrix of the
+    * embedding columns (upper triangle, 6 dp). This is the d×d Gramian
+    * `RowMatrix` tree-aggregates before its driver-side eigensolve.
+    * Rows-only by contract: tree-aggregated BLAS accumulation and a
+    * serial SQL sum can land a cell on opposite sides of the 6-dp
+    * rounding boundary (or on -0.0 vs 0.0), so a rounded-hash gate is
+    * flaky by construction; LinAlgSpec instead checks every cell
+    * against an independent driver-side computation at 1e-9 tolerance —
+    * tighter than the hash it replaces.
     *
     * Scale shape: the `RowMatrix` tree-aggregated Gramian itself — each
     * partition accumulates a dense d(d+1)/2 BLAS buffer (no per-element
