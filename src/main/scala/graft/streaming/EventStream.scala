@@ -267,6 +267,76 @@ object EventStream {
         })
   }
 
+  case class RetentionState(cohortDay: Long, seenDays: Set[Long])
+  case class WeekActive(user_id: Long, cohort_day: Long, week_day: Long)
+
+  /** ISO week start (Monday, UTC) of a timestamp as an epoch day — the
+    * streaming-side twin of the batch `date_trunc("week", ts)`. */
+  def weekStartDay(ts: java.sql.Timestamp): Long = {
+    val d = java.time.LocalDate.ofInstant(ts.toInstant, java.time.ZoneOffset.UTC)
+    d.`with`(java.time.temporal.TemporalAdjusters
+      .previousOrSame(java.time.DayOfWeek.MONDAY)).toEpochDay
+  }
+
+  /** Streaming twin of the batch q101 retention cohorts: per-user state
+    * is (cohort week, set of active weeks) — emits one WeekActive row
+    * the FIRST time a user is seen active in a week (append mode, rows
+    * never retract). [[retentionMatrix]] folds the emitted rows into the
+    * q101 matrix, so the cohort report is incrementally maintainable at
+    * ingest instead of recomputed over the full history.
+    *
+    * Parity contract (the funnelStages one): the batch query takes
+    * min(week) over all events as the cohort; the stream pins the first
+    * event's week, folding each micro-batch in (event-time, event_id)
+    * order — identical when delivery is time-ordered across batches.
+    * State is one long + the active-week set per user: bounded by
+    * history length in WEEKS, the same bound as the batch plan's
+    * collect_set, and orders of magnitude below the event count. */
+  def retentionWeeks(events: Dataset[Event]): Dataset[WeekActive] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[RetentionState]) => {
+          var s = state.getOption.getOrElse(RetentionState(-1L, Set.empty))
+          val out = Vector.newBuilder[WeekActive]
+          rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id)).foreach { e =>
+            val wk = weekStartDay(e.ts)
+            if (s.cohortDay < 0) s = s.copy(cohortDay = wk)
+            if (!s.seenDays(wk)) {
+              s = s.copy(seenDays = s.seenDays + wk)
+              out += WeekActive(userId, s.cohortDay, wk)
+            }
+          }
+          state.update(s)
+          out.result().iterator
+        })
+  }
+
+  /** Fold [[retentionWeeks]] emissions into the q101 cohort matrix
+    * (cohort_week, week_offset, n_active, cohort_size, retention). Each
+    * emitted row is a distinct (user, week) sighting, so a plain count
+    * is the distinct-user count — same argument as the batch plan; the
+    * cohort size is the offset-0 cell (every user is active in their
+    * own cohort week by construction). */
+  def retentionMatrix(weekActive: DataFrame): DataFrame = {
+    val cells = weekActive
+      .groupBy(col("cohort_day"),
+        ((col("week_day") - col("cohort_day")) / 7).cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    // cohort size = the offset-0 cell, spread with a window over the
+    // O(weeks²) matrix — no self-join (and no conflicting-lineage trap)
+    cells
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_active")))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("cohort_day")))
+      .select(
+        date_format(expr("date_add(DATE '1970-01-01', CAST(cohort_day AS INT))"),
+          "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_active"), col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6).as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** Custom state machine via flatMapGroupsWithState: per-user session
     * counting with a 30-minute gap rule — the streaming twin of the
     * batch q25 window query. State is one small record per active user,

@@ -237,6 +237,31 @@ class StreamingSpec extends AnyFunSuite {
       s"planted out-of-order users must stall mid-funnel: $got2")
   }
 
+  test("streaming retention weeks fold into the batch q101 cohort matrix") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-retention-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = EventStream.readStream(spark, dir.toString)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[EventStream.Event]
+    val q = EventStream.retentionWeeks(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("retention_weeks")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-retention-ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = EventStream.retentionMatrix(spark.table("retention_weeks"))
+      .collect().map(_.toSeq).toSeq
+    val want = SparkEntry.queries("q101_retention_cohorts")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty, "batch q101 must produce cohorts at sf0.001")
+    assert(got == want,
+      s"stream-folded retention matrix must equal batch q101 row-for-row")
+  }
+
   test("stateful session counting works on the batch execution path too") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
