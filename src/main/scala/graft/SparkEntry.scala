@@ -111,6 +111,7 @@ object SparkEntry {
     "q103b_covariance"   -> (LinAlg.q103bCovariance _),
     "q104_embedding_drift" -> (LinAlg.q104EmbeddingDrift _),
     "q105_whitened_neardup" -> (LinAlg.q105WhitenedNearDup _),
+    "q107_pca_project"   -> (LinAlg.q107PcaProject _),
     "q76_quantize_int8"  -> (Quantize.q76QuantizeInt8 _),
     "q84_binary_quant_knn" -> (Quantize.q84BinaryQuantKnn _),
     "q77_minhash_calibration" -> (Dedup.q77MinhashCalibration _),

@@ -170,6 +170,31 @@ object LinAlg {
       .limit(200)
   }
 
+  /** q107 (rows-only): the PCA projection API as a declared query —
+    * every embedding projected onto the top-8 principal components,
+    * 6 dp. Rows-only like q103: eigenvector signs/rotations are
+    * implementation-specific, so the oracle-free contract is
+    * reproducibility + the variance ordering invariant (pc0 carries the
+    * most variance), both spec-tested in LinAlgSpec. Declaring it puts
+    * the last library-only LinAlg entry (project) under the driver's
+    * dirty-row/empty-corpus sweeps.
+    *
+    * Scale shape: the q103 tree-aggregated Gramian (O(d²) driver state)
+    * plus one per-row codegen'd projection pass — the k×d matrix rides
+    * into the plan as literals; nothing corpus-sized moves. */
+  def q107PcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val emb = Tables.embeddings(spark, dir)
+    val empty = emb.select(col("vec_id") +:
+      (0 until k).map(i => lit(0.0).as(s"pc$i")): _*).limit(0)
+    if (emb.limit(1).collect().isEmpty) return empty
+    val (comps, _) = pca(emb, k)
+    project(emb, comps)
+      .select(col("vec_id") +:
+        (0 until k).map(i => round(col(s"pc$i"), 6).as(s"pc$i")): _*)
+      .orderBy("vec_id")
+  }
+
   /** Principal components + explained-variance ratios of an
     * (vec_id, embedding) table. Returns (d×k column-major components,
     * k ratios). */

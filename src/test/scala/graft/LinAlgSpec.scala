@@ -162,4 +162,31 @@ class LinAlgSpec extends AnyFunSuite {
       math.signum(b.head) != math.signum(a.head),
       "cluster B must land on the other side")
   }
+
+  test("q107 projection is reproducible and orders components by variance") {
+    val run1 = LinAlg.q107PcaProject(spark, TestSpark.sf0001).collect()
+    val run2 = LinAlg.q107PcaProject(spark, TestSpark.sf0001).collect()
+    assert(run1.nonEmpty && (run1.map(_.toSeq).toSeq == run2.map(_.toSeq).toSeq),
+      "same corpus must project identically across runs (the rows-only contract)")
+    // pc_i sample variance must be non-increasing — the defining PCA
+    // invariant, and sign/rotation-free (unlike the coordinates)
+    val vars = (0 until 8).map { i =>
+      val xs = run1.map(_.getDouble(i + 1))
+      val mu = xs.sum / xs.length
+      xs.map(x => (x - mu) * (x - mu)).sum / (xs.length - 1)
+    }
+    vars.sliding(2).foreach { case Seq(a, b) =>
+      assert(a >= b - 1e-9, s"variance must not increase along components: $vars")
+    }
+  }
+
+  test("q107 returns the empty projection schema (not a crash) on an empty corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-q107-empty").toString
+    Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = LinAlg.q107PcaProject(spark, dir)
+    assert(out.columns.toSeq == "vec_id" +: (0 until 8).map(i => s"pc$i"))
+    assert(out.collect().isEmpty)
+  }
 }

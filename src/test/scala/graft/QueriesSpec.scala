@@ -356,7 +356,11 @@ class QueriesSpec extends AnyFunSuite {
       // q105: the whitening projection rides on the eigensolve, which
       // is not SQL-expressible; determinism + planted-dup recovery are
       // spec-tested (LinAlgSpec) instead
-      "q105_whitened_neardup")
+      "q105_whitened_neardup",
+      // q107: projection coordinates inherit the eigensolve's
+      // sign/rotation ambiguity; reproducibility + variance ordering
+      // are spec-tested (LinAlgSpec) instead
+      "q107_pca_project")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries with neither oracle nor rows-only justification: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
