@@ -127,6 +127,24 @@ object Examples {
     operators.TextAnalysis.q106SnapshotDelta(spark, "/root/testdata/sf0.001")
       .groupBy("status").count().show()
 
+    // incremental retention: fold append-only week sightings from the
+    // event stream into the q101 cohort matrix, no history recompute
+    println("stream-folded retention cohort matrix (first 5 rows):")
+    val evDir = java.nio.file.Files.createTempDirectory("graft-example-ret")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of("/root/testdata/sf0.001/events.parquet"),
+      evDir.resolve("events.parquet"))
+    val retQ = streaming.EventStream.retentionWeeks(
+        streaming.EventStream.readStream(spark, evDir.toString)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+          .as[streaming.EventStream.Event])
+      .writeStream.outputMode("append").format("memory").queryName("ret_weeks")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-example-ret-ckpt").toString)
+      .start()
+    try retQ.processAllAvailable() finally retQ.stop()
+    streaming.EventStream.retentionMatrix(spark.table("ret_weeks")).show(5)
+
     // language-ID: fit once on a labeled seed, score any corpus
     println("seed-fit language ID accuracy:")
     val model = operators.TextAnalysis.langIdFit(snap.filter(col("doc_id") % 10 < 3))
