@@ -237,6 +237,21 @@ class StreamingSpec extends AnyFunSuite {
       s"planted out-of-order users must stall mid-funnel: $got2")
   }
 
+  test("weekStartDay matches Spark's date_trunc(week) across a year of days") {
+    import spark.implicits._
+    // the retention parity holds only if the stream's Scala-side week
+    // truncation and the batch plan's date_trunc agree on every day —
+    // including year boundaries and the Sunday/Monday edge
+    val rows = spark.range(0, 366)
+      .select(expr("timestamp'2023-12-25 13:45:06' + make_interval(0,0,0,CAST(id AS INT),0,0,0)").as("ts"))
+      .select(col("ts"), datediff(date_trunc("week", col("ts")), lit("1970-01-01")).as("want"))
+      .collect()
+    rows.foreach { r =>
+      assert(EventStream.weekStartDay(r.getTimestamp(0)) == r.getInt(1).toLong,
+        s"week start mismatch at ${r.getTimestamp(0)}")
+    }
+  }
+
   test("streaming retention weeks fold into the batch q101 cohort matrix") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-retention-stream")
