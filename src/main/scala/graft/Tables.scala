@@ -86,9 +86,38 @@ object Tables {
         // legacy Impala/Hive instant timestamps carry no annotation
         case _ if ts.getPrimitiveTypeName == PrimitiveType.PrimitiveTypeName.INT96 =>
           TsEncoding.InstantTimestamp
-        case _ => TsEncoding.PlainLong
+        case _ =>
+          // un-annotated INT64 is epoch NANOS by the testdata convention —
+          // but a convention change (bare micros/millis/seconds) would
+          // silently decode to ~1970 timestamps and fail the oracle with
+          // no pointer to the cause. The footer's column statistics make
+          // the check free: nanos for any post-1970 data is >= 1e16,
+          // micros/millis/seconds are orders of magnitude below.
+          tsStatsMax(reader, file.toString).foreach { max =>
+            if (max > 0L && max < 1e16.toLong)
+              throw new IllegalStateException(
+                s"events.ts at $file is un-annotated INT64 with max=$max — too small " +
+                  "for epoch nanos (>= 1e16 for any post-1970 instant). The data is " +
+                  "probably epoch micros/millis/seconds; annotate the column or extend " +
+                  "Tables.TsEncoding rather than let it decode to ~1970 timestamps.")
+          }
+          TsEncoding.PlainLong
       }
     } finally reader.close()
+  }
+
+  /** Max ts value across the probed file's row-group statistics, if the
+    * writer recorded them (footer-only, no data pages). */
+  private def tsStatsMax(reader: ParquetFileReader, file: String): Option[Long] = {
+    import scala.jdk.CollectionConverters._
+    val maxes = for {
+      block <- reader.getFooter.getBlocks.asScala
+      col <- block.getColumns.asScala
+      if col.getPath.toDotString == "ts"
+      stats = col.getStatistics
+      if stats != null && stats.hasNonNullValue
+    } yield stats.genericGetMax.asInstanceOf[java.lang.Long].longValue()
+    if (maxes.isEmpty) None else Some(maxes.max)
   }
 
   /** Normalize whatever `ts` decoded to into the ONE type every event

@@ -35,10 +35,20 @@ object EventStream {
 
   /** Open the events parquet path (a directory of part files) as a file
     * stream — schema-adaptive across the ts encodings the batch reader
-    * handles, normalized to the same session-TZ micros TimestampType. */
+    * handles, normalized to the same session-TZ micros TimestampType.
+    *
+    * A landing directory that is empty (or absent) at stream definition
+    * — the canonical file-stream deployment, files arrive later — can't
+    * be probed; it defaults to the current standard encoding (NTZ
+    * micros, what every engine-written and driver-written events table
+    * ships as). Legacy nanos-long producers must have at least one file
+    * present at definition for the probe to see. */
   def readStream(spark: SparkSession, path: String): DataFrame = {
     import graft.Tables, graft.Tables.TsEncoding
-    val tsType = Tables.tsEncodingAt(spark, path) match {
+    val probed =
+      try Tables.tsEncodingAt(spark, path)
+      catch { case _: Exception => TsEncoding.LocalTimestamp }
+    val tsType = probed match {
       case TsEncoding.NanosAnnotated =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         LongType
@@ -267,11 +277,12 @@ object EventStream {
         })
   }
 
-  case class RetentionState(cohortDay: Long, seenDays: Set[Long])
-  case class WeekActive(user_id: Long, cohort_day: Long, week_day: Long)
+  case class RetentionState(seenDays: Set[Long])
+  case class WeekActive(user_id: Long, week_day: Long)
 
   /** ISO week start (Monday, UTC) of a timestamp as an epoch day — the
-    * streaming-side twin of the batch `date_trunc("week", ts)`. */
+    * streaming-side twin of the batch `date_trunc("week", ts)` under
+    * the engine's pinned UTC session zone. */
   def weekStartDay(ts: java.sql.Timestamp): Long = {
     val d = java.time.LocalDate.ofInstant(ts.toInstant, java.time.ZoneOffset.UTC)
     d.`with`(java.time.temporal.TemporalAdjusters
@@ -279,32 +290,31 @@ object EventStream {
   }
 
   /** Streaming twin of the batch q101 retention cohorts: per-user state
-    * is (cohort week, set of active weeks) — emits one WeekActive row
-    * the FIRST time a user is seen active in a week (append mode, rows
-    * never retract). [[retentionMatrix]] folds the emitted rows into the
-    * q101 matrix, so the cohort report is incrementally maintainable at
+    * is the set of active weeks — emits one WeekActive row the FIRST
+    * time a user is seen active in a week (append mode, rows never
+    * retract). [[retentionMatrix]] folds the emitted rows into the q101
+    * matrix, so the cohort report is incrementally maintainable at
     * ingest instead of recomputed over the full history.
     *
-    * Parity contract (the funnelStages one): the batch query takes
-    * min(week) over all events as the cohort; the stream pins the first
-    * event's week, folding each micro-batch in (event-time, event_id)
-    * order — identical when delivery is time-ordered across batches.
-    * State is one long + the active-week set per user: bounded by
-    * history length in WEEKS, the same bound as the batch plan's
-    * collect_set, and orders of magnitude below the event count. */
+    * Parity is ORDER-INDEPENDENT, unlike funnelStages: the emitted rows
+    * are the distinct (user, week) sightings as a SET — identical under
+    * any micro-batch delivery order — and the cohort is derived in the
+    * fold as min(week) per user, exactly the batch semantics. State is
+    * the active-week set per user: bounded by history length in WEEKS,
+    * the same bound as the batch plan's collect_set, and orders of
+    * magnitude below the event count. */
   def retentionWeeks(events: Dataset[Event]): Dataset[WeekActive] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (userId: Long, rows: Iterator[Event], state: GroupState[RetentionState]) => {
-          var s = state.getOption.getOrElse(RetentionState(-1L, Set.empty))
+          var s = state.getOption.getOrElse(RetentionState(Set.empty))
           val out = Vector.newBuilder[WeekActive]
-          rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id)).foreach { e =>
+          rows.foreach { e =>
             val wk = weekStartDay(e.ts)
-            if (s.cohortDay < 0) s = s.copy(cohortDay = wk)
             if (!s.seenDays(wk)) {
-              s = s.copy(seenDays = s.seenDays + wk)
-              out += WeekActive(userId, s.cohortDay, wk)
+              s = RetentionState(s.seenDays + wk)
+              out += WeekActive(userId, wk)
             }
           }
           state.update(s)
@@ -315,11 +325,16 @@ object EventStream {
   /** Fold [[retentionWeeks]] emissions into the q101 cohort matrix
     * (cohort_week, week_offset, n_active, cohort_size, retention). Each
     * emitted row is a distinct (user, week) sighting, so a plain count
-    * is the distinct-user count — same argument as the batch plan; the
+    * is the distinct-user count — same argument as the batch plan — and
+    * the cohort week is min(week) per user, the batch definition; the
     * cohort size is the offset-0 cell (every user is active in their
-    * own cohort week by construction). */
+    * own cohort week by construction). One user-keyed shuffle over
+    * user×week rows — the batch q101's own collapse shape. */
   def retentionMatrix(weekActive: DataFrame): DataFrame = {
     val cells = weekActive
+      .withColumn("cohort_day",
+        min("week_day").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
       .groupBy(col("cohort_day"),
         ((col("week_day") - col("cohort_day")) / 7).cast("long").as("week_offset"))
       .agg(count(lit(1)).as("n_active"))

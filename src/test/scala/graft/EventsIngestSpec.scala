@@ -124,6 +124,41 @@ class EventsIngestSpec extends AnyFunSuite {
     assert(Tables.tsEncodingAt(spark, s"${TestSpark.sf0001}/events.parquet") != null)
   }
 
+  test("un-annotated INT64 ts with micros magnitude fails loud, not as ~1970 rows") {
+    // bare INT64 is epoch NANOS by convention; if a regen ships bare
+    // micros instead, silent decode would put every event near 1970 and
+    // fail the oracle with no pointer to the cause. The footer stats
+    // make the misfit detectable at probe time.
+    val schema: MessageType = Types.buildMessage()
+      .addField(Types.required(INT64).named("event_id"))
+      .addField(Types.required(INT64).named("ts"))
+      .addField(Types.required(INT64).named("user_id"))
+      .named("events")
+    val dir = tmp("baremicros")
+    val writer = ExampleParquetWriter.builder(new Path(s"$dir/part-0.parquet"))
+      .withConf(spark.sessionState.newHadoopConf())
+      .withType(schema)
+      .build()
+    val factory = new SimpleGroupFactory(schema)
+    try micros.foreach { case (id, us, user, _, _, _) =>
+      writer.write(factory.newGroup()
+        .append("event_id", id).append("ts", us).append("user_id", user))
+    } finally writer.close()
+    val e = intercept[IllegalStateException](Tables.tsEncodingAt(spark, dir))
+    assert(e.getMessage.contains("too small"))
+  }
+
+  test("streaming reader accepts an empty landing directory (files arrive later)") {
+    val dir = Files.createTempDirectory("graft-empty-landing").toString
+    val q = graft.streaming.EventStream.readStream(spark, dir)
+      .writeStream.format("memory").queryName("empty_landing")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-empty-landing-ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("empty_landing").isEmpty)
+  }
+
   test("streaming reader decodes nanos and micros fixtures identically") {
     def drained(dir: String): Seq[Row] = {
       val q = graft.streaming.EventStream.readStream(spark, dir)

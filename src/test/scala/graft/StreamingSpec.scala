@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -275,6 +277,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty, "batch q101 must produce cohorts at sf0.001")
     assert(got == want,
       s"stream-folded retention matrix must equal batch q101 row-for-row")
+  }
+
+  test("retention parity survives out-of-order multi-batch delivery") {
+    import spark.implicits._
+    // a user's EARLIEST week arrives in a LATER micro-batch — the
+    // regime a first-seen cohort pin would get wrong; the set-of-weeks
+    // emission + min(week) fold is order-independent by construction
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z") // a Monday
+    def ev(id: Long, user: Long, week: Long) =
+      (id, base.plusSeconds(week * 7 * 86400).toEpochMilli * 1000L, user, "view", 1.0,
+        """{}""")
+    val early = Seq(ev(1, 1, 0), ev(2, 2, 0))           // week 0 events
+    val late = Seq(ev(3, 1, 2), ev(4, 2, 1), ev(5, 3, 1)) // weeks 1-2
+    val dir = java.nio.file.Files.createTempDirectory("graft-ooo-ret")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    def writeFlat(rows: Seq[(Long, Long, Long, String, Double, String)], name: String): Unit = {
+      // the file source lists flat files, not nested part dirs — stage
+      // the single part file and move it to dir/<name>
+      val stage = java.nio.file.Files.createTempDirectory(s"graft-ooo-stage-$name")
+      rows.toDF(cols: _*).select(col("event_id"),
+          expr("cast(timestamp_micros(ts) as timestamp_ntz)").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part, dir.resolve(name))
+    }
+    // file 'a' sorts FIRST but carries the LATER weeks (file-source
+    // ordering is by path), so with one file per trigger the stream
+    // sees the out-of-order regime
+    writeFlat(late, "a.parquet")
+    writeFlat(early, "b.parquet")
+    val stream = spark.readStream
+      .schema(EventStream.rawSchema(org.apache.spark.sql.types.TimestampNTZType))
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = EventStream.retentionWeeks(
+        Tables.normalizeTs(stream)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+          .as[EventStream.Event])
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ooo_retention")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ooo-ret-ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = EventStream.retentionMatrix(spark.table("ooo_retention"))
+      .collect().map(_.toSeq).toSeq
+    // batch twin over the union of both files
+    val batchDir = java.nio.file.Files.createTempDirectory("graft-ooo-batch")
+    (early ++ late).toDF(cols: _*).select(col("event_id"),
+        expr("cast(timestamp_micros(ts) as timestamp_ntz)").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.parquet(s"$batchDir/events.parquet")
+    val want = SparkEntry.queries("q101_retention_cohorts")(spark, batchDir.toString)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, s"out-of-order delivery must not skew cohorts: got=$got want=$want")
   }
 
   test("stateful session counting works on the batch execution path too") {
