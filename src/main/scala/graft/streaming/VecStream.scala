@@ -45,11 +45,15 @@ object VecStream {
     Quantize.bqTopK(corpusSig, Quantize.asQueryBlock(queryBatch), shortlistN, k)
       .select("q_id", "rank", "n_id", "hamming", "cos_sim")
 
-  /** The embeddings schema, declared (streaming sources cannot infer). */
+  /** The embeddings schema, declared (streaming sources cannot infer).
+    * `label` is int32 in the driver's parquet — a mis-declared type here
+    * stays latent until a consumer actually projects the column (the
+    * current probes prune it), so the spec asserts the declared schema
+    * against a batch-inferred read of the real table. */
   val vecSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType)),
-    StructField("label", StringType)))
+    StructField("label", IntegerType)))
 
   /** Open an embeddings parquet directory as a file stream. */
   def readStream(spark: SparkSession, path: String): DataFrame =

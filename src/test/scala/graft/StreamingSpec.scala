@@ -239,6 +239,21 @@ class StreamingSpec extends AnyFunSuite {
       s"planted out-of-order users must stall mid-funnel: $got2")
   }
 
+  test("declared stream schemas match the batch-inferred schemas of the live testdata") {
+    // streaming sources cannot infer, so DocStream/VecStream declare
+    // their schemas — a drift between declaration and the driver's
+    // parquet stays LATENT until a consumer projects the mismatched
+    // column (label was declared string over int32 data and no probe
+    // read it). Pin declaration == inference so a regen flips this
+    // test, not a production query.
+    assert(graft.streaming.DocStream.docSchema ==
+      Tables.documents(spark, sf0001).schema,
+      "DocStream.docSchema drifted from the documents parquet")
+    assert(graft.streaming.VecStream.vecSchema ==
+      Tables.embeddings(spark, sf0001).schema,
+      "VecStream.vecSchema drifted from the embeddings parquet")
+  }
+
   test("weekStartDay matches Spark's date_trunc(week) across a year of days") {
     import spark.implicits._
     // the retention parity holds only if the stream's Scala-side week
