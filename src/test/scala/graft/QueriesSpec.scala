@@ -889,6 +889,54 @@ class QueriesSpec extends AnyFunSuite {
       s"document queries must tolerate dirty text rows:\n${failures.mkString("\n")}")
   }
 
+  test("event queries survive dirty rows: null type/value/ts, malformed and null props") {
+    import spark.implicits._
+    // a 100 TB event log WILL carry nulls and malformed payloads from
+    // producer bugs; an event query that NPEs on one row poisons its
+    // stage exactly like the dirty-document case
+    val dir = java.nio.file.Files.createTempDirectory("graft-dirty-events").toString
+    val base = java.time.Instant.parse("2024-03-04T08:00:00Z")
+    def us(minute: Long): java.lang.Long = base.plusSeconds(minute * 60).toEpochMilli * 1000L
+    val clean = (1 to 60).map { i =>
+      org.apache.spark.sql.Row(i.toLong, us(i.toLong * 7), (i % 7).toLong,
+        Seq("view", "click", "purchase")(i % 3), i * 1.5, s"""{"k":$i}""")
+    }
+    val dirty = Seq(
+      org.apache.spark.sql.Row(101L, us(500), 1L, null, 2.0, """{"k":1}"""), // null type
+      org.apache.spark.sql.Row(102L, us(501), 2L, "view", null, """{"k":2}"""), // null value
+      org.apache.spark.sql.Row(103L, us(502), 3L, "view", 1.0, null),       // null props
+      org.apache.spark.sql.Row(104L, us(503), 4L, "view", 1.0, "not json at all"), // malformed
+      org.apache.spark.sql.Row(105L, null, 5L, "view", 1.0, "{}"),          // null ts
+      org.apache.spark.sql.Row(106L, us(506), null, "view", 1.0, "{}"))     // null user
+    val rawSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(clean ++ dirty, 2), rawSchema)
+      .select(col("event_id"),
+        expr("cast(timestamp_micros(ts) as timestamp_ntz)").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.parquet(s"$dir/events.parquet")
+    // q48 also reads orders for its as-of side
+    spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
+      .write.parquet(s"$dir/orders.parquet")
+    val eventQueries = Seq("q20_json_events", "q21_time_window", "q25_sessionize",
+      "q28_map_fns", "q29_pivot", "q48_asof_join", "q80_event_zscore",
+      "q101_retention_cohorts", "q102_event_funnel")
+    val failures = eventQueries.flatMap { name =>
+      try { SparkEntry.queries(name)(spark, dir).collect(); None }
+      catch { case e: Throwable =>
+        Some(s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(120)}")
+      }
+    }
+    assert(failures.isEmpty,
+      s"event queries must tolerate dirty rows:\n${failures.mkString("\n")}")
+  }
+
   test("q89 learned quality filter separates the held-out gate labels (AUC) and is reproducible") {
     val rows = run("q89_quality_classifier").collect()
     assert(rows.nonEmpty)
