@@ -21,7 +21,40 @@ object RunOne {
     spark.sparkContext.setLogLevel("WARN")
     // dev-only variants not on the declared surface: q77_sampled_<pct>
     // runs the production sampled calibration mode; q81_hashed_<buckets>
-    // runs the vocabulary-independent hashed-feature DSIR
+    // runs the vocabulary-independent hashed-feature DSIR;
+    // stream_retention drives the q101 streaming twin (state op + fold)
+    // over the dir's events and times the full drain per iteration
+    if (name == "stream_retention") {
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      // the file stream source needs a DIRECTORY; sf dirs ship events as
+      // a single file, amplified corpora as a directory of parts
+      val evPath = java.nio.file.Path.of(s"$sfDir/events.parquet")
+      val streamDir =
+        if (java.nio.file.Files.isDirectory(evPath)) evPath.toString
+        else {
+          val d = java.nio.file.Files.createTempDirectory("runone-ret-src")
+          java.nio.file.Files.copy(evPath, d.resolve("events.parquet"))
+          d.toString
+        }
+      (1 to iters).foreach { i =>
+        val t0 = System.nanoTime()
+        val q = streaming.EventStream.retentionWeeks(
+            streaming.EventStream.readStream(spark, streamDir)
+              .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+              .as[streaming.EventStream.Event])
+          .writeStream.outputMode("append")
+          .format("memory").queryName(s"runone_ret_$i")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory(s"runone-ret-$i").toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        val n = streaming.EventStream.retentionMatrix(spark.table(s"runone_ret_$i")).count()
+        println(f"[runone] iter $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n matrix rows)")
+        spark.catalog.dropTempView(s"runone_ret_$i")
+      }
+      spark.stop(); return
+    }
     val sampled = "q77_sampled_(\\d+)".r
     val hashed = "q81_hashed_(\\d+)".r
     val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame = name match {
