@@ -137,7 +137,7 @@ object Examples {
       evDir.resolve("events.parquet"))
     val retQ = streaming.EventStream.retentionWeeks(
         streaming.EventStream.readStream(spark, evDir.toString)
-          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+          .select(col("user_id"), col("event_id"), col("ts"))
           .as[streaming.EventStream.Event])
       .writeStream.outputMode("append").format("memory").queryName("ret_weeks")
       .option("checkpointLocation",

@@ -41,7 +41,7 @@ object RunOne {
         val t0 = System.nanoTime()
         val q = streaming.EventStream.retentionWeeks(
             streaming.EventStream.readStream(spark, streamDir)
-              .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+              .select(col("user_id"), col("event_id"), col("ts"))
               .as[streaming.EventStream.Event])
           .writeStream.outputMode("append")
           .format("memory").queryName(s"runone_ret_$i")

@@ -47,7 +47,18 @@ object EventStream {
     import graft.Tables, graft.Tables.TsEncoding
     val probed =
       try Tables.tsEncodingAt(spark, path)
-      catch { case _: Exception => TsEncoding.LocalTimestamp }
+      catch {
+        // ONLY the canonical empty/absent landing dir falls back to the
+        // default encoding. A probe that positively FAILED — the
+        // bare-INT64 micros-magnitude loud-fail (IllegalStateException),
+        // IO/permission errors — must propagate: swallowing it here
+        // would re-create downstream exactly the silent ~1970-decode
+        // class of bug the probe exists to prevent.
+        case _: java.io.FileNotFoundException => TsEncoding.LocalTimestamp
+        case e: IllegalArgumentException
+            if String.valueOf(e.getMessage).startsWith("no parquet files") =>
+          TsEncoding.LocalTimestamp
+      }
     val tsType = probed match {
       case TsEncoding.NanosAnnotated =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -116,7 +127,26 @@ object EventStream {
         writeBatchIdempotent(batch.toDF(), id, path))
       .start()
 
-  case class Event(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
+  /** Drop rows a stateful fold can neither key nor time: a null
+    * `user_id` kills the primitive-Long decode the moment groupByKey
+    * inserts its deserializer, and a null `ts` NPEs the event-time
+    * arithmetic — so ONE dirty row from a producer bug would kill the
+    * whole streaming query, while the batch twins tolerate the same
+    * rows (null weeks/timestamps drop out of their aggregates).
+    * Applied as an UNTYPED filter so it runs before the deserializer.
+    *
+    * Documented divergence: the batch plans group a literal null
+    * user_id as its own group (SQL GROUP BY semantics, both engines);
+    * a typed stream fold has no null key, so dirty rows are dropped at
+    * ingest and the streaming parity contract is over keyable
+    * (non-null user_id/ts) rows. */
+  private def droppingNullKeys[T](events: Dataset[T]): Dataset[T] =
+    events.filter(col("ts").isNotNull && col("user_id").isNotNull)
+
+  /** The columns the session/retention folds actually consume — no
+    * `value`: a narrower record shuffles less through groupByKey, and a
+    * producer-bug null in an unused column can't kill the decode. */
+  case class Event(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
   case class SessionState(lastTsMicros: Long, sessions: Long, events: Long)
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 
@@ -165,7 +195,7 @@ object EventStream {
     * allows eviction after an hour of silence. */
   def sessionCountsSnapshot(events: Dataset[Event]): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    droppingNullKeys(events).groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
           val s = advanceSessions(
@@ -175,52 +205,92 @@ object EventStream {
         })
   }
 
-  case class FunnelState(t1: Long, t2: Long, t3: Long) // -1 = stage open
+  /** Per-user funnel state: the current stage-time candidates (-1 =
+    * stage open) plus the click/purchase times that could still LOWER a
+    * candidate if an earlier view/click arrives in a later micro-batch
+    * (see [[funnelStages]] for the trim argument that keeps them small). */
+  case class FunnelState(t1: Long, t2: Long, t3: Long,
+                         clicks: Seq[Long], purchases: Seq[Long])
+  case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   case class StageAdvance(user_id: Long, stage: Long, stage_name: String, us: Long)
 
-  /** Streaming twin of the batch q102 ordered funnel: per-user state is
-    * just the three stage timestamps, advanced as events arrive — a
-    * user's `view → click-after → purchase-after` progress is KNOWN the
-    * moment it happens, not at the next batch report. Emits one
-    * StageAdvance row per stage completion; counting users per stage
-    * reproduces q102's funnel table.
+  /** Streaming twin of the batch q102 ordered funnel: per-user state
+    * tracks t1 = min view time, t2 = min click time > t1, t3 = min
+    * purchase time > t2 — exactly the batch definition — and emits a
+    * StageAdvance row whenever a stage candidate first appears or
+    * improves. `countDistinct(user)` per stage (or min(us) per
+    * (user, stage) for the stage times) reproduces q102's table.
     *
-    * Parity contract: the batch query takes min() over each stage's
-    * candidates; the stream keeps the FIRST qualifying event in
-    * (event-time, event_id) order, folding each micro-batch in that
-    * order — identical when delivery is time-ordered across batches
-    * (the lineDedup/incrementalDedup contract; a crawl/event log with
-    * monotone ingest satisfies it). State is three longs per user,
-    * no timeout: a funnel stage completed once stays completed. */
+    * Parity is ORDER-INDEPENDENT under ANY micro-batch delivery, the
+    * retentionWeeks pattern: each candidate is recomputed from commuting
+    * state (a min and two candidate sets), not from arrival order. A
+    * fixed-size min-per-stage record would NOT suffice — a click
+    * rejected against a provisional first-view is lost forever when an
+    * EARLIER view arrives in a later batch — so the state keeps the
+    * still-relevant candidates, trimmed by a monotonicity argument:
+    * t1 only decreases as views arrive, hence {c : c > t1} only grows,
+    * hence t2 = min of a growing set is NON-INCREASING over time — so
+    * any click ≥ the current t2 can never become the answer and is
+    * dropped (t2 itself stays in the set and beats it). Purchases trim
+    * against t3 the same way (t2 non-increasing ⇒ t3 non-increasing).
+    * Stage times never retract: completed stays completed, and the fold
+    * min(us) per (user, stage) equals the batch stage time.
+    *
+    * State bound: min-view long + clicks ≤ current t2 + purchases ≤
+    * current t3 — i.e. the events that PRECEDE the user's funnel
+    * trigger (empty sets once the funnel completes tightly; all clicks
+    * only for a user who clicks forever and never views). Rows with
+    * null user_id/ts are dropped at ingest ([[droppingNullKeys]]). */
   def funnelStages(events: Dataset[TypedEvent]): Dataset[StageAdvance] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    // narrow before the shuffle: the fold needs only (user, ts, type),
+    // and the re-projection also keeps a dirty `value` from ever
+    // reaching a decoder
+    droppingNullKeys(events)
+      .select(col("user_id"), col("ts"), col("event_type")).as[FunnelEvent]
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (userId: Long, rows: Iterator[TypedEvent], state: GroupState[FunnelState]) => {
-          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
-          val out = Vector.newBuilder[StageAdvance]
-          rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id)).foreach { e =>
+        (userId: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) => {
+          val s0 = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L, Nil, Nil))
+          var minView = s0.t1
+          var clicks = s0.clicks.toVector
+          var purchases = s0.purchases.toVector
+          rows.foreach { e =>
             val us = eventMicros(e.ts)
             e.event_type match {
-              case "view" if s.t1 < 0 =>
-                s = s.copy(t1 = us); out += StageAdvance(userId, 1L, "view", us)
-              case "click" if s.t2 < 0 && s.t1 >= 0 && us > s.t1 =>
-                s = s.copy(t2 = us); out += StageAdvance(userId, 2L, "click_after_view", us)
-              case "purchase" if s.t3 < 0 && s.t2 >= 0 && us > s.t2 =>
-                s = s.copy(t3 = us); out += StageAdvance(userId, 3L, "purchase_after_click", us)
-              case _ => ()
+              case "view"     => if (minView < 0 || us < minView) minView = us
+              case "click"    => clicks :+= us
+              case "purchase" => purchases :+= us
+              case _          => ()
             }
           }
-          state.update(s)
+          val t1 = minView
+          val t2 = if (t1 >= 0) clicks.filter(_ > t1).minOption.getOrElse(-1L) else -1L
+          val t3 = if (t2 >= 0) purchases.filter(_ > t2).minOption.getOrElse(-1L) else -1L
+          clicks = (if (t2 >= 0) clicks.filter(_ <= t2) else clicks).distinct.sorted
+          purchases = (if (t3 >= 0) purchases.filter(_ <= t3) else purchases).distinct.sorted
+          val out = Vector.newBuilder[StageAdvance]
+          if (t1 >= 0 && (s0.t1 < 0 || t1 < s0.t1))
+            out += StageAdvance(userId, 1L, "view", t1)
+          if (t2 >= 0 && (s0.t2 < 0 || t2 < s0.t2))
+            out += StageAdvance(userId, 2L, "click_after_view", t2)
+          if (t3 >= 0 && (s0.t3 < 0 || t3 < s0.t3))
+            out += StageAdvance(userId, 3L, "purchase_after_click", t3)
+          state.update(FunnelState(t1, t2, t3, clicks, purchases))
           out.result().iterator
         })
   }
 
+  /** `value` is an Option: a null value row must survive the decode —
+    * batch q80 keeps it as a frame slot that contributes nothing to the
+    * trailing stats (count/avg/stddev ignore nulls), and the stream
+    * buffer mirrors that exactly. */
   case class TypedEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
-                        event_type: String, value: Double)
-  /** Last ≤20 values per user, frame order (oldest first) — the window
-    * frame of the batch q80, carried as stream state. */
-  case class ZBuffer(recent: Seq[Double])
+                        event_type: String, value: Option[Double])
+  /** Last ≤20 frame SLOTS per user, frame order (oldest first) — the
+    * window frame of the batch q80, carried as stream state. None =
+    * a null-value row occupying its slot, as in the batch ROWS frame. */
+  case class ZBuffer(recent: Seq[Option[Double]])
   case class Anomaly(event_id: Long, user_id: Long, event_type: String, value: Double,
                      trailing_mean: Double, n_prev: Long, z: Double)
 
@@ -244,19 +314,23 @@ object EventStream {
     * micros, event_id). */
   def zscoreAnomalies(events: Dataset[TypedEvent]): Dataset[Anomaly] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    droppingNullKeys(events).groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (userId: Long, rows: Iterator[TypedEvent], state: GroupState[ZBuffer]) => {
-          var buf = state.getOption.map(_.recent.toVector).getOrElse(Vector.empty[Double])
+          var buf = state.getOption.map(_.recent.toVector)
+            .getOrElse(Vector.empty[Option[Double]])
           val out = Vector.newBuilder[Anomaly]
           rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id)).foreach { e =>
-            val n = buf.size
-            if (n >= 10) {
+            // batch parity: n_prev = count("value") over the frame —
+            // null slots occupy the 20-row frame but don't contribute
+            val vals = buf.flatten
+            val n = vals.size
+            if (n >= 10 && e.value.isDefined) {
               var sum = 0.0
-              buf.foreach(sum += _)
+              vals.foreach(sum += _)
               val mu = sum / n
               var wAvg = 0.0; var m2 = 0.0; var i = 0.0
-              buf.foreach { x =>
+              vals.foreach { x =>
                 i += 1.0
                 val delta = x - wAvg
                 wAvg += delta / i
@@ -264,9 +338,9 @@ object EventStream {
               }
               val sigma = math.sqrt(m2 / (n - 1.0))
               if (sigma > 1e-12) {
-                val z = (e.value - mu) / sigma
+                val z = (e.value.get - mu) / sigma
                 if (math.abs(z) >= 2.5)
-                  out += Anomaly(e.event_id, userId, e.event_type, e.value,
+                  out += Anomaly(e.event_id, userId, e.event_type, e.value.get,
                     roundHalfUp(mu, 6), n.toLong, roundHalfUp(z, 4))
               }
             }
@@ -296,7 +370,8 @@ object EventStream {
     * matrix, so the cohort report is incrementally maintainable at
     * ingest instead of recomputed over the full history.
     *
-    * Parity is ORDER-INDEPENDENT, unlike funnelStages: the emitted rows
+    * Parity is ORDER-INDEPENDENT (the pattern funnelStages now shares):
+    * the emitted rows
     * are the distinct (user, week) sightings as a SET — identical under
     * any micro-batch delivery order — and the cohort is derived in the
     * fold as min(week) per user, exactly the batch semantics. State is
@@ -305,7 +380,7 @@ object EventStream {
     * magnitude below the event count. */
   def retentionWeeks(events: Dataset[Event]): Dataset[WeekActive] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    droppingNullKeys(events).groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (userId: Long, rows: Iterator[Event], state: GroupState[RetentionState]) => {
           var s = state.getOption.getOrElse(RetentionState(Set.empty))
@@ -363,7 +438,7 @@ object EventStream {
     * differently on sub-millisecond gaps or equal-timestamp events. */
   def sessionCounts(events: Dataset[Event]): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    droppingNullKeys(events).groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
           if (state.hasTimedOut) {

@@ -124,17 +124,13 @@ class EventsIngestSpec extends AnyFunSuite {
     assert(Tables.tsEncodingAt(spark, s"${TestSpark.sf0001}/events.parquet") != null)
   }
 
-  test("un-annotated INT64 ts with micros magnitude fails loud, not as ~1970 rows") {
-    // bare INT64 is epoch NANOS by convention; if a regen ships bare
-    // micros instead, silent decode would put every event near 1970 and
-    // fail the oracle with no pointer to the cause. The footer stats
-    // make the misfit detectable at probe time.
+  private def writeBareMicros(tag: String): String = {
     val schema: MessageType = Types.buildMessage()
       .addField(Types.required(INT64).named("event_id"))
       .addField(Types.required(INT64).named("ts"))
       .addField(Types.required(INT64).named("user_id"))
       .named("events")
-    val dir = tmp("baremicros")
+    val dir = tmp(tag)
     val writer = ExampleParquetWriter.builder(new Path(s"$dir/part-0.parquet"))
       .withConf(spark.sessionState.newHadoopConf())
       .withType(schema)
@@ -144,7 +140,26 @@ class EventsIngestSpec extends AnyFunSuite {
       writer.write(factory.newGroup()
         .append("event_id", id).append("ts", us).append("user_id", user))
     } finally writer.close()
-    val e = intercept[IllegalStateException](Tables.tsEncodingAt(spark, dir))
+    dir
+  }
+
+  test("un-annotated INT64 ts with micros magnitude fails loud, not as ~1970 rows") {
+    // bare INT64 is epoch NANOS by convention; if a regen ships bare
+    // micros instead, silent decode would put every event near 1970 and
+    // fail the oracle with no pointer to the cause. The footer stats
+    // make the misfit detectable at probe time.
+    val e = intercept[IllegalStateException](
+      Tables.tsEncodingAt(spark, writeBareMicros("baremicros")))
+    assert(e.getMessage.contains("too small"))
+  }
+
+  test("streaming reader propagates the bare-INT64 loud-fail instead of defaulting") {
+    // the probe fallback exists ONLY for the empty/absent landing dir;
+    // a probe that positively failed must not be swallowed into the
+    // NTZ-micros default (that would re-create the silent ~1970 decode
+    // on the streaming path)
+    val e = intercept[IllegalStateException](
+      graft.streaming.EventStream.readStream(spark, writeBareMicros("stream-baremicros")))
     assert(e.getMessage.contains("too small"))
   }
 

@@ -13,6 +13,37 @@ import graft.streaming.EventStream
 class StreamingSpec extends AnyFunSuite {
   import TestSpark.{spark, sf0001}
 
+  /** Stage `rows` as ONE flat parquet file `dir/<name>` (the file stream
+    * source lists flat files, not nested part dirs), ts given as epoch
+    * micros and written NTZ — the current driver encoding. Multiple
+    * calls with names in lexicographic order + `maxFilesPerTrigger=1`
+    * give deterministic micro-batch delivery order. */
+  private def writeFlatEvents(dir: java.nio.file.Path, name: String,
+      rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory(s"graft-stage-$name")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .select(col("event_id"),
+        expr("cast(timestamp_micros(ts) as timestamp_ntz)").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = java.nio.file.Files.list(stage).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    java.nio.file.Files.move(part, dir.resolve(name))
+  }
+
+  /** The same rows as a batch events table at `dir/events.parquet`, for
+    * the SparkEntry batch-twin side of a parity assertion. */
+  private def writeBatchEvents(dir: java.nio.file.Path,
+      rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .select(col("event_id"),
+        expr("cast(timestamp_micros(ts) as timestamp_ntz)").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.parquet(dir.resolve("events.parquet").toString)
+  }
+
   test("streaming daily windows match the batch q21 time-window query") {
     // the file stream source requires a directory; stage the table file
     val dir = java.nio.file.Files.createTempDirectory("graft-stream")
@@ -307,23 +338,11 @@ class StreamingSpec extends AnyFunSuite {
     val late = Seq(ev(3, 1, 2), ev(4, 2, 1), ev(5, 3, 1)) // weeks 1-2
     val dir = java.nio.file.Files.createTempDirectory("graft-ooo-ret")
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
-    def writeFlat(rows: Seq[(Long, Long, Long, String, Double, String)], name: String): Unit = {
-      // the file source lists flat files, not nested part dirs — stage
-      // the single part file and move it to dir/<name>
-      val stage = java.nio.file.Files.createTempDirectory(s"graft-ooo-stage-$name")
-      rows.toDF(cols: _*).select(col("event_id"),
-          expr("cast(timestamp_micros(ts) as timestamp_ntz)").as("ts"),
-          col("user_id"), col("event_type"), col("value"), col("props"))
-        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val part = java.nio.file.Files.list(stage).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      java.nio.file.Files.move(part, dir.resolve(name))
-    }
     // file 'a' sorts FIRST but carries the LATER weeks (file-source
     // ordering is by path), so with one file per trigger the stream
     // sees the out-of-order regime
-    writeFlat(late, "a.parquet")
-    writeFlat(early, "b.parquet")
+    writeFlatEvents(dir, "a.parquet", late)
+    writeFlatEvents(dir, "b.parquet", early)
     val stream = spark.readStream
       .schema(EventStream.rawSchema(org.apache.spark.sql.types.TimestampNTZType))
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
@@ -350,15 +369,241 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"out-of-order delivery must not skew cohorts: got=$got want=$want")
   }
 
+  test("funnel parity survives out-of-order multi-batch delivery") {
+    import spark.implicits._
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def us(minute: Long) = base.plusSeconds(minute * 60).toEpochMilli * 1000L
+    def ev(id: Long, user: Long, typ: String, minute: Long) =
+      (id, us(minute), user, typ, 1.0, "{}")
+    // clicks/purchases land a micro-batch BEFORE the views that admit
+    // them — the regime a first-qualifying-event fold gets wrong (a
+    // click rejected against a missing/provisional first-view would be
+    // lost forever)
+    val first = Seq(
+      ev(1, 1, "click", 5), ev(2, 1, "purchase", 7), // u1: full funnel once view@2 lands
+      ev(3, 2, "purchase", 3),                       // u2: no click ever -> stalls at stage 1
+      ev(4, 3, "click", 10),                         // u3: click BEFORE the late view -> stage 1 only
+      // u4: provisional view@10 rejects click@5; the later view@2 must admit it
+      ev(5, 4, "view", 10), ev(6, 4, "click", 5), ev(7, 4, "purchase", 6))
+    val second = Seq(ev(8, 1, "view", 2), ev(9, 2, "view", 1),
+      ev(10, 3, "view", 20), ev(11, 4, "view", 2))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ooo-funnel")
+    writeFlatEvents(dir, "a.parquet", first)
+    writeFlatEvents(dir, "b.parquet", second)
+    val stream = spark.readStream
+      .schema(EventStream.rawSchema(org.apache.spark.sql.types.TimestampNTZType))
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = EventStream.funnelStages(
+        Tables.normalizeTs(stream)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"), col("value"))
+          .as[EventStream.TypedEvent])
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ooo_funnel")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ooo-funnel-ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // fold: stage time = min(us) per (user, stage) — must equal the
+    // batch t1/t2/t3 definition on the union of both files
+    val folded = spark.table("ooo_funnel")
+      .groupBy("user_id", "stage").agg(min("us").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(folded == Map(
+      (1L, 1L) -> us(2), (1L, 2L) -> us(5), (1L, 3L) -> us(7),
+      (2L, 1L) -> us(1),
+      (3L, 1L) -> us(20),
+      (4L, 1L) -> us(2), (4L, 2L) -> us(5), (4L, 3L) -> us(6)),
+      s"stage times must equal the batch funnel under out-of-order delivery: $folded")
+    // and the per-stage user counts equal batch q102 on the same rows
+    val batchDir = java.nio.file.Files.createTempDirectory("graft-ooo-funnel-batch")
+    writeBatchEvents(batchDir, first ++ second)
+    val want = SparkEntry.queries("q102_event_funnel")(spark, batchDir.toString)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).filter(_._2 > 0).toMap
+    val got = spark.table("ooo_funnel")
+      .groupBy("stage").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"stage counts: $got vs batch $want")
+  }
+
+  test("stateful streaming twins survive dirty rows; parity over keyable rows") {
+    import spark.implicits._
+    // the batch dirty-events sweep's own rationale: a 100 TB event log
+    // WILL carry nulls from producer bugs. One dirty row must not kill
+    // a streaming query. Contract (EventStream.droppingNullKeys): rows
+    // with null user_id/ts drop at ingest; parity holds against batch
+    // computed over the keyable rows. Null value/type rows stay KEYABLE
+    // and must flow through both engines identically.
+    val base = java.time.Instant.parse("2024-03-04T08:00:00Z")
+    def us(minute: Long): java.lang.Long = base.plusSeconds(minute * 60).toEpochMilli * 1000L
+    val clean = (1 to 60).map { i =>
+      org.apache.spark.sql.Row(i.toLong, us(i.toLong * 7), (i % 7).toLong,
+        Seq("view", "click", "purchase")(i % 3), i * 1.5, s"""{"k":$i}""")
+    }
+    val keyableDirty = Seq(
+      org.apache.spark.sql.Row(101L, us(500), 1L, null, 2.0, "{}"),    // null type
+      org.apache.spark.sql.Row(102L, us(501), 2L, "view", null, "{}")) // null value
+    val unkeyable = Seq(
+      org.apache.spark.sql.Row(105L, null, 5L, "view", 1.0, "{}"),     // null ts
+      org.apache.spark.sql.Row(106L, us(506), null, "view", 1.0, "{}")) // null user
+    val rawSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    def write(dir: java.nio.file.Path, rows: Seq[org.apache.spark.sql.Row]): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), rawSchema)
+        .select(col("event_id"),
+          expr("cast(timestamp_micros(ts) as timestamp_ntz)").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .write.parquet(dir.resolve("events.parquet").toString)
+    val dirtyDir = java.nio.file.Files.createTempDirectory("graft-dirty-stream")
+    val keyableDir = java.nio.file.Files.createTempDirectory("graft-dirty-keyable")
+    write(dirtyDir, clean ++ keyableDirty ++ unkeyable)
+    write(keyableDir, clean ++ keyableDirty)
+    def drain(name: String, build: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.Dataset[_], mode: String = "append"): Unit = {
+      val q = build(EventStream.readStream(
+          spark, dirtyDir.resolve("events.parquet").toString))
+        .writeStream.outputMode(mode).format("memory").queryName(name)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"graft-$name-ckpt").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain("dirty_retention", df => EventStream.retentionWeeks(
+      df.select(col("user_id"), col("event_id"), col("ts")).as[EventStream.Event]))
+    drain("dirty_funnel", df => EventStream.funnelStages(
+      df.select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value")).as[EventStream.TypedEvent]))
+    drain("dirty_z", df => EventStream.zscoreAnomalies(
+      df.select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value")).as[EventStream.TypedEvent]))
+    drain("dirty_sess", df => EventStream.sessionCountsSnapshot(
+      df.select(col("user_id"), col("event_id"), col("ts")).as[EventStream.Event]),
+      mode = "update")
+    // retention matrix == batch q101 over the keyable rows
+    val gotRet = EventStream.retentionMatrix(spark.table("dirty_retention"))
+      .collect().map(_.toSeq).toSeq
+    val wantRet = SparkEntry.queries("q101_retention_cohorts")(spark, keyableDir.toString)
+      .collect().map(_.toSeq).toSeq
+    assert(wantRet.nonEmpty && gotRet == wantRet)
+    // funnel counts == batch q102 over the keyable rows
+    val gotF = spark.table("dirty_funnel")
+      .groupBy("stage").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantF = SparkEntry.queries("q102_event_funnel")(spark, keyableDir.toString)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).filter(_._2 > 0).toMap
+    assert(gotF == wantF && gotF.nonEmpty)
+    // z-anomalies == batch q80 over the keyable rows (the null-value
+    // row occupies its frame slot in both engines)
+    val gotZ = spark.table("dirty_z").select("event_id", "z")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val wantZ = SparkEntry.queries("q80_event_zscore")(spark, keyableDir.toString)
+      .select("event_id", "z")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gotZ == wantZ)
+    // session totals == batch q25 over the keyable rows
+    val gotS = spark.table("dirty_sess").groupBy("user_id")
+      .agg(max("n_sessions").as("s"), max("n_events").as("e"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val wantS = SparkEntry.queries("q25_sessionize")(spark, keyableDir.toString)
+      .select("user_id", "n_sessions", "n_events")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(gotS == wantS && gotS.nonEmpty)
+  }
+
+  test("stateful ops recover from a checkpoint restart mid-stream") {
+    import spark.implicits._
+    // the production failure mode: the query dies (or is redeployed)
+    // after committing some batches; a NEW query instance on the SAME
+    // checkpoint must restore operator state — re-sighted weeks stay
+    // suppressed, sessions continue instead of restarting — and the
+    // drained result must still equal batch over everything delivered
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z") // a Monday
+    def ev(id: Long, user: Long, minute: Long) =
+      (id, base.plusSeconds(minute * 60).toEpochMilli * 1000L, user, "view", 1.0, "{}")
+    val fileA = Seq(ev(1, 1, 0), ev(2, 1, 10), ev(3, 2, 5))
+    val fileB = Seq(
+      ev(4, 1, 20),              // u1: continues the run-1 session, re-sights week 0
+      ev(5, 1, 200),             // u1: new session, still week 0
+      ev(6, 1, 7 * 24 * 60 + 30), // u1: week 1
+      ev(7, 2, 25))              // u2: continues the run-1 session (20 min gap)
+    val dir = java.nio.file.Files.createTempDirectory("graft-restart")
+    val ckRet = java.nio.file.Files.createTempDirectory("graft-restart-ckpt-r").toString
+    val ckSess = java.nio.file.Files.createTempDirectory("graft-restart-ckpt-s").toString
+    writeFlatEvents(dir, "a.parquet", fileA)
+    // the memory sink refuses checkpoint recovery by design, so the
+    // restart test uses foreachBatch sinks — the recoverable sink shape
+    // a real deployment would use (the idempotent parquet sink pattern)
+    val retRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val sessRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    def retQuery() = EventStream.retentionWeeks(
+        EventStream.readStream(spark, dir.toString)
+          .select(col("user_id"), col("event_id"), col("ts")).as[EventStream.Event])
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[EventStream.WeekActive], _: Long) =>
+        val out = batch.collect().map(w => (w.user_id, w.week_day))
+        retRows.synchronized { retRows ++= out }
+        ()
+      }
+      .option("checkpointLocation", ckRet).start()
+    def sessQuery() = EventStream.sessionCountsSnapshot(
+        EventStream.readStream(spark, dir.toString)
+          .select(col("user_id"), col("event_id"), col("ts")).as[EventStream.Event])
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[EventStream.UserSessions], _: Long) =>
+        val out = batch.collect().map(u => (u.user_id, u.n_sessions, u.n_events))
+        sessRows.synchronized { sessRows ++= out }
+        ()
+      }
+      .option("checkpointLocation", ckSess).start()
+    // run 1: commit fileA, then stop — the mid-stream kill
+    val q1 = retQuery(); try q1.processAllAvailable() finally q1.stop()
+    val s1 = sessQuery(); try s1.processAllAvailable() finally s1.stop()
+    val run1 = retRows.synchronized(retRows.toSet)
+    assert(run1.nonEmpty)
+    retRows.clear()
+    // fileB arrives while the queries are down
+    writeFlatEvents(dir, "b.parquet", fileB)
+    val q2 = retQuery(); try q2.processAllAvailable() finally q2.stop()
+    val s2 = sessQuery(); try s2.processAllAvailable() finally s2.stop()
+    val run2 = retRows.synchronized(retRows.toSet)
+    // restored state suppresses re-sightings (lost state would re-emit
+    // u1/u2 week 0 and inflate the matrix)
+    assert(run2.intersect(run1).isEmpty,
+      s"checkpoint state lost: run 2 re-emitted ${run2.intersect(run1)}")
+    val batchDir = java.nio.file.Files.createTempDirectory("graft-restart-batch")
+    writeBatchEvents(batchDir, fileA ++ fileB)
+    val got = EventStream.retentionMatrix(
+        (run1 ++ run2).toSeq.toDF("user_id", "week_day"))
+      .collect().map(_.toSeq).toSeq
+    val want = SparkEntry.queries("q101_retention_cohorts")(spark, batchDir.toString)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, s"emissions across the restart must fold to batch q101: $got vs $want")
+    // final session totals across both runs continue run 1's state
+    // (lost state would undercount n_events: u1 5->3, u2 2->1)
+    val sess = sessRows.synchronized(sessRows.toVector)
+      .groupBy(_._1)
+      .map { case (u, rows) => u -> ((rows.map(_._2).max, rows.map(_._3).max)) }
+    val wantSess = SparkEntry.queries("q25_sessionize")(spark, batchDir.toString)
+      .select("user_id", "n_sessions", "n_events")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(sess == wantSess,
+      s"restarted session totals must equal batch: $sess vs $wantSess")
+  }
+
   test("stateful session counting works on the batch execution path too") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
     val events = Seq(
-      EventStream.Event(1L, 10L, at(0), 1.0),
-      EventStream.Event(1L, 11L, at(10), 1.0),   // same session (10 min gap)
-      EventStream.Event(1L, 12L, at(60), 1.0),   // new session (50 min gap)
-      EventStream.Event(2L, 13L, at(5), 1.0),
+      EventStream.Event(1L, 10L, at(0)),
+      EventStream.Event(1L, 11L, at(10)),   // same session (10 min gap)
+      EventStream.Event(1L, 12L, at(60)),   // new session (50 min gap)
+      EventStream.Event(2L, 13L, at(5)),
     ).toDS()
     // flatMapGroupsWithState on a batch Dataset: state starts empty and
     // times out never; output comes from the per-group iterator pass
