@@ -59,20 +59,27 @@ object Tables {
   /** Probe the parquet footer at `path` (a file, or a directory of part
     * files) for the physical encoding of its `ts` column. Footer-only:
     * reads one file's metadata, no row groups. */
+  /** First parquet data file at or under `p`, descending into partition
+    * subdirectories (the `event_date=...` layout) in name order. */
+  private def firstParquetFile(fs: org.apache.hadoop.fs.FileSystem,
+                               p: Path): Option[Path] = {
+    val st = fs.getFileStatus(p)
+    if (!st.isDirectory) Some(p)
+    else fs.listStatus(p).sortBy(_.getPath.getName).iterator.flatMap { c =>
+      val n = c.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) Iterator.empty
+      else if (c.isDirectory) firstParquetFile(fs, c.getPath).iterator
+      else if (n.endsWith(".parquet")) Iterator.single(c.getPath)
+      else Iterator.empty
+    }.nextOption()
+  }
+
   def tsEncodingAt(spark: SparkSession, path: String): TsEncoding = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
-    val file =
-      if (fs.getFileStatus(root).isDirectory)
-        fs.listStatus(root).map(_.getPath)
-          .filter { p =>
-            val n = p.getName
-            n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-          }
-          .sortBy(_.getName).headOption
-          .getOrElse(throw new IllegalArgumentException(s"no parquet files under $path"))
-      else root
+    val file = firstParquetFile(fs, root)
+      .getOrElse(throw new IllegalArgumentException(s"no parquet files under $path"))
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
       val schema = reader.getFileMetaData.getSchema
@@ -142,10 +149,64 @@ object Tables {
     * nanos-as-long legacy conf ONLY when annotated-nanos data is actually
     * present (the conf is session-global — Spark exposes no per-read
     * option — but for every other encoding it is a no-op, so flipping it
-    * lazily here is safe), then normalize `ts`. */
+    * lazily here is safe), then normalize `ts`. Reads BOTH layouts —
+    * flat part files and the day-partitioned `event_date=...` tree
+    * ([[writeEventsPartitionedByDay]]) — to the same logical schema
+    * (the partition column is dropped after the read). */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    if (tsEncodingAt(spark, s"$dir/events.parquet") == TsEncoding.NanosAnnotated)
+    val raw = eventsRaw(spark, s"$dir/events.parquet")
+    if (raw.columns.contains("event_date")) raw.drop("event_date") else raw
+  }
+
+  /** The adaptive read with the `event_date` partition column still
+    * attached when the layout carries one — the scan [[eventsBetween]]
+    * bounds for partition pruning. */
+  private def eventsRaw(spark: SparkSession, path: String): DataFrame = {
+    if (tsEncodingAt(spark, path) == TsEncoding.NanosAnnotated)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeTs(table(spark, dir, "events"))
+    normalizeTs(spark.read.parquet(path))
+  }
+
+  /** Rewrite the events table at `srcDir` (either layout) into a
+    * day-partitioned tree at `path`: `event_date=YYYY-MM-DD/` from the
+    * normalized ts. At 100 TB events is the one table that grows without
+    * bound and every event query bounds `ts`; this layout turns those
+    * bounds into DIRECTORY pruning — a day-bounded scan lists days, not
+    * history. The pre-write shuffle hash-partitions on the date so each
+    * day is written by one task → one file per day directory (small-file
+    * hygiene; at production scale add a second key to spread hot days). */
+  def writeEventsPartitionedByDay(spark: SparkSession, srcDir: String,
+                                  path: String): Unit =
+    writeEventsPartitionedByDay(events(spark, srcDir), path)
+
+  /** Same, from an already-normalized events DataFrame. */
+  def writeEventsPartitionedByDay(events: DataFrame, path: String): Unit =
+    events
+      .withColumn("event_date", to_date(col("ts")))
+      .repartition(col("event_date"))
+      .write.mode("overwrite")
+      .partitionBy("event_date")
+      .parquet(path)
+
+  /** Day-bounded events scan, `fromDay` inclusive to `untilDay`
+    * exclusive (ISO dates). The bound is applied BOTH as a partition
+    * filter on `event_date` (directory pruning on the partitioned
+    * layout; absent on flat) and as a `ts` range (row-exact on either
+    * layout, micros precision) — the two are equivalent because
+    * `event_date = to_date(ts)` under the pinned session zone, so both
+    * layouts return identical rows and the partitioned one prunes. */
+  def eventsBetween(spark: SparkSession, dir: String,
+                    fromDay: String, untilDay: String): DataFrame = {
+    val raw = eventsRaw(spark, s"$dir/events.parquet")
+    val tsBounded = raw.filter(
+      col("ts") >= to_timestamp(lit(fromDay)) &&
+        col("ts") < to_timestamp(lit(untilDay)))
+    val bounded =
+      if (raw.columns.contains("event_date"))
+        tsBounded.filter(
+          col("event_date") >= to_date(lit(fromDay)) &&
+            col("event_date") < to_date(lit(untilDay)))
+      else tsBounded
+    bounded.drop("event_date")
   }
 }

@@ -56,6 +56,45 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("day-partitioned events layout reads transparently and date bounds prune the scan") {
+    // at 100 TB events is the one table that grows without bound; the
+    // first-class layout path (Tables.writeEventsPartitionedByDay +
+    // eventsBetween) must turn a day bound into directory pruning while
+    // Tables.events keeps presenting the flat-layout schema
+    val dir = java.nio.file.Files.createTempDirectory("graft-evpart").toString
+    Tables.writeEventsPartitionedByDay(spark, sf0001, s"$dir/events.parquet")
+    val flat = Tables.events(spark, sf0001)
+    val part = Tables.events(spark, dir)
+    assert(part.schema == flat.schema,
+      s"partitioned layout must present the flat schema, got ${part.schema}")
+    assert(part.exceptAll(flat).isEmpty && flat.exceptAll(part).isEmpty,
+      "both layouts must decode to identical rows")
+    // and a declared event query is oblivious to the layout switch
+    assert(SparkEntry.queries("q101_retention_cohorts")(spark, dir)
+        .collect().map(_.toSeq).toSeq ==
+      SparkEntry.queries("q101_retention_cohorts")(spark, sf0001)
+        .collect().map(_.toSeq).toSeq,
+      "q101 must return identical rows over the partitioned layout")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val bounded = Tables.eventsBetween(spark, dir, "2024-01-02", "2024-01-04")
+      val flatBounded = Tables.eventsBetween(spark, sf0001, "2024-01-02", "2024-01-04")
+      assert(bounded.exceptAll(flatBounded).isEmpty && flatBounded.exceptAll(bounded).isEmpty,
+        "day bounds must be row-exact across layouts")
+      assert(bounded.count() > 0, "fixture must have events in the bounded days")
+      val scan = bounded.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+      assert(scan.partitionFilters.nonEmpty,
+        "date bounds must reach the scan as PartitionFilters")
+      // pruning is real: one file per day directory, two days in bounds
+      bounded.collect()
+      assert(scan.metrics("numFiles").value == 2L,
+        s"expected 2 of ~30 day files scanned, got ${scan.metrics("numFiles").value}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("IVF assigned table written partitionBy(cell) prunes to exactly nprobe cells") {
     import graft.operators.Similarity
     val (centroids, assigned) = Similarity.ivfIndex(spark, sf0001, k = 8)
