@@ -15,11 +15,26 @@ import graft.sources.TextCorpus
   * `README.md:22-23`). Hyperparameters tune via `--conf graft.w2v.*`
   * (see [[GraftConfig]]). */
 object Word2VecDriver {
+  /** The `--synonyms` report over a just-trained (word, vector) table:
+    * top-k nearest words by cosine ([[Embed.synonyms]], the q41 plan),
+    * one `word,cos_sim` line each — the cosine capability the reference
+    * lost a point for (feedback.md:5), surfaced at its own entry point.
+    * Locale-pinned fixed-point so the line grammar never varies. */
+  def synonymLines(vocab: org.apache.spark.sql.DataFrame,
+                   word: String, k: Int): Seq[String] =
+    Embed.synonyms(vocab.select("word", "vector"), word, k)
+      .collect()
+      .map(r => String.format(java.util.Locale.ROOT, "%s,%.4f",
+        r.getString(0), r.getDouble(1): java.lang.Double))
+      .toSeq
+
   /** The driver's whole pipeline, session-agnostic (so the e2e test can
     * run it on the shared test session without the CLI's stop()):
-    * text dir in → reference-format text sink out. Returns the
+    * text dir in → reference-format text sink out, plus the optional
+    * synonyms report over the same fitted model (no refit). Returns the
     * vocabulary row count. */
-  def run(spark: SparkSession, in: String, out: String): Long = {
+  def run(spark: SparkSession, in: String, out: String,
+          synonyms: Option[(String, Int)] = None): Long = {
     val corpus = TextCorpus.read(spark, in).select(col("value").as("text"))
     val result = Embed.flagshipFromText(spark, corpus).cache()
     try {
@@ -28,13 +43,29 @@ object Word2VecDriver {
           col("word"), lit(","), col("token"), lit(","), col("count"),
           lit(",["), array_join(col("vector"), ","), lit("]")).as("value"))
         .write.mode("overwrite").text(out)
+      synonyms.foreach { case (word, k) =>
+        synonymLines(result, word, k).foreach(l => println(s"[synonyms] $l"))
+      }
       result.count()
     } finally result.unpersist()
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 2, "usage: Word2VecDriver <inputDir> <outputDir>")
-    val Array(in, out) = args
+    var synonyms: Option[(String, Int)] = None
+    val positional = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < args.length) {
+      if (args(i) == "--synonyms" && i + 1 < args.length) {
+        val parts = args(i + 1).split(",")
+        require(parts.length == 2 && parts(1).forall(_.isDigit),
+          "--synonyms expects word,k")
+        synonyms = Some((parts(0), parts(1).toInt))
+        i += 2
+      } else { positional += args(i); i += 1 }
+    }
+    require(positional.length == 2,
+      "usage: Word2VecDriver <inputDir> <outputDir> [--synonyms word,k]")
+    val Seq(in, out) = positional.toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))

@@ -145,20 +145,26 @@ object Embed {
     droppedVocabulary(counts, vocab).orderBy("word")
   }
 
+  /** Top-k cosine-similarity neighbors of `word` over any (word,
+    * vector) table — the q41 plan parameterized, and what the CLI's
+    * `--synonyms` flag prints: broadcast the query word's vector, scan
+    * the vocab, TakeOrderedAndProject k. */
+  def synonyms(vectors: DataFrame, word: String, k: Int): DataFrame = {
+    val target = broadcast(vectors.filter(col("word") === word)
+      .select(col("vector").as("target_vec")))
+    vectors.crossJoin(target)
+      .filter(col("word") =!= word)
+      .select(col("word"),
+        round(CosineSim.cosine(col("vector"), col("target_vec")), 4).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("word"))
+      .limit(k)
+  }
+
   /** q41 (rows-only): cosine-similarity synonyms via the trained model —
     * the capability the reference was graded down for (X4,
     * `feedback.md:5`). Computed with the engine's own cosine expression
     * over the vector table (not model.findSynonyms) so the query is a
-    * relational plan: broadcast the query word's vector, scan the vocab. */
-  def q41Synonyms(spark: SparkSession, dir: String): DataFrame = {
-    val vectors = fitWordVectors(spark, dir)
-    val target = broadcast(vectors.filter(col("word") === "data")
-      .select(col("vector").as("target_vec")))
-    vectors.crossJoin(target)
-      .filter(col("word") =!= "data")
-      .select(col("word"),
-        round(CosineSim.cosine(col("vector"), col("target_vec")), 4).as("cos_sim"))
-      .orderBy(desc("cos_sim"), asc("word"))
-      .limit(10)
-  }
+    * relational plan ([[synonyms]]). */
+  def q41Synonyms(spark: SparkSession, dir: String): DataFrame =
+    synonyms(fitWordVectors(spark, dir), "data", 10)
 }

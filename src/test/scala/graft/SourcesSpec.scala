@@ -82,6 +82,32 @@ class SourcesSpec extends AnyFunSuite {
     assert(parsed("a")._1 == 97L) // the portable token encoding
   }
 
+  test("Word2VecDriver --synonyms surfaces the q41 cosine report at the CLI") {
+    // the reference lost a point for missing cosine similarity
+    // (feedback.md:5); the engine's q41 capability must be visible at
+    // the reference's own entry point, not only as a declared query
+    val in = Files.createTempDirectory("graft-syn-in")
+    Files.writeString(in.resolve("test-file1.txt"), "hello 123 hello 456 hello this is a test\n")
+    Files.writeString(in.resolve("test-file2.txt"), "hello, this is a test file for map reduce program\n")
+    val out = Files.createTempDirectory("graft-syn-out").resolve("w2v").toString
+    val n = Word2VecDriver.run(spark, in.toString, out, synonyms = Some(("hello", 3)))
+    assert(n > 0)
+    // the CLI prints synonymLines verbatim — assert the report itself
+    val vocab = graft.operators.Embed.flagshipFromText(spark,
+      TextCorpus.read(spark, in.toString).select(col("value").as("text")))
+    val lines = Word2VecDriver.synonymLines(vocab, "hello", 3)
+    assert(lines.length == 3, s"expected 3 synonym lines, got $lines")
+    val grammar = "^([a-z]+),(-?\\d\\.\\d{4})$".r
+    val parsed = lines.map {
+      case grammar(word, cos) => (word, cos.toDouble)
+      case bad => fail(s"synonym line does not match word,cos_sim grammar: $bad")
+    }
+    assert(parsed.forall(_._1 != "hello"), "the query word is not its own synonym")
+    assert(parsed.forall(p => math.abs(p._2) <= 1.0), "cosine must be in [-1, 1]")
+    val cosines = parsed.map(_._2)
+    assert(cosines == cosines.sorted.reverse, "report must be descending by cosine")
+  }
+
   test("orc and json sinks round-trip the star-schema rows") {
     val base = Files.createTempDirectory("graft-io")
     val nation = Tables.nation(spark, TestSpark.sf0001)
