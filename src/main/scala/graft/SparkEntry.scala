@@ -123,6 +123,7 @@ object SparkEntry {
     "q56_bpe_encode"     -> (Bpe.q56BpeEncode _),
     "q87_tokenizer_fertility" -> (Bpe.q87TokenizerFertility _),
     "q58_dropped_vocab"  -> (Embed.q58DroppedVocab _),
+    "q45b_ivf_seeded_cells" -> (Similarity.q45bIvfSeededCells _),
     // rows-only (ML-backed / engine-specific, no SQL oracle)
     "q40_word2vec_vocab" -> (Embed.q40Word2VecVocab _),
     "q41_synonyms"       -> (Embed.q41Synonyms _),
@@ -506,6 +507,25 @@ object SparkEntry {
     // Blocked-exact near-dup: simhashCandCte inlines the SAME ±1
     // hyperplane literals the Spark side uses (Dedup.simhashPlanes), so
     // candidate generation — not just scoring — is reproduced exactly.
+    // the q45b seed centroids are corpus ROWS (vec_id < 8), so both
+    // engines score cosine against bit-identical doubles; min/max per
+    // cell are summation-order-free (no q103b-class hash flake)
+    "q45b_ivf_seeded_cells" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, c.cell,
+        |         round(list_cosine_similarity(e.v, c.cv), 6) AS sim
+        |  FROM e CROSS JOIN c),
+        |assigned AS (
+        |  SELECT vec_id, cell, sim,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rk
+        |  FROM scored)
+        |SELECT cell, count(*) AS n_vectors,
+        |       round(min(sim), 6) AS min_sim, round(max(sim), 6) AS max_sim
+        |FROM assigned WHERE rk = 1
+        |GROUP BY cell ORDER BY cell""".stripMargin,
+
     "q49_embedding_neardup" ->
       s"""WITH $simhashCandCte,
          |scored AS (SELECT id_a, id_b,

@@ -156,6 +156,34 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** q45b (oracle): the q45 IVF cell assignment under DETERMINISTIC seed
+    * centroids — the 8 lowest-id corpus vectors (the k-means|| init
+    * sample) instead of the seeded MLlib fit — so the assignment is
+    * engine-portable and the DuckDB oracle hash-checks it (the q49
+    * shared-constants precedent; the fitted variant stays rows-only).
+    * Same plan shape as the fitted index's assignment pass: broadcast k
+    * centroid rows, ONE corpus scan, per-row argmax cosine (rounded to
+    * 6 before ranking, cell-id tie-break). Per-cell stats are min/max —
+    * order-independent, so no summation-order hash hazard (the q103b
+    * lesson). */
+  def q45bIvfSeededCells(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = broadcast(e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("v").as("cv")))
+    val w = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cell"))
+    e.crossJoin(cents)
+      .select(col("vec_id"), col("cell"),
+        round(CosineSim.cosine(col("v"), col("cv")), 6).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vectors"),
+        round(min("sim"), 6).as("min_sim"),
+        round(max("sim"), 6).as("max_sim"))
+      .orderBy("cell")
+  }
+
   /** q61: blocked kNN JOIN — top-3 cosine neighbors for EVERY vector
     * (q34 is the small-query-block shape; this is the corpus-wide one).
     * Brute force here is N² — instead candidates come from the shared

@@ -13,6 +13,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
 
   private val base = "the quick brown fox jumps over the lazy dog and runs far away today"
 
+  test("q45b seeded IVF cells: every seed owns its cell and the histogram covers the corpus") {
+    val rows = SparkEntry.queries("q45b_ivf_seeded_cells")(spark, TestSpark.sf0001).collect()
+    val total = Tables.embeddings(spark, TestSpark.sf0001).count()
+    assert(rows.map(_.getLong(0)).toList == (0L to 7L).toList,
+      "all 8 seed cells must be non-empty — each seed assigns to itself")
+    assert(rows.map(_.getLong(1)).sum == total, "every vector assigned exactly once")
+    rows.foreach { r =>
+      assert(r.getDouble(3) == 1.0,
+        s"cell ${r.getLong(0)}: the seed's self-cosine must be the cell max")
+    }
+  }
+
   test("approxNearDupPairs finds planted exact and near duplicates, not distinct docs") {
     val docs = Seq(
       (0L, base),
