@@ -23,6 +23,19 @@ object DocStream {
   def readStream(spark: SparkSession, path: String): DataFrame =
     spark.readStream.schema(docSchema).parquet(path)
 
+  /** Drop rows a stateful doc fold can neither key nor measure — the
+    * event-side `droppingNullKeys` contract (EventStream) applied to
+    * the doc twins: a null doc_id kills the primitive-Long decode the
+    * moment groupByKey inserts its deserializer, and a null text yields
+    * null token counts / content hashes that a cursor or hash-key fold
+    * cannot carry. The batch twins tolerate the same rows (QueriesSpec
+    * dirty-row sweep); the streaming parity contract is over keyable
+    * rows. */
+  private def droppingNullDocKeys(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    docs.filter(col("doc_id").isNotNull && col("text").isNotNull)
+  }
+
   /** Streaming twin of the batch q59 line dedup: segment every arriving
     * document into 10-word pseudo-sentences (the SAME segmentation, via
     * [[TextAnalysis.segments]]) and keep each segment text only the
@@ -209,7 +222,7 @@ object DocStream {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    docs
+    droppingNullDocKeys(docs)
       .select(col("doc_id"), expr("doc_id div 100").as("shard"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .as[ShardDoc]
@@ -252,7 +265,10 @@ object DocStream {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    docs.select(col("doc_id"), col("source")).as[CappedDoc]
+    // only doc_id must be non-null (the decode key); a null source is a
+    // legitimate group, as in the batch q67 group-by
+    docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("source")).as[CappedDoc]
       .groupByKey(_.source)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (source: String, rows: Iterator[CappedDoc], state: GroupState[Long]) => {
@@ -275,7 +291,7 @@ object DocStream {
     // so a web-scale index degrades to a per-micro-batch shuffle join
     // of the (small) batch side instead of shipping billions of hashes
     // to every executor
-    val hashed = docs
+    val hashed = droppingNullDocKeys(docs)
       .select(col("doc_id"), md5(col("text").cast("binary")).as("content_hash"))
       .join(graft.operators.Guard.modelBroadcast(
         corpusIndex.select("content_hash", "corpus_canonical")),

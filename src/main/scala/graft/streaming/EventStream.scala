@@ -67,7 +67,24 @@ object EventStream {
       case TsEncoding.LocalTimestamp   => TimestampNTZType
       case TsEncoding.InstantTimestamp => TimestampType
     }
-    Tables.normalizeTs(spark.readStream.schema(rawSchema(tsType)).parquet(path))
+    // a production landing zone is often the day-partitioned tree
+    // (Tables.writeEventsPartitionedByDay); the file stream source does
+    // not descend into event_date=... dirs on its own, so flip on
+    // recursive lookup when the layout is partitioned. The partition
+    // column is NOT in the schema — the stream presents the same
+    // logical schema as the batch reader (Tables.events drops it too).
+    val partitioned =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.getFileStatus(p).isDirectory &&
+          fs.listStatus(p).exists(_.getPath.getName.startsWith("event_date="))
+      } catch { case _: java.io.FileNotFoundException => false }
+    val reader = spark.readStream.schema(rawSchema(tsType))
+    val source =
+      if (partitioned) reader.option("recursiveFileLookup", "true").parquet(path)
+      else reader.parquet(path)
+    Tables.normalizeTs(source)
   }
 
   /** Tumbling daily windows per event type with a 1-hour watermark —

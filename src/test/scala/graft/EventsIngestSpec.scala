@@ -174,6 +174,27 @@ class EventsIngestSpec extends AnyFunSuite {
     assert(spark.table("empty_landing").isEmpty)
   }
 
+  test("streaming reader drains the day-partitioned landing tree like the flat layout") {
+    // a production landing zone is often the event_date=... tree; the
+    // stream must descend into it and present the flat logical schema
+    val flatDir = writeNtz("part-flat").stripSuffix("/events.parquet")
+    val partDir = Files.createTempDirectory("graft-part-stream").toString
+    Tables.writeEventsPartitionedByDay(spark, flatDir, s"$partDir/events.parquet")
+    val q = graft.streaming.EventStream.readStream(spark, s"$partDir/events.parquet")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .writeStream.format("memory").queryName("part_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-part-stream-ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("part_stream").orderBy("event_id").collect().toSeq
+    val want = micros.map { case (id, us, user, typ, v, props) =>
+      Row(id, us, user, typ, v, props)
+    }
+    assert(got == want, "partitioned landing tree must decode to the same rows")
+  }
+
   test("streaming reader decodes nanos and micros fixtures identically") {
     def drained(dir: String): Seq[Row] = {
       val q = graft.streaming.EventStream.readStream(spark, dir)

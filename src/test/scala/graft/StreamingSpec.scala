@@ -515,6 +515,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotS == wantS && gotS.nonEmpty)
   }
 
+  test("doc stateful twins survive dirty rows (null doc_id / text / source)") {
+    import spark.implicits._
+    // the doc-side mirror of the event dirty sweep: a crawl WILL carry
+    // null text and broken ids; one such row must not kill an ingest
+    // query. Contract (DocStream.droppingNullDocKeys): rows without a
+    // keyable doc_id/text drop; a null SOURCE stays keyable for the cap
+    // (it is a legitimate batch group too).
+    val clean = (1 to 20).map { i =>
+      org.apache.spark.sql.Row(i.toLong,
+        s"the quick brown fox number $i jumps over the lazy dog marker$i",
+        "en", s"src${i % 2}", 60L)
+    }
+    val dirty = Seq(
+      org.apache.spark.sql.Row(101L, null, "en", "src0", 0L),   // null text
+      org.apache.spark.sql.Row(null, "stray row with no id", "en", "src1", 20L), // null id
+      org.apache.spark.sql.Row(102L, "doc with a null source attribute", "en", null, 33L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-dirty-docs")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(clean ++ dirty, 2),
+        graft.streaming.DocStream.docSchema)
+      .write.parquet(dir.resolve("documents.parquet").toString)
+    def drain(name: String,
+        build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[_]): Long = {
+      val q = build(graft.streaming.DocStream.readStream(
+          spark, dir.resolve("documents.parquet").toString))
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"graft-$name-ckpt").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name).count()
+    }
+    val corpusIndex = Seq((3L, "existing corpus text"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("content_hash"))
+      .groupBy("content_hash").agg(min("doc_id").as("corpus_canonical"))
+    val nPack = drain("dirty_pack", df => graft.streaming.DocStream.packingManifest(df))
+    val nCap = drain("dirty_cap", df => graft.streaming.DocStream.sourceCap(df, cap = 5))
+    val nDedup = drain("dirty_incr",
+      df => graft.streaming.DocStream.incrementalDedup(df, corpusIndex))
+    val nLine = drain("dirty_line", df => graft.streaming.DocStream.lineDedup(df))
+    // keyable rows: 20 clean + the null-source doc (cap also keeps the
+    // null-TEXT doc out only via doc_id+text for pack/dedup; cap keys
+    // on doc_id alone, so it adjudicates the null-text doc too)
+    assert(nPack == 21L, s"packing manifest must slot the 21 keyable docs, got $nPack")
+    assert(nCap == 22L, s"source cap must adjudicate the 22 id-bearing docs, got $nCap")
+    assert(nDedup == 21L, s"incremental dedup must classify the 21 keyable docs, got $nDedup")
+    assert(nLine > 0L, "line dedup must emit the surviving segments")
+    // and the null-source doc got a real cap decision under its null group
+    val nullSrc = spark.table("dirty_cap").filter(col("doc_id") === 102L).collect()
+    assert(nullSrc.length == 1 && nullSrc.head.getLong(3) == 1L,
+      "the null-source doc is a legitimate group and fits under the cap")
+  }
+
   test("stateful ops recover from a checkpoint restart mid-stream") {
     import spark.implicits._
     // the production failure mode: the query dies (or is redeployed)
