@@ -515,6 +515,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotS == wantS && gotS.nonEmpty)
   }
 
+  test("funnel fold equals the batch definition on randomized out-of-order deliveries") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the hand-picked out-of-order test pins known regimes; this seeded
+    // random sweep guards the trim logic's edges (candidate sets must
+    // keep exactly the still-relevant clicks/purchases under ANY
+    // delivery split)
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 3).foreach { round =>
+      val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+      val events = (1 to 60).map { id =>
+        (id.toLong, base.plusSeconds(rnd.nextInt(600) * 60L).toEpochMilli * 1000L,
+          (id % 5).toLong + 1, Seq("view", "click", "purchase")(rnd.nextInt(3)), 1.0)
+      }
+      // batch truth straight from the q102 definition
+      def t1(u: Long) = events.filter(e => e._3 == u && e._4 == "view").map(_._2).minOption
+      def t2(u: Long) = t1(u).flatMap(a =>
+        events.filter(e => e._3 == u && e._4 == "click" && e._2 > a).map(_._2).minOption)
+      def t3(u: Long) = t2(u).flatMap(b =>
+        events.filter(e => e._3 == u && e._4 == "purchase" && e._2 > b).map(_._2).minOption)
+      val want = (1L to 5L).flatMap(u => Seq(
+        t1(u).map((u, 1L, _)), t2(u).map((u, 2L, _)), t3(u).map((u, 3L, _))).flatten).toSet
+      val shuffled = rnd.shuffle(events)
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = MemoryStream[(Long, Long, Long, String, Double)]
+      val q = EventStream.funnelStages(
+          ms.toDF().toDF("event_id", "us", "user_id", "event_type", "value")
+            .select(col("user_id"), col("event_id"),
+              expr("timestamp_micros(us)").as("ts"), col("event_type"), col("value"))
+            .as[EventStream.TypedEvent])
+        .writeStream.outputMode("append").format("memory")
+        .queryName(s"rand_funnel_$round")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"graft-rf-$round").toString)
+        .start()
+      try {
+        var rest = shuffled
+        while (rest.nonEmpty) {
+          val take = 1 + rnd.nextInt(7)
+          ms.addData(rest.take(take))
+          q.processAllAvailable()
+          rest = rest.drop(take)
+        }
+      } finally q.stop()
+      val got = spark.table(s"rand_funnel_$round")
+        .groupBy("user_id", "stage").agg(min("us").as("us"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"seed round $round: stream fold $got != batch truth $want")
+    }
+  }
+
   test("doc stateful twins survive dirty rows (null doc_id / text / source)") {
     import spark.implicits._
     // the doc-side mirror of the event dirty sweep: a crawl WILL carry
