@@ -55,11 +55,13 @@ object Word2VecDriver {
     val positional = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < args.length) {
-      if (args(i) == "--synonyms" && i + 1 < args.length) {
+      if (args(i) == "--synonyms") {
+        require(i + 1 < args.length, "--synonyms expects a word,k value")
         val parts = args(i + 1).split(",")
-        require(parts.length == 2 && parts(1).forall(_.isDigit),
-          "--synonyms expects word,k")
-        synonyms = Some((parts(0), parts(1).toInt))
+        val k = if (parts.length == 2) parts(1).toIntOption else None
+        require(parts.length == 2 && k.exists(_ > 0),
+          s"--synonyms expects word,k with k a positive int, got '${args(i + 1)}'")
+        synonyms = Some((parts(0), k.get))
         i += 2
       } else { positional += args(i); i += 1 }
     }

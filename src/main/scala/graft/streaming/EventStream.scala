@@ -45,20 +45,14 @@ object EventStream {
     * present at definition for the probe to see. */
   def readStream(spark: SparkSession, path: String): DataFrame = {
     import graft.Tables, graft.Tables.TsEncoding
-    val probed =
-      try Tables.tsEncodingAt(spark, path)
-      catch {
-        // ONLY the canonical empty/absent landing dir falls back to the
-        // default encoding. A probe that positively FAILED — the
-        // bare-INT64 micros-magnitude loud-fail (IllegalStateException),
-        // IO/permission errors — must propagate: swallowing it here
-        // would re-create downstream exactly the silent ~1970-decode
-        // class of bug the probe exists to prevent.
-        case _: java.io.FileNotFoundException => TsEncoding.LocalTimestamp
-        case e: IllegalArgumentException
-            if String.valueOf(e.getMessage).startsWith("no parquet files") =>
-          TsEncoding.LocalTimestamp
-      }
+    // ONLY the canonical empty/absent landing dir (probe answers None)
+    // falls back to the default encoding. A probe that positively
+    // FAILED — the bare-INT64 micros-magnitude loud-fail
+    // (IllegalStateException), IO/permission errors — propagates:
+    // swallowing it would re-create downstream exactly the silent
+    // ~1970-decode class of bug the probe exists to prevent.
+    val probed = Tables.tsEncodingIfPresent(spark, path)
+      .getOrElse(TsEncoding.LocalTimestamp)
     val tsType = probed match {
       case TsEncoding.NanosAnnotated =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -68,23 +62,14 @@ object EventStream {
       case TsEncoding.InstantTimestamp => TimestampType
     }
     // a production landing zone is often the day-partitioned tree
-    // (Tables.writeEventsPartitionedByDay); the file stream source does
-    // not descend into event_date=... dirs on its own, so flip on
-    // recursive lookup when the layout is partitioned. The partition
-    // column is NOT in the schema — the stream presents the same
-    // logical schema as the batch reader (Tables.events drops it too).
-    val partitioned =
-      try {
-        val p = new org.apache.hadoop.fs.Path(path)
-        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-        fs.getFileStatus(p).isDirectory &&
-          fs.listStatus(p).exists(_.getPath.getName.startsWith("event_date="))
-      } catch { case _: java.io.FileNotFoundException => false }
-    val reader = spark.readStream.schema(rawSchema(tsType))
-    val source =
-      if (partitioned) reader.option("recursiveFileLookup", "true").parquet(path)
-      else reader.parquet(path)
-    Tables.normalizeTs(source)
+    // (Tables.writeEventsPartitionedByDay), and a dir that is EMPTY at
+    // definition may receive that layout later — so the listing is
+    // ALWAYS recursive (for a flat dir it lists the same files). The
+    // partition column is NOT in the schema: the stream presents the
+    // same logical schema as the batch reader (which drops it too).
+    Tables.normalizeTs(
+      spark.readStream.schema(rawSchema(tsType))
+        .option("recursiveFileLookup", "true").parquet(path))
   }
 
   /** Tumbling daily windows per event type with a 1-hour watermark —
@@ -222,10 +207,15 @@ object EventStream {
         })
   }
 
-  /** Per-user funnel state: the current stage-time candidates (-1 =
-    * stage open) plus the click/purchase times that could still LOWER a
-    * candidate if an earlier view/click arrives in a later micro-batch
-    * (see [[funnelStages]] for the trim argument that keeps them small). */
+  /** Per-user funnel state: the current stage-time candidates
+    * ([[FunnelOpen]] = stage open) plus the click/purchase times that
+    * could still LOWER a candidate if an earlier view/click arrives in
+    * a later micro-batch (see [[funnelStages]] for the trim argument
+    * that keeps them small). The sentinel is Long.MinValue, NOT -1: a
+    * pre-1970 timestamp (negative epoch micros from an underflowed
+    * producer field) is dirty-ish data the batch q102 still counts, so
+    * the stream must not read it as "unset". */
+  val FunnelOpen: Long = Long.MinValue
   case class FunnelState(t1: Long, t2: Long, t3: Long,
                          clicks: Seq[Long], purchases: Seq[Long])
   case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
@@ -268,30 +258,34 @@ object EventStream {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (userId: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) => {
-          val s0 = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L, Nil, Nil))
+          val open = FunnelOpen
+          val s0 = state.getOption.getOrElse(FunnelState(open, open, open, Nil, Nil))
           var minView = s0.t1
           var clicks = s0.clicks.toVector
           var purchases = s0.purchases.toVector
           rows.foreach { e =>
             val us = eventMicros(e.ts)
             e.event_type match {
-              case "view"     => if (minView < 0 || us < minView) minView = us
+              case "view"     => if (minView == open || us < minView) minView = us
               case "click"    => clicks :+= us
               case "purchase" => purchases :+= us
               case _          => ()
             }
           }
           val t1 = minView
-          val t2 = if (t1 >= 0) clicks.filter(_ > t1).minOption.getOrElse(-1L) else -1L
-          val t3 = if (t2 >= 0) purchases.filter(_ > t2).minOption.getOrElse(-1L) else -1L
-          clicks = (if (t2 >= 0) clicks.filter(_ <= t2) else clicks).distinct.sorted
-          purchases = (if (t3 >= 0) purchases.filter(_ <= t3) else purchases).distinct.sorted
+          val t2 =
+            if (t1 != open) clicks.filter(_ > t1).minOption.getOrElse(open) else open
+          val t3 =
+            if (t2 != open) purchases.filter(_ > t2).minOption.getOrElse(open) else open
+          clicks = (if (t2 != open) clicks.filter(_ <= t2) else clicks).distinct.sorted
+          purchases =
+            (if (t3 != open) purchases.filter(_ <= t3) else purchases).distinct.sorted
           val out = Vector.newBuilder[StageAdvance]
-          if (t1 >= 0 && (s0.t1 < 0 || t1 < s0.t1))
+          if (t1 != open && (s0.t1 == open || t1 < s0.t1))
             out += StageAdvance(userId, 1L, "view", t1)
-          if (t2 >= 0 && (s0.t2 < 0 || t2 < s0.t2))
+          if (t2 != open && (s0.t2 == open || t2 < s0.t2))
             out += StageAdvance(userId, 2L, "click_after_view", t2)
-          if (t3 >= 0 && (s0.t3 < 0 || t3 < s0.t3))
+          if (t3 != open && (s0.t3 == open || t3 < s0.t3))
             out += StageAdvance(userId, 3L, "purchase_after_click", t3)
           state.update(FunnelState(t1, t2, t3, clicks, purchases))
           out.result().iterator
