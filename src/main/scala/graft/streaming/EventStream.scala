@@ -246,8 +246,15 @@ object EventStream {
     * State bound: min-view long + clicks ≤ current t2 + purchases ≤
     * current t3 — i.e. the events that PRECEDE the user's funnel
     * trigger (empty sets once the funnel completes tightly; all clicks
-    * only for a user who clicks forever and never views). Rows with
-    * null user_id/ts are dropped at ingest ([[droppingNullKeys]]). */
+    * only for a user who clicks forever and never views). For THAT
+    * user the production deployment sets a watermark on the input:
+    * any future view then carries ts ≥ watermark, so a candidate at or
+    * below min(t1, watermark) can never satisfy `> t1'` again and is
+    * dropped — state becomes bounded by the watermark horizon, not the
+    * user's history. (The trim reads `getCurrentWatermarkMs`; without
+    * a watermark it is inactive and the exact unbounded contract
+    * applies.) Rows with null user_id/ts are dropped at ingest
+    * ([[droppingNullKeys]]). */
   def funnelStages(events: Dataset[TypedEvent]): Dataset[StageAdvance] = {
     import events.sparkSession.implicits._
     // narrow before the shuffle: the fold needs only (user, ts, type),
@@ -277,9 +284,22 @@ object EventStream {
             if (t1 != open) clicks.filter(_ > t1).minOption.getOrElse(open) else open
           val t3 =
             if (t2 != open) purchases.filter(_ > t2).minOption.getOrElse(open) else open
-          clicks = (if (t2 != open) clicks.filter(_ <= t2) else clicks).distinct.sorted
-          purchases =
-            (if (t3 != open) purchases.filter(_ <= t3) else purchases).distinct.sorted
+          // watermark trim (scaladoc): future views satisfy ts >= wm,
+          // so future t1' >= min(t1, wm) and a candidate <= that bar can
+          // never qualify as `> t1'` (purchases: p > t2' > t1' >= bar).
+          // No watermark on the input -> getCurrentWatermarkMs THROWS
+          // (and the 0 of a defined-but-unadvanced watermark is also
+          // left inactive, so pre-1970 timestamps are never misread as
+          // trimmable).
+          val wmMs =
+            try state.getCurrentWatermarkMs()
+            catch { case _: UnsupportedOperationException => 0L }
+          val wm = if (wmMs > 0L) wmMs * 1000L else Long.MinValue
+          val lowBar = if (t1 == open) wm else math.min(t1, wm)
+          clicks = (if (t2 != open) clicks.filter(_ <= t2) else clicks)
+            .filter(_ > lowBar).distinct.sorted
+          purchases = (if (t3 != open) purchases.filter(_ <= t3) else purchases)
+            .filter(_ > lowBar).distinct.sorted
           val out = Vector.newBuilder[StageAdvance]
           if (t1 != open && (s0.t1 == open || t1 < s0.t1))
             out += StageAdvance(userId, 1L, "view", t1)

@@ -566,6 +566,54 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("watermarked funnel trims dead candidates without changing the answer") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the production funnel deployment: with a watermark on the input,
+    // any future view carries ts >= wm, so a stored candidate at or
+    // below min(t1, wm) can never qualify again — state is bounded by
+    // the watermark horizon. The trim must be semantically invisible:
+    // u2's click@5min is dead by construction (admissible views >= 50min
+    // can never precede it), u1's candidates stay above the bar.
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def us(minute: Long) = base.plusSeconds(minute * 60).toEpochMilli * 1000L
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long, String, Double)]
+    val q = EventStream.funnelStages(
+        ms.toDF().toDF("event_id", "us", "user_id", "event_type", "value")
+          .select(col("user_id"), col("event_id"),
+            expr("timestamp_micros(us)").as("ts"), col("event_type"), col("value"))
+          .withWatermark("ts", "10 minutes")
+          .as[EventStream.TypedEvent])
+      .writeStream.outputMode("append").format("memory").queryName("wm_funnel")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-wm-funnel-ckpt").toString)
+      .start()
+    try {
+      // batch A: candidates first; the 60-min event advances the
+      // watermark to 50 min for batch B
+      ms.addData(Seq(
+        (1L, us(60), 3L, "view", 1.0),
+        (2L, us(58), 1L, "click", 1.0),
+        (3L, us(59), 1L, "purchase", 1.0),
+        (4L, us(5), 2L, "click", 1.0)))
+      q.processAllAvailable()
+      // batch B: admitting views, both >= the 50-min watermark
+      ms.addData(Seq(
+        (5L, us(52), 1L, "view", 1.0),
+        (6L, us(53), 2L, "view", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("wm_funnel")
+      .groupBy("user_id", "stage").agg(min("us").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (1L, 1L) -> us(52), (1L, 2L) -> us(58), (1L, 3L) -> us(59),
+      (2L, 1L) -> us(53),
+      (3L, 1L) -> us(60)),
+      s"watermark trim must not change any reachable stage: $got")
+  }
+
   test("doc stateful twins survive dirty rows (null doc_id / text / source)") {
     import spark.implicits._
     // the doc-side mirror of the event dirty sweep: a crawl WILL carry
