@@ -98,6 +98,7 @@ object SparkEntry {
     "q80_event_zscore"   -> (Relational.q80EventZscore _),
     "q101_retention_cohorts" -> (Relational.q101RetentionCohorts _),
     "q102_event_funnel"  -> (Relational.q102EventFunnel _),
+    "q108_day_bounded_window" -> (Relational.q108DayBoundedWindow _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -331,6 +332,14 @@ object SparkEntry {
     "q21_time_window" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
+
+    // same window constants as the Spark side (Relational.Q108From/Until)
+    "q108_day_bounded_window" ->
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         |FROM events
+         |WHERE ts >= TIMESTAMP '${graft.operators.Relational.Q108From}'
+         |  AND ts < TIMESTAMP '${graft.operators.Relational.Q108Until}'
+         |GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
 
     "q22_range_join" ->
       """SELECT o_orderpriority, count(*) AS n_fast_lines, round(sum(l_extendedprice), 2) AS sum_price

@@ -50,7 +50,10 @@ object Word2VecDriver {
     } finally result.unpersist()
   }
 
-  def main(args: Array[String]): Unit = {
+  /** CLI grammar, separated from `main` so the parse → forward path is
+    * testable without building a session: two positionals plus an
+    * optional `--synonyms word,k` anywhere in the arg list. */
+  def parseArgs(args: Array[String]): (String, String, Option[(String, Int)]) = {
     var synonyms: Option[(String, Int)] = None
     val positional = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
@@ -67,7 +70,21 @@ object Word2VecDriver {
     }
     require(positional.length == 2,
       "usage: Word2VecDriver <inputDir> <outputDir> [--synonyms word,k]")
-    val Seq(in, out) = positional.toSeq
+    (positional(0), positional(1), synonyms)
+  }
+
+  /** Everything `main` does after session construction: parse the raw
+    * args and forward them — including the synonyms option — to [[run]].
+    * The e2e test drives this entry so a parsed-but-dropped flag can't
+    * pass the suite while being dead at the real command line. */
+  def execute(spark: SparkSession, args: Array[String]): Long = {
+    val (in, out, synonyms) = parseArgs(args)
+    val n = run(spark, in, out, synonyms)
+    println(s"[word2vec-driver] wrote $n vocabulary rows to $out")
+    n
+  }
+
+  def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
@@ -77,8 +94,7 @@ object Word2VecDriver {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val n = run(spark, in, out)
-    println(s"[word2vec-driver] wrote $n vocabulary rows to $out")
+    execute(spark, args)
     spark.stop()
   }
 }

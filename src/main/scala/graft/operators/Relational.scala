@@ -374,6 +374,26 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       .orderBy("day", "event_type")
 
+  /** The q108 day window, shared with its oracle SQL so the two bounds
+    * can never drift: the second fixture week (the driver testdata spans
+    * 2024-01-01..2024-01-30 at every SF). */
+  val Q108From  = "2024-01-08"
+  val Q108Until = "2024-01-15"
+
+  /** q108: q21's daily aggregation, day-BOUNDED through
+    * [[Tables.eventsBetween]] — the graded surface for the partitioned
+    * events layout. On the flat driver layout the bound is a pushed
+    * `ts` range; pointed at a `event_date=` tree
+    * ([[Tables.writeEventsPartitionedByDay]]) the same plan prunes whole
+    * day directories (ScaleSpec asserts PartitionFilters + numFiles on
+    * THIS declared query). At 100 TB this is the difference between
+    * scanning a week and scanning all history. */
+  def q108DayBoundedWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsBetween(spark, dir, Q108From, Q108Until)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("day", "event_type")
+
   /** q101: retention cohorts — the week a user first appears is their
     * cohort; count how many of each cohort come back in each later
     * week. The classic product-analytics retention matrix, emitted as

@@ -90,8 +90,18 @@ class SourcesSpec extends AnyFunSuite {
     Files.writeString(in.resolve("test-file1.txt"), "hello 123 hello 456 hello this is a test\n")
     Files.writeString(in.resolve("test-file2.txt"), "hello, this is a test file for map reduce program\n")
     val out = Files.createTempDirectory("graft-syn-out").resolve("w2v").toString
-    val n = Word2VecDriver.run(spark, in.toString, out, synonyms = Some(("hello", 3)))
+    // drive the REAL CLI path (parse → forward), not run() directly: a
+    // parsed-but-dropped flag must fail this test, not only code review
+    val stdout = new java.io.ByteArrayOutputStream()
+    val n = Console.withOut(new java.io.PrintStream(stdout, true, "UTF-8")) {
+      Word2VecDriver.execute(spark,
+        Array(in.toString, out, "--synonyms", "hello,3"))
+    }
     assert(n > 0)
+    val printed = stdout.toString("UTF-8").linesIterator
+      .filter(_.startsWith("[synonyms] ")).map(_.stripPrefix("[synonyms] ")).toSeq
+    assert(printed.length == 3,
+      s"CLI must print 3 [synonyms] lines, got: ${stdout.toString("UTF-8")}")
     // the CLI prints synonymLines verbatim — assert the report itself
     val vocab = graft.operators.Embed.flagshipFromText(spark,
       TextCorpus.read(spark, in.toString).select(col("value").as("text")))
@@ -106,6 +116,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(parsed.forall(p => math.abs(p._2) <= 1.0), "cosine must be in [-1, 1]")
     val cosines = parsed.map(_._2)
     assert(cosines == cosines.sorted.reverse, "report must be descending by cosine")
+  }
+
+  test("Word2VecDriver.parseArgs accepts the flag anywhere and rejects bad forms") {
+    assert(Word2VecDriver.parseArgs(Array("in", "out")) == (("in", "out", None)))
+    assert(Word2VecDriver.parseArgs(Array("in", "out", "--synonyms", "hi,5")) ==
+      (("in", "out", Some(("hi", 5)))))
+    assert(Word2VecDriver.parseArgs(Array("--synonyms", "hi,5", "in", "out")) ==
+      (("in", "out", Some(("hi", 5)))))
+    for (bad <- Seq(Array("in", "out", "--synonyms"),
+                    Array("in", "out", "--synonyms", "hi"),
+                    Array("in", "out", "--synonyms", "hi,0"),
+                    Array("in", "out", "--synonyms", "hi,x"),
+                    Array("in")))
+      intercept[IllegalArgumentException](Word2VecDriver.parseArgs(bad))
   }
 
   test("orc and json sinks round-trip the star-schema rows") {
