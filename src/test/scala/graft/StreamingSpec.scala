@@ -748,6 +748,146 @@ class StreamingSpec extends AnyFunSuite {
       s"restarted session totals must equal batch: $sess vs $wantSess")
   }
 
+  test("funnel and z-score recover their rich state from a checkpoint restart") {
+    import spark.implicits._
+    // round-5 proved restart recovery for retention/session state (a
+    // set and two counters); the funnel's candidate sets and the
+    // z-score's ring buffer are the twins where a serde or re-emission
+    // bug would hide. The scenario makes lost state VISIBLE: the funnel
+    // candidates are delivered before the views that make them the
+    // answer, and the z buffer is warmed past the n >= 10 guard before
+    // the kill — a fresh-state run 2 would emit nothing for either.
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def us(minute: Long) = base.plusSeconds(minute * 60).toEpochMilli * 1000L
+    def ev(id: Long, user: Long, minute: Long, tpe: String, value: Double) =
+      (id, us(minute), user, tpe, value, "{}")
+    // u1: click+purchase candidates only — run 1 emits nothing for u1
+    // u2: view in run 1, click in run 2 — stage 2 needs the stored t1
+    // u3: 12-value warm-up for the z buffer; the run-2 outlier is an
+    //     anomaly only if the buffer survives (fresh state: n = 1 < 10)
+    val fileA = Seq(ev(1, 1, 58, "click", 1.0), ev(2, 1, 59, "purchase", 1.0),
+      ev(3, 2, 10, "view", 1.0)) ++
+      (0 until 12).map(i => ev(10L + i, 3, i.toLong, "view", 10.0 + (i % 2) * 0.2))
+    val fileB = Seq(ev(4, 1, 52, "view", 1.0), ev(5, 2, 20, "click", 1.0),
+      ev(30, 3, 12, "view", 50.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-frestart")
+    val ckF = java.nio.file.Files.createTempDirectory("graft-frestart-ckpt-f").toString
+    val ckZ = java.nio.file.Files.createTempDirectory("graft-frestart-ckpt-z").toString
+    writeFlatEvents(dir, "a.parquet", fileA)
+    val fRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val zRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    def typed() = EventStream.readStream(spark, dir.toString)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value")).as[EventStream.TypedEvent]
+    def funnelQuery() = EventStream.funnelStages(typed())
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[EventStream.StageAdvance], _: Long) =>
+        val out = batch.collect().map(s => (s.user_id, s.stage, s.us))
+        fRows.synchronized { fRows ++= out }
+        ()
+      }
+      .option("checkpointLocation", ckF).start()
+    def zQuery() = EventStream.zscoreAnomalies(typed())
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[EventStream.Anomaly], _: Long) =>
+        val out = batch.collect().map(a => (a.event_id, a.z))
+        zRows.synchronized { zRows ++= out }
+        ()
+      }
+      .option("checkpointLocation", ckZ).start()
+    // run 1: commit fileA, then stop — the mid-stream kill
+    val f1 = funnelQuery(); try f1.processAllAvailable() finally f1.stop()
+    val z1 = zQuery(); try z1.processAllAvailable() finally z1.stop()
+    val run1F = fRows.synchronized(fRows.toSet)
+    assert(run1F == Set((2L, 1L, us(10)), (3L, 1L, us(0))),
+      s"run 1 must emit only the two first views, got $run1F")
+    assert(zRows.synchronized(zRows.isEmpty),
+      "warm-up values must produce no anomalies in run 1")
+    fRows.clear()
+    // fileB arrives while the queries are down
+    writeFlatEvents(dir, "b.parquet", fileB)
+    val f2 = funnelQuery(); try f2.processAllAvailable() finally f2.stop()
+    val z2 = zQuery(); try z2.processAllAvailable() finally z2.stop()
+    val run2F = fRows.synchronized(fRows.toSet)
+    // restored candidates complete u1's whole funnel and u2's stage 2;
+    // restored t1s suppress re-emission of the run-1 views
+    assert(run2F == Set(
+      (1L, 1L, us(52)), (1L, 2L, us(58)), (1L, 3L, us(59)),
+      (2L, 2L, us(20))),
+      s"run 2 must complete funnels from restored candidates, got $run2F")
+    // and the drained z anomalies equal batch q80 over everything
+    val batchDir = java.nio.file.Files.createTempDirectory("graft-frestart-batch")
+    writeBatchEvents(batchDir, fileA ++ fileB)
+    val wantZ = SparkEntry.queries("q80_event_zscore")(spark, batchDir.toString)
+      .select("event_id", "z")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val gotZ = zRows.synchronized(zRows.toMap)
+    assert(gotZ == wantZ && gotZ.contains(30L),
+      s"restored ring buffer must score the outlier exactly as batch: $gotZ vs $wantZ")
+  }
+
+  test("watermarked funnel matches batch truth on seeded random deliveries") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the watermark trim's argument (non-increasing stage times, the
+    // wmMs > 0 inactivity guard) is pinned by one planted dead
+    // candidate in the targeted test; this sweep drives it across 20
+    // seeded deliveries WITH an advancing watermark. Disorder is
+    // bounded STRICTLY below the 10-minute delay (delivery key =
+    // ts + [0,9) min of jitter), so no row is ever late-dropped and
+    // exact batch parity is the required answer — while the watermark
+    // climbs all sweep long and trims every candidate below
+    // min(t1, wm).
+    (1 to 20).foreach { seed =>
+      val rnd = new scala.util.Random(42L + seed)
+      val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+      val events = (1 to 40).map { id =>
+        (id.toLong, base.plusSeconds(rnd.nextInt(600) * 60L).toEpochMilli * 1000L,
+          (id % 4).toLong + 1, Seq("view", "click", "purchase")(rnd.nextInt(3)), 1.0)
+      }
+      def t1(u: Long) = events.filter(e => e._3 == u && e._4 == "view").map(_._2).minOption
+      def t2(u: Long) = t1(u).flatMap(a =>
+        events.filter(e => e._3 == u && e._4 == "click" && e._2 > a).map(_._2).minOption)
+      def t3(u: Long) = t2(u).flatMap(b =>
+        events.filter(e => e._3 == u && e._4 == "purchase" && e._2 > b).map(_._2).minOption)
+      val want = (1L to 4L).flatMap(u => Seq(
+        t1(u).map((u, 1L, _)), t2(u).map((u, 2L, _)), t3(u).map((u, 3L, _))).flatten).toSet
+      val delivery = events.sortBy(e => e._2 + rnd.nextInt(540) * 1000000L)
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = MemoryStream[(Long, Long, Long, String, Double)]
+      val q = EventStream.funnelStages(
+          ms.toDF().toDF("event_id", "us", "user_id", "event_type", "value")
+            .select(col("user_id"), col("event_id"),
+              expr("timestamp_micros(us)").as("ts"), col("event_type"), col("value"))
+            .withWatermark("ts", "10 minutes")
+            .as[EventStream.TypedEvent])
+        .writeStream.outputMode("append").format("memory")
+        .queryName(s"wmsweep_$seed")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"graft-wms-$seed").toString)
+        .start()
+      try {
+        var rest = delivery
+        while (rest.nonEmpty) {
+          val take = 1 + rnd.nextInt(7)
+          ms.addData(rest.take(take))
+          q.processAllAvailable()
+          rest = rest.drop(take)
+        }
+        // the sweep is vacuous unless the watermark actually advanced
+        val wmSeen = q.recentProgress
+          .flatMap(p => Option(p.eventTime.get("watermark"))).toSeq
+        assert(wmSeen.exists(_ > "2023-12-31"),
+          s"seed $seed: watermark never advanced: $wmSeen")
+      } finally q.stop()
+      val got = spark.table(s"wmsweep_$seed")
+        .groupBy("user_id", "stage").agg(min("us").as("us"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"seed $seed: stream fold $got != batch truth $want")
+      spark.catalog.dropTempView(s"wmsweep_$seed")
+    }
+  }
+
   test("stateful session counting works on the batch execution path too") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
