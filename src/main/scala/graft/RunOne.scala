@@ -55,6 +55,24 @@ object RunOne {
       }
       spark.stop(); return
     }
+    // q108_partitioned: rewrite the dir's events into the salted
+    // day-partitioned layout once, then time the DECLARED q108 against
+    // it — the at-scale proof that the day bound prunes whole
+    // directories (the flat run only gets a pushed ts range)
+    if (name == "q108_partitioned") {
+      val d = java.nio.file.Files.createTempDirectory("runone-q108-part").toString
+      val t0 = System.nanoTime()
+      Tables.writeEventsPartitionedByDay(spark, sfDir, s"$d/events.parquet",
+        filesPerDay = 8)
+      println(f"[runone] partitioned rewrite: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      (1 to iters).foreach { i =>
+        val t1 = System.nanoTime()
+        SparkEntry.queries("q108_day_bounded_window")(spark, d)
+          .write.format("noop").mode("overwrite").save()
+        println(f"[runone] iter $i: ${(System.nanoTime() - t1) / 1e9}%.2f s")
+      }
+      spark.stop(); return
+    }
     val sampled = "q77_sampled_(\\d+)".r
     val hashed = "q81_hashed_(\\d+)".r
     val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame = name match {

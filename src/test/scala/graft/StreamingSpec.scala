@@ -826,6 +826,78 @@ class StreamingSpec extends AnyFunSuite {
       s"restored ring buffer must score the outlier exactly as batch: $gotZ vs $wantZ")
   }
 
+  test("doc twins recover quota and cursor state from a checkpoint restart") {
+    import spark.implicits._
+    // the event-side restart tests cover sets and ring buffers; the doc
+    // twins carry the remaining state classes — the source-cap QUOTA
+    // counter and the packing CURSOR. Continuation is the whole
+    // contract: a fresh-state run 2 would re-open s0's quota (admitting
+    // over-cap docs) and restart shard 0's cursor at offset 0.
+    def doc(id: Long, words: Int, src: String) = org.apache.spark.sql.Row(
+      id, (1 to words).map(i => s"w$i").mkString(" "), "en", src, words.toLong)
+    val fileA = Seq(doc(1, 100, "s0"), doc(2, 100, "s0"), doc(3, 40, "s1"))
+    val fileB = Seq(doc(4, 80, "s0"), doc(5, 80, "s0"), doc(6, 60, "s1"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-docrestart")
+    val ckCap = java.nio.file.Files.createTempDirectory("graft-docrestart-ckpt-c").toString
+    val ckPack = java.nio.file.Files.createTempDirectory("graft-docrestart-ckpt-p").toString
+    def writeDocs(name: String, rows: Seq[org.apache.spark.sql.Row]): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory(s"graft-docstage-$name")
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+          graft.streaming.DocStream.docSchema)
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part, dir.resolve(name))
+    }
+    writeDocs("a.parquet", fileA)
+    val capRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val packRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    def capQuery() = graft.streaming.DocStream.sourceCap(
+        graft.streaming.DocStream.readStream(spark, dir.toString), cap = 3)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.DocStream.CapDecision], _: Long) =>
+        val out = batch.collect().map(c => (c.doc_id, c.slot, c.kept))
+        capRows.synchronized { capRows ++= out }
+        ()
+      }
+      .option("checkpointLocation", ckCap).start()
+    def packQuery() = graft.streaming.DocStream.packingManifest(
+        graft.streaming.DocStream.readStream(spark, dir.toString))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.DocStream.PackSlot], _: Long) =>
+        val out = batch.collect().map(p => (p.doc_id, p.bin, p.slot, p.bin_offset))
+        packRows.synchronized { packRows ++= out }
+        ()
+      }
+      .option("checkpointLocation", ckPack).start()
+    val c1 = capQuery(); try c1.processAllAvailable() finally c1.stop()
+    val p1 = packQuery(); try p1.processAllAvailable() finally p1.stop()
+    writeDocs("b.parquet", fileB)
+    val c2 = capQuery(); try c2.processAllAvailable() finally c2.stop()
+    val p2 = packQuery(); try p2.processAllAvailable() finally p2.stop()
+    // s0's quota continues 3, 4 — doc 5 is the over-cap reject; a lost
+    // counter would hand run-2 docs slots 1, 2 and admit everything
+    val caps = capRows.synchronized(capRows.toSet)
+    assert(caps == Set((1L, 1L, 1L), (2L, 2L, 1L), (4L, 3L, 1L), (5L, 4L, 0L),
+      (3L, 1L, 1L), (6L, 2L, 1L)),
+      s"restored quota counters must continue, not restart: $caps")
+    // shard 0's cursor continues at 240 tokens — doc 4 straddles into
+    // bin 0 at offset 240, doc 5 opens bin 1; and the whole drained
+    // manifest equals batch q90 over everything delivered
+    val batchDir = java.nio.file.Files.createTempDirectory("graft-docrestart-batch")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(fileA ++ fileB, 1),
+        graft.streaming.DocStream.docSchema)
+      .write.parquet(batchDir.resolve("documents.parquet").toString)
+    val want = SparkEntry.queries("q90_packing_manifest")(spark, batchDir.toString)
+      .select("doc_id", "bin", "slot", "bin_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(packRows.synchronized(packRows.toSet) == want,
+      s"manifest across the restart must equal batch q90: ${packRows.toSet} vs $want")
+    assert(want.contains((4L, 0L, 4L, 240L)),
+      "doc 4 must continue bin 0 at the restored 240-token offset")
+  }
+
   test("watermarked funnel matches batch truth on seeded random deliveries") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
