@@ -253,8 +253,12 @@ object EventStream {
     * dropped — state becomes bounded by the watermark horizon, not the
     * user's history. (The trim reads `getCurrentWatermarkMs`; without
     * a watermark it is inactive and the exact unbounded contract
-    * applies.) Rows with null user_id/ts are dropped at ingest
-    * ([[droppingNullKeys]]). */
+    * applies.) The operator enforces the late-data contract itself:
+    * Spark does not late-filter rows for flatMapGroupsWithState, so
+    * the fold ignores rows with ts below the watermark — otherwise a
+    * late view could lower t1 below the bar AFTER candidates were
+    * trimmed and silently change the answer. Rows with null user_id/ts
+    * are dropped at ingest ([[droppingNullKeys]]). */
   def funnelStages(events: Dataset[TypedEvent]): Dataset[StageAdvance] = {
     import events.sparkSession.implicits._
     // narrow before the shuffle: the fold needs only (user, ts, type),
@@ -270,9 +274,21 @@ object EventStream {
           var minView = s0.t1
           var clicks = s0.clicks.toVector
           var purchases = s0.purchases.toVector
+          // Spark does NOT late-filter rows for flatMapGroupsWithState
+          // (unlike windowed aggregations — verified empirically by the
+          // state-store test), so the operator enforces the standard
+          // late-data contract itself: rows older than the watermark
+          // are ignored. This is the exact invariant the trim below
+          // relies on — "any future view carries ts >= wm" — and
+          // without it a late view could lower t1 BELOW the bar after
+          // candidates were already trimmed, changing the answer.
+          val wmMs0 =
+            try state.getCurrentWatermarkMs()
+            catch { case _: UnsupportedOperationException => 0L }
+          val admitUs = if (wmMs0 > 0L) wmMs0 * 1000L else Long.MinValue
           rows.foreach { e =>
             val us = eventMicros(e.ts)
-            e.event_type match {
+            if (us >= admitUs) e.event_type match {
               case "view"     => if (minView == open || us < minView) minView = us
               case "click"    => clicks :+= us
               case "purchase" => purchases :+= us
@@ -291,10 +307,7 @@ object EventStream {
           // (and the 0 of a defined-but-unadvanced watermark is also
           // left inactive, so pre-1970 timestamps are never misread as
           // trimmable).
-          val wmMs =
-            try state.getCurrentWatermarkMs()
-            catch { case _: UnsupportedOperationException => 0L }
-          val wm = if (wmMs > 0L) wmMs * 1000L else Long.MinValue
+          val wm = admitUs
           val lowBar = if (t1 == open) wm else math.min(t1, wm)
           clicks = (if (t2 != open) clicks.filter(_ <= t2) else clicks)
             .filter(_ > lowBar).distinct.sorted

@@ -826,6 +826,70 @@ class StreamingSpec extends AnyFunSuite {
       s"restored ring buffer must score the outlier exactly as batch: $gotZ vs $wantZ")
   }
 
+  test("watermark trim physically shrinks checkpointed funnel state; late rows drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // two claims the answer-parity tests can't see:
+    // 1. the trim is REAL — the dead candidate is gone from the state
+    //    STORE, not just invisible in the output (read back via the
+    //    Spark 4 state data source);
+    // 2. a late row (ts < watermark) is dropped at the operator
+    //    boundary — it must not improve an already-emitted stage even
+    //    when it would qualify semantically.
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def us(minute: Long) = base.plusSeconds(minute * 60).toEpochMilli * 1000L
+    val ck = java.nio.file.Files.createTempDirectory("graft-wmstate-ckpt").toString
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long, String, Double)]
+    val q = EventStream.funnelStages(
+        ms.toDF().toDF("event_id", "us", "user_id", "event_type", "value")
+          .select(col("user_id"), col("event_id"),
+            expr("timestamp_micros(us)").as("ts"), col("event_type"), col("value"))
+          .withWatermark("ts", "10 minutes")
+          .as[EventStream.TypedEvent])
+      .writeStream.outputMode("append").format("memory").queryName("wm_state")
+      .option("checkpointLocation", ck)
+      .start()
+    try {
+      // A: candidates + the u3 view that advances the watermark to 50
+      ms.addData(Seq((1L, us(58), 1L, "click", 1.0), (2L, us(59), 1L, "purchase", 1.0),
+        (3L, us(5), 2L, "click", 1.0), (4L, us(60), 3L, "view", 1.0)))
+      q.processAllAvailable()
+      // B: admitting views; u2's click@5 is below min(t1=53, wm=50) →
+      // trimmed from state during this fold
+      ms.addData(Seq((5L, us(52), 1L, "view", 1.0), (6L, us(53), 2L, "view", 1.0)))
+      q.processAllAvailable()
+      // C: push the watermark to 110; D: a LATE click@55 for u1 that
+      // would improve t2 = 58 if it were processed
+      ms.addData(Seq((7L, us(120), 3L, "view", 1.0)))
+      q.processAllAvailable()
+      ms.addData(Seq((8L, us(55), 1L, "click", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("wm_state")
+      .groupBy("user_id", "stage").agg(min("us").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (1L, 1L) -> us(52), (1L, 2L) -> us(58), (1L, 3L) -> us(59),
+      (2L, 1L) -> us(53),
+      (3L, 1L) -> us(60)),
+      s"late click@55 must be dropped, not improve u1's t2: $got")
+    // the state STORE agrees: u2 carries no candidates at all, u1
+    // carries exactly its answer times, nothing below the bar
+    val state = spark.read.format("statestore").load(ck)
+      .selectExpr("key.value AS user_id", "value.groupState.*")
+    val byUser = state.collect().map { r =>
+      r.getAs[Long]("user_id") ->
+        ((r.getAs[scala.collection.Seq[Long]]("clicks").toSeq,
+          r.getAs[scala.collection.Seq[Long]]("purchases").toSeq))
+    }.toMap
+    assert(byUser(2L) == ((Seq.empty, Seq.empty)),
+      s"u2's dead click@5 must be PHYSICALLY trimmed from state: ${byUser(2L)}")
+    assert(byUser(1L) == ((Seq(us(58)), Seq(us(59)))),
+      s"u1 must keep exactly its stage-time candidates: ${byUser(1L)}")
+    assert(byUser(3L) == ((Seq.empty, Seq.empty)))
+  }
+
   test("doc twins recover quota and cursor state from a checkpoint restart") {
     import spark.implicits._
     // the event-side restart tests cover sets and ring buffers; the doc
