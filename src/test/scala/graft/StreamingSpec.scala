@@ -890,6 +890,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(byUser(3L) == ((Seq.empty, Seq.empty)))
   }
 
+  test("funnel late-data enforcement matches the simulated admission under unbounded disorder") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the bounded-disorder sweep proves parity when nothing is late;
+    // this one delivers FULLY shuffled events so rows genuinely arrive
+    // below the watermark, and checks the operator's late-row contract
+    // is exactly deterministic: a row is admitted iff its event time is
+    // >= the watermark at its batch's start (wm = running max event
+    // time - 10 min, updated per completed batch from ALL delivered
+    // rows — Spark's EventTimeWatermark stats see rows the fold
+    // ignores). The expected answer is the order-independent funnel
+    // over the admitted multiset.
+    (1 to 12).foreach { seed =>
+      val rnd = new scala.util.Random(7000L + seed)
+      val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+      val events = (1 to 40).map { id =>
+        (id.toLong, base.plusSeconds(rnd.nextInt(600) * 60L).toEpochMilli * 1000L,
+          (id % 4).toLong + 1, Seq("view", "click", "purchase")(rnd.nextInt(3)), 1.0)
+      }
+      val delivery = rnd.shuffle(events)
+      // chunk first, then simulate admission batch by batch
+      val batches = {
+        val out = Vector.newBuilder[Seq[(Long, Long, Long, String, Double)]]
+        var rest = delivery
+        while (rest.nonEmpty) {
+          val take = 1 + rnd.nextInt(7)
+          out += rest.take(take); rest = rest.drop(take)
+        }
+        out.result()
+      }
+      var wmMs = 0L
+      val admitted = Vector.newBuilder[(Long, Long, Long, String, Double)]
+      batches.foreach { b =>
+        admitted ++= b.filter(e => wmMs <= 0L || e._2 >= wmMs * 1000L)
+        wmMs = math.max(wmMs, b.map(_._2).max / 1000L - 10L * 60L * 1000L)
+      }
+      val adm = admitted.result()
+      def t1(u: Long) = adm.filter(e => e._3 == u && e._4 == "view").map(_._2).minOption
+      def t2(u: Long) = t1(u).flatMap(a =>
+        adm.filter(e => e._3 == u && e._4 == "click" && e._2 > a).map(_._2).minOption)
+      def t3(u: Long) = t2(u).flatMap(b =>
+        adm.filter(e => e._3 == u && e._4 == "purchase" && e._2 > b).map(_._2).minOption)
+      val want = (1L to 4L).flatMap(u => Seq(
+        t1(u).map((u, 1L, _)), t2(u).map((u, 2L, _)), t3(u).map((u, 3L, _))).flatten).toSet
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = MemoryStream[(Long, Long, Long, String, Double)]
+      val q = EventStream.funnelStages(
+          ms.toDF().toDF("event_id", "us", "user_id", "event_type", "value")
+            .select(col("user_id"), col("event_id"),
+              expr("timestamp_micros(us)").as("ts"), col("event_type"), col("value"))
+            .withWatermark("ts", "10 minutes")
+            .as[EventStream.TypedEvent])
+        .writeStream.outputMode("append").format("memory")
+        .queryName(s"late_sweep_$seed")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"graft-ls-$seed").toString)
+        .start()
+      try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      val got = spark.table(s"late_sweep_$seed")
+        .groupBy("user_id", "stage").agg(min("us").as("us"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want,
+        s"seed $seed: stream $got != simulated-admission truth $want " +
+          s"(${events.size - adm.size} rows late-dropped)")
+      spark.catalog.dropTempView(s"late_sweep_$seed")
+    }
+  }
+
   test("doc twins recover quota and cursor state from a checkpoint restart") {
     import spark.implicits._
     // the event-side restart tests cover sets and ring buffers; the doc
