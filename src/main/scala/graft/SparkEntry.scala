@@ -99,6 +99,14 @@ object SparkEntry {
     "q101_retention_cohorts" -> (Relational.q101RetentionCohorts _),
     "q102_event_funnel"  -> (Relational.q102EventFunnel _),
     "q108_day_bounded_window" -> (Relational.q108DayBoundedWindow _),
+    "q109_heavy_hitters" -> (HeavyHitters.q109HeavyHitters _),
+    "q110_textrank"      -> (Graph.q110TextRank _),
+    "q111_scd2"          -> (Temporal.q111Scd2 _),
+    "q112_markov_transitions" -> (Temporal.q112MarkovTransitions _),
+    "q113_ewma_anomaly"  -> (Temporal.q113EwmaAnomaly _),
+    "q114_pq_codes"      -> (Quantize.q114PqCodes _),
+    "q114b_pq_adc_topk"  -> (Quantize.q114bPqAdcTopK _),
+    "q115_pq_rerank"     -> (Quantize.q115PqRerank _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -185,6 +193,33 @@ object SparkEntry {
 
   // single source of truth: the operator-side marker set
   private val stoplist = TextAnalysis.stopwords.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** DuckDB: sequential squared-L2 fold — same left-fold order as the
+    * Spark side's `aggregate(zip_with(...))` (Quantize.sqDist), so the
+    * unrounded doubles agree bit-for-bit (the q76 contract). */
+  private def sqDistSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1), " +
+      s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, xx) -> acc + xx)"
+
+  /** DuckDB: the PQ code-assignment CTE chain shared by q114/q114b —
+    * embeddings → per-subspace slices → seeded codebook (vec_id &lt;
+    * PqK, the q45b rule) → rounded nearest-centroid codes. Yields CTEs
+    * named e, subs, flat, cb, scored, codes (mirrors Quantize.pqCodes
+    * constants PqM/PqK/subDim = 8/16/8). */
+  private def pqCodesCte: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |subs AS (SELECT unnest(range(0, ${operators.Quantize.PqM})) AS sub),
+       |flat AS (SELECT vec_id, sub, list_slice(v, sub * 8 + 1, sub * 8 + 8) AS sv
+       |         FROM e CROSS JOIN subs),
+       |cb AS (SELECT vec_id AS code, sub, sv AS cv FROM flat
+       |       WHERE vec_id < ${operators.Quantize.PqK}),
+       |scored AS (SELECT f.vec_id, f.sub, cb.code,
+       |    round(${sqDistSql("f.sv", "cb.cv")}, 6) AS dist
+       |  FROM flat f JOIN cb ON f.sub = cb.sub),
+       |codes AS (SELECT vec_id, sub, code, dist FROM (
+       |    SELECT vec_id, sub, code, dist,
+       |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rk
+       |    FROM scored) WHERE rk = 1)""".stripMargin
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops → driver
@@ -340,6 +375,156 @@ object SparkEntry {
          |WHERE ts >= TIMESTAMP '${graft.operators.Relational.Q108From}'
          |  AND ts < TIMESTAMP '${graft.operators.Relational.Q108Until}'
          |GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
+
+    // MG shortlist is an implementation detail: any item above n/32 is
+    // provably shortlisted (MisraGries scaladoc), so the declared rows
+    // equal this exact groupBy + HAVING
+    "q109_heavy_hitters" ->
+      s"""WITH w AS (SELECT unnest(${tok("text")}) AS word FROM documents),
+         |tot AS (SELECT count(*) AS n FROM w)
+         |SELECT word, count(*) AS cnt
+         |FROM w CROSS JOIN tot
+         |GROUP BY word, tot.n
+         |HAVING count(*) * 32 > tot.n
+         |ORDER BY cnt DESC, word""".stripMargin,
+
+    // fixed-iteration PageRank unrolled to 10 chained CTEs (recursive
+    // CTEs disallow aggregation in the recursive term). Each prK
+    // references pr(K-1) exactly ONCE — the node set comes from the
+    // constant deg table — so the chain stays linear even if the
+    // engine inlines instead of materializing CTEs (a double reference
+    // would re-evaluate the whole prefix 2^10 times). The teleport
+    // constant is interpolated from ONE Scala computation and the 0.85
+    // literal is CAST to DOUBLE so DuckDB never evaluates decimal
+    // arithmetic the Spark plan did in binary doubles.
+    "q110_textrank" -> {
+      val tele = s"CAST(${1.0 - 0.85} AS DOUBLE)"
+      val iters = (1 to 10).map { k =>
+        s"""pr$k AS (SELECT dg.src AS id, $tele / nv.nv + CAST(0.85 AS DOUBLE) * coalesce(c.contrib, 0.0) AS r
+           |  FROM deg dg CROSS JOIN nv
+           |  LEFT JOIN (SELECT s.dst AS id, sum(p.r / d2.deg) AS contrib
+           |             FROM sym s JOIN pr${k - 1} p ON p.id = s.src JOIN deg d2 ON d2.src = s.src
+           |             GROUP BY s.dst) c ON c.id = dg.src)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT doc_id, ${tok("text")} AS ws FROM documents),
+         |pairs AS (SELECT p['w1'] AS w1, p['w2'] AS w2 FROM
+         |  (SELECT unnest(list_transform(range(1, len(ws)),
+         |     i -> {'w1': ws[i], 'w2': ws[i+1]})) AS p
+         |   FROM t WHERE len(ws) >= 2)),
+         |ed AS (SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+         |       FROM pairs WHERE w1 <> w2),
+         |sym0 AS (SELECT a AS src, b AS dst FROM ed UNION SELECT b, a FROM ed),
+         |sym AS MATERIALIZED (SELECT src, dst FROM sym0),
+         |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM sym GROUP BY src),
+         |nv AS MATERIALIZED (SELECT count(*) AS nv FROM deg),
+         |pr0 AS (SELECT src AS id, CAST(1.0 AS DOUBLE) / nv.nv AS r FROM deg CROSS JOIN nv),
+         |$iters
+         |SELECT id AS word, round(r, 6) AS rank FROM pr10 ORDER BY rank DESC, word""".stripMargin
+    },
+
+    "q111_scd2" ->
+      """WITH m AS (SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN lag(event_type, 1) OVER w IS NULL
+        |         OR lag(event_type, 1) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (SELECT user_id, ts, event_type,
+        |  CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+        |  FROM m),
+        |runs AS (SELECT user_id, version, event_type AS state,
+        |           min(ts) AS from_ts, count(*) AS n_events
+        |         FROM r GROUP BY user_id, version, event_type),
+        |iv AS (SELECT user_id, version, state, from_ts, n_events,
+        |         lead(from_ts, 1) OVER (PARTITION BY user_id ORDER BY version) AS to_ts
+        |       FROM runs)
+        |SELECT user_id, version, state,
+        |       strftime(from_ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |       strftime(to_ts, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |       n_events,
+        |       CAST(CASE WHEN to_ts IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM iv ORDER BY user_id, version""".stripMargin,
+
+    "q112_markov_transitions" ->
+      """WITH t AS (SELECT user_id, event_type,
+        |  lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |c AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+        |      FROM t WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type)
+        |SELECT prev_type, next_type, n,
+        |       round(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS prob
+        |FROM c ORDER BY prev_type, next_type""".stripMargin,
+
+    // weights interpolated from Temporal.EwmaWeights (single source;
+    // Double.toString round-trips) — see the q113 scaladoc
+    "q113_ewma_anomaly" -> {
+      val ls = (1 to 8).map(i => s"lag(x, $i) OVER w AS l$i").mkString(", ")
+      val num = operators.Temporal.EwmaWeights.zipWithIndex.map { case (wt, i) =>
+        s"CASE WHEN l${i + 1} IS NOT NULL THEN CAST($wt AS DOUBLE) * l${i + 1} ELSE 0.0 END"
+      }.mkString(" + ")
+      val den = operators.Temporal.EwmaWeights.zipWithIndex.map { case (wt, i) =>
+        s"CASE WHEN l${i + 1} IS NOT NULL THEN CAST($wt AS DOUBLE) ELSE 0.0 END"
+      }.mkString(" + ")
+      s"""WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+         |    round(sum(value), 6) AS x
+         |  FROM events GROUP BY day, event_type),
+         |lagd AS (SELECT day, event_type, x, $ls
+         |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         |b AS (SELECT day, event_type, x,
+         |        CASE WHEN ($den) > 0 THEN round(($num) / ($den), 6) END AS baseline
+         |      FROM lagd),
+         |d AS (SELECT day, event_type, x, baseline,
+         |        CASE WHEN baseline IS NOT NULL THEN round(x - baseline, 6) END AS dev
+         |      FROM b)
+         |SELECT day, event_type, x, baseline, dev,
+         |       CAST(CASE WHEN baseline IS NULL THEN 0
+         |                 WHEN abs(dev) > CAST(0.25 AS DOUBLE) * greatest(baseline, CAST(1.0 AS DOUBLE))
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS is_spike
+         |FROM d ORDER BY event_type, day""".stripMargin
+    },
+
+    "q114_pq_codes" ->
+      s"""WITH $pqCodesCte
+         |SELECT vec_id, sub, code, dist FROM codes ORDER BY vec_id, sub""".stripMargin,
+
+    "q114b_pq_adc_topk" ->
+      s"""WITH $pqCodesCte,
+         |qf AS (SELECT vec_id AS q_id, sub, sv AS qsv FROM flat WHERE vec_id % 100 = 0),
+         |lut AS (SELECT q.q_id, q.sub, cb.code,
+         |          round(${sqDistSql("q.qsv", "cb.cv")}, 6) AS d
+         |        FROM qf q JOIN cb ON q.sub = cb.sub),
+         |adc AS (SELECT l.q_id, c.vec_id AS n_id, round(sum(l.d), 6) AS adc
+         |        FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+         |        WHERE c.vec_id <> l.q_id
+         |        GROUP BY l.q_id, c.vec_id),
+         |rk AS (SELECT q_id, n_id, adc,
+         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS BIGINT) AS rank
+         |       FROM adc)
+         |SELECT q_id, rank, n_id, adc FROM rk WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin,
+
+    "q115_pq_rerank" ->
+      s"""WITH $pqCodesCte,
+         |qf AS (SELECT vec_id AS q_id, sub, sv AS qsv FROM flat WHERE vec_id % 100 = 0),
+         |lut AS (SELECT q.q_id, q.sub, cb.code,
+         |          round(${sqDistSql("q.qsv", "cb.cv")}, 6) AS d
+         |        FROM qf q JOIN cb ON q.sub = cb.sub),
+         |adc AS (SELECT l.q_id, c.vec_id AS n_id, round(sum(l.d), 6) AS adc
+         |        FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+         |        WHERE c.vec_id <> l.q_id
+         |        GROUP BY l.q_id, c.vec_id),
+         |short AS (SELECT q_id, n_id, adc FROM (
+         |    SELECT q_id, n_id, adc,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS adc_rank
+         |    FROM adc) WHERE adc_rank <= 50),
+         |ex AS (SELECT s.q_id, s.n_id, s.adc,
+         |         round(${sqDistSql("eq.v", "en.v")}, 6) AS l2sq
+         |       FROM short s JOIN e eq ON eq.vec_id = s.q_id
+         |                    JOIN e en ON en.vec_id = s.n_id),
+         |rk2 AS (SELECT q_id, n_id, l2sq, adc,
+         |          CAST(row_number() OVER (PARTITION BY q_id ORDER BY l2sq, n_id) AS BIGINT) AS rank
+         |        FROM ex)
+         |SELECT q_id, rank, n_id, l2sq, adc FROM rk2 WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin,
 
     "q22_range_join" ->
       """SELECT o_orderpriority, count(*) AS n_fast_lines, round(sum(l_extendedprice), 2) AS sum_price

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed graph primitives for dedup cluster resolution. A pair
@@ -130,5 +130,74 @@ object Graph {
     }
     throw new IllegalStateException(
       s"connectedComponentsStar did not converge in $maxIter rounds")
+  }
+
+  /** Fixed-iteration PageRank over an undirected edge list — the second
+    * iterative-graph primitive after connected components, and the same
+    * per-round plan shape: one O(E) join + partial-aggregated groupBy,
+    * lineage reset by `localCheckpoint` so round k never re-optimizes
+    * round k-1's tree. Iteration count is FIXED (not convergence-gated)
+    * so the output is a pure function of the edge list — that is what
+    * makes it oracle-checkable, unlike tolerance-stopped variants whose
+    * round count can differ across engines.
+    *
+    * Symmetrizing first means every node has degree ≥ 1, so there is no
+    * dangling-mass redistribution term — the (1−d)/|V| teleport plus
+    * neighbor contributions conserve total rank exactly. |V| is ONE
+    * driver scalar (a count), never the data.
+    *
+    * @param edges two columns `id_a`, `id_b` (any atomic key type)
+    * @return (id, r) — unnormalized-by-rounding PageRank after `iters`
+    *         full rounds, full precision (callers round for contracts) */
+  def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    val deg = sym.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
+      .localCheckpoint()
+    val nV = deg.count()
+    // empty graph: return the empty (id, r) frame BEFORE building the
+    // 1/nV literal — ANSI mode constant-folds the division and throws
+    // DIVIDE_BY_ZERO even though no row would ever evaluate it
+    if (nV == 0) return deg.select(col("src").as("id"), lit(0.0).as("r"))
+    var pr = deg.select(col("src").as("id"), (lit(1.0) / lit(nV)).as("r"))
+      .localCheckpoint()
+    var round = 0
+    while (round < iters) {
+      val contrib = sym
+        .join(pr.select(col("id").as("src"), col("r")), "src")
+        .join(deg, "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("r") / col("deg")).as("contrib"))
+      pr = pr.select("id")
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1.0 - damping) / lit(nV) +
+            lit(damping) * coalesce(col("contrib"), lit(0.0))).as("r"))
+        .localCheckpoint()
+      round += 1
+    }
+    pr
+  }
+
+  /** q110: TextRank keyword extraction (Mihalcea &amp; Tarau '04) — PageRank
+    * over the word co-occurrence graph, the classic unsupervised
+    * keyword/importance scorer a corpus-curation pipeline uses to pick
+    * salient vocabulary without labels. Nodes are corpus words, edges
+    * are distinct adjacent-token pairs (the q74 transition stream,
+    * deduplicated and canonicalized; self-loops dropped). Scores round
+    * to 6 decimals — ten rounds of double arithmetic reassociate at
+    * ~1e-15, far under the rounding grain, so the DuckDB unrolled twin
+    * hashes identically. */
+  def q110TextRank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = TextAnalysis.transitions(spark, dir)
+      .filter(col("w1") =!= col("w2"))
+      .select(least(col("w1"), col("w2")).as("id_a"),
+        greatest(col("w1"), col("w2")).as("id_b"))
+      .distinct()
+    pageRank(edges, iters = 10, damping = 0.85)
+      .select(col("id").as("word"), round(col("r"), 6).as("rank"))
+      .orderBy(desc("rank"), asc("word"))
   }
 }

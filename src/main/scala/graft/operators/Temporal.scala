@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Temporal/state operators over the events stream: slowly-changing-
+  * dimension interval builds, Markov path transitions, and finite-lag
+  * EWMA anomaly scoring. All are window + groupBy plans partitioned by
+  * the series key (user_id / event_type), so each executor sorts only
+  * its own keys' rows — the per-key window is the 100 TB shape as long
+  * as no single key dominates (users and event types are both
+  * high-cardinality/bounded-fanout here; a hot key would take the
+  * Skew.scala salting route). */
+object Temporal {
+
+  /** q111: SCD-type-2 interval build — collapse each user's event
+    * stream into runs of consecutive equal `event_type` and emit one
+    * validity interval per run (valid_from, valid_to, is_current), the
+    * standard warehouse dimension-history shape (Kimball SCD2). The run
+    * id (`version`) is a windowed cumulative sum over change markers;
+    * ties on ts break by event_id so versions are total-ordered and
+    * deterministic. One window pass + one groupBy + one lead — no
+    * self-join against the history. */
+  def q111Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wv = Window.partitionBy("user_id").orderBy("version")
+    Tables.events(spark, dir)
+      .withColumn("chg",
+        when(lag("event_type", 1).over(w).isNull ||
+          lag("event_type", 1).over(w) =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("version", sum("chg").over(cum))
+      .groupBy(col("user_id"), col("version"), col("event_type").as("state"))
+      .agg(min("ts").as("from_ts"), count(lit(1)).as("n_events"))
+      .withColumn("to_ts", lead("from_ts", 1).over(wv))
+      .select(col("user_id"), col("version"), col("state"),
+        date_format(col("from_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("to_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        col("n_events"),
+        col("to_ts").isNull.cast("long").as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  /** q112: first-order Markov transition matrix over per-user event
+    * paths — the clickstream path-analysis primitive (where do users go
+    * after X?). One lag window builds the transition stream, one
+    * groupBy counts it, and the row-conditional probability divides by
+    * the per-prev_type total via a partial-aggregated window — the
+    * whole plan is two shuffles regardless of event count, and the
+    * output is O(|types|²). */
+  def q112MarkovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    val wp = Window.partitionBy("prev_type")
+    Tables.events(spark, dir)
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prob", round(col("n") / sum("n").over(wp), 6))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** q113's smoothing weights (1−α)^(i−1) for lags 1..8, α = 0.3 —
+    * computed ONCE here and interpolated verbatim into the oracle SQL
+    * (Double.toString round-trips, so both engines evaluate identical
+    * doubles; recomputing via pow() on each side would race the two
+    * libms' last-ulp differences). */
+  val EwmaWeights: Seq[Double] = (1 to 8).map(i => math.pow(0.7, i - 1))
+
+  /** q113: finite-lag EWMA anomaly detection on the daily per-type
+    * value series — the streaming-friendly alternative to q80's
+    * trailing z-score. The baseline is the exponentially-weighted mean
+    * of the 8 PRIOR days (weights [[EwmaWeights]], renormalized over
+    * the lags that exist, so early days are not biased toward zero); a
+    * day is a spike when it deviates from baseline by more than 25 % of
+    * max(baseline, 1). The infinite-memory EWMA recurrence is
+    * deliberately truncated at 8 lags: a fixed-width `lag` window is a
+    * single sorted pass with zero carried state and an exact SQL twin,
+    * while the recurrence needs sequential per-key scan state. Inputs
+    * round to 6 BEFORE the lag math so both engines difference
+    * identical doubles. */
+  def q113EwmaAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val lags = EwmaWeights.zipWithIndex.map { case (wt, i) =>
+      (lag(col("x"), i + 1).over(w), lit(wt))
+    }
+    val num = lags.map { case (lg, wt) => when(lg.isNotNull, wt * lg).otherwise(lit(0.0)) }
+      .reduce(_ + _)
+    val den = lags.map { case (lg, wt) => when(lg.isNotNull, wt).otherwise(lit(0.0)) }
+      .reduce(_ + _)
+    Tables.events(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(round(sum("value"), 6).as("x"))
+      .withColumn("baseline", when(den > 0, round(num / den, 6)))
+      .withColumn("dev", when(col("baseline").isNotNull, round(col("x") - col("baseline"), 6)))
+      .withColumn("is_spike",
+        when(col("baseline").isNull, lit(0L))
+          .otherwise((abs(col("dev")) > lit(0.25) * greatest(col("baseline"), lit(1.0)))
+            .cast("long")))
+      .orderBy("event_type", "day")
+  }
+}

@@ -667,7 +667,7 @@ object TextAnalysis {
   /** Word-transition stream: one row per in-document bigram occurrence,
     * from a per-row zip of the token array with its own tail — no
     * positions self-join, no window. */
-  private def transitions(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def transitions(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), Portable.tokenize(col("text")).as("ws"))
       .filter(size(col("ws")) >= 2)

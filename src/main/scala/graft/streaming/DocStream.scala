@@ -36,6 +36,33 @@ object DocStream {
     docs.filter(col("doc_id").isNotNull && col("text").isNotNull)
   }
 
+  /** Streaming twin of q109's sketch pass: per-source Misra-Gries
+    * heavy-hitter summaries over the arriving token stream, using the
+    * SAME `MisraGries` aggregator the batch query uses — one definition
+    * of reduce/merge serves both engines, which is exactly what a
+    * mergeable summary buys (Agarwal et al.): the streaming state per
+    * source is the O(K) buffer itself, updated incrementally each
+    * micro-batch, never a token table. Complete-mode snapshot emits
+    * (source, sk) where sk carries the candidate map and the source's
+    * total token count; the batch-side exact rescore (or a periodic
+    * foreachBatch) turns candidates into exact counts as in q109.
+    * Parity contract (StreamingSpec): order-INDEPENDENT — whatever the
+    * delivery order, every token above n_source/(K+1) is present and
+    * estimates underestimate by at most that bound. */
+  def heavyHitterSketches(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    droppingNullDocKeys(docs)
+      .select(col("source"),
+        explode(graft.functions.Portable.tokenize(col("text"))).as("word"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.functions.MisraGries.toColumn.name("sk"))
+      .toDF("source", "sk")
+  }
+
   /** Streaming twin of the batch q59 line dedup: segment every arriving
     * document into 10-word pseudo-sentences (the SAME segmentation, via
     * [[TextAnalysis.segments]]) and keep each segment text only the

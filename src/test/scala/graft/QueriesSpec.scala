@@ -878,7 +878,8 @@ class QueriesSpec extends AnyFunSuite {
       "q88_source_report", "q90_packing_manifest", "q91_mix_sample",
       "q92_dsir_hashed", "q93_media_features", "q94_ngram_langid",
       "q94b_langid_seed", "q95_bm25", "q96_hybrid_rrf", "q97_weighted_sample",
-      "q98_snapshot_drift", "q100_padding_waste", "q106_snapshot_delta")
+      "q98_snapshot_drift", "q100_padding_waste", "q106_snapshot_delta",
+      "q109_heavy_hitters", "q110_textrank")
     val failures = docQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -926,7 +927,8 @@ class QueriesSpec extends AnyFunSuite {
       .write.parquet(s"$dir/orders.parquet")
     val eventQueries = Seq("q20_json_events", "q21_time_window", "q25_sessionize",
       "q28_map_fns", "q29_pivot", "q48_asof_join", "q80_event_zscore",
-      "q101_retention_cohorts", "q102_event_funnel")
+      "q101_retention_cohorts", "q102_event_funnel",
+      "q111_scd2", "q112_markov_transitions", "q113_ewma_anomaly")
     val failures = eventQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>

@@ -1520,6 +1520,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming MG sketches: per-source heavy-hitter guarantee holds under shuffled delivery") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val K = graft.functions.MisraGries.K
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    // adversarial delivery: seeded shuffle, many small micro-batches —
+    // the guarantee must be order-independent (mergeable summaries)
+    val shuffled = new scala.util.Random(42).shuffle(docs)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.DocStream.heavyHitterSketches(
+        ms.toDF().toDF("doc_id", "text", "source"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hh_sketches")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-hh-ckpt").toString)
+      .start()
+    try {
+      shuffled.grouped(7).foreach { chunk =>
+        ms.addData(chunk: _*); q.processAllAvailable()
+      }
+      val exact = Tables.documents(spark, sf0001)
+        .select(col("source"),
+          explode(graft.functions.Portable.tokenize(col("text"))).as("word"))
+        .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val totals = exact.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+      val got = spark.table("hh_sketches").collect()
+      assert(got.length == totals.size, "one summary per source")
+      got.foreach { r =>
+        val src = r.getString(0)
+        val sk = r.getStruct(1)
+        val items = sk.getAs[Map[String, Long]]("items")
+        val n = sk.getAs[Long]("n")
+        assert(n == totals(src), s"$src: token total drifted")
+        assert(items.size <= K)
+        val bound = n / (K + 1)
+        exact.filter { case ((s, _), c) => s == src && c > bound }.foreach {
+          case ((_, w), c) =>
+            assert(items.contains(w), s"$src: heavy token $w (count $c) missing")
+        }
+        items.foreach { case (w, est) =>
+          val truth = exact.getOrElse((src, w), 0L)
+          assert(est <= truth && truth - est <= bound,
+            s"$src/$w: est $est vs truth $truth (bound $bound)")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("eventMicros keeps sub-millisecond precision that getTime truncates") {
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     ts.setNanos(123456789) // 123.456789 ms into the second

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Graph, Temporal}
+
+/** PageRank against an independent in-memory reference, plus structural
+  * invariants of the temporal event operators (exact values are the
+  * DuckDB oracle's job). */
+class TemporalGraphSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf0001}
+
+  /** Plain-Scala PageRank — no Spark, no shared code with Graph. */
+  private def refPageRank(edges: Seq[(String, String)], iters: Int,
+                          d: Double): Map[String, Double] = {
+    val sym = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }.distinct
+    val nodes = sym.map(_._1).distinct
+    val nV = nodes.size
+    val outDeg = sym.groupBy(_._1).map { case (k, v) => k -> v.size.toDouble }
+    var pr = nodes.map(_ -> 1.0 / nV).toMap
+    (1 to iters).foreach { _ =>
+      val contrib = sym.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e => pr(e._1) / outDeg(e._1)).sum
+      }
+      pr = nodes.map(n => n -> ((1.0 - d) / nV + d * contrib.getOrElse(n, 0.0))).toMap
+    }
+    pr
+  }
+
+  test("pageRank matches the in-memory reference on a hand graph") {
+    import spark.implicits._
+    // a path (chain) plus a triangle sharing node d — asymmetric degrees
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e", "e" -> "f",
+      "d" -> "g", "g" -> "h", "h" -> "d")
+    val got = Graph.pageRank(edges.toDF("id_a", "id_b"), iters = 10, damping = 0.85)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = refPageRank(edges, iters = 10, d = 0.85)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (n, r) =>
+      assert(math.abs(r - want(n)) < 1e-9, s"node $n: $r vs ${want(n)}")
+    }
+    // rank is conserved: teleport + redistribution sums to 1 (no dangling
+    // nodes after symmetrization)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // the triangle hub d must outrank every chain tail
+    assert(got("d") > got("a") && got("d") > got("f"))
+  }
+
+  test("q110 textrank: executes, conserves rank mass, orders desc") {
+    val rows = SparkEntry.queries("q110_textrank")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val ranks = rows.map(_.getDouble(1))
+    assert(ranks.forall(_ > 0))
+    assert(ranks.sameElements(ranks.sorted.reverse))
+    // rounded to 6 each, so the conserved unit mass survives to ~n·5e-7
+    assert(math.abs(ranks.sum - 1.0) < 1e-3, s"rank mass ${ranks.sum}")
+  }
+
+  test("q111 SCD2: versions chain, states alternate, one current row per user") {
+    val rows = SparkEntry.queries("q111_scd2")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        Option(r.getString(4)), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val totalEvents = Tables.events(spark, sf0001).count()
+    assert(rows.map(_._6).sum == totalEvents, "every event lands in exactly one run")
+    rows.groupBy(_._1).foreach { case (user, rs) =>
+      val byV = rs.sortBy(_._2)
+      assert(byV.map(_._2).sameElements(1L to byV.size), s"user $user: version gap")
+      byV.sliding(2).foreach {
+        case Array((_, _, s1, _, to1, _, _), (_, _, s2, from2, _, _, _)) =>
+          assert(s1 != s2, s"user $user: adjacent runs share state $s1")
+          assert(to1.contains(from2), s"user $user: interval chain broken")
+        case _ =>
+      }
+      assert(byV.count(_._7 == 1L) == 1, s"user $user: is_current count != 1")
+      assert(byV.last._7 == 1L && byV.last._5.isEmpty, s"user $user: open tail run")
+    }
+  }
+
+  test("q112 markov: row-conditional probabilities sum to 1 per prev_type") {
+    val rows = SparkEntry.queries("q112_markov_transitions")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (prev, rs) =>
+      val s = rs.map(_._4).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"$prev: prob sum $s")
+    }
+    val nUsersWithEvents = Tables.events(spark, sf0001)
+      .select("user_id").distinct().count()
+    assert(rows.map(_._3).sum ==
+      Tables.events(spark, sf0001).count() - nUsersWithEvents,
+      "transition count = events - one per user (first event has no prev)")
+  }
+
+  test("q113 EWMA: baseline recomputed from the declared series matches") {
+    val rows = SparkEntry.queries("q113_ewma_anomaly")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (_, rsUnsorted) =>
+      val rs = rsUnsorted.sortBy(_._1)
+      // first day of every series has no lags → null baseline, never a spike
+      assert(rs.head._4.isEmpty && rs.head._5 == 0L)
+      rs.indices.drop(1).foreach { i =>
+        val lags = (1 to 8).flatMap(j => if (i - j >= 0) Some(rs(i - j)._3) else None)
+        val ws = Temporal.EwmaWeights.take(lags.size)
+        val want = BigDecimal(
+          lags.zip(ws).map { case (x, w) => w * x }.sum / ws.sum)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(rs(i)._4.get - want) < 2e-6,
+          s"${rs(i)._2} ${rs(i)._1}: baseline ${rs(i)._4.get} vs $want")
+      }
+    }
+  }
+}
