@@ -488,7 +488,7 @@ object SparkEntry {
 
     "q114b_pq_adc_topk" ->
       s"""WITH $pqCodesCte,
-         |qf AS (SELECT vec_id AS q_id, sub, sv AS qsv FROM flat WHERE vec_id % 100 = 0),
+         |qf AS (SELECT vec_id AS q_id, sub, sv AS qsv FROM flat WHERE vec_id < 10),
          |lut AS (SELECT q.q_id, q.sub, cb.code,
          |          round(${sqDistSql("q.qsv", "cb.cv")}, 6) AS d
          |        FROM qf q JOIN cb ON q.sub = cb.sub),
@@ -504,7 +504,7 @@ object SparkEntry {
 
     "q115_pq_rerank" ->
       s"""WITH $pqCodesCte,
-         |qf AS (SELECT vec_id AS q_id, sub, sv AS qsv FROM flat WHERE vec_id % 100 = 0),
+         |qf AS (SELECT vec_id AS q_id, sub, sv AS qsv FROM flat WHERE vec_id < 10),
          |lut AS (SELECT q.q_id, q.sub, cb.code,
          |          round(${sqDistSql("q.qsv", "cb.cv")}, 6) AS d
          |        FROM qf q JOIN cb ON q.sub = cb.sub),

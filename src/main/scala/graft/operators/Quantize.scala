@@ -222,14 +222,16 @@ object Quantize {
   }
 
   /** The ADC scoring core shared by q114b/q115: every corpus vector's
-    * approximate distance to every query (vec_id % 100 = 0) is the SUM
+    * approximate distance to every query (the FIXED vec_id &lt; 10 block —
+    * the q34/q84 bounded-query-block contract, so the ADC fanout is
+    * 10×N at any corpus size instead of growing with it) is the SUM
     * of its PqM code lookups in the query's PqM×PqK distance table.
     * The corpus side touches only the code table, never the floats,
     * and never shuffles: one broadcast-join + partial-aggregated sum.
     * Fully deterministic (seeded codebook, rounded lookups, vec_id
     * tie-breaks downstream) → oracle-checkable end to end. */
   private def pqAdc(e: DataFrame): DataFrame = {
-    val lut = pqFlat(e.filter(col("vec_id") % 100 === 0))
+    val lut = pqFlat(e.filter(col("vec_id") < 10))
       .select(col("vec_id").as("q_id"), col("sub"), col("sv").as("qsv"))
       .join(broadcast(pqCodebook(e)), "sub")
       .select(col("q_id"), col("sub"), col("code"),

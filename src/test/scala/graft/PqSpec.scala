@@ -33,7 +33,7 @@ class PqSpec extends AnyFunSuite {
     val vecs = Tables.embeddings(spark, sf0001)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
-    vecs.keys.filter(_ % 100 == 0).map { q =>
+    vecs.keys.filter(_ < 10).map { q =>
       val qv = vecs(q)
       q -> vecs.toSeq.filter(_._1 != q)
         .map { case (id, v) =>
