@@ -107,6 +107,8 @@ object SparkEntry {
     "q114_pq_codes"      -> (Quantize.q114PqCodes _),
     "q114b_pq_adc_topk"  -> (Quantize.q114bPqAdcTopK _),
     "q115_pq_rerank"     -> (Quantize.q115PqRerank _),
+    "q116_kmeans_fit"    -> (KMeans.q116KmeansFit _),
+    "q117_triangles"     -> (Graph.q117Triangles _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -525,6 +527,77 @@ object SparkEntry {
          |        FROM ex)
          |SELECT q_id, rank, n_id, l2sq, adc FROM rk2 WHERE rank <= 10
          |ORDER BY q_id, rank""".stripMargin,
+
+    // 3 unrolled Lloyd rounds (the q110 fixed-iteration rule); every
+    // aK/cK is MATERIALIZED and references its predecessor once, so the
+    // chain stays linear under CTE inlining. Centroid means round to 6
+    // per round — the cross-engine sum-order contract.
+    "q116_kmeans_fit" -> {
+      val rounds = (1 to operators.KMeans.Iters).map { i =>
+        s"""a$i AS MATERIALIZED (SELECT vec_id, v, cluster, dist FROM (
+           |    SELECT vec_id, v, cluster, dist,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+           |    FROM (SELECT e.vec_id, e.v, c.cluster,
+           |                 round(${sqDistSql("e.v", "c.cv")}, 6) AS dist
+           |          FROM e CROSS JOIN c${i - 1} c) s0) t WHERE rk = 1),
+           |m$i AS (SELECT cluster, list(m ORDER BY pos) AS cv2 FROM (
+           |    SELECT cluster, pos, round(avg(x), 6) AS m FROM (
+           |      SELECT cluster, unnest(range(1, len(v)+1)) AS pos, unnest(v) AS x
+           |      FROM a$i) s0 GROUP BY cluster, pos) s1 GROUP BY cluster),
+           |c$i AS MATERIALIZED (SELECT c.cluster, coalesce(m.cv2, c.cv) AS cv
+           |  FROM c${i - 1} c LEFT JOIN m$i m USING (cluster))""".stripMargin
+      }.mkString(",\n")
+      val last = s"c${operators.KMeans.Iters}"
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS MATERIALIZED (SELECT vec_id AS cluster, v AS cv FROM e
+         |  WHERE vec_id < ${operators.KMeans.K}),
+         |$rounds,
+         |af AS (SELECT vec_id, cluster, dist FROM (
+         |    SELECT vec_id, cluster, dist,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+         |    FROM (SELECT e.vec_id, c.cluster,
+         |                 round(${sqDistSql("e.v", "c.cv")}, 6) AS dist
+         |          FROM e CROSS JOIN $last c) s0) t WHERE rk = 1),
+         |n3 AS (SELECT cluster,
+         |         round(sqrt(list_reduce(list_prepend(0.0,
+         |           list_transform(cv, x -> x * x)), (acc, xx) -> acc + xx)), 6) AS centroid_norm
+         |       FROM $last)
+         |SELECT af.cluster, count(*) AS n_members,
+         |       min(dist) AS min_dist, max(dist) AS max_dist, n3.centroid_norm
+         |FROM af JOIN n3 USING (cluster)
+         |GROUP BY af.cluster, n3.centroid_norm ORDER BY cluster""".stripMargin
+    },
+
+    // degree-ordered orientation: integer joins only, no rounding
+    // contract; "orr" because OR is reserved
+    "q117_triangles" ->
+      s"""WITH t AS (SELECT doc_id, ${tok("text")} AS ws FROM documents),
+         |pairs AS (SELECT p['w1'] AS w1, p['w2'] AS w2 FROM
+         |  (SELECT unnest(list_transform(range(1, len(ws)),
+         |     i -> {'w1': ws[i], 'w2': ws[i+1]})) AS p
+         |   FROM t WHERE len(ws) >= 2)),
+         |ed AS (SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+         |       FROM pairs WHERE w1 <> w2),
+         |deg AS (SELECT id, count(*) AS deg FROM
+         |  (SELECT a AS id FROM ed UNION ALL SELECT b FROM ed) s GROUP BY id),
+         |orr AS MATERIALIZED (SELECT
+         |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND ed.a < ed.b)
+         |         THEN ed.a ELSE ed.b END AS src,
+         |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND ed.a < ed.b)
+         |         THEN ed.b ELSE ed.a END AS dst,
+         |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND ed.a < ed.b)
+         |         THEN db.deg ELSE da.deg END AS dst_deg
+         |  FROM ed JOIN deg da ON da.id = ed.a JOIN deg db ON db.id = ed.b),
+         |tri AS (SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+         |        FROM orr o1 JOIN orr o2 ON o1.src = o2.src
+         |         AND (o1.dst_deg < o2.dst_deg
+         |              OR (o1.dst_deg = o2.dst_deg AND o1.dst < o2.dst))
+         |        JOIN orr o3 ON o3.src = o1.dst AND o3.dst = o2.dst)
+         |SELECT word, count(*) AS n_triangles FROM (
+         |  SELECT u AS word FROM tri
+         |  UNION ALL SELECT v FROM tri
+         |  UNION ALL SELECT w FROM tri) s
+         |GROUP BY word ORDER BY n_triangles DESC, word""".stripMargin,
 
     "q22_range_join" ->
       """SELECT o_orderpriority, count(*) AS n_fast_lines, round(sum(l_extendedprice), 2) AS sum_price

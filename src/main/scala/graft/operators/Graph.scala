@@ -200,4 +200,63 @@ object Graph {
       .select(col("id").as("word"), round(col("r"), 6).as("rank"))
       .orderBy(desc("rank"), asc("word"))
   }
+
+  /** Per-node triangle counts of an undirected graph via DEGREE-ORDERED
+    * edge orientation — the standard scalable enumeration (Cohen,
+    * "Graph Twiddling in a MapReduce World"): orient every edge from
+    * its lower-(degree, id) endpoint to the higher one; each triangle
+    * then has exactly one apex with two out-edges, so self-joining the
+    * oriented list on the apex and probing the third side counts every
+    * triangle exactly once. The payoff at scale: max out-degree under
+    * this orientation is O(√E) on ANY graph — a celebrity node with
+    * millions of neighbors receives edges instead of emitting them, so
+    * the apex self-join's per-key fanout is bounded where a naive
+    * wedge join explodes. Three hash joins + one groupBy; integer
+    * arithmetic only, so the oracle twin is exact with no rounding
+    * contract at all.
+    *
+    * @param edges undirected (id_a, id_b); dedup/canonicalization done
+    *              here, self-loops dropped
+    * @return (id, n_triangles) for nodes on ≥ 1 triangle */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .select(least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = canon.select(col("a").as("id")).union(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): a before b iff (deg_a, a) < (deg_b, b)
+    val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val or = canon
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dst_deg"))
+      .localCheckpoint() // three consumers below; cut the shared prefix
+    val o1 = or.select(col("src"), col("dst").as("v"), col("dst_deg").as("kv"))
+    val o2 = or.select(col("src"), col("dst").as("w"), col("dst_deg").as("kw"))
+    val tri = o1.join(o2, "src")
+      .filter(col("kv") < col("kw") || (col("kv") === col("kw") && col("v") < col("w")))
+      .join(or.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .select(col("src").as("u"), col("v"), col("w"))
+    tri.select(col("u").as("id"))
+      .union(tri.select(col("v").as("id")))
+      .union(tri.select(col("w").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** q117: triangle counts over the q110 word co-occurrence graph —
+    * the local-clustering signal (which vocabulary sits in tightly
+    * interlinked contexts) and the second declared consumer of the
+    * co-occurrence edge list. */
+  def q117Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val edges = TextAnalysis.transitions(spark, dir)
+      .filter(col("w1") =!= col("w2"))
+      .select(col("w1").as("id_a"), col("w2").as("id_b"))
+    triangleCounts(edges)
+      .select(col("id").as("word"), col("n_triangles"))
+      .orderBy(desc("n_triangles"), asc("word"))
+  }
 }

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Seeded fixed-iteration Lloyd k-means over the embedding corpus — the
+  * trainable half the IVF (q45) and PQ (q114) indexes were missing from
+  * the DECLARED surface: q45's MLlib fit is run-dependent (rows-only by
+  * contract), while this fit is a pure function of the corpus and so
+  * carries a full DuckDB oracle. The determinism recipe stacks three
+  * established contracts: seeds are the k lowest-id vectors (q45b),
+  * assignment distances round to 6 before an id-tie-broken argmin
+  * (q45b/q114), and each round's centroid coordinates round to 6 after
+  * the per-dimension mean (the q103b lesson: UNROUNDED cross-engine
+  * sums differ in the last ulps; 6-dp rounding sits ~7 orders above the
+  * reassociation noise). Iteration count is FIXED — convergence-gated
+  * loops can stop at different rounds across engines (the q110 rule).
+  *
+  * Scale shape per round: one corpus scan against a BROADCAST k-row
+  * centroid table (k×N candidate rows, per-vector rank window), then
+  * one (cluster, dim)-keyed partial-aggregated mean — no shuffle grows
+  * with k·corpus, and the driver only ever holds the k centroids via
+  * localCheckpoint lineage cuts. This is exactly how MLlib's own
+  * k-means iterates (broadcast centers + tree-aggregated sums); the
+  * declarative form trades its fused distance kernel for an
+  * oracle-checkable plan. */
+object KMeans {
+
+  /** Cluster count (seeded from vec_id < K, the q45b rule). */
+  val K = 16
+  /** Fixed Lloyd rounds. */
+  val Iters = 3
+
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Nearest-centroid assignment: (vec_id, v, cluster, dist) — dist
+    * rounded to 6 BEFORE the argmin window, cluster-id tie-break. */
+  def assign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(asc("dist"), asc("cluster"))
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cluster"),
+        round(sqDist(col("v"), col("cv")), 6).as("dist"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .drop("rk")
+  }
+
+  /** `iters` Lloyd rounds from the seeded start: assign, then replace
+    * each centroid with the 6-dp-rounded per-dimension mean of its
+    * members (empty clusters keep their previous centroid — the
+    * standard Lloyd fallback, and the branch the oracle reproduces
+    * with a left join + coalesce). Returns (cluster, cv). */
+  def fit(e: DataFrame, k: Int = K, iters: Int = Iters): DataFrame = {
+    var cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster"), col("v").as("cv"))
+      .localCheckpoint()
+    var r = 0
+    while (r < iters) {
+      val means = assign(e, cents)
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos").agg(round(avg("x"), 6).as("m"))
+        .groupBy("cluster")
+        .agg(expr("transform(sort_array(collect_list(struct(pos, m))), p -> p.m)")
+          .as("cv2"))
+      cents = cents.join(means, Seq("cluster"), "left")
+        .select(col("cluster"), coalesce(col("cv2"), col("cv")).as("cv"))
+        .localCheckpoint()
+      r += 1
+    }
+    cents
+  }
+
+  /** q116: the fitted clustering, reported per cluster — member count,
+    * centroid 2-norm, and the tightest/loosest member distance (min and
+    * max are order-independent, so no summation-order hash hazard). */
+  def q116KmeansFit(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = fit(e)
+    val norm = round(sqrt(aggregate(col("cv"), lit(0.0), (acc, x) => acc + x * x)), 6)
+    assign(e, cents)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        min("dist").as("min_dist"),
+        max("dist").as("max_dist"))
+      .join(cents.select(col("cluster"), norm.as("centroid_norm")), "cluster")
+      .select(col("cluster"), col("n_members"), col("min_dist"),
+        col("max_dist"), col("centroid_norm"))
+      .orderBy("cluster")
+  }
+}

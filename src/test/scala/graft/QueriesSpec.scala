@@ -879,7 +879,7 @@ class QueriesSpec extends AnyFunSuite {
       "q92_dsir_hashed", "q93_media_features", "q94_ngram_langid",
       "q94b_langid_seed", "q95_bm25", "q96_hybrid_rrf", "q97_weighted_sample",
       "q98_snapshot_drift", "q100_padding_waste", "q106_snapshot_delta",
-      "q109_heavy_hitters", "q110_textrank")
+      "q109_heavy_hitters", "q110_textrank", "q117_triangles")
     val failures = docQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>

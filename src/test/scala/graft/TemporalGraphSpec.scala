@@ -57,6 +57,26 @@ class TemporalGraphSpec extends AnyFunSuite {
     assert(math.abs(ranks.sum - 1.0) < 1e-3, s"rank mass ${ranks.sum}")
   }
 
+  test("triangleCounts matches brute-force enumeration on a hand graph") {
+    import spark.implicits._
+    // two triangles sharing node c, a pendant edge, and a 4-cycle
+    // (adds wedges that must NOT count as triangles)
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a",
+      "c" -> "d", "d" -> "e", "e" -> "c",
+      "f" -> "a",
+      "p" -> "q", "q" -> "r", "r" -> "s", "s" -> "p")
+    val got = Graph.triangleCounts(edges.toDF("id_a", "id_b")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // independent brute force over node triples
+    val und = edges.flatMap { case (x, y) => Seq(x -> y, y -> x) }.toSet
+    val nodes = und.map(_._1).toSeq.sorted
+    val want = nodes.combinations(3).filter { case Seq(x, y, z) =>
+      und(x -> y) && und(y -> z) && und(x -> z)
+    }.toSeq.flatten.groupBy(identity).map { case (n, g) => n -> g.size.toLong }
+    assert(got == want, s"got $got, want $want")
+    assert(got("c") == 2L && !got.contains("f") && !got.contains("p"))
+  }
+
   test("q111 SCD2: versions chain, states alternate, one current row per user") {
     val rows = SparkEntry.queries("q111_scd2")(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
