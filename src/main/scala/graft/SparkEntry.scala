@@ -109,6 +109,7 @@ object SparkEntry {
     "q115_pq_rerank"     -> (Quantize.q115PqRerank _),
     "q116_kmeans_fit"    -> (KMeans.q116KmeansFit _),
     "q117_triangles"     -> (Graph.q117Triangles _),
+    "q118_bloom_decontaminate" -> (TextAnalysis.q118BloomDecontaminate _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -821,6 +822,22 @@ object SparkEntry {
     // Decontamination: 8-word shingles (ws[i:i+7] is inclusive — 8
     // elements), q62's bucket literals; eval docs excluded from output.
     "q70_decontaminate" ->
+      s"""WITH d AS (SELECT doc_id, text, ${tokenId("text")} % 100 AS bucket FROM documents),
+         |w AS (SELECT doc_id, bucket, string_split(text, ' ') AS ws FROM d),
+         |sh AS (SELECT doc_id, bucket, unnest(list_distinct(list_transform(range(1, greatest(len(ws)-7, 1)+1),
+         |         i -> array_to_string(ws[i:i+7], ' ')))) AS shingle FROM w),
+         |ev AS (SELECT DISTINCT shingle, 1 AS hit FROM sh WHERE bucket >= 95)
+         |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |       CAST(coalesce(sum(ev.hit), 0) AS BIGINT) AS n_contaminated,
+         |       CAST(CASE WHEN coalesce(sum(ev.hit), 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+         |FROM sh s LEFT JOIN ev USING (shingle)
+         |WHERE s.bucket < 95
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    // the bloom is an implementation detail (no false negatives + exact
+    // confirm ⇒ output equals the exact computation), so the oracle is
+    // q70's exact SQL verbatim — the q109 sketch-shortlist contract
+    "q118_bloom_decontaminate" ->
       s"""WITH d AS (SELECT doc_id, text, ${tokenId("text")} % 100 AS bucket FROM documents),
          |w AS (SELECT doc_id, bucket, string_split(text, ' ') AS ws FROM d),
          |sh AS (SELECT doc_id, bucket, unnest(list_distinct(list_transform(range(1, greatest(len(ws)-7, 1)+1),

@@ -612,6 +612,62 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q118: bloom-prefiltered decontamination — q70's EXACT semantics
+    * behind a sketch gate, the shape Catalyst's own runtime-filter
+    * injection gives joins and the one that survives when the eval set
+    * outgrows the broadcast guard: ONE bloom filter over the eval
+    * shingle hashes (order-independent OR'd bits, driver state = the
+    * sketch bytes, bounded by numBits — never the set), a per-row
+    * `might_contain` prefilter on the corpus scan (no shuffle), and an
+    * exact confirm join that only the sketch survivors enter. Blooms
+    * have NO false negatives, so every true leak reaches the confirm
+    * stage; false positives are killed there — the declared output is
+    * therefore IDENTICAL to q70's exact answer (same oracle contract),
+    * while the expensive exchange carries ~fpp of the corpus instead
+    * of all of it. Bits size at 16×items, clamped to [2^14, 2^26]
+    * (fpp well under 1 % across the fixture scales; at a real 100 TB
+    * deployment the benchmark-suite shingle set is fixed and the
+    * sketch is sized once). */
+  def q118BloomDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    bloomDecontaminate(spark, dir, numBitsOverride = None)
+
+  /** The q118 core with the sketch size exposed: the spec drives it
+    * with a pathologically small bloom to prove the SATURATED sketch
+    * (every probe answers "maybe") still yields the exact answer —
+    * the degenerate case is the exact join, never a wrong one. */
+  private[graft] def bloomDecontaminate(spark: SparkSession, dir: String,
+      numBitsOverride: Option[Long]): DataFrame = {
+    val n = 8
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (Portable.tokenId(col("text")) % 100L).as("bucket"),
+        explode(graft.plans.ShingleHashes.shingleHashes(split(col("text"), " "), n)).as("shash"))
+    val evalSh = sh.filter(col("bucket") >= 95)
+      .select("shash").distinct()
+    val items = math.max(evalSh.count(), 1L)
+    val numBits = numBitsOverride.getOrElse(
+      math.min(math.max(items * 16L, 1L << 14), 1L << 26))
+    // one row, O(numBits) bytes — the bounded driver state of the op
+    val bloomBytes = evalSh
+      .select(graft.plans.Blooms.bloomAgg(col("shash"), items, numBits).as("bf"))
+      .collect().headOption.map(_.getAs[Array[Byte]]("bf")).orNull
+    val base = sh.filter(col("bucket") < 95)
+      .withColumn("maybe",
+        if (bloomBytes == null) lit(false)
+        else graft.plans.Blooms.mightContain(lit(bloomBytes), col("shash")))
+    // exact confirm on sketch survivors only; the clean stream bypasses
+    // the join entirely, so the exchange is O(candidates) not O(corpus)
+    val confirmed = base.filter(col("maybe"))
+      .join(Guard.modelBroadcast(evalSh.withColumn("hit", lit(1L))), Seq("shash"), "left")
+      .select(col("doc_id"), coalesce(col("hit"), lit(0L)).as("hit"))
+    confirmed
+      .unionAll(base.filter(!col("maybe")).select(col("doc_id"), lit(0L).as("hit")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), sum("hit").as("n_contaminated"))
+      .withColumn("contaminated", (col("n_contaminated") > 0).cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** q71: unigram language-model scoring — the simplest member of the
     * KenLM-style quality-filter family: score each doc by its mean
     * token log-probability under a unigram LM fitted on the corpus

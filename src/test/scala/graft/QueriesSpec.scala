@@ -879,7 +879,8 @@ class QueriesSpec extends AnyFunSuite {
       "q92_dsir_hashed", "q93_media_features", "q94_ngram_langid",
       "q94b_langid_seed", "q95_bm25", "q96_hybrid_rrf", "q97_weighted_sample",
       "q98_snapshot_drift", "q100_padding_waste", "q106_snapshot_delta",
-      "q109_heavy_hitters", "q110_textrank", "q117_triangles")
+      "q109_heavy_hitters", "q110_textrank", "q117_triangles",
+      "q118_bloom_decontaminate")
     val failures = docQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -937,6 +938,20 @@ class QueriesSpec extends AnyFunSuite {
     }
     assert(failures.isEmpty,
       s"event queries must tolerate dirty rows:\n${failures.mkString("\n")}")
+  }
+
+  test("q118 bloom decontamination equals exact q70; a saturated sketch stays exact") {
+    val exact = run("q70_decontaminate").collect().map(_.toSeq).toSeq
+    val bloom = run("q118_bloom_decontaminate").collect().map(_.toSeq).toSeq
+    assert(bloom.nonEmpty && bloom == exact,
+      "bloom prefilter + exact confirm must reproduce the exact answer")
+    // 64-bit sketch over thousands of shingles: every probe says
+    // "maybe", the prefilter degrades to the plain exact join — the
+    // failure mode of an undersized bloom is slowness, never wrongness
+    val saturated = graft.operators.TextAnalysis
+      .bloomDecontaminate(spark, sf0001, numBitsOverride = Some(64L))
+      .collect().map(_.toSeq).toSeq
+    assert(saturated == exact)
   }
 
   test("q89 learned quality filter separates the held-out gate labels (AUC) and is reproducible") {
