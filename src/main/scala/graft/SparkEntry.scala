@@ -110,6 +110,7 @@ object SparkEntry {
     "q116_kmeans_fit"    -> (KMeans.q116KmeansFit _),
     "q117_triangles"     -> (Graph.q117Triangles _),
     "q118_bloom_decontaminate" -> (TextAnalysis.q118BloomDecontaminate _),
+    "q119_ivf_search"    -> (KMeans.q119IvfSearch _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -203,6 +204,42 @@ object SparkEntry {
   private def sqDistSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1), " +
       s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, xx) -> acc + xx)"
+
+  /** Name of the final centroid CTE produced by [[kmeansCte]]. */
+  private def kmeansLast: String = s"c${operators.KMeans.Iters}"
+
+  /** DuckDB: the seeded-Lloyd CTE chain shared by q116/q119 —
+    * embeddings → seeded centroids (vec_id &lt; K) → Iters assign/update
+    * rounds → final assignment. Yields CTEs e, c0..cIters, a1..aIters,
+    * af (final per-vector cluster + rounded distance). Every aK/cK is
+    * MATERIALIZED and references its predecessor once, so the chain
+    * stays linear under CTE inlining (mirrors KMeans.fit/assign). */
+  private def kmeansCte: String = {
+    val rounds = (1 to operators.KMeans.Iters).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT vec_id, v, cluster, dist FROM (
+         |    SELECT vec_id, v, cluster, dist,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+         |    FROM (SELECT e.vec_id, e.v, c.cluster,
+         |                 round(${sqDistSql("e.v", "c.cv")}, 6) AS dist
+         |          FROM e CROSS JOIN c${i - 1} c) s0) t WHERE rk = 1),
+         |m$i AS (SELECT cluster, list(m ORDER BY pos) AS cv2 FROM (
+         |    SELECT cluster, pos, round(avg(x), 6) AS m FROM (
+         |      SELECT cluster, unnest(range(1, len(v)+1)) AS pos, unnest(v) AS x
+         |      FROM a$i) s0 GROUP BY cluster, pos) s1 GROUP BY cluster),
+         |c$i AS MATERIALIZED (SELECT c.cluster, coalesce(m.cv2, c.cv) AS cv
+         |  FROM c${i - 1} c LEFT JOIN m$i m USING (cluster))""".stripMargin
+    }.mkString(",\n")
+    s"""e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS MATERIALIZED (SELECT vec_id AS cluster, v AS cv FROM e
+       |  WHERE vec_id < ${operators.KMeans.K}),
+       |$rounds,
+       |af AS MATERIALIZED (SELECT vec_id, cluster, dist FROM (
+       |    SELECT vec_id, cluster, dist,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+       |    FROM (SELECT e.vec_id, c.cluster,
+       |                 round(${sqDistSql("e.v", "c.cv")}, 6) AS dist
+       |          FROM e CROSS JOIN $kmeansLast c) s0) t WHERE rk = 1)""".stripMargin
+  }
 
   /** DuckDB: the PQ code-assignment CTE chain shared by q114/q114b —
     * embeddings → per-subspace slices → seeded codebook (vec_id &lt;
@@ -534,40 +571,39 @@ object SparkEntry {
     // chain stays linear under CTE inlining. Centroid means round to 6
     // per round — the cross-engine sum-order contract.
     "q116_kmeans_fit" -> {
-      val rounds = (1 to operators.KMeans.Iters).map { i =>
-        s"""a$i AS MATERIALIZED (SELECT vec_id, v, cluster, dist FROM (
-           |    SELECT vec_id, v, cluster, dist,
-           |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
-           |    FROM (SELECT e.vec_id, e.v, c.cluster,
-           |                 round(${sqDistSql("e.v", "c.cv")}, 6) AS dist
-           |          FROM e CROSS JOIN c${i - 1} c) s0) t WHERE rk = 1),
-           |m$i AS (SELECT cluster, list(m ORDER BY pos) AS cv2 FROM (
-           |    SELECT cluster, pos, round(avg(x), 6) AS m FROM (
-           |      SELECT cluster, unnest(range(1, len(v)+1)) AS pos, unnest(v) AS x
-           |      FROM a$i) s0 GROUP BY cluster, pos) s1 GROUP BY cluster),
-           |c$i AS MATERIALIZED (SELECT c.cluster, coalesce(m.cv2, c.cv) AS cv
-           |  FROM c${i - 1} c LEFT JOIN m$i m USING (cluster))""".stripMargin
-      }.mkString(",\n")
-      val last = s"c${operators.KMeans.Iters}"
-      s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |c0 AS MATERIALIZED (SELECT vec_id AS cluster, v AS cv FROM e
-         |  WHERE vec_id < ${operators.KMeans.K}),
-         |$rounds,
-         |af AS (SELECT vec_id, cluster, dist FROM (
-         |    SELECT vec_id, cluster, dist,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
-         |    FROM (SELECT e.vec_id, c.cluster,
-         |                 round(${sqDistSql("e.v", "c.cv")}, 6) AS dist
-         |          FROM e CROSS JOIN $last c) s0) t WHERE rk = 1),
+      s"""WITH $kmeansCte,
          |n3 AS (SELECT cluster,
          |         round(sqrt(list_reduce(list_prepend(0.0,
          |           list_transform(cv, x -> x * x)), (acc, xx) -> acc + xx)), 6) AS centroid_norm
-         |       FROM $last)
+         |       FROM $kmeansLast)
          |SELECT af.cluster, count(*) AS n_members,
          |       min(dist) AS min_dist, max(dist) AS max_dist, n3.centroid_norm
          |FROM af JOIN n3 USING (cluster)
          |GROUP BY af.cluster, n3.centroid_norm ORDER BY cluster""".stripMargin
     },
+
+    // IVF probe over the q116 cells: nprobe nearest centroids per
+    // query, exact rescore of their members only
+    "q119_ivf_search" ->
+      s"""WITH $kmeansCte,
+         |mem AS (SELECT a.vec_id AS n_id, a.cluster, e.v AS nv
+         |        FROM af a JOIN e ON e.vec_id = a.vec_id),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         |qc AS (SELECT q_id, qv, cluster FROM (
+         |    SELECT q_id, qv, cluster, row_number() OVER
+         |      (PARTITION BY q_id ORDER BY cdist, cluster) AS crk
+         |    FROM (SELECT q.q_id, q.qv, c.cluster,
+         |                 round(${sqDistSql("q.qv", "c.cv")}, 6) AS cdist
+         |          FROM q CROSS JOIN $kmeansLast c) s0) t
+         |  WHERE crk <= ${operators.KMeans.Nprobe}),
+         |ex AS (SELECT qc.q_id, m.n_id,
+         |         round(${sqDistSql("qc.qv", "m.nv")}, 6) AS l2sq
+         |       FROM mem m JOIN qc USING (cluster) WHERE m.n_id <> qc.q_id),
+         |rk AS (SELECT q_id, n_id, l2sq,
+         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY l2sq, n_id) AS BIGINT) AS rank
+         |       FROM ex)
+         |SELECT q_id, rank, n_id, l2sq FROM rk WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin,
 
     // degree-ordered orientation: integer joins only, no rounding
     // contract; "orr" because OR is reserved

@@ -75,6 +75,47 @@ object KMeans {
     cents
   }
 
+  /** Cells probed per query in q119 (of K = 16). */
+  val Nprobe = 4
+
+  /** q119: IVF search over the q116 cells — the classic inverted-file
+    * ANN query path, here END-TO-END deterministic and oracle-checked
+    * (q45's MLlib fit is run-dependent; the seeded Lloyd fit is not):
+    * rank the K centroids per query, probe the Nprobe nearest cells,
+    * exact-rescore ONLY their members, top-10 out. Scale shape: the
+    * probe table is |queries|×Nprobe rows + query vectors — broadcast;
+    * the corpus side streams past filtered by cell membership, so with
+    * the corpus written clustered by cell (the q45/partitioned-events
+    * layout argument) the scan itself prunes to Nprobe/K of the data
+    * and nothing ever shuffles. Completes the declared ANN ladder:
+    * q34 brute → q61 blocked → q84 binary-quantized → q119 IVF →
+    * q114b/q115 PQ. */
+  def q119IvfSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = fit(e)
+    val members = assign(e, cents)
+      .select(col("vec_id").as("n_id"), col("v").as("nv"), col("cluster"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wq = Window.partitionBy("q_id").orderBy(asc("cdist"), asc("cluster"))
+    val qcells = q.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qv"), col("cluster"),
+        round(sqDist(col("qv"), col("cv")), 6).as("cdist"))
+      .withColumn("crk", row_number().over(wq))
+      .filter(col("crk") <= Nprobe)
+      .select("q_id", "qv", "cluster")
+    val wx = Window.partitionBy("q_id").orderBy(asc("l2sq"), asc("n_id"))
+    members.join(broadcast(qcells), "cluster")
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        round(sqDist(col("qv"), col("nv")), 6).as("l2sq"))
+      .withColumn("rank", row_number().over(wx).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("rank"), col("n_id"), col("l2sq"))
+      .orderBy("q_id", "rank")
+  }
+
   /** q116: the fitted clustering, reported per cluster — member count,
     * centroid 2-norm, and the tightest/loosest member distance (min and
     * max are order-independent, so no summation-order hash hazard). */

@@ -37,6 +37,35 @@ class KMeansSpec extends AnyFunSuite {
     }
   }
 
+  test("q119 IVF search: contiguous monotone ranks, recall floor vs exact L2") {
+    val rows = SparkEntry.queries("q119_ivf_search")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val recalls = rows.groupBy(_._1).map { case (q, rs) =>
+      val byRank = rs.sortBy(_._2)
+      assert(byRank.map(_._2).sameElements(1L to byRank.size), s"q$q: rank gap")
+      assert(byRank.map(_._4).sliding(2).forall {
+        case Array(a, b) => a <= b
+        case _ => true
+      }, s"q$q: l2sq not monotone in rank")
+      val qv = vecs(q)
+      val exact = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) =>
+          id -> v.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+        }
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+      byRank.map(_._3).count(exact.contains) / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF nprobe=4/16 recall@10 vs exact L2: mean $mean%.2f over ${recalls.size} queries")
+    // probing 4 of 16 cells on the uniform worst-case fixture; a
+    // structured corpus (or more probes) only raises this
+    assert(mean >= 0.3, f"IVF recall collapsed: $mean%.2f")
+  }
+
   test("q116: every vector lands in exactly one of K clusters, distances ordered") {
     val rows = SparkEntry.queries("q116_kmeans_fit")(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
