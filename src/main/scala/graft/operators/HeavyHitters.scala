@@ -33,8 +33,8 @@ object HeavyHitters {
     val sk = toks.as[String].select(MisraGries.toColumn.name("sk"))
       .collect().headOption.getOrElse(MisraGries.zero)
     val cands = sk.items.keys.toSeq.sorted
-    // pass 2 — exact rescore of the shortlist only: the IN filter pushes
-    // to the scan, so the groupBy shuffles ≤K distinct keys
+    // pass 2 — exact rescore of the shortlist only: the IN filter prunes
+    // right after tokenize, so the groupBy shuffles ≤K distinct keys
     toks.filter(col("word").isin(cands: _*))
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))

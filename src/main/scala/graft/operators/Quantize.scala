@@ -279,9 +279,13 @@ object Quantize {
     val shortlist = pqAdc(e)
       .withColumn("adc_rank", row_number().over(byAdc))
       .filter(col("adc_rank") <= 50)
-    shortlist
-      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv")), "q_id")
-      .join(e.select(col("vec_id").as("n_id"), col("v").as("nv")), "n_id")
+    // the shortlist is |queries|×50 rows BY CONSTRUCTION — broadcast it
+    // through both float-fetch joins so the corpus never shuffles
+    // (Catalyst can't derive the bound from the rank filter)
+    val withQ = e.select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .join(broadcast(shortlist), "q_id")
+    e.select(col("vec_id").as("n_id"), col("v").as("nv"))
+      .join(broadcast(withQ), "n_id")
       .select(col("q_id"), col("n_id"), col("adc"),
         round(sqDist(col("qv"), col("nv")), 6).as("l2sq"))
       .withColumn("rank", row_number().over(byExact).cast("long"))

@@ -579,4 +579,30 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.split("Exchange hashpartitioning").length - 1 <= 3,
       s"one user window + matrix-sized aggs only:\n$plan")
   }
+  test("PQ / IVF retrieval and q115 re-rank plan broadcast-only corpus joins") {
+    // the probe tables (LUT, shortlist, probed cells) are bounded by
+    // construction; the corpus side must stream past them — a
+    // SortMergeJoin here means the corpus shuffles and the plan dies
+    // at a 100× corpus
+    Seq("q114b_pq_adc_topk", "q115_pq_rerank", "q119_ivf_search").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: probe side must broadcast:\n${plan.take(1500)}")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+        s"$q: corpus must not shuffle-join:\n${plan.take(1500)}")
+    }
+  }
+
+  test("q111 SCD2 reuses one user-keyed exchange across window, groupBy and lead") {
+    // the change-marker window partitions by user_id; the run groupBy
+    // keys (user_id, version, state) and the lead window (user_id) are
+    // both satisfied by that clustering, so EnsureRequirements must
+    // not insert further hashpartitioning exchanges — the whole build
+    // is ONE shuffle however many events there are
+    val plan = SparkEntry.queries("q111_scd2")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.split("Exchange hashpartitioning").length - 1
+    assert(exchanges == 1, s"q111: want exactly 1 exchange, got $exchanges:\n${plan.take(1500)}")
+  }
 }
