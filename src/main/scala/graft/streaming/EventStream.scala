@@ -395,6 +395,127 @@ object EventStream {
         })
   }
 
+  /** UTC calendar day of a timestamp as 'yyyy-MM-dd' — the twin of the
+    * batch `date_format(ts, "yyyy-MM-dd")` under the pinned UTC
+    * session zone. */
+  def utcDay(ts: java.sql.Timestamp): String =
+    java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(ts.getTime), java.time.ZoneOffset.UTC)
+      .toLocalDate.toString
+
+  private def utcDayTime(ts: java.sql.Timestamp): String =
+    java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(ts.getTime), java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+
+  /** Accumulating day + the last ≤8 CLOSED day values, oldest first. */
+  case class EwmaState(day: String, sum: Double, ring: Seq[Double])
+  case class EwmaPoint(event_type: String, day: String, x: Double,
+                       baseline: Option[Double], dev: Option[Double], is_spike: Long)
+
+  /** Streaming twin of the batch q113 EWMA monitor: per event_type, the
+    * state is the accumulating current day plus a ring of the last ≤8
+    * closed daily values — O(9 doubles) per type. A day EMITS when the
+    * first row of a LATER day arrives (the day is then closed and
+    * scored against the ring exactly as the batch lags score it: same
+    * weight order, same 6-dp roundings, so flags match bit-for-bit).
+    *
+    * Contracts, explicit: (a) each type's final, still-open day never
+    * emits — parity is batch MINUS each type's last day (the
+    * snapshotDeltaProbe shape); (b) rows for an already-closed day are
+    * DROPPED, the funnel's late-data rule — cross-day disorder needs
+    * the batch form; within-day disorder is immaterial because only
+    * the day SUM enters the math (6-dp rounding absorbs fold-order
+    * noise, the q113 oracle contract). */
+  /** Close an accumulating day against its ring — module-level (not a
+    * method-local def) so the state lambda reaches it as a static call
+    * instead of capturing the non-serializable module instance. */
+  private def closeEwmaDay(tpe: String, st: EwmaState): EwmaPoint = {
+    val weights = graft.operators.Temporal.EwmaWeights
+    val x = roundHalfUp(st.sum, 6)
+    // most-recent lag first = weight w1, matching the batch lag(x, i)
+    val lags = st.ring.reverse.take(8)
+    if (lags.isEmpty) EwmaPoint(tpe, st.day, x, None, None, 0L)
+    else {
+      val num = lags.zip(weights).map { case (l, w) => w * l }.sum
+      val den = weights.take(lags.size).sum
+      val baseline = roundHalfUp(num / den, 6)
+      val dev = roundHalfUp(x - baseline, 6)
+      val spike = if (math.abs(dev) > 0.25 * math.max(baseline, 1.0)) 1L else 0L
+      EwmaPoint(tpe, st.day, x, Some(baseline), Some(dev), spike)
+    }
+  }
+
+  def ewmaDailyAnomalies(events: Dataset[TypedEvent]): Dataset[EwmaPoint] = {
+    import events.sparkSession.implicits._
+    droppingNullKeys(events)
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (tpe: String, rows: Iterator[TypedEvent], state: GroupState[EwmaState]) => {
+          var st = state.getOption.orNull
+          val out = Vector.newBuilder[EwmaPoint]
+          rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id)).foreach { e =>
+            val day = utcDay(e.ts)
+            if (st == null) st = EwmaState(day, 0.0, Nil)
+            if (day > st.day) {
+              val closed = closeEwmaDay(tpe, st)
+              out += closed
+              st = EwmaState(day, 0.0, (st.ring :+ closed.x).takeRight(8))
+            }
+            // late-data contract: rows for a closed day are dropped
+            if (day == st.day) st = st.copy(sum = st.sum + e.value.get)
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+        })
+  }
+
+  /** Current SCD2 run per user, carried as stream state. */
+  case class RunState(version: Long, state: String, fromUs: Long,
+                      fromStr: String, n: Long)
+  case class ClosedInterval(user_id: Long, version: Long, state: String,
+                            valid_from: String, valid_to: String, n_events: Long)
+
+  /** Streaming twin of the batch q111 SCD2 build — change-data capture
+    * at ingest: per user the state is ONLY the current open run
+    * (version, state, start, count); an arriving event that changes
+    * the user's event_type CLOSES the run and emits the finished
+    * validity interval, whose valid_to is by construction the new
+    * run's valid_from — exactly the batch lead(). The still-open run
+    * is the batch's is_current row and never emits (parity = batch
+    * minus is_current rows, under the ordered-delivery contract the
+    * crawl/CDC producer already satisfies; within a micro-batch rows
+    * fold in batch sort order). Null-keyed or null-typed rows are
+    * dropped (droppingNullDocKeys contract — the batch form lumps a
+    * null type into the preceding run via three-valued logic, a
+    * semantics no keyed fold should replicate). */
+  def scdIntervals(events: Dataset[TypedEvent]): Dataset[ClosedInterval] = {
+    import events.sparkSession.implicits._
+    droppingNullKeys(events)
+      .filter(col("event_type").isNotNull)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[TypedEvent], state: GroupState[RunState]) => {
+          var st = state.getOption.orNull
+          val out = Vector.newBuilder[ClosedInterval]
+          rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id)).foreach { e =>
+            val us = eventMicros(e.ts)
+            if (st == null)
+              st = RunState(1L, e.event_type, us, utcDayTime(e.ts), 1L)
+            else if (e.event_type == st.state)
+              st = st.copy(n = st.n + 1)
+            else {
+              out += ClosedInterval(userId, st.version, st.state,
+                st.fromStr, utcDayTime(e.ts), st.n)
+              st = RunState(st.version + 1, e.event_type, us, utcDayTime(e.ts), 1L)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+        })
+  }
+
   case class RetentionState(seenDays: Set[Long])
   case class WeekActive(user_id: Long, week_day: Long)
 

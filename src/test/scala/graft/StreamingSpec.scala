@@ -1572,6 +1572,68 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming EWMA monitor equals batch q113 on every closed day") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ewma-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = EventStream.readStream(spark, dir.toString)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+      .as[EventStream.TypedEvent]
+    val q = EventStream.ewmaDailyAnomalies(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ewma_stream")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ewma-ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getString(1))
+    def vals(r: org.apache.spark.sql.Row) =
+      (r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        r.getLong(5))
+    val got = spark.table("ewma_stream")
+      .select("event_type", "day", "x", "baseline", "dev", "is_spike")
+      .collect().map(r => key(r) -> vals(r)).toMap
+    val batch = SparkEntry.queries("q113_ewma_anomaly")(spark, sf0001)
+      .select("event_type", "day", "x", "baseline", "dev", "is_spike")
+      .collect().map(r => key(r) -> vals(r)).toMap
+    // the stream never closes each type's final day — parity on the rest
+    val lastDay = batch.keys.groupBy(_._1).map { case (t, ks) => t -> ks.map(_._2).max }
+    val want = batch.filter { case ((t, d), _) => d != lastDay(t) }
+    assert(want.nonEmpty && got == want,
+      "streaming EWMA = batch q113 on closed days, incl. spike flags")
+  }
+
+  test("streaming SCD2 intervals equal the batch q111 closed rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = EventStream.readStream(spark, dir.toString)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+      .as[EventStream.TypedEvent]
+    val q = EventStream.scdIntervals(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scd_stream")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-scd-ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("scd_stream")
+      .select("user_id", "version", "state", "valid_from", "valid_to", "n_events")
+      .collect().map(_.toSeq).toSet
+    val want = SparkEntry.queries("q111_scd2")(spark, sf0001)
+      .filter(col("is_current") === 0L)
+      .select("user_id", "version", "state", "valid_from", "valid_to", "n_events")
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want,
+      "streaming closed intervals = batch q111 minus is_current rows")
+  }
+
   test("eventMicros keeps sub-millisecond precision that getTime truncates") {
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     ts.setNanos(123456789) // 123.456789 ms into the second
