@@ -111,6 +111,8 @@ object SparkEntry {
     "q117_triangles"     -> (Graph.q117Triangles _),
     "q118_bloom_decontaminate" -> (TextAnalysis.q118BloomDecontaminate _),
     "q119_ivf_search"    -> (KMeans.q119IvfSearch _),
+    "q120_source_divergence" -> (TextAnalysis.q120SourceDivergence _),
+    "q121_sequence_match" -> (Temporal.q121SequenceMatch _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -604,6 +606,39 @@ object SparkEntry {
          |       FROM ex)
          |SELECT q_id, rank, n_id, l2sq FROM rk WHERE rank <= 10
          |ORDER BY q_id, rank""".stripMargin,
+
+    // JS over the union support via the collapse-under-groupBy union
+    // (see the operator scaladoc); ln() one-ulp absorbed by round 6
+    "q120_source_divergence" ->
+      s"""WITH w AS (SELECT source, unnest(${tok("text")}) AS word FROM documents),
+         |wc AS (SELECT source, word, count(*) AS cnt FROM w GROUP BY source, word),
+         |wp AS (SELECT source, word,
+         |         CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY source) AS DOUBLE) AS p
+         |       FROM wc),
+         |srcs AS (SELECT DISTINCT source FROM wp),
+         |halves AS (
+         |  SELECT wp.source AS s1, s2.source AS s2, word, p, 0.0 AS q
+         |  FROM wp CROSS JOIN srcs s2 WHERE wp.source < s2.source
+         |  UNION ALL
+         |  SELECT s1.source AS s1, wp.source AS s2, word, 0.0 AS p, p AS q
+         |  FROM wp CROSS JOIN srcs s1 WHERE s1.source < wp.source),
+         |merged AS (SELECT s1, s2, word, sum(p) AS p, sum(q) AS q
+         |           FROM halves GROUP BY s1, s2, word),
+         |terms AS (SELECT s1, s2,
+         |    (CASE WHEN p > 0 THEN 0.5 * p * ln(2.0 * p / (p + q)) ELSE 0.0 END)
+         |  + (CASE WHEN q > 0 THEN 0.5 * q * ln(2.0 * q / (p + q)) ELSE 0.0 END) AS term
+         |  FROM merged)
+         |SELECT s1, s2, round(sum(term), 6) AS js_divergence
+         |FROM terms GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin,
+
+    "q121_sequence_match" ->
+      """WITH p AS (SELECT user_id,
+        |    string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS path
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, CAST(length(path) AS BIGINT) AS n_events,
+        |       CAST(len(regexp_extract_all(path, 'vc*p')) AS BIGINT) AS n_conversions
+        |FROM p WHERE len(regexp_extract_all(path, 'vc*p')) > 0
+        |ORDER BY user_id""".stripMargin,
 
     // degree-ordered orientation: integer joins only, no rounding
     // contract; "orr" because OR is reserved

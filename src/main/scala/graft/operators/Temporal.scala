@@ -63,6 +63,30 @@ object Temporal {
       .orderBy("prev_type", "next_type")
   }
 
+  /** q121: sequence pattern matching over per-user event paths — the
+    * MATCH_RECOGNIZE-shaped primitive (find users whose history
+    * contains view → clicks* → purchase) without a pattern-automaton
+    * engine: each user's ordered history collapses to a compact
+    * type-initial string (one groupBy with an order-carrying struct
+    * sort — initials are distinct across the five event types), and
+    * the pattern is a plain anchored-nowhere regex counted
+    * non-overlapping left-to-right, which Java and RE2-family engines
+    * agree on for this pattern class. Per-user state is the path
+    * string — bounded by history length, the same per-key contract as
+    * q25/q80; the groupBy partial-aggregates map-side. */
+  def q121SequenceMatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type").isNotNull)
+      .groupBy("user_id")
+      .agg(expr("array_join(transform(sort_array(collect_list(" +
+        "struct(ts, event_id, substring(event_type, 1, 1) AS c))), x -> x.c), '')")
+        .as("path"))
+      .select(col("user_id"),
+        length(col("path")).cast("long").as("n_events"),
+        regexp_count(col("path"), lit("vc*p")).cast("long").as("n_conversions"))
+      .filter(col("n_conversions") > 0)
+      .orderBy("user_id")
+
   /** q113's smoothing weights (1−α)^(i−1) for lags 1..8, α = 0.3 —
     * computed ONCE here and interpolated verbatim into the oracle SQL
     * (Double.toString round-trips, so both engines evaluate identical

@@ -668,6 +668,51 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q120: pairwise Jensen-Shannon divergence between per-source
+    * unigram distributions — the "how different are my corpus slices"
+    * matrix a mix planner (q83/q91) reads before setting temperature
+    * weights, and the principled upgrade of q98's per-cell log-ratios.
+    * JS over the union support without a full-outer join: each pair's
+    * word rows are assembled as a UNION of (p, 0) and (0, q) halves
+    * that COLLAPSE under one groupBy sum — missing-in-one-side words
+    * keep their exact 0.5·p·ln2 contribution and no three-way
+    * shared/only-left/only-right plan is needed. Pair fanout is
+    * vocab × (sources − 1) rows per side — bounded by the source
+    * cardinality the q67/q83 operators already assume is small; at a
+    * web-scale source count the same plan runs over the q64-style
+    * top-k vocabulary per source. ln() is libm-divergent at one ulp;
+    * the per-pair SUM rounds at 6 (the q71 contract). */
+  def q120SourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("source"), explode(Portable.tokenize(col("text"))).as("word"))
+    val wp = words.groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")))
+      .select(col("source"), col("word"),
+        (col("cnt").cast("double") / col("total").cast("double")).as("p"))
+    val sources = wp.select("source").distinct()
+    val left = wp.crossJoin(broadcast(sources.select(col("source").as("s2"))))
+      .filter(col("source") < col("s2"))
+      .select(col("source").as("s1"), col("s2"), col("word"),
+        col("p"), lit(0.0).as("q"))
+    val right = wp.crossJoin(broadcast(sources.select(col("source").as("s1"))))
+      .filter(col("s1") < col("source"))
+      .select(col("s1"), col("source").as("s2"), col("word"),
+        lit(0.0).as("p"), col("p").as("q"))
+    val term =
+      when(col("p") > 0, lit(0.5) * col("p") * log(lit(2.0) * col("p") / (col("p") + col("q"))))
+        .otherwise(lit(0.0)) +
+      when(col("q") > 0, lit(0.5) * col("q") * log(lit(2.0) * col("q") / (col("p") + col("q"))))
+        .otherwise(lit(0.0))
+    left.unionAll(right)
+      .groupBy("s1", "s2", "word")
+      .agg(sum("p").as("p"), sum("q").as("q"))
+      .select(col("s1"), col("s2"), term.as("term"))
+      .groupBy("s1", "s2")
+      .agg(round(sum("term"), 6).as("js_divergence"))
+      .orderBy("s1", "s2")
+  }
+
   /** q71: unigram language-model scoring — the simplest member of the
     * KenLM-style quality-filter family: score each doc by its mean
     * token log-probability under a unigram LM fitted on the corpus

@@ -880,7 +880,7 @@ class QueriesSpec extends AnyFunSuite {
       "q94b_langid_seed", "q95_bm25", "q96_hybrid_rrf", "q97_weighted_sample",
       "q98_snapshot_drift", "q100_padding_waste", "q106_snapshot_delta",
       "q109_heavy_hitters", "q110_textrank", "q117_triangles",
-      "q118_bloom_decontaminate")
+      "q118_bloom_decontaminate", "q120_source_divergence")
     val failures = docQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -929,7 +929,8 @@ class QueriesSpec extends AnyFunSuite {
     val eventQueries = Seq("q20_json_events", "q21_time_window", "q25_sessionize",
       "q28_map_fns", "q29_pivot", "q48_asof_join", "q80_event_zscore",
       "q101_retention_cohorts", "q102_event_funnel",
-      "q111_scd2", "q112_markov_transitions", "q113_ewma_anomaly")
+      "q111_scd2", "q112_markov_transitions", "q113_ewma_anomaly",
+      "q121_sequence_match")
     val failures = eventQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>

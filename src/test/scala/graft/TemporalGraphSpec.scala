@@ -113,6 +113,54 @@ class TemporalGraphSpec extends AnyFunSuite {
       "transition count = events - one per user (first event has no prev)")
   }
 
+  test("q120 JS divergence: full pair matrix, bounded by ln 2, zero for identical slices") {
+    val rows = SparkEntry.queries("q120_source_divergence")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val nSrc = Tables.documents(spark, sf0001).select("source").distinct().count()
+    assert(rows.length == nSrc * (nSrc - 1) / 2, "one row per unordered source pair")
+    rows.foreach { case (a, b, js) =>
+      assert(a < b)
+      assert(js >= 0.0 && js <= math.log(2.0) + 1e-9, s"($a,$b): JS $js out of range")
+    }
+    // planted: identical distributions diverge by exactly 0; disjoint by ln 2
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-js").toString
+    Seq((1L, "alpha beta beta", "en", "sA"), (2L, "beta alpha beta", "en", "sB"),
+      (3L, "gamma delta", "en", "sC"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val planted = SparkEntry.queries("q120_source_divergence")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(planted(("sA", "sB")) == 0.0, "same distribution, order-independent")
+    assert(math.abs(planted(("sA", "sC")) - math.log(2.0)) < 1e-5, "disjoint vocab = ln 2")
+  }
+
+  test("q121 sequence match agrees with an independent per-user regex replay") {
+    val rows = SparkEntry.queries("q121_sequence_match")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3 >= 1))
+    // independent replay: collect raw events, rebuild each path in
+    // plain Scala, count with java.util.regex directly
+    val byUser = Tables.events(spark, sf0001)
+      .select("user_id", "ts", "event_id", "event_type")
+      .collect()
+      .filter(!_.isNullAt(3))
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    val pat = java.util.regex.Pattern.compile("vc*p")
+    val want = byUser.flatMap { case (u, es) =>
+      val path = es.sortBy(e => (e._2.getTime * 1000 + e._2.getNanos / 1000 % 1000, e._3))
+        .map(_._4.head).mkString
+      val m = pat.matcher(path)
+      var n = 0L
+      while (m.find()) n += 1
+      if (n > 0) Some((u, path.length.toLong, n)) else None
+    }.toSet
+    assert(rows.toSet == want)
+  }
+
   test("q113 EWMA: baseline recomputed from the declared series matches") {
     val rows = SparkEntry.queries("q113_ewma_anomaly")(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
