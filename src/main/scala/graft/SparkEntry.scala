@@ -113,6 +113,10 @@ object SparkEntry {
     "q119_ivf_search"    -> (KMeans.q119IvfSearch _),
     "q120_source_divergence" -> (TextAnalysis.q120SourceDivergence _),
     "q121_sequence_match" -> (Temporal.q121SequenceMatch _),
+    "q122_attribution"   -> (Temporal.q122Attribution _),
+    "q123_fuzzy_names"   -> (Linkage.q123FuzzyNames _),
+    "q124_market_basket" -> (Associations.q124MarketBasket _),
+    "q125_seasonal_index" -> (Temporal.q125SeasonalIndex _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -639,6 +643,56 @@ object SparkEntry {
         |       CAST(len(regexp_extract_all(path, 'vc*p')) AS BIGINT) AS n_conversions
         |FROM p WHERE len(regexp_extract_all(path, 'vc*p')) > 0
         |ORDER BY user_id""".stripMargin,
+
+    // the exclusive trailing frame makes "nearest preceding touch" one
+    // window expression on both engines — no per-purchase history scan
+    "q122_attribution" ->
+      """WITH t AS (SELECT event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events)
+        |SELECT coalesce(touch, 'direct') AS touch_type,
+        |       count(*) AS n_purchases, round(sum(value), 6) AS credited_value
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY touch_type""".stripMargin,
+
+    // integer edit distance — no rounding contract; block on the head
+    // noun so the candidate join is an equi-join on both engines
+    "q123_fuzzy_names" ->
+      """WITH names AS (SELECT DISTINCT p_name AS name,
+        |    list_extract(string_split(p_name, ' '), -1) AS block FROM part)
+        |SELECT a.name AS name1, b.name AS name2,
+        |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM names a JOIN names b ON a.block = b.block AND a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 3
+        |ORDER BY name1, name2""".stripMargin,
+
+    "q124_market_basket" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+        |    FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |tot AS (SELECT count(DISTINCT okey) AS n_orders FROM bi),
+        |item AS (SELECT brand, count(*) AS cnt FROM bi GROUP BY brand),
+        |pairs AS (SELECT a.brand AS b1, b.brand AS b2, count(*) AS n_pair
+        |  FROM bi a JOIN bi b ON a.okey = b.okey AND a.brand < b.brand
+        |  GROUP BY 1, 2)
+        |SELECT b1, b2, n_pair,
+        |       round(CAST(n_pair AS DOUBLE) / n_orders, 6) AS support,
+        |       round(CAST(n_pair AS DOUBLE) * n_orders / (i1.cnt * i2.cnt), 6) AS lift
+        |FROM pairs JOIN item i1 ON b1 = i1.brand JOIN item i2 ON b2 = i2.brand
+        |CROSS JOIN tot ORDER BY b1, b2""".stripMargin,
+
+    // daily sums round to 6 dp BEFORE the dow mean (q113 convention);
+    // DuckDB dayofweek is 0=Sunday, Spark's is 1=Sunday — shift here
+    "q125_seasonal_index" ->
+      """WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |    round(sum(value), 6) AS x FROM events GROUP BY 1, 2),
+        |s AS (SELECT *, CAST(dayofweek(CAST(day AS DATE)) + 1 AS BIGINT) AS dow FROM d)
+        |SELECT event_type, day, dow, x,
+        |       round(avg(x) OVER (PARTITION BY event_type, dow), 6) AS dow_mean,
+        |       round(x / round(avg(x) OVER (PARTITION BY event_type, dow), 6), 6)
+        |         AS seasonal_index
+        |FROM s ORDER BY event_type, day""".stripMargin,
 
     // degree-ordered orientation: integer joins only, no rounding
     // contract; "orr" because OR is reserved

@@ -87,6 +87,53 @@ object Temporal {
       .filter(col("n_conversions") > 0)
       .orderBy("user_id")
 
+  /** q122: last-touch conversion attribution — for every purchase,
+    * credit the nearest PRECEDING non-purchase event by the same user
+    * (the marketing "touch"), then report purchases and credited value
+    * per touch type; purchases with no prior touch credit `direct`.
+    * The touch is one `last(..., ignoreNulls)` over the exclusive
+    * trailing frame (unbounded → 1 preceding) on the per-user ordered
+    * stream — no self-join against the history, no per-purchase scan.
+    * Scale shape: one user-keyed window pass (the q111/q112 contract)
+    * followed by a groupBy whose output is O(|event types|); the final
+    * aggregate partial-combines map-side, so the second exchange
+    * carries a handful of rows per partition. */
+  def q122Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("direct")).as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum("value"), 6).as("credited_value"))
+      .orderBy("touch_type")
+  }
+
+  /** q125: day-of-week seasonal baseline — the multiplicative seasonal
+    * index a traffic monitor divides out before alarming on volume: the
+    * daily per-type value series (q113's input) against its own
+    * day-of-week mean, `seasonal_index = daily / dow_mean`. Friday
+    * always looks "anomalous" to a flat baseline; it doesn't to this
+    * one. Daily sums round to 6 dp BEFORE the dow mean so both engines
+    * average identical doubles (the q113 convention). Scale shape: the
+    * event scan collapses to O(types × days) rows under one partial-
+    * aggregated groupBy; everything after runs on the collapsed series,
+    * so 100× events cost only the scan. */
+  def q125SeasonalIndex(spark: SparkSession, dir: String): DataFrame = {
+    val wd = Window.partitionBy("event_type", "dow")
+    Tables.events(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(round(sum("value"), 6).as("x"))
+      .withColumn("dow", dayofweek(to_date(col("day"))).cast("long"))
+      .withColumn("dow_mean", round(avg("x").over(wd), 6))
+      .withColumn("seasonal_index", round(col("x") / col("dow_mean"), 6))
+      .select("event_type", "day", "dow", "x", "dow_mean", "seasonal_index")
+      .orderBy("event_type", "day")
+  }
+
   /** q113's smoothing weights (1−α)^(i−1) for lags 1..8, α = 0.3 —
     * computed ONCE here and interpolated verbatim into the oracle SQL
     * (Double.toString round-trips, so both engines evaluate identical

@@ -802,6 +802,58 @@ class QueriesSpec extends AnyFunSuite {
       assert(ra >= rb, s"smaller source $a must not draw below larger $b ($ra vs $rb)")
   }
 
+  test("q123 fuzzy names: distances replay exactly; blocking is complete within blocks") {
+    // independent unit-cost edit distance, no shared code with the query
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val got = run("q123_fuzzy_names").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (n1, n2, dist) =>
+      assert(n1 < n2 && dist <= 3 && dist == lev(n1, n2), s"$n1 / $n2: $dist")
+    }
+    // completeness within the blocking contract: EVERY same-block pair
+    // at distance ≤ 3 is reported (blocking bounds candidates, it must
+    // not silently drop in-block matches)
+    val names = graft.Tables.part(spark, sf0001).select("p_name").distinct()
+      .collect().map(_.getString(0))
+    val want = (for {
+      a <- names; b <- names
+      if a < b && a.split(" ").last == b.split(" ").last && lev(a, b) <= 3
+    } yield (a, b, lev(a, b).toLong)).toSet
+    assert(got.toSet == want)
+  }
+
+  test("q124 market basket: support/lift replay; lift is symmetric in its inputs") {
+    val li = graft.Tables.lineitem(spark, sf0001).select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brandOf = graft.Tables.part(spark, sf0001).select("p_partkey", "p_brand")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val baskets = li.map { case (o, p) => (o, brandOf(p)) }.distinct
+    val nOrders = baskets.map(_._1).distinct.length
+    val itemCnt = baskets.groupBy(_._2).map { case (b, xs) => b -> xs.length }
+    val pairCnt = baskets.groupBy(_._1).values.flatMap { es =>
+      val bs = es.map(_._2).distinct.sorted
+      for (i <- bs.indices; j <- i + 1 until bs.length) yield (bs(i), bs(j))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.size }
+    val got = run("q124_market_basket").collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got.keySet == pairCnt.keySet)
+    got.foreach { case ((b1, b2), (n, support, lift)) =>
+      assert(n == pairCnt((b1, b2)).toLong)
+      assert(math.abs(support - n.toDouble / nOrders) < 2e-6)
+      assert(math.abs(lift - n.toDouble * nOrders / (itemCnt(b1).toLong * itemCnt(b2))) < 2e-6)
+    }
+  }
+
   test("no declared query plans a CartesianProduct") {
     // one-row-total cross joins plan as BroadcastNestedLoopJoin (fine:
     // a broadcast of one aggregate row); an actual CartesianProduct —
@@ -930,7 +982,7 @@ class QueriesSpec extends AnyFunSuite {
       "q28_map_fns", "q29_pivot", "q48_asof_join", "q80_event_zscore",
       "q101_retention_cohorts", "q102_event_funnel",
       "q111_scd2", "q112_markov_transitions", "q113_ewma_anomaly",
-      "q121_sequence_match")
+      "q121_sequence_match", "q122_attribution", "q125_seasonal_index")
     val failures = eventQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>

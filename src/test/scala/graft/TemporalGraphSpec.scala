@@ -161,6 +161,63 @@ class TemporalGraphSpec extends AnyFunSuite {
     assert(rows.toSet == want)
   }
 
+  test("q122 attribution agrees with an independent per-purchase replay") {
+    val rows = SparkEntry.queries("q122_attribution")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // independent replay: order each user's events in plain Scala, walk
+    // forward carrying the last non-purchase type, credit each purchase
+    val byUser = Tables.events(spark, sf0001)
+      .select("user_id", "ts", "event_id", "event_type", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .groupBy(_._1)
+    val credits = scala.collection.mutable.Map.empty[String, (Long, Double)]
+    byUser.values.foreach { es =>
+      var touch: String = null
+      es.sortBy(e => (e._2.getTime * 1000 + e._2.getNanos / 1000 % 1000, e._3)).foreach { e =>
+        if (e._4 == "purchase") {
+          val t = if (touch == null) "direct" else touch
+          val (n, v) = credits.getOrElse(t, (0L, 0.0))
+          credits(t) = (n + 1, v + e._5)
+        } else touch = e._4
+      }
+    }
+    val want = credits.map { case (t, (n, v)) =>
+      (t, n, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = rows.map { case (t, n, v) => (t, n, v) }.toSet
+    // sums of doubles can associate differently; compare value at 1e-6
+    assert(got.map(r => (r._1, r._2)) == want.map(r => (r._1, r._2)))
+    got.foreach { case (t, _, v) =>
+      val w = want.find(_._1 == t).get._3
+      assert(math.abs(v - w) < 1e-6, s"$t: $v vs $w")
+    }
+  }
+
+  test("q125 seasonal index: recomputed dow means match, index centers on 1") {
+    val rows = SparkEntry.queries("q125_seasonal_index")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, day, dow, _, _, _) =>
+      // Spark dayofweek: 1 = Sunday … 7 = Saturday
+      val jd = java.time.LocalDate.parse(day).getDayOfWeek.getValue % 7 + 1
+      assert(dow == jd, s"$day: dow $dow vs $jd")
+    }
+    rows.groupBy(r => (r._1, r._3)).foreach { case ((t, dow), rs) =>
+      val mean = BigDecimal(rs.map(_._4).sum / rs.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      rs.foreach { r =>
+        assert(math.abs(r._5 - mean) < 2e-6, s"$t dow $dow: ${r._5} vs $mean")
+        assert(math.abs(r._6 - r._4 / r._5) < 2e-6)
+      }
+      // the index averages to ~1 within each (type, dow) cell by construction
+      val idxMean = rs.map(_._6).sum / rs.size
+      assert(math.abs(idxMean - 1.0) < 0.05, s"$t dow $dow index mean $idxMean")
+    }
+  }
+
   test("q113 EWMA: baseline recomputed from the declared series matches") {
     val rows = SparkEntry.queries("q113_ewma_anomaly")(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
