@@ -72,7 +72,34 @@ object Amplify {
       .repartition(splits)
       .write.mode("overwrite").parquet(s"$dest/events.parquet")
 
-    println(s"[amplify] wrote $dest: documents x$docCopies, embeddings x$vecCopies, events x$evCopies")
+    // part/lineitem amplify by CATALOG ROW and ORDER respectively:
+    // partkeys slot per copy but p_name/p_brand pass through, so the
+    // name DICTIONARY and brand vocabulary stay constant while rows
+    // scale — exactly the shape q123's distinct-dictionary collapse and
+    // q124's bounded pair output are designed around. Lineitem keeps
+    // l_partkey unslotted (copy-0 parts exist at the base keys), so
+    // basket composition per order is unchanged as order count scales.
+    Tables.part(spark, src)
+      .crossJoin(spark.range(docCopies).toDF("copy"))
+      .select(
+        (col("copy") * slot + col("p_partkey")).as("p_partkey"),
+        col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+        col("p_retailprice"))
+      .repartition(splits)
+      .write.mode("overwrite").parquet(s"$dest/part.parquet")
+
+    Tables.lineitem(spark, src)
+      .crossJoin(spark.range(docCopies).toDF("copy"))
+      .select(
+        (col("copy") * slot + col("l_orderkey")).as("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate"))
+      .repartition(splits)
+      .write.mode("overwrite").parquet(s"$dest/lineitem.parquet")
+
+    println(s"[amplify] wrote $dest: documents x$docCopies, embeddings x$vecCopies, events x$evCopies, part/lineitem x$docCopies")
     spark.stop()
   }
 }

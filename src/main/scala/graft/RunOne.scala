@@ -73,6 +73,41 @@ object RunOne {
       }
       spark.stop(); return
     }
+    // dev probe: time ONLY q124's basket-build stage (the one
+    // order-keyed exchange + collect_set), no persist, no consumers —
+    // isolates where the 100× wall time lives
+    if (name.startsWith("dev_basket_")) {
+      import org.apache.spark.sql.functions._
+      val fact = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey"))
+      def stage(n: String): org.apache.spark.sql.DataFrame = n match {
+        case "dev_basket_stage1" => // collect_set build
+          fact.join(broadcast(Tables.part(spark, sfDir)
+              .select(col("p_partkey"), col("p_brand"))),
+              col("l_partkey") === col("p_partkey"))
+            .groupBy(col("l_orderkey"))
+            .agg(array_sort(collect_set(col("p_brand"))).as("bs"))
+        case "dev_basket_mask" => // bit_or build only
+          fact.join(broadcast(Tables.part(spark, sfDir)
+              .select(col("p_partkey"), pmod(col("p_partkey"), lit(25)).as("idx"))),
+              col("l_partkey") === col("p_partkey"))
+            .groupBy(col("l_orderkey"))
+            .agg(bit_or(expr("shiftleft(cast(1 as bigint), idx)")).as("mask"))
+        case "dev_basket_join" => // broadcast join only, no agg
+          fact.join(broadcast(Tables.part(spark, sfDir)
+              .select(col("p_partkey"), col("p_brand"))),
+              col("l_partkey") === col("p_partkey"))
+            .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+        case "dev_basket_scan" => // fact scan + bounded agg only
+          fact.groupBy(pmod(col("l_partkey"), lit(32))).agg(count(lit(1)))
+      }
+      (1 to iters).foreach { i =>
+        val t0 = System.nanoTime()
+        stage(name).write.format("noop").mode("overwrite").save()
+        println(f"[runone] iter $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      spark.stop(); return
+    }
     val sampled = "q77_sampled_(\\d+)".r
     val hashed = "q81_hashed_(\\d+)".r
     val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame = name match {

@@ -14,44 +14,127 @@ object Associations {
 
   /** q124: brand-level market-basket pairs with support and lift.
     *
-    * Baskets are (order, brand) DISTINCT pairs (a brand bought twice in
-    * one order is one basket membership). Pairs come from the basket
-    * self-joined on the order key with `b1 < b2` — an equi-join both
-    * sides of which are the SAME shuffle output, so the planner reuses
-    * one exchange; per-order fanout is C(brands-in-order, 2), bounded
-    * by order size. Support = pair orders / total orders; lift =
-    * P(a,b) / (P(a)·P(b)) — the >1 region is where a recommender finds
-    * signal.
+    * Baskets are each order's DISTINCT brand set (a brand bought twice
+    * in one order is one membership); support = pair orders / total
+    * orders; lift = P(a,b) / (P(a)·P(b)) — the >1 region is where a
+    * recommender finds signal.
     *
-    * Scale shape: the pair groupBy's OUTPUT is O(|brands|²) = bounded
-    * (300 rows at 25 brands, any SF), so partial aggregation collapses
-    * the pair stream map-side and the exchange carries counters, not
-    * pairs. The per-item counts and the scalar order total are bounded
-    * broadcasts (the q109 shortlist contract). At the raw part-key
-    * level the same plan holds but the output is no longer bounded —
-    * that variant wants a min-support pre-prune on frequent ITEMS
-    * first (the A-priori property: a pair can't beat support s if
-    * either item doesn't), which this brand rollup gets for free. */
+    * Scale shape — ONE corpus-sized exchange total (the order-keyed
+    * basket build, unavoidable for any per-basket operator unless the
+    * fact table is bucketed by order key), which immediately collapses
+    * to the distinct basket-pattern HISTOGRAM; pairs then come from an
+    * in-row HOF expansion of each pattern's bit indices (each
+    * unordered pair once, fanout C(brands-in-basket, 2)) weighted by
+    * the pattern count. A basket SELF-JOIN formulation instead
+    * recomputes and re-shuffles the 60M-row basket build for every
+    * consumer — measured 24 s vs 11 s at 100×, where 11 s is the
+    * bit_or build's own floor. The pair/item groupBys have
+    * O(|brands|²) / O(|brands|) output, so partial aggregation
+    * collapses them map-side; item counts and the scalar order total
+    * broadcast into the final join (the q109 shortlist contract). At
+    * the raw part-key level the same plan holds but the output is
+    * unbounded — that variant wants the A-priori min-support pre-prune
+    * on frequent items first, which this brand rollup gets for free. */
   def q124MarketBasket(spark: SparkSession, dir: String): DataFrame = {
-    val baskets = Tables.lineitem(spark, dir)
-      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
-      .distinct()
-    val nOrders = baskets.select(countDistinct("okey").as("n_orders"))
-    val items = baskets.groupBy(col("brand")).agg(count(lit(1)).as("cnt"))
-    val pairs = baskets.select(col("okey"), col("brand").as("b1"))
-      .join(baskets.select(col("okey"), col("brand").as("b2")), "okey")
-      .filter(col("b1") < col("b2"))
-      .groupBy("b1", "b2")
-      .agg(count(lit(1)).as("n_pair"))
+    // The brand vocabulary is bounded — collect it (O(|brands|) driver
+    // state, the q109 shortlist contract) and represent each basket as
+    // a BITMASK under a codegen'd bit_or aggregate: 8-byte group state
+    // inside whole-stage codegen, and masks make the downstream
+    // pattern histogram a plain long groupBy. A collect_set basket
+    // build instead runs as ObjectHashAggregate (no codegen, per-row
+    // set churn). Vocabularies wider than 64 take [[basketPairsWide]],
+    // the array formulation, losing only the codegen'd aggregate.
+    val brands = Tables.part(spark, dir).select(col("p_brand")).distinct()
+      .collect().map(_.getString(0)).sorted
+    if (brands.length > 64)
+      return basketPairsWide(spark, dir)
+    // sorted-vocab index: bit i ↔ i-th brand in lexicographic order, so
+    // index order IS name order and pair (i < j) is pair (b1 < b2)
+    val idxOf = brands.zipWithIndex.toMap
+    val dict = broadcast(Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        typedlit[Map[String, Int]](idxOf).apply(col("p_brand")).as("idx")))
+    // ONE heavy pass total: the order-keyed bit_or (the only
+    // corpus-sized exchange — unavoidable for any per-basket operator
+    // unless the fact table is bucketed by order key, Bucketing.scala's
+    // layout) immediately collapses to the DISTINCT basket-pattern
+    // histogram (mask, n). Every rollup below — item counts, pair
+    // counts, the order total — runs over that tiny weighted table, so
+    // it never re-reads or re-shuffles the corpus; the pattern
+    // cardinality is bounded by min(orders, observed compositions) and
+    // the second groupBy partial-aggregates the 8-byte masks map-side.
+    val patterns = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(dict, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(bit_or(expr("shiftleft(cast(1 as bigint), idx)")).as("mask"))
+      .groupBy("mask").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = true) // materialized ONCE for its three
+                                     // consumers; O(patterns) rows
+    val idsExpr = "filter(sequence(0, 63), i -> (mask >> i) % 2 != 0)"
+    val nOrders = patterns.select(sum("n").as("n_orders"))
+    val items = patterns.select(explode(expr(idsExpr)).as("i"), col("n"))
+      .groupBy("i").agg(sum("n").as("cnt"))
+    val pairs = patterns
+      .select(expr(idsExpr).as("ids"), col("n"))
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS i1, y AS i2))))"))
+        .as("p"), col("n"))
+      .select(col("p.i1"), col("p.i2"), col("n"))
+      .groupBy("i1", "i2")
+      .agg(sum("n").as("n_pair"))
+    val names = typedlit(brands.toSeq)
     pairs
-      .join(broadcast(items.select(col("brand").as("b1"), col("cnt").as("cnt1"))), "b1")
-      .join(broadcast(items.select(col("brand").as("b2"), col("cnt").as("cnt2"))), "b2")
+      .join(broadcast(items.select(col("i").as("i1"), col("cnt").as("cnt1"))), "i1")
+      .join(broadcast(items.select(col("i").as("i2"), col("cnt").as("cnt2"))), "i2")
       .crossJoin(broadcast(nOrders))
-      .select(col("b1"), col("b2"), col("n_pair"),
+      .select(
+        element_at(names, col("i1") + 1).as("b1"),
+        element_at(names, col("i2") + 1).as("b2"),
+        col("n_pair"),
         round(col("n_pair").cast("double") / col("n_orders"), 6).as("support"),
         round(col("n_pair").cast("double") * col("n_orders") /
           (col("cnt1") * col("cnt2")), 6).as("lift"))
       .orderBy("b1", "b2")
+  }
+
+  /** The |vocab| > 64 fallback: per-basket sorted item ARRAYS via
+    * collect_set (ObjectHashAggregate — correct at any vocabulary
+    * width, just not codegen'd), then the same in-row pair expansion
+    * and bounded rollups as the bitmask path. */
+  def basketPairsWide(spark: SparkSession, dir: String): DataFrame = {
+    val brandOf = broadcast(
+      Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")))
+    val orderBrands = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(brandOf, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("p_brand"))).as("bs"))
+      .persist() // three bounded consumers; O(orders) rows, O(1) columns
+    try {
+      val nOrders = orderBrands.select(count(lit(1)).as("n_orders"))
+      val items = orderBrands
+        .select(explode(col("bs")).as("brand"))
+        .groupBy("brand").agg(count(lit(1)).as("cnt"))
+      val pairs = orderBrands
+        .select(explode(expr(
+          "flatten(transform(bs, (x, i) -> " +
+            "transform(slice(bs, i + 2, size(bs)), y -> struct(x AS b1, y AS b2))))"))
+          .as("p"))
+        .select(col("p.b1"), col("p.b2"))
+        .groupBy("b1", "b2")
+        .agg(count(lit(1)).as("n_pair"))
+      val out = pairs
+        .join(broadcast(items.select(col("brand").as("b1"), col("cnt").as("cnt1"))), "b1")
+        .join(broadcast(items.select(col("brand").as("b2"), col("cnt").as("cnt2"))), "b2")
+        .crossJoin(broadcast(nOrders))
+        .select(col("b1"), col("b2"), col("n_pair"),
+          round(col("n_pair").cast("double") / col("n_orders"), 6).as("support"),
+          round(col("n_pair").cast("double") * col("n_orders") /
+            (col("cnt1") * col("cnt2")), 6).as("lift"))
+        .orderBy("b1", "b2")
+      out.localCheckpoint(eager = true)
+    } finally orderBrands.unpersist()
   }
 }

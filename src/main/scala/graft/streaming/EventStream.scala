@@ -395,6 +395,110 @@ object EventStream {
         })
   }
 
+  /** Per-user attribution state: candidate touches (non-purchase
+    * events that could still be some purchase's nearest-preceding
+    * touch) and open purchases (still re-attributable if a later touch
+    * that precedes them arrives). `emitted` is the last touch type this
+    * purchase was credited to ("" = never emitted) so re-deliveries
+    * only emit CHANGES. */
+  case class Touch(us: Long, id: Long, tpe: String)
+  case class OpenPurchase(us: Long, id: Long, value: Option[Double], emitted: String)
+  case class AttribState(touches: Seq[Touch], purchases: Seq[OpenPurchase])
+  /** `touch_us`/`touch_id` are the winning touch's order key
+    * (Long.MinValue for `direct`): across re-emissions of one purchase
+    * the winning key STRICTLY increases (a credit only changes when a
+    * later-ordering touch arrives), so the final credit per purchase is
+    * the emission with the max (touch_us, touch_id) — an order-free
+    * fold that needs no sink ordering guarantee. */
+  case class TouchCredit(user_id: Long, event_id: Long, us: Long,
+                         value: Option[Double], touch_type: String,
+                         touch_us: Long, touch_id: Long)
+
+  /** Streaming twin of the batch q122 last-touch attribution: per
+    * purchase, credit the nearest PRECEDING non-purchase event in the
+    * (micros, event_id) order — re-emitting a purchase's credit row
+    * whenever a newly arrived touch improves it. Folding the LAST
+    * emission per event_id and rolling up by touch type reproduces the
+    * batch q122 table.
+    *
+    * Parity is ORDER-INDEPENDENT under any micro-batch delivery (the
+    * funnelStages contract): the state keeps every candidate that
+    * could still win for some admissible purchase, not a single
+    * running "last touch" (which an out-of-order delivery would
+    * corrupt). Trims, by the funnel's monotonicity argument:
+    *
+    *  - A future ROW (touch or purchase) carries ts ≥ watermark, and
+    *    the operator enforces that admission bound itself (Spark does
+    *    not late-filter flatMapGroupsWithState input). So among
+    *    touches BELOW the watermark only the latest can ever win again
+    *    — every stored purchase and every admissible future purchase
+    *    orders above ALL of them, so the latest dominates — and the
+    *    rest are dropped.
+    *  - A purchase BELOW the watermark can never be re-attributed (an
+    *    improving touch would have to order below it, hence below the
+    *    watermark, hence be inadmissible): its credit is final and it
+    *    leaves the state after its last emission.
+    *
+    * With a watermark, state per user is bounded by the events inside
+    * the watermark horizon + 1 touch; without one (wmMs = 0, the
+    * pre-1970 guard funnelStages documents) the trims are inactive and
+    * the exact unbounded contract applies. Purchases with no preceding
+    * touch credit `direct` (the batch coalesce). Null event_type rows
+    * are neither touches nor purchases — the batch `when(type <>
+    * 'purchase', type)` inside `last(ignoreNulls)` skips them and a
+    * null can't equal 'purchase'; null user_id/ts rows drop at ingest
+    * ([[droppingNullKeys]]). */
+  def attributionCredits(events: Dataset[TypedEvent]): Dataset[TouchCredit] = {
+    import events.sparkSession.implicits._
+    droppingNullKeys(events).groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[TypedEvent], state: GroupState[AttribState]) => {
+          val s0 = state.getOption.getOrElse(AttribState(Nil, Nil))
+          var touches = s0.touches.toVector
+          var purchases = s0.purchases.toVector
+          val wmMs =
+            try state.getCurrentWatermarkMs()
+            catch { case _: UnsupportedOperationException => 0L }
+          val admitUs = if (wmMs > 0L) wmMs * 1000L else Long.MinValue
+          rows.foreach { e =>
+            val us = eventMicros(e.ts)
+            if (us >= admitUs) e.event_type match {
+              case null       => ()
+              case "purchase" => purchases :+= OpenPurchase(us, e.event_id, e.value, "")
+              case t          => touches :+= Touch(us, e.event_id, t)
+            }
+          }
+          // touch trim: keep every touch at/above the watermark plus
+          // the single latest below it (it orders below every stored
+          // and every future purchase, and above its dominated peers)
+          if (admitUs != Long.MinValue) {
+            val (above, below) = touches.distinct.partition(_.us >= admitUs)
+            touches = above ++ below.maxByOption(t => (t.us, t.id))
+          } else touches = touches.distinct
+          touches = touches.sortBy(t => (t.us, t.id))
+          // a re-delivered purchase (retry) must not duplicate state;
+          // the stored copy (with its emitted marker) wins
+          purchases = purchases.distinctBy(p => (p.us, p.id))
+          val out = Vector.newBuilder[TouchCredit]
+          purchases = purchases.map { p =>
+            val best = touches.reverseIterator
+              .find(t => t.us < p.us || (t.us == p.us && t.id < p.id))
+            val credit = best.map(_.tpe).getOrElse("direct")
+            if (credit != p.emitted)
+              out += TouchCredit(userId, p.id, p.us, p.value, credit,
+                best.map(_.us).getOrElse(Long.MinValue),
+                best.map(_.id).getOrElse(Long.MinValue))
+            p.copy(emitted = credit)
+          }
+          // purchase finalization: below the watermark nothing can
+          // re-attribute it — emitted above, dropped here
+          if (admitUs != Long.MinValue)
+            purchases = purchases.filter(_.us >= admitUs)
+          state.update(AttribState(touches, purchases))
+          out.result().iterator
+        })
+  }
+
   /** UTC calendar day of a timestamp as 'yyyy-MM-dd' — the twin of the
     * batch `date_format(ts, "yyyy-MM-dd")` under the pinned UTC
     * session zone. */

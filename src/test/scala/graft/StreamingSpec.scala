@@ -426,6 +426,138 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"stage counts: $got vs batch $want")
   }
 
+  /** Order-free fold of [[EventStream.TouchCredit]] emissions: final
+    * credit per purchase = the emission with the max winning-touch key
+    * (strictly increasing across re-emissions — see the case class
+    * scaladoc), rolled up by touch type as batch q122 does. */
+  private def foldCredits(table: String): Map[String, (Long, Double)] =
+    spark.table(table).collect()
+      .map(r => (r.getLong(1), (r.getLong(5), r.getLong(6)), r.getString(4),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .groupBy(_._1).values
+      .map(_.maxBy(e => e._2))
+      .groupBy(_._3)
+      .map { case (t, es) => t -> (es.size.toLong, es.flatMap(_._4).sum) }
+
+  test("streaming attribution credits fold to the batch q122 table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-attrib-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    import spark.implicits._
+    val q = EventStream.attributionCredits(
+        EventStream.readStream(spark, dir.toString)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"), col("value"))
+          .as[EventStream.TypedEvent])
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attrib_credits")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-attrib-ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = foldCredits("attrib_credits")
+    val want = SparkEntry.queries("q122_attribution")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == want.keySet, s"${got.keySet} vs ${want.keySet}")
+    got.foreach { case (t, (n, v)) =>
+      assert(n == want(t)._1, s"$t: $n purchases vs ${want(t)._1}")
+      assert(math.abs(v - want(t)._2) < 1e-6, s"$t: $v vs ${want(t)._2}")
+    }
+  }
+
+  test("attribution fold equals an independent replay on randomized out-of-order deliveries") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // purchases routinely arrive BEFORE their touches here; the state
+    // must re-emit improved credits and the max-touch-key fold must
+    // land on the batch answer under ANY delivery split
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 3).foreach { round =>
+      val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+      val events = (1 to 60).map { id =>
+        (id.toLong, base.plusSeconds(rnd.nextInt(600) * 60L).toEpochMilli * 1000L,
+          (id % 5).toLong + 1,
+          Seq("view", "click", "signup", "purchase")(rnd.nextInt(4)), id * 0.5)
+      }
+      // independent truth: per purchase, last preceding non-purchase in
+      // (us, id) order
+      val want = events.filter(_._4 == "purchase").map { p =>
+        val touch = events
+          .filter(e => e._3 == p._3 && e._4 != "purchase" &&
+            (e._2 < p._2 || (e._2 == p._2 && e._1 < p._1)))
+          .sortBy(e => (e._2, e._1)).lastOption
+        p._1 -> touch.map(_._4).getOrElse("direct")
+      }.toMap
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = MemoryStream[(Long, Long, Long, String, Double)]
+      val q = EventStream.attributionCredits(
+          ms.toDF().toDF("event_id", "us", "user_id", "event_type", "value")
+            .select(col("user_id"), col("event_id"),
+              expr("timestamp_micros(us)").as("ts"), col("event_type"), col("value"))
+            .as[EventStream.TypedEvent])
+        .writeStream.outputMode("append").format("memory")
+        .queryName(s"rand_attrib_$round")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"graft-ra-$round").toString)
+        .start()
+      try {
+        var rest = rnd.shuffle(events)
+        while (rest.nonEmpty) {
+          val take = 1 + rnd.nextInt(7)
+          ms.addData(rest.take(take))
+          q.processAllAvailable()
+          rest = rest.drop(take)
+        }
+      } finally q.stop()
+      val got = spark.table(s"rand_attrib_$round").collect()
+        .map(r => (r.getLong(1), (r.getLong(5), r.getLong(6)), r.getString(4)))
+        .groupBy(_._1).values.map(es => es.maxBy(_._2)._1 -> es.maxBy(_._2)._3).toMap
+      assert(got == want, s"seed round $round: $got != $want")
+    }
+  }
+
+  test("watermarked attribution finalizes old purchases and trims dead touches, same answer") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def us(minute: Long) = base.plusSeconds(minute * 60).toEpochMilli * 1000L
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long, String, Double)]
+    val q = EventStream.attributionCredits(
+        ms.toDF().toDF("event_id", "us", "user_id", "event_type", "value")
+          .select(col("user_id"), col("event_id"),
+            expr("timestamp_micros(us)").as("ts"), col("event_type"), col("value"))
+          .withWatermark("ts", "10 minutes")
+          .as[EventStream.TypedEvent])
+      .writeStream.outputMode("append").format("memory").queryName("wm_attrib")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-wm-attrib-ckpt").toString)
+      .start()
+    try {
+      // batch A: u1 has touches at 2/5min and a purchase at 7min; the
+      // 60-min event pushes the watermark to 50min for batch B — the
+      // purchase@7 finalizes (credit = click@5), the 2-min view is
+      // dominated by the 5-min click (both below wm) and trims
+      ms.addData(Seq(
+        (1L, us(2), 1L, "view", 1.0),
+        (2L, us(5), 1L, "click", 1.0),
+        (3L, us(7), 1L, "purchase", 4.0),
+        (4L, us(60), 2L, "view", 1.0)))
+      q.processAllAvailable()
+      // batch B: a LATE touch below the purchase (inadmissible, must
+      // NOT re-attribute the finalized purchase) plus u2's purchase
+      // crediting the still-stored view@60
+      ms.addData(Seq(
+        (5L, us(6), 1L, "signup", 1.0),
+        (6L, us(61), 2L, "purchase", 2.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = foldCredits("wm_attrib")
+    assert(got == Map("click" -> (1L, 4.0), "view" -> (1L, 2.0)),
+      s"watermark finalization/trim must preserve credits: $got")
+  }
+
   test("stateful streaming twins survive dirty rows; parity over keyable rows") {
     import spark.implicits._
     // the batch dirty-events sweep's own rationale: a 100 TB event log
