@@ -117,6 +117,11 @@ object SparkEntry {
     "q123_fuzzy_names"   -> (Linkage.q123FuzzyNames _),
     "q124_market_basket" -> (Associations.q124MarketBasket _),
     "q125_seasonal_index" -> (Temporal.q125SeasonalIndex _),
+    "q126_changepoint"   -> (Temporal.q126Changepoint _),
+    "q127_conversion_latency" -> (Temporal.q127ConversionLatency _),
+    "q128_label_prop"    -> (Graph.q128LabelProp _),
+    "q129_interval_lookup" -> (Temporal.q129IntervalLookup _),
+    "q130_profile"       -> (Profile.q130ProfileLineitem _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -681,6 +686,106 @@ object SparkEntry {
         |       round(CAST(n_pair AS DOUBLE) * n_orders / (i1.cnt * i2.cnt), 6) AS lift
         |FROM pairs JOIN item i1 ON b1 = i1.brand JOIN item i2 ON b2 = i2.brand
         |CROSS JOIN tot ORDER BY b1, b2""".stripMargin,
+
+    // frames must be FULL (7 rows) on both sides before a score exists;
+    // daily sums and both means round at 6 dp (q113 convention)
+    "q126_changepoint" ->
+      """WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |    round(sum(value), 6) AS x FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, x,
+        |    CASE WHEN count(x) OVER lw = 7 THEN round(avg(x) OVER lw, 6) END AS left_mean,
+        |    CASE WHEN count(x) OVER rw = 7 THEN round(avg(x) OVER rw, 6) END AS right_mean
+        |  FROM d
+        |  WINDOW lw AS (PARTITION BY event_type ORDER BY day
+        |                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING),
+        |         rw AS (PARTITION BY event_type ORDER BY day
+        |                ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING))
+        |SELECT event_type, day, x, left_mean, right_mean,
+        |  CASE WHEN left_mean IS NOT NULL AND right_mean IS NOT NULL
+        |       THEN round(right_mean - left_mean, 6) END AS shift,
+        |  CAST(CASE WHEN left_mean IS NULL OR right_mean IS NULL THEN 0
+        |            WHEN abs(round(right_mean - left_mean, 6)) >
+        |                 0.25 * greatest(abs(left_mean), 1.0) THEN 1
+        |            ELSE 0 END AS BIGINT) AS is_change
+        |FROM w ORDER BY event_type, day""".stripMargin,
+
+    // integer micros end to end (the q102 idiom); percentile inputs
+    // round to 6 dp so quantile_cont interpolates identical doubles
+    "q127_conversion_latency" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+        |fv AS (SELECT user_id, min(us) AS fv FROM ev
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |fp AS (SELECT ev.user_id, fv, min(us) AS fp FROM ev JOIN fv USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > fv GROUP BY ev.user_id, fv),
+        |d AS (SELECT round((fp - fv) / 1000000.0, 6) AS delta_s FROM fp)
+        |SELECT count(*) AS n_users,
+        |       round(quantile_cont(delta_s, 0.25), 4) AS p25_s,
+        |       round(quantile_cont(delta_s, 0.5), 4) AS median_s,
+        |       round(quantile_cont(delta_s, 0.9), 4) AS p90_s
+        |FROM d""".stripMargin,
+
+    // three unrolled sync rounds, each referencing its predecessor
+    // once (the q110/q116 inlining rule); top-1 vote via row_number
+    // with the (votes DESC, label ASC) deterministic tie order
+    "q128_label_prop" -> {
+      val rounds = (1 to 3).map { k =>
+        s"""l$k AS MATERIALIZED (SELECT node, label FROM (
+           |  SELECT s.src AS node, l.label, count(*) AS votes,
+           |         row_number() OVER (PARTITION BY s.src
+           |                            ORDER BY count(*) DESC, l.label) AS rn
+           |  FROM sym s JOIN l${k - 1} l ON l.node = s.dst
+           |  GROUP BY s.src, l.label)
+           |WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT doc_id, ${tok("text")} AS ws FROM documents),
+         |pairs AS (SELECT p['w1'] AS w1, p['w2'] AS w2 FROM
+         |  (SELECT unnest(list_transform(range(1, len(ws)),
+         |     i -> {'w1': ws[i], 'w2': ws[i+1]})) AS p
+         |   FROM t WHERE len(ws) >= 2)),
+         |ed AS (SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+         |       FROM pairs WHERE w1 <> w2),
+         |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM ed
+         |                     UNION SELECT b, a FROM ed),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+         |$rounds
+         |SELECT node AS word, label FROM l3 ORDER BY word""".stripMargin
+    },
+
+    // equi-join on user + range residual; intervals from NON-purchase
+    // events only (q111's machinery on raw micros)
+    "q129_interval_lookup" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+        |    FROM events WHERE event_type IS NOT NULL),
+        |np AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |         OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM ev WHERE event_type <> 'purchase'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |v AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version FROM np),
+        |iv AS (SELECT user_id, version, event_type AS state, min(us) AS from_us
+        |       FROM v GROUP BY user_id, version, event_type),
+        |iv2 AS (SELECT *, lead(from_us) OVER (PARTITION BY user_id ORDER BY version)
+        |          AS to_us FROM iv),
+        |p AS (SELECT user_id, event_id, epoch_us(ts) AS p_us, value FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, iv2.state, iv2.version,
+        |       round(p.value, 6) AS value
+        |FROM p JOIN iv2 ON p.user_id = iv2.user_id
+        |  AND iv2.from_us <= p.p_us AND (iv2.to_us IS NULL OR p.p_us < iv2.to_us)
+        |ORDER BY event_id""".stripMargin,
+
+    "q130_profile" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      cols.map { c =>
+        s"""SELECT '$c' AS column_name,
+           |  (SELECT count(*) FROM lineitem) AS n_rows,
+           |  count(*) - count($c) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
 
     // daily sums round to 6 dp BEFORE the dow mean (q113 convention);
     // DuckDB dayofweek is 0=Sunday, Spark's is 1=Sunday — shift here

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed graph primitives for dedup cluster resolution. A pair
@@ -245,6 +246,60 @@ object Graph {
       .union(tri.select(col("v").as("id")))
       .union(tri.select(col("w").as("id")))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Synchronous label propagation (Raghavan et al. '07) made
+    * deterministic: every node starts labeled with itself; each round,
+    * every node adopts the most frequent label among its NEIGHBORS,
+    * ties broken by lexicographically smallest label; a fixed round
+    * count makes the result a pure function of the edge list (the
+    * q110 fixed-iteration contract), hence oracle-checkable. Unlike
+    * connectedComponents' min-label fixpoint, frequency voting finds
+    * DENSE communities — a bridge edge between two cliques doesn't
+    * merge them, because one vote loses to the clique majority.
+    *
+    * Per round: one join of the O(E) symmetric edge list against the
+    * O(V) label table, a (node, label) partial-aggregated count, and a
+    * per-node top-1 window — all key-partitioned; localCheckpoint per
+    * round cuts the recursive lineage (the [[connectedComponents]]
+    * rule). */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    val sym = edges
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    val top = Window.partitionBy("node")
+      .orderBy(desc("votes"), asc("label"))
+    (1 to iters).foreach { _ =>
+      labels = sym
+        .join(labels.select(col("node").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("rn", row_number().over(top))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** q128: communities of the q110 word co-occurrence graph via 3
+    * deterministic label-propagation rounds — the curation view that
+    * groups vocabulary into topical clusters where q68's connected
+    * components would glue everything reachable into one blob. */
+  def q128LabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val edges = TextAnalysis.transitions(spark, dir)
+      .filter(col("w1") =!= col("w2"))
+      .select(least(col("w1"), col("w2")).as("id_a"),
+        greatest(col("w1"), col("w2")).as("id_b"))
+      .distinct()
+    labelPropagation(edges, iters = 3)
+      .select(col("node").as("word"), col("label"))
+      .orderBy("word")
   }
 
   /** q117: triangle counts over the q110 word co-occurrence graph —

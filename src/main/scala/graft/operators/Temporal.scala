@@ -134,6 +134,105 @@ object Temporal {
       .orderBy("event_type", "day")
   }
 
+  /** q126: sliding two-window changepoint score on the daily per-type
+    * series — the level-shift detector that catches what q113's EWMA
+    * smooths over and q125's seasonal index normalizes away: a
+    * persistent regime change. Score = mean of the 7 days FROM today
+    * minus mean of the 7 days BEFORE it (both frames full, else null);
+    * a shift flags when it exceeds 25 % of max(|left|, 1), the q113
+    * threshold convention. Both window means run over 6-dp-rounded
+    * daily sums (the q113 rounding contract) in frame order, so both
+    * engines average identical doubles. Scale: identical to q113 —
+    * the scan collapses to O(types × days) rows first; the windows run
+    * on the collapsed series. */
+  def q126Changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val left = w.rowsBetween(-7, -1)
+    val right = w.rowsBetween(Window.currentRow, 6)
+    Tables.events(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(round(sum("value"), 6).as("x"))
+      .withColumn("left_mean",
+        when(count("x").over(left) === 7, round(avg("x").over(left), 6)))
+      .withColumn("right_mean",
+        when(count("x").over(right) === 7, round(avg("x").over(right), 6)))
+      .withColumn("shift",
+        when(col("left_mean").isNotNull && col("right_mean").isNotNull,
+          round(col("right_mean") - col("left_mean"), 6)))
+      .withColumn("is_change",
+        when(col("shift").isNull, lit(0L))
+          .otherwise((abs(col("shift")) >
+            lit(0.25) * greatest(abs(col("left_mean")), lit(1.0))).cast("long")))
+      .orderBy("event_type", "day")
+  }
+
+  /** q127: view→purchase conversion-latency distribution — per user,
+    * the gap from FIRST view to the first purchase strictly after it,
+    * summarized as exact p25/median/p90 seconds. The product-analytics
+    * companion to q102's funnel counts (how MANY convert) — this is
+    * how FAST. Integer epoch-micros throughout (unix_micros /
+    * epoch_us), so both engines difference identical values; the
+    * percentile inputs round to 6 dp first (the q51 exact-percentile
+    * contract holds: interpolation over identical doubles). Scale:
+    * two user-keyed partial-aggregated groupBys + one broadcast-sized
+    * join of per-user firsts; the final percentile is one
+    * O(users)-value aggregate — the q51b sketch is the declared path
+    * when even per-user rows overwhelm a single aggregate buffer. */
+  def q127ConversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+    val fv = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("fv"))
+    val deltas = ev.filter(col("event_type") === "purchase")
+      .join(fv, "user_id")
+      .filter(col("us") > col("fv"))
+      .groupBy(col("user_id"), col("fv"))
+      .agg(min("us").as("fp"))
+      .select(round((col("fp") - col("fv")) / lit(1000000.0), 6).as("delta_s"))
+    deltas.agg(
+      count(lit(1)).as("n_users"),
+      round(expr("percentile(delta_s, 0.25)"), 4).as("p25_s"),
+      round(expr("percentile(delta_s, 0.5)"), 4).as("median_s"),
+      round(expr("percentile(delta_s, 0.9)"), 4).as("p90_s"))
+  }
+
+  /** q129: point-in-interval state lookup — join each purchase to the
+    * SCD2 validity interval (built from the user's NON-purchase events,
+    * the q111 machinery) that was active at purchase time: "what state
+    * was the user in when they bought". The standard dimension-history
+    * lookup a warehouse does against a Kimball SCD2 table. The join is
+    * an equi-join on user_id with a range residual (from_us ≤ p <
+    * to_us) — never a cross join; per-user interval counts are bounded
+    * by that user's state changes, so the sort-merge side stays
+    * balanced under the same per-key contract as q111/q112. */
+  def q129IntervalLookup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy(asc("us"), asc("event_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wv = Window.partitionBy("user_id").orderBy("version")
+    val intervals = ev.filter(col("event_type") =!= "purchase")
+      .withColumn("chg",
+        when(lag("event_type", 1).over(w).isNull ||
+          lag("event_type", 1).over(w) =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("version", sum("chg").over(cum))
+      .groupBy(col("user_id"), col("version"), col("event_type").as("state"))
+      .agg(min("us").as("from_us"))
+      .withColumn("to_us", lead("from_us", 1).over(wv))
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("p_us"), col("value"))
+      .join(intervals, Seq("user_id"))
+      .filter(col("from_us") <= col("p_us") &&
+        (col("to_us").isNull || col("p_us") < col("to_us")))
+      .select(col("event_id"), col("user_id"), col("state"), col("version"),
+        round(col("value"), 6).as("value"))
+      .orderBy("event_id")
+  }
+
   /** q113's smoothing weights (1−α)^(i−1) for lags 1..8, α = 0.3 —
     * computed ONCE here and interpolated verbatim into the oracle SQL
     * (Double.toString round-trips, so both engines evaluate identical

@@ -854,6 +854,26 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q130 profile agrees with per-column replays and handles an all-null column") {
+    import spark.implicits._
+    val got = run("q130_profile").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val li = graft.Tables.lineitem(spark, sf0001)
+    assert(got.keySet == li.columns.toSet)
+    val n = li.count()
+    li.columns.take(4).foreach { c => // spot-replay a prefix, one pass each
+      val nn = li.filter(col(c).isNull).count()
+      val nd = li.select(c).na.drop().distinct().count()
+      assert(got(c) == ((n, nn, nd)), s"$c: ${got(c)} vs ($n, $nn, $nd)")
+    }
+    // nulls count as null, not as a distinct value
+    val df = Seq((1L, Some("x")), (2L, None), (3L, Some("x")), (4L, None))
+      .toDF("id", "v")
+    val p = graft.operators.Profile.profile(df, Seq("id", "v")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(p("id") == ((4L, 0L, 4L)) && p("v") == ((4L, 2L, 1L)), s"$p")
+  }
+
   test("no declared query plans a CartesianProduct") {
     // one-row-total cross joins plan as BroadcastNestedLoopJoin (fine:
     // a broadcast of one aggregate row); an actual CartesianProduct —
@@ -932,7 +952,7 @@ class QueriesSpec extends AnyFunSuite {
       "q94b_langid_seed", "q95_bm25", "q96_hybrid_rrf", "q97_weighted_sample",
       "q98_snapshot_drift", "q100_padding_waste", "q106_snapshot_delta",
       "q109_heavy_hitters", "q110_textrank", "q117_triangles",
-      "q118_bloom_decontaminate", "q120_source_divergence")
+      "q118_bloom_decontaminate", "q120_source_divergence", "q128_label_prop")
     val failures = docQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -982,7 +1002,8 @@ class QueriesSpec extends AnyFunSuite {
       "q28_map_fns", "q29_pivot", "q48_asof_join", "q80_event_zscore",
       "q101_retention_cohorts", "q102_event_funnel",
       "q111_scd2", "q112_markov_transitions", "q113_ewma_anomaly",
-      "q121_sequence_match", "q122_attribution", "q125_seasonal_index")
+      "q121_sequence_match", "q122_attribution", "q125_seasonal_index",
+      "q126_changepoint", "q127_conversion_latency", "q129_interval_lookup")
     val failures = eventQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>

@@ -218,6 +218,146 @@ class TemporalGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("q126 changepoint: means recomputed from the declared series; edges have no score") {
+    val rows = SparkEntry.queries("q126_changepoint")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+        r.getLong(6)))
+    assert(rows.nonEmpty)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // columns: (day, event_type, x, ...) — group by the TYPE, walk days
+    rows.groupBy(_._2).foreach { case (_, rsU) =>
+      val rs = rsU.sortBy(_._1)
+      rs.indices.foreach { i =>
+        val left = (i - 7 until i).filter(_ >= 0).map(j => rs(j)._3)
+        val right = (i until i + 7).filter(_ < rs.length).map(j => rs(j)._3)
+        val wantL = if (left.size == 7) Some(r6(left.sum / 7)) else None
+        val wantR = if (right.size == 7) Some(r6(right.sum / 7)) else None
+        (rs(i)._4, wantL) match {
+          case (Some(a), Some(b)) => assert(math.abs(a - b) < 2e-6)
+          case (a, b) => assert(a.isEmpty == b.isEmpty, s"left at $i: $a vs $b")
+        }
+        (rs(i)._5, wantR) match {
+          case (Some(a), Some(b)) => assert(math.abs(a - b) < 2e-6)
+          case (a, b) => assert(a.isEmpty == b.isEmpty, s"right at $i: $a vs $b")
+        }
+        // a score exists exactly when both frames are full
+        assert(rs(i)._6.isDefined == (rs(i)._4.isDefined && rs(i)._5.isDefined))
+      }
+      // the first 7 and last 6 days of every series can never score
+      assert(rs.take(7).forall(_._6.isEmpty) && rs.takeRight(6).forall(_._6.isEmpty))
+    }
+  }
+
+  test("q126 flags a planted level shift and nothing in a flat series") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cpd").toString
+    // 28 days: flat 10.0 then a persistent jump to 100.0 at day 15
+    val rows = (1 to 28).map { d =>
+      (d.toLong, f"2024-01-$d%02d 12:00:00", 7L, "view",
+        if (d <= 14) 10.0 else 100.0, "{}")
+    }
+    rows.toDF("event_id", "day", "user_id", "event_type", "value", "props")
+      .select(col("event_id"),
+        expr("cast(to_timestamp(day) as timestamp_ntz)").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q126_changepoint")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(6)).toMap
+    // the shift window [day 9..15] sees the jump; day 15 itself is the
+    // strongest (left all-10, right all-100)
+    assert(out("2024-01-15") == 1L, s"planted shift must flag: $out")
+    // a pure-flat region scores zero shift → no flag
+    assert(out("2024-01-08") == 0L)
+    assert(out.values.sum >= 1L)
+  }
+
+  test("q127 conversion latency agrees with an independent replay") {
+    val row = SparkEntry.queries("q127_conversion_latency")(spark, sf0001).collect().head
+    val ev = Tables.events(spark, sf0001)
+      .select("user_id", "ts", "event_type").collect()
+      .filter(!_.isNullAt(2))
+      .map(r => (r.getLong(0),
+        Math.floorDiv(r.getTimestamp(1).getTime, 1000L) * 1000000L +
+          r.getTimestamp(1).getNanos / 1000L, r.getString(2)))
+    val deltas = ev.groupBy(_._1).values.flatMap { es =>
+      val fv = es.filter(_._3 == "view").map(_._2).minOption
+      fv.flatMap { v =>
+        es.filter(e => e._3 == "purchase" && e._2 > v).map(_._2).minOption
+          .map(p => BigDecimal((p - v) / 1000000.0)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }.toSeq.sorted
+    assert(row.getLong(0) == deltas.size.toLong)
+    // exact interpolated percentile, the q51 definition
+    def pct(p: Double): Double = {
+      val pos = p * (deltas.size - 1)
+      val lo = pos.toInt
+      val frac = pos - lo
+      val v = if (lo + 1 < deltas.size)
+        deltas(lo) + frac * (deltas(lo + 1) - deltas(lo)) else deltas(lo)
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(math.abs(row.getDouble(1) - pct(0.25)) < 2e-4)
+    assert(math.abs(row.getDouble(2) - pct(0.5)) < 2e-4)
+    assert(math.abs(row.getDouble(3) - pct(0.9)) < 2e-4)
+  }
+
+  test("labelPropagation separates two cliques joined by a bridge; CC merges them") {
+    import spark.implicits._
+    // two 4-cliques bridged by one edge: frequency voting keeps two
+    // communities, min-label CC floods everything to one
+    def clique(ns: Seq[String]) =
+      for (i <- ns.indices; j <- i + 1 until ns.length) yield (ns(i), ns(j))
+    val left = clique(Seq("a1", "a2", "a3", "a4"))
+    val right = clique(Seq("b1", "b2", "b3", "b4"))
+    val edges = (left ++ right :+ ("a1" -> "b1")).toDF("id_a", "id_b")
+    val lp = graft.operators.Graph.labelPropagation(edges, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val aLabels = Seq("a2", "a3", "a4").map(lp).toSet
+    val bLabels = Seq("b2", "b3", "b4").map(lp).toSet
+    assert(aLabels == Set("a1") && bLabels == Set("b1"),
+      s"clique interiors must adopt the clique hub label: $lp")
+    // the two communities stay distinct (CC would merge via the bridge)
+    assert(lp("a2") != lp("b2"))
+    val cc = graft.operators.Graph.connectedComponents(edges.select(
+        hash(col("id_a")).cast("long").as("id_a"),
+        hash(col("id_b")).cast("long").as("id_b")))
+      .collect().map(_.getLong(1)).toSet
+    assert(cc.size == 1, "sanity: CC merges the bridged cliques")
+  }
+
+  test("q129 interval lookup agrees with a per-purchase state replay") {
+    val got = SparkEntry.queries("q129_interval_lookup")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf0001)
+      .select("user_id", "event_id", "ts", "event_type").collect()
+      .filter(!_.isNullAt(3))
+      .map(r => (r.getLong(0), r.getLong(1),
+        Math.floorDiv(r.getTimestamp(2).getTime, 1000L) * 1000000L +
+          r.getTimestamp(2).getNanos / 1000L, r.getString(3)))
+    val want = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val states = es.filter(_._4 != "purchase").sortBy(e => (e._3, e._2))
+      // runs of equal type → (state, version, from_us); lookup by scan
+      val runs = states.foldLeft(Vector.empty[(String, Long, Long)]) { (acc, e) =>
+        if (acc.isEmpty || acc.last._1 != e._4)
+          acc :+ ((e._4, acc.size + 1L, e._3))
+        else acc
+      }
+      es.filter(_._4 == "purchase").flatMap { p =>
+        val active = runs.zipWithIndex
+          .filter { case ((_, _, from), i) =>
+            from <= p._3 && runs.lift(i + 1).forall(next => p._3 < next._3)
+          }
+        active.map { case ((st, ver, _), _) => (p._2, u, st, ver) }
+      }
+    }.toSet
+    assert(got.toSet == want)
+  }
+
   test("q113 EWMA: baseline recomputed from the declared series matches") {
     val rows = SparkEntry.queries("q113_ewma_anomaly")(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
