@@ -122,6 +122,9 @@ object SparkEntry {
     "q128_label_prop"    -> (Graph.q128LabelProp _),
     "q129_interval_lookup" -> (Temporal.q129IntervalLookup _),
     "q130_profile"       -> (Profile.q130ProfileLineitem _),
+    // rows-only by the q44/q51b sketch contract: HLL internals are
+    // engine-specific; the rsd-bound-vs-exact contract is in QueriesSpec
+    "q130b_profile_approx" -> (Profile.q130bProfileApprox _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -722,7 +725,7 @@ object SparkEntry {
         |       round(quantile_cont(delta_s, 0.25), 4) AS p25_s,
         |       round(quantile_cont(delta_s, 0.5), 4) AS median_s,
         |       round(quantile_cont(delta_s, 0.9), 4) AS p90_s
-        |FROM d""".stripMargin,
+        |FROM d ORDER BY n_users""".stripMargin,
 
     // three unrolled sync rounds, each referencing its predecessor
     // once (the q110/q116 inlining rule); top-1 vote via row_number

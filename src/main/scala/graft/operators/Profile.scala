@@ -43,4 +43,37 @@ object Profile {
     val li = Tables.lineitem(spark, dir)
     profile(li, li.columns.toSeq)
   }
+
+  /** The 100 TB profile path — approx_count_distinct (HLL++, rsd 2 %)
+    * instead of exact distincts: the N HLL aggregates are ordinary
+    * partial-aggregable functions, so the plan is ONE scan with NO
+    * Expand (exact multi-count-distinct fans every row out N+1 ways
+    * and keeps per-column distinct state — measured 33 s exact vs 9 s
+    * HLL at 100× on near-unique columns, with the HLL pass flat in
+    * memory where the exact one carries 15M-key hash state per
+    * high-cardinality column). Sketch contents are engine-specific
+    * (the q44/q51b precedent), so the query is declared rows-only; its
+    * contract — every estimate within the rsd bound of q130's exact
+    * answer — is the spec instead. */
+  def profileApprox(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val aggs = columns.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        approx_count_distinct(col(c), rsd = 0.02).as(s"__nd_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stackArgs = columns
+      .map(c => s"'$c', __n - `__nn_$c`, `__nd_$c`")
+      .mkString(", ")
+    one.select(col("__n"), expr(
+        s"stack(${columns.size}, $stackArgs) AS (column_name, n_null, n_distinct_approx)"))
+      .select(col("column_name"), col("__n").as("n_rows"),
+        col("n_null"), col("n_distinct_approx"))
+      .orderBy("column_name")
+  }
+
+  /** q130b: the lineitem profile through the sketch path. */
+  def q130bProfileApprox(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    profileApprox(li, li.columns.toSeq)
+  }
 }

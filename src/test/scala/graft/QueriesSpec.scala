@@ -360,7 +360,11 @@ class QueriesSpec extends AnyFunSuite {
       // q107: projection coordinates inherit the eigensolve's
       // sign/rotation ambiguity; reproducibility + variance ordering
       // are spec-tested (LinAlgSpec) instead
-      "q107_pca_project")
+      "q107_pca_project",
+      // q130b: HLL++ estimates are engine-specific sketch contents
+      // (the q44/q51b precedent); the rsd-bound-vs-exact-q130 contract
+      // is spec-tested above instead
+      "q130b_profile_approx")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries with neither oracle nor rows-only justification: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -872,6 +876,21 @@ class QueriesSpec extends AnyFunSuite {
     val p = graft.operators.Profile.profile(df, Seq("id", "v")).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(p("id") == ((4L, 0L, 4L)) && p("v") == ((4L, 2L, 1L)), s"$p")
+  }
+
+  test("q130b approx profile tracks the exact profile within the HLL rsd bound") {
+    val exact = run("q130_profile").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val approx = run("q130b_profile_approx").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (c, (n, nn, nd)) =>
+      val (en, enn, end) = exact(c)
+      // rows and nulls are exact on both paths; only distinct sketches
+      assert(n == en && nn == enn, s"$c: exact counters must agree")
+      // HLL++ rsd 0.02 → allow 5 sigma plus integer slack on tiny counts
+      assert(math.abs(nd - end) <= math.max(2.0, 0.10 * end), s"$c: $nd vs exact $end")
+    }
   }
 
   test("no declared query plans a CartesianProduct") {

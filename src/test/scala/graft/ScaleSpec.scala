@@ -605,4 +605,53 @@ class ScaleSpec extends AnyFunSuite {
     val exchanges = plan.split("Exchange hashpartitioning").length - 1
     assert(exchanges == 1, s"q111: want exactly 1 exchange, got $exchanges:\n${plan.take(1500)}")
   }
+
+  test("q122 attribution plans one user-keyed exchange; the credit rollup is map-combined") {
+    // the IGNORE-NULLS trailing window partitions by user_id; the final
+    // touch-type groupBy has O(|types|) output, so its exchange carries
+    // partial-aggregated counters, and no second corpus-sized
+    // hashpartitioning may appear
+    val qe = SparkEntry.queries("q122_attribution")(spark, sf0001).queryExecution
+    val plan = qe.executedPlan.toString
+    val userExchanges = plan.split("Exchange hashpartitioning\\(user_id").length - 1
+    assert(userExchanges == 1, s"q122: want 1 user exchange:\n${plan.take(1500)}")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"credit rollup must partial-aggregate:\n${plan.take(1500)}")
+  }
+
+  test("q124 basket pairs join only broadcasts after the pattern histogram") {
+    // everything downstream of the one order-keyed build must be
+    // broadcast joins over bounded tables — a shuffle join there would
+    // mean the corpus leaked past the histogram collapse
+    val plan = SparkEntry.queries("q124_market_basket")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"q124 downstream joins must broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q129 interval lookup is a user equi-join, not a cross product") {
+    // the range residual (from_us <= p < to_us) must ride on the
+    // user_id equi-join as a post-join filter — a missing equi-key
+    // would plan a cartesian/BNLJ over purchases × intervals
+    val plan = SparkEntry.queries("q129_interval_lookup")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"q129 must plan an equi-join:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q129 must not degrade to a loop join:\n${plan.take(1500)}")
+  }
+
+  test("q130 profile plans ONE scan pass: a single Expand aggregate, no union of scans") {
+    // the profiler's contract: N count-distincts in one Aggregate =
+    // one Expand over one scan; a per-column union would scan the
+    // table N times
+    val plan = SparkEntry.queries("q130_profile")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val scans = plan.split("Scan parquet").length - 1
+    assert(scans == 1, s"q130: want exactly 1 scan, got $scans:\n${plan.take(1500)}")
+    assert(plan.contains("Expand"), s"q130 should plan via Expand:\n${plan.take(1200)}")
+  }
 }

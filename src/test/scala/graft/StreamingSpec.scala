@@ -616,6 +616,9 @@ class StreamingSpec extends AnyFunSuite {
     drain("dirty_sess", df => EventStream.sessionCountsSnapshot(
       df.select(col("user_id"), col("event_id"), col("ts")).as[EventStream.Event]),
       mode = "update")
+    drain("dirty_attrib", df => EventStream.attributionCredits(
+      df.select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value")).as[EventStream.TypedEvent]))
     // retention matrix == batch q101 over the keyable rows
     val gotRet = EventStream.retentionMatrix(spark.table("dirty_retention"))
       .collect().map(_.toSeq).toSeq
@@ -645,6 +648,70 @@ class StreamingSpec extends AnyFunSuite {
       .select("user_id", "n_sessions", "n_events")
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(gotS == wantS && gotS.nonEmpty)
+    // attribution credits == batch q122 over the keyable rows (the
+    // null-TYPE row is neither touch nor purchase in both engines)
+    val gotA = foldCredits("dirty_attrib")
+    val wantA = SparkEntry.queries("q122_attribution")(spark, keyableDir.toString)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(gotA.keySet == wantA.keySet && gotA.nonEmpty)
+    gotA.foreach { case (t, (n, v)) =>
+      assert(n == wantA(t)._1 && math.abs(v - wantA(t)._2) < 1e-6, s"$t: ($n,$v) vs ${wantA(t)}")
+    }
+  }
+
+  test("attribution twin recovers purchases and touches from a checkpoint restart") {
+    import spark.implicits._
+    // the rich-state restart scenario, modeled on the funnel/z pair:
+    // u1's purchase arrives in run 1 with NO touch (credited direct);
+    // the admitting view arrives in run 2 with an EARLIER ts — only
+    // restored purchase state can re-emit the improved credit. u2's
+    // touch arrives in run 1, its purchase in run 2 — only a restored
+    // touch can credit it. Fresh state would emit direct for u2 and
+    // nothing more for u1.
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def us(minute: Long) = base.plusSeconds(minute * 60).toEpochMilli * 1000L
+    def ev(id: Long, user: Long, minute: Long, tpe: String, value: Double) =
+      (id, us(minute), user, tpe, value, "{}")
+    val fileA = Seq(ev(1, 1, 50, "purchase", 5.0), ev(2, 2, 10, "view", 1.0))
+    val fileB = Seq(ev(3, 1, 40, "view", 1.0), ev(4, 2, 20, "purchase", 7.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-arestart")
+    val ck = java.nio.file.Files.createTempDirectory("graft-arestart-ckpt").toString
+    writeFlatEvents(dir, "a.parquet", fileA)
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Long, Option[Double])]
+    def query() = EventStream.attributionCredits(
+        EventStream.readStream(spark, dir.toString)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"), col("value")).as[EventStream.TypedEvent])
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[EventStream.TouchCredit], _: Long) =>
+        val out = batch.collect()
+          .map(c => (c.event_id, c.touch_type, c.touch_us, c.touch_id, c.value))
+        rows.synchronized { rows ++= out }
+        ()
+      }
+      .option("checkpointLocation", ck).start()
+    val q1 = query(); try q1.processAllAvailable() finally q1.stop()
+    assert(rows.synchronized(rows.toSeq).map(r => (r._1, r._2)) == Seq(1L -> "direct"),
+      s"run 1 must credit the touchless purchase direct: $rows")
+    writeFlatEvents(dir, "b.parquet", fileB)
+    val q2 = query(); try q2.processAllAvailable() finally q2.stop()
+    // fold all emissions across both runs: final credit per purchase
+    val folded = rows.synchronized(rows.toSeq)
+      .groupBy(_._1).view.mapValues(_.maxBy(e => (e._3, e._4))).toMap
+    assert(folded(1L)._2 == "view" && folded(4L)._2 == "view",
+      s"restored state must re-credit u1 and credit u2 from the stored touch: $folded")
+    // and the credit rollup equals batch q122 on the union
+    val batchDir = java.nio.file.Files.createTempDirectory("graft-arestart-batch")
+    writeBatchEvents(batchDir, fileA ++ fileB)
+    val want = SparkEntry.queries("q122_attribution")(spark, batchDir.toString)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val got = folded.values.toSeq.groupBy(_._2)
+      .map { case (t, es) => t -> (es.size.toLong, es.flatMap(_._5).sum) }
+    assert(got.keySet == want.keySet)
+    got.foreach { case (t, (n, v)) =>
+      assert(n == want(t)._1 && math.abs(v - want(t)._2) < 1e-6, s"$t: ($n,$v) vs ${want(t)}")
+    }
   }
 
   test("funnel fold equals the batch definition on randomized out-of-order deliveries") {
