@@ -125,6 +125,9 @@ object SparkEntry {
     // rows-only by the q44/q51b sketch contract: HLL internals are
     // engine-specific; the rsd-bound-vs-exact contract is in QueriesSpec
     "q130b_profile_approx" -> (Profile.q130bProfileApprox _),
+    "q131_merge_upsert"  -> (TextAnalysis.q131MergeUpsert _),
+    "q132_ppr"           -> (Graph.q132PersonalizedPagerank _),
+    "q133_top_paths"     -> (Temporal.q133TopPaths _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -776,6 +779,54 @@ object SparkEntry {
         |FROM p JOIN iv2 ON p.user_id = iv2.user_id
         |  AND iv2.from_us <= p.p_us AND (iv2.to_us IS NULL OR p.p_us < iv2.to_us)
         |ORDER BY event_id""".stripMargin,
+
+    // the oracle builds the revision DIRECTLY — the engine path goes
+    // delta → change feed → MERGE; merge(old, delta(old→rev)) ≡ rev,
+    // so the two independent computations must hash identically
+    "q131_merge_upsert" ->
+      """WITH rev AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0)
+        |SELECT doc_id, md5(text) AS h, CAST(length(text) AS BIGINT) AS n_chars
+        |FROM rev ORDER BY doc_id""".stripMargin,
+
+    "q132_ppr" -> {
+      val tele = s"CAST(${1.0 - 0.85} AS DOUBLE)"
+      val iters = (1 to 10).map { k =>
+        s"""pr$k AS (SELECT dg.src AS id,
+           |    $tele * (CASE WHEN dg.src = (SELECT id FROM seed) THEN 1.0 ELSE 0.0 END)
+           |  + CAST(0.85 AS DOUBLE) * coalesce(c.contrib, 0.0) AS r
+           |  FROM deg dg
+           |  LEFT JOIN (SELECT s.dst AS id, sum(p.r / d2.deg) AS contrib
+           |             FROM sym s JOIN pr${k - 1} p ON p.id = s.src JOIN deg d2 ON d2.src = s.src
+           |             GROUP BY s.dst) c ON c.id = dg.src)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT doc_id, ${tok("text")} AS ws FROM documents),
+         |pairs AS (SELECT p['w1'] AS w1, p['w2'] AS w2 FROM
+         |  (SELECT unnest(list_transform(range(1, len(ws)),
+         |     i -> {'w1': ws[i], 'w2': ws[i+1]})) AS p
+         |   FROM t WHERE len(ws) >= 2)),
+         |ed AS (SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+         |       FROM pairs WHERE w1 <> w2),
+         |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM ed
+         |                     UNION SELECT b, a FROM ed),
+         |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM sym GROUP BY src),
+         |seed AS MATERIALIZED (SELECT min(src) AS id FROM sym),
+         |pr0 AS (SELECT src AS id,
+         |    CASE WHEN src = (SELECT id FROM seed) THEN 1.0 ELSE 0.0 END AS r FROM deg),
+         |$iters
+         |SELECT id AS word, round(r, 6) AS rank FROM pr10 ORDER BY rank DESC, word""".stripMargin
+    },
+
+    "q133_top_paths" ->
+      """WITH p AS (SELECT user_id,
+        |    string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS path
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY user_id)
+        |SELECT path, count(*) AS n_users FROM p GROUP BY path
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
 
     "q130_profile" -> {
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",

@@ -248,6 +248,70 @@ object Graph {
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Personalized PageRank (the random walk teleports to the SEED set,
+    * not uniformly) — the "related nodes" primitive behind query
+    * expansion and graph-based recommendation: rank mass concentrates
+    * around the seeds instead of spreading to global hubs. Same
+    * fixed-iteration join+groupBy rounds as [[pageRank]] (each round
+    * one O(E) shuffle, localCheckpoint lineage cut); the only changes
+    * are the start vector (1/|S| on seeds) and the teleport term
+    * ((1−d)/|S| on seeds, 0 elsewhere). Seeds outside the graph are
+    * ignored; an empty effective seed set returns the empty frame. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    val deg = sym.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
+      .localCheckpoint()
+    val seedIds = seeds.select(col("id")).distinct()
+      .join(deg.select(col("src").as("id")), Seq("id"))
+      .localCheckpoint()
+    val nS = seedIds.count()
+    if (nS == 0) return deg.limit(0).select(col("src").as("id"), lit(0.0).as("r"))
+    val tele = seedIds.select(col("id"), (lit(1.0) / lit(nS)).as("t"))
+      .localCheckpoint()
+    var pr = deg.select(col("src").as("id"))
+      .join(tele, Seq("id"), "left")
+      .select(col("id"), coalesce(col("t"), lit(0.0)).as("r"))
+      .localCheckpoint()
+    var round = 0
+    while (round < iters) {
+      val contrib = sym
+        .join(pr.select(col("id").as("src"), col("r")), "src")
+        .join(deg, "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("r") / col("deg")).as("contrib"))
+      pr = pr.select("id")
+        .join(contrib, Seq("id"), "left")
+        .join(tele, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1.0 - damping) * coalesce(col("t"), lit(0.0)) +
+            lit(damping) * coalesce(col("contrib"), lit(0.0))).as("r"))
+        .localCheckpoint()
+      round += 1
+    }
+    pr
+  }
+
+  /** q132: words related to the lexicographically smallest vocabulary
+    * word via personalized PageRank over the co-occurrence graph — the
+    * query-expansion view (q110 ranks globally; this ranks AROUND a
+    * seed). The seed choice is a pure function of the corpus, so the
+    * query stays oracle-checkable. */
+  def q132PersonalizedPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = TextAnalysis.transitions(spark, dir)
+      .filter(col("w1") =!= col("w2"))
+      .select(least(col("w1"), col("w2")).as("id_a"),
+        greatest(col("w1"), col("w2")).as("id_b"))
+      .distinct()
+    val seed = edges.select(least(min("id_a"), min("id_b")).as("id"))
+    personalizedPageRank(edges, seed, iters = 10, damping = 0.85)
+      .select(col("id").as("word"), round(col("r"), 6).as("rank"))
+      .orderBy(desc("rank"), asc("word"))
+  }
+
   /** Synchronous label propagation (Raghavan et al. '07) made
     * deterministic: every node starts labeled with itself; each round,
     * every node adopts the most frequent label among its NEIGHBORS,

@@ -233,6 +233,26 @@ object Temporal {
       .orderBy("event_id")
   }
 
+  /** q133: top user journeys — the q121 path collapse re-aggregated by
+    * the PATH ITSELF: how many users share each exact event sequence,
+    * top 20 by population. The discovery view a funnel designer reads
+    * BEFORE hard-coding stages (q102 assumes view→click→purchase;
+    * this shows what users actually do). Two partial-aggregated
+    * groupBys (user → path, path → count) and a TakeOrderedAndProject
+    * top-k — path cardinality is bounded by user count, and the final
+    * ordering never globally sorts. */
+  def q133TopPaths(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type").isNotNull)
+      .groupBy("user_id")
+      .agg(expr("array_join(transform(sort_array(collect_list(" +
+        "struct(ts, event_id, substring(event_type, 1, 1) AS c))), x -> x.c), '')")
+        .as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(desc("n_users"), asc("path"))
+      .limit(20)
+
   /** q113's smoothing weights (1−α)^(i−1) for lags 1..8, α = 0.3 —
     * computed ONCE here and interpolated verbatim into the oracle SQL
     * (Double.toString round-trips, so both engines evaluate identical

@@ -1304,6 +1304,55 @@ object TextAnalysis {
     snapshotDelta(docs, syntheticRevision(docs))
   }
 
+  /** MERGE: apply a change feed to a snapshot — the warehouse upsert
+    * primitive (SQL MERGE / Delta-style `whenMatched`): rows named by
+    * the feed leave the target (one LEFT ANTI join on doc_id), then the
+    * feed's upserts append. Deletes are simply ids the anti join
+    * removed and nothing re-adds. Two passes, no row-at-a-time logic;
+    * exchange-free when snapshot and feed are both bucketed by doc_id
+    * (the q106/Bucketing.scala layout) — the shape that keeps
+    * incremental snapshot maintenance proportional to the DELTA, not
+    * the corpus.
+    *
+    * @param changes (doc_id, op ∈ {upsert, delete}, + target columns
+    *                for upserts) */
+  def mergeSnapshot(target: DataFrame, changes: DataFrame): DataFrame =
+    target.join(changes.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(changes.filter(col("op") === "upsert")
+        .select(target.columns.map(col).toSeq: _*))
+
+  /** q131: the full incremental-maintenance loop, self-validating —
+    * diff the corpus against its q106 synthetic revision, turn the
+    * delta into a change feed (added/changed → upsert with the new
+    * payload; removed → delete), MERGE it into the old snapshot, and
+    * emit the merged table's fingerprints. By construction
+    * merge(old, delta(old → rev)) ≡ rev, so the oracle builds the
+    * revision DIRECTLY — two independent computation paths must land
+    * on the identical table. */
+  def q131MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val rev = syntheticRevision(docs)
+    val delta = docs.select(col("doc_id"), md5(col("text")).as("h")).as("a")
+      .join(rev.select(col("doc_id"), md5(col("text")).as("h")).as("b"),
+        col("a.doc_id") === col("b.doc_id"), "full_outer")
+      .select(coalesce(col("a.doc_id"), col("b.doc_id")).as("doc_id"),
+        when(col("a.doc_id").isNull, lit("added"))
+          .when(col("b.doc_id").isNull, lit("removed"))
+          .when(col("a.h") =!= col("b.h"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .filter(col("status") =!= "unchanged")
+    val changes = delta.filter(col("status").isin("added", "changed"))
+      .join(rev, Seq("doc_id"))
+      .select(col("doc_id"), lit("upsert").as("op"), col("text"))
+      .unionByName(delta.filter(col("status") === "removed")
+        .select(col("doc_id"), lit("delete").as("op"),
+          lit(null).cast("string").as("text")))
+    mergeSnapshot(docs, changes)
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** The q106 synthetic "new crawl" (one definition, shared with the
     * StreamingSpec parity fixture): removals % 13, rewrites % 7,
     * re-crawls % 11 under fresh +10M ids. */

@@ -878,6 +878,32 @@ class QueriesSpec extends AnyFunSuite {
     assert(p("id") == ((4L, 0L, 4L)) && p("v") == ((4L, 2L, 1L)), s"$p")
   }
 
+  test("mergeSnapshot applies upserts and deletes exactly and is idempotent") {
+    import spark.implicits._
+    val target = Seq((1L, "one"), (2L, "two"), (3L, "three"))
+      .toDF("doc_id", "text")
+    val changes = Seq(
+      (2L, "upsert", "two-v2"),   // update in place
+      (4L, "upsert", "four"),     // insert
+      (3L, "delete", null)        // delete
+    ).toDF("doc_id", "op", "text")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val once = graft.operators.TextAnalysis.mergeSnapshot(target, changes)
+    assert(snap(once) == Map(1L -> "one", 2L -> "two-v2", 4L -> "four"))
+    // idempotent: re-applying the same feed to the merged result is a
+    // fixpoint — the retry/replay property an incremental pipeline needs
+    val twice = graft.operators.TextAnalysis.mergeSnapshot(once, changes)
+    assert(snap(twice) == snap(once))
+    // and the declared q131 carries exactly the revision's cardinality
+    // (value-exact equality is the oracle hash gate's job)
+    val direct = run("q131_merge_upsert").collect()
+    val docs = graft.Tables.documents(spark, sf0001)
+    val wantRows = docs.filter(col("doc_id") % 13 =!= 0).count() +
+      docs.filter(col("doc_id") % 11 === 0).count()
+    assert(direct.length.toLong == wantRows && wantRows > 0)
+  }
+
   test("q130b approx profile tracks the exact profile within the HLL rsd bound") {
     val exact = run("q130_profile").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
@@ -971,7 +997,8 @@ class QueriesSpec extends AnyFunSuite {
       "q94b_langid_seed", "q95_bm25", "q96_hybrid_rrf", "q97_weighted_sample",
       "q98_snapshot_drift", "q100_padding_waste", "q106_snapshot_delta",
       "q109_heavy_hitters", "q110_textrank", "q117_triangles",
-      "q118_bloom_decontaminate", "q120_source_divergence", "q128_label_prop")
+      "q118_bloom_decontaminate", "q120_source_divergence", "q128_label_prop",
+      "q131_merge_upsert", "q132_ppr")
     val failures = docQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -1022,7 +1049,8 @@ class QueriesSpec extends AnyFunSuite {
       "q101_retention_cohorts", "q102_event_funnel",
       "q111_scd2", "q112_markov_transitions", "q113_ewma_anomaly",
       "q121_sequence_match", "q122_attribution", "q125_seasonal_index",
-      "q126_changepoint", "q127_conversion_latency", "q129_interval_lookup")
+      "q126_changepoint", "q127_conversion_latency", "q129_interval_lookup",
+      "q133_top_paths")
     val failures = eventQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>

@@ -358,6 +358,68 @@ class TemporalGraphSpec extends AnyFunSuite {
     assert(got.toSet == want)
   }
 
+  /** Plain-Scala personalized PageRank — no Spark, no shared code. */
+  private def refPpr(edges: Seq[(String, String)], seed: String,
+                     iters: Int, d: Double): Map[String, Double] = {
+    val sym = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }.distinct
+    val nodes = sym.map(_._1).distinct
+    val outDeg = sym.groupBy(_._1).map { case (k, v) => k -> v.size.toDouble }
+    var pr = nodes.map(n => n -> (if (n == seed) 1.0 else 0.0)).toMap
+    (1 to iters).foreach { _ =>
+      val contrib = sym.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e => pr(e._1) / outDeg(e._1)).sum
+      }
+      pr = nodes.map(n => n ->
+        ((if (n == seed) 1.0 - d else 0.0) + d * contrib.getOrElse(n, 0.0))).toMap
+    }
+    pr
+  }
+
+  test("personalized PageRank matches the in-memory reference and localizes around the seed") {
+    import spark.implicits._
+    // a path a-b-c-d-e plus a hub f on a: mass must decay with
+    // distance from the seed, unlike global PageRank
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e",
+      "a" -> "f", "f" -> "g")
+    val got = graft.operators.Graph.personalizedPageRank(
+        edges.toDF("id_a", "id_b"), Seq("a").toDF("id"), iters = 10, damping = 0.85)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = refPpr(edges, "a", iters = 10, d = 0.85)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (n, r) =>
+      assert(math.abs(r - want(n)) < 1e-9, s"node $n: $r vs ${want(n)}")
+    }
+    // teleport + redistribution conserve the unit of mass (symmetric
+    // graph, no dangling nodes)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // locality: the seed outranks everything; distance decays the tail
+    assert(got("a") == got.values.max)
+    assert(got("b") > got("d") && got("b") > got("e"))
+    // seeds outside the graph are ignored; empty effective seeds → empty
+    val none = graft.operators.Graph.personalizedPageRank(
+      edges.toDF("id_a", "id_b"), Seq("zz").toDF("id"), iters = 3, damping = 0.85)
+    assert(none.collect().isEmpty)
+  }
+
+  test("q133 top paths equals a per-user path replay re-aggregated") {
+    val rows = SparkEntry.queries("q133_top_paths")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    val byUser = Tables.events(spark, sf0001)
+      .select("user_id", "ts", "event_id", "event_type")
+      .collect()
+      .filter(!_.isNullAt(3))
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    val paths = byUser.values.map { es =>
+      es.sortBy(e => (e._2.getTime * 1000 + e._2.getNanos / 1000 % 1000, e._3))
+        .map(_._4.head).mkString
+    }
+    val want = paths.groupBy(identity).map { case (p, xs) => (p, xs.size.toLong) }
+      .toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(rows.toSeq == want)
+  }
+
   test("q113 EWMA: baseline recomputed from the declared series matches") {
     val rows = SparkEntry.queries("q113_ewma_anomaly")(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
