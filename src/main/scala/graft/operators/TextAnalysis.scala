@@ -1331,6 +1331,17 @@ object TextAnalysis {
     * on the identical table. */
   def q131MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    mergeSnapshot(docs, revisionChangeFeed(docs))
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** The q131 change feed: diff the snapshot against its q106 synthetic
+    * revision and emit (doc_id, op, text) upsert/delete records —
+    * shared with the StreamingSpec CDC fixture so batch MERGE and
+    * streaming mergeApply fold the identical feed. */
+  private[graft] def revisionChangeFeed(docs: DataFrame): DataFrame = {
     val rev = syntheticRevision(docs)
     val delta = docs.select(col("doc_id"), md5(col("text")).as("h")).as("a")
       .join(rev.select(col("doc_id"), md5(col("text")).as("h")).as("b"),
@@ -1341,16 +1352,12 @@ object TextAnalysis {
           .when(col("a.h") =!= col("b.h"), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
       .filter(col("status") =!= "unchanged")
-    val changes = delta.filter(col("status").isin("added", "changed"))
+    delta.filter(col("status").isin("added", "changed"))
       .join(rev, Seq("doc_id"))
       .select(col("doc_id"), lit("upsert").as("op"), col("text"))
       .unionByName(delta.filter(col("status") === "removed")
         .select(col("doc_id"), lit("delete").as("op"),
           lit(null).cast("string").as("text")))
-    mergeSnapshot(docs, changes)
-      .select(col("doc_id"), md5(col("text")).as("h"),
-        length(col("text")).cast("long").as("n_chars"))
-      .orderBy("doc_id")
   }
 
   /** The q106 synthetic "new crawl" (one definition, shared with the

@@ -1426,6 +1426,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CDC mergeApply folds the change feed to the batch q131 snapshot; replay is idempotent") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
+    val snapDir = java.nio.file.Files.createTempDirectory("graft-cdc-snap").toString
+    docs.write.parquet(s"$snapDir/v=0") // caller-seeded base version
+    // the q131 feed, split across two micro-batches by id parity —
+    // records are keyed and independent, so any split must fold to the
+    // same final snapshot
+    val feed = graft.operators.TextAnalysis.revisionChangeFeed(docs)
+      .select(col("doc_id"), col("op"), col("text"))
+    val feedDir = java.nio.file.Files.createTempDirectory("graft-cdc-feed")
+    def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-cdc-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator()
+      var found: java.nio.file.Path = null
+      while (part.hasNext) { val p = part.next(); if (p.toString.endsWith(".parquet")) found = p }
+      java.nio.file.Files.move(found, feedDir.resolve(name))
+    }
+    stage("a.parquet", feed.filter(col("doc_id") % 2 === 0))
+    stage("b.parquet", feed.filter(col("doc_id") % 2 =!= 0))
+    val q = graft.streaming.DocStream.mergeApply(
+      spark.readStream.schema(graft.streaming.DocStream.changeSchema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir.toString),
+      snapDir,
+      java.nio.file.Files.createTempDirectory("graft-cdc-ckpt").toString)
+    try q.processAllAvailable() finally q.stop()
+    def fp(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = fp(graft.streaming.DocStream.latestSnapshot(spark, snapDir))
+    val want = SparkEntry.queries("q131_merge_upsert")(spark, sf0001)
+      .select("doc_id", "h")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want, "streamed CDC apply must equal the batch MERGE")
+    // replay the SECOND batch (failure/retry): it must rebuild from the
+    // same predecessor version and overwrite itself — state unchanged
+    val batchB = spark.read.schema(graft.streaming.DocStream.changeSchema)
+      .parquet(feedDir.resolve("b.parquet").toString)
+    graft.streaming.DocStream.applyChangeBatch(batchB, 1L, snapDir)
+    assert(fp(graft.streaming.DocStream.latestSnapshot(spark, snapDir)) == want,
+      "replaying a committed batch must not change the snapshot")
+  }
+
   test("streaming snapshot-delta probe equals batch q106 minus its removed rows") {
     // the new crawl ARRIVES as a stream and probes the old snapshot's
     // static fingerprint index; added/changed verdicts must match the
