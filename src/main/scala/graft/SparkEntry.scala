@@ -128,6 +128,9 @@ object SparkEntry {
     "q131_merge_upsert"  -> (TextAnalysis.q131MergeUpsert _),
     "q132_ppr"           -> (Graph.q132PersonalizedPagerank _),
     "q133_top_paths"     -> (Temporal.q133TopPaths _),
+    "q134_chi_square"    -> (Stats.q134ChiSquare _),
+    "q135_corr_matrix"   -> (Stats.q135CorrMatrix _),
+    "q136_mad_outliers"  -> (Stats.q136MadOutliers _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -827,6 +830,44 @@ object SparkEntry {
         |  FROM events WHERE event_type IS NOT NULL GROUP BY user_id)
         |SELECT path, count(*) AS n_users FROM p GROUP BY path
         |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
+
+    // expected counts from the SAME integer cell table on both engines;
+    // the term sum reassociates under the 6-dp grain (q120 precedent)
+    "q134_chi_square" ->
+      """WITH c AS (SELECT lang, source, CAST(count(*) AS DOUBLE) AS n
+        |    FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT sum(n) AS t FROM c),
+        |r AS (SELECT lang, sum(n) AS rn FROM c GROUP BY 1),
+        |s AS (SELECT source, sum(n) AS sn FROM c GROUP BY 1)
+        |SELECT round(sum((n - rn*sn/t) * (n - rn*sn/t) / (rn*sn/t)), 6) AS chi2,
+        |       count(*) AS n_cells
+        |FROM c JOIN r USING (lang) JOIN s USING (source) CROSS JOIN tot
+        |ORDER BY chi2""".stripMargin,
+
+    // 4 dp: co-moment summation order differs across engines at the
+    // last ulp (the q52 moment contract)
+    "q135_corr_matrix" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for (i <- cols.indices; j <- i + 1 until cols.length)
+        yield (cols(i), cols(j))
+      pairs.map { case (a, b) =>
+        s"SELECT '$a' AS c1, '$b' AS c2, round(corr($a, $b), 4) AS r FROM lineitem"
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY c1, c2")
+    },
+
+    "q136_mad_outliers" ->
+      """WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |    round(sum(value), 6) AS x FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, round(quantile_cont(x, 0.5), 6) AS med
+        |      FROM d GROUP BY 1),
+        |a AS (SELECT d.event_type, round(quantile_cont(abs(x - med), 0.5), 6) AS mad
+        |      FROM d JOIN m USING (event_type) GROUP BY 1)
+        |SELECT d.event_type, day, x, med, mad,
+        |       round(abs(x - med), 6) AS dev,
+        |       CAST(CASE WHEN mad > 0 AND round(abs(x - med), 6) > 3.0 * mad
+        |            THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+        |FROM d JOIN m USING (event_type) JOIN a USING (event_type)
+        |ORDER BY event_type, day""".stripMargin,
 
     "q130_profile" -> {
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",

@@ -998,7 +998,7 @@ class QueriesSpec extends AnyFunSuite {
       "q98_snapshot_drift", "q100_padding_waste", "q106_snapshot_delta",
       "q109_heavy_hitters", "q110_textrank", "q117_triangles",
       "q118_bloom_decontaminate", "q120_source_divergence", "q128_label_prop",
-      "q131_merge_upsert", "q132_ppr")
+      "q131_merge_upsert", "q132_ppr", "q134_chi_square")
     val failures = docQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -1050,7 +1050,7 @@ class QueriesSpec extends AnyFunSuite {
       "q111_scd2", "q112_markov_transitions", "q113_ewma_anomaly",
       "q121_sequence_match", "q122_attribution", "q125_seasonal_index",
       "q126_changepoint", "q127_conversion_latency", "q129_interval_lookup",
-      "q133_top_paths")
+      "q133_top_paths", "q136_mad_outliers")
     val failures = eventQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>

@@ -420,6 +420,92 @@ class TemporalGraphSpec extends AnyFunSuite {
     assert(rows.toSeq == want)
   }
 
+  test("q134 chi-square replays from raw counts; a uniform table scores ~0") {
+    val row = SparkEntry.queries("q134_chi_square")(spark, sf0001).collect().head
+    val cells = Tables.documents(spark, sf0001)
+      .select("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toDouble }
+    val t = cells.values.sum
+    val rn = cells.groupBy(_._1._1).map { case (l, m) => l -> m.values.sum }
+    val sn = cells.groupBy(_._1._2).map { case (s, m) => s -> m.values.sum }
+    val want = cells.map { case ((l, s), n) =>
+      val e = rn(l) * sn(s) / t
+      (n - e) * (n - e) / e
+    }.sum
+    assert(math.abs(row.getDouble(0) - want) < 1e-4, s"${row.getDouble(0)} vs $want")
+    assert(row.getLong(1) == cells.size.toLong)
+    // planted perfect independence: every (lang, source) cell equal →
+    // observed == expected → chi2 exactly 0
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-chi2").toString
+    (for (l <- Seq("en", "de"); s <- Seq("a", "b", "c"); i <- 1 to 10)
+      yield (l.hashCode.toLong * 100 + s.hashCode + i, s"t $i", l, s))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val indep = SparkEntry.queries("q134_chi_square")(spark, dir).collect().head
+    assert(indep.getDouble(0) == 0.0, s"uniform table must score 0: $indep")
+  }
+
+  test("q135 correlation matrix replays the Pearson formula per pair") {
+    val got = SparkEntry.queries("q135_corr_matrix")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 6 && got.values.forall(r => r >= -1.0 && r <= 1.0))
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val data = Tables.lineitem(spark, sf0001).select(cols.map(col): _*)
+      .collect().map(r => cols.indices.map(r.getDouble).toArray)
+    def pearson(i: Int, j: Int): Double = {
+      val n = data.length
+      val (mi, mj) = (data.map(_(i)).sum / n, data.map(_(j)).sum / n)
+      val cov = data.map(r => (r(i) - mi) * (r(j) - mj)).sum
+      val (vi, vj) = (data.map(r => math.pow(r(i) - mi, 2)).sum,
+        data.map(r => math.pow(r(j) - mj, 2)).sum)
+      cov / math.sqrt(vi * vj)
+    }
+    for (i <- cols.indices; j <- i + 1 until cols.length)
+      assert(math.abs(got((cols(i), cols(j))) - pearson(i, j)) < 2e-4,
+        s"${cols(i)}/${cols(j)}")
+  }
+
+  test("q136 MAD outliers: replayed statistics; a single spike can't mask itself") {
+    val rows = SparkEntry.queries("q136_mad_outliers")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(6)))
+    assert(rows.nonEmpty)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def quantile(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      val pos = p * (s.size - 1)
+      val lo = pos.toInt
+      if (lo + 1 < s.size) s(lo) + (pos - lo) * (s(lo + 1) - s(lo)) else s(lo)
+    }
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val med = r6(quantile(rs.map(_._3).toSeq, 0.5))
+      val mad = r6(quantile(rs.map(r => math.abs(r._3 - med)).toSeq, 0.5))
+      rs.foreach { r =>
+        assert(math.abs(r._4 - med) < 2e-6 && math.abs(r._5 - mad) < 2e-6)
+        val wantFlag = if (mad > 0 && r6(math.abs(r._3 - med)) > 3.0 * mad) 1L else 0L
+        assert(r._6 == wantFlag, s"$r")
+      }
+    }
+    // robustness: 20 quiet days + one 100× spike — the spike CANNOT
+    // drag the median/MAD the way it drags a mean/sigma, so it flags
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mad").toString
+    ((1 to 20).map(d => (d.toLong, f"2024-02-$d%02d 10:00:00", 1L, "view", 10.0 + (d % 3), "{}"))
+      :+ (21L, "2024-02-21 10:00:00", 1L, "view", 1000.0, "{}"))
+      .toDF("event_id", "day", "user_id", "event_type", "value", "props")
+      .select(col("event_id"),
+        expr("cast(to_timestamp(day) as timestamp_ntz)").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.parquet(s"$dir/events.parquet")
+    val planted = SparkEntry.queries("q136_mad_outliers")(spark, dir).collect()
+      .map(r => r.getString(1) -> r.getLong(6)).toMap
+    assert(planted("2024-02-21") == 1L, s"spike must flag: $planted")
+    assert(planted.values.sum == 1L, s"only the spike flags: $planted")
+  }
+
   test("q113 EWMA: baseline recomputed from the declared series matches") {
     val rows = SparkEntry.queries("q113_ewma_anomaly")(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
