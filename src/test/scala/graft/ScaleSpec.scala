@@ -606,6 +606,34 @@ class ScaleSpec extends AnyFunSuite {
     assert(exchanges == 1, s"q111: want exactly 1 exchange, got $exchanges:\n${plan.take(1500)}")
   }
 
+  test("bucketed snapshot + feed make mergeSnapshot's anti join exchange-free") {
+    // the CDC-apply cost model (mergeApply scaladoc): with snapshot and
+    // feed bucketed by doc_id, the MERGE's anti join inherits the
+    // layout — SortMergeJoin with NO hash exchange, so each version
+    // write is scan-sized at 100 TB
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val feed = graft.operators.TextAnalysis.revisionChangeFeed(docs)
+    Bucketing.writeBucketed(docs, "b_merge_t", "doc_id", 4)
+    Bucketing.writeBucketed(feed, "b_merge_c", "doc_id", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val merged = graft.operators.TextAnalysis.mergeSnapshot(
+        spark.table("b_merge_t"), spark.table("b_merge_c"))
+      val plan = merged.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") && plan.contains("LeftAnti"),
+        s"expected a sort-merge anti join:\n${plan.take(1500)}")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed merge must not shuffle snapshot or feed:\n${plan.take(1500)}")
+      val got = merged.select(col("doc_id"), md5(col("text")).as("h"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val want = SparkEntry.queries("q131_merge_upsert")(spark, sf0001)
+        .select("doc_id", "h")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == want, "bucketed merge must return the exact q131 snapshot")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q122 attribution plans one user-keyed exchange; the credit rollup is map-combined") {
     // the IGNORE-NULLS trailing window partitions by user_id; the final
     // touch-type groupBy has O(|types|) output, so its exchange carries
