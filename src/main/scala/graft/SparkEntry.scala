@@ -131,6 +131,10 @@ object SparkEntry {
     "q134_chi_square"    -> (Stats.q134ChiSquare _),
     "q135_corr_matrix"   -> (Stats.q135CorrMatrix _),
     "q136_mad_outliers"  -> (Stats.q136MadOutliers _),
+    "q137_welch_ttest"   -> (Stats.q137WelchTtest _),
+    "q138_skew_report"   -> (Stats.q138SkewReport _),
+    "q139_ndcg_eval"     -> (Similarity.q139NdcgEval _),
+    "q140_equidepth_hist" -> (Profile.q140EquiDepthHist _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -868,6 +872,74 @@ object SparkEntry {
         |            THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
         |FROM d JOIN m USING (event_type) JOIN a USING (event_type)
         |ORDER BY event_type, day""".stripMargin,
+
+    // 4 dp on derived stats: the q52/q135 moment contract
+    "q137_welch_ttest" ->
+      """WITH g AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    avg(value) AS m, var_samp(value) AS s2 FROM events
+        |    WHERE event_type IN ('purchase', 'view') GROUP BY 1),
+        |a AS (SELECT n AS n1, m AS m1, s2 AS v1 FROM g WHERE event_type = 'purchase'),
+        |b AS (SELECT n AS n2, m AS m2, s2 AS v2 FROM g WHERE event_type = 'view')
+        |SELECT CAST(n1 AS BIGINT) AS n_purchase, CAST(n2 AS BIGINT) AS n_view,
+        |       round(m1, 4) AS mean_purchase, round(m2, 4) AS mean_view,
+        |       round((m1 - m2) / sqrt(v1/n1 + v2/n2), 4) AS t_stat,
+        |       round((v1/n1 + v2/n2) * (v1/n1 + v2/n2) /
+        |             (v1*v1/(n1*n1*(n1-1)) + v2*v2/(n2*n2*(n2-1))), 4) AS welch_df
+        |FROM a CROSS JOIN b""".stripMargin,
+
+    "q138_skew_report" -> {
+      def one(rel: String, key: String): String =
+        s"""SELECT '$rel' AS relation, '$key' AS key,
+           |       CAST(sum(c) AS BIGINT) AS n_rows,
+           |       CAST(count(*) AS BIGINT) AS n_keys,
+           |       round((SELECT max(c) FROM (SELECT c FROM h ORDER BY c DESC, k LIMIT 10)) / sum(c), 6) AS top1_share,
+           |       round((SELECT sum(c) FROM (SELECT c FROM h ORDER BY c DESC, k LIMIT 10)) / sum(c), 6) AS top10_share,
+           |       CASE WHEN count(*) > 1
+           |            THEN round((ln(sum(c)) - sum(c * ln(c)) / sum(c)) / ln(count(*)), 6)
+           |            ELSE 0.0 END AS entropy_norm
+           |FROM h"""
+          .stripMargin
+          .replace("FROM h", s"FROM (SELECT CAST($key AS VARCHAR) AS k, CAST(count(*) AS DOUBLE) AS c FROM $rel GROUP BY 1) h")
+      Seq(one("events", "user_id"), one("events", "event_type"),
+        one("lineitem", "l_suppkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY relation, key")
+    },
+
+    "q139_ndcg_eval" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |           CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |lc AS (SELECT label, count(*) - 1 AS n_rel FROM e GROUP BY 1),
+        |sims AS (SELECT q.vec_id AS q_id, q.label AS true_label,
+        |    CASE WHEN c.label = q.label THEN 1.0 ELSE 0.0 END AS rel, c.vec_id,
+        |    round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+        |  FROM e c CROSS JOIN (SELECT * FROM e WHERE vec_id < 50) q
+        |  WHERE c.vec_id <> q.vec_id),
+        |top AS (SELECT *, row_number() OVER
+        |    (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rk FROM sims),
+        |d AS (SELECT q_id, true_label,
+        |    sum(rel / log2(rk + 1)) AS dcg, CAST(sum(rel) AS BIGINT) AS n_hits
+        |  FROM top WHERE rk <= 10 GROUP BY 1, 2),
+        |s AS (SELECT unnest(generate_series(1, 10)) AS i),
+        |i AS (SELECT d.q_id, sum(1.0 / log2(s.i + 1)) AS idcg
+        |  FROM d JOIN lc ON lc.label = d.true_label
+        |  JOIN s ON s.i <= least(lc.n_rel, 10)
+        |  GROUP BY 1)
+        |SELECT d.q_id AS vec_id, d.true_label, d.n_hits,
+        |       round(d.dcg, 6) AS dcg, round(i.idcg, 6) AS idcg,
+        |       round(d.dcg / i.idcg, 6) AS ndcg
+        |FROM d JOIN i ON i.q_id = d.q_id
+        |ORDER BY vec_id""".stripMargin,
+
+    "q140_equidepth_hist" ->
+      """WITH b AS (SELECT list_transform(
+        |    quantile_cont(l_extendedprice, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+        |    v -> round(v, 6)) AS bs FROM lineitem),
+        |binned AS (SELECT l_extendedprice AS x,
+        |    1 + len(list_filter(bs, v -> l_extendedprice > v)) AS bin
+        |  FROM lineitem CROSS JOIN b)
+        |SELECT bin, count(*) AS n, round(min(x), 2) AS lo,
+        |       round(max(x), 2) AS hi, round(avg(x), 4) AS mean_x
+        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
 
     "q130_profile" -> {
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",

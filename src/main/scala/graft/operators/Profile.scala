@@ -76,4 +76,33 @@ object Profile {
     val li = Tables.lineitem(spark, dir)
     profileApprox(li, li.columns.toSeq)
   }
+
+  /** q140: equi-depth decile histogram of l_extendedprice — the
+    * distribution sketch a profiler attaches next to q130's counts.
+    * Deliberately NOT `ntile(10)`: a global rank window moves the whole
+    * corpus to one partition (the scale killer WindowExec warns about).
+    * Instead ONE percentile aggregate produces the 9 interior decile
+    * boundaries (O(1) output), the 1-row boundary array broadcasts
+    * back, and each row computes its bin with a counting fold over the
+    * array — so the histogram costs two scans and an O(bins) final
+    * agg at any corpus size (at 100 TB swap the exact percentile for
+    * approx_percentile, the q51b trade). Boundaries are rounded at
+    * 6 dp BEFORE binning so the Spark and oracle cutpoints are
+    * identical doubles. */
+  def q140EquiDepthHist(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_extendedprice").as("x"))
+    val qs = (1 to 9).map(_ / 10.0)
+    val bounds = li.agg(expr(
+      s"transform(percentile(x, array(${qs.mkString(", ")}))," +
+        " b -> round(b, 6)) AS bs"))
+    li.crossJoin(broadcast(bounds)) // 1-row boundary array × corpus scan
+      .select(col("x"), expr(
+        "1 + aggregate(bs, 0, (acc, b) -> acc + if(x > b, 1, 0)) AS bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(min("x"), 2).as("lo"),
+        round(max("x"), 2).as("hi"),
+        round(avg("x"), 4).as("mean_x"))
+      .orderBy("bin")
+  }
 }

@@ -97,6 +97,52 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** q139: NDCG@10 of the cosine retrieval against label relevance —
+    * the ranking-quality companion to q99's vote accuracy (accuracy
+    * ignores WHERE in the list the relevant hits sit; NDCG pays more
+    * for hits at rank 1 than rank 10). Same scale shape as q34/q99: a
+    * 50-row broadcast query block streams past the corpus
+    * (BroadcastNestedLoopJoin, corpus never shuffles), a per-query
+    * top-10 window over rounded similarities, then per-query DCG
+    * against the closed-form ideal DCG (the top-min(10, n_relevant)
+    * prefix of 1/log2(i+1)); n_relevant comes from one O(labels)
+    * count. Rounded at 6 dp end-to-end for oracle stability. */
+  def q139NdcgEval(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val queries = broadcast(e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("label").as("true_label"), col("v").as("qv")))
+    // candidates per label, for the ideal DCG: how many relevant docs
+    // COULD fill the top-10 (excluding the query itself → minus 1)
+    val labelCounts = broadcast(e.groupBy("label")
+      .agg((count(lit(1)) - 1).as("n_rel")))
+    val nw = Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("vec_id"))
+    val top = e.crossJoin(queries)
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("true_label"),
+        (col("label") === col("true_label")).cast("double").as("rel"),
+        col("vec_id"),
+        round(CosineSim.cosine(col("qv"), col("v")), 6).as("cos_sim"))
+      .withColumn("rk", row_number().over(nw))
+      .filter(col("rk") <= 10)
+    top
+      .groupBy("q_id", "true_label")
+      .agg(sum(col("rel") / log(2.0, col("rk") + 1)).as("dcg"),
+        sum("rel").cast("long").as("n_hits"))
+      .join(broadcast(labelCounts.withColumnRenamed("label", "true_label")),
+        "true_label")
+      .select(col("q_id").as("vec_id"), col("true_label"), col("n_hits"),
+        round(col("dcg"), 6).as("dcg"),
+        round(expr(
+          "aggregate(sequence(1, int(least(n_rel, 10))), 0D," +
+            " (acc, i) -> acc + 1.0 / log2(i + 1))"), 6).as("idcg"),
+        round(col("dcg") / expr(
+          "aggregate(sequence(1, int(least(n_rel, 10))), 0D," +
+            " (acc, i) -> acc + 1.0 / log2(i + 1))"), 6).as("ndcg"))
+      .orderBy("vec_id")
+  }
+
   /** Library API: exact cosine top-k neighbors of an arbitrary query
     * vector against an embeddings table (vec_id, embedding). The corpus
     * streams past the broadcast query; one TakeOrderedAndProject. */

@@ -89,4 +89,76 @@ object Stats {
           .cast("long").as("is_outlier"))
       .orderBy("event_type", "day")
   }
+
+  /** q137: Welch's unequal-variance t-test between two event cohorts
+    * (purchase vs view `value`) — the A/B answer sheet: "is the mean
+    * different, given the groups don't share a variance?". ONE
+    * partial-aggregated scan produces the two (n, mean, s²) summaries
+    * (each O(1) agg state); the statistic and the Welch–Satterthwaite
+    * df are arithmetic over that 2-row table, so the corpus is read
+    * once and nothing but two summary rows ever moves. 4 dp on the
+    * derived stats (the q52/q135 moment contract: co-moment summation
+    * order differs across engines at the last ulp). */
+  def q137WelchTtest(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(spark, dir)
+      .filter(col("event_type").isin("purchase", "view"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("double").as("n"),
+        avg("value").as("m"),
+        var_samp("value").as("s2"))
+    val a = g.filter(col("event_type") === "purchase")
+      .select(col("n").as("n1"), col("m").as("m1"), col("s2").as("v1"))
+    val b = g.filter(col("event_type") === "view")
+      .select(col("n").as("n2"), col("m").as("m2"), col("s2").as("v2"))
+    val se2 = col("v1") / col("n1") + col("v2") / col("n2")
+    a.crossJoin(b) // 1 row × 1 row — both sides are O(1) summaries
+      .select(
+        col("n1").cast("long").as("n_purchase"),
+        col("n2").cast("long").as("n_view"),
+        round(col("m1"), 4).as("mean_purchase"),
+        round(col("m2"), 4).as("mean_view"),
+        round((col("m1") - col("m2")) / sqrt(se2), 4).as("t_stat"),
+        round(se2 * se2 /
+          (col("v1") * col("v1") / (col("n1") * col("n1") * (col("n1") - 1)) +
+           col("v2") * col("v2") / (col("n2") * col("n2") * (col("n2") - 1))), 4)
+          .as("welch_df"))
+  }
+
+  /** q138: key-skew report — the diagnostic a 100 TB operator runs
+    * BEFORE picking a partitioning: per candidate shuffle key, the
+    * row/key counts, the top-1/top-10 key shares, and the normalized
+    * entropy of the key histogram (1 = uniform, → 0 = one hot key).
+    * Each relation is scanned once into a partial-aggregated key
+    * histogram; the shares come from a TakeOrderedAndProject over that
+    * histogram (top-10, never a global sort) and the entropy from one
+    * more O(1)-state agg — so the report costs O(distinct keys)
+    * intermediate rows, not O(corpus). This is the measurement that
+    * justifies Skew.scala's salting and the hot-day `filesPerDay`
+    * split. */
+  def q138SkewReport(spark: SparkSession, dir: String): DataFrame = {
+    def report(df: DataFrame, rel: String, key: String): DataFrame = {
+      val hist = df.groupBy(col(key).cast("string").as("k"))
+        .agg(count(lit(1)).cast("double").as("c"))
+      val top = hist.orderBy(desc("c"), asc("k")).limit(10)
+        .agg(max("c").as("c1"), sum("c").as("c10"))
+      hist
+        .agg(sum("c").as("n"), count(lit(1)).cast("double").as("keys"),
+          sum(col("c") * log(col("c"))).as("clogc"))
+        .crossJoin(broadcast(top)) // 1×1: totals × top-10 summary
+        .select(lit(rel).as("relation"), lit(key).as("key"),
+          col("n").cast("long").as("n_rows"),
+          col("keys").cast("long").as("n_keys"),
+          round(col("c1") / col("n"), 6).as("top1_share"),
+          round(col("c10") / col("n"), 6).as("top10_share"),
+          // H = ln n − (Σ c·ln c)/n, normalized by ln(keys)
+          when(col("keys") > 1,
+            round((log(col("n")) - col("clogc") / col("n")) / log(col("keys")), 6))
+            .otherwise(lit(0.0)).as("entropy_norm"))
+    }
+    val ev = Tables.events(spark, dir)
+    report(ev, "events", "user_id")
+      .unionAll(report(ev, "events", "event_type"))
+      .unionAll(report(Tables.lineitem(spark, dir), "lineitem", "l_suppkey"))
+      .orderBy("relation", "key")
+  }
 }

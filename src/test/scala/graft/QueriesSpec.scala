@@ -1041,16 +1041,19 @@ class QueriesSpec extends AnyFunSuite {
         expr("cast(timestamp_micros(ts) as timestamp_ntz)").as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"))
       .write.parquet(s"$dir/events.parquet")
-    // q48 also reads orders for its as-of side
+    // q48 also reads orders for its as-of side; q138 reads lineitem too
     spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
       .write.parquet(s"$dir/orders.parquet")
+    spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+      .write.parquet(s"$dir/lineitem.parquet")
     val eventQueries = Seq("q20_json_events", "q21_time_window", "q25_sessionize",
       "q28_map_fns", "q29_pivot", "q48_asof_join", "q80_event_zscore",
       "q101_retention_cohorts", "q102_event_funnel",
       "q111_scd2", "q112_markov_transitions", "q113_ewma_anomaly",
       "q121_sequence_match", "q122_attribution", "q125_seasonal_index",
       "q126_changepoint", "q127_conversion_latency", "q129_interval_lookup",
-      "q133_top_paths", "q136_mad_outliers")
+      "q133_top_paths", "q136_mad_outliers", "q137_welch_ttest",
+      "q138_skew_report")
     val failures = eventQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -1163,6 +1166,84 @@ class QueriesSpec extends AnyFunSuite {
       assert(nKept == math.min(nDocs, 15L),
         s"source ${r.getString(0)}: kept $nKept of $nDocs (cap 15)")
       assert(r.getLong(3) >= 0L)
+    }
+  }
+
+  test("q137 Welch t matches a first-principles recompute; df sits inside its bounds") {
+    val r = run("q137_welch_ttest").collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (n1, n2) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    assert(n1 > 1 && n2 > 1)
+    // recompute from the raw table (double precision, no rounding until
+    // the final compare) — pins the formula, not just "it ran"
+    val g = graft.Tables.events(spark, sf0001)
+      .filter(col("event_type").isin("purchase", "view"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("double").as("n"), avg("value").as("m"),
+        var_samp("value").as("s2"))
+      .collect().map(x => x.getString(0) -> ((x.getDouble(1), x.getDouble(2), x.getDouble(3))))
+      .toMap
+    val (na, ma, va) = g("purchase"); val (nb, mb, vb) = g("view")
+    val se2 = va / na + vb / nb
+    val t = (ma - mb) / math.sqrt(se2)
+    val df = se2 * se2 / (va * va / (na * na * (na - 1)) + vb * vb / (nb * nb * (nb - 1)))
+    assert(math.abs(row.getDouble(4) - t) < 1e-3, s"t: ${row.getDouble(4)} vs $t")
+    assert(math.abs(row.getDouble(5) - df) < 1e-3, s"df: ${row.getDouble(5)} vs $df")
+    // Welch–Satterthwaite df ∈ [min(n1,n2)−1, n1+n2−2]
+    assert(df >= math.min(na, nb) - 1 - 1e-9 && df <= na + nb - 2 + 1e-9)
+  }
+
+  test("q138 skew shares and entropy are coherent; uniform keys read as high entropy") {
+    val rows = run("q138_skew_report").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (n, keys) = (r.getLong(2), r.getLong(3))
+      val (t1, t10, h) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(n > 0 && keys > 0 && keys <= n)
+      assert(t1 > 0 && t1 <= t10 + 1e-9 && t10 <= 1.0 + 1e-9,
+        s"${r.getString(0)}.${r.getString(1)}: top1=$t1 top10=$t10")
+      assert(h >= 0.0 && h <= 1.0 + 1e-9, s"entropy_norm out of range: $h")
+      // ≤10 keys ⇒ the top-10 IS the whole histogram
+      if (keys <= 10) assert(math.abs(t10 - 1.0) < 1e-9)
+    }
+    // synthetic uniform generators ⇒ near-uniform histograms
+    assert(rows.forall(_.getDouble(6) > 0.9))
+  }
+
+  test("q139 NDCG is bounded by 1, consistent with its own DCG/IDCG columns") {
+    val rows = run("q139_ndcg_eval").collect()
+    assert(rows.length == 50, s"one row per query vector, got ${rows.length}")
+    rows.foreach { r =>
+      val (hits, dcg, idcg, ndcg) =
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(hits >= 0 && hits <= 10)
+      assert(idcg > 0 && dcg >= 0 && dcg <= idcg + 1e-6,
+        s"vec ${r.getLong(0)}: dcg=$dcg idcg=$idcg")
+      assert(math.abs(ndcg - dcg / idcg) < 1e-5)
+      // every label has ≥10 other members at sf0.001, so the ideal
+      // prefix is the full closed-form Σ_{i=1..10} 1/log2(i+1)
+      val full = (1 to 10).map(i => 1.0 / (math.log(i + 1) / math.log(2))).sum
+      assert(math.abs(idcg - full) < 1e-5, s"idcg $idcg vs closed form $full")
+    }
+  }
+
+  test("q140 equi-depth bins partition the table into near-equal deciles") {
+    val rows = run("q140_equidepth_hist").collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10),
+      "exactly bins 1..10, ordered")
+    val total = graft.Tables.lineitem(spark, sf0001).count()
+    assert(rows.map(_.getLong(1)).sum == total, "bins must partition all rows")
+    // equi-DEPTH: each decile within 30% of N/10 (ties can nudge edges)
+    rows.foreach { r =>
+      assert(math.abs(r.getLong(1) - total / 10.0) < 0.3 * total / 10.0,
+        s"bin ${r.getInt(0)} holds ${r.getLong(1)} of $total")
+    }
+    // ranges are disjoint and increasing
+    val los = rows.map(_.getDouble(2)); val his = rows.map(_.getDouble(3))
+    (0 until 9).foreach { i =>
+      assert(his(i) <= los(i + 1) + 1e-9,
+        s"bin ${i + 1} hi ${his(i)} overlaps bin ${i + 2} lo ${los(i + 1)}")
     }
   }
 }

@@ -682,4 +682,49 @@ class ScaleSpec extends AnyFunSuite {
     assert(scans == 1, s"q130: want exactly 1 scan, got $scans:\n${plan.take(1500)}")
     assert(plan.contains("Expand"), s"q130 should plan via Expand:\n${plan.take(1200)}")
   }
+
+  test("q138 skew report takes its top-10 shares via TakeOrdered, never a global sort") {
+    // the report exists to DIAGNOSE skew, so it must not itself plan a
+    // skew-prone shape: the top-10 over each key histogram has to be a
+    // TakeOrderedAndProject (O(10) per partition, merged on the
+    // driver), and the histograms themselves partial-aggregated
+    val plan = SparkEntry.queries("q138_skew_report")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q138 top-10 must be TakeOrdered:\n${plan.take(1500)}")
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"q138 histograms must map-side combine:\n${plan.take(1500)}")
+    // the only Sort allowed is inside TakeOrdered / the final 3-row
+    // output ordering — never a Sort over a key histogram feeding the
+    // shares (that would be the global-sort antipattern at 100 TB)
+    assert(!plan.contains("WindowExec"),
+      s"q138 must not rank via a window:\n${plan.take(1500)}")
+  }
+
+  test("q140 equi-depth histogram bins WITHOUT a global-rank window") {
+    // the ntile(10) formulation moves the corpus to ONE partition
+    // (WindowExec with no partition keys); the declared shape is a
+    // percentile aggregate (O(1) output) broadcast back over the scan
+    val df = SparkEntry.queries("q140_equidepth_hist")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"q140 must not plan a rank window:\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("Broadcast"),
+      s"q140 boundaries must broadcast back over the scan:\n${plan.take(1500)}")
+    val scans = plan.split("Scan parquet").length - 1
+    assert(scans == 2,
+      s"q140: one boundary pass + one binning pass, got $scans scans:\n${plan.take(1500)}")
+  }
+
+  test("q139 NDCG corpus streams past the broadcast query block") {
+    // the q34/q99 retrieval contract: the 50-row query block broadcasts;
+    // the only exchange shuffles candidate rows by q_id (50 keys) for
+    // the per-query top-10 window — the corpus itself never hash-shuffles
+    val plan = SparkEntry.queries("q139_ndcg_eval")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"q139 must broadcast the query block:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"q139 must not plan a cartesian:\n${plan.take(1500)}")
+  }
 }
