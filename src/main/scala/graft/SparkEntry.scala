@@ -875,7 +875,7 @@ object SparkEntry {
 
     // 4 dp on derived stats: the q52/q135 moment contract
     "q137_welch_ttest" ->
-      """WITH g AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+      """WITH g AS (SELECT event_type, CAST(count(value) AS DOUBLE) AS n,
         |    avg(value) AS m, var_samp(value) AS s2 FROM events
         |    WHERE event_type IN ('purchase', 'view') GROUP BY 1),
         |a AS (SELECT n AS n1, m AS m1, s2 AS v1 FROM g WHERE event_type = 'purchase'),

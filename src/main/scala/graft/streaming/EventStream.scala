@@ -575,6 +575,19 @@ object EventStream {
         })
   }
 
+  /** Streaming twin of q137's cohort summaries — the live A/B monitor.
+    * One definition shared with the batch test
+    * ([[graft.operators.Stats.welchSummaries]]): count/avg/var_samp are
+    * Spark's mergeable central-moment aggregates, so each micro-batch
+    * folds its partial (n, Σ, M2) into O(|cohorts|) state and the
+    * running answer always equals the batch recompute over everything
+    * seen so far (StreamingSpec pins the parity). Complete output
+    * mode — the sink sees the current 2-row summary each trigger; the
+    * t-statistic itself is [[graft.operators.Stats.welchFromSummaries]]
+    * over that tiny table, driver-side cheap at any corpus size. */
+  def welchCohortSummaries(events: DataFrame): DataFrame =
+    graft.operators.Stats.welchSummaries(events)
+
   /** Current SCD2 run per user, carried as stream state. */
   case class RunState(version: Long, state: String, fromUs: Long,
                       fromStr: String, n: Long)

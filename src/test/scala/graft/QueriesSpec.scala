@@ -1180,7 +1180,7 @@ class QueriesSpec extends AnyFunSuite {
     val g = graft.Tables.events(spark, sf0001)
       .filter(col("event_type").isin("purchase", "view"))
       .groupBy("event_type")
-      .agg(count(lit(1)).cast("double").as("n"), avg("value").as("m"),
+      .agg(count(col("value")).cast("double").as("n"), avg("value").as("m"),
         var_samp("value").as("s2"))
       .collect().map(x => x.getString(0) -> ((x.getDouble(1), x.getDouble(2), x.getDouble(3))))
       .toMap

@@ -1877,6 +1877,69 @@ class StreamingSpec extends AnyFunSuite {
       "streaming closed intervals = batch q111 minus is_current rows")
   }
 
+  test("streaming Welch summaries merge micro-batches into the exact batch t-test") {
+    import graft.operators.Stats
+    val dir = java.nio.file.Files.createTempDirectory("graft-welch-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$sf0001/events.parquet"),
+      dir.resolve("a-events.parquet"))
+    val stream = EventStream.readStream(spark, dir.toString)
+    val q = EventStream.welchCohortSummaries(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("welch_sum")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-welch-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // phase 1: the stream state over file A alone = batch q137
+      val got1 = Stats.welchFromSummaries(spark.table("welch_sum"))
+        .collect().map(_.toSeq).toSeq
+      val want1 = SparkEntry.queries("q137_welch_ttest")(spark, sf0001)
+        .collect().map(_.toSeq).toSeq
+      assert(got1 == want1, s"phase-1 parity: $got1 vs $want1")
+      // phase 2: a LATER file lands — dirty rows included (null value,
+      // off-cohort type); the complete-mode state must fold the new
+      // partial moments into exactly the union's batch answer
+      val base = java.time.Instant.parse("2024-06-01T00:00:00Z")
+      def us(m: Long): java.lang.Long = base.plusSeconds(m * 60).toEpochMilli * 1000L
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+      val extra = Seq(
+        org.apache.spark.sql.Row(900001L, us(1), 1L, "purchase", 250.0, "{}"),
+        org.apache.spark.sql.Row(900002L, us(2), 2L, "view", 3.0, "{}"),
+        org.apache.spark.sql.Row(900003L, us(3), 3L, "purchase", null, "{}"), // null value: no moment, no n
+        org.apache.spark.sql.Row(900004L, us(4), 4L, "click", 99.0, "{}"))   // off-cohort: ignored
+      val extraDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(extra, 1), schema)
+        .select(col("event_id"),
+          expr("cast(timestamp_micros(ts) as timestamp_ntz)").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+      val stage = java.nio.file.Files.createTempDirectory("graft-welch-extra")
+      extraDf.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part, dir.resolve("b-extra.parquet"))
+      q.processAllAvailable()
+      val got2 = Stats.welchFromSummaries(spark.table("welch_sum"))
+        .collect().map(_.toSeq).toSeq
+      // batch twin over the SAME staged dir through the batch reader
+      val batchAll = graft.Tables.normalizeTs(
+        spark.read.schema(EventStream.rawSchema(
+            org.apache.spark.sql.types.TimestampNTZType))
+          .option("recursiveFileLookup", "true").parquet(dir.toString))
+      val want2 = Stats.welchFromSummaries(Stats.welchSummaries(batchAll))
+        .collect().map(_.toSeq).toSeq
+      assert(got2 == want2, s"phase-2 parity: $got2 vs $want2")
+      assert(got2 != got1, "the new purchases/views must move the statistic")
+    } finally q.stop()
+  }
+
   test("eventMicros keeps sub-millisecond precision that getTime truncates") {
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     ts.setNanos(123456789) // 123.456789 ms into the second
