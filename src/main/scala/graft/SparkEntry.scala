@@ -135,6 +135,8 @@ object SparkEntry {
     "q138_skew_report"   -> (Stats.q138SkewReport _),
     "q139_ndcg_eval"     -> (Similarity.q139NdcgEval _),
     "q140_equidepth_hist" -> (Profile.q140EquiDepthHist _),
+    "q141_hard_negatives" -> (Similarity.q141HardNegatives _),
+    "q142_chunk_overlap"  -> (TextAnalysis.q142ChunkOverlap _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -929,6 +931,36 @@ object SparkEntry {
         |       round(d.dcg / i.idcg, 6) AS ndcg
         |FROM d JOIN i ON i.q_id = d.q_id
         |ORDER BY vec_id""".stripMargin,
+
+    "q141_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |           CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sims AS (SELECT q.vec_id AS q_id, q.label AS true_label,
+        |    c.vec_id AS neg_id, c.label AS neg_label,
+        |    round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+        |  FROM e c CROSS JOIN (SELECT * FROM e WHERE vec_id < 50) q
+        |  WHERE c.vec_id <> q.vec_id AND c.label <> q.label),
+        |ranked AS (SELECT *, CAST(row_number() OVER
+        |    (PARTITION BY q_id ORDER BY cos_sim DESC, neg_id ASC) AS BIGINT) AS rk
+        |  FROM sims)
+        |SELECT q_id, true_label, neg_id, neg_label, cos_sim, rk
+        |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    // the constant 0..63 start series covers docs to ~9.6k chars (the
+    // corpus maxes at 577); DuckDB 1.0 lacks lateral generate_series,
+    // so the series is unconditioned and the ON-clause bounds it
+    "q142_chunk_overlap" ->
+      """WITH s AS (SELECT unnest(generate_series(0, 63)) AS i),
+        |ch AS (SELECT d.doc_id, s.i + 1 AS chunk_idx,
+        |    1 + s.i * 150 AS chunk_start,
+        |    substring(d.text, 1 + s.i * 150, 200) AS c
+        |  FROM documents d JOIN s ON 1 + s.i * 150 <= greatest(d.n_chars, 1))
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |       CAST(chunk_start AS BIGINT) AS chunk_start,
+        |       CAST(length(c) AS BIGINT) AS chunk_len,
+        |       md5(c) AS chunk_md5
+        |FROM ch WHERE length(c) > 0
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q140_equidepth_hist" ->
       """WITH b AS (SELECT list_transform(

@@ -143,6 +143,33 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** q141: hard-negative mining — for each anchor vector, the top-5
+    * most-similar vectors with a DIFFERENT label: the negatives a
+    * contrastive embedding trainer wants (easy negatives teach
+    * nothing; the near-miss neighbors define the decision boundary).
+    * Identical scale shape to q34/q139: 50-row anchor block
+    * broadcasts, corpus streams past it un-shuffled, the label
+    * inequality prunes before ranking, and the per-anchor top-5 window
+    * shuffles only candidate rows by anchor id. At real corpus scale
+    * the brute pass swaps for the q45 IVF probe with the same
+    * label-inequality residual filter. */
+  def q141HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val anchors = broadcast(e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("label").as("true_label"), col("v").as("qv")))
+    val nw = Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("neg_id"))
+    e.crossJoin(anchors)
+      .filter(col("vec_id") =!= col("q_id") && col("label") =!= col("true_label"))
+      .select(col("q_id"), col("true_label"),
+        col("vec_id").as("neg_id"), col("label").as("neg_label"),
+        round(CosineSim.cosine(col("qv"), col("v")), 6).as("cos_sim"))
+      .withColumn("rk", row_number().over(nw).cast("long"))
+      .filter(col("rk") <= 5)
+      .orderBy("q_id", "rk")
+  }
+
   /** Library API: exact cosine top-k neighbors of an arbitrary query
     * vector against an embeddings table (vec_id, embedding). The corpus
     * streams past the broadcast query; one TakeOrderedAndProject. */

@@ -1467,4 +1467,30 @@ object TextAnalysis {
         size(Portable.tokenize(col("text"))).cast("long").as("n_alpha_tokens"),
         Portable.fingerprint(Portable.tokenize(col("text"))).as("fp"))
       .orderBy("doc_id")
+
+  /** q142: sliding-window chunker with overlap — the RAG/embedding
+    * preprocessing step that turns documents into fixed-budget chunks
+    * (window 200 chars, stride 150 ⇒ 50-char overlap so no sentence is
+    * orphaned at a boundary). Chunk content is addressed by md5, the
+    * retrieval-store key; `chunk_start`/`chunk_len` let a fetcher slice
+    * the original instead of storing the text twice.
+    *
+    * Scale shape: a pure per-row generator (sequence + substring inside
+    * whole-stage codegen) — NO shuffle at all until the output sort;
+    * emitted volume is corpus bytes × (window/stride) ≈ 1.33×. The
+    * fanout is bounded per row, so the operator pipelines at scan speed
+    * at any corpus size. */
+  def q142ChunkOverlap(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(1, greatest(n_chars, 1), 150)," +
+            " i -> struct(i AS s, substring(text, i, 200) AS c))"))
+          .as(Seq("idx", "ch")))
+      .filter(length(col("ch.c")) > 0)
+      .select(col("doc_id"), (col("idx") + 1).cast("long").as("chunk_idx"),
+        col("ch.s").cast("long").as("chunk_start"),
+        length(col("ch.c")).cast("long").as("chunk_len"),
+        md5(col("ch.c").cast("binary")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
 }

@@ -998,7 +998,7 @@ class QueriesSpec extends AnyFunSuite {
       "q98_snapshot_drift", "q100_padding_waste", "q106_snapshot_delta",
       "q109_heavy_hitters", "q110_textrank", "q117_triangles",
       "q118_bloom_decontaminate", "q120_source_divergence", "q128_label_prop",
-      "q131_merge_upsert", "q132_ppr", "q134_chi_square")
+      "q131_merge_upsert", "q132_ppr", "q134_chi_square", "q142_chunk_overlap")
     val failures = docQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -1225,6 +1225,42 @@ class QueriesSpec extends AnyFunSuite {
       // prefix is the full closed-form Σ_{i=1..10} 1/log2(i+1)
       val full = (1 to 10).map(i => 1.0 / (math.log(i + 1) / math.log(2))).sum
       assert(math.abs(idcg - full) < 1e-5, s"idcg $idcg vs closed form $full")
+    }
+  }
+
+  test("q141 hard negatives are cross-label, ranked, and five per anchor") {
+    val rows = run("q141_hard_negatives").collect()
+    assert(rows.length == 250, s"50 anchors × 5 negatives, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getLong(1) != r.getLong(3),
+        s"anchor ${r.getLong(0)}: negative shares its label — not a negative")
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_.getLong(5))
+      assert(byRank.map(_.getLong(5)).toSeq == (1L to 5L), s"anchor $q ranks")
+      val sims = byRank.map(_.getDouble(4))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        s"anchor $q: similarities must be non-increasing: ${sims.toSeq}")
+    }
+  }
+
+  test("q142 chunks tile every document with stride 150 and cover the last char") {
+    val rows = run("q142_chunk_overlap").collect()
+    assert(rows.nonEmpty)
+    val lens = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(2) == 1 + 150 * (r.getLong(1) - 1), "start arithmetic")
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= 200, "window budget")
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
+      val n = lens(doc)
+      val expected = 1 + (n - 1) / 150 // sequence(1, n, 150) length
+      assert(rs.length == expected.toInt, s"doc $doc: ${rs.length} vs $expected chunks")
+      // the final chunk must reach the document's last character
+      assert(rs.map(r => r.getLong(2) + r.getLong(3) - 1).max == n,
+        s"doc $doc: chunks must cover through char $n")
     }
   }
 

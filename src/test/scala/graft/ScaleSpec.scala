@@ -716,6 +716,17 @@ class ScaleSpec extends AnyFunSuite {
       s"q140: one boundary pass + one binning pass, got $scans scans:\n${plan.take(1500)}")
   }
 
+  test("q142 chunker pipelines at scan speed: no shuffle before the output sort") {
+    // the chunker is a pure per-row generator — any hash exchange in
+    // its plan means something regressed into a shuffle of corpus bytes
+    val plan = SparkEntry.queries("q142_chunk_overlap")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"q142 must not hash-shuffle the corpus:\n${plan.take(1500)}")
+    assert(plan.contains("Generate"),
+      s"q142 should plan a Generate (posexplode):\n${plan.take(1200)}")
+  }
+
   test("q139 NDCG corpus streams past the broadcast query block") {
     // the q34/q99 retrieval contract: the 50-row query block broadcasts;
     // the only exchange shuffles candidate rows by q_id (50 keys) for
