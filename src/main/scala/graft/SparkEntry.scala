@@ -135,8 +135,11 @@ object SparkEntry {
     "q138_skew_report"   -> (Stats.q138SkewReport _),
     "q139_ndcg_eval"     -> (Similarity.q139NdcgEval _),
     "q140_equidepth_hist" -> (Profile.q140EquiDepthHist _),
+    "q140b_equidepth_approx" -> (Profile.q140bEquiDepthApprox _),
     "q141_hard_negatives" -> (Similarity.q141HardNegatives _),
     "q142_chunk_overlap"  -> (TextAnalysis.q142ChunkOverlap _),
+    "q143_block_jackknife" -> (Stats.q143BlockJackknife _),
+    "q144_quality_trend"  -> (Stats.q144QualityTrend _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -931,6 +934,35 @@ object SparkEntry {
         |       round(d.dcg / i.idcg, 6) AS ndcg
         |FROM d JOIN i ON i.q_id = d.q_id
         |ORDER BY vec_id""".stripMargin,
+
+    "q143_block_jackknife" ->
+      """WITH cells AS (SELECT event_type, event_id % 32 AS block,
+        |    sum(value) AS s, CAST(count(value) AS DOUBLE) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT event_type, sum(s) AS ts, sum(c) AS tc,
+        |    count(*) AS n_blocks FROM cells GROUP BY 1),
+        |loo AS (SELECT cells.event_type, n_blocks,
+        |    (ts - s) / (tc - c) AS loo_mean
+        |  FROM cells JOIN tot USING (event_type)),
+        |v AS (SELECT event_type, first(n_blocks) AS k_blocks,
+        |    var_pop(loo_mean) AS loo_var FROM loo GROUP BY 1)
+        |SELECT v.event_type, k_blocks, round(ts / tc, 4) AS mean_value,
+        |       round(sqrt((k_blocks - 1) * loo_var), 4) AS jackknife_se
+        |FROM v JOIN tot USING (event_type)
+        |WHERE k_blocks >= 2 ORDER BY event_type""".stripMargin,
+
+    "q144_quality_trend" ->
+      """WITH daily AS (SELECT source, CAST(doc_id // 20 AS BIGINT) AS day,
+        |    round(avg(CAST(n_chars AS DOUBLE) /
+        |              greatest(len(string_split(text, ' ')), 1)), 6) AS q
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+        |  GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_days,
+        |       round(regr_slope(q, day), 6) AS slope,
+        |       round(regr_r2(q, day), 4) AS r2,
+        |       round(avg(q), 6) AS mean_q
+        |FROM daily GROUP BY source HAVING count(*) >= 2
+        |ORDER BY source""".stripMargin,
 
     "q141_hard_negatives" ->
       """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,

@@ -175,4 +175,72 @@ object Stats {
       .unionAll(report(Tables.lineitem(spark, dir), "lineitem", "l_suppkey"))
       .orderBy("relation", "key")
   }
+
+  /** q143: block-jackknife standard error of the per-cohort mean — the
+    * distributed answer to "what's the uncertainty on this metric?"
+    * without bootstrap resampling (which would re-scan the corpus B
+    * times). Rows hash deterministically into 32 blocks; each block
+    * contributes one (sum, count) partial per cohort, and the
+    * leave-one-block-out means give the delete-one jackknife variance:
+    * SE² = (K−1)/K · Σ_b (x̄₋ᵦ − mean of x̄₋ᵦ)².  ONE corpus scan →
+    * O(cohorts × 32) cells; everything after runs on the cell table.
+    * This is the estimator a 1000-executor metrics pipeline can afford:
+    * partial-aggregable, deterministic, no replication of the data.
+    * Blocks key on `event_id % 32` — deterministic and engine-portable
+    * (ids are assignment-order, so blocks are exchangeable). */
+  def q143BlockJackknife(spark: SparkSession, dir: String): DataFrame = {
+    val k = 32
+    val cells = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), pmod(col("event_id"), lit(k)).as("block"))
+      .agg(sum("value").as("s"), count(col("value")).cast("double").as("c"))
+    val tot = cells.groupBy("event_type")
+      .agg(sum("s").as("ts"), sum("c").as("tc"),
+        count(lit(1)).as("n_blocks"))
+    // leave-one-out mean per block, then its variance across blocks
+    val loo = cells.join(tot, "event_type")
+      .select(col("event_type"), col("n_blocks"),
+        ((col("ts") - col("s")) / (col("tc") - col("c"))).as("loo_mean"))
+    loo
+      .groupBy("event_type")
+      .agg(first("n_blocks").as("k_blocks"),
+        var_pop("loo_mean").as("loo_var"))
+      .join(tot.select(col("event_type"), (col("ts") / col("tc")).as("mean_raw")),
+        "event_type")
+      .filter(col("k_blocks") >= 2) // jackknife needs ≥2 blocks
+      .select(col("event_type"),
+        col("k_blocks"),
+        round(col("mean_raw"), 4).as("mean_value"),
+        round(sqrt((col("k_blocks") - 1) * col("loo_var")), 4).as("jackknife_se"))
+      .orderBy("event_type")
+  }
+
+  /** q144: per-source quality trend — is each source's daily mean doc
+    * quality drifting? `regr_slope`/`regr_r2` over (day index, daily
+    * mean) per source: the corpus collapses to O(sources × days) cells
+    * under one partial-aggregated groupBy (the q113 contract), the
+    * regression runs on the cell table with O(1) co-moment state per
+    * source. Day index counts from each source's first day so slopes
+    * compare across sources; daily means round before the fit (the
+    * cross-engine moment convention). Quality = the q37 length/stopword
+    * blend's cheap core (chars per whitespace token), enough to detect
+    * drift without re-running the full scorer. */
+  def q144QualityTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .groupBy(col("source"),
+        // deterministic synthetic "day": docs carry no timestamp, so
+        // the drift axis is the ingest-order proxy doc_id / 20
+        (col("doc_id") / 20).cast("long").as("day"))
+      .agg(round(avg(col("n_chars").cast("double") /
+        greatest(size(split(col("text"), " ")), lit(1))), 6).as("q"))
+    daily
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_days"),
+        round(expr("regr_slope(q, day)"), 6).as("slope"),
+        round(expr("regr_r2(q, day)"), 4).as("r2"),
+        round(avg("q"), 6).as("mean_q"))
+      .filter(col("n_days") >= 2)
+      .orderBy("source")
+  }
 }

@@ -998,7 +998,8 @@ class QueriesSpec extends AnyFunSuite {
       "q98_snapshot_drift", "q100_padding_waste", "q106_snapshot_delta",
       "q109_heavy_hitters", "q110_textrank", "q117_triangles",
       "q118_bloom_decontaminate", "q120_source_divergence", "q128_label_prop",
-      "q131_merge_upsert", "q132_ppr", "q134_chi_square", "q142_chunk_overlap")
+      "q131_merge_upsert", "q132_ppr", "q134_chi_square", "q142_chunk_overlap",
+      "q144_quality_trend")
     val failures = docQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -1053,7 +1054,7 @@ class QueriesSpec extends AnyFunSuite {
       "q121_sequence_match", "q122_attribution", "q125_seasonal_index",
       "q126_changepoint", "q127_conversion_latency", "q129_interval_lookup",
       "q133_top_paths", "q136_mad_outliers", "q137_welch_ttest",
-      "q138_skew_report")
+      "q138_skew_report", "q143_block_jackknife")
     val failures = eventQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -1225,6 +1226,59 @@ class QueriesSpec extends AnyFunSuite {
       // prefix is the full closed-form Σ_{i=1..10} 1/log2(i+1)
       val full = (1 to 10).map(i => 1.0 / (math.log(i + 1) / math.log(2))).sum
       assert(math.abs(idcg - full) < 1e-5, s"idcg $idcg vs closed form $full")
+    }
+  }
+
+  test("q143 jackknife SE agrees with the analytic SE of the mean on iid cohorts") {
+    // for iid data the delete-block jackknife estimates the same
+    // sampling variance as s/√n — a factor-2 corridor catches formula
+    // errors (wrong K scaling is off by ~√K ≈ 5.7)
+    val jk = run("q143_block_jackknife").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(jk.nonEmpty)
+    val classical = graft.Tables.events(spark, sf0001)
+      .filter(col("value").isNotNull)
+      .groupBy("event_type")
+      .agg(avg("value").as("m"),
+        (stddev_samp(col("value")) / sqrt(count(col("value")))).as("se"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    jk.foreach { case (tpe, (k, mean, se)) =>
+      assert(k >= 2 && k <= 32)
+      val (cm, cse) = classical(tpe)
+      assert(math.abs(mean - cm) < 1e-3, s"$tpe mean: $mean vs $cm")
+      assert(se > 0 && se / cse > 0.5 && se / cse < 2.0,
+        s"$tpe: jackknife SE $se vs classical $cse outside the iid corridor")
+    }
+  }
+
+  test("q144 quality trend emits a bounded fit per source") {
+    val rows = run("q144_quality_trend").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 2, "fit needs ≥2 days")
+      assert(!r.getDouble(2).isNaN && math.abs(r.getDouble(2)) < 100, "slope bounded")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0 + 1e-9, "r² ∈ [0,1]")
+      assert(r.getDouble(4) > 0.0, "chars-per-token mean is positive")
+    }
+  }
+
+  test("q140b approx histogram tracks the exact bins within the GK rank-error bound") {
+    // approx_percentile's contract: each returned boundary is an actual
+    // value whose rank is within n/accuracy of the target, so each
+    // bin's population can differ from the exact bin by at most the
+    // two adjacent boundary rank errors (plus interpolation-vs-value
+    // discretization at small n)
+    val exact = run("q140_equidepth_hist").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val approx = run("q140b_equidepth_approx").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    assert(approx.values.sum == total, "bins must still partition all rows")
+    val rankErr = math.max(total / 10000.0, 1.0)
+    (1 to 10).foreach { b =>
+      val (e, a) = (exact.getOrElse(b, 0L), approx.getOrElse(b, 0L))
+      assert(math.abs(a - e) <= 2 * rankErr + 2,
+        s"bin $b: approx $a vs exact $e exceeds the rank-error bound")
     }
   }
 
