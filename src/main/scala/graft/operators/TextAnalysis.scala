@@ -1481,7 +1481,15 @@ object TextAnalysis {
     * fanout is bounded per row, so the operator pipelines at scan speed
     * at any corpus size. */
   def q142ChunkOverlap(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    chunkOverlap(Tables.documents(spark, dir)).orderBy("doc_id", "chunk_idx")
+
+  /** The chunker core on any (doc_id, text, n_chars) frame — shared by
+    * batch q142 and the ingest-time streaming twin
+    * ([[graft.streaming.DocStream.chunkOverlap]]): stateless per-row
+    * generator, so the stream emits exactly the batch rows in append
+    * mode with zero state. */
+  def chunkOverlap(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         posexplode(expr(
           "transform(sequence(1, greatest(n_chars, 1), 150)," +
@@ -1492,5 +1500,4 @@ object TextAnalysis {
         col("ch.s").cast("long").as("chunk_start"),
         length(col("ch.c")).cast("long").as("chunk_len"),
         md5(col("ch.c").cast("binary")).as("chunk_md5"))
-      .orderBy("doc_id", "chunk_idx")
 }

@@ -195,6 +195,16 @@ object DocStream {
     TextAnalysis.qualityScored(docs).filter(col("quality") >= minQuality)
   }
 
+  /** Ingest-time chunking: every arriving document splits into its
+    * retrieval-store chunks (the batch q142 definition, shared via
+    * [[graft.operators.TextAnalysis.chunkOverlap]]) as it lands — the
+    * RAG indexing pattern where chunk rows, not documents, are the
+    * stored unit. Stateless generator ⇒ append mode at scan speed;
+    * a null-id doc is dropped before chunking (the null-key contract —
+    * its chunks would be unaddressable downstream). */
+  def chunkOverlap(docs: DataFrame): DataFrame =
+    TextAnalysis.chunkOverlap(droppingNullDocKeys(docs))
+
   /** Ingest-time PII scrubbing: rewrite every arriving document with
     * the batch q69 redaction chain ([[TextAnalysis.redactPii]] — same
     * expressions, so stored text equals what the batch scrub would

@@ -1426,6 +1426,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming chunker emits exactly the batch q142 chunk rows") {
+    // stateless generator twin: every arriving doc lands as its chunk
+    // rows; parity is unconditional (no arrival-order caveat)
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunk-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$sf0001/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val q = graft.streaming.DocStream
+      .chunkOverlap(graft.streaming.DocStream.readStream(spark, dir.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("chunk_stream")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-chunk-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("chunk_stream")
+      val want = SparkEntry.queries("q142_chunk_overlap")(spark, sf0001)
+      assert(got.count() == want.count() && got.count() > 0)
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+        "streaming chunks must equal batch q142 row-for-row")
+    } finally q.stop()
+  }
+
   test("streaming CDC mergeApply folds the change feed to the batch q131 snapshot; replay is idempotent") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
