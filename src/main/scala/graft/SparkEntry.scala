@@ -140,6 +140,9 @@ object SparkEntry {
     "q142_chunk_overlap"  -> (TextAnalysis.q142ChunkOverlap _),
     "q143_block_jackknife" -> (Stats.q143BlockJackknife _),
     "q144_quality_trend"  -> (Stats.q144QualityTrend _),
+    // rows-only: Viterbi DP / EM training output (Unigram scaladoc)
+    "q145_unigram_encode" -> (Unigram.q145UnigramEncode _),
+    "q146_unigram_train"  -> (Unigram.q146UnigramTrain _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),

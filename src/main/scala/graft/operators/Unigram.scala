@@ -1,0 +1,255 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Portable
+
+/** Corpus-trained unigram-LM tokenizer (Kudo 2018, "Subword
+  * Regularization") — the second member of the engine's tokenizer
+  * family next to [[Bpe]] (the reference froze a pretrained BPE,
+  * `MapRedWord2Vec.scala:69-70`; this engine trains both families from
+  * the corpus with public-knowledge algorithmics).
+  *
+  * Where BPE GROWS a vocabulary bottom-up by merging frequent pairs,
+  * the unigram LM PRUNES top-down: seed with all frequent substrings,
+  * fit piece probabilities by EM over each word's segmentation lattice,
+  * drop the pieces whose removal costs the least likelihood, repeat.
+  * Encoding is Viterbi: the segmentation maximizing Σ log p(piece).
+  *
+  * Scale split (the [[Bpe.train]] contract): the corpus-sized work is
+  * ONE distributed tokenize + word-frequency aggregation; EM and
+  * pruning run on the bounded top-`maxVocab` histogram on the driver —
+  * index metadata, not corpus data (hard-EM over a ≤64k-word histogram
+  * with ≤8k candidate pieces). Corpus-side encoding applies the frozen
+  * piece table per DISTINCT word (the q87 dictionary pattern), then
+  * broadcast-joins segments back — the expensive DP runs O(dictionary)
+  * times, never O(corpus).
+  *
+  * The declared queries are rows-only by the Verify contract: Viterbi
+  * is a dynamic program with no faithful single-pass SQL rendering
+  * (a recursive-CTE lattice walk without per-step max-pruning
+  * enumerates up to 2^(len-1) paths). The correctness budget moves to
+  * the spec: segment-concatenation identity, vocabulary closure,
+  * brute-force optimality on every short word, and EM likelihood
+  * monotonicity (PqSpec/BpeSpec precedent).
+  */
+object Unigram {
+
+  // ------------------------------------------------------------------
+  // training (pure functions over the bounded histogram)
+  // ------------------------------------------------------------------
+
+  /** Candidate seed: every substring of length 1..`maxPieceLen` of
+    * every histogram word, scored by (occurrences × weight); keep the
+    * `maxPieces` best by that score (all single chars always survive —
+    * they guarantee every word stays encodable). Deterministic ties:
+    * score desc, piece asc. */
+  def seedCandidates(counts: Seq[(String, Long)], maxPieceLen: Int = 6,
+                     maxPieces: Int = 8192): Map[String, Double] = {
+    val sub = scala.collection.mutable.Map.empty[String, Double]
+    for ((w, c) <- counts; len <- 1 to math.min(maxPieceLen, w.length);
+         i <- 0 to w.length - len) {
+      val p = w.substring(i, i + len)
+      sub(p) = sub.getOrElse(p, 0.0) + c.toDouble
+    }
+    val chars = sub.filter(_._1.length == 1)
+    val multi = sub.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, s) => (-s, p) }
+      .take(math.max(maxPieces - chars.size, 0))
+    normalize((chars ++ multi).toMap)
+  }
+
+  /** Renormalize raw piece scores to log probabilities. */
+  private def normalize(scores: Map[String, Double]): Map[String, Double] = {
+    val total = scores.values.sum
+    scores.map { case (p, s) => p -> math.log(s / total) }
+  }
+
+  /** Viterbi segmentation of `word` under piece log-probs: the
+    * max-score split, DP over end positions. Ties break toward the
+    * LONGER last piece (then lexicographic) so the result is a pure
+    * function of (word, vocab). Words with un-covered characters fall
+    * back to per-char pieces with a floor score (can only happen if a
+    * caller passes a vocab missing a character class). */
+  def viterbi(word: String, logp: Map[String, Double],
+              maxPieceLen: Int = 6): (Array[String], Double) = {
+    if (word.isEmpty) return (Array.empty, 0.0)
+    val n = word.length
+    val floor = -1e9
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = Array.fill(n + 1)(-1) // start index of the best last piece
+    best(0) = 0.0
+    var j = 1
+    while (j <= n) {
+      var i = math.max(0, j - maxPieceLen)
+      while (j - i >= 1) {
+        val piece = word.substring(i, j)
+        val lp = logp.getOrElse(piece, if (piece.length == 1) floor
+          else Double.NegativeInfinity)
+        if (lp > Double.NegativeInfinity && best(i) + lp > best(j)) {
+          best(j) = best(i) + lp
+          back(j) = i
+        } else if (lp > Double.NegativeInfinity && best(i) + lp == best(j) &&
+          back(j) >= 0 && i < back(j)) {
+          back(j) = i // equal score: prefer the longer last piece
+        }
+        i += 1
+      }
+      j += 1
+    }
+    val pieces = scala.collection.mutable.ListBuffer.empty[String]
+    var pos = n
+    while (pos > 0) { val s = back(pos); pieces.prepend(word.substring(s, pos)); pos = s }
+    (pieces.toArray, best(n))
+  }
+
+  /** One hard-EM round: E-step Viterbi-segments every histogram word
+    * under the current probabilities (counts weighted by word
+    * frequency); M-step re-estimates piece probabilities from those
+    * usage counts. Pieces that received no use keep a vanishing count
+    * so pruning (not the M-step) decides their fate. Returns the new
+    * log-prob table and the total weighted log-likelihood BEFORE the
+    * update (for the monotonicity spec). */
+  def emRound(counts: Seq[(String, Long)],
+              logp: Map[String, Double]): (Map[String, Double], Double) = {
+    val use = scala.collection.mutable.Map.empty[String, Double]
+    var ll = 0.0
+    for ((w, c) <- counts) {
+      val (pieces, score) = viterbi(w, logp)
+      ll += score * c
+      for (p <- pieces) use(p) = use.getOrElse(p, 0.0) + c.toDouble
+    }
+    val kept = logp.map { case (p, _) =>
+      p -> use.getOrElse(p, if (p.length == 1) 1e-6 else 1e-9)
+    }
+    (normalize(kept), ll)
+  }
+
+  /** Prune toward `vocabSize`: drop the `shrink` fraction of
+    * multi-char pieces with the lowest usage-weighted probability
+    * (single chars are never pruned). */
+  def prune(counts: Seq[(String, Long)], logp: Map[String, Double],
+            vocabSize: Int, shrink: Double = 0.25): Map[String, Double] = {
+    val (chars, multi) = logp.partition(_._1.length == 1)
+    val targetMulti = math.max(vocabSize - chars.size, 0)
+    val keep = math.max(targetMulti,
+      (multi.size * (1.0 - shrink)).toInt)
+    val kept = multi.toSeq.sortBy { case (p, lp) => (-lp, p) }.take(keep)
+    normalize((chars ++ kept).toMap)
+  }
+
+  /** Full training loop: seed → (EM × `emRounds` → prune) until the
+    * vocabulary reaches `vocabSize`, then a final EM refit. Pure
+    * function of the histogram — unit-testable without Spark. */
+  def trainFromCounts(counts: Seq[(String, Long)], vocabSize: Int = 512,
+                      emRounds: Int = 2): Map[String, Double] = {
+    var logp = seedCandidates(counts)
+    var guard = 0
+    while (logp.size > vocabSize && guard < 32) {
+      for (_ <- 1 to emRounds) logp = emRound(counts, logp)._1
+      logp = prune(counts, logp, vocabSize)
+      guard += 1
+    }
+    emRound(counts, logp)._1
+  }
+
+  /** Spark-native training entry — the [[Bpe.train]] split: distributed
+    * tokenize + count, bounded top-`maxVocab` histogram collect
+    * (deterministic order), driver EM. */
+  def train(docs: DataFrame, textCol: String, vocabSize: Int,
+            maxVocab: Int = 65536): Map[String, Double] = {
+    val counts = docs
+      .select(explode(Portable.tokenize(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("word"))
+      .limit(maxVocab)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    trainFromCounts(counts, vocabSize)
+  }
+
+  // ------------------------------------------------------------------
+  // frozen artifact + declared queries
+  // ------------------------------------------------------------------
+
+  /** Frozen piece table: `train(documents @ sf0.1, vocabSize = 96)`,
+    * pruned to pieces the fit actually used (logp > −30; the unused
+    * seed tail would bloat the constant without changing any
+    * segmentation). The synthetic corpus has a 31-word vocabulary, so
+    * EM converges to whole-word pieces + the `er`/`dup` subwords the
+    * near-dup suffixes exercise + the single-char closed tail — the
+    * degenerate-but-correct fixpoint for this distribution; UnigramSpec
+    * proves genuine subword splits on richer fixtures. The
+    * [[Bpe.pretrainedMerges]] versioned-artifact contract: the declared
+    * encode query's semantics do not drift with input scale. Log-probs
+    * at 6 dp — Viterbi comparisons reproduce bit-for-bit from the
+    * rounded constants. Regenerate with [[train]] (the UnigramSpec
+    * freeze-parity test pins staleness). */
+  val pretrainedPieces: Seq[(String, Double)] = Seq(
+    ("spark", -3.416548), ("window", -3.419056), ("merge", -3.419274),
+    ("table", -3.420695), ("column", -3.422556), ("vector", -3.423433),
+    ("stream", -3.423652), ("value", -3.4242), ("data", -3.425079),
+    ("small", -3.425518), ("join", -3.427718), ("filter", -3.429592),
+    ("big", -3.430255), ("group", -3.432134), ("hash", -3.433905),
+    ("custom", -3.434681), ("er", -3.434681), ("sort", -3.436013),
+    ("order", -3.439796), ("slow", -3.441022), ("line", -3.442027),
+    ("part", -3.444488), ("fast", -3.444824), ("row", -3.444936),
+    ("the", -3.444936), ("agg", -3.446394), ("key", -3.448528),
+    ("query", -3.449879), ("a", -3.450329), ("scan", -3.451907),
+    ("batch", -3.455751), ("dup", -7.000284),
+    ("b", -26.357059), ("c", -26.357059), ("d", -26.357059),
+    ("e", -26.357059), ("f", -26.357059), ("g", -26.357059),
+    ("h", -26.357059), ("i", -26.357059), ("j", -26.357059),
+    ("k", -26.357059), ("l", -26.357059), ("m", -26.357059),
+    ("n", -26.357059), ("o", -26.357059), ("p", -26.357059),
+    ("q", -26.357059), ("r", -26.357059), ("s", -26.357059),
+    ("t", -26.357059), ("u", -26.357059), ("v", -26.357059),
+    ("w", -26.357059), ("y", -26.357059))
+
+  /** The runtime vocab for the declared encode query. */
+  def frozenVocab(spark: SparkSession, dir: String): Map[String, Double] =
+    pretrainedPieces.toMap
+
+  /** q145: unigram-LM encode over the corpus word dictionary — one
+    * Viterbi per DISTINCT word (the q87 pattern: the DP runs
+    * O(dictionary) times; corpus rows would join against this table by
+    * word). Output: (word, pieces ' '-joined, n_pieces, score 4 dp).
+    * Rows-only by the DP contract (object scaladoc); UnigramSpec owns
+    * optimality. */
+  def q145UnigramEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = frozenVocab(spark, dir)
+    val words = Tables.documents(spark, dir)
+      .select(explode(Portable.tokenize(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("word"))
+      .limit(65536) // bounded dictionary (the Bpe.train maxVocab contract)
+      .select("word").orderBy("word")
+      .as[String].collect()
+    words.toSeq.map { w =>
+      val (pieces, score) = viterbi(w, vocab)
+      (w, pieces.mkString(" "), pieces.length.toLong,
+        math.round(score * 10000).toDouble / 10000)
+    }.toDF("word", "pieces", "n_pieces", "score")
+      .orderBy("word")
+  }
+
+  /** q146: live unigram training on the pointed-at corpus — the
+    * learned piece table as rows (piece, logp 4 dp, rank by prob).
+    * Rows-only like q57 (training output, not SQL-derivable). */
+  def q146UnigramTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val logp = train(Tables.documents(spark, dir), "text", vocabSize = 96)
+    logp.toSeq
+      .sortBy { case (p, lp) => (-lp, p) }
+      .zipWithIndex
+      .map { case ((p, lp), i) =>
+        (p, math.round(lp * 10000).toDouble / 10000, (i + 1).toLong)
+      }
+      .toDF("piece", "logp", "rank")
+      .orderBy("rank")
+  }
+}
