@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.operators.{LinAlg, Quantize}
@@ -72,4 +73,43 @@ object VecStream {
     * before any cosine threshold or ANN index silently degrades. */
   def ingestDimStats(vecs: DataFrame): DataFrame =
     LinAlg.dimStats(vecs)
+
+  /** Streaming IVF maintenance: assign every ARRIVING vector to its
+    * nearest frozen centroid as it lands — the index-side half of the
+    * q45/q119 inverted file kept current at ingest (write the output
+    * partitioned by `cell` and the q119 probe prunes its scan the
+    * moment a vector is committed).
+    *
+    * The batch [[graft.operators.KMeans.assign]] ranks candidates with
+    * a per-vector window — a shape streaming forbids (no window
+    * functions on unaggregated streams) and that would shuffle anyway.
+    * Here the argmin is a PER-ROW fold over the broadcast centroid
+    * array: same 6-dp-rounded distance, same lowest-cluster tie-break
+    * (the fold visits clusters in ascending order and replaces only on
+    * strictly-smaller distance), so rows equal the batch assignment
+    * bit-for-bit (StreamingSpec) — stateless, append mode, scan speed,
+    * and the better shape at ANY scale: k distances per row with NO
+    * k-way row fanout, where the batch window materializes k candidate
+    * rows per vector before discarding k−1. Null-id/null-embedding rows
+    * drop (the null-key contract). */
+  def ivfAssign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val centArr = broadcast(centroids.agg(
+      expr("sort_array(collect_list(struct(cluster, cv)))").as("cs")))
+    vecs
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .crossJoin(centArr)
+      .select(col("vec_id"), expr(
+        """aggregate(cs,
+          |  named_struct('cluster', CAST(-1 AS BIGINT), 'dist', CAST('Infinity' AS DOUBLE)),
+          |  (acc, c) -> CASE
+          |    WHEN round(aggregate(zip_with(v, c.cv, (x, y) -> (x - y) * (x - y)),
+          |               0D, (a2, x2) -> a2 + x2), 6) < acc.dist
+          |    THEN named_struct('cluster', CAST(c.cluster AS BIGINT),
+          |      'dist', round(aggregate(zip_with(v, c.cv, (x, y) -> (x - y) * (x - y)),
+          |              0D, (a2, x2) -> a2 + x2), 6))
+          |    ELSE acc END)""".stripMargin).as("best"))
+      .select(col("vec_id"), col("best.cluster").as("cluster"),
+        col("best.dist").as("dist"))
+  }
 }

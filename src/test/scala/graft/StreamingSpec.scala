@@ -1563,6 +1563,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming IVF assignment equals the batch assign bit-for-bit") {
+    // stateless fold-argmin twin of KMeans.assign: same rounded
+    // distance, same lowest-cluster tie-break — every arriving vector
+    // must land in exactly the cell the batch index build would pick
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$sf0001/embeddings.parquet"),
+      dir.resolve("embeddings.parquet"))
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = graft.operators.KMeans.fit(e)
+    val q = graft.streaming.VecStream
+      .ivfAssign(graft.streaming.VecStream.readStream(spark, dir.toString), cents)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ivf_assign_stream")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ivf-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ivf_assign_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = graft.operators.KMeans.assign(e, cents)
+        .select(col("vec_id"), col("cluster"), col("dist"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(want.nonEmpty && got == want,
+        "streaming cell assignment must equal the batch KMeans.assign")
+      // every cell in use — the parity is not vacuous on a degenerate fit
+      assert(got.map(_._2).size > 1)
+    } finally q.stop()
+  }
+
   test("streaming drift monitor converges to the batch q98 comparison") {
     // the stream maintains the q98 cell table incrementally (complete
     // mode, O(lang × source) state); once the source drains, drift
