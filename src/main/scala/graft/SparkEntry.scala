@@ -143,6 +143,7 @@ object SparkEntry {
     // rows-only: Viterbi DP / EM training output (Unigram scaladoc)
     "q145_unigram_encode" -> (Unigram.q145UnigramEncode _),
     "q146_unigram_train"  -> (Unigram.q146UnigramTrain _),
+    "q147_shortest_paths" -> (Graph.q147ShortestPaths _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -834,6 +835,39 @@ object SparkEntry {
          |    CASE WHEN src = (SELECT id FROM seed) THEN 1.0 ELSE 0.0 END AS r FROM deg),
          |$iters
          |SELECT id AS word, round(r, 6) AS rank FROM pr10 ORDER BY rank DESC, word""".stripMargin
+    },
+
+    // unrolled Bellman-Ford (the q110/q132 fixed-iteration rule);
+    // distances round at 6 dp per relaxation so both engines add
+    // identical doubles round over round
+    "q147_shortest_paths" -> {
+      val rounds = (1 to 8).map { k =>
+        s"""d$k AS (SELECT id, min(d) AS d FROM (
+           |    SELECT id, d FROM d${k - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS id, round(p.d + e.w, 6) AS d
+           |    FROM d${k - 1} p JOIN wed e ON e.src = p.id) GROUP BY id)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT doc_id, ${tok("text")} AS ws FROM documents),
+         |pairs AS (SELECT p['w1'] AS w1, p['w2'] AS w2 FROM
+         |  (SELECT unnest(list_transform(range(1, len(ws)),
+         |     i -> {'w1': ws[i], 'w2': ws[i+1]})) AS p
+         |   FROM t WHERE len(ws) >= 2)),
+         |pc AS (SELECT least(w1, w2) AS a, greatest(w1, w2) AS b,
+         |    CAST(count(*) AS DOUBLE) AS cnt FROM pairs WHERE w1 <> w2
+         |    GROUP BY 1, 2),
+         |tot AS (SELECT sum(cnt) AS n FROM pc),
+         |wed AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst, round(ln(1 + n / cnt), 6) AS w
+         |  FROM pc CROSS JOIN tot
+         |  UNION ALL
+         |  SELECT b, a, round(ln(1 + n / cnt), 6) FROM pc CROSS JOIN tot),
+         |seed AS (SELECT least(min(src), min(dst)) AS id FROM wed),
+         |d0 AS (SELECT id, 0.0 AS d FROM seed),
+         |$rounds
+         |SELECT id AS word, round(d, 6) AS dist FROM d8
+         |ORDER BY dist, word""".stripMargin
     },
 
     "q133_top_paths" ->

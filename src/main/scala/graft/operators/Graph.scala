@@ -378,4 +378,60 @@ object Graph {
       .select(col("id").as("word"), col("n_triangles"))
       .orderBy(desc("n_triangles"), asc("word"))
   }
+
+  /** Single-source shortest paths by `iters` synchronous Bellman-Ford
+    * relaxation rounds over a weighted symmetric edge list
+    * (src, dst, w) — the weighted companion to [[connectedComponents]]'
+    * min-label fixpoint. Fixed iteration count (the q110 contract):
+    * after r rounds the table holds exact distances for every node
+    * within r hops of the source, a pure function of (edges, source),
+    * hence oracle-checkable as an unrolled CTE. Each accumulated
+    * distance rounds at 6 dp so both engines relax identical doubles
+    * (the q113 convention).
+    *
+    * Per round: one join of the O(V) frontier against the edge list +
+    * one min-groupBy — both key-partitioned; localCheckpoint cuts the
+    * recursive lineage. At 100 TB the graph table is the small side
+    * (vocabulary-capped, the q110 argument); rounds never touch the
+    * corpus. */
+  def shortestPaths(wedges: DataFrame, source: DataFrame,
+                    iters: Int): DataFrame = {
+    var dist = source.select(col("id"), lit(0.0).as("d")).localCheckpoint()
+    var r = 0
+    while (r < iters) {
+      val relax = dist.join(wedges, dist("id") === wedges("src"))
+        .select(col("dst").as("id"), round(dist("d") + wedges("w"), 6).as("d"))
+      dist = dist.unionByName(relax)
+        .groupBy("id").agg(min("d").as("d"))
+        .localCheckpoint()
+      r += 1
+    }
+    dist
+  }
+
+  /** q147: cheapest association paths from the seed word over the
+    * WEIGHTED co-occurrence graph — edge cost ln(1 + N/cnt) (frequent
+    * co-occurrence = short hop), so the distance ranks how tightly
+    * each vocabulary word associates with the seed through any chain
+    * of contexts: the graph-distance cousin of q132's random-walk
+    * relatedness (PPR rewards MANY paths; this rewards the single
+    * strongest one). Seed = deterministic min word (the q132 rule);
+    * 8 relaxation rounds exceed the vocabulary graph's diameter. */
+  def q147ShortestPaths(spark: SparkSession, dir: String): DataFrame = {
+    val pc = TextAnalysis.transitions(spark, dir)
+      .filter(col("w1") =!= col("w2"))
+      .select(least(col("w1"), col("w2")).as("a"),
+        greatest(col("w1"), col("w2")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).cast("double").as("cnt"))
+    val tot = pc.agg(sum("cnt").as("n"))
+    val half = pc.crossJoin(broadcast(tot)) // 1-row total × O(E) edges
+      .select(col("a"), col("b"),
+        round(log(lit(1.0) + col("n") / col("cnt")), 6).as("w"))
+    val wedges = half.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionByName(half.select(col("b").as("src"), col("a").as("dst"), col("w")))
+    val seed = wedges.select(least(min("src"), min("dst")).as("id"))
+    shortestPaths(wedges, seed, iters = 8)
+      .select(col("id").as("word"), round(col("d"), 6).as("dist"))
+      .orderBy("dist", "word")
+  }
 }

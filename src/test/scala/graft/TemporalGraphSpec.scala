@@ -527,4 +527,42 @@ class TemporalGraphSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q147 distances equal an independent in-memory Bellman-Ford replay") {
+    val rows = SparkEntry.queries("q147_shortest_paths")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows.nonEmpty)
+    // rebuild the weighted graph in plain Scala from the same corpus
+    val pairs = Tables.documents(spark, sf0001)
+      .select(graft.functions.Portable.tokenize(col("text")).as("ws"))
+      .collect().map(_.getSeq[String](0))
+      .flatMap(ws => ws.zip(ws.drop(1)))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => if (a < b) (a, b) else (b, a) }
+    val cnt = pairs.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val n = cnt.values.sum
+    def rnd6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val adj = cnt.toSeq.flatMap { case ((a, b), c) =>
+      val w = rnd6(math.log(1 + n / c)); Seq((a, b, w), (b, a, w))
+    }.groupBy(_._1)
+    val seed = adj.keys.min
+    // 8 synchronous relaxation rounds with the SAME per-step rounding
+    var dist = Map(seed -> 0.0)
+    (1 to 8).foreach { _ =>
+      val relaxed = dist.toSeq.flatMap { case (u, d) =>
+        adj.getOrElse(u, Seq.empty).map { case (_, v, w) => v -> rnd6(d + w) }
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1).map {
+        case (k, vs) => k -> vs.map(_._2).min
+      }
+    }
+    assert(rows.keySet == dist.keySet,
+      s"reach sets differ: ${rows.keySet.diff(dist.keySet)} / ${dist.keySet.diff(rows.keySet)}")
+    dist.foreach { case (w, d) =>
+      assert(math.abs(rows(w) - d) < 1e-9, s"$w: ${rows(w)} vs $d")
+    }
+    assert(rows(seed) == 0.0, "seed distance is zero")
+    assert(rows.values.forall(_ >= 0.0))
+  }
 }
