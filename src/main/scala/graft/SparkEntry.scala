@@ -927,7 +927,7 @@ object SparkEntry {
         |       round((m1 - m2) / sqrt(v1/n1 + v2/n2), 4) AS t_stat,
         |       round((v1/n1 + v2/n2) * (v1/n1 + v2/n2) /
         |             (v1*v1/(n1*n1*(n1-1)) + v2*v2/(n2*n2*(n2-1))), 4) AS welch_df
-        |FROM a CROSS JOIN b""".stripMargin,
+        |FROM a CROSS JOIN b ORDER BY n_purchase""".stripMargin,
 
     "q138_skew_report" -> {
       def one(rel: String, key: String): String =

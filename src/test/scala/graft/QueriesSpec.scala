@@ -364,7 +364,15 @@ class QueriesSpec extends AnyFunSuite {
       // q130b: HLL++ estimates are engine-specific sketch contents
       // (the q44/q51b precedent); the rsd-bound-vs-exact-q130 contract
       // is spec-tested above instead
-      "q130b_profile_approx")
+      "q130b_profile_approx",
+      // q140b: GK-sketch boundaries are engine-specific (the q51b
+      // precedent); the rank-error-bound-vs-exact-q140 contract is
+      // spec-tested above instead
+      "q140b_equidepth_approx",
+      // q145/q146: Viterbi DP / EM training have no faithful SQL
+      // rendering (Unigram scaladoc); UnigramSpec owns optimality,
+      // likelihood monotonicity, and the frozen-artifact pin
+      "q145_unigram_encode", "q146_unigram_train")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries with neither oracle nor rows-only justification: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

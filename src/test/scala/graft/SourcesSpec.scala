@@ -145,6 +145,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(orc.count() == 25 && json.count() == 25)
   }
 
+  test("orc scans push filters and prune columns like parquet") {
+    // format parity contract: swapping the warehouse format must not
+    // silently lose pushdown — a predicate over an ORC scan has to
+    // reach the reader (PushedFilters) and a 2-column projection must
+    // shrink ReadSchema, exactly as the parquet scans prove in
+    // SCALING.md
+    val base = Files.createTempDirectory("graft-orc-push")
+    Tables.lineitem(spark, TestSpark.sf0001).write.orc(s"$base/li")
+    val plan = spark.read.orc(s"$base/li")
+      .filter(col("l_quantity") > 40)
+      .select("l_orderkey", "l_quantity")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40"),
+      s"ORC scan must push the quantity predicate:\n${plan.take(1200)}")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"ORC scan must prune to the 2 projected columns:\n${plan.take(1200)}")
+  }
+
   test("jsonl source with explicit schema is single-pass and survives malformed rows") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft-jsonl")
