@@ -59,8 +59,7 @@ object LinAlg {
     import spark.implicits._
     import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
     import org.apache.spark.mllib.linalg.distributed.RowMatrix
-    val rows = Tables.embeddings(spark, dir)
-      .select(col("embedding").cast("array<double>").as("v"))
+    val rows = uniformVectors(Tables.embeddings(spark, dir))
       .rdd.map(r => OldVectors.dense(r.getSeq[Double](0).toArray))
     if (rows.isEmpty()) return Seq.empty[(Long, Long, Double)].toDF("i", "j", "cov")
     val cov = new RowMatrix(rows).computeCovariance()
@@ -195,14 +194,37 @@ object LinAlg {
       .orderBy("vec_id")
   }
 
+  /** Corrupt-row guard for the RowMatrix boundary: dense BLAS buffers
+    * require every row non-null at ONE uniform dimension — a null
+    * embedding NPEs the mapper and a truncated array fails the Gramian
+    * requirement, either way poisoning the whole job on one bad row
+    * (the dirty-vector sweep's finding). A NaN/Inf dimension is the
+    * same class of poison one step later: it contaminates every
+    * co-moment it touches, fails the eigensolve (NotConverged), and
+    * NaN cells break the 6-dp BigDecimal rounding. Keep the MODAL
+    * dimension (the encoder's actual output width; one column-pruned
+    * O(distinct dims) agg decides it), drop strays and non-finite
+    * rows — the declarative twins degrade per-row, this is the guard
+    * that gives the RDD boundary the same contract. */
+  private def uniformVectors(embeddings: DataFrame): DataFrame = {
+    val v = embeddings
+      .select(col("embedding").cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && size(col("v")) > 0)
+      .filter(!exists(col("v"),
+        x => isnan(x) || abs(x) === lit(Double.PositiveInfinity)))
+    val dims = v.groupBy(size(col("v")).as("d")).count()
+      .orderBy(desc("count"), asc("d")).limit(1)
+      .collect()
+    if (dims.isEmpty) v else v.filter(size(col("v")) === dims.head.getInt(0))
+  }
+
   /** Principal components + explained-variance ratios of an
     * (vec_id, embedding) table. Returns (d×k column-major components,
     * k ratios). */
   def pca(embeddings: DataFrame, k: Int): (Array[Array[Double]], Array[Double]) = {
     import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
     import org.apache.spark.mllib.linalg.distributed.RowMatrix
-    val rows = embeddings
-      .select(col("embedding").cast("array<double>").as("v"))
+    val rows = uniformVectors(embeddings)
       .rdd.map(r => OldVectors.dense(r.getSeq[Double](0).toArray))
     val mat = new RowMatrix(rows)
     val (pc, variance) = {

@@ -46,7 +46,11 @@ object Quantize {
     * means brute-force/IVF ranking on int8 is safe at the usual
     * thresholds. */
   def q76QuantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    // null/empty vectors carry nothing to quantize — and an empty
+    // array's size-0 divisor in the rmse is an ANSI DIVIDE_BY_ZERO
+    // that would fail the stage on one corrupt row (dirty-vector sweep)
     val e = Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     quantized(e)
       .withColumn("dq", transform(col("qvec"), q => q.cast("double") * col("scale")))

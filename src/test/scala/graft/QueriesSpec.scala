@@ -1073,6 +1073,55 @@ class QueriesSpec extends AnyFunSuite {
       s"event queries must tolerate dirty rows:\n${failures.mkString("\n")}")
   }
 
+  test("embedding queries survive dirty rows: null/empty/short/NaN vectors, null label") {
+    // a 100 TB embedding store WILL carry encoder failures: null rows
+    // from upstream crashes, truncated arrays from bad serialization,
+    // NaN dims from fp overflow. A vector query that throws on one row
+    // poisons its stage exactly like the dirty-document case; the
+    // contract is degrade (null/NaN scores sort last or drop), never
+    // crash.
+    val dir = java.nio.file.Files.createTempDirectory("graft-dirty-vecs").toString
+    val clean = (1 to 60).map { i =>
+      org.apache.spark.sql.Row(i.toLong, Seq.tabulate(64)(j =>
+        java.lang.Float.valueOf((((i * 48271 + j * 16807) % 101) - 50.2f) / 50.2f)),
+        Integer.valueOf(i % 5))
+    }
+    val dirty = Seq(
+      org.apache.spark.sql.Row(101L, null, Integer.valueOf(1)),          // null vector
+      org.apache.spark.sql.Row(102L, Seq.empty[java.lang.Float], Integer.valueOf(2)), // empty
+      org.apache.spark.sql.Row(103L, Seq.tabulate(8)(j =>
+        java.lang.Float.valueOf(j * 0.1f)), Integer.valueOf(3)),         // truncated: 8 of 64 dims
+      org.apache.spark.sql.Row(104L, Seq.tabulate(64)(j =>
+        java.lang.Float.valueOf(if (j == 7) Float.NaN else 0.5f)), Integer.valueOf(4)), // NaN dim
+      org.apache.spark.sql.Row(105L, Seq.tabulate(64)(j =>
+        java.lang.Float.valueOf(0.25f)), null))                          // null label
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.IntegerType)))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(clean ++ dirty, 2), schema)
+      .write.parquet(s"$dir/embeddings.parquet")
+    // vec queries that also read documents get the clean doc table
+    spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .write.parquet(s"$dir/documents.parquet")
+    val vecQueries = Seq("q34_knn_cosine", "q45b_ivf_seeded_cells",
+      "q61_knn_join", "q76_quantize_int8", "q84_binary_quant_knn",
+      "q99_knn_label_eval", "q103_pca_variance", "q103b_covariance",
+      "q104_embedding_drift", "q114_pq_codes", "q114b_pq_adc_topk",
+      "q115_pq_rerank", "q116_kmeans_fit", "q119_ivf_search",
+      "q139_ndcg_eval", "q141_hard_negatives")
+    val failures = vecQueries.flatMap { name =>
+      try { SparkEntry.queries(name)(spark, dir).collect(); None }
+      catch { case e: Throwable =>
+        Some(s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(140)}")
+      }
+    }
+    assert(failures.isEmpty,
+      s"embedding queries must tolerate dirty vectors:\n${failures.mkString("\n")}")
+  }
+
   test("q118 bloom decontamination equals exact q70; a saturated sketch stays exact") {
     val exact = run("q70_decontaminate").collect().map(_.toSeq).toSeq
     val bloom = run("q118_bloom_decontaminate").collect().map(_.toSeq).toSeq
