@@ -144,6 +144,7 @@ object SparkEntry {
     "q145_unigram_encode" -> (Unigram.q145UnigramEncode _),
     "q146_unigram_train"  -> (Unigram.q146UnigramTrain _),
     "q147_shortest_paths" -> (Graph.q147ShortestPaths _),
+    "q148_ivf_recall"     -> (KMeans.q148IvfRecall _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -637,6 +638,39 @@ object SparkEntry {
          |       FROM ex)
          |SELECT q_id, rank, n_id, l2sq FROM rk WHERE rank <= 10
          |ORDER BY q_id, rank""".stripMargin,
+
+    // recall@10 of the q119 IVF pipeline vs exact brute-force ground
+    // truth — both ranked lists rebuilt from the shared seeded-Lloyd
+    // CTE chain, overlap counted per query
+    "q148_ivf_recall" ->
+      s"""WITH $kmeansCte,
+         |mem AS (SELECT a.vec_id AS n_id, a.cluster, e.v AS nv
+         |        FROM af a JOIN e ON e.vec_id = a.vec_id),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         |qc AS (SELECT q_id, qv, cluster FROM (
+         |    SELECT q_id, qv, cluster, row_number() OVER
+         |      (PARTITION BY q_id ORDER BY cdist, cluster) AS crk
+         |    FROM (SELECT q.q_id, q.qv, c.cluster,
+         |                 round(${sqDistSql("q.qv", "c.cv")}, 6) AS cdist
+         |          FROM q CROSS JOIN $kmeansLast c) s0) t
+         |  WHERE crk <= ${operators.KMeans.Nprobe}),
+         |ivf AS (SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, row_number() OVER
+         |      (PARTITION BY q_id ORDER BY l2sq, n_id) AS rank
+         |    FROM (SELECT qc.q_id, m.n_id,
+         |                 round(${sqDistSql("qc.qv", "m.nv")}, 6) AS l2sq
+         |          FROM mem m JOIN qc USING (cluster)
+         |          WHERE m.n_id <> qc.q_id) s1) t WHERE rank <= 10),
+         |truth AS (SELECT q_id, n_id FROM (
+         |    SELECT q.q_id, e.vec_id AS n_id, row_number() OVER
+         |      (PARTITION BY q.q_id ORDER BY
+         |         round(${sqDistSql("q.qv", "e.v")}, 6), e.vec_id) AS rank
+         |    FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id) t
+         |  WHERE rank <= 10)
+         |SELECT t.q_id, CAST(count(i.n_id) AS BIGINT) AS n_overlap,
+         |       round(count(i.n_id) / 10.0, 4) AS recall_at_10
+         |FROM truth t LEFT JOIN ivf i ON i.q_id = t.q_id AND i.n_id = t.n_id
+         |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin,
 
     // JS over the union support via the collapse-under-groupBy union
     // (see the operator scaladoc); ln() one-ulp absorbed by round 6

@@ -90,9 +90,9 @@ object KMeans {
     * and nothing ever shuffles. Completes the declared ANN ladder:
     * q34 brute → q61 blocked → q84 binary-quantized → q119 IVF →
     * q114b/q115 PQ. */
-  def q119IvfSearch(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+  /** The q119 IVF pipeline up to its ranked top-10 — shared with the
+    * q148 recall evaluation. */
+  private def ivfTop10(e: DataFrame): DataFrame = {
     val cents = fit(e)
     val members = assign(e, cents)
       .select(col("vec_id").as("n_id"), col("v").as("nv"), col("cluster"))
@@ -112,8 +112,46 @@ object KMeans {
         round(sqDist(col("qv"), col("nv")), 6).as("l2sq"))
       .withColumn("rank", row_number().over(wx).cast("long"))
       .filter(col("rank") <= 10)
+  }
+
+  def q119IvfSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    ivfTop10(e)
       .select(col("q_id"), col("rank"), col("n_id"), col("l2sq"))
       .orderBy("q_id", "rank")
+  }
+
+  /** q148: recall@10 of the IVF search against exact brute-force
+    * ground truth — the number an ANN deployment is actually judged
+    * by (the q119 scaladoc promises pruning; this measures what the
+    * pruning costs in answer quality, per query). Ground truth is the
+    * exact L2 top-10 over the whole corpus (the q34 broadcast-block
+    * shape — affordable for the 10-query eval block; production runs
+    * this on a sampled query set for exactly that reason); overlap
+    * counts via one left join on (q_id, n_id). A cell-probe miss shows
+    * up as recall < 1 on the specific query whose true neighbors sat
+    * in unprobed cells — the signal that tunes Nprobe. */
+  def q148IvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val ivf = ivfTop10(e).select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wx = Window.partitionBy("q_id").orderBy(asc("l2sq"), asc("n_id"))
+    val truth = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(sqDist(col("qv"), col("v")), 6).as("l2sq"))
+      .withColumn("rank", row_number().over(wx))
+      .filter(col("rank") <= 10)
+      .select("q_id", "n_id")
+    truth.join(ivf, Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      .select(col("q_id"), col("n_overlap"),
+        round(col("n_overlap") / lit(10.0), 4).as("recall_at_10"))
+      .orderBy("q_id")
   }
 
   /** q116: the fitted clustering, reported per cluster — member count,

@@ -77,4 +77,21 @@ class KMeansSpec extends AnyFunSuite {
       assert(norm > 0.0, s"cluster $c: degenerate centroid")
     }
   }
+
+  test("q148 recall@10 is coherent and the Nprobe=4 probe finds most true neighbors") {
+    val rows = SparkEntry.queries("q148_ivf_recall")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 10, "one recall row per eval query")
+    rows.foreach { case (q, n, rec) =>
+      assert(n >= 0 && n <= 10, s"query $q: overlap $n outside [0,10]")
+      assert(math.abs(rec - n / 10.0) < 1e-9, s"query $q: recall != overlap/10")
+    }
+    val mean = rows.map(_._3).sum / rows.length
+    // probing 4 of 16 cells must beat random cell luck by a wide
+    // margin — a broken probe ranking would sit near Nprobe/K = 0.25
+    assert(mean >= 0.5, s"mean recall $mean: the probe ranking is broken")
+    // and the eval must be non-vacuous: pruning SHOULD cost something
+    // somewhere, or the fixture can't distinguish IVF from brute force
+    assert(rows.exists(_._2 < 10) || mean == 1.0)
+  }
 }
