@@ -727,6 +727,25 @@ class ScaleSpec extends AnyFunSuite {
       s"q142 should plan a Generate (posexplode):\n${plan.take(1200)}")
   }
 
+  test("ivfAssign plans zero exchanges: one broadcast row, no k-way candidate fanout") {
+    // the streaming twin's scale contract, checked on the batch planner
+    // (same plan shape): the centroid array joins as ONE broadcast row
+    // and the argmin is a per-row fold — so unlike the batch window
+    // form there is no hash exchange and no k× candidate materialization
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = graft.operators.KMeans.fit(e)
+    val plan = graft.streaming.VecStream
+      .ivfAssign(Tables.embeddings(spark, sf0001), cents)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"fold-argmin assignment must not shuffle:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"),
+      s"fold-argmin assignment must not rank via a window:\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"centroid array must join as one broadcast row:\n${plan.take(1200)}")
+  }
+
   test("q139 NDCG corpus streams past the broadcast query block") {
     // the q34/q99 retrieval contract: the 50-row query block broadcasts;
     // the only exchange shuffles candidate rows by q_id (50 keys) for

@@ -714,6 +714,45 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("Welch monitor recovers its moment state from a checkpoint restart") {
+    import graft.operators.Stats
+    // complete-mode aggregation state lives in the state store: after a
+    // stop/restart on the SAME checkpoint, the file source replays only
+    // the NEW file — so the post-restart summary equals the A∪B batch
+    // answer ONLY if the restored (n, Σ, M2) partials merged B on top
+    // of A. Lost state would leave a B-only summary.
+    val base = java.time.Instant.parse("2024-02-01T00:00:00Z")
+    def us(minute: Long) = base.plusSeconds(minute * 60).toEpochMilli * 1000L
+    def ev(id: Long, minute: Long, tpe: String, value: Double) =
+      (id, us(minute), id % 7, tpe, value, "{}")
+    val fileA = (1 to 30).map(i =>
+      ev(i.toLong, i.toLong, if (i % 2 == 0) "purchase" else "view", i * 1.5))
+    val fileB = (31 to 45).map(i =>
+      ev(i.toLong, i.toLong, if (i % 3 == 0) "purchase" else "view", i * 0.5))
+    val dir = java.nio.file.Files.createTempDirectory("graft-welch-restart")
+    val ck = java.nio.file.Files.createTempDirectory("graft-welch-rckpt").toString
+    writeFlatEvents(dir, "a.parquet", fileA)
+    def query(name: String) = EventStream.welchCohortSummaries(
+        EventStream.readStream(spark, dir.toString))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .option("checkpointLocation", ck).start()
+    val q1 = query("welch_r1"); try q1.processAllAvailable() finally q1.stop()
+    writeFlatEvents(dir, "b.parquet", fileB)
+    val q2 = query("welch_r2"); try q2.processAllAvailable() finally q2.stop()
+    val got = Stats.welchFromSummaries(spark.table("welch_r2"))
+      .collect().map(_.toSeq).toSeq
+    val batchDir = java.nio.file.Files.createTempDirectory("graft-welch-rbatch")
+    writeBatchEvents(batchDir, fileA ++ fileB)
+    val want = SparkEntry.queries("q137_welch_ttest")(spark, batchDir.toString)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want,
+      s"restored moments must fold file B onto file A's state: $got vs $want")
+    // non-vacuous: a state-less restart would count only file B's rows
+    assert(got.head.head == fileA.count(_._4 == "purchase").toLong
+      + fileB.count(_._4 == "purchase").toLong)
+  }
+
   test("funnel fold equals the batch definition on randomized out-of-order deliveries") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
