@@ -1007,7 +1007,8 @@ class QueriesSpec extends AnyFunSuite {
       "q109_heavy_hitters", "q110_textrank", "q117_triangles",
       "q118_bloom_decontaminate", "q120_source_divergence", "q128_label_prop",
       "q131_merge_upsert", "q132_ppr", "q134_chi_square", "q142_chunk_overlap",
-      "q144_quality_trend")
+      "q144_quality_trend", "q145_unigram_encode", "q146_unigram_train",
+      "q147_shortest_paths")
     val failures = docQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -1111,7 +1112,7 @@ class QueriesSpec extends AnyFunSuite {
       "q99_knn_label_eval", "q103_pca_variance", "q103b_covariance",
       "q104_embedding_drift", "q114_pq_codes", "q114b_pq_adc_topk",
       "q115_pq_rerank", "q116_kmeans_fit", "q119_ivf_search",
-      "q139_ndcg_eval", "q141_hard_negatives")
+      "q139_ndcg_eval", "q141_hard_negatives", "q148_ivf_recall")
     val failures = vecQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>

@@ -40,6 +40,27 @@ class UnigramSpec extends AnyFunSuite {
     }
   }
 
+  test("viterbi optimality holds under 25 seeded random vocab/word draws") {
+    // the exhaustive fixture pins known regimes; this sweep guards the
+    // DP's edges (piece lengths at the maxPieceLen boundary, dense tie
+    // fields, single-char-only tails) across random instances
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 25).foreach { trial =>
+      val alpha = "abcd" // small alphabet ⇒ dense piece overlap
+      def randWord(n: Int) =
+        (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      val pieces = (1 to 12).map(_ => randWord(1 + rnd.nextInt(5))).distinct
+      val vocab = (pieces.map(p => p -> -(1.0 + rnd.nextInt(60) / 10.0)) ++
+        alpha.map(c => c.toString -> -8.0)).toMap
+      val word = randWord(4 + rnd.nextInt(8)) // ≤ 11 chars: 2^10 segs max
+      val (seg, score) = Unigram.viterbi(word, vocab)
+      assert(seg.mkString == word, s"trial $trial: identity on $word")
+      val best = allSegs(word, vocab).map(s => s.map(vocab).sum).max
+      assert(math.abs(score - best) < 1e-12,
+        s"trial $trial: $word viterbi $score vs brute $best (vocab $vocab)")
+    }
+  }
+
   test("viterbi picks linguistic subwords over char fallbacks") {
     assert(Unigram.viterbi("unbelievable", subVocab)._1.toSeq ==
       Seq("un", "believ", "able"))
