@@ -152,6 +152,23 @@ object Examples {
     operators.TextAnalysis.langIdScore(snap, model)
       .agg(avg(col("is_correct")).as("accuracy")).show()
 
+    // unigram-LM tokenizer: train on any corpus, Viterbi-segment words
+    val uni = operators.Unigram.trainFromCounts(
+      Seq(("walking", 30L), ("talking", 25L), ("walks", 20L), ("talks", 15L)),
+      vocabSize = 24)
+    println("unigram Viterbi segmentations:")
+    Seq("walking", "talks", "stalking").foreach { w =>
+      val (pieces, score) = operators.Unigram.viterbi(w, uni)
+      println(f"  $w%-10s -> ${pieces.mkString("|")}%-14s score $score%.3f")
+    }
+
+    // RAG chunking: content-addressed overlap chunks for any doc table
+    println("overlap chunks (window 200, stride 150):")
+    operators.TextAnalysis.chunkOverlap(
+        snap.limit(2).select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("n_chars")))
+      .show(truncate = false)
+
     spark.stop()
   }
 }
