@@ -145,6 +145,9 @@ object SparkEntry {
     "q146_unigram_train"  -> (Unigram.q146UnigramTrain _),
     "q147_shortest_paths" -> (Graph.q147ShortestPaths _),
     "q148_ivf_recall"     -> (KMeans.q148IvfRecall _),
+    "q149_multi_decontaminate" -> (TextAnalysis.q149MultiSuiteDecontaminate _),
+    // rows-only: q89-model-derived output (QualityFilter scaladoc)
+    "q150_calibration_curve" -> (QualityFilter.q150CalibrationCurve _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -1365,6 +1368,23 @@ object SparkEntry {
          |FROM sh s LEFT JOIN ev USING (shingle)
          |WHERE s.bucket < 95
          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    // q70's shingle machinery with suite tags; inner join ⇒ only
+    // leaking (doc, suite) pairs reach the output
+    "q149_multi_decontaminate" ->
+      s"""WITH d AS (SELECT doc_id, text, ${tokenId("text")} % 100 AS bucket FROM documents),
+         |w AS (SELECT doc_id, bucket, string_split(text, ' ') AS ws FROM d),
+         |sh AS (SELECT doc_id, bucket, unnest(list_distinct(list_transform(range(1, greatest(len(ws)-7, 1)+1),
+         |         i -> array_to_string(ws[i:i+7], ' ')))) AS shingle FROM w),
+         |ev AS (SELECT DISTINCT
+         |         CASE WHEN bucket <= 96 THEN 'suite_a'
+         |              WHEN bucket <= 98 THEN 'suite_b'
+         |              ELSE 'suite_c' END AS suite, shingle
+         |       FROM sh WHERE bucket >= 95)
+         |SELECT s.doc_id, ev.suite, CAST(count(*) AS BIGINT) AS n_overlap
+         |FROM sh s JOIN ev USING (shingle)
+         |WHERE s.bucket < 95
+         |GROUP BY 1, 2 ORDER BY doc_id, suite""".stripMargin,
 
     // the bloom is an implementation detail (no false negatives + exact
     // confirm ⇒ output equals the exact computation), so the oracle is

@@ -83,4 +83,25 @@ object QualityFilter {
         .localCheckpoint(true)
     } finally all.unpersist()
   }
+
+  /** q150: reliability diagram of the q89 classifier on its held-out
+    * split — the ML-ops check that decides whether `p_keep` can be
+    * USED as a probability (mixture weights, expected-token budgeting)
+    * or only as a ranking score: per predicted-probability decile, the
+    * observed keep rate it promised vs what held out. Pure
+    * O(rows)-scan + O(10)-row aggregate over the q89 output;
+    * rows-only by the q89 model contract, with the expected-calibration
+    * -error bound spec-tested instead (TrainingSetSpec). */
+  def q150CalibrationCurve(spark: SparkSession, dir: String): DataFrame = {
+    q89QualityClassifier(spark, dir)
+      .filter(col("is_train") === 0L)
+      .select(col("label"), col("p_keep"),
+        least(floor(col("p_keep") * 10).cast("long"), lit(9L)).as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(avg("p_keep"), 4).as("mean_pred"),
+        round(avg(col("label").cast("double")), 4).as("obs_rate"))
+      .withColumn("gap", round(abs(col("mean_pred") - col("obs_rate")), 4))
+      .orderBy("bin")
+  }
 }

@@ -612,6 +612,36 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q149: multi-suite decontamination — the report a lab actually
+    * files: WHICH benchmark leaked into WHICH training doc, per suite
+    * (one merged flag, q70's shape, cannot tell a MMLU leak from a
+    * GSM8K leak, and suites have different blast radii). The held-out
+    * split partitions into three stand-in suites by content bucket;
+    * ONE corpus shingle pass probes the union (suite, shingle) set —
+    * tagging costs nothing over q70: same one size-guarded broadcast,
+    * same single shuffle, output only the leaking (doc, suite) pairs.
+    * At web scale the real suites are small and static, making the
+    * probe side even cheaper than this corpus-derived stand-in. */
+  def q149MultiSuiteDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val n = 8
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (Portable.tokenId(col("text")) % 100L).as("bucket"),
+        explode(graft.plans.ShingleHashes.shingleHashes(split(col("text"), " "), n)).as("shash"))
+    val evalSh = sh.filter(col("bucket") >= 95)
+      .select(
+        when(col("bucket") <= 96, "suite_a")
+          .when(col("bucket") <= 98, "suite_b")
+          .otherwise("suite_c").as("suite"),
+        col("shash"))
+      .distinct()
+    sh.filter(col("bucket") < 95)
+      .join(Guard.modelBroadcast(evalSh), Seq("shash")) // inner: only leaks survive
+      .groupBy("doc_id", "suite")
+      .agg(count(lit(1)).as("n_overlap"))
+      .orderBy("doc_id", "suite")
+  }
+
   /** q118: bloom-prefiltered decontamination — q70's EXACT semantics
     * behind a sketch gate, the shape Catalyst's own runtime-filter
     * injection gives joins and the one that survives when the eval set

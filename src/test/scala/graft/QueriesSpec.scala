@@ -372,7 +372,10 @@ class QueriesSpec extends AnyFunSuite {
       // q145/q146: Viterbi DP / EM training have no faithful SQL
       // rendering (Unigram scaladoc); UnigramSpec owns optimality,
       // likelihood monotonicity, and the frozen-artifact pin
-      "q145_unigram_encode", "q146_unigram_train")
+      "q145_unigram_encode", "q146_unigram_train",
+      // q150: derived from the q89 LBFGS model (run-dependent, the q89
+      // precedent); ECE bound + bin coherence are spec-tested instead
+      "q150_calibration_curve")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries with neither oracle nor rows-only justification: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -459,6 +462,51 @@ class QueriesSpec extends AnyFunSuite {
     assert(got(2L).getAs[Long]("contaminated") == 1L)
     assert(got(3L).getAs[Long]("n_contaminated") == 0L)
     assert(got(3L).getAs[Long]("contaminated") == 0L)
+  }
+
+  test("q149 attributes planted leaks to the RIGHT suite, and only those") {
+    import graft.operators.TextAnalysis
+    import graft.functions.Portable
+    import spark.implicits._
+    def bucketOf(text: String): Long = Seq(text).toDF("text")
+      .select((Portable.tokenId(col("text")) % 100L).as("b")).head().getLong(0)
+    // land one eval doc in each suite's bucket range, sharing a distinct
+    // 10-word prefix with its own train-side leaker (the q70 search)
+    def find(base: String, pred: Long => Boolean, tag: String): String =
+      Iterator.from(0).map(i => s"$base $tag$i").find(t => pred(bucketOf(t))).get
+    val baseA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val baseB = "red orange yellow green blue indigo violet cyan magenta umber"
+    val evalA = find(baseA, b => b >= 95 && b <= 96, "sa")
+    val evalB = find(baseB, b => b >= 97 && b <= 98, "sb")
+    val leakA = find(baseA, _ < 95, "la")
+    val leakB = find(baseB, _ < 95, "lb")
+    val clean = find("one two three four five six seven eight nine ten", _ < 95, "cl")
+    val dir = java.nio.file.Files.createTempDirectory("graft-multidecon").toString
+    Seq((1L, evalA), (2L, evalB), (3L, leakA), (4L, leakB), (5L, clean))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.q149MultiSuiteDecontaminate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // each leaker shares exactly the 3 prefix shingles with ITS suite
+    assert(got == Map((3L, "suite_a") -> 3L, (4L, "suite_b") -> 3L),
+      s"per-suite attribution: $got")
+  }
+
+  test("q150 calibration bins are coherent and the classifier's ECE is small") {
+    val rows = run("q150_calibration_curve").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (bin, n, mp, or, gap) =>
+      assert(bin >= 0 && bin <= 9 && n > 0)
+      assert(mp >= 0.0 && mp <= 1.0 && or >= 0.0 && or <= 1.0)
+      assert(math.abs(gap - math.abs(mp - or)) < 1e-6)
+      // each bin's mean prediction sits inside its own decile bounds
+      assert(mp >= bin / 10.0 - 1e-9 && mp <= (bin + 1) / 10.0 + 1e-9,
+        s"bin $bin holds mean_pred $mp")
+    }
+    val total = rows.map(_._2).sum.toDouble
+    val ece = rows.map { case (_, n, _, _, gap) => n * gap }.sum / total
+    assert(ece < 0.25, s"expected calibration error $ece — p_keep is not usable as a probability")
   }
 
   test("q71 unigram scores: rare-word docs score below common-word docs") {
@@ -1008,7 +1056,7 @@ class QueriesSpec extends AnyFunSuite {
       "q118_bloom_decontaminate", "q120_source_divergence", "q128_label_prop",
       "q131_merge_upsert", "q132_ppr", "q134_chi_square", "q142_chunk_overlap",
       "q144_quality_trend", "q145_unigram_encode", "q146_unigram_train",
-      "q147_shortest_paths")
+      "q147_shortest_paths", "q149_multi_decontaminate")
     val failures = docQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
