@@ -1002,7 +1002,8 @@ class QueriesSpec extends AnyFunSuite {
     }
     val mlFits = Set("q40_word2vec_vocab", "q41_synonyms", "q42_lsh_minhash",
       "q43_lsh_buckets", "q45_ivf_cells", "q57_bpe_train", "q89_quality_classifier",
-      "q103_pca_variance")
+      "q103_pca_variance",
+      "q150_calibration_curve") // rides the q89 LBFGS fit
     val failures = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => mlFits(q._1))
       .flatMap { case (name, fn) =>
