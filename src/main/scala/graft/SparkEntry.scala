@@ -148,6 +148,7 @@ object SparkEntry {
     "q149_multi_decontaminate" -> (TextAnalysis.q149MultiSuiteDecontaminate _),
     // rows-only: q89-model-derived output (QualityFilter scaladoc)
     "q150_calibration_curve" -> (QualityFilter.q150CalibrationCurve _),
+    "q151_threshold_sweep" -> (QualityFilter.q151ThresholdSweep _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),

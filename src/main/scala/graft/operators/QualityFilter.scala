@@ -104,4 +104,35 @@ object QualityFilter {
       .withColumn("gap", round(abs(col("mean_pred") - col("obs_rate")), 4))
       .orderBy("bin")
   }
+
+  /** q151: operating-point sweep for the q89 filter — held-out
+    * precision/recall/F1 at each keep threshold 0.1…0.9: the table a
+    * curator reads to PICK the threshold (q150 says whether `p_keep`
+    * is honest; this says what each cut costs in kept-garbage vs
+    * lost-quality). One scan of the scored held-out split against a
+    * broadcast 9-row threshold frame, partial-aggregated counts —
+    * O(rows × 9) predicate evaluations, O(9) output. Rows-only by the
+    * q89 model contract; the recall-monotonicity and count-conservation
+    * invariants are spec-tested. */
+  def q151ThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val held = q89QualityClassifier(spark, dir).filter(col("is_train") === 0L)
+    val thresholds = spark.range(1, 10)
+      .select((col("id") / 10.0).as("thr"))
+    val c = held.crossJoin(broadcast(thresholds))
+      .groupBy("thr")
+      .agg(
+        sum(((col("p_keep") >= col("thr")) && (col("label") === 1L)).cast("long")).as("tp"),
+        sum(((col("p_keep") >= col("thr")) && (col("label") === 0L)).cast("long")).as("fp"),
+        sum(((col("p_keep") < col("thr")) && (col("label") === 1L)).cast("long")).as("fn"))
+    val prec = when(col("tp") + col("fp") > 0,
+      col("tp") / (col("tp") + col("fp"))).otherwise(lit(1.0))
+    val rec = when(col("tp") + col("fn") > 0,
+      col("tp") / (col("tp") + col("fn"))).otherwise(lit(1.0))
+    c.select(col("thr"), col("tp"), col("fp"), col("fn"),
+        round(prec, 4).as("precision"),
+        round(rec, 4).as("recall"),
+        round(when(prec + rec > 0, lit(2.0) * prec * rec / (prec + rec))
+          .otherwise(lit(0.0)), 4).as("f1"))
+      .orderBy("thr")
+  }
 }

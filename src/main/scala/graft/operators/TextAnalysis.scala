@@ -623,24 +623,33 @@ object TextAnalysis {
     * At web scale the real suites are small and static, making the
     * probe side even cheaper than this corpus-derived stand-in. */
   def q149MultiSuiteDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val n = 8
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"),
         (Portable.tokenId(col("text")) % 100L).as("bucket"),
+        explode(graft.plans.ShingleHashes.shingleHashes(split(col("text"), " "), 8)).as("shash"))
+    sh.filter(col("bucket") < 95)
+      .join(Guard.modelBroadcast(suiteShingleSet(spark, dir)),
+        Seq("shash")) // inner: only leaks survive
+      .groupBy("doc_id", "suite")
+      .agg(count(lit(1)).as("n_overlap"))
+      .orderBy("doc_id", "suite")
+  }
+
+  /** The suite-tagged eval shingle set behind q149 — shared with the
+    * ingest-time streaming probe ([[graft.streaming.DocStream
+    * .multiSuiteProbe]]): (suite, shash) rows, the held-out split
+    * partitioned into three stand-in suites by content bucket. */
+  def suiteShingleSet(spark: SparkSession, dir: String, n: Int = 8): DataFrame =
+    Tables.documents(spark, dir)
+      .select((Portable.tokenId(col("text")) % 100L).as("bucket"),
         explode(graft.plans.ShingleHashes.shingleHashes(split(col("text"), " "), n)).as("shash"))
-    val evalSh = sh.filter(col("bucket") >= 95)
+      .filter(col("bucket") >= 95)
       .select(
         when(col("bucket") <= 96, "suite_a")
           .when(col("bucket") <= 98, "suite_b")
           .otherwise("suite_c").as("suite"),
         col("shash"))
       .distinct()
-    sh.filter(col("bucket") < 95)
-      .join(Guard.modelBroadcast(evalSh), Seq("shash")) // inner: only leaks survive
-      .groupBy("doc_id", "suite")
-      .agg(count(lit(1)).as("n_overlap"))
-      .orderBy("doc_id", "suite")
-  }
 
   /** q118: bloom-prefiltered decontamination — q70's EXACT semantics
     * behind a sketch gate, the shape Catalyst's own runtime-filter

@@ -180,6 +180,34 @@ object DocStream {
       .withColumn("contaminated", (col("n_contaminated") > 0).cast("long"))
   }
 
+  /** Streaming twin of the batch q149: per-SUITE leak attribution at
+    * ingest — each arriving doc probes the static suite-tagged shingle
+    * sets ([[graft.operators.TextAnalysis.suiteShingleSet]]) and emits
+    * one (doc_id, suite, n_overlap) row per suite it leaks. Stateless
+    * (doc row + static broadcast ⇒ verdict), append mode; the per-row
+    * transform/filter HOF pair does the tag fanout, so a clean doc
+    * emits NOTHING — exactly the batch inner-join semantics. */
+  def multiSuiteProbe(docs: DataFrame, suiteShingles: DataFrame,
+                      n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val arr = suiteShingles.groupBy("suite")
+      .agg(collect_set(col("shash")).as("ss"))
+      .agg(sort_array(collect_list(struct(col("suite"), col("ss")))).as("suites"))
+    docs
+      .select(col("doc_id"),
+        (graft.functions.Portable.tokenId(col("text")) % 100L).as("bucket"),
+        graft.plans.ShingleHashes.shingleHashes(split(col("text"), " "), n).as("sh"))
+      .filter(col("bucket") < 95 && size(col("sh")) > 0)
+      .crossJoin(broadcast(arr))
+      .select(col("doc_id"), explode(expr(
+        """filter(
+          |  transform(suites, s -> struct(s.suite AS suite,
+          |    size(array_intersect(sh, s.ss)) AS n_overlap)),
+          |  x -> x.n_overlap > 0)""".stripMargin)).as("hit"))
+      .select(col("doc_id"), col("hit.suite").as("suite"),
+        col("hit.n_overlap").cast("long").as("n_overlap"))
+  }
+
   /** Ingest-time quality gate: score every arriving document with the
     * EXACT batch q37 expressions ([[TextAnalysis.qualityScored]] — one
     * shared projection, so the gate can never admit a doc the batch

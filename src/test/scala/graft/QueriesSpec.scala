@@ -373,9 +373,10 @@ class QueriesSpec extends AnyFunSuite {
       // rendering (Unigram scaladoc); UnigramSpec owns optimality,
       // likelihood monotonicity, and the frozen-artifact pin
       "q145_unigram_encode", "q146_unigram_train",
-      // q150: derived from the q89 LBFGS model (run-dependent, the q89
-      // precedent); ECE bound + bin coherence are spec-tested instead
-      "q150_calibration_curve")
+      // q150/q151: derived from the q89 LBFGS model (run-dependent, the
+      // q89 precedent); ECE bound, bin coherence, and the sweep's
+      // monotonicity/conservation invariants are spec-tested instead
+      "q150_calibration_curve", "q151_threshold_sweep")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries with neither oracle nor rows-only justification: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -507,6 +508,27 @@ class QueriesSpec extends AnyFunSuite {
     val total = rows.map(_._2).sum.toDouble
     val ece = rows.map { case (_, n, _, _, gap) => n * gap }.sum / total
     assert(ece < 0.25, s"expected calibration error $ece — p_keep is not usable as a probability")
+  }
+
+  test("q151 threshold sweep: conservation, monotone recall, and a usable operating point") {
+    val rows = run("q151_threshold_sweep").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .sortBy(_._1)
+    assert(rows.length == 9, "thresholds 0.1..0.9")
+    // tp + fn is the positive count — constant across thresholds
+    val positives = rows.map(r => r._2 + r._4).distinct
+    assert(positives.size == 1, s"tp+fn must be invariant: $positives")
+    rows.foreach { case (thr, tp, fp, fn, p, rec, f1) =>
+      assert(tp >= 0 && fp >= 0 && fn >= 0)
+      assert(p >= 0 && p <= 1 && rec >= 0 && rec <= 1 && f1 >= 0 && f1 <= 1, s"thr $thr")
+    }
+    // raising the bar can only lose true positives
+    val recalls = rows.map(_._6)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a >= b - 1e-9 },
+      s"recall must be non-increasing in the threshold: ${recalls.toSeq}")
+    // the q89 AUC ≥ 0.9 classifier must offer at least one strong cut
+    assert(rows.map(_._7).max >= 0.8, s"best F1 ${rows.map(_._7).max}")
   }
 
   test("q71 unigram scores: rare-word docs score below common-word docs") {
@@ -1003,7 +1025,7 @@ class QueriesSpec extends AnyFunSuite {
     val mlFits = Set("q40_word2vec_vocab", "q41_synonyms", "q42_lsh_minhash",
       "q43_lsh_buckets", "q45_ivf_cells", "q57_bpe_train", "q89_quality_classifier",
       "q103_pca_variance",
-      "q150_calibration_curve") // rides the q89 LBFGS fit
+      "q150_calibration_curve", "q151_threshold_sweep") // ride the q89 LBFGS fit
     val failures = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => mlFits(q._1))
       .flatMap { case (name, fn) =>

@@ -1489,6 +1489,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming multi-suite probe emits exactly the batch q149 attribution rows") {
+    // stateless suite-tagged twin of the decontamination probe: build
+    // the planted per-suite corpus (the q149 fixture recipe), stream
+    // the docs, and the emitted (doc, suite, n_overlap) rows must be
+    // the batch answer row-for-row
+    import spark.implicits._
+    import graft.functions.Portable
+    def bucketOf(text: String): Long = Seq(text).toDF("text")
+      .select((Portable.tokenId(col("text")) % 100L).as("b")).head().getLong(0)
+    def find(base: String, pred: Long => Boolean, tag: String): String =
+      Iterator.from(0).map(i => s"$base $tag$i").find(t => pred(bucketOf(t))).get
+    val baseA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val baseB = "red orange yellow green blue indigo violet cyan magenta umber"
+    val docs = Seq(
+      (1L, find(baseA, b => b >= 95 && b <= 96, "sa")),
+      (2L, find(baseB, b => b >= 97 && b <= 98, "sb")),
+      (3L, find(baseA, _ < 95, "la")),
+      (4L, find(baseB, _ < 95, "lb")),
+      (5L, find("one two three four five six seven eight nine ten", _ < 95, "cl")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-msuite-stream")
+    // the file stream source lists FLAT files: stage and move one part
+    val stage = java.nio.file.Files.createTempDirectory("graft-msuite-stage")
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = java.nio.file.Files.list(stage).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    java.nio.file.Files.move(part, dir.resolve("documents.parquet"))
+    val suiteSets = graft.operators.TextAnalysis.suiteShingleSet(spark, dir.toString)
+    val q = graft.streaming.DocStream
+      .multiSuiteProbe(
+        graft.streaming.DocStream.readStream(spark, dir.toString), suiteSets)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("msuite_stream")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-msuite-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("msuite_stream")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val want = graft.operators.TextAnalysis
+        .q149MultiSuiteDecontaminate(spark, dir.toString)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(want == Set((3L, "suite_a", 3L), (4L, "suite_b", 3L)),
+        s"planted attribution: $want")
+      assert(got == want, s"stream $got vs batch $want")
+    } finally q.stop()
+  }
+
   test("streaming CDC mergeApply folds the change feed to the batch q131 snapshot; replay is idempotent") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
