@@ -44,7 +44,7 @@ object Bench {
       // it visible in the stderr line only, never in the recorded metric
       try runFull(fn(spark, sfDir)) catch { case _: Throwable => }
       val cold = (System.nanoTime() - c0) / 1e9
-      val warm = (1 to 2).map { _ =>
+      def timed(): Double = {
         val t0 = System.nanoTime()
         try runFull(fn(spark, sfDir)) catch { case e: Throwable =>
           failed += name
@@ -52,7 +52,15 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      val sec = warm.min // best-of-two warm: robust to one contended sample
+      val warm2 = (1 to 2).map(_ => timed())
+      // Variance escape hatch (round 7): best-of-two hardened single-
+      // sample noise, but a contended host can inflate BOTH warm samples
+      // of fit-heavy queries (driver r6 recorded q57/q58/q61 at 3-7×
+      // their back-to-back steady state). If the two warm samples
+      // disagree by >2×, the measurement is contention-dominated — take
+      // a third and record the min of all three.
+      val warm = if (warm2.max > 2.0 * warm2.min) warm2 :+ timed() else warm2
+      val sec = warm.min // best-of-N warm: robust to contended samples
       System.err.println(
         s"[bench] $name cold ${r3(cold)}s warm ${warm.map(r3).mkString("/")}s → ${r3(sec)}s")
       name -> sec

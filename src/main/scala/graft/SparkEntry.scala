@@ -140,7 +140,8 @@ object SparkEntry {
     "q142_chunk_overlap"  -> (TextAnalysis.q142ChunkOverlap _),
     "q143_block_jackknife" -> (Stats.q143BlockJackknife _),
     "q144_quality_trend"  -> (Stats.q144QualityTrend _),
-    // rows-only: Viterbi DP / EM training output (Unigram scaladoc)
+    // q145 oracle-checked since round 7 (unrolled Viterbi DP CTE);
+    // q146 stays rows-only: EM training output (Unigram scaladoc)
     "q145_unigram_encode" -> (Unigram.q145UnigramEncode _),
     "q146_unigram_train"  -> (Unigram.q146UnigramTrain _),
     "q147_shortest_paths" -> (Graph.q147ShortestPaths _),
@@ -317,7 +318,19 @@ object SparkEntry {
     *  4. Spark double aggregates (avg, round(...,k)) match DuckDB's
     *     double — round BOTH sides to the same k decimals.
     *  5. Alias every computed column identically on both sides; the
-    *     driver sorts columns by NAME before hashing. */
+    *     driver sorts columns by NAME before hashing.
+    *
+    * ROUND-7 TYPE AUDIT (q129 repeated the q63 bug; swept all entries):
+    * every `sum( ... ) OVER` in this map was checked — q129's `version`
+    * cumsum is now CAST AS BIGINT (the one hash-fail of round 6); the
+    * only two remaining uncast window sums are consumed internally and
+    * never surface as output columns (q67 `total_tokens` is re-CAST at
+    * the outer select; q64 `n_doc_tokens` only feeds a `* 1.0 /` float
+    * division), so their HUGEINT promotion cannot reach the hash frame.
+    * Plain GROUP-BY `sum(<int>)` outputs were already cast (rule 1).
+    * tools/oracle_check.py is now dtype-strict (int-vs-float kinds), so
+    * any future violation of rules 1-2 fails locally, not at the
+    * driver. */
   def oracleSql: Map[String, String] = Map(
     "q01_wordcount" ->
       s"""SELECT word, count(*) AS cnt
@@ -820,8 +833,8 @@ object SparkEntry {
         |         OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
         |  FROM ev WHERE event_type <> 'purchase'
         |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-        |v AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version FROM np),
+        |v AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version FROM np),
         |iv AS (SELECT user_id, version, event_type AS state, min(us) AS from_us
         |       FROM v GROUP BY user_id, version, event_type),
         |iv2 AS (SELECT *, lead(from_us) OVER (PARTITION BY user_id ORDER BY version)
@@ -1056,8 +1069,12 @@ object SparkEntry {
     // the constant 0..63 start series covers docs to ~9.6k chars (the
     // corpus maxes at 577); DuckDB 1.0 lacks lateral generate_series,
     // so the series is unconditioned and the ON-clause bounds it
+    // the series bound is derived from the corpus (max n_chars), so a
+    // longer future fixture grows the oracle's chunk list instead of
+    // silently truncating it against the unbounded Spark generator
     "q142_chunk_overlap" ->
-      """WITH s AS (SELECT unnest(generate_series(0, 63)) AS i),
+      """WITH s AS (SELECT unnest(generate_series(0,
+        |      (SELECT CAST(greatest(max(n_chars) // 150, 0) AS INT) FROM documents))) AS i),
         |ch AS (SELECT d.doc_id, s.i + 1 AS chunk_idx,
         |    1 + s.i * 150 AS chunk_start,
         |    substring(d.text, 1 + s.i * 150, 200) AS c
@@ -1068,6 +1085,70 @@ object SparkEntry {
         |       md5(c) AS chunk_md5
         |FROM ch WHERE length(c) > 0
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // q145: the Viterbi DP unrolled position-by-position (the q128/q132
+    // fixed-iteration precedent): best(word, j) = max_i best(i) +
+    // logp(word[i..j)) over i in [j-6, j-1], ties to the SMALLEST i
+    // (= longest last piece, the Unigram.viterbi tie rule), then an
+    // unrolled backtrace rebuilds the piece string front-to-back. The
+    // vocab VALUES block is generated from the SAME frozen constants
+    // the engine encodes with (Unigram.pretrainedPieces) — CAST AS
+    // DOUBLE so DuckDB's exact-decimal literals don't change the
+    // arithmetic (decimal→double conversion is correctly rounded, so
+    // it equals the JVM's parse of the same 6-dp literal, and the DP
+    // then adds the same doubles in the same order). Unroll bound: 12
+    // positions ≥ the corpus max word length (UnigramSpec pins ≤ 12 so
+    // a longer future fixture fails loudly instead of hash-diverging).
+    "q145_unigram_encode" -> {
+      val unrollLen = 12
+      val vocabRows = graft.operators.Unigram.pretrainedPieces
+        .map { case (p, lp) => s"('$p', CAST($lp AS DOUBLE))" }
+        .mkString(",\n    ")
+      val steps = (1 to unrollLen).map { j =>
+        s"""s$j AS (SELECT word, j, score, back FROM (
+           |    SELECT e.word, e.j, b.score + e.lp AS score, e.i AS back,
+           |           row_number() OVER (PARTITION BY e.word
+           |                              ORDER BY b.score + e.lp DESC, e.i ASC) AS rn
+           |    FROM edge e JOIN b${j - 1} b ON b.word = e.word AND b.j = e.i
+           |    WHERE e.j = $j) WHERE rn = 1),
+           |b$j AS MATERIALIZED (SELECT * FROM b${j - 1} UNION ALL SELECT * FROM s$j)""".stripMargin
+      }.mkString(",\n")
+      val walks = (1 to unrollLen).map { k =>
+        // NB: no line here may START with '|' after this stripMargin —
+        // the outer template's stripMargin would strip it again
+        s"""r$k AS MATERIALIZED (
+           |  SELECT r.word, b.back AS j, r.score,
+           |         substring(r.word, b.back + 1, r.j - b.back) ||
+           |           CASE WHEN r.pieces = '' THEN '' ELSE ' ' END || r.pieces AS pieces,
+           |         r.np + 1 AS np
+           |  FROM r${k - 1} r JOIN b$unrollLen b ON b.word = r.word AND b.j = r.j
+           |  WHERE r.j > 0
+           |  UNION ALL
+           |  SELECT word, j, score, pieces, np FROM r${k - 1} WHERE j = 0)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH words AS MATERIALIZED (SELECT DISTINCT w AS word FROM
+         |    (SELECT unnest(${tok("text")}) AS w FROM documents)),
+         |vocab AS (SELECT * FROM (VALUES
+         |    $vocabRows) v(piece, logp)),
+         |edge AS MATERIALIZED (SELECT w.word, i.i, i.i + k.k AS j,
+         |    coalesce(v.logp, CAST(-1e9 AS DOUBLE)) AS lp
+         |  FROM words w
+         |  CROSS JOIN (SELECT unnest(generate_series(0, ${unrollLen - 1})) AS i) i
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 6)) AS k) k
+         |  LEFT JOIN vocab v ON v.piece = substring(w.word, i.i + 1, k.k)
+         |  WHERE i.i + k.k <= length(w.word)
+         |    AND (v.logp IS NOT NULL OR k.k = 1)),
+         |b0 AS (SELECT word, 0 AS j, CAST(0.0 AS DOUBLE) AS score,
+         |       CAST(NULL AS INT) AS back FROM words),
+         |$steps,
+         |r0 AS (SELECT b.word, b.j, b.score, '' AS pieces, 0 AS np
+         |       FROM b$unrollLen b JOIN words w
+         |         ON w.word = b.word AND b.j = length(w.word)),
+         |$walks
+         |SELECT word, pieces, CAST(np AS BIGINT) AS n_pieces,
+         |       round(score, 4) AS score
+         |FROM r$unrollLen WHERE j = 0 ORDER BY word""".stripMargin
+    },
 
     "q140_equidepth_hist" ->
       """WITH b AS (SELECT list_transform(

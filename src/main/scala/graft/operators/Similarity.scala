@@ -132,6 +132,12 @@ object Similarity {
         sum("rel").cast("long").as("n_hits"))
       .join(broadcast(labelCounts.withColumnRenamed("label", "true_label")),
         "true_label")
+      // a query whose label is a singleton (n_rel = 0) has NO ideal
+      // list: sequence(1, 0) would yield [1, 0] and 1/log2(1) divides
+      // by zero, emitting idcg = Infinity — while the oracle's inner
+      // `JOIN s ON s.i <= least(n_rel, 10)` silently drops the row.
+      // Drop it explicitly on this side too: NDCG is undefined there.
+      .filter(col("n_rel") >= 1)
       .select(col("q_id").as("vec_id"), col("true_label"), col("n_hits"),
         round(col("dcg"), 6).as("dcg"),
         round(expr(

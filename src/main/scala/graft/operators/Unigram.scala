@@ -27,13 +27,17 @@ import graft.functions.Portable
   * broadcast-joins segments back — the expensive DP runs O(dictionary)
   * times, never O(corpus).
   *
-  * The declared queries are rows-only by the Verify contract: Viterbi
-  * is a dynamic program with no faithful single-pass SQL rendering
-  * (a recursive-CTE lattice walk without per-step max-pruning
-  * enumerates up to 2^(len-1) paths). The correctness budget moves to
-  * the spec: segment-concatenation identity, vocabulary closure,
-  * brute-force optimality on every short word, and EM likelihood
-  * monotonicity (PqSpec/BpeSpec precedent).
+  * Correctness split: q145 (encode under the FROZEN vocab) is
+  * oracle-checked since round 7 — the Viterbi DP unrolls as a
+  * fixed-position CTE chain in DuckDB (best(j) from best(j-6..j-1),
+  * then an unrolled backtrace; the q128/q132 fixed-iteration
+  * precedent), bounded by a 12-position unroll that UnigramSpec pins
+  * against the corpus max word length. q146 (live EM training) stays
+  * rows-only: the fit's fixpoint depends on seed-pruning order, which
+  * has no faithful SQL rendering. The spec additionally owns
+  * segment-concatenation identity, vocabulary closure, brute-force
+  * optimality on every short word, and EM likelihood monotonicity
+  * (PqSpec/BpeSpec precedent).
   */
 object Unigram {
 
@@ -217,8 +221,9 @@ object Unigram {
     * Viterbi per DISTINCT word (the q87 pattern: the DP runs
     * O(dictionary) times; corpus rows would join against this table by
     * word). Output: (word, pieces ' '-joined, n_pieces, score 4 dp).
-    * Rows-only by the DP contract (object scaladoc); UnigramSpec owns
-    * optimality. */
+    * Oracle-checked against an unrolled-DP DuckDB twin (object
+    * scaladoc); UnigramSpec owns optimality and the 12-char unroll
+    * bound. */
   def q145UnigramEncode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val vocab = frozenVocab(spark, dir)

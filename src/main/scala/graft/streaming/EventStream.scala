@@ -480,6 +480,18 @@ object EventStream {
           // the stored copy (with its emitted marker) wins
           purchases = purchases.distinctBy(p => (p.us, p.id))
           val out = Vector.newBuilder[TouchCredit]
+          // purchase finalization FIRST: a stored purchase below the
+          // watermark is final (an improving touch would have to order
+          // below it, hence below the watermark, hence be inadmissible)
+          // and already emitted its credit in the batch that admitted
+          // it — so it must NOT be re-evaluated against the TRIMMED
+          // touch set: if the single kept below-watermark touch orders
+          // after it, the recompute would spuriously re-emit 'direct'
+          // with key Long.MinValue, breaking the strictly-increasing
+          // winning-key invariant the fold contract documents. Drop it
+          // silently; only at-/above-watermark purchases recompute.
+          if (admitUs != Long.MinValue)
+            purchases = purchases.filter(_.us >= admitUs)
           purchases = purchases.map { p =>
             val best = touches.reverseIterator
               .find(t => t.us < p.us || (t.us == p.us && t.id < p.id))
@@ -490,10 +502,6 @@ object EventStream {
                 best.map(_.id).getOrElse(Long.MinValue))
             p.copy(emitted = credit)
           }
-          // purchase finalization: below the watermark nothing can
-          // re-attribute it — emitted above, dropped here
-          if (admitUs != Long.MinValue)
-            purchases = purchases.filter(_.us >= admitUs)
           state.update(AttribState(touches, purchases))
           out.result().iterator
         })

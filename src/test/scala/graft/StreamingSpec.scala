@@ -753,6 +753,112 @@ class StreamingSpec extends AnyFunSuite {
       + fileB.count(_._4 == "purchase").toLong)
   }
 
+  test("EWMA monitor recovers its day sum and ring from a checkpoint restart") {
+    import spark.implicits._
+    // per-type state = (accumulating day sum, ring of closed days).
+    // Run 1 closes day1 (ring <- [30]) and leaves day2 OPEN at sum 5;
+    // run 2 delivers more day2 rows then a day3 row. The day2 emission
+    // is correct ONLY if both state parts survived the restart:
+    //   x = 5 (run 1) + 7 (run 2) = 12      — restored day sum
+    //   baseline = 30, spike (|12-30| > 7.5) — restored ring
+    // Fresh state would emit x = 7 with NO baseline.
+    val base = java.time.Instant.parse("2024-03-01T00:00:00Z")
+    def us(minute: Long) = base.plusSeconds(minute * 60).toEpochMilli * 1000L
+    def ev(id: Long, minute: Long, value: Double) =
+      (id, us(minute), id % 3, "view", value, "{}")
+    val day = 24 * 60L
+    val fileA = Seq(ev(1, 0, 10.0), ev(2, 30, 20.0), ev(3, day + 10, 5.0))
+    val fileB = Seq(ev(4, day + 40, 7.0), ev(5, 2 * day + 5, 1.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ewma-restart")
+    val ck = java.nio.file.Files.createTempDirectory("graft-ewma-rckpt").toString
+    writeFlatEvents(dir, "a.parquet", fileA)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[EventStream.EwmaPoint]
+    def query() = EventStream.ewmaDailyAnomalies(
+        EventStream.readStream(spark, dir.toString)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"), col("value")).as[EventStream.TypedEvent])
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[EventStream.EwmaPoint], _: Long) =>
+        val out = batch.collect()
+        rows.synchronized { rows ++= out }
+        ()
+      }
+      .option("checkpointLocation", ck).start()
+    val q1 = query(); try q1.processAllAvailable() finally q1.stop()
+    assert(rows.synchronized(rows.toSeq) ==
+      Seq(EventStream.EwmaPoint("view", "2024-03-01", 30.0, None, None, 0L)),
+      s"run 1 must close only day 1, with an empty ring: $rows")
+    writeFlatEvents(dir, "b.parquet", fileB)
+    val q2 = query(); try q2.processAllAvailable() finally q2.stop()
+    val day2 = rows.synchronized(rows.toSeq).filter(_.day == "2024-03-02")
+    assert(day2 == Seq(EventStream.EwmaPoint(
+      "view", "2024-03-02", 12.0, Some(30.0), Some(-18.0), 1L)),
+      s"restored sum (5+7) and ring ([30]) must score day 2: $day2")
+    // and every closed-day emission equals batch q113 on the union
+    val batchDir = java.nio.file.Files.createTempDirectory("graft-ewma-rbatch")
+    writeBatchEvents(batchDir, fileA ++ fileB)
+    val batch = SparkEntry.queries("q113_ewma_anomaly")(spark, batchDir.toString)
+      .select("event_type", "day", "x", "baseline", "dev", "is_spike")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)), r.getLong(5))).toSet
+    val lastDay = batch.groupBy(_._1).map { case (t, ks) => t -> ks.map(_._2).max }
+    val want = batch.filter(r => r._2 != lastDay(r._1))
+    val got = rows.synchronized(rows.toSeq)
+      .map(p => (p.event_type, p.day, p.x, p.baseline, p.dev, p.is_spike)).toSet
+    assert(want.nonEmpty && got == want,
+      s"restart emissions must fold to batch q113 closed days: $got vs $want")
+  }
+
+  test("SCD2 twin recovers the open run from a checkpoint restart") {
+    import spark.implicits._
+    // per-user state = the current OPEN run. Run 1 delivers two 'view'
+    // rows (nothing emits — the run is open at version 1, n=2); run 2
+    // delivers 'click' then 'view'. Only a restored run can emit
+    //   (version 1, view, n_events 2) then (version 2, click, n 1);
+    // fresh state would start at version 1 = click and never know the
+    // view run existed.
+    val base = java.time.Instant.parse("2024-01-05T00:00:00Z")
+    def us(minute: Long) = base.plusSeconds(minute * 60).toEpochMilli * 1000L
+    def ev(id: Long, minute: Long, tpe: String) = (id, us(minute), 1L, tpe, 1.0, "{}")
+    val fileA = Seq(ev(1, 0, "view"), ev(2, 10, "view"))
+    val fileB = Seq(ev(3, 20, "click"), ev(4, 30, "view"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd-restart")
+    val ck = java.nio.file.Files.createTempDirectory("graft-scd-rckpt").toString
+    writeFlatEvents(dir, "a.parquet", fileA)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[EventStream.ClosedInterval]
+    def query() = EventStream.scdIntervals(
+        EventStream.readStream(spark, dir.toString)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"), col("value")).as[EventStream.TypedEvent])
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[EventStream.ClosedInterval], _: Long) =>
+        val out = batch.collect()
+        rows.synchronized { rows ++= out }
+        ()
+      }
+      .option("checkpointLocation", ck).start()
+    val q1 = query(); try q1.processAllAvailable() finally q1.stop()
+    assert(rows.synchronized(rows.isEmpty), s"run 1's view run stays open: $rows")
+    writeFlatEvents(dir, "b.parquet", fileB)
+    val q2 = query(); try q2.processAllAvailable() finally q2.stop()
+    val got = rows.synchronized(rows.toSeq)
+    assert(got.map(i => (i.version, i.state, i.n_events)) ==
+      Seq((1L, "view", 2L), (2L, "click", 1L)),
+      s"restored open run must close as version 1 with both run-1 events: $got")
+    // and the closed intervals equal batch q111 minus is_current rows
+    val batchDir = java.nio.file.Files.createTempDirectory("graft-scd-rbatch")
+    writeBatchEvents(batchDir, fileA ++ fileB)
+    val want = SparkEntry.queries("q111_scd2")(spark, batchDir.toString)
+      .filter(col("is_current") === 0L)
+      .select("user_id", "version", "state", "valid_from", "valid_to", "n_events")
+      .collect().map(_.toSeq).toSet
+    val gotSet = got.map(i => Seq[Any](i.user_id, i.version, i.state,
+      i.valid_from, i.valid_to, i.n_events)).toSet
+    assert(want.nonEmpty && gotSet == want,
+      s"restart emissions must equal batch q111 closed rows: $gotSet vs $want")
+  }
+
   test("funnel fold equals the batch definition on randomized out-of-order deliveries") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -128,6 +128,10 @@ class UnigramSpec extends AnyFunSuite {
       pieces.foreach(p => assert(vocab.contains(p) || p.length == 1,
         s"$w: piece $p outside the closed vocabulary"))
       assert(r.getDouble(3) < 0, s"$w: log score must be negative")
+      // the DuckDB oracle unrolls the Viterbi DP over 12 positions
+      // (SparkEntry q145 oracle comment) — a longer dictionary word in
+      // a future fixture must fail HERE, not silently hash-diverge
+      assert(w.length <= 12, s"$w: exceeds the oracle's 12-position DP unroll")
     }
   }
 

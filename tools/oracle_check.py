@@ -52,6 +52,26 @@ def main(outdir: str, sfdir: str) -> int:
             print(f"FAIL {name}: columns {list(g.columns)} vs {list(w.columns)}")
             failures += 1
             continue
+        # Dtype-strict: the driver hashes typed values, so an int64 Spark
+        # column vs a DuckDB HUGEINT->float64 promotion (the q63/q129 bug
+        # class) must fail HERE, not at the driver's hash gate.  Both int
+        # widths count as equal (the driver widens ints before hashing),
+        # but int-vs-float is a real divergence.
+        def kind(dt):
+            s = str(dt)
+            if s.startswith(("int", "uint", "Int", "UInt")):
+                return "int"
+            if s.startswith(("float", "Float")):
+                return "float"
+            if s.startswith("datetime"):
+                return "datetime"
+            return s
+        dt_diffs = [f"{c}: {g[c].dtype} vs {w[c].dtype}"
+                    for c in g.columns if kind(g[c].dtype) != kind(w[c].dtype)]
+        if dt_diffs:
+            print(f"FAIL {name}: dtype mismatch " + "; ".join(dt_diffs[:3]))
+            failures += 1
+            continue
         if len(g) != len(w):
             print(f"FAIL {name}: rows {len(g)} vs {len(w)}")
             failures += 1
