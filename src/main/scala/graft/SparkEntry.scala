@@ -150,6 +150,12 @@ object SparkEntry {
     // rows-only: q89-model-derived output (QualityFilter scaladoc)
     "q150_calibration_curve" -> (QualityFilter.q150CalibrationCurve _),
     "q151_threshold_sweep" -> (QualityFilter.q151ThresholdSweep _),
+    "q152_mrl_recall"     -> (Similarity.q152MrlRecall _),
+    "q153_poisson_bootstrap" -> (Stats.q153PoissonBootstrap _),
+    "q154_pmi_collocations" -> (TextAnalysis.q154PmiCollocations _),
+    "q155_ab_fdr"         -> (Stats.q155AbFdr _),
+    "q156_gap_fill"       -> (Temporal.q156GapFill _),
+    "q157_session_window" -> (Temporal.q157SessionWindow _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -1149,6 +1155,148 @@ object SparkEntry {
          |       round(score, 4) AS score
          |FROM r$unrollLen WHERE j = 0 ORDER BY word""".stripMargin
     },
+
+    // truncated-dim cosine via list slices; truth = the width-64 rank
+    "q152_mrl_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        |wd AS (SELECT unnest([8, 16, 32, 64]) AS width),
+        |sims AS (SELECT w.width, q.q_id, c.vec_id,
+        |    round(list_cosine_similarity(q.qv[1:w.width], c.v[1:w.width]), 6) AS cos_sim
+        |  FROM e c CROSS JOIN q CROSS JOIN wd w
+        |  WHERE c.vec_id <> q.q_id),
+        |top AS (SELECT width, q_id, vec_id, row_number() OVER
+        |    (PARTITION BY width, q_id ORDER BY cos_sim DESC, vec_id ASC) AS rk
+        |  FROM sims),
+        |t10 AS MATERIALIZED (SELECT width, q_id, vec_id FROM top WHERE rk <= 10),
+        |truth AS (SELECT q_id, vec_id FROM t10 WHERE width = 64)
+        |SELECT CAST(c.width AS BIGINT) AS width, c.q_id AS vec_id,
+        |       CAST(count(t.vec_id) AS BIGINT) AS n_overlap,
+        |       round(count(t.vec_id) / 10.0, 4) AS recall
+        |FROM (SELECT * FROM t10 WHERE width <> 64) c
+        |LEFT JOIN truth t ON t.q_id = c.q_id AND t.vec_id = c.vec_id
+        |GROUP BY c.width, c.q_id ORDER BY width, vec_id""".stripMargin,
+
+    // derived randomness: hash -> uniform -> Poisson(1) CDF inversion,
+    // identical integer/threshold arithmetic to the Spark plan
+    "q153_poisson_bootstrap" ->
+      """WITH base AS (SELECT event_type, event_id, value FROM events
+        |      WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |r AS (SELECT unnest(generate_series(1, 200)) AS rep),
+        |w AS (SELECT b.event_type, b.value, r.rep,
+        |    CAST(((((b.event_id % 1000000007) * 1000003 % 1000000007
+        |        + r.rep * 7919) % 1000000007)
+        |      * 69069 % 1000000007) * 1000003 % 1000000007
+        |      AS DOUBLE) / 1000000007.0 AS u
+        |  FROM base b CROSS JOIN r),
+        |k AS (SELECT event_type, rep, value,
+        |    CASE WHEN u < 0.367879441171 THEN 0 WHEN u < 0.735758882343 THEN 1
+        |         WHEN u < 0.919698602929 THEN 2 WHEN u < 0.981011843124 THEN 3
+        |         WHEN u < 0.996340153173 THEN 4 WHEN u < 0.999405815182 THEN 5
+        |         WHEN u < 0.999916758851 THEN 6 ELSE 7 END AS wt
+        |  FROM w),
+        |cells AS (SELECT event_type, rep, sum(wt * value) AS swv, sum(wt) AS sw,
+        |       sum(value) AS sv, count(value) AS cnt FROM k GROUP BY 1, 2),
+        |rm AS (SELECT event_type, sv, cnt,
+        |       CASE WHEN sw > 0 THEN round(swv / sw, 6) END AS rep_mean FROM cells)
+        |SELECT event_type, CAST(count(rep_mean) AS BIGINT) AS n_reps,
+        |       round(sum(sv) / sum(cnt), 4) AS mean_value,
+        |       round(stddev_samp(rep_mean), 4) AS boot_se,
+        |       round(quantile_cont(rep_mean, 0.025), 4) AS ci_lo,
+        |       round(quantile_cont(rep_mean, 0.975), 4) AS ci_hi
+        |FROM rm GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // bigram histogram once; marginals re-aggregate it (q128's pair idiom)
+    "q154_pmi_collocations" ->
+      s"""WITH t AS (SELECT doc_id, ${tok("text")} AS ws FROM documents),
+         |pairs AS (SELECT unnest(list_transform(range(1, len(ws)),
+         |    i -> {'w1': ws[i], 'w2': ws[i+1]})) AS p
+         |  FROM t WHERE len(ws) >= 2),
+         |bi AS MATERIALIZED (SELECT p['w1'] AS w1, p['w2'] AS w2, count(*) AS c12
+         |  FROM pairs GROUP BY 1, 2),
+         |l AS (SELECT w1, sum(c12) AS c1 FROM bi GROUP BY 1),
+         |r AS (SELECT w2, sum(c12) AS c2 FROM bi GROUP BY 1),
+         |n AS (SELECT sum(c12) AS n_pairs FROM bi)
+         |SELECT bi.w1, bi.w2, bi.c12 AS n,
+         |       round(ln(CAST(bi.c12 AS DOUBLE) * CAST(n_pairs AS DOUBLE)
+         |         / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 6) AS pmi
+         |FROM bi JOIN l ON l.w1 = bi.w1 JOIN r ON r.w2 = bi.w2 CROSS JOIN n
+         |WHERE bi.c12 >= 5
+         |ORDER BY pmi DESC, bi.w1, bi.w2 LIMIT 20""".stripMargin,
+
+    // complement moments from totals minus the type's own sums; p via
+    // the A&S 7.1.26 erfc polynomial on the 4-dp t (identical literals
+    // and association to the Spark plan); BH = reversed running min
+    "q155_ab_fdr" ->
+      """WITH s AS (SELECT event_type, CAST(count(value) AS DOUBLE) AS n,
+        |      sum(value) AS sv, sum(value * value) AS ss
+        |    FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |    GROUP BY 1),
+        |tot AS (SELECT sum(n) AS tn, sum(sv) AS ts, sum(ss) AS tss,
+        |        count(*) AS m FROM s),
+        |j AS (SELECT s.event_type, s.n, tot.m,
+        |        sv / n AS m1,
+        |        (ss - sv * sv / n) / (n - 1) AS v1,
+        |        tn - n AS n2,
+        |        (ts - sv) / (tn - n) AS m2,
+        |        (tss - ss) - (ts - sv) * (ts - sv) / (tn - n) AS ss2c
+        |      FROM s CROSS JOIN tot),
+        |tt AS (SELECT event_type, CAST(n AS BIGINT) AS n_values, m,
+        |         round((m1 - m2) / sqrt(v1 / n + ss2c / (n2 - 1) / n2), 4) AS t_stat
+        |       FROM j),
+        |xx AS (SELECT *, abs(t_stat) / sqrt(2.0) AS x,
+        |         1.0 / (1.0 + 0.3275911 * (abs(t_stat) / sqrt(2.0))) AS kk FROM tt),
+        |pp AS (SELECT *, round((((((1.061405429 * kk - 1.453152027) * kk)
+        |         + 1.421413741) * kk - 0.284496736) * kk + 0.254829592) * kk
+        |         * exp(-(x * x)), 6) AS p_value FROM xx),
+        |rnk AS (SELECT *, row_number() OVER (ORDER BY p_value ASC, event_type ASC) AS rk
+        |        FROM pp),
+        |bh AS (SELECT *, round(least(min(p_value * m / rk) OVER
+        |          (ORDER BY p_value ASC, event_type ASC
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 1.0), 6) AS p_bh
+        |       FROM rnk)
+        |SELECT event_type, n_values, t_stat, p_value, p_bh,
+        |       CASE WHEN p_bh <= 0.05 THEN CAST(1 AS BIGINT)
+        |            ELSE CAST(0 AS BIGINT) END AS significant
+        |FROM bh ORDER BY event_type""".stripMargin,
+
+    // dense calendar from each type's span; zero-fill + 7-day trail
+    "q156_gap_fill" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |      round(sum(value), 6) AS x
+        |    FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |    GROUP BY 1, 2),
+        |span AS (SELECT event_type, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1),
+        |dense AS (SELECT event_type,
+        |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM span),
+        |f AS (SELECT de.event_type, de.d, coalesce(da.x, 0.0) AS x,
+        |        CASE WHEN da.x IS NULL THEN 1 ELSE 0 END AS filled
+        |      FROM dense de LEFT JOIN daily da
+        |        ON da.event_type = de.event_type AND da.d = de.d)
+        |SELECT event_type, strftime(d, '%Y-%m-%d') AS day, x,
+        |       CAST(filled AS BIGINT) AS is_filled,
+        |       round(avg(x) OVER (PARTITION BY event_type ORDER BY d
+        |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS trail7
+        |FROM f ORDER BY event_type, day""".stripMargin,
+
+    // session_window's boundary rule: a gap of EXACTLY the 30-min gap
+    // starts a new session (>= on raw micros), unlike q25's strict >
+    "q157_session_window" ->
+      """WITH ev AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us, value
+        |    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |m AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |        OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |      FROM m)
+        |SELECT user_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q140_equidepth_hist" ->
       """WITH b AS (SELECT list_transform(

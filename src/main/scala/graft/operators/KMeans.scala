@@ -154,6 +154,43 @@ object KMeans {
       .orderBy("q_id")
   }
 
+  /** Per-cluster sample quota for [[q158DiversitySample]]. */
+  val SampleQuota = 8
+
+  /** q158: cluster-balanced diversity sample — draw [[SampleQuota]]
+    * vectors per k-means cell, uniformly WITHIN each cell. Uniform
+    * corpus sampling inherits the corpus's mode collapse (a crawl that
+    * is 60 % one template yields a sample that is 60 % that template);
+    * quota-per-cluster sampling instead equalizes semantic regions —
+    * the selection step behind diversity-curated training mixes
+    * (cluster-then-sample, the DataComp/SemDeDup curation family),
+    * eval-set construction, and annotation batches that must cover the
+    * embedding space rather than its densest mode.
+    *
+    * Determinism: the within-cell pick ranks a multiply-mod hash of
+    * vec_id (the q153 derived-randomness rule — reproducible across
+    * engines, runs, and re-partitioning, where df.sample is
+    * partitioning-dependent), tie-broken by vec_id. Scale shape: the
+    * q116 fit's bounded rounds + ONE assignment scan against broadcast
+    * centroids; the pick is a per-cluster rank window whose exchange
+    * carries K groups, and output is K × quota rows at any corpus
+    * size. */
+  def q158DiversitySample(spark: SparkSession, dir: String): DataFrame = {
+    val m = 1000000007L
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pick = pmod(pmod(pmod(col("vec_id"), lit(m)) * lit(1000003L), lit(m))
+      * lit(69069L), lit(m))
+    val w = Window.partitionBy("cluster").orderBy(asc("pick"), asc("vec_id"))
+    assign(e, fit(e))
+      .select(col("cluster"), col("vec_id"), col("dist"), pick.as("pick"))
+      .withColumn("pick_rank", row_number().over(w))
+      .filter(col("pick_rank") <= SampleQuota)
+      .select(col("cluster"), col("pick_rank").cast("long").as("pick_rank"),
+        col("vec_id"), col("dist"))
+      .orderBy("cluster", "pick_rank")
+  }
+
   /** q116: the fitted clustering, reported per cluster — member count,
     * centroid 2-norm, and the tightest/loosest member distance (min and
     * max are order-independent, so no summation-order hash hazard). */

@@ -149,6 +149,123 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** q152: Matryoshka truncation curve — recall@10 of cosine retrieval
+    * using only the FIRST w dims (w ∈ 8/16/32) against the full-64-dim
+    * exact top-10, per query. MRL-style embeddings front-load
+    * information, so the curve tells you how few dims the ANN shortlist
+    * stage can read; at 100 TB the payoff is direct scan-byte
+    * reduction — a 16-dim shortlist reads 1/4 of the float bytes the
+    * full vectors would (then the q115-style re-rank touches full
+    * vectors only for shortlist survivors). One corpus scan computes
+    * every width: the 10-query block broadcasts (q34's BNLJ shape, the
+    * corpus never shuffles), widths explode IN-ROW (4× candidate rows
+    * before the per-(width, query) top-10 window — bounded, never a
+    * second corpus pass), and truth(w=64) joins candidates on the
+    * (query, neighbor) key. Similarities round to 6 dp before ranking
+    * (q34/q139 contract) so the oracle reproduces rank order
+    * bit-for-bit. */
+  def q152MrlRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queries = broadcast(e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv")))
+    val widths = Seq(8, 16, 32, 64)
+    val nw = Window.partitionBy("width", "q_id").orderBy(desc("cos_sim"), asc("vec_id"))
+    val top = e.crossJoin(queries)
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        explode(array(widths.map(lit): _*)).as("width"),
+        col("qv"), col("v"))
+      .select(col("width"), col("q_id"), col("vec_id"),
+        round(CosineSim.cosine(
+          slice(col("qv"), lit(1), col("width")),
+          slice(col("v"), lit(1), col("width"))), 6).as("cos_sim"))
+      .withColumn("rk", row_number().over(nw))
+      .filter(col("rk") <= 10)
+      .select("width", "q_id", "vec_id")
+    // one pass over the (≤ widths × queries × 10)-row top table: group
+    // to width-sets per retained (query, neighbor), then each truncated
+    // width's 10 candidates check membership of 64 in their own set —
+    // no self-join, so the corpus scan runs ONCE
+    top.groupBy("q_id", "vec_id").agg(collect_set("width").as("ws"))
+      .select(col("q_id"), col("vec_id"), col("ws"),
+        explode(expr("filter(ws, w -> w != 64)")).as("width"))
+      .groupBy("width", "q_id")
+      .agg(sum(when(array_contains(col("ws"), 64), 1L).otherwise(0L)).as("n_overlap"))
+      .select(col("width").cast("long").as("width"), col("q_id").as("vec_id"),
+        col("n_overlap"),
+        round(col("n_overlap") / 10.0, 4).as("recall"))
+      .orderBy("width", "vec_id")
+  }
+
+  /** MMR trade-off weight (relevance vs novelty) for [[q161MmrRerank]]. */
+  val MmrLambda = 0.7
+  /** Relevance shortlist size fed to the greedy MMR loop. */
+  val MmrShortlist = 20
+  /** Selections emitted per query. */
+  val MmrK = 5
+
+  /** q161: Maximal Marginal Relevance re-rank (Carbonell & Goldstein,
+    * SIGIR 1998) — greedily pick [[MmrK]] results per query maximizing
+    * λ·rel(c) − (1−λ)·max_{s ∈ selected} sim(c, s): the
+    * diversity-aware final stage of a retrieval pipeline. Pure top-k
+    * (q34) returns near-duplicates of one best hit; for RAG context
+    * assembly or eval-panel selection the marginal token is better
+    * spent on a NOVEL passage — MMR is the standard greedy for that,
+    * and the diversity twin of q141's hard negatives.
+    *
+    * Determinism: relevance and candidate-pair similarities round to
+    * 6 dp before every comparison (the q34 contract); greedy rounds are
+    * FIXED at MmrK with vec_id tie-breaks, so the oracle unrolls the
+    * loop as k chained CTEs (the q110/q147 fixed-iteration rule). The
+    * first pick maximizes λ·rel (empty selected set ⇒ novelty term 0).
+    *
+    * Scale shape: the corpus is touched ONCE — the q34 broadcast-block
+    * scan producing the per-query top-[[MmrShortlist]] shortlist, which
+    * localCheckpoints at queries × shortlist rows (bounded, the
+    * Dedup/Graph lineage-cut precedent). All greedy rounds run on that
+    * bounded frame: round r joins ≤ shortlist candidates to ≤ r−1
+    * selected vectors per query — O(queries · shortlist · k) work total,
+    * independent of corpus size. */
+  def q161MmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queries = broadcast(e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv")))
+    val relW = Window.partitionBy("q_id").orderBy(desc("rel"), asc("vec_id"))
+    val cand = e.crossJoin(queries)
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("v"),
+        round(CosineSim.cosine(col("qv"), col("v")), 6).as("rel"))
+      .withColumn("rk", row_number().over(relW))
+      .filter(col("rk") <= MmrShortlist).drop("rk")
+      .localCheckpoint() // queries × shortlist rows; rounds never rescan the corpus
+    val first = cand
+      .withColumn("rk", row_number().over(relW)).filter(col("rk") === 1)
+      .select(col("q_id"), col("vec_id"), col("v"), col("rel"),
+        lit(1L).as("sel_rank"), round(lit(MmrLambda) * col("rel"), 6).as("mmr"))
+    var all = first
+    for (r <- 2 to MmrK) {
+      val selVecs = all.select(col("q_id"), col("v").as("sv"))
+      val picked = all.select(col("q_id"), col("vec_id"))
+      val mmrW = Window.partitionBy("q_id").orderBy(desc("mmr"), asc("vec_id"))
+      val next = cand
+        .join(picked, Seq("q_id", "vec_id"), "left_anti")
+        .join(selVecs, Seq("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(first_value(col("rel")).as("rel"), first_value(col("v")).as("v"),
+          max(round(CosineSim.cosine(col("v"), col("sv")), 6)).as("max_sim"))
+        .withColumn("mmr", round(lit(MmrLambda) * col("rel")
+          - lit(1.0 - MmrLambda) * col("max_sim"), 6))
+        .withColumn("rk", row_number().over(mmrW)).filter(col("rk") === 1)
+        .select(col("q_id"), col("vec_id"), col("v"), col("rel"),
+          lit(r.toLong).as("sel_rank"), col("mmr"))
+      all = all.union(next).localCheckpoint() // ≤ queries × k rows
+    }
+    all.select("q_id", "sel_rank", "vec_id", "rel", "mmr")
+      .orderBy("q_id", "sel_rank")
+  }
+
   /** q141: hard-negative mining — for each anchor vector, the top-5
     * most-similar vectors with a DIFFERENT label: the negatives a
     * contrastive embedding trainer wants (easy negatives teach

@@ -225,6 +225,148 @@ object Stats {
     * cross-engine moment convention). Quality = the q37 length/stopword
     * blend's cheap core (chars per whitespace token), enough to detect
     * drift without re-running the full scorer. */
+  /** q153: Poisson bootstrap — per-cohort mean with a bootstrap SE and
+    * 95 % percentile CI, the distributed companion to q143's jackknife.
+    * Classic bootstrap resampling (draw n rows with replacement) is
+    * impossible without a global index; the Poisson trick replaces it:
+    * each row independently receives a Poisson(1) weight per replica,
+    * which converges to multinomial resampling and needs NO
+    * coordination — the canonical resampler on sharded data. Weights
+    * are DERIVED, not drawn: u = hash(event_id, rep)/(2³¹-ish prime)
+    * inverted through the fixed Poisson(1) CDF table, so both engines
+    * (and any two cluster runs) see identical weights — q45b's
+    * determinism rule applied to randomness itself.
+    *
+    * Scale shape: the replica axis explodes IN-ROW (200× rows inside
+    * the scan stage, never materialized to disk) and collapses to
+    * O(cohorts × 200) partial-aggregated cells before the ONE
+    * exchange; the replica means then fold to O(cohorts) output. At
+    * 100 TB the same plan holds — the shuffle carries
+    * partitions × cohorts × 200 partial rows, independent of corpus
+    * size; if 200× in-row amplification ever dominates the scan, the
+    * explode swaps for a width-200 aggregate kernel (one struct array
+    * per partition) with identical semantics. Replica means round to
+    * 6 dp before the SE/percentile fold (q113's convention) so the
+    * oracle reproduces them bit-for-bit; exact percentiles by the
+    * q51/q127 contract. */
+  def q153PoissonBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    val reps = 200
+    val m = 1000000007L
+    val base = Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), col("event_id"), col("value"))
+    // three multiply-mod rounds with the replica stride injected in the
+    // middle: a single linear pass (the first cut) left replicas only
+    // 7919/M ≈ 8e-6 apart in u-space, so all 200 weightings were nearly
+    // identical (SE collapsed, CI missed the mean); each multiply-mod
+    // wraps the stride ~550× around [0, M), decorrelating replicas
+    // (validated against the analytic s/√n: ratios 0.77-1.12 across
+    // cohorts, CIs bracket the means)
+    val u = pmod(pmod(pmod(pmod(col("event_id"), lit(m)) * lit(1000003L), lit(m))
+        + col("rep") * lit(7919L), lit(m)) * lit(69069L), lit(m))
+      .multiply(lit(1000003L)).mod(lit(m))
+      .cast("double") / lit(1.0000000070e9)
+    // Poisson(1) CDF inversion: fixed cumulative thresholds e^-1 Σ 1/k!
+    // (identical literals in the DuckDB twin), tail truncated at 7
+    val wt = when(u < 0.367879441171, 0L).when(u < 0.735758882343, 1L)
+      .when(u < 0.919698602929, 2L).when(u < 0.981011843124, 3L)
+      .when(u < 0.996340153173, 4L).when(u < 0.999405815182, 5L)
+      .when(u < 0.999916758851, 6L).otherwise(7L)
+    // ONE corpus scan serves both the replicas and the raw mean: the
+    // (cohort, rep) cells carry unweighted (Σvalue, count) partials
+    // beside the weighted sums — each original row appears exactly
+    // `reps` times, so Σsv/Σcnt over the cells IS the raw mean (no
+    // second pass over events). A zero-total-weight replica keeps its
+    // unweighted partials but contributes a NULL rep_mean, which the
+    // null-ignoring SE/percentile/count aggregates skip — the exact
+    // drop-empty-replica semantics without losing raw-mean mass.
+    val cells = base
+      .select(col("event_type"), col("value"),
+        explode(sequence(lit(1L), lit(reps.toLong))).as("rep"),
+        col("event_id"))
+      .select(col("event_type"), col("rep"), col("value"), wt.as("wt"))
+      .groupBy("event_type", "rep")
+      .agg(sum(col("wt") * col("value")).as("swv"), sum("wt").as("sw"),
+        sum("value").as("sv"), count(col("value")).as("cnt"))
+      .select(col("event_type"), col("sv"), col("cnt"),
+        when(col("sw") > 0, round(col("swv") / col("sw"), 6)).as("rep_mean"))
+    cells.groupBy("event_type")
+      .agg(count(col("rep_mean")).as("n_reps"),
+        stddev_samp(col("rep_mean")).as("se"),
+        expr("percentile(rep_mean, 0.025D)").as("lo"),
+        expr("percentile(rep_mean, 0.975D)").as("hi"),
+        (sum("sv") / sum("cnt")).as("mean_raw"))
+      .select(col("event_type"), col("n_reps"),
+        round(col("mean_raw"), 4).as("mean_value"),
+        round(col("se"), 4).as("boot_se"),
+        round(col("lo"), 4).as("ci_lo"),
+        round(col("hi"), 4).as("ci_hi"))
+      .orderBy("event_type")
+  }
+
+  /** q155: one-vs-rest mean-shift sweep with Benjamini–Hochberg FDR
+    * control — "which event types' values differ from everything
+    * else, accounting for the fact that we ran |types| tests at
+    * once": the multiple-testing guard every metrics platform needs
+    * before alerting on a sweep of segments. Per type, a Welch z-test
+    * of the type's values against the complement; the complement's
+    * moments come from TOTALS MINUS the type's own sums (no second
+    * scan, no anti-join): one O(types) summary table drives
+    * everything. p-values via the Abramowitz–Stegun 7.1.26 erfc
+    * polynomial — closed-form arithmetic both engines evaluate
+    * identically on the 4-dp-rounded t (large-sample z approximation;
+    * df >> 30 at every fixture, noted here rather than computed) —
+    * then BH: rank p ascending, adjusted p = min over j ≥ rank of
+    * p_j·m/j (the reversed running min), significant at FDR 0.05.
+    * Corpus collapses to O(types) sums in ONE partial-aggregated
+    * scan; the test/BH math runs on that tiny frame. */
+  def q155AbFdr(spark: SparkSession, dir: String): DataFrame = {
+    // O(types) rows feeding two consumers (totals + the per-type join);
+    // localCheckpoint keeps the corpus scan single-pass
+    val perType = Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .groupBy("event_type")
+      .agg(count(col("value")).cast("double").as("n"),
+        sum("value").as("s"),
+        sum(col("value") * col("value")).as("ss"))
+      .localCheckpoint()
+    val tot = perType.agg(sum("n").as("tn"), sum("s").as("ts"),
+      sum("ss").as("tss"), count(lit(1)).as("m"))
+    val j = perType.crossJoin(broadcast(tot)) // O(types) × 1 row
+      .select(col("event_type"), col("n"), col("m"),
+        (col("s") / col("n")).as("m1"),
+        ((col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1)).as("v1"),
+        (col("tn") - col("n")).as("n2"),
+        ((col("ts") - col("s")) / (col("tn") - col("n"))).as("m2"),
+        ((col("tss") - col("ss"))
+          - (col("ts") - col("s")) * (col("ts") - col("s")) / (col("tn") - col("n")))
+          .as("ss2c"))
+    val t = round((col("m1") - col("m2")) /
+      sqrt(col("v1") / col("n") + col("ss2c") / (col("n2") - 1) / col("n2")), 4)
+    // erfc(x) ≈ (a1·k + a2·k² + a3·k³ + a4·k⁴ + a5·k⁵)·e^(−x²),
+    // k = 1/(1 + 0.3275911·x) — identical literals in the oracle;
+    // p = 2·(1 − Φ(|t|)) = erfc(|t|/√2)
+    val x = abs(col("t_stat")) / sqrt(lit(2.0))
+    val kk = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = (((((lit(1.061405429) * kk - lit(1.453152027)) * kk)
+      + lit(1.421413741)) * kk - lit(0.284496736)) * kk + lit(0.254829592)) * kk
+    val p = round(poly * exp(-x * x), 6)
+    val ranked = j
+      .select(col("event_type"), col("n").cast("long").as("n_values"),
+        col("m"), t.as("t_stat"))
+      .withColumn("p_value", p)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("p_value").asc, col("event_type").asc)))
+    ranked
+      .withColumn("p_bh", round(least(min(col("p_value") * col("m") / col("rk"))
+        .over(Window.orderBy(col("p_value").asc, col("event_type").asc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)), lit(1.0)), 6))
+      .select(col("event_type"), col("n_values"), col("t_stat"), col("p_value"),
+        col("p_bh"),
+        when(col("p_bh") <= 0.05, 1L).otherwise(0L).as("significant"))
+      .orderBy("event_type")
+  }
+
   def q144QualityTrend(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.documents(spark, dir)
       .filter(col("text").isNotNull && length(col("text")) > 0)

@@ -272,6 +272,75 @@ object Temporal {
     * while the recurrence needs sequential per-key scan state. Inputs
     * round to 6 BEFORE the lag math so both engines difference
     * identical doubles. */
+  /** q156: calendar gap-fill (time-series densification) — the daily
+    * per-type value series with every MISSING calendar day
+    * materialized as an explicit zero row, plus a 7-day trailing mean
+    * over the dense axis. Every lag/window statistic in this file
+    * (q113's EWMA lags, q125's dow index, q126's changepoint windows)
+    * silently assumes a dense day axis — on a sparse series "lag 1"
+    * jumps the gap and a trailing mean averages the wrong horizon.
+    * Gap-fill is the operator that makes that assumption TRUE before
+    * the stats run; the trailing mean here demonstrates the repaired
+    * semantics (a filled zero day correctly drags the mean down
+    * instead of vanishing).
+    *
+    * Scale shape: the corpus collapses to O(types × observed days)
+    * cells in one partial-aggregated scan; the dense axis generates
+    * from each type's (min, max) day span IN-ROW (sequence + explode
+    * over an O(types) frame — never a calendar × corpus join) and
+    * left-joins the cells back — every post-collapse stage is bounded
+    * by types × span days. Null types/values drop at the gate (the
+    * streaming-twin convention; a null type is not a series). */
+  def q156GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(round(sum("value"), 6).as("x"))
+    val dense = daily.groupBy("event_type")
+      .agg(min("d").as("d0"), max("d").as("d1"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("d"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+    dense.join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+        coalesce(col("x"), lit(0.0)).as("x"),
+        col("x").isNull.cast("long").as("is_filled"))
+      .withColumn("trail7",
+        round(avg("x").over(w.rowsBetween(-6, Window.currentRow)), 4))
+      .select(col("event_type"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("x"), col("is_filled"), col("trail7"))
+      .orderBy("event_type", "day")
+  }
+
+  /** q157: sessionization through Spark's NATIVE `session_window`
+    * aggregation — the declarative twin of q25's hand-rolled
+    * lag/cumsum islands. One groupBy(user, session_window(ts, 30 min))
+    * replaces the window-function chain: Catalyst plans a single
+    * exchange on user and merges overlapping [ts, ts+gap) intervals in
+    * the aggregate itself (the UpdatingSessionsIterator path), which is
+    * also the EXACT operator a streaming deployment would run — batch
+    * and stream share the plan, unlike q25's lag() which has no
+    * streaming rendering. Output is per-SESSION (start, end, n_events,
+    * value sum) — finer grain than q25's per-user rollup.
+    *
+    * Boundary semantics, explicit: session_window closes at diff ≥ gap
+    * (an event AT the session end starts a new one) where q25's rule
+    * is diff > gap — the oracle encodes ≥ on raw micros; the two
+    * definitions differ only on exact-1800.000000s gaps. Scale: one
+    * exchange on user_id, identical to q25's shuffle; per-session
+    * output is bounded by events. */
+  def q157SessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+  }
+
   def q113EwmaAnomaly(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy("day")
     val lags = EwmaWeights.zipWithIndex.map { case (wt, i) =>

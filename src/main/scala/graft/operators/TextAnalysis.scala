@@ -1539,4 +1539,83 @@ object TextAnalysis {
         col("ch.s").cast("long").as("chunk_start"),
         length(col("ch.c")).cast("long").as("chunk_len"),
         md5(col("ch.c").cast("binary")).as("chunk_md5"))
+
+  /** Length-bucket granularity (tokens) for [[q160PaddingWaste]]. */
+  val PadBucket = 64L
+
+  /** q160: padding-waste report — what length-bucketed batching saves
+    * over pad-to-global-max. A training batch pads every sequence to
+    * its longest member; batching by length bucket (ceil to the next
+    * multiple of [[PadBucket]]) bounds that waste to < bucket width per
+    * doc, while naive global batching pays (max_len − n) everywhere —
+    * on a length-skewed corpus the difference is most of the FLOPs
+    * bill. Per bucket: doc count, real tokens, padded tokens under the
+    * bucket policy, the waste fraction, and the naive-policy padding
+    * for the same docs — the two totals ARE the decision.
+    *
+    * Scale shape: one tokenize scan collapses to O(buckets) cells
+    * (partial-aggregated groupBy); the global max rides a 1-row
+    * broadcast crossJoin (the q155 totals pattern) — second "pass" over
+    * an O(buckets) frame, never the corpus. Token counts follow the
+    * q35 convention (Portable.tokenize length). */
+  def q160PaddingWaste(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documents(spark, dir)
+      .select(size(Portable.tokenize(col("text"))).cast("long").as("n"))
+      .filter(col("n") >= 1L)
+    val buckets = perDoc
+      .select(col("n"), (ceil(col("n").cast("double") / PadBucket).cast("long")
+        * PadBucket).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("sum_tokens"),
+        max("n").as("max_n"))
+    val globalMax = buckets.agg(max("max_n").as("global_max"))
+    buckets.crossJoin(broadcast(globalMax)) // 1-row global max
+      .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+        (col("bucket") * col("n_docs") - col("sum_tokens")).as("bucket_padding"),
+        round((col("bucket") * col("n_docs") - col("sum_tokens")).cast("double")
+          / (col("bucket") * col("n_docs")), 6).as("bucket_waste_frac"),
+        (col("global_max") * col("n_docs") - col("sum_tokens")).as("naive_padding"))
+      .orderBy("bucket")
+  }
+
+  /** q154: top-20 collocations by pointwise mutual information over
+    * adjacent word pairs — PMI(w1, w2) = ln(P(w1,w2) / (P(w1)·P(w2)))
+    * with the marginals taken over bigram SLOTS (w1 from the left
+    * slot, w2 from the right), the standard collocation estimator.
+    * The word2vec tie-in is direct: SGNS factorizes the shifted PMI
+    * matrix (Levy & Goldberg 2014), so this table is the closed-form
+    * view of what the reference's Word2Vec (MapRedWord2Vec.scala:146)
+    * learns implicitly — the engine exposes the statistic itself as a
+    * query.
+    *
+    * Scale shape: ONE corpus pass builds the partial-aggregated bigram
+    * histogram (the q74 transitions reuse); marginals and the total
+    * re-aggregate THAT table (O(distinct bigrams), corpus never
+    * rescanned) and join back histogram-to-histogram — bounded by
+    * vocabulary, not corpus; the total broadcasts as a 1-row
+    * crossJoin. Top-20 is TakeOrderedAndProject, never a global sort.
+    * A count-≥5 floor drops the unstable tail (PMI's known
+    * low-frequency bias). All factors go through double BEFORE
+    * multiplying so no integer product can overflow at corpus scale;
+    * 6-dp rounding, ties broken by the pair. */
+  def q154PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    // the bigram histogram feeds FOUR consumers (pairs, both marginals,
+    // total); localCheckpoint materializes it once so the corpus
+    // tokenize+shuffle never re-runs (the Graph.scala lineage-cut
+    // precedent) — it is O(observed bigrams), vocabulary-bounded
+    val bi = transitions(spark, dir)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    val left = bi.groupBy("w1").agg(sum("c12").as("c1"))
+    val right = bi.groupBy("w2").agg(sum("c12").as("c2"))
+    val tot = bi.agg(sum("c12").as("n_pairs"))
+    bi.filter(col("c12") >= 5)
+      .join(left, "w1").join(right, "w2")
+      .crossJoin(broadcast(tot)) // 1-row total
+      .select(col("w1"), col("w2"), col("c12").as("n"),
+        round(log(col("c12").cast("double") * col("n_pairs").cast("double")
+          / (col("c1").cast("double") * col("c2").cast("double"))), 6).as("pmi"))
+      .orderBy(desc("pmi"), col("w1"), col("w2"))
+      .limit(20)
+  }
 }

@@ -83,6 +83,59 @@ object EventStream {
         date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Native `session_window` sessionization — the LITERAL streaming
+    * rendering of batch q157 (Temporal.q157SessionWindow): same
+    * groupBy(user, session_window(ts, 30 min)) aggregate, same
+    * per-session grain and output shape, now with a 1-hour watermark
+    * bounding the merge state. This is the claim q157's scaladoc makes
+    * ("batch and stream share the plan") made executable: a session
+    * emits in append mode exactly when the watermark passes its close,
+    * and the emitted row is the batch row (StreamingSpec parity).
+    *
+    * Scale: state per key is the OPEN sessions of that user only —
+    * closed sessions leave the store at emission; one shuffle on
+    * user_id per micro-batch, the same single-exchange shape as the
+    * batch plan. Contrast with [[sessionCountsSnapshot]], which keeps
+    * per-user TOTALS forever by contract (running counters); this
+    * operator's state is watermark-evicted, the unbounded-runtime
+    * deployment. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  /** Replay-safe ingest dedup through the built-in
+    * `dropDuplicatesWithinWatermark` — the state-BOUNDED form of the
+    * `dropDuplicates("event_id")` twin StreamingSpec already drives.
+    * Plain dropDuplicates on a key without the event-time column keeps
+    * every seen key forever (the store only grows — a leak on an
+    * unbounded ingest stream); WithinWatermark instead evicts a key
+    * once the watermark passes its timestamp by the delay, trading
+    * infinite memory for a bounded guarantee: duplicates are dropped
+    * only while they can still arrive (within the disorder bound).
+    * At 100 TB/day of ingest this is the ONLY viable exactly-once
+    * dedup: state is O(events per watermark window), not O(events
+    * ever). Emitted rows are first-arrival. The guarantee's exact
+    * edge (StreamingSpec proves both halves): a replay carrying its
+    * ORIGINAL ts can never duplicate — in-state keys dedup, and an
+    * evicted key's replay is by construction late (evicted ⇔
+    * ts &lt; wm − delay) so the watermark filter drops it; only an
+    * at-least-once producer that RE-STAMPS a replay with a fresh
+    * ingest ts can re-admit an evicted key — past the disorder bound,
+    * downstream batch dedup (q30) owns it, the standard lambda
+    * split. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_id").isNotNull && col("ts").isNotNull)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stream-stream join: views joined to the same user's purchases
     * within the following hour. Both sides carry watermarks so the join
     * state is bounded: a buffered view can be evicted once the purchase

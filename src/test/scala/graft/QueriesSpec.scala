@@ -1391,6 +1391,194 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q152 MRL recall: 3 widths × 10 queries, bounded, improving with width") {
+    val rows = run("q152_mrl_recall").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 30, s"3 truncation widths × 10 queries, got ${rows.length}")
+    assert(rows.map(_._1).toSet == Set(8L, 16L, 32L))
+    rows.foreach { case (w, q, n, rec) =>
+      assert(n >= 0 && n <= 10, s"w=$w q=$q: overlap $n out of [0,10]")
+      assert(math.abs(rec - n / 10.0) < 1e-9, s"recall is n_overlap/10")
+    }
+    // per-query recall is NOT monotone in width (a truncated rank can
+    // luck into truth rows a wider one loses), but the MEAN over the
+    // query block must improve as dims are restored — that's the whole
+    // point of the truncation curve
+    def mean(w: Long) = { val v = rows.filter(_._1 == w).map(_._4); v.sum / v.length }
+    assert(mean(32) > mean(8),
+      s"mean recall must rise from width 8 (${mean(8)}) to 32 (${mean(32)})")
+  }
+
+  test("q153 Poisson bootstrap SE sits in the iid corridor and the CI brackets the mean") {
+    // the q143 corridor argument, applied to the bootstrap: for iid
+    // cohorts the Poisson-bootstrap SE estimates the same sampling
+    // variance as s/√n — factor-2 catches both broken weights (the
+    // first-cut linear hash collapsed SE ~10×) and wrong normalization
+    val rows = run("q153_poisson_bootstrap").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(rows.nonEmpty)
+    val classical = graft.Tables.events(spark, sf0001)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .groupBy("event_type")
+      .agg((stddev_samp(col("value")) / sqrt(count(col("value")))).as("se"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (tpe, (nReps, mean, se, lo, hi)) =>
+      assert(nReps == 200L, s"$tpe: every replica must produce a mean")
+      assert(lo <= mean && mean <= hi, s"$tpe: CI [$lo, $hi] must bracket $mean")
+      assert(lo < hi, s"$tpe: degenerate CI")
+      val cse = classical(tpe)
+      assert(se > 0 && se / cse > 0.5 && se / cse < 2.0,
+        s"$tpe: bootstrap SE $se vs analytic $cse outside the iid corridor")
+    }
+  }
+
+  test("q154 PMI replays from raw bigram counts and ranks correctly") {
+    val rows = run("q154_pmi_collocations").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 20)
+    assert(rows.map(_._4).sliding(2).forall(p => p.head >= p.last - 1e-9),
+      "rows are sorted by pmi descending")
+    rows.foreach { case (_, _, n, _) => assert(n >= 5, "count floor") }
+    // independent plain-Scala replay: rebuild the bigram histogram from
+    // the tokenized corpus and recompute every reported pair's PMI
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(graft.functions.Portable.tokenize(col("text")).as("ws"))
+      .collect().map(_.getSeq[String](0))
+    val bi = scala.collection.mutable.Map.empty[(String, String), Long]
+    docs.foreach(ws => ws.sliding(2).filter(_.length == 2)
+      .foreach(p => bi((p(0), p(1))) = bi.getOrElse((p(0), p(1)), 0L) + 1))
+    val left = bi.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val right = bi.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val total = bi.values.sum
+    rows.foreach { case (w1, w2, n, pmi) =>
+      assert(bi((w1, w2)) == n, s"($w1,$w2): count $n vs replay ${bi((w1, w2))}")
+      val want = math.log(n.toDouble * total / (left(w1).toDouble * right(w2)))
+      assert(math.abs(pmi - want) < 1e-5, s"($w1,$w2): pmi $pmi vs replay $want")
+    }
+  }
+
+  test("q155 FDR sweep: p-values replay from t, BH adjustment replays from p") {
+    val rows = run("q155_ab_fdr").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val m = rows.length
+    // A&S 7.1.26 erfc replay — p = erfc(|t|/√2), same literals
+    def pOf(t: Double): Double = {
+      val x = math.abs(t) / math.sqrt(2.0)
+      val k = 1.0 / (1.0 + 0.3275911 * x)
+      val poly = (((((1.061405429 * k - 1.453152027) * k) + 1.421413741) * k
+        - 0.284496736) * k + 0.254829592) * k
+      poly * math.exp(-x * x)
+    }
+    rows.foreach { case (tpe, n, t, p, pBh, sig) =>
+      assert(n > 0)
+      assert(p >= 0 && p <= 1 && pBh >= 0 && pBh <= 1)
+      assert(pBh >= p - 1e-9, s"$tpe: BH can only INCREASE a p-value")
+      assert(math.abs(p - pOf(t)) < 1e-5, s"$tpe: p $p vs replay ${pOf(t)}")
+      assert(sig == (if (pBh <= 0.05) 1L else 0L))
+    }
+    // BH replay: sort p ascending, adj_i = min_{j≥i} p_j·m/j capped at 1
+    val sorted = rows.sortBy(r => (r._4, r._1))
+    val adj = sorted.zipWithIndex.map { case (r, i) =>
+      sorted.zipWithIndex.drop(i)
+        .map { case (r2, j) => r2._4 * m / (j + 1) }.min.min(1.0)
+    }
+    sorted.zip(adj).foreach { case (r, a) =>
+      assert(math.abs(r._5 - a) < 1e-5, s"${r._1}: p_bh ${r._5} vs BH replay $a")
+    }
+  }
+
+  test("q156 gap-fill produces a dense calendar whose filled days are zero") {
+    val rows = run("q156_gap_fill").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    rows.groupBy(_._1).foreach { case (tpe, series) =>
+      val days = series.map(r => java.time.LocalDate.parse(r._2, fmt)).sorted
+      // DENSE: every calendar day between min and max is present exactly once
+      assert(days.length.toLong ==
+        java.time.temporal.ChronoUnit.DAYS.between(days.head, days.last) + 1,
+        s"$tpe: span ${days.head}..${days.last} must have no calendar gaps")
+      assert(days.distinct.length == days.length, s"$tpe: duplicate days")
+      // filled rows are exactly the zero-value synthetic rows
+      series.foreach { case (_, d, x, filled, _) =>
+        if (filled == 1L) assert(x == 0.0, s"$tpe $d: filled day must be zero")
+      }
+      // trail7 replays over the dense axis (the repaired-semantics claim)
+      val ord = series.sortBy(_._2)
+      ord.zipWithIndex.foreach { case ((_, d, _, _, t7), i) =>
+        val wnd = ord.slice(math.max(0, i - 6), i + 1).map(_._3)
+        val want = BigDecimal(wnd.sum / wnd.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(t7 - want) < 1e-9, s"$tpe $d: trail7 $t7 vs replay $want")
+      }
+    }
+    // sf0.001's event calendar happens to be dense (every type fires every
+    // day), which would make the fill path vacuous — so ALSO run the query
+    // over a synthetic sparse series with known holes and check each hole
+    // materializes as a zero row that drags the trailing mean
+    val dir = java.nio.file.Files.createTempDirectory("graft-gapfill").toString
+    val schema = graft.Tables.events(spark, sf0001).schema
+    val mk = (id: Long, day: Int, v: Double) => org.apache.spark.sql.Row(
+      id, java.time.LocalDateTime.of(2024, 1, day, 12, 0),
+      1L, "sparse", java.lang.Double.valueOf(v), "{}")
+    // days 1, 2, 5, 9 observed -> holes at 3, 4, 6, 7, 8
+    val sparse = Seq(mk(1L, 1, 10.0), mk(2L, 2, 20.0), mk(3L, 5, 30.0), mk(4L, 9, 40.0))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(sparse, 1),
+        org.apache.spark.sql.types.StructType(schema.map(f =>
+          if (f.name == "ts") f.copy(dataType =
+            org.apache.spark.sql.types.TimestampNTZType) else f)))
+      .write.parquet(s"$dir/events.parquet")
+    val filled = SparkEntry.queries("q156_gap_fill")(spark, dir).collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+    assert(filled.length == 9, s"span 1..9 must densify to 9 rows, got ${filled.length}")
+    val holes = filled.filter(_._3 == 1L).map(_._1).toSet
+    assert(holes == Set("2024-01-03", "2024-01-04", "2024-01-06", "2024-01-07", "2024-01-08"))
+    filled.filter(_._3 == 1L).foreach { case (d, x, _, _) => assert(x == 0.0, s"$d") }
+    // day 8's trailing-7 window = days 2..8 = (20 + 30) / 7 — the zeros count
+    val day8 = filled.find(_._1 == "2024-01-08").get
+    assert(math.abs(day8._4 - BigDecimal(50.0 / 7)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+      s"filled zeros must drag the trailing mean: ${day8._4}")
+  }
+
+  test("q157 native session_window matches a plain-Scala >=30min-gap replay") {
+    val rows = run("q157_session_window").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) 0.0 else r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // independent replay: sort each user's events, split at gap >= 1800s
+    // (session_window's boundary rule — an event AT the close starts anew)
+    val ev = graft.Tables.events(spark, sf0001)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) 0.0 else r.getDouble(2)))
+    val want = ev.groupBy(_._1).flatMap { case (u, es) =>
+      val sorted = es.sortBy(_._2)
+      val sessions = sorted.tail.foldLeft(List(List(sorted.head))) { (acc, e) =>
+        if (e._2 - acc.head.head._2 >= 1800000000L) List(e) :: acc
+        else (e :: acc.head) :: acc.tail
+      }
+      sessions.map { s =>
+        val us = s.map(_._2)
+        (u, us.min, us.max + 1800000000L, s.length.toLong,
+          BigDecimal(s.map(_._3).sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }.toSet
+    def fmtUs(us: Long) = java.time.LocalDateTime.ofEpochSecond(
+      us / 1000000L, 0, java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    val got = rows.map(r => (r._1,
+      r._2, r._3, r._4, r._5)).toSet
+    val wantFmt = want.map(s => (s._1, fmtUs(s._2), fmtUs(s._3), s._4, s._5))
+    assert(got == wantFmt,
+      s"session sets differ; got-only=${(got -- wantFmt).take(3)} want-only=${(wantFmt -- got).take(3)}")
+  }
+
   test("q140b approx histogram tracks the exact bins within the GK rank-error bound") {
     // approx_percentile's contract: each returned boundary is an actual
     // value whose rank is within n/accuracy of the target, so each

@@ -2129,6 +2129,96 @@ class StreamingSpec extends AnyFunSuite {
       "streaming closed intervals = batch q111 minus is_current rows")
   }
 
+  test("native session_window stream emits exactly the batch q157 closed sessions") {
+    // q157's scaladoc claims "batch and stream share the plan" — this
+    // is that claim executed: the same groupBy(user, session_window)
+    // aggregate over a stream must emit, for every session the
+    // watermark closed, the IDENTICAL row the batch query computes.
+    val dir = java.nio.file.Files.createTempDirectory("graft-sw-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = EventStream.sessionWindows(EventStream.readStream(spark, dir.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sw_stream")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-sw-ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sw_stream").collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("q157_session_window")(spark, sf0001)
+    // the watermark after the single file batch is max(ts) − 1 h; a
+    // session emits once the watermark passes its end
+    val maxTs = Tables.events(spark, sf0001).agg(max("ts")).collect()(0).getTimestamp(0)
+    val wmStr = new java.sql.Timestamp(maxTs.getTime - 3600 * 1000L)
+      .toLocalDateTime.format(
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    val want = batch.collect()
+      .filter(_.getString(2) < wmStr) // session_end before the final watermark
+      .map(_.toSeq).toSet
+    assert(want.nonEmpty, "fixture must close at least one session under the watermark")
+    assert(got == want,
+      s"stream sessions != batch closed sessions; got-only=${(got -- want).take(3)} " +
+        s"want-only=${(want -- got).take(3)}")
+  }
+
+  test("dropDuplicatesWithinWatermark: same-ts replays drop; re-stamped replays re-admit only past eviction") {
+    // the documented contract of EventStream.dedupWithinWatermark, both
+    // halves. (a) A replay carrying its ORIGINAL ts can never re-admit:
+    // while the key is in state it dedups, and once the key is evicted
+    // the replay is by construction LATE (evicted ⇔ ts < wm − delay)
+    // and the watermark filter drops it — exactly-once holds for
+    // verbatim replays regardless of state eviction. (b) The honest
+    // re-admission case is an at-least-once producer RE-STAMPING the
+    // event with a fresh ingest ts: fresh-ts duplicates of keys still
+    // in state drop, but keys already evicted come back — the bounded
+    // guarantee the scaladoc trades for bounded state (downstream
+    // batch dedup, q30, owns the tail).
+    val dir = java.nio.file.Files.createTempDirectory("graft-ddww")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$sf0001/events.parquet"), dir.resolve("a.parquet"))
+    val q = EventStream.dedupWithinWatermark(EventStream.readStream(spark, dir.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ddww_stream")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ddww-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val distinct = Tables.events(spark, sf0001)
+        .filter(col("event_id").isNotNull && col("ts").isNotNull).count()
+      assert(spark.table("ddww_stream").count() == distinct,
+        "phase 1 admits each event once")
+      // (a) verbatim replay: every row drops (in-state dedup or late filter)
+      java.nio.file.Files.copy(
+        java.nio.file.Path.of(s"$sf0001/events.parquet"), dir.resolve("b.parquet"))
+      q.processAllAvailable()
+      assert(spark.table("ddww_stream").count() == distinct,
+        "a same-ts replay must add nothing: state dedup + late filter cover all keys")
+      // (b) re-stamped replay: same ids, ts = max(ts) (fresh, not late).
+      // raw read keeps the NTZ physical encoding the stream declared.
+      val raw = spark.read.parquet(s"$sf0001/events.parquet")
+      val maxNtz = raw.agg(max("ts")).collect()(0)
+        .getAs[java.time.LocalDateTime](0)
+      raw.withColumn("ts", lit(maxNtz))
+        .write.parquet(dir.resolve("c").toString)
+      q.processAllAvailable()
+      // still guarded = expiry (orig ts + 1 h) ahead of the phase-1/2
+      // watermark (max(ts) − 1 h); evicted keys re-admit
+      val maxUs = maxNtz.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        maxNtz.getNano / 1000L
+      val readmitted = Tables.events(spark, sf0001)
+        .filter(col("event_id").isNotNull && col("ts").isNotNull)
+        .filter(unix_micros(col("ts")) + 3600000000L <= lit(maxUs - 3600000000L))
+        .count()
+      val got = spark.table("ddww_stream").count()
+      assert(got == distinct + readmitted,
+        s"phase 3: $got rows vs $distinct first-arrivals + $readmitted post-eviction re-stamps")
+      assert(readmitted > 0 && readmitted < distinct,
+        "fixture must exercise BOTH the guarded and the evicted path")
+    } finally q.stop()
+  }
+
   test("streaming Welch summaries merge micro-batches into the exact batch t-test") {
     import graft.operators.Stats
     val dir = java.nio.file.Files.createTempDirectory("graft-welch-stream")
