@@ -169,6 +169,30 @@ object Examples {
           length(col("text")).cast("long").as("n_chars")))
       .show(truncate = false)
 
+    // NFC canonicalization: two byte-different encodings of the same
+    // visible text collapse to ONE content key before dedup
+    println("nfc gate: composed vs decomposed 'café' share an md5:")
+    Seq((1L, "caf\u00e9 crawl"), (2L, "cafe\u0301 crawl")).toDF("id", "text")
+      .select(col("id"), md5(col("text").cast("binary")).as("raw_key"),
+        md5(plans.NfcNormalize.nfc(col("text")).cast("binary")).as("nfc_key"))
+      .show(truncate = false)
+
+    // diversity-aware retrieval: MMR re-rank vs pure top-k for vec 0
+    println("MMR top-5 for query 0 (vs q34's pure relevance):")
+    operators.Similarity.q161MmrRerank(spark, "/root/testdata/sf0.001")
+      .filter(col("q_id") === 0).show()
+
+    // cluster-balanced sampling: equal quota per semantic region
+    println("diversity sample, picks per k-means cell:")
+    operators.KMeans.q158DiversitySample(spark, "/root/testdata/sf0.001")
+      .groupBy("cluster").count().orderBy("cluster").show(4)
+
+    // distribution shift as a distance: which sources' length mixes
+    // sit furthest apart (W1 keeps growing where JS saturates)
+    println("farthest source pairs by length-distribution EMD:")
+    operators.TextAnalysis.q160SourceEmd(spark, "/root/testdata/sf0.001")
+      .orderBy(desc("emd_tokens")).show(3)
+
     spark.stop()
   }
 }

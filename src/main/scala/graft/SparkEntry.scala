@@ -156,6 +156,11 @@ object SparkEntry {
     "q155_ab_fdr"         -> (Stats.q155AbFdr _),
     "q156_gap_fill"       -> (Temporal.q156GapFill _),
     "q157_session_window" -> (Temporal.q157SessionWindow _),
+    "q158_diversity_sample" -> (KMeans.q158DiversitySample _),
+    "q159_nfc_report"     -> (TextAnalysis.q159NfcReport _),
+    "q160_source_emd"     -> (TextAnalysis.q160SourceEmd _),
+    "q161_mmr_rerank"     -> (Similarity.q161MmrRerank _),
+    "q162_session_concurrency" -> (Temporal.q162SessionConcurrency _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -1280,13 +1285,15 @@ object SparkEntry {
         |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS trail7
         |FROM f ORDER BY event_type, day""".stripMargin,
 
-    // session_window's boundary rule: a gap of EXACTLY the 30-min gap
-    // starts a new session (>= on raw micros), unlike q25's strict >
+    // session_window's boundary rule, pinned by the q162 exact-gap
+    // fixture: an event AT a session's exclusive end MERGES into it
+    // (interval overlap at equality), so new-session is strict > on
+    // raw micros — the same rule as q25
     "q157_session_window" ->
       """WITH ev AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us, value
         |    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
         |m AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
-        |        OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        |        OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
         |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
         |s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
@@ -1297,6 +1304,149 @@ object SparkEntry {
         |       count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // sweep line over q157's sessions: +1/-1 day-partitioned boundaries,
+    // exact integer running sums (ends before starts at ties); day_max
+    // CAST AS BIGINT against the HUGEINT window-sum promotion (q63 rule)
+    "q162_session_concurrency" ->
+      """WITH ev AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us
+        |    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |m AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |        OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM m),
+        |sess AS (SELECT user_id, min(us) AS s_us, max(us) + 1800000000 AS e_us
+        |         FROM s GROUP BY user_id, sid),
+        |dys AS (SELECT user_id, s_us, e_us,
+        |    CAST(unnest(generate_series(CAST(make_timestamp(s_us) AS DATE),
+        |      CAST(make_timestamp(e_us - 1) AS DATE), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM sess),
+        |segs AS (SELECT user_id, day,
+        |    greatest(s_us, epoch_us(CAST(day AS TIMESTAMP))) AS seg_s,
+        |    least(e_us, epoch_us(CAST(day AS TIMESTAMP)) + 86400000000) AS seg_e
+        |  FROM dys
+        |  WHERE greatest(s_us, epoch_us(CAST(day AS TIMESTAMP)))
+        |      < least(e_us, epoch_us(CAST(day AS TIMESTAMP)) + 86400000000)),
+        |b AS (SELECT day, seg_s AS us, 1 AS delta, 1 AS typ, user_id FROM segs
+        |      UNION ALL
+        |      SELECT day, seg_e AS us, -1 AS delta, 0 AS typ, user_id FROM segs),
+        |r AS (SELECT day, us, typ,
+        |        sum(delta) OVER (PARTITION BY day ORDER BY us, typ, user_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |      FROM b),
+        |mx AS (SELECT day, max(run) AS day_max FROM r GROUP BY day)
+        |SELECT strftime(r.day, '%Y-%m-%d') AS day,
+        |       CAST(count(*) FILTER (WHERE typ = 1) AS BIGINT) AS n_sessions,
+        |       CAST(mx.day_max AS BIGINT) AS max_concurrent,
+        |       strftime(make_timestamp(min(us) FILTER (WHERE run = day_max)),
+        |         '%Y-%m-%d %H:%M:%S') AS peak_at
+        |FROM r JOIN mx USING (day)
+        |GROUP BY r.day, mx.day_max ORDER BY day""".stripMargin,
+
+    // the q153 derived-randomness hash as the within-cluster pick key,
+    // over the shared seeded-Lloyd assignment
+    "q158_diversity_sample" ->
+      s"""WITH $kmeansCte,
+         |picks AS (SELECT cluster, vec_id, dist,
+         |    CAST(row_number() OVER (PARTITION BY cluster ORDER BY
+         |      ((vec_id % 1000000007) * 1000003 % 1000000007) * 69069 % 1000000007,
+         |      vec_id) AS BIGINT) AS pick_rank
+         |  FROM af)
+         |SELECT cluster, pick_rank, vec_id, dist FROM picks
+         |WHERE pick_rank <= ${operators.KMeans.SampleQuota}
+         |ORDER BY cluster, pick_rank""".stripMargin,
+
+    // both engines' nfc_normalize (DuckDB built-in; the engine's native
+    // expression under the same name) on the same UTF-8 bytes
+    "q159_nfc_report" ->
+      """SELECT doc_id,
+        |       CAST(CASE WHEN text <> nfc_normalize(text) THEN 1 ELSE 0 END AS BIGINT)
+        |         AS is_changed,
+        |       CAST(length(text) AS BIGINT) AS n_chars_raw,
+        |       CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_nfc,
+        |       md5(nfc_normalize(text)) AS nfc_md5
+        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
+
+    // per-source length CDFs on the shared bin grid (last-value fill),
+    // W1 = sum |cdf_a - cdf_b| * (lead(bin) - bin): the gap weight, not
+    // a fixed width — the grid skips empty bins and a CDF difference
+    // across a hole is the hole's worth of transport
+    "q160_source_emd" -> {
+      val bw = operators.TextAnalysis.EmdBinWidth
+      val cap = operators.TextAnalysis.EmdMaxLen
+      s"""WITH d AS (SELECT source, least(len(${tok("text")}), $cap) AS n
+         |    FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+         |h AS (SELECT source, (n // $bw) * $bw AS bin, count(*) AS c
+         |      FROM d GROUP BY 1, 2),
+         |cd AS (SELECT source, bin,
+         |         CAST(sum(c) OVER (PARTITION BY source ORDER BY bin) AS DOUBLE)
+         |           / sum(c) OVER (PARTITION BY source) AS cdf
+         |       FROM h),
+         |grid AS (SELECT DISTINCT bin FROM cd),
+         |srcs AS (SELECT DISTINCT source FROM cd),
+         |f AS (SELECT s.source, g.bin,
+         |        coalesce(last_value(cd.cdf IGNORE NULLS) OVER
+         |          (PARTITION BY s.source ORDER BY g.bin
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS cdf,
+         |        coalesce(lead(g.bin) OVER
+         |          (PARTITION BY s.source ORDER BY g.bin) - g.bin, 0) AS gap
+         |      FROM srcs s CROSS JOIN grid g
+         |      LEFT JOIN cd ON cd.source = s.source AND cd.bin = g.bin)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |       round(sum(abs(a.cdf - b.cdf) * a.gap), 6) AS emd_tokens
+         |FROM f a JOIN f b ON a.bin = b.bin AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    // greedy MMR unrolled as MmrK chained CTEs (the q110/q147
+    // fixed-iteration rule): round r scores cand \ p(r-1) against the
+    // accumulated picks. The score is EXACT fixed-point — 7·R − 3·S on
+    // the 1e-6 similarity grid, displayed /1e7 — because a float
+    // λ = 0.7 times a 6-dp rel lands on true decimal half-ways that
+    // round() cannot settle identically across engines (the first run
+    // of this oracle failed on one such cell).
+    "q161_mmr_rerank" -> {
+      import operators.Similarity.{MmrK, MmrLambdaNum, MmrBetaNum, MmrShortlist}
+      val rounds = (2 to MmrK).map { r =>
+        s"""m$r AS (SELECT c.q_id, c.vec_id, c.v, c.rel,
+           |        $MmrLambdaNum * CAST(round(c.rel * 1000000) AS BIGINT)
+           |          - $MmrBetaNum * max(CAST(round(
+           |              round(list_cosine_similarity(c.v, p.v), 6) * 1000000)
+           |              AS BIGINT)) AS mmr_i
+           |      FROM cand c JOIN p${r - 1} p USING (q_id)
+           |      WHERE NOT EXISTS (SELECT 1 FROM p${r - 1} x
+           |        WHERE x.q_id = c.q_id AND x.vec_id = c.vec_id)
+           |      GROUP BY c.q_id, c.vec_id, c.v, c.rel),
+           |s$r AS MATERIALIZED (SELECT q_id, vec_id, v, rel,
+           |        CAST($r AS BIGINT) AS sel_rank, mmr_i
+           |      FROM (SELECT *, row_number() OVER
+           |              (PARTITION BY q_id ORDER BY mmr_i DESC, vec_id) AS rk
+           |            FROM m$r) WHERE rk = 1),
+           |p$r AS MATERIALIZED (SELECT * FROM p${r - 1} UNION ALL SELECT * FROM s$r)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         |sims AS (SELECT q_id, e.vec_id, e.v,
+         |           round(list_cosine_similarity(qv, v), 6) AS rel
+         |         FROM e CROSS JOIN q WHERE e.vec_id <> q_id),
+         |cand AS MATERIALIZED (SELECT q_id, vec_id, v, rel FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS rk
+         |    FROM sims) WHERE rk <= $MmrShortlist),
+         |p1 AS MATERIALIZED (SELECT q_id, vec_id, v, rel,
+         |      CAST(1 AS BIGINT) AS sel_rank,
+         |      $MmrLambdaNum * CAST(round(rel * 1000000) AS BIGINT) AS mmr_i
+         |    FROM (SELECT *, row_number() OVER
+         |            (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS rk
+         |          FROM cand) WHERE rk = 1),
+         |$rounds
+         |SELECT q_id, sel_rank, vec_id, rel,
+         |       CAST(mmr_i AS DOUBLE) / 10000000.0 AS mmr FROM p$MmrK
+         |ORDER BY q_id, sel_rank""".stripMargin
+    },
 
     "q140_equidepth_hist" ->
       """WITH b AS (SELECT list_transform(

@@ -198,8 +198,17 @@ object Similarity {
       .orderBy("width", "vec_id")
   }
 
-  /** MMR trade-off weight (relevance vs novelty) for [[q161MmrRerank]]. */
-  val MmrLambda = 0.7
+  /** MMR trade-off numerator (λ = [[MmrLambdaNum]]/10) for
+    * [[q161MmrRerank]]. Fixed-point on purpose: λ·rel with a 6-dp rel
+    * and a float λ of 0.7 creates EXACT half-way rounding cases (any
+    * rel whose last digit is odd ends the product in …5), and two
+    * engines' doubles land on opposite sides of that .5 — the first
+    * oracle run failed on exactly one such cell. Integer arithmetic
+    * (7·R − 3·S on the 1e-6 similarity grid, displayed /1e7) has no
+    * rounding step at all. */
+  val MmrLambdaNum = 7L
+  /** Novelty weight numerator (1 − λ = [[MmrBetaNum]]/10). */
+  val MmrBetaNum = 3L
   /** Relevance shortlist size fed to the greedy MMR loop. */
   val MmrShortlist = 20
   /** Selections emitted per query. */
@@ -215,10 +224,15 @@ object Similarity {
     * and the diversity twin of q141's hard negatives.
     *
     * Determinism: relevance and candidate-pair similarities round to
-    * 6 dp before every comparison (the q34 contract); greedy rounds are
-    * FIXED at MmrK with vec_id tie-breaks, so the oracle unrolls the
-    * loop as k chained CTEs (the q110/q147 fixed-iteration rule). The
-    * first pick maximizes λ·rel (empty selected set ⇒ novelty term 0).
+    * 6 dp before every comparison (the q34 contract), and the MMR
+    * combination runs in EXACT fixed-point — R = rel·1e6 and
+    * S = max_sim·1e6 as integers, score = 7·R − 3·S, displayed /1e7 —
+    * because float λ·rel on the 6-dp grid creates true half-way
+    * rounding cases no cross-engine rule settles (see [[MmrLambdaNum]]).
+    * Greedy rounds are FIXED at MmrK with vec_id tie-breaks, so the
+    * oracle unrolls the loop as k chained CTEs (the q110/q147
+    * fixed-iteration rule). The first pick maximizes λ·rel (empty
+    * selected set ⇒ novelty term 0).
     *
     * Scale shape: the corpus is touched ONCE — the q34 broadcast-block
     * scan producing the per-query top-[[MmrShortlist]] shortlist, which
@@ -240,29 +254,43 @@ object Similarity {
       .withColumn("rk", row_number().over(relW))
       .filter(col("rk") <= MmrShortlist).drop("rk")
       .localCheckpoint() // queries × shortlist rows; rounds never rescan the corpus
+    // R on the 1e-6 integer grid (rel is already 6-dp, so ·1e6 rounds
+    // to the exact integer both engines agree on). NaN-guarded: a
+    // dirty corpus vector yields a NaN cosine, and ANSI mode makes
+    // CAST(NaN AS BIGINT) THROW rather than wrap — the degrade-never-
+    // crash contract turns it into a null score that sorts last
+    // (caught by the dirty-embeddings lint, not hypothetical)
+    def gridI(c: org.apache.spark.sql.Column) =
+      when(!isnan(c), round(c * 1e6).cast("long"))
+    val relI = gridI(col("rel"))
     val first = cand
       .withColumn("rk", row_number().over(relW)).filter(col("rk") === 1)
       .select(col("q_id"), col("vec_id"), col("v"), col("rel"),
-        lit(1L).as("sel_rank"), round(lit(MmrLambda) * col("rel"), 6).as("mmr"))
+        lit(1L).as("sel_rank"), (lit(MmrLambdaNum) * relI).as("mmr_i"))
     var all = first
     for (r <- 2 to MmrK) {
       val selVecs = all.select(col("q_id"), col("v").as("sv"))
       val picked = all.select(col("q_id"), col("vec_id"))
-      val mmrW = Window.partitionBy("q_id").orderBy(desc("mmr"), asc("vec_id"))
+      val mmrW = Window.partitionBy("q_id").orderBy(desc("mmr_i"), asc("vec_id"))
       val next = cand
         .join(picked, Seq("q_id", "vec_id"), "left_anti")
         .join(selVecs, Seq("q_id"))
         .groupBy("q_id", "vec_id")
         .agg(first_value(col("rel")).as("rel"), first_value(col("v")).as("v"),
-          max(round(CosineSim.cosine(col("v"), col("sv")), 6)).as("max_sim"))
-        .withColumn("mmr", round(lit(MmrLambda) * col("rel")
-          - lit(1.0 - MmrLambda) * col("max_sim"), 6))
+          // 6-dp round FIRST (the proven q34 cross-engine op), then the
+          // 1e6 lift — a 6-dp decimal ·1e6 sits within an ulp of its
+          // integer, so the final round is unambiguous on both engines
+          max(gridI(round(CosineSim.cosine(col("v"), col("sv")), 6)))
+            .as("max_sim_i"))
+        .withColumn("mmr_i",
+          lit(MmrLambdaNum) * relI - lit(MmrBetaNum) * col("max_sim_i"))
         .withColumn("rk", row_number().over(mmrW)).filter(col("rk") === 1)
         .select(col("q_id"), col("vec_id"), col("v"), col("rel"),
-          lit(r.toLong).as("sel_rank"), col("mmr"))
+          lit(r.toLong).as("sel_rank"), col("mmr_i"))
       all = all.union(next).localCheckpoint() // ≤ queries × k rows
     }
-    all.select("q_id", "sel_rank", "vec_id", "rel", "mmr")
+    all.select(col("q_id"), col("sel_rank"), col("vec_id"), col("rel"),
+        (col("mmr_i").cast("double") / 1e7).as("mmr"))
       .orderBy("q_id", "sel_rank")
   }
 

@@ -323,12 +323,15 @@ object Temporal {
     * streaming rendering. Output is per-SESSION (start, end, n_events,
     * value sum) — finer grain than q25's per-user rollup.
     *
-    * Boundary semantics, explicit: session_window closes at diff ≥ gap
-    * (an event AT the session end starts a new one) where q25's rule
-    * is diff > gap — the oracle encodes ≥ on raw micros; the two
-    * definitions differ only on exact-1800.000000s gaps. Scale: one
-    * exchange on user_id, identical to q25's shuffle; per-session
-    * output is bounded by events. */
+    * Boundary semantics, explicit — and VERIFIED on an exact-gap
+    * fixture, not assumed: `session_window` MERGES an event landing
+    * exactly at a session's (exclusive) end — interval [e, e+gap)
+    * "overlaps" [s, e) at equality — so a new session starts only at
+    * diff &gt; gap, the SAME rule as q25 (the q162 fixture pins it; the
+    * sf corpora carry zero exact-1800.000000s gaps, so an oracle alone
+    * cannot discriminate and the first draft of this scaladoc had it
+    * wrong). Scale: one exchange on user_id, identical to q25's
+    * shuffle; per-session output is bounded by events. */
   def q157SessionWindow(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir)
       .filter(col("user_id").isNotNull && col("ts").isNotNull)
@@ -339,6 +342,72 @@ object Temporal {
         date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
         col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_start")
+  }
+
+  /** q162: daily session concurrency by SWEEP LINE — for each calendar
+    * day, how many sessions touched it, the peak number running at one
+    * instant, and when that peak was first reached. The naive render of
+    * "which sessions overlap" is an interval self-join — quadratic in
+    * the worst case and never better than candidate-pair generation;
+    * the sweep line answers every counting question in O(n log n):
+    * each session becomes a +1 boundary at its start and a −1 at its
+    * (exclusive) end, and the running sum over time-ordered boundaries
+    * IS the concurrency curve. Capacity planning, rate-limit sizing,
+    * and concurrency-anomaly detection read straight off this table.
+    *
+    * Scale shape: sessions come from the q157 native session_window
+    * aggregate (one exchange on user); each session splits IN-ROW into
+    * per-day segments (sequence + explode over its ≤ span-days
+    * calendar), so the sweep WINDOW PARTITIONS BY DAY — parallel, never
+    * the one-partition global-ORDER-BY WindowExec this file bans
+    * (q140's ntile lesson). Boundaries are integers (+1/−1) — the
+    * whole computation is exact integer arithmetic, no float rounding
+    * contract needed. Tie order is total ((us, typ, user): ends before
+    * starts at the same instant — adjacent sessions never overlap;
+    * same-instant same-type boundaries get the user tiebreak), so both
+    * engines emit identical running sums row for row. */
+  def q162SessionConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val us = (c: org.apache.spark.sql.Column) => unix_micros(c)
+    val sessions = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_ev"))
+      .select(col("user_id"), us(col("sw.start")).as("s_us"), us(col("sw.end")).as("e_us"))
+    // in-row day split: [s, e) clipped to each touched calendar day
+    val segs = sessions
+      .select(col("user_id"), col("s_us"), col("e_us"),
+        explode(sequence(
+          to_date(timestamp_micros(col("s_us"))),
+          // e is EXCLUSIVE: a session ending exactly at midnight does
+          // not touch the next day
+          to_date(timestamp_micros(col("e_us") - 1)))).as("day"))
+      .select(col("user_id"), col("day"),
+        greatest(col("s_us"), us(col("day").cast("timestamp"))).as("seg_s"),
+        least(col("e_us"),
+          us(col("day").cast("timestamp")) + lit(86400000000L)).as("seg_e"))
+      .filter(col("seg_s") < col("seg_e"))
+    // both boundaries explode IN-ROW (a union of two selects over segs
+    // would recompute the whole session pipeline — the plan showed two
+    // full scans; this form runs it once)
+    val bounds = segs.select(col("day"), col("user_id"), explode(array(
+        struct(col("seg_s").as("us"), lit(1L).as("delta"), lit(1L).as("typ")),
+        struct(col("seg_e").as("us"), lit(-1L).as("delta"), lit(0L).as("typ"))))
+        .as("b"))
+      .select(col("day"), col("b.us").as("us"), col("b.delta").as("delta"),
+        col("b.typ").as("typ"), col("user_id"))
+    val sweep = Window.partitionBy("day")
+      .orderBy(col("us"), col("typ"), col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = bounds.withColumn("run", sum("delta").over(sweep))
+      .withColumn("day_max", max(col("run")).over(Window.partitionBy("day")))
+    run.groupBy(col("day"), col("day_max"))
+      .agg((sum(when(col("typ") === 1L, 1L).otherwise(0L))).as("n_sessions"),
+        min(when(col("run") === col("day_max"), col("us"))).as("peak_us"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_sessions"), col("day_max").as("max_concurrent"),
+        date_format(timestamp_micros(col("peak_us")), "yyyy-MM-dd HH:mm:ss")
+          .as("peak_at"))
+      .orderBy("day")
   }
 
   def q113EwmaAnomaly(spark: SparkSession, dir: String): DataFrame = {

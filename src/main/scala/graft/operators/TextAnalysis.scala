@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1540,42 +1541,99 @@ object TextAnalysis {
         length(col("ch.c")).cast("long").as("chunk_len"),
         md5(col("ch.c").cast("binary")).as("chunk_md5"))
 
-  /** Length-bucket granularity (tokens) for [[q160PaddingWaste]]. */
-  val PadBucket = 64L
-
-  /** q160: padding-waste report — what length-bucketed batching saves
-    * over pad-to-global-max. A training batch pads every sequence to
-    * its longest member; batching by length bucket (ceil to the next
-    * multiple of [[PadBucket]]) bounds that waste to < bucket width per
-    * doc, while naive global batching pays (max_len − n) everywhere —
-    * on a length-skewed corpus the difference is most of the FLOPs
-    * bill. Per bucket: doc count, real tokens, padded tokens under the
-    * bucket policy, the waste fraction, and the naive-policy padding
-    * for the same docs — the two totals ARE the decision.
+  /** q159: Unicode NFC canonicalization report — per doc, whether NFC
+    * normalization changes the text, the code-point lengths before and
+    * after, and the POST-normalization md5: the content key every
+    * downstream exact-dedup/decontamination stage should use. Composed
+    * vs decomposed encodings of the same visible text hash apart, so
+    * an un-normalized q30 under-merges; this query is the ingest gate
+    * that makes content hashing honest, built on the engine's native
+    * [[graft.plans.NfcNormalize]] expression (registered in SQL under
+    * the DuckDB-matching name `nfc_normalize`, so the oracle reads
+    * identically). A fully-ASCII corpus legitimately reports zero
+    * changes — the per-doc flags and re-keyed md5s are still the
+    * hash-checked contract, and the expression's actual normalization
+    * behavior is pinned by PortableSpec fixtures (the
+    * reference-corpus-independent check).
     *
-    * Scale shape: one tokenize scan collapses to O(buckets) cells
-    * (partial-aggregated groupBy); the global max rides a 1-row
-    * broadcast crossJoin (the q155 totals pattern) — second "pass" over
-    * an O(buckets) frame, never the corpus. Token counts follow the
-    * q35 convention (Portable.tokenize length). */
-  def q160PaddingWaste(spark: SparkSession, dir: String): DataFrame = {
-    val perDoc = Tables.documents(spark, dir)
-      .select(size(Portable.tokenize(col("text"))).cast("long").as("n"))
-      .filter(col("n") >= 1L)
-    val buckets = perDoc
-      .select(col("n"), (ceil(col("n").cast("double") / PadBucket).cast("long")
-        * PadBucket).as("bucket"))
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("n_docs"), sum("n").as("sum_tokens"),
-        max("n").as("max_n"))
-    val globalMax = buckets.agg(max("max_n").as("global_max"))
-    buckets.crossJoin(broadcast(globalMax)) // 1-row global max
-      .select(col("bucket"), col("n_docs"), col("sum_tokens"),
-        (col("bucket") * col("n_docs") - col("sum_tokens")).as("bucket_padding"),
-        round((col("bucket") * col("n_docs") - col("sum_tokens")).cast("double")
-          / (col("bucket") * col("n_docs")), 6).as("bucket_waste_frac"),
-        (col("global_max") * col("n_docs") - col("sum_tokens")).as("naive_padding"))
-      .orderBy("bucket")
+    * Scale: per-row scalar inside whole-stage codegen at scan speed;
+    * the already-normalized fast path returns the input string
+    * copy-free. No shuffle before the output sort. */
+  def q159NfcReport(spark: SparkSession, dir: String): DataFrame = {
+    val nfc = graft.plans.NfcNormalize.nfc(col("text"))
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        (col("text") =!= nfc).cast("long").as("is_changed"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        length(nfc).cast("long").as("n_chars_nfc"),
+        md5(nfc.cast("binary")).as("nfc_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Histogram bin width (tokens) for [[q160SourceEmd]]. */
+  val EmdBinWidth = 25L
+  /** Support cap: lengths clip into the last bin past this point. */
+  val EmdMaxLen = 2000L
+
+  /** q160: pairwise earth-mover's distance (1-D Wasserstein-1) between
+    * per-source document-LENGTH distributions — the metric companion
+    * q120's JS-divergence is missing: JS saturates at ln 2 once two
+    * distributions' supports stop overlapping (a source of 100-token
+    * docs vs 200-token docs scores the SAME as vs 5000-token docs),
+    * while EMD keeps measuring HOW FAR apart they sit — the right
+    * signal for "which source is shifting the length mix", curriculum
+    * design, and drift alarms on heavy-tailed stats. On a 1-D binned
+    * support W₁ is closed-form: Σ_bins |CDF_a − CDF_b| · binwidth — no
+    * transport LP, just two cumulative sums. Each grid point weights
+    * by the distance to the NEXT observed bin (lead − bin), not a
+    * fixed bin width: the grid skips empty bins, and a CDF difference
+    * persisting across a 500-token hole is 500 tokens of transport,
+    * not 25.
+    *
+    * Determinism: each source's pmf divides its O(bins) histogram by
+    * its total; the CDF is a window cumsum over the ≤ 80 ordered bins
+    * (identical addition order both engines); rounding once at the
+    * final sum (6 dp). Scale shape: ONE tokenize scan collapses to
+    * O(sources × bins) partial-aggregated cells; pairing is
+    * histogram × histogram (the q120 join), bounded by sources² · bins
+    * — nothing downstream of the scan grows with the corpus. Lengths
+    * clip at [[EmdMaxLen]] so the support (and the shuffle) stays
+    * fixed-width no matter how long the longest crawl doc is. */
+  def q160SourceEmd(spark: SparkSession, dir: String): DataFrame = {
+    val binW = Window.partitionBy("source").orderBy("bin")
+    val cdfs = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("source"),
+        least(size(Portable.tokenize(col("text"))).cast("long"), lit(EmdMaxLen))
+          .as("n"))
+      .select(col("source"), (expr(s"n div $EmdBinWidth") * EmdBinWidth).as("bin"))
+      .groupBy("source", "bin").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(binW))
+      .withColumn("tot", sum("c").over(Window.partitionBy("source")))
+      .select(col("source"), col("bin"), (col("cum").cast("double") / col("tot")).as("cdf"))
+    // the support union: a bin one source lacks still carries that
+    // source's cdf forward — join on the full bin grid via a
+    // last-value fill (both sides share the SAME grid after this)
+    val grid = cdfs.select(col("bin")).distinct()
+    val bySource = cdfs.select(col("source")).distinct()
+      .crossJoin(grid) // sources × ≤80 bins, bounded
+      .join(cdfs, Seq("source", "bin"), "left")
+      .withColumn("cdf", last("cdf", ignoreNulls = true)
+        .over(binW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .na.fill(0.0, Seq("cdf"))
+      // transport span to the next observed bin; the top bin closes at 0
+      .withColumn("gap",
+        coalesce(lead("bin", 1).over(binW) - col("bin"), lit(0L)))
+    val a = bySource.select(col("source").as("source_a"), col("bin"),
+      col("cdf").as("cdf_a"), col("gap"))
+    val b = bySource.select(col("source").as("source_b"), col("bin"),
+      col("cdf").as("cdf_b"))
+    a.join(b, Seq("bin"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(round(sum(abs(col("cdf_a") - col("cdf_b")) * col("gap")), 6).as("emd_tokens"))
+      .orderBy("source_a", "source_b")
   }
 
   /** q154: top-20 collocations by pointwise mutual information over

@@ -68,6 +68,11 @@ object GraftExtensions {
             s"shingle_hashes n must be an integer literal, got $other")
         }
         ShingleHashes(args.head, n)
+      }),
+    (FunctionIdentifier("nfc_normalize"), info("nfc_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "nfc_normalize expects 1 argument")
+        NfcNormalize(args.head)
       }))
 
   /** Register on an EXISTING session (tests, notebooks) — same

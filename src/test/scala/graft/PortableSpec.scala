@@ -95,14 +95,39 @@ class PortableSpec extends AnyFunSuite {
         s"overlap size mismatch between docs $ia and $ib")
   }
 
+  test("NfcNormalize composes decomposed sequences, is idempotent, and stays NFC-not-NFKC") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.plans.NfcNormalize.nfc
+    def run(s: String): String =
+      spark.range(1).select(nfc(lit(s)).as("n")).head().getString(0)
+    // \u escapes, not raw literals — a toolchain that silently
+    // re-normalizes source bytes would make raw literals vacuous
+    val decomposed = "cafe\u0301" // e + COMBINING ACUTE ACCENT
+    val composed = "caf\u00e9"    // e-acute as one code point
+    assert(composed != decomposed, "fixture must be non-vacuous")
+    assert(run(decomposed) == composed, "decomposed sequences compose")
+    assert(run(composed) == composed && run(run(decomposed)) == composed,
+      "idempotent / already-NFC passthrough")
+    assert(run("plain ascii text") == "plain ascii text")
+    // NFC must NOT apply compatibility folds (that's NFKC's job):
+    // the fi ligature (U+FB01) and fullwidth A (U+FF21) survive
+    assert(run("\ufb01le") == "\ufb01le")
+    assert(run("\uff21") == "\uff21")
+    // Hangul decomposed jamo compose to the syllable; null propagates
+    assert(run("\u1112\u1161\u11ab") == "\ud55c")
+    assert(spark.range(1)
+      .select(nfc(lit(null).cast("string"))).head().isNullAt(0))
+  }
+
   test("GraftExtensions exposes the native expressions to plain SQL") {
     graft.plans.GraftExtensions.register(spark)
     val row = spark.sql(
-      """SELECT token_id('spark')                             AS t,
-        |       cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
-        |       bpe_encode('customer')                        AS b,
-        |       repetition_stats(array('a', 'b', 'a', 'b'))   AS r,
-        |       shingle_hashes(array('a', 'b', 'a', 'b'), 2)  AS s""".stripMargin).head()
+      s"""SELECT token_id('spark')                             AS t,
+         |       cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+         |       bpe_encode('customer')                        AS b,
+         |       repetition_stats(array('a', 'b', 'a', 'b'))   AS r,
+         |       shingle_hashes(array('a', 'b', 'a', 'b'), 2)  AS s,
+         |       nfc_normalize('cafe\u0301')                   AS n""".stripMargin).head()
     assert(row.getLong(0) == tokenIdRef("spark"))
     assert(row.getDouble(1) == 1.0)
     assert(row.getSeq[String](2).toList == List("c", "u", "st", "o", "mer"))
@@ -111,6 +136,7 @@ class PortableSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 2L)))
     // 2-shingles of [a b a b]: windows ab, ba, ab → 2 distinct hashes
     assert(row.getSeq[Long](4).length == 2)
+    assert(row.getString(5) == "caf\u00e9")
     // arity errors surface at analysis, like built-ins
     intercept[Exception](spark.sql("SELECT token_id('a', 'b')").head())
   }

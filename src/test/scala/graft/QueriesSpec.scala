@@ -1079,7 +1079,8 @@ class QueriesSpec extends AnyFunSuite {
       "q118_bloom_decontaminate", "q120_source_divergence", "q128_label_prop",
       "q131_merge_upsert", "q132_ppr", "q134_chi_square", "q142_chunk_overlap",
       "q144_quality_trend", "q145_unigram_encode", "q146_unigram_train",
-      "q147_shortest_paths", "q149_multi_decontaminate")
+      "q147_shortest_paths", "q149_multi_decontaminate",
+      "q154_pmi_collocations", "q159_nfc_report", "q160_source_emd")
     val failures = docQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -1134,7 +1135,9 @@ class QueriesSpec extends AnyFunSuite {
       "q121_sequence_match", "q122_attribution", "q125_seasonal_index",
       "q126_changepoint", "q127_conversion_latency", "q129_interval_lookup",
       "q133_top_paths", "q136_mad_outliers", "q137_welch_ttest",
-      "q138_skew_report", "q143_block_jackknife")
+      "q138_skew_report", "q143_block_jackknife",
+      "q153_poisson_bootstrap", "q155_ab_fdr", "q156_gap_fill",
+      "q157_session_window", "q162_session_concurrency")
     val failures = eventQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -1183,7 +1186,8 @@ class QueriesSpec extends AnyFunSuite {
       "q99_knn_label_eval", "q103_pca_variance", "q103b_covariance",
       "q104_embedding_drift", "q114_pq_codes", "q114b_pq_adc_topk",
       "q115_pq_rerank", "q116_kmeans_fit", "q119_ivf_search",
-      "q139_ndcg_eval", "q141_hard_negatives", "q148_ivf_recall")
+      "q139_ndcg_eval", "q141_hard_negatives", "q148_ivf_recall",
+      "q152_mrl_recall", "q158_diversity_sample", "q161_mmr_rerank")
     val failures = vecQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -1545,13 +1549,13 @@ class QueriesSpec extends AnyFunSuite {
       s"filled zeros must drag the trailing mean: ${day8._4}")
   }
 
-  test("q157 native session_window matches a plain-Scala >=30min-gap replay") {
+  test("q157 native session_window matches a plain-Scala strict->30min-gap replay") {
     val rows = run("q157_session_window").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
         if (r.isNullAt(4)) 0.0 else r.getDouble(4)))
     assert(rows.nonEmpty)
-    // independent replay: sort each user's events, split at gap >= 1800s
-    // (session_window's boundary rule — an event AT the close starts anew)
+    // independent replay: sort each user's events, split at gap > 1800s
+    // (session_window merges at equality — pinned by the q162 fixture)
     val ev = graft.Tables.events(spark, sf0001)
       .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
@@ -1560,7 +1564,7 @@ class QueriesSpec extends AnyFunSuite {
     val want = ev.groupBy(_._1).flatMap { case (u, es) =>
       val sorted = es.sortBy(_._2)
       val sessions = sorted.tail.foldLeft(List(List(sorted.head))) { (acc, e) =>
-        if (e._2 - acc.head.head._2 >= 1800000000L) List(e) :: acc
+        if (e._2 - acc.head.head._2 > 1800000000L) List(e) :: acc
         else (e :: acc.head) :: acc.tail
       }
       sessions.map { s =>
@@ -1577,6 +1581,252 @@ class QueriesSpec extends AnyFunSuite {
     val wantFmt = want.map(s => (s._1, fmtUs(s._2), fmtUs(s._3), s._4, s._5))
     assert(got == wantFmt,
       s"session sets differ; got-only=${(got -- wantFmt).take(3)} want-only=${(wantFmt -- got).take(3)}")
+  }
+
+  test("q158 diversity sample: per-cluster quota, hash-ordered picks, cluster-balanced") {
+    val rows = run("q158_diversity_sample").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._3).distinct.length == rows.length, "a vector is sampled once")
+    val m = 1000000007L
+    def pick(id: Long) = ((id % m) * 1000003L % m) * 69069L % m
+    rows.groupBy(_._1).foreach { case (c, members) =>
+      val ranked = members.sortBy(_._2)
+      assert(ranked.map(_._2).toSeq == (1L to ranked.length).toSeq,
+        s"cluster $c: pick_rank must be consecutive from 1")
+      assert(ranked.length <= graft.operators.KMeans.SampleQuota)
+      // picks arrive in derived-hash order — the reproducibility claim
+      val keys = ranked.map(r => (pick(r._3), r._3))
+      assert(keys.toSeq == keys.sortBy(identity).toSeq,
+        s"cluster $c: picks must be ordered by the multiply-mod hash")
+      members.foreach { case (_, _, _, d) => assert(d >= 0.0) }
+    }
+    // the balance property that motivates the operator: many cells
+    // contribute, none dominates beyond its quota
+    assert(rows.groupBy(_._1).size >= 2, "multiple clusters must contribute")
+  }
+
+  test("q159 NFC report replays per doc and re-keys a decomposed doc to the composed md5") {
+    val rows = run("q159_nfc_report").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(rows.nonEmpty)
+    // replay against java.text.Normalizer + plain md5 on the raw corpus
+    val docs = graft.Tables.documents(spark, sf0001)
+      .filter(col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def nfc(s: String) = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    rows.foreach { case (id, changed, rawLen, nfcLen, h) =>
+      val t = docs(id)
+      assert(changed == (if (t != nfc(t)) 1L else 0L), s"doc $id flag")
+      assert(rawLen == t.codePointCount(0, t.length), s"doc $id raw len")
+      assert(nfcLen == nfc(t).codePointCount(0, nfc(t).length), s"doc $id nfc len")
+      assert(h == md5hex(nfc(t)), s"doc $id md5")
+    }
+    // the corpus is ASCII, so force the interesting path on a fixture:
+    // two byte-different encodings of the same visible text must land
+    // on ONE md5 after the gate — the under-merge q159 exists to fix
+    val dir = java.nio.file.Files.createTempDirectory("graft-nfc").toString
+    val schema = graft.Tables.documents(spark, sf0001).schema
+    val mk = (id: Long, text: String) => {
+      val vals = schema.fields.map {
+        case f if f.name == "doc_id" => java.lang.Long.valueOf(id)
+        case f if f.name == "text" => text
+        case f if f.dataType == org.apache.spark.sql.types.StringType => "x"
+        case f if f.dataType == org.apache.spark.sql.types.LongType => java.lang.Long.valueOf(0L)
+        case _ => null
+      }
+      org.apache.spark.sql.Row(vals: _*)
+    }
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          Seq(mk(1L, "caf\u00e9 crawl"), mk(2L, "cafe\u0301 crawl"), mk(3L, "ascii")), 1),
+        schema)
+      .write.parquet(s"$dir/documents.parquet")
+    val fixture = SparkEntry.queries("q159_nfc_report")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(4)))).toMap
+    assert(fixture(1L)._1 == 0L && fixture(2L)._1 == 1L && fixture(3L)._1 == 0L)
+    assert(fixture(1L)._2 == fixture(2L)._2,
+      "composed and decomposed encodings must share one content key")
+    assert(fixture(3L)._2 != fixture(1L)._2)
+  }
+
+  test("q160 source EMD replays from raw length histograms and behaves like a metric") {
+    val rows = run("q160_source_emd").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    import graft.operators.TextAnalysis.{EmdBinWidth, EmdMaxLen}
+    // independent replay: per-source binned length histogram → CDF on
+    // the union grid (last-value fill) → W1 = Σ |ΔCDF| · binwidth
+    val lens = graft.Tables.documents(spark, sf0001)
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("source"), graft.functions.Portable.tokenize(col("text")).as("ws"))
+      .collect()
+      .map(r => r.getString(0) ->
+        math.min(r.getSeq[String](1).length.toLong, EmdMaxLen) / EmdBinWidth * EmdBinWidth)
+    val grid = lens.map(_._2).distinct.sorted
+    val cdfOf = lens.groupBy(_._1).map { case (s, ls) =>
+      val hist = ls.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val tot = ls.length.toDouble
+      var cum = 0L
+      s -> grid.map { b => cum += hist.getOrElse(b, 0L); b -> (cum / tot) }.toMap
+    }
+    // gap weights: each grid point spans to the NEXT observed bin
+    val gaps = grid.zip(grid.drop(1).map(_.toDouble) :+ grid.last.toDouble)
+      .map { case (g, next) => g -> (next - g) }.toMap
+    val sources = cdfOf.keys.toSeq.sorted
+    val want = (for {
+      a <- sources; b <- sources if a < b
+    } yield (a, b) -> BigDecimal(
+      grid.map(g => math.abs(cdfOf(a)(g) - cdfOf(b)(g)) * gaps(g)).sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    assert(rows.map(_._1).toSet == want.keySet)
+    rows.foreach { case (pair, emd) =>
+      assert(math.abs(emd - want(pair)) < 1e-5, s"$pair: $emd vs replay ${want(pair)}")
+      assert(emd >= 0.0 && emd <= EmdMaxLen, s"$pair: W1 bounded by the support width")
+    }
+    // the property that makes W1 the right companion to q120's JS:
+    // separation keeps growing the distance (JS saturates at disjoint
+    // support), and a gap in the observed grid is the gap's worth of
+    // transport — the exact mean-shift identity W1 = |mean A − mean B|
+    // for point masses pins both
+    def emdOf(xs: Seq[Long], ys: Seq[Long]): Double = {
+      val g = (xs ++ ys).distinct.sorted
+      val gp = g.zip(g.drop(1).map(_.toDouble) :+ g.last.toDouble)
+        .map { case (b, nx) => b -> (nx - b) }.toMap
+      def cdf(ls: Seq[Long]) = {
+        var c = 0L; g.map { b => c += ls.count(_ == b); b -> c / ls.length.toDouble }.toMap
+      }
+      val (ca, cb) = (cdf(xs), cdf(ys))
+      g.map(b => math.abs(ca(b) - cb(b)) * gp(b)).sum
+    }
+    assert(emdOf(Seq(0L, 25L), Seq(250L, 275L)) == 250.0,
+      "shifted point masses: W1 equals the shift, holes included")
+    assert(emdOf(Seq(0L, 25L), Seq(25L, 50L)) == 25.0)
+  }
+
+  test("q161 MMR equals an independent greedy replay and diversifies vs pure top-k") {
+    val rows = run("q161_mmr_rerank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    import graft.operators.Similarity.{MmrK, MmrShortlist, MmrLambdaNum, MmrBetaNum}
+    assert(rows.groupBy(_._1).values.forall(_.length == MmrK))
+    // plain-Scala greedy replay with the same 6-dp/fixed-point contract
+    val vecs = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); nx += a(i) * a(i); ny += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def grid(x: Double) = math.round(r6(x) * 1e6)
+    val want = vecs.keys.filter(_ < 10).toSeq.sorted.flatMap { qId =>
+      val qv = vecs(qId)
+      val shortlist = vecs.toSeq.filter(_._1 != qId)
+        .map { case (id, v) => (id, r6(cos(qv, v)), v) }
+        .sortBy { case (id, rel, _) => (-rel, id) }.take(MmrShortlist)
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      (1 to MmrK).foreach { r =>
+        val scored = shortlist.filterNot(c => sel.exists(_._2 == c._1)).map {
+          case (id, rel, v) =>
+            val maxSim = if (sel.isEmpty) 0L
+              else sel.map(s => grid(cos(v, vecs(s._2)))).max
+            (id, MmrLambdaNum * grid(rel) - MmrBetaNum * maxSim)
+        }
+        val best = scored.minBy { case (id, s) => (-s, id) }
+        sel += ((r.toLong, best._1, best._2))
+      }
+      sel.map(s => (qId, s._1, s._2, s._3))
+    }
+    val got = rows.map(r => (r._1, r._2, r._3, math.round(r._5 * 1e7)))
+    assert(got.toSeq == want,
+      s"MMR replay mismatch; got=${got.take(5).toSeq} want=${want.take(5)}")
+    // the diversification claim: for at least one query the MMR set
+    // differs from the pure-relevance top-k (otherwise λ might as well be 1)
+    val topk = run("q34_knn_cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val diverged = rows.groupBy(_._1).exists { case (q, sel) =>
+      sel.map(_._3).toSet != topk(q).map(_._2).toSet
+    }
+    assert(diverged, "MMR must reorder at least one query vs pure top-5")
+  }
+
+  test("q162 concurrency sweep replays independently; adjacent sessions never overlap") {
+    val rows = run("q162_session_concurrency").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(rows.nonEmpty)
+    // independent replay: sessions by the >=30min rule, day-split
+    // segments, boundary sweep with ends-before-starts ties
+    val ev = graft.Tables.events(spark, sf0001)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dayUs = 86400000000L
+    val sessions = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val ts = es.map(_._2).sorted
+      val starts = ts.head +: ts.zip(ts.tail).collect {
+        case (a, b) if b - a > 1800000000L => b
+      }
+      val bounds = starts.drop(1) :+ Long.MaxValue
+      starts.zip(bounds).map { case (s, nxt) =>
+        (u, s, ts.takeWhile(_ < nxt).filter(_ >= s).max + 1800000000L)
+      }
+    }
+    val segs = sessions.flatMap { case (u, s, e) =>
+      (s / dayUs to (e - 1) / dayUs).map { d =>
+        (d, u, math.max(s, d * dayUs), math.min(e, (d + 1) * dayUs))
+      }.filter(t => t._3 < t._4)
+    }
+    val want = segs.groupBy(_._1).map { case (d, ss) =>
+      val bounds = ss.flatMap(s => Seq((s._3, 1L, 1L, s._2), (s._4, -1L, 0L, s._2)))
+        .sortBy(b => (b._1, b._3, b._4))
+      var run = 0L; var mx = 0L; var peak = 0L
+      bounds.foreach { case (us, delta, _, _) =>
+        run += delta; if (run > mx) { mx = run; peak = us }
+      }
+      d -> ((ss.length.toLong, mx, peak))
+    }
+    want.foreach { case (d, (n, mx, peakUs)) =>
+      val dayStr = java.time.LocalDateTime.ofEpochSecond(
+        d * 86400L, 0, java.time.ZoneOffset.UTC).toLocalDate.toString
+      val got = rows(dayStr)
+      val peakStr = java.time.LocalDateTime.ofEpochSecond(
+        peakUs / 1000000L, 0, java.time.ZoneOffset.UTC).format(
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+      assert(got == ((n, mx, peakStr)),
+        s"$dayStr: got $got want ($n, $mx, $peakStr)")
+    }
+    assert(rows.keySet == want.keys.map(d => java.time.LocalDateTime.ofEpochSecond(
+      d * 86400L, 0, java.time.ZoneOffset.UTC).toLocalDate.toString).toSet)
+    // two boundary fixtures on one synthetic day.
+    // (a) SAME user, events exactly 30 min apart: session_window MERGES
+    //     an event landing at the session's exclusive end (interval
+    //     overlap at equality) -> ONE session — the empirical pin of
+    //     the strict-> gap rule the q157/q162 oracles encode.
+    // (b) DIFFERENT users, user B's session starting at the exact
+    //     instant user A's ends: adjacent intervals never overlap, so
+    //     the sweep must process the end before the start -> peak 1.
+    val dir = java.nio.file.Files.createTempDirectory("graft-sweep").toString
+    val schema = graft.Tables.events(spark, sf0001).schema
+    val mkEv = (id: Long, user: Long, minuteOfDay: Int) => org.apache.spark.sql.Row(
+      id, java.time.LocalDateTime.of(2024, 3, 1, minuteOfDay / 60, minuteOfDay % 60),
+      user, "view", java.lang.Double.valueOf(1.0), "{}")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          mkEv(1L, 7L, 600), mkEv(2L, 7L, 630), // merge: one session [10:00, 11:00)
+          mkEv(3L, 8L, 660)),                   // B: [11:00, 11:30) — adjacent to A's end
+          1),
+        org.apache.spark.sql.types.StructType(schema.map(f =>
+          if (f.name == "ts") f.copy(dataType =
+            org.apache.spark.sql.types.TimestampNTZType) else f)))
+      .write.parquet(s"$dir/events.parquet")
+    val fx = SparkEntry.queries("q162_session_concurrency")(spark, dir).collect()
+    assert(fx.length == 1 && fx(0).getLong(1) == 2L && fx(0).getLong(2) == 1L,
+      s"one merged + one adjacent session, peak must be 1: ${fx.mkString(";")}")
   }
 
   test("q140b approx histogram tracks the exact bins within the GK rank-error bound") {
