@@ -1998,8 +1998,11 @@ class StreamingSpec extends AnyFunSuite {
     def signals(df: org.apache.spark.sql.DataFrame) = df.select(
       col("doc_id"),
       graft.plans.RepetitionStats.repetitionStats(split(col("text"), " ")).as("st"),
-      graft.operators.TextAnalysis.redactPii(col("text")).as("clean"))
-      .select(col("doc_id"), col("st.n_distinct").as("nd"), col("clean"))
+      graft.operators.TextAnalysis.redactPii(col("text")).as("clean"),
+      // the q159 canonicalization gate is the same stateless kernel —
+      // content keys computed at ingest match the batch keys exactly
+      md5(graft.plans.NfcNormalize.nfc(col("text")).cast("binary")).as("nfc_key"))
+      .select(col("doc_id"), col("st.n_distinct").as("nd"), col("clean"), col("nfc_key"))
     val q = signals(graft.streaming.DocStream.readStream(spark, dir.toString))
       .writeStream.outputMode("append")
       .format("memory").queryName("text_signals_stream")
