@@ -193,6 +193,11 @@ object Examples {
     operators.TextAnalysis.q160SourceEmd(spark, "/root/testdata/sf0.001")
       .orderBy(desc("emd_tokens")).show(3)
 
+    // data-driven attribution: what each channel is WORTH (removal
+    // effect), not just what it happened to touch last
+    println("Markov removal-effect attribution vs last-touch:")
+    operators.Temporal.q163MarkovAttribution(spark, "/root/testdata/sf0.001").show()
+
     spark.stop()
   }
 }

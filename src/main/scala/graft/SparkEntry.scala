@@ -161,6 +161,7 @@ object SparkEntry {
     "q160_source_emd"     -> (TextAnalysis.q160SourceEmd _),
     "q161_mmr_rerank"     -> (Similarity.q161MmrRerank _),
     "q162_session_concurrency" -> (Temporal.q162SessionConcurrency _),
+    "q163_markov_attribution" -> (Temporal.q163MarkovAttribution _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -1344,6 +1345,77 @@ object SparkEntry {
         |         '%Y-%m-%d %H:%M:%S') AS peak_at
         |FROM r JOIN mx USING (day)
         |GROUP BY r.day, mx.day_max ORDER BY day""".stripMargin,
+
+    // journeys split at purchases; MarkovIters unrolled power
+    // iterations in EXACT 1e-6 integer fixed-point (integer sums
+    // commute — no float-order hazard anywhere in the chain algebra)
+    "q163_markov_attribution" -> {
+      val iters = (2 to operators.Temporal.MarkovIters).map { k =>
+        val p = k - 1
+        s"""v$k AS MATERIALIZED (SELECT st.variant, st.s,
+           |    (coalesce(pc.pi, 0) * 1000000 + coalesce(w.acc, 0) + 500000)
+           |      // 1000000 AS vi
+           |  FROM st LEFT JOIN pc ON pc.variant = st.variant AND pc.src = st.s
+           |  LEFT JOIN (SELECT tm.variant, tm.src, sum(tm.pi * v$p.vi) AS acc
+           |             FROM tm JOIN v$p ON v$p.variant = tm.variant
+           |               AND v$p.s = tm.dst
+           |             GROUP BY 1, 2) w
+           |    ON w.variant = st.variant AND w.src = st.s)""".stripMargin
+      }.mkString(",\n")
+      val last = s"v${operators.Temporal.MarkovIters}"
+      s"""WITH ev AS (SELECT user_id, event_id, ts, event_type AS t FROM events
+         |    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |      AND event_type IS NOT NULL),
+         |j AS (SELECT *, coalesce(sum(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jid
+         |      FROM ev),
+         |x AS (SELECT *, lag(t) OVER w AS prev, lead(t) OVER w AS nxt FROM j
+         |      WINDOW w AS (PARTITION BY user_id, jid ORDER BY ts, event_id)),
+         |cnt AS MATERIALIZED (SELECT src, dst, count(*) AS n FROM (
+         |    SELECT coalesce(prev, 'START') AS src,
+         |           CASE WHEN t = 'purchase' THEN 'CONV' ELSE t END AS dst FROM x
+         |    UNION ALL
+         |    SELECT t AS src, 'NULL' AS dst FROM x
+         |    WHERE nxt IS NULL AND t <> 'purchase') GROUP BY 1, 2),
+         |tt AS (SELECT src, sum(n) AS tot FROM cnt GROUP BY 1),
+         |p AS MATERIALIZED (SELECT c.src, c.dst,
+         |      (c.n * 2000000 + t.tot) // (2 * t.tot) AS pi
+         |    FROM cnt c JOIN tt t USING (src)),
+         |ch AS (SELECT DISTINCT s AS c FROM (
+         |    SELECT src AS s FROM cnt UNION ALL SELECT dst FROM cnt)
+         |  WHERE s NOT IN ('START', 'CONV', 'NULL', 'purchase')),
+         |vr AS (SELECT c AS variant FROM ch UNION ALL SELECT 'FULL'),
+         |st AS MATERIALIZED (SELECT v.variant, s.s FROM vr v CROSS JOIN
+         |    (SELECT 'START' AS s UNION ALL SELECT c FROM ch) s
+         |  WHERE s.s = 'START' OR s.s <> v.variant),
+         |tm AS MATERIALIZED (SELECT v.variant, p.src, p.dst, p.pi FROM vr v JOIN p
+         |    ON p.src <> v.variant AND p.dst <> v.variant),
+         |pc AS (SELECT variant, src, pi FROM tm WHERE dst = 'CONV'),
+         |v1 AS MATERIALIZED (SELECT st.variant, st.s,
+         |    (coalesce(pc.pi, 0) * 1000000 + 500000) // 1000000 AS vi
+         |  FROM st LEFT JOIN pc ON pc.variant = st.variant AND pc.src = st.s),
+         |$iters,
+         |bs AS (SELECT vi AS basei FROM $last WHERE variant = 'FULL' AND s = 'START'),
+         |rm AS (SELECT variant AS channel, vi AS remi FROM $last
+         |       WHERE s = 'START' AND variant <> 'FULL'),
+         |ef AS (SELECT channel, remi, basei,
+         |         CASE WHEN basei = 0 THEN 0
+         |              ELSE ((basei - remi) * 2000000 + basei) // (2 * basei)
+         |         END AS effi
+         |       FROM rm CROSS JOIN bs),
+         |se AS (SELECT greatest(sum(effi), 1) AS sume FROM ef),
+         |nc AS (SELECT sum(n) AS nconv FROM cnt WHERE dst = 'CONV')
+         |SELECT channel,
+         |       CAST(basei AS DOUBLE) / 1000000.0 AS base_conv_p,
+         |       CAST(remi AS DOUBLE) / 1000000.0 AS removed_conv_p,
+         |       CAST(effi AS DOUBLE) / 1000000.0 AS removal_effect,
+         |       round(CAST(effi AS DOUBLE) / CAST(sume AS DOUBLE), 6) AS attr_share,
+         |       round(CAST(effi AS DOUBLE) / CAST(sume AS DOUBLE)
+         |         * CAST(nconv AS DOUBLE), 4) AS credited_purchases
+         |FROM ef CROSS JOIN se CROSS JOIN nc
+         |ORDER BY channel""".stripMargin
+    },
 
     // the q153 derived-randomness hash as the within-cluster pick key,
     // over the shared seeded-Lloyd assignment

@@ -410,6 +410,113 @@ object Temporal {
       .orderBy("day")
   }
 
+  /** Fixed power-iteration count for [[q163MarkovAttribution]] —
+    * chosen by measurement, not hope: the event chains are sticky
+    * (touch→touch self-transitions keep ρ(Q) high), and on the
+    * fixtures the 1e-6-grid iteration reads 0.9302 at K=16 but is
+    * CONVERGED (stable through K=128) at 64; the spec pins v_K against
+    * an exact Gaussian-elimination solve. Fixed K, never a convergence
+    * gate — the q110 cross-engine rule. */
+  val MarkovIters = 64
+
+  /** q163: Markov data-driven attribution with REMOVAL EFFECTS — the
+    * principled successor to q122's last-touch heuristic. Each user's
+    * history splits into journeys (one per purchase, plus the
+    * unconverted tail); journeys walk a first-order chain
+    * START → touches → {CONV, NULL}. A channel's value is its removal
+    * effect: delete the channel (its transitions redirect to NULL, the
+    * standard no-renormalization rule), recompute the chain's
+    * conversion probability, and credit the channel with the DROP —
+    * channels that merely appear near conversions (last-touch's bias)
+    * earn nothing unless paths actually fail without them. Shares
+    * normalize removal effects; credited purchases scale shares by the
+    * journey count.
+    *
+    * Absorption probabilities run [[MarkovIters]] synchronous power
+    * iterations (v ← P_conv + Q·v), the q110/q132 fixed-iteration
+    * rule, in EXACT 1e-6 fixed-point: probabilities land on the
+    * integer grid via (n·2e6 + tot) / (2·tot), and each iteration is
+    * integer multiply-add with one rounding division — integer sums
+    * commute, so there is NO float-order hazard at all (one step past
+    * q161's contract, which still summed doubles). The oracle unrolls
+    * the same iterations as chained CTEs.
+    *
+    * Scale shape: ONE user-keyed window pass (the q112 plan) collapses
+    * the corpus to O(|event types|²) edge counts; the chain algebra
+    * runs driver-side on that frame — bounded by the event-type enum
+    * (≤ ~6 states here; the collect is O(states²) rows by schema
+    * contract, the KMeans-centroid class of driver state, NOT corpus
+    * data). Long arithmetic holds to n ≈ 4.6e12 edges per cell —
+    * comfortably past 100 TB's per-type counts. */
+  def q163MarkovAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    val wj = Window.partitionBy("user_id", "jid").orderBy(asc("ts"), asc("event_id"))
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("t"))
+      .withColumn("jid", coalesce(sum(when(col("t") === "purchase", 1L))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // both edge kinds emit IN-ROW (q162's single-scan lesson): the walk
+    // edge always; the journey-terminal NULL edge only on the last row
+    // of an unconverted journey
+    val edges = ev
+      .withColumn("prev", lag("t", 1).over(wj))
+      .withColumn("nxt", lead("t", 1).over(wj))
+      .select(explode(array(
+        struct(coalesce(col("prev"), lit("START")).as("src"),
+          when(col("t") === "purchase", lit("CONV")).otherwise(col("t")).as("dst")),
+        when(col("nxt").isNull && col("t") =!= "purchase",
+          struct(col("t").as("src"), lit("NULL").as("dst"))))).as("e"))
+      .filter(col("e").isNotNull)
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val counts = edges.groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val totals = counts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    // exact grid probabilities: round(n*1e6/tot) in pure integers
+    val pI = counts.map { case (s, d, n) =>
+      (s, d) -> (n * 2000000L + totals(s)) / (2L * totals(s))
+    }.toMap
+    val channels = counts.flatMap(c => Seq(c._1, c._2))
+      .filter(s => s != "START" && s != "CONV" && s != "NULL" && s != "purchase")
+      .distinct.sorted
+    def absorb(removed: Option[String]): Long = {
+      val states = ("START" +: channels.filterNot(removed.contains)).toVector
+      val live = states.toSet
+      var v = states.map(_ => 0L)
+      (1 to MarkovIters).foreach { _ =>
+        v = states.map { s =>
+          val conv = pI.getOrElse((s, "CONV"), 0L) * 1000000L
+          val walk = states.indices.map { j =>
+            val t = states(j)
+            if (live(t) && t != "START") pI.getOrElse((s, t), 0L) * v(j) else 0L
+          }.sum
+          (conv + walk + 500000L) / 1000000L
+        }
+      }
+      v(states.indexOf("START"))
+    }
+    val baseI = absorb(None)
+    val nConv = counts.filter(_._2 == "CONV").map(_._3).sum
+    val rows = channels.map { c =>
+      val remI = absorb(Some(c))
+      val effI = if (baseI == 0L) 0L
+        else ((baseI - remI) * 2000000L + baseI) / (2L * baseI)
+      (c, remI, effI)
+    }
+    // an effect-free corpus (no conversions) keeps shares at 0, not NaN
+    val sumEff = math.max(rows.map(_._3).sum, 1L)
+    import spark.implicits._
+    rows.toSeq.toDF("channel", "rem_i", "eff_i")
+      .select(col("channel"),
+        (lit(baseI).cast("double") / 1e6).as("base_conv_p"),
+        (col("rem_i").cast("double") / 1e6).as("removed_conv_p"),
+        (col("eff_i").cast("double") / 1e6).as("removal_effect"),
+        round(col("eff_i").cast("double") / lit(sumEff.toDouble), 6).as("attr_share"),
+        round(col("eff_i").cast("double") / lit(sumEff.toDouble) * nConv, 4)
+          .as("credited_purchases"))
+      .orderBy("channel")
+  }
+
   def q113EwmaAnomaly(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy("day")
     val lags = EwmaWeights.zipWithIndex.map { case (wt, i) =>

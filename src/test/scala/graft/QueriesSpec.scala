@@ -1137,7 +1137,8 @@ class QueriesSpec extends AnyFunSuite {
       "q133_top_paths", "q136_mad_outliers", "q137_welch_ttest",
       "q138_skew_report", "q143_block_jackknife",
       "q153_poisson_bootstrap", "q155_ab_fdr", "q156_gap_fill",
-      "q157_session_window", "q162_session_concurrency")
+      "q157_session_window", "q162_session_concurrency",
+      "q163_markov_attribution")
     val failures = eventQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -1828,6 +1829,89 @@ class QueriesSpec extends AnyFunSuite {
     assert(fx.length == 1 && fx(0).getLong(1) == 2L && fx(0).getLong(2) == 1L,
       s"one merged + one adjacent session, peak must be 1: ${fx.mkString(";")}")
   }
+
+  test("q163 Markov attribution: integer iteration replays; near the exact absorption solve") {
+    val rows = run("q163_markov_attribution").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    // rebuild journeys/edges from the raw events, independently
+    val ev = graft.Tables.events(spark, sf0001)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val edges = scala.collection.mutable.Map.empty[(String, String), Long]
+    def bump(s: String, d: String): Unit = edges((s, d)) = edges.getOrElse((s, d), 0L) + 1
+    ev.groupBy(_._1).values.foreach { es =>
+      val seq = es.sortBy(e => (e._2, e._3)).map(_._4)
+      var prev = "START"
+      seq.foreach { t =>
+        if (t == "purchase") { bump(prev, "CONV"); prev = "START" }
+        else { bump(prev, t); prev = t }
+      }
+      if (prev != "START") bump(prev, "NULL")
+    }
+    val totals = edges.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val pI = edges.map { case ((s, d), n) =>
+      (s, d) -> (n * 2000000L + totals(s)) / (2L * totals(s)) }.toMap
+    val channels = edges.keys.flatMap(k => Seq(k._1, k._2))
+      .filter(s => !Set("START", "CONV", "NULL", "purchase")(s)).toSeq.distinct.sorted
+    // exact absorption via Gaussian elimination on (I - Q) a = c
+    def exactAbsorb(removed: Option[String]): Double = {
+      val states = ("START" +: channels.filterNot(removed.contains)).toVector
+      val n = states.length
+      val a = Array.tabulate(n, n + 1) { (i, j) =>
+        val s = states(i)
+        if (j == n) pI.getOrElse((s, "CONV"), 0L) / 1e6
+        else {
+          val q = if (j == 0) 0.0 else pI.getOrElse((s, states(j)), 0L) / 1e6
+          (if (i == j) 1.0 else 0.0) - q
+        }
+      }
+      for (col0 <- 0 until n) {
+        val piv = (col0 until n).maxBy(r => math.abs(a(r)(col0)))
+        val tmp = a(col0); a(col0) = a(piv); a(piv) = tmp
+        for (r <- 0 until n if r != col0 && a(r)(col0) != 0.0) {
+          val f = a(r)(col0) / a(col0)(col0)
+          for (c <- col0 to n) a(r)(c) -= f * a(col0)(c)
+        }
+      }
+      a(0)(n) / a(0)(0)
+    }
+    // exact integer-iteration replay (the engines' shared contract)
+    def iterAbsorb(removed: Option[String]): Long = {
+      val states = ("START" +: channels.filterNot(removed.contains)).toVector
+      var v = states.map(_ => 0L)
+      (1 to graft.operators.Temporal.MarkovIters).foreach { _ =>
+        v = states.map { s =>
+          val conv = pI.getOrElse((s, "CONV"), 0L) * 1000000L
+          val walk = states.zipWithIndex.collect {
+            case (t, j) if t != "START" => pI.getOrElse((s, t), 0L) * v(j) }.sum
+          (conv + walk + 500000L) / 1000000L
+        }
+      }
+      v(0)
+    }
+    val baseI = iterAbsorb(None)
+    assert(math.abs(baseI / 1e6 - exactAbsorb(None)) < 1e-3,
+      s"$MarkovItersNote iterations must sit near the exact solve")
+    rows.foreach { case (c, baseP, remP, eff, share, credited) =>
+      assert(math.abs(baseP - baseI / 1e6) < 1e-9, s"$c base")
+      val remI = iterAbsorb(Some(c))
+      assert(math.abs(remP - remI / 1e6) < 1e-9, s"$c removed")
+      assert(remP <= baseP + 1e-9, s"$c: removing a channel cannot raise conversion")
+      val effI = ((baseI - remI) * 2000000L + baseI) / (2L * baseI)
+      assert(math.abs(eff - effI / 1e6) < 1e-9, s"$c effect")
+      assert(eff >= 0.0 && eff <= 1.0 && share >= 0.0 && share <= 1.0)
+      assert(credited >= 0.0)
+    }
+    assert(rows.map(_._1).toSet == channels.toSet)
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-4,
+      "attribution shares must normalize to 1 on a converting corpus")
+  }
+
+  private val MarkovItersNote = graft.operators.Temporal.MarkovIters
 
   test("q140b approx histogram tracks the exact bins within the GK rank-error bound") {
     // approx_percentile's contract: each returned boundary is an actual
