@@ -162,6 +162,7 @@ object SparkEntry {
     "q161_mmr_rerank"     -> (Similarity.q161MmrRerank _),
     "q162_session_concurrency" -> (Temporal.q162SessionConcurrency _),
     "q163_markov_attribution" -> (Temporal.q163MarkovAttribution _),
+    "q164_shard_moves"    -> (Skew.q164ShardMoves _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -1345,6 +1346,39 @@ object SparkEntry {
         |         '%Y-%m-%d %H:%M:%S') AS peak_at
         |FROM r JOIN mx USING (day)
         |GROUP BY r.day, mx.day_max ORDER BY day""".stripMargin,
+
+    // rendezvous argmax = in-order fold with strict > (first-wins tie);
+    // the q153 multiply-mod chain as the (key, shard) weight
+    "q164_shard_moves" -> {
+      val (n0, n1) = (operators.Skew.ShardsBefore, operators.Skew.ShardsAfter)
+      def rdv(n: Int) =
+        s"""list_reduce(list_prepend({'h': CAST(-1 AS BIGINT), 's': CAST(-1 AS BIGINT)},
+           |      list_transform(range(0, $n), s -> {
+           |        'h': (((doc_id % 1000000007) * 1000003 % 1000000007
+           |              + s * 7919) % 1000000007) * 69069 % 1000000007,
+           |        's': s})),
+           |      (acc, x) -> CASE WHEN x['h'] > acc['h'] THEN x ELSE acc END)['s']"""
+          .stripMargin
+      s"""WITH a AS (SELECT doc_id,
+         |    doc_id % $n0 AS mod_old, doc_id % $n1 AS mod_new,
+         |    ${rdv(n0)} AS rdv_old,
+         |    ${rdv(n1)} AS rdv_new
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |s AS (SELECT 'modulo' AS scheme, mod_old AS old_shard, mod_new AS new_shard
+         |      FROM a
+         |      UNION ALL
+         |      SELECT 'rendezvous', rdv_old, rdv_new FROM a),
+         |l AS (SELECT scheme, new_shard, count(*) AS n,
+         |        sum(CASE WHEN old_shard <> new_shard THEN 1 ELSE 0 END) AS moved
+         |      FROM s GROUP BY 1, 2)
+         |SELECT scheme, CAST(sum(n) AS BIGINT) AS n_docs,
+         |       CAST(sum(moved) AS BIGINT) AS n_moved,
+         |       round(CAST(sum(moved) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+         |         AS moved_frac,
+         |       CAST(min(n) AS BIGINT) AS min_shard_load,
+         |       CAST(max(n) AS BIGINT) AS max_shard_load
+         |FROM l GROUP BY scheme ORDER BY scheme""".stripMargin
+    },
 
     // journeys split at purchases; MarkovIters unrolled power
     // iterations in EXACT 1e-6 integer fixed-point (integer sums

@@ -1080,7 +1080,8 @@ class QueriesSpec extends AnyFunSuite {
       "q131_merge_upsert", "q132_ppr", "q134_chi_square", "q142_chunk_overlap",
       "q144_quality_trend", "q145_unigram_encode", "q146_unigram_train",
       "q147_shortest_paths", "q149_multi_decontaminate",
-      "q154_pmi_collocations", "q159_nfc_report", "q160_source_emd")
+      "q154_pmi_collocations", "q159_nfc_report", "q160_source_emd",
+      "q164_shard_moves")
     val failures = docQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -1912,6 +1913,47 @@ class QueriesSpec extends AnyFunSuite {
   }
 
   private val MarkovItersNote = graft.operators.Temporal.MarkovIters
+
+  test("q164 shard moves: exact replay; rendezvous moves only into the new shard") {
+    val rows = run("q164_shard_moves").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(rows.keySet == Set("modulo", "rendezvous"))
+    import graft.operators.Skew.{ShardsBefore, ShardsAfter}
+    val m = 1000000007L
+    def w(key: Long, s: Long) =
+      (((key % m) * 1000003L % m + s * 7919L) % m) * 69069L % m
+    def rdv(key: Long, n: Int): Long =
+      (0L until n.toLong).foldLeft((-1L, -1L)) { case (acc, s) =>
+        val h = w(key, s); if (h > acc._1) (h, s) else acc
+      }._2
+    val keys = graft.Tables.documents(spark, sf0001)
+      .filter(col("doc_id").isNotNull).select("doc_id")
+      .collect().map(_.getLong(0))
+    def report(old: Long => Long, nw: Long => Long) = {
+      val loads = keys.groupBy(nw).view.mapValues(_.length.toLong)
+      (keys.length.toLong, keys.count(k => old(k) != nw(k)).toLong,
+        loads.values.min, loads.values.max)
+    }
+    val wantMod = report(_ % ShardsBefore, _ % ShardsAfter)
+    val wantRdv = report(rdv(_, ShardsBefore), rdv(_, ShardsAfter))
+    Seq("modulo" -> wantMod, "rendezvous" -> wantRdv).foreach { case (s, (n, mv, lo, hi)) =>
+      val got = rows(s)
+      assert((got._1, got._2, got._4, got._5) == ((n, mv, lo, hi)), s"$s replay")
+      assert(math.abs(got._3 - BigDecimal(mv.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+    // the whole point, measured: modulo re-homes ~(n-1)/n, rendezvous ~1/n
+    assert(rows("modulo")._3 > 0.7, s"modulo should churn most keys: ${rows("modulo")._3}")
+    assert(rows("rendezvous")._3 < 0.25,
+      s"rendezvous should churn ~1/${ShardsAfter}: ${rows("rendezvous")._3}")
+    // HRW's structural guarantee: weights of surviving shards are
+    // untouched, so every moved key moved INTO the new shard
+    keys.filter(k => rdv(k, ShardsBefore) != rdv(k, ShardsAfter)).foreach { k =>
+      assert(rdv(k, ShardsAfter) == ShardsAfter - 1L,
+        s"key $k moved to shard ${rdv(k, ShardsAfter)}, not the new one")
+    }
+  }
 
   test("q140b approx histogram tracks the exact bins within the GK rank-error bound") {
     // approx_percentile's contract: each returned boundary is an actual
