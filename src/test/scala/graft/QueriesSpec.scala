@@ -1761,7 +1761,7 @@ class QueriesSpec extends AnyFunSuite {
     val rows = run("q162_session_concurrency").collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     assert(rows.nonEmpty)
-    // independent replay: sessions by the >=30min rule, day-split
+    // independent replay: sessions by the strict->30min rule, day-split
     // segments, boundary sweep with ends-before-starts ties
     val ev = graft.Tables.events(spark, sf0001)
       .filter(col("user_id").isNotNull && col("ts").isNotNull)
