@@ -161,6 +161,7 @@ object SparkEntry {
     "q160_source_emd"     -> (TextAnalysis.q160SourceEmd _),
     "q161_mmr_rerank"     -> (Similarity.q161MmrRerank _),
     "q162_session_concurrency" -> (Temporal.q162SessionConcurrency _),
+    "q162b_concurrency_sharded" -> (Temporal.q162bSessionConcurrencySharded _),
     "q163_markov_attribution" -> (Temporal.q163MarkovAttribution _),
     "q164_shard_moves"    -> (Skew.q164ShardMoves _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
@@ -344,7 +345,7 @@ object SparkEntry {
     * tools/oracle_check.py is now dtype-strict (int-vs-float kinds), so
     * any future violation of rules 1-2 fails locally, not at the
     * driver. */
-  def oracleSql: Map[String, String] = Map(
+  private lazy val oracleBase: Map[String, String] = Map(
     "q01_wordcount" ->
       s"""SELECT word, count(*) AS cnt
          |FROM (SELECT unnest(${tok("text")}) AS word FROM documents)
@@ -1309,7 +1310,9 @@ object SparkEntry {
 
     // sweep line over q157's sessions: +1/-1 day-partitioned boundaries,
     // exact integer running sums (ends before starts at ties); day_max
-    // CAST AS BIGINT against the HUGEINT window-sum promotion (q63 rule)
+    // CAST AS BIGINT against the HUGEINT window-sum promotion (q63 rule).
+    // q162b (the hour-sharded physical form) is the SAME logical query
+    // — it shares this oracle verbatim (assigned below the map).
     "q162_session_concurrency" ->
       """WITH ev AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us
         |    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
@@ -2936,4 +2939,11 @@ object SparkEntry {
          |FROM (SELECT doc_id, unnest(range(len(frames))) AS pos, unnest(frames) AS frame FROM d) t
          |ORDER BY doc_id, frame_idx""".stripMargin,
   )
+
+  /** q162b is the hour-sharded PHYSICAL form of q162 — identical
+    * logical query and output, so it shares the oracle text verbatim
+    * (the exact/exact sibling of the q130/q130b exact/sketch pattern). */
+  def oracleSql: Map[String, String] =
+    oracleBase + ("q162b_concurrency_sharded" ->
+      oracleBase("q162_session_concurrency"))
 }

@@ -410,6 +410,69 @@ object Temporal {
       .orderBy("day")
   }
 
+  /** q162b: the SAME daily concurrency sweep, sharded by HOUR — the
+    * declared answer to q162's one residual skew risk (a single
+    * pathological day makes one day-partition sort the straggler).
+    * Boundaries are unchanged (sessions are NOT split — splitting
+    * would inject cancel-pairs at hour edges whose transient dip can
+    * shift the first-attainment instant); each boundary simply buckets
+    * by its hour, the per-(day, hour) window sorts 1/24th of a hot
+    * day, and the running sum reassembles as local + an offset of
+    * prior-hour totals (an O(days × 24) frame). (hour, us, typ, user)
+    * orders identically to (us, typ, user) because hour is a prefix of
+    * us — so the output is BIT-IDENTICAL to q162 (shared oracle, the
+    * spec asserts row equality), only the physical shuffle changes:
+    * day_max comes from a partial-aggregated groupBy + broadcast join
+    * back, never a day-wide sort. */
+  def q162bSessionConcurrencySharded(spark: SparkSession, dir: String): DataFrame = {
+    val us = (c: org.apache.spark.sql.Column) => unix_micros(c)
+    val sessions = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_ev"))
+      .select(col("user_id"), us(col("sw.start")).as("s_us"), us(col("sw.end")).as("e_us"))
+    val segs = sessions
+      .select(col("user_id"), col("s_us"), col("e_us"),
+        explode(sequence(
+          to_date(timestamp_micros(col("s_us"))),
+          to_date(timestamp_micros(col("e_us") - 1)))).as("day"))
+      .select(col("user_id"), col("day"),
+        greatest(col("s_us"), us(col("day").cast("timestamp"))).as("seg_s"),
+        least(col("e_us"),
+          us(col("day").cast("timestamp")) + lit(86400000000L)).as("seg_e"))
+      .filter(col("seg_s") < col("seg_e"))
+    val bounds = segs.select(col("day"), col("user_id"), explode(array(
+        struct(col("seg_s").as("us"), lit(1L).as("delta"), lit(1L).as("typ")),
+        struct(col("seg_e").as("us"), lit(-1L).as("delta"), lit(0L).as("typ"))))
+        .as("b"))
+      .select(col("day"), col("b.us").as("us"), col("b.delta").as("delta"),
+        col("b.typ").as("typ"), col("user_id"))
+      // hour bucket = a PREFIX of us, so (hr, us, ...) == (us, ...) order
+      .withColumn("hr", expr("us div 3600000000"))
+    val hourW = Window.partitionBy("day", "hr")
+      .orderBy(col("us"), col("typ"), col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsetW = Window.partitionBy("day").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hourTotals = bounds.groupBy("day", "hr").agg(sum("delta").as("htot"))
+      .withColumn("offset", coalesce(sum("htot").over(offsetW), lit(0L)))
+      .select("day", "hr", "offset") // O(days × 24): the only day-wide window
+    val run = bounds
+      .withColumn("local", sum("delta").over(hourW))
+      .join(broadcast(hourTotals), Seq("day", "hr"))
+      .withColumn("run", col("local") + col("offset"))
+    val dayMax = run.groupBy("day").agg(max("run").as("day_max"))
+    run.join(broadcast(dayMax), Seq("day"))
+      .groupBy(col("day"), col("day_max"))
+      .agg((sum(when(col("typ") === 1L, 1L).otherwise(0L))).as("n_sessions"),
+        min(when(col("run") === col("day_max"), col("us"))).as("peak_us"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_sessions"), col("day_max").as("max_concurrent"),
+        date_format(timestamp_micros(col("peak_us")), "yyyy-MM-dd HH:mm:ss")
+          .as("peak_at"))
+      .orderBy("day")
+  }
+
   /** Fixed power-iteration count for [[q163MarkovAttribution]] —
     * chosen by measurement, not hope: the event chains are sticky
     * (touch→touch self-transitions keep ρ(Q) high), and on the

@@ -810,6 +810,52 @@ class StreamingSpec extends AnyFunSuite {
       s"restart emissions must fold to batch q113 closed days: $got vs $want")
   }
 
+  test("native session_window recovers open sessions from a checkpoint restart") {
+    // the built-in operator keeps OPEN sessions in the state store; a
+    // restart must resume them, not restart them. Run 1 delivers two
+    // users' still-open sessions (watermark too early to close
+    // anything — zero emissions); run 2, on the SAME checkpoint,
+    // delivers one much-later event whose watermark closes them. The
+    // emitted rows are correct ONLY if run 1's session state survived:
+    // a fresh state would have nothing to close (the file source
+    // replays only the new file).
+    val base = java.time.Instant.parse("2024-03-01T00:00:00Z")
+    def us(minute: Long) = base.plusSeconds(minute * 60).toEpochMilli * 1000L
+    val fileA = Seq(
+      (1L, us(0), 7L, "view", 10.0, "{}"),
+      (2L, us(10), 7L, "view", 2.5, "{}"),
+      (3L, us(5), 8L, "click", 4.0, "{}"))
+    val fileB = Seq((4L, us(300), 9L, "view", 1.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-sw-restart")
+    val ck = java.nio.file.Files.createTempDirectory("graft-sw-rckpt").toString
+    writeFlatEvents(dir, "a.parquet", fileA)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long, Double)]
+    def query() = EventStream.sessionWindows(EventStream.readStream(spark, dir.toString))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val out = batch.collect().map(r => (r.getLong(0), r.getString(1),
+          r.getString(2), r.getLong(3), r.getDouble(4)))
+        rows.synchronized { rows ++= out }
+        ()
+      }
+      .option("checkpointLocation", ck).start()
+    val q1 = query(); try q1.processAllAvailable() finally q1.stop()
+    assert(rows.synchronized(rows.isEmpty),
+      s"run 1's watermark cannot close anything: $rows")
+    writeFlatEvents(dir, "b.parquet", fileB)
+    val q2 = query(); try q2.processAllAvailable() finally q2.stop()
+    val got = rows.synchronized(rows.toSet)
+    // batch truth on A ∪ B, minus u9's still-open session
+    val batchDir = java.nio.file.Files.createTempDirectory("graft-sw-rbatch")
+    writeBatchEvents(batchDir, fileA ++ fileB)
+    val want = SparkEntry.queries("q157_session_window")(spark, batchDir.toString)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4)))
+      .filter(_._1 != 9L).toSet
+    assert(want.size == 2 && got == want,
+      s"restored sessions must close exactly as batch: $got vs $want")
+  }
+
   test("SCD2 twin recovers the open run from a checkpoint restart") {
     import spark.implicits._
     // per-user state = the current OPEN run. Run 1 delivers two 'view'
