@@ -92,6 +92,52 @@ object VecStream {
     * k-way row fanout, where the batch window materializes k candidate
     * rows per vector before discarding k−1. Null-id/null-embedding rows
     * drop (the null-key contract). */
+  /** Streaming centroid maintenance — the OTHER half of IVF upkeep
+    * next to [[ivfAssign]]: as vectors land in their (frozen-seed)
+    * cells, keep each cell's RUNNING mean current, so the index owner
+    * can watch drift between the serving centroids and the data that
+    * has actually arrived and re-fit when the gap warrants it
+    * (re-centering on a schedule is how IVF indexes chase a moving
+    * encoder without full rebuilds).
+    *
+    * Shape: the same per-row broadcast-fold assignment as
+    * [[ivfAssign]] (stateless, no fanout), then a streaming groupBy
+    * over the cell with the SAME typed [[graft.functions.VectorMean]]
+    * aggregator the batch q05/q50 queries use — one Tungsten (sum, n)
+    * buffer per cell (state is O(k × dim), corpus-size-free), update
+    * output mode, partial-merged map-side per micro-batch exactly like
+    * the batch plan. Batch and stream literally share the aggregator
+    * object; StreamingSpec pins the final emission to the batch
+    * assign→mean answer. */
+  def centroidUpdate(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val mean = udaf(graft.functions.VectorMean)
+    assignKeepingVector(vecs, centroids)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vectors"), mean(col("v")).as("centroid"))
+  }
+
+  /** The [[ivfAssign]] fold, carrying the vector through for consumers
+    * that aggregate it (centroid update); same argmin contract. */
+  private def assignKeepingVector(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val centArr = broadcast(centroids.agg(
+      expr("sort_array(collect_list(struct(cluster, cv)))").as("cs")))
+    vecs
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .crossJoin(centArr)
+      .select(col("vec_id"), col("v"), expr(
+        """aggregate(cs,
+          |  named_struct('cluster', CAST(-1 AS BIGINT), 'dist', CAST('Infinity' AS DOUBLE)),
+          |  (acc, c) -> CASE
+          |    WHEN round(aggregate(zip_with(v, c.cv, (x, y) -> (x - y) * (x - y)),
+          |               0D, (a2, x2) -> a2 + x2), 6) < acc.dist
+          |    THEN named_struct('cluster', CAST(c.cluster AS BIGINT),
+          |      'dist', round(aggregate(zip_with(v, c.cv, (x, y) -> (x - y) * (x - y)),
+          |              0D, (a2, x2) -> a2 + x2), 6))
+          |    ELSE acc END)""".stripMargin).as("best"))
+      .select(col("vec_id"), col("v"), col("best.cluster").as("cluster"))
+  }
+
   def ivfAssign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
     val centArr = broadcast(centroids.agg(
       expr("sort_array(collect_list(struct(cluster, cv)))").as("cs")))

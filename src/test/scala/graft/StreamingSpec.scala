@@ -1837,6 +1837,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming centroid update converges to the batch per-cell mean, shared aggregator") {
+    // the re-centering half of IVF upkeep: the running per-cell mean a
+    // stream maintains must equal the batch assign -> VectorMean answer
+    // once all vectors have arrived. Batch and stream share the SAME
+    // typed aggregator object, so this pins the incremental planner's
+    // state fold, not a reimplementation.
+    val dir = java.nio.file.Files.createTempDirectory("graft-cu-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$sf0001/embeddings.parquet"),
+      dir.resolve("embeddings.parquet"))
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = graft.operators.KMeans.fit(e)
+    val q = graft.streaming.VecStream
+      .centroidUpdate(graft.streaming.VecStream.readStream(spark, dir.toString), cents)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("centroid_stream")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-cu-ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // update mode re-emits per batch; one file = the last emission per
+    // cluster is the converged centroid
+    val got = spark.table("centroid_stream")
+      .groupBy("cluster").agg(max("n_vectors").as("n"),
+        last("centroid").as("centroid"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Double](2)))).toMap
+    val mean = udaf(graft.functions.VectorMean)
+    val want = graft.operators.KMeans.assign(e, cents)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), mean(col("v")).as("centroid"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Double](2)))).toMap
+    assert(got.keySet == want.keySet && got.nonEmpty)
+    want.foreach { case (c, (n, wv)) =>
+      val (gn, gv) = got(c)
+      assert(gn == n, s"cell $c count")
+      assert(gv.length == wv.length)
+      // same aggregator, but partial-merge ORDER differs between the
+      // incremental and batch plans — identical up to fp reassociation
+      gv.zip(wv).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+          s"cell $c centroid drifted beyond reassociation noise")
+      }
+    }
+  }
+
   test("streaming drift monitor converges to the batch q98 comparison") {
     // the stream maintains the q98 cell table incrementally (complete
     // mode, O(lang × source) state); once the source drains, drift
