@@ -164,6 +164,7 @@ object SparkEntry {
     "q162b_concurrency_sharded" -> (Temporal.q162bSessionConcurrencySharded _),
     "q163_markov_attribution" -> (Temporal.q163MarkovAttribution _),
     "q164_shard_moves"    -> (Skew.q164ShardMoves _),
+    "q165_heaps_curve"    -> (TextAnalysis.q165HeapsCurve _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -1349,6 +1350,54 @@ object SparkEntry {
         |         '%Y-%m-%d %H:%M:%S') AS peak_at
         |FROM r JOIN mx USING (day)
         |GROUP BY r.day, mx.day_max ORDER BY day""".stripMargin,
+
+    // V_i/N_i as grid count-if columns over the token stream and the
+    // first-occurrence frame; integer checkpoint thresholds; log-log
+    // regr fit rounded 4 (the q144 regr_slope precedent)
+    "q165_heaps_curve" -> {
+      val g = operators.TextAnalysis.HeapsGrid
+      def th(i: Int) = s"d0 + ((d1 - d0) * $i) // $g"
+      val nCols = (1 to g).map(i =>
+        s"sum(CASE WHEN doc_id <= ${th(i)} THEN 1 ELSE 0 END) AS n$i").mkString(",\n|        ")
+      val vCols = (1 to g).map(i =>
+        s"sum(CASE WHEN fdoc <= ${th(i)} THEN 1 ELSE 0 END) AS v$i").mkString(",\n|        ")
+      val nArr = (1 to g).map(i => s"n$i").mkString("[", ", ", "]")
+      val vArr = (1 to g).map(i => s"v$i").mkString("[", ", ", "]")
+      s"""WITH d AS (SELECT source, doc_id, ${tok("text")} AS ws FROM documents
+         |    WHERE text IS NOT NULL AND source IS NOT NULL AND doc_id IS NOT NULL),
+         |tk AS (SELECT source, doc_id, unnest(ws) AS word FROM d),
+         |span AS (SELECT source, min(doc_id) AS d0, max(doc_id) AS d1
+         |         FROM d GROUP BY 1),
+         |n AS (SELECT tk.source,
+         |        $nCols
+         |      FROM tk JOIN span USING (source) GROUP BY 1),
+         |f AS (SELECT source, word, min(doc_id) AS fdoc FROM tk GROUP BY 1, 2),
+         |v AS (SELECT f.source,
+         |        $vCols
+         |      FROM f JOIN span USING (source) GROUP BY 1),
+         |pts AS (SELECT source, i, nn, vv FROM (
+         |    SELECT n.source, unnest(generate_series(1, $g)) AS i,
+         |           unnest($nArr) AS nn, unnest($vArr) AS vv
+         |    FROM n JOIN v USING (source)) t WHERE nn > 0 AND vv > 0),
+         |fit AS (SELECT source, count(*) AS n_points,
+         |          round(regr_slope(ln(vv), ln(nn)), 4) AS heaps_beta,
+         |          round(regr_r2(ln(vv), ln(nn)), 4) AS fit_r2
+         |        FROM pts GROUP BY 1),
+         |tl AS (SELECT source,
+         |         max(CASE WHEN i = $g THEN vv END)
+         |           - max(CASE WHEN i = ${g - 1} THEN vv END) AS dv,
+         |         max(CASE WHEN i = $g THEN nn END)
+         |           - max(CASE WHEN i = ${g - 1} THEN nn END) AS dn,
+         |         max(CASE WHEN i = $g THEN nn END) AS n_tokens,
+         |         max(CASE WHEN i = $g THEN vv END) AS v_words
+         |       FROM pts WHERE i >= ${g - 1} GROUP BY 1)
+         |SELECT fit.source, CAST(n_points AS BIGINT) AS n_points,
+         |       CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       CAST(v_words AS BIGINT) AS v_words, heaps_beta, fit_r2,
+         |       CASE WHEN dn > 0 THEN round(CAST(dv AS DOUBLE) / CAST(dn AS DOUBLE), 6)
+         |       END AS tail_novelty
+         |FROM fit JOIN tl USING (source) ORDER BY source""".stripMargin
+    },
 
     // rendezvous argmax = in-order fold with strict > (first-wins tie);
     // the q153 multiply-mod chain as the (key, shard) weight

@@ -1636,6 +1636,77 @@ object TextAnalysis {
       .orderBy("source_a", "source_b")
   }
 
+  /** Grid resolution for [[q165HeapsCurve]]. */
+  val HeapsGrid = 20
+
+  /** q165: per-source vocabulary-growth (Heaps' law) curve — fit
+    * V ≈ K·N^β over [[HeapsGrid]] ingest-order checkpoints and report
+    * β plus the tail novelty rate (new words per token across the last
+    * grid step). Heaps' β ≈ 0.5 marks a healthily growing vocabulary;
+    * a source whose curve has flattened (tail novelty ≈ 0) is
+    * SATURATED — more of it adds tokens but no new language, which is
+    * exactly the curation signal for down-weighting a crawled source
+    * that keeps re-serving its own template (complements q82's per-doc
+    * novelty and q88's dup rollup with a per-SOURCE growth law).
+    *
+    * Scale shape: checkpoints are FIXED integer fractions of each
+    * source's doc-id span (broadcast O(sources) frame), so both V and
+    * N come from conditional partial aggregates — N_i as
+    * [[HeapsGrid]] count-if columns over the token stream in ONE
+    * agg; V_i over the (source, word) → min(doc_id) first-occurrence
+    * frame (vocabulary-bounded, the q58 class). NO per-prefix distinct
+    * scan and no O(docs) intermediate: everything after the two
+    * partial aggs is O(sources × grid). The log-log fit is
+    * regr_slope/regr_r2 on identical doubles (exact integer counts
+    * through ln; the q144 precedent). */
+  def q165HeapsCurve(spark: SparkSession, dir: String): DataFrame = {
+    val g = HeapsGrid
+    val toks = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && col("source").isNotNull && col("doc_id").isNotNull)
+      .select(col("source"), col("doc_id"), explode(Portable.tokenize(col("text"))).as("word"))
+    val span = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && col("source").isNotNull && col("doc_id").isNotNull)
+      .groupBy("source").agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
+    // Column `/` is DOUBLE division in Spark — the grid thresholds must
+    // be integer arithmetic on both engines (DuckDB uses //), so `div`
+    def t(i: Int) = expr(s"d0 + ((d1 - d0) * $i) div $g")
+    val nCols = (1 to g).map(i =>
+      sum(when(col("doc_id") <= t(i), 1L).otherwise(0L)).as(s"n$i"))
+    val n = toks.join(broadcast(span), "source")
+      .groupBy("source").agg(nCols.head, nCols.tail: _*)
+    val vCols = (1 to g).map(i =>
+      sum(when(col("fdoc") <= t(i), 1L).otherwise(0L)).as(s"v$i"))
+    val v = toks.groupBy("source", "word").agg(min("doc_id").as("fdoc"))
+      .join(broadcast(span), "source")
+      .groupBy("source").agg(vCols.head, vCols.tail: _*)
+    val points = n.join(v, "source")
+      .select(col("source"), posexplode(arrays_zip(
+        array((1 to g).map(i => col(s"n$i")): _*),
+        array((1 to g).map(i => col(s"v$i")): _*)).as("p")))
+      .select(col("source"), (col("pos") + 1).as("i"),
+        col("col.0").as("n"), col("col.1").as("v"))
+      .filter(col("n") > 0L && col("v") > 0L)
+    val tail = points.filter(col("i") >= g - 1)
+      .groupBy("source")
+      .agg((max(when(col("i") === g, col("v"))) -
+            max(when(col("i") === g - 1, col("v")))).as("dv"),
+        (max(when(col("i") === g, col("n"))) -
+          max(when(col("i") === g - 1, col("n")))).as("dn"),
+        max(when(col("i") === g, col("n"))).as("n_tokens"),
+        max(when(col("i") === g, col("v"))).as("v_words"))
+    points
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_points"),
+        round(regr_slope(log(col("v")), log(col("n"))), 4).as("heaps_beta"),
+        round(regr_r2(log(col("v")), log(col("n"))), 4).as("fit_r2"))
+      .join(tail, "source")
+      .select(col("source"), col("n_points"), col("n_tokens"), col("v_words"),
+        col("heaps_beta"), col("fit_r2"),
+        when(col("dn") > 0L,
+          round(col("dv").cast("double") / col("dn"), 6)).as("tail_novelty"))
+      .orderBy("source")
+  }
+
   /** q154: top-20 collocations by pointwise mutual information over
     * adjacent word pairs — PMI(w1, w2) = ln(P(w1,w2) / (P(w1)·P(w2)))
     * with the marginals taken over bigram SLOTS (w1 from the left

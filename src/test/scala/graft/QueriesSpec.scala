@@ -1081,7 +1081,7 @@ class QueriesSpec extends AnyFunSuite {
       "q144_quality_trend", "q145_unigram_encode", "q146_unigram_train",
       "q147_shortest_paths", "q149_multi_decontaminate",
       "q154_pmi_collocations", "q159_nfc_report", "q160_source_emd",
-      "q164_shard_moves")
+      "q164_shard_moves", "q165_heaps_curve")
     val failures = docQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -1976,6 +1976,90 @@ class QueriesSpec extends AnyFunSuite {
       assert(!l.contains("us#"),
         s"a day-wide window still touches boundary rows:\n$l")
     }
+  }
+
+  test("q165 Heaps curve replays from first occurrences; slope matches a least-squares redo") {
+    val rows = run("q165_heaps_curve").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6))))).toMap
+    assert(rows.nonEmpty)
+    val g = graft.operators.TextAnalysis.HeapsGrid
+    // independent replay of the grid from the raw corpus
+    val docs = graft.Tables.documents(spark, sf0001)
+      .filter(col("text").isNotNull && col("source").isNotNull && col("doc_id").isNotNull)
+      .select(col("source"), col("doc_id"),
+        graft.functions.Portable.tokenize(col("text")).as("ws"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2)))
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val d0 = ds.map(_._2).min; val d1 = ds.map(_._2).max
+      val firsts = scala.collection.mutable.Map.empty[String, Long]
+      ds.sortBy(_._2).foreach { case (_, id, ws) =>
+        ws.foreach(w => if (!firsts.contains(w)) firsts(w) = id) }
+      def thr(i: Int) = d0 + (d1 - d0) * i / g
+      val pts = (1 to g).map { i =>
+        (ds.filter(_._2 <= thr(i)).map(_._3.length.toLong).sum,
+          firsts.values.count(_ <= thr(i)).toLong)
+      }.filter(p => p._1 > 0 && p._2 > 0)
+      val (nPts, nTok, vWords, beta, r2, tail) = {
+        val r = rows(src); (r._1, r._2, r._3, r._4, r._5, r._6)
+      }
+      assert(nPts == pts.length.toLong, s"$src grid points")
+      assert(nTok == pts.last._1 && vWords == pts.last._2, s"$src totals")
+      // least-squares redo of the log-log fit
+      val xs = pts.map(p => math.log(p._1.toDouble)); val ys = pts.map(p => math.log(p._2.toDouble))
+      val (mx, my) = (xs.sum / xs.length, ys.sum / ys.length)
+      val slope = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+        xs.map(x => (x - mx) * (x - mx)).sum
+      assert(math.abs(beta - slope) < 1e-3, s"$src slope $beta vs redo $slope")
+      assert(r2 >= 0.0 && r2 <= 1.0)
+      // sub-linear: the fixture corpus recycles a ~31-word vocabulary,
+      // so near-ZERO β is the correct saturation diagnosis here (the
+      // growing case is pinned on the synthetic fixture below)
+      assert(beta >= 0.0 && beta < 1.0, s"$src Heaps exponent out of range: $beta")
+      tail.foreach { t =>
+        assert(pts.length >= 2, s"$src: a reported tail needs both last grid points")
+        val dn = pts.last._1 - pts(pts.length - 2)._1
+        val dv = pts.last._2 - pts(pts.length - 2)._2
+        assert(dn > 0 && math.abs(t - BigDecimal(dv.toDouble / dn)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, s"$src tail")
+        assert(t >= 0.0 && t <= 1.0, "novelty is new-words-per-token")
+      }
+    }
+    assert(rows.keySet == docs.map(_._1).toSet)
+    // the discriminating fixture pair the recycled-vocab corpus can't
+    // give us: one source whose every document is entirely NEW words
+    // (V = N ⇒ β = 1, tail novelty 1) beside one that repeats a single
+    // document verbatim (β = 0, tail novelty 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-heaps").toString
+    val schema = graft.Tables.documents(spark, sf0001).schema
+    val mkDoc = (id: Long, src: String, text: String) => {
+      val vals = schema.fields.map {
+        case f if f.name == "doc_id" => java.lang.Long.valueOf(id)
+        case f if f.name == "text" => text
+        case f if f.name == "source" => src
+        case f if f.dataType == org.apache.spark.sql.types.StringType => "x"
+        case f if f.dataType == org.apache.spark.sql.types.LongType => java.lang.Long.valueOf(0L)
+        case _ => null
+      }
+      org.apache.spark.sql.Row(vals: _*)
+    }
+    // alpha-only words (the tokenizer drops digit-bearing tokens)
+    def enc(n: Int) = "" + ('a' + n / 26).toChar + ('a' + n % 26).toChar
+    val growing = (0 until 40).map(i =>
+      mkDoc(i.toLong, "grows", (0 until 5).map(j => s"w${enc(i)}${enc(j)}").mkString(" ")))
+    val flat = (100 until 140).map(i =>
+      mkDoc(i.toLong, "loops", "same old words every single day"))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(growing ++ flat, 1), schema)
+      .write.parquet(s"$dir/documents.parquet")
+    val fx = SparkEntry.queries("q165_heaps_curve")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(4),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6))))).toMap
+    assert(math.abs(fx("grows")._1 - 1.0) < 0.01 && fx("grows")._2.contains(1.0),
+      s"all-novel source must read beta=1, novelty=1: ${fx("grows")}")
+    assert(fx("loops")._1 == 0.0 && fx("loops")._2.contains(0.0),
+      s"verbatim-repeat source must read beta=0, novelty=0: ${fx("loops")}")
   }
 
   test("cross-operator consistency: q157 sessions roll up to exactly q25's per-user counts") {
