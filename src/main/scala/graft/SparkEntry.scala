@@ -1235,21 +1235,34 @@ object SparkEntry {
 
     // complement moments from totals minus the type's own sums; p via
     // the A&S 7.1.26 erfc polynomial on the 4-dp t (identical literals
-    // and association to the Spark plan); BH = reversed running min
+    // and association to the Spark plan); BH = reversed running min.
+    // Moments accumulate on the EXACT 1e-3 integer grid (the
+    // q161/q163 fixed-point rule) — HUGEINT sums here, decimal(38,0)
+    // in Spark — so both engines derive identical doubles; float
+    // Σvalue was accumulation-order-sensitive (the round-7 hash fail)
     "q155_ab_fdr" ->
-      """WITH s AS (SELECT event_type, CAST(count(value) AS DOUBLE) AS n,
-        |      sum(value) AS sv, sum(value * value) AS ss
-        |    FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
-        |    GROUP BY 1),
-        |tot AS (SELECT sum(n) AS tn, sum(sv) AS ts, sum(ss) AS tss,
+      """WITH e AS (SELECT event_type,
+        |      CAST(round(value * 1000) AS BIGINT) AS v3
+        |    FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |s AS (SELECT event_type, count(v3) AS cnt, sum(v3) AS s3,
+        |      sum(v3 * v3) AS ss6 FROM e GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS tcnt, sum(s3) AS ts3, sum(ss6) AS tss6,
         |        count(*) AS m FROM s),
-        |j AS (SELECT s.event_type, s.n, tot.m,
+        |d AS (SELECT s.event_type, tot.m,
+        |        CAST(cnt AS DOUBLE) AS n,
+        |        CAST(s3 AS DOUBLE) / 1000.0 AS sv,
+        |        CAST(ss6 AS DOUBLE) / 1000000.0 AS ss,
+        |        CAST(tcnt AS DOUBLE) AS tn,
+        |        CAST(ts3 AS DOUBLE) / 1000.0 AS ts,
+        |        CAST(tss6 AS DOUBLE) / 1000000.0 AS tss
+        |      FROM s CROSS JOIN tot),
+        |j AS (SELECT event_type, n, m,
         |        sv / n AS m1,
         |        (ss - sv * sv / n) / (n - 1) AS v1,
         |        tn - n AS n2,
         |        (ts - sv) / (tn - n) AS m2,
         |        (tss - ss) - (ts - sv) * (ts - sv) / (tn - n) AS ss2c
-        |      FROM s CROSS JOIN tot),
+        |      FROM d),
         |tt AS (SELECT event_type, CAST(n AS BIGINT) AS n_values, m,
         |         round((m1 - m2) / sqrt(v1 / n + ss2c / (n2 - 1) / n2), 4) AS t_stat
         |       FROM j),

@@ -319,20 +319,41 @@ object Stats {
     * then BH: rank p ascending, adjusted p = min over j ≥ rank of
     * p_j·m/j (the reversed running min), significant at FDR 0.05.
     * Corpus collapses to O(types) sums in ONE partial-aggregated
-    * scan; the test/BH math runs on that tiny frame. */
+    * scan; the test/BH math runs on that tiny frame.
+    *
+    * Moments accumulate in EXACT 1e-3 fixed-point (the q161/q163
+    * rule): `value` lands on the integer grid v3 = round(value·1000)
+    * BEFORE any sum, so Σv3 / Σv3² are order-independent integers
+    * (decimal(38,0) in Spark, HUGEINT in DuckDB) and both engines
+    * derive the SAME doubles from them — float Σvalue / Σvalue² is
+    * accumulation-order-sensitive, and the order skew flipped the
+    * 4-dp round of one t_stat across engines (the round-7 hash fail).
+    * Per-row v3² ≤ 3.2e11 fits a long; the decimal sums are exact at
+    * any corpus size. */
   def q155AbFdr(spark: SparkSession, dir: String): DataFrame = {
     // O(types) rows feeding two consumers (totals + the per-type join);
     // localCheckpoint keeps the corpus scan single-pass
     val perType = Tables.events(spark, dir)
       .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        round(col("value") * 1000, 0).cast("long").as("v3"))
       .groupBy("event_type")
-      .agg(count(col("value")).cast("double").as("n"),
-        sum("value").as("s"),
-        sum(col("value") * col("value")).as("ss"))
+      .agg(count(col("v3")).as("cnt"),
+        sum(col("v3").cast("decimal(38,0)")).as("s3"),
+        sum((col("v3") * col("v3")).cast("decimal(38,0)")).as("ss6"))
       .localCheckpoint()
-    val tot = perType.agg(sum("n").as("tn"), sum("s").as("ts"),
-      sum("ss").as("tss"), count(lit(1)).as("m"))
+    val tot = perType.agg(sum("cnt").as("tcnt"), sum("s3").as("ts3"),
+      sum("ss6").as("tss6"), count(lit(1)).as("m"))
     val j = perType.crossJoin(broadcast(tot)) // O(types) × 1 row
+      // exact integers → doubles at the LAST moment; the double
+      // expression tree below is literal-identical in the oracle
+      .select(col("event_type"), col("m"),
+        col("cnt").cast("double").as("n"),
+        (col("s3").cast("double") / 1000.0).as("s"),
+        (col("ss6").cast("double") / 1000000.0).as("ss"),
+        col("tcnt").cast("double").as("tn"),
+        (col("ts3").cast("double") / 1000.0).as("ts"),
+        (col("tss6").cast("double") / 1000000.0).as("tss"))
       .select(col("event_type"), col("n"), col("m"),
         (col("s") / col("n")).as("m1"),
         ((col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1)).as("v1"),

@@ -449,6 +449,11 @@ object Temporal {
         col("b.typ").as("typ"), col("user_id"))
       // hour bucket = a PREFIX of us, so (hr, us, ...) == (us, ...) order
       .withColumn("hr", expr("us div 3600000000"))
+      // O(boundary rows) feeding THREE consumers (hourTotals, run,
+      // dayMax-via-run) — localCheckpoint so the events scan +
+      // session_window + day-split explode runs once, not four times
+      // (the q154/Graph lineage-cut rule)
+      .localCheckpoint()
     val hourW = Window.partitionBy("day", "hr")
       .orderBy(col("us"), col("typ"), col("user_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
