@@ -165,6 +165,9 @@ object SparkEntry {
     "q163_markov_attribution" -> (Temporal.q163MarkovAttribution _),
     "q164_shard_moves"    -> (Skew.q164ShardMoves _),
     "q165_heaps_curve"    -> (TextAnalysis.q165HeapsCurve _),
+    "q166_audience_overlap" -> (Associations.q166AudienceOverlap _),
+    "q167_loo_influence"  -> (Stats.q167LooInfluence _),
+    "q168_vocab_coverage" -> (TextAnalysis.q168VocabCoverage _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -201,6 +204,9 @@ object SparkEntry {
     "q89_quality_classifier" -> (QualityFilter.q89QualityClassifier _),
     "q103_pca_variance"  -> (LinAlg.q103PcaVariance _),
     "q57_bpe_train"      -> (Bpe.q57BpeTrain _),
+    // rows-only: DataSketches HLL internals are engine-specific
+    // (q44's contract); the spec bounds it against the exact q166
+    "q166b_audience_overlap_hll" -> (Associations.q166bAudienceOverlapHll _),
     // custom UDAF — oracle-checked via the rounded-norm contract
     "q50_vector_mean_agg" -> (Parity.q50VectorMeanAgg _),
   )
@@ -3000,6 +3006,80 @@ object SparkEntry {
          |SELECT doc_id, CAST(pos AS BIGINT) AS frame_idx, ${tokenId("frame")} AS frame_hash
          |FROM (SELECT doc_id, unnest(range(len(frames))) AS pos, unnest(frames) AS frame FROM d) t
          |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // exact distinct-user pair counts from the (user, type) distinct
+    // set; jaccard/lift derived from exact integers on both sides
+    "q166_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events
+        |    WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |singles AS (SELECT event_type, count(*) AS cnt FROM ut GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+        |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |            count(*) AS n_both
+        |          FROM ut a JOIN ut b
+        |            ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |          GROUP BY 1, 2)
+        |SELECT type_a, type_b, sa.cnt AS users_a, sb.cnt AS users_b,
+        |       n_both AS users_both,
+        |       round(CAST(n_both AS DOUBLE)
+        |         / CAST(sa.cnt + sb.cnt - n_both AS DOUBLE), 6) AS jaccard,
+        |       round(CAST(n_both AS DOUBLE) * n_users
+        |         / (CAST(sa.cnt AS DOUBLE) * CAST(sb.cnt AS DOUBLE)), 4) AS lift
+        |FROM pairs JOIN singles sa ON sa.event_type = type_a
+        |           JOIN singles sb ON sb.event_type = type_b
+        |CROSS JOIN tot ORDER BY type_a, type_b""".stripMargin,
+
+    // OLS sufficient statistics as exact integers (HUGEINT here,
+    // decimal(38,0) in Spark — the q155 rule); LOO slope from
+    // totals-minus-own, doubles derived at the last moment
+    "q167_loo_influence" ->
+      """WITH d AS (SELECT source,
+        |      CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+        |      CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y
+        |    FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |s AS (SELECT source, count(*) AS cnt, sum(x) AS sx, sum(y) AS sy,
+        |      sum(x * y) AS sxy, sum(x * x) AS sxx FROM d GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS tcnt, sum(sx) AS tsx, sum(sy) AS tsy,
+        |        sum(sxy) AS tsxy, sum(sxx) AS tsxx FROM s),
+        |j AS (SELECT source, cnt,
+        |        CAST(tcnt AS DOUBLE) AS fn, CAST(tsx AS DOUBLE) AS fsx,
+        |        CAST(tsy AS DOUBLE) AS fsy, CAST(tsxy AS DOUBLE) AS fsxy,
+        |        CAST(tsxx AS DOUBLE) AS fsxx,
+        |        CAST(tcnt - cnt AS DOUBLE) AS ln2, CAST(tsx - sx AS DOUBLE) AS lsx,
+        |        CAST(tsy - sy AS DOUBLE) AS lsy, CAST(tsxy - sxy AS DOUBLE) AS lsxy,
+        |        CAST(tsxx - sxx AS DOUBLE) AS lsxx
+        |      FROM s CROSS JOIN tot),
+        |k AS (SELECT source, cnt,
+        |        (fn * fsxy - fsx * fsy) / (fn * fsxx - fsx * fsx) AS slope_full,
+        |        (ln2 * lsxy - lsx * lsy) / (ln2 * lsxx - lsx * lsx) AS slope_loo
+        |      FROM j)
+        |SELECT source, cnt AS n_docs, round(slope_full, 6) AS slope_full,
+        |       round(slope_loo, 6) AS slope_loo,
+        |       round(slope_loo - slope_full, 6) AS influence,
+        |       CAST(row_number() OVER (ORDER BY abs(slope_loo - slope_full) DESC,
+        |         source ASC) AS BIGINT) AS infl_rank
+        |FROM k ORDER BY source""".stripMargin,
+
+    // Zipf coverage curve: exact integer histogram + vocabulary-bounded
+    // running sum (window sum CAST AS BIGINT — the q63 HUGEINT rule)
+    "q168_vocab_coverage" -> {
+      val cuts = operators.TextAnalysis.VocabCutoffs.mkString(", ")
+      s"""WITH t AS (SELECT unnest(${tok("text")}) AS word FROM documents
+         |    WHERE text IS NOT NULL),
+         |h AS (SELECT word, count(*) AS cnt FROM t GROUP BY 1),
+         |r AS (SELECT word, cnt,
+         |        CAST(row_number() OVER (ORDER BY cnt DESC, word ASC) AS BIGINT) AS rk,
+         |        CAST(sum(cnt) OVER (ORDER BY cnt DESC, word ASC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |      FROM h),
+         |tot AS (SELECT max(cum) AS total, max(rk) AS n_types FROM r)
+         |SELECT rk AS vocab_size, cum AS covered_tokens, total AS total_tokens,
+         |       round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS coverage,
+         |       round(CAST(total - cum AS DOUBLE) * 10000.0
+         |         / CAST(total AS DOUBLE), 2) AS oov_per_10k
+         |FROM r CROSS JOIN tot WHERE rk IN ($cuts) OR rk = n_types
+         |ORDER BY vocab_size""".stripMargin
+    },
   )
 
   /** q162b is the hour-sharded PHYSICAL form of q162 — identical

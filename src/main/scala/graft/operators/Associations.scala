@@ -137,4 +137,102 @@ object Associations {
       out.localCheckpoint(eager = true)
     } finally orderBrands.unpersist()
   }
+
+  /** q166: audience-overlap matrix — for every pair of event types,
+    * how many DISTINCT users did both, with audience Jaccard and lift.
+    * The segment-design primitive: holdout groups, cannibalization
+    * checks, and the q155 sweep's independence assumption all start
+    * from "how much do these audiences share". The q124 basket kernel
+    * re-grounded on (user, event_type): the "basket" is a user's
+    * type SET, and distinct-user pair counts fall out of the same
+    * bitmask pattern histogram.
+    *
+    * Scale shape (the q124 argument, unchanged): ONE user-keyed
+    * exchange builds the per-user bitmask under a codegen'd bit_or
+    * (8-byte group state; the type vocabulary is an enum, ≤ 64 by
+    * contract — wider vocabularies would take the q124 array
+    * fallback), which collapses IMMEDIATELY to the distinct-pattern
+    * histogram — O(min(users, 2^|types|)) rows; singles, pairs, and
+    * the user total are in-row HOF expansions over that tiny weighted
+    * frame, so the corpus is scanned once and shuffled once. Counts
+    * are exact integers; jaccard/lift are the only doubles, derived
+    * identically on both engines. */
+  def q166AudienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    // O(|types|) driver state — the q109/q124 shortlist contract
+    val types = Tables.events(spark, dir)
+      .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+      .select("event_type").distinct()
+      .collect().map(_.getString(0)).sorted
+    require(types.length <= 64, s"type vocabulary ${types.length} > 64")
+    val idxOf = types.zipWithIndex.toMap
+    val patterns = Tables.events(spark, dir)
+      .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"),
+        typedlit[Map[String, Int]](idxOf).apply(col("event_type")).as("idx"))
+      .groupBy("user_id")
+      .agg(bit_or(expr("shiftleft(cast(1 as bigint), idx)")).as("mask"))
+      .groupBy("mask").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = true) // O(patterns); three bounded consumers
+    val nUsers = patterns.select(sum("n").as("n_users"))
+    val idsExpr = "filter(sequence(0, 63), i -> (mask >> i) % 2 != 0)"
+    val singles = patterns.select(explode(expr(idsExpr)).as("i"), col("n"))
+      .groupBy("i").agg(sum("n").as("cnt"))
+    val pairs = patterns
+      .select(expr(idsExpr).as("ids"), col("n"))
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS i1, y AS i2))))"))
+        .as("p"), col("n"))
+      .select(col("p.i1"), col("p.i2"), col("n"))
+      .groupBy("i1", "i2").agg(sum("n").as("n_both"))
+    val names = typedlit(types.toSeq)
+    pairs
+      .join(broadcast(singles.select(col("i").as("i1"), col("cnt").as("ua"))), "i1")
+      .join(broadcast(singles.select(col("i").as("i2"), col("cnt").as("ub"))), "i2")
+      .crossJoin(broadcast(nUsers))
+      .select(
+        element_at(names, col("i1") + 1).as("type_a"),
+        element_at(names, col("i2") + 1).as("type_b"),
+        col("ua").as("users_a"), col("ub").as("users_b"),
+        col("n_both").as("users_both"),
+        round(col("n_both").cast("double") /
+          (col("ua") + col("ub") - col("n_both")).cast("double"), 6).as("jaccard"),
+        round(col("n_both").cast("double") * col("n_users") /
+          (col("ua").cast("double") * col("ub").cast("double")), 4).as("lift"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** q166b: the SKETCH rendering of [[q166AudienceOverlap]] — pairwise
+    * audience intersections via Apache DataSketches HLL
+    * (`hll_sketch_agg` / `hll_union`) and inclusion-exclusion:
+    * |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B). The 100 TB shape when
+    * even the per-user exchange is unwanted: per-type sketches build
+    * with map-side MERGEABLE partials (no user-keyed shuffle AT ALL —
+    * the q166 bitmask path shuffles the corpus once; this path
+    * shuffles O(partitions × types) sketch bytes), pairwise algebra
+    * then runs on an O(|types|)-row broadcast frame. Estimates are
+    * engine-specific (DataSketches internals) → rows-only by the
+    * q44/q130b contract; the spec bounds each estimate against the
+    * exact q166 matrix instead. */
+  def q166bAudienceOverlapHll(spark: SparkSession, dir: String): DataFrame = {
+    val lgK = 12 // ~1.6 % rel. std. error on singles; intersection
+                 // error compounds through inclusion-exclusion (spec-bounded)
+    val sk = Tables.events(spark, dir)
+      .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+      .groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"))
+      .localCheckpoint(eager = true) // O(|types|) rows of sketch bytes
+    val a = sk.select(col("event_type").as("type_a"), col("sk").as("ska"))
+    val b = sk.select(col("event_type").as("type_b"), col("sk").as("skb"))
+    a.crossJoin(broadcast(b)) // O(|types|²) of a bounded enum frame
+      .filter(col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        // hll_sketch_estimate returns BIGINT — the whole algebra stays integer
+        hll_sketch_estimate(col("ska")).as("est_a"),
+        hll_sketch_estimate(col("skb")).as("est_b"),
+        (hll_sketch_estimate(col("ska")) + hll_sketch_estimate(col("skb"))
+          - hll_sketch_estimate(hll_union(col("ska"), col("skb"))))
+          .as("est_both"))
+      .orderBy("type_a", "type_b")
+  }
 }

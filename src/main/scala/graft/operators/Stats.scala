@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -404,6 +404,62 @@ object Stats {
         round(expr("regr_r2(q, day)"), 4).as("r2"),
         round(avg("q"), 6).as("mean_q"))
       .filter(col("n_days") >= 2)
+      .orderBy("source")
+  }
+
+  /** q167: leave-one-out source influence — data valuation at the
+    * source grain. For the corpus-wide regression of per-doc distinct
+    * vocabulary (y) on token count (x) — the lexical-richness-vs-length
+    * relation every curation report monitors — each source's influence
+    * is the CHANGE in the fitted slope when that source is deleted:
+    * the "what does this source do to my corpus statistics" question a
+    * mix planner asks before cutting or up-weighting a feed (the q163
+    * removal-effect idea applied to a fitted statistic instead of a
+    * Markov chain).
+    *
+    * No per-source refit touches the corpus: OLS has sufficient
+    * statistics (n, Σx, Σy, Σxy, Σx²), they are ADDITIVE, and the
+    * LOO fit for source s is a closed form over totals-minus-own (the
+    * q155 complement pattern) — ONE corpus scan collapses to
+    * O(sources) sum rows and the algebra runs on that frame. All five
+    * moments are INTEGERS (token/type counts), accumulated exactly
+    * (decimal(38,0) in Spark, HUGEINT in DuckDB — the q155/q161/q163
+    * fixed-point rule), so both engines derive identical doubles:
+    * per-row xy ≤ ~5e5·5e5 fits a long, the decimal sums never
+    * overflow at any corpus size. */
+  def q167LooInfluence(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val perSource = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("x"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("y"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+        sum((col("x") * col("y")).cast(d38)).as("sxy"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"))
+      .localCheckpoint() // O(sources); feeds the totals AND the per-source join
+    val tot = perSource.agg(sum("cnt").as("tcnt"), sum("sx").as("tsx"),
+      sum("sy").as("tsy"), sum("sxy").as("tsxy"), sum("sxx").as("tsxx"))
+    // slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), full and LOO forms
+    // from the same exact integers → identical doubles both engines
+    def slope(n: Column, sx: Column, sy: Column, sxy: Column, sxx: Column): Column =
+      (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val asD = (c: Column) => c.cast("double")
+    perSource.crossJoin(broadcast(tot)) // O(sources) × 1 row
+      .select(col("source"), col("cnt"),
+        slope(asD(col("tcnt")), asD(col("tsx")), asD(col("tsy")),
+          asD(col("tsxy")), asD(col("tsxx"))).as("slope_full"),
+        slope(asD(col("tcnt") - col("cnt")), asD(col("tsx") - col("sx")),
+          asD(col("tsy") - col("sy")), asD(col("tsxy") - col("sxy")),
+          asD(col("tsxx") - col("sxx"))).as("slope_loo"))
+      .select(col("source"), col("cnt").as("n_docs"),
+        round(col("slope_full"), 6).as("slope_full"),
+        round(col("slope_loo"), 6).as("slope_loo"),
+        round(col("slope_loo") - col("slope_full"), 6).as("influence"))
+      .withColumn("infl_rank", row_number().over(Window.orderBy(
+        abs(col("slope_loo") - col("slope_full")).desc, col("source").asc)).cast("long"))
       .orderBy("source")
   }
 }

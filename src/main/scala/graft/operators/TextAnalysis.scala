@@ -1747,4 +1747,55 @@ object TextAnalysis {
       .orderBy(desc("pmi"), col("w1"), col("w2"))
       .limit(20)
   }
+
+  /** Vocabulary-size cutoffs for [[q168VocabCoverage]] — a dense sweep
+    * through the fixture corpus's ~31-word vocabulary plus the
+    * real-world sizes (cutoffs past |V| simply don't emit; the
+    * saturation row at rk = |V| always does). */
+  val VocabCutoffs: Seq[Long] = Seq(5L, 10L, 15L, 20L, 25L, 100L,
+    1000L, 10000L, 50000L)
+
+  /** q168: vocabulary-size operating curve — for each candidate vocab
+    * size K, what fraction of corpus TOKENS is covered by the top-K
+    * words by frequency (ties broken lexicographically), and what OOV
+    * rate a K-word vocabulary buys. [[q165HeapsCurve]] answers "how
+    * fast does vocabulary GROW with corpus size"; this answers the
+    * complementary sizing question — "where does coverage saturate" —
+    * the curve read before fixing a tokenizer's vocab budget (the
+    * q57/q146 trainers take vocab size as an input; this query prices
+    * the choices). Zipf makes it sharply concave: the knee IS the
+    * budget.
+    *
+    * Scale shape: ONE tokenize scan collapses to the word histogram
+    * (the q01 partial-aggregated shuffle); ranking + cumulative sums
+    * run on the VOCABULARY-bounded frame (the q110/q165 cap argument —
+    * |V| grows sublinearly with the corpus, Heaps' law, measured by
+    * q165 itself), and the output is O(cutoffs) rows filtered from
+    * that frame. Counts stay exact integers end to end — coverage is
+    * the only double, derived from identical integers on both
+    * engines. */
+  def q168VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(explode(Portable.tokenize(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    // vocabulary-bounded single-partition window: rank + running sum
+    // over |V| rows (the q165 grid precedent); never a corpus-sized sort
+    val byFreq = Window.orderBy(col("cnt").desc, col("word").asc)
+    val ranked = hist
+      .withColumn("rk", row_number().over(byFreq).cast("long"))
+      .withColumn("cum", sum("cnt").over(
+        byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint() // O(|V|), feeds the total AND the cutoff probe
+    val tot = ranked.agg(max("cum").as("total"), max("rk").as("n_types"))
+    ranked.crossJoin(broadcast(tot)) // O(|V|) × 1 row
+      .filter(col("rk").isin(VocabCutoffs: _*) || col("rk") === col("n_types"))
+      .select(col("rk").as("vocab_size"), col("cum").as("covered_tokens"),
+        col("total").as("total_tokens"),
+        round(col("cum").cast("double") / col("total").cast("double"), 6)
+          .as("coverage"),
+        round((col("total") - col("cum")).cast("double") * 10000.0 /
+          col("total").cast("double"), 2).as("oov_per_10k"))
+      .orderBy("vocab_size")
+  }
 }

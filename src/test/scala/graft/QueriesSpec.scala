@@ -2166,4 +2166,110 @@ class QueriesSpec extends AnyFunSuite {
         s"bin ${i + 1} hi ${his(i)} overlaps bin ${i + 2} lo ${los(i + 1)}")
     }
   }
+
+  test("q166 audience overlap: planted partial overlap yields exact set algebra") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-aud").toString
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    // users 1-15 did a (11-15 also b), 16-20 did b only: |A|=15, |B|=10,
+    // |A∩B|=5 → jaccard 5/20, lift 5·20/(15·10)
+    val evs = ((1L to 15L).map(u => (u, "a")) ++ (11L to 20L).map(u => (u, "b")))
+      .zipWithIndex.map { case ((u, t), i) =>
+        (i.toLong, base.plusSeconds(i * 60).toEpochMilli * 1000000L, u, t, 1.0)
+      }
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = graft.operators.Associations.q166AudienceOverlap(spark, dir).collect()
+    assert(rows.length == 1, s"one co-observed pair expected: ${rows.toSeq}")
+    val r = rows.head
+    assert((r.getString(0), r.getString(1)) == ("a", "b"))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((15L, 10L, 5L)))
+    assert(r.getDouble(5) == 0.25, s"jaccard ${r.getDouble(5)}")
+    assert(math.abs(r.getDouble(6) - 0.6667) < 1e-9, s"lift ${r.getDouble(6)}")
+    // corpus run: set-algebra sanity on every pair
+    run("q166_audience_overlap").collect().foreach { p =>
+      assert(p.getLong(4) <= math.min(p.getLong(2), p.getLong(3)),
+        "intersection cannot exceed either side")
+      assert(p.getDouble(5) > 0.0 && p.getDouble(5) <= 1.0)
+    }
+  }
+
+  test("q166b HLL overlap tracks the exact q166 matrix within sketch error") {
+    val exact = run("q166_audience_overlap").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val approx = run("q166b_audience_overlap_hll").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2).toDouble, r.getLong(3).toDouble, r.getLong(4).toDouble))).toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    exact.foreach { case (k, (ua, ub, both)) =>
+      val (ea, eb, eboth) = approx(k)
+      // lgK=12 → ~1.6% rsd on singles; inclusion-exclusion compounds
+      // three estimates on the intersection — allow 10% + integer slack
+      assert(math.abs(ea - ua) <= math.max(2.0, 0.05 * ua), s"$k est_a $ea vs $ua")
+      assert(math.abs(eb - ub) <= math.max(2.0, 0.05 * ub), s"$k est_b $eb vs $ub")
+      assert(math.abs(eboth - both) <= math.max(3.0, 0.10 * both),
+        s"$k est_both $eboth vs $both")
+    }
+  }
+
+  test("q167 LOO influence: planted deviant source recovers the clean slopes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-loo").toString
+    // s1: y = x exactly (all-distinct words); s2: y = 1 (one repeated
+    // word) → LOO(s2) fits s1 alone (slope 1), LOO(s1) fits s2 alone
+    // (slope 0)
+    def distinctDoc(k: Int) = (1 to k).map(i => s"w${k}x$i").mkString(" ")
+    def repeatDoc(k: Int) = Seq.fill(k)("r").mkString(" ")
+    val docs = Seq(
+      (1L, distinctDoc(3), "s1"), (2L, distinctDoc(5), "s1"), (3L, distinctDoc(9), "s1"),
+      (4L, repeatDoc(3), "s2"), (5L, repeatDoc(6), "s2"), (6L, repeatDoc(8), "s2"))
+      .map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Stats.q167LooInfluence(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("s2").getDouble(3) == 1.0, "removing s2 leaves the y=x source")
+    assert(got("s1").getDouble(3) == 0.0, "removing s1 leaves the constant-y source")
+    // full corpus: one slope_full, ranks are a permutation of 1..n
+    val rows = run("q167_loo_influence").collect()
+    assert(rows.map(_.getDouble(2)).distinct.length == 1, "slope_full is global")
+    assert(rows.map(_.getLong(5)).sorted.toSeq == (1L to rows.length).toSeq)
+    // independent plain-Scala replay of the full-fit slope from raw docs
+    val xy = Tables.documents(spark, sf0001)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("text")).collect().map { r =>
+        val ws = r.getString(0).split(" ")
+        (ws.length.toDouble, ws.distinct.length.toDouble)
+      }
+    val n = xy.length.toDouble
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(rows.head.getDouble(2) - slope) < 1e-4,
+      s"slope_full replay: ${rows.head.getDouble(2)} vs $slope")
+  }
+
+  test("q168 vocab coverage replays from the q01 histogram and saturates at |V|") {
+    val hist = run("q01_wordcount").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (w, c) => (-c, w) } // the operator's tie-break
+    val total = hist.map(_._2).sum
+    val rows = run("q168_vocab_coverage").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = r.getLong(0).toInt
+      val covered = hist.take(k).map(_._2).sum
+      assert(r.getLong(1) == covered, s"covered@$k: ${r.getLong(1)} vs $covered")
+      assert(r.getLong(2) == total)
+      assert(math.abs(r.getDouble(3) - covered.toDouble / total) < 1e-6)
+    }
+    // monotone, and the saturation row covers everything
+    val cov = rows.map(_.getDouble(3))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b }, "coverage monotone")
+    assert(cov.last == 1.0 && rows.last.getDouble(4) == 0.0,
+      "the rk=|V| row must close the curve")
+    assert(rows.last.getLong(0) == hist.length, "saturation row sits at |V|")
+  }
 }
