@@ -168,6 +168,8 @@ object SparkEntry {
     "q166_audience_overlap" -> (Associations.q166AudienceOverlap _),
     "q167_loo_influence"  -> (Stats.q167LooInfluence _),
     "q168_vocab_coverage" -> (TextAnalysis.q168VocabCoverage _),
+    "q170_join_card_est"  -> (Skew.q170JoinCardEst _),
+    "q172_isotonic_fit"   -> (Stats.q172IsotonicFit _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -3079,6 +3081,115 @@ object SparkEntry {
          |         / CAST(total AS DOUBLE), 2) AS oov_per_10k
          |FROM r CROSS JOIN tot WHERE rk IN ($cuts) OR rk = n_types
          |ORDER BY vocab_size""".stripMargin
+    },
+
+    // one CTE chain per join scenario (WITH inside a parenthesized
+    // subquery), UNION ALL'd; mirrors Skew.q170JoinCardEst's estimator
+    // algebra term for term — exact integer stats, doubles derived last
+    "q170_join_card_est" -> {
+      val hhN = operators.Skew.CardEstHH
+      def sc(name: String, relA: String, relB: String): String =
+        s"""(WITH ca AS (SELECT k, count(*) AS c FROM ($relA) WHERE k IS NOT NULL GROUP BY 1),
+           |cb AS (SELECT k, count(*) AS c FROM ($relB) WHERE k IS NOT NULL GROUP BY 1),
+           |sa AS (SELECT CAST(sum(c) AS BIGINT) AS na, count(*) AS da FROM ca),
+           |sb AS (SELECT CAST(sum(c) AS BIGINT) AS nb, count(*) AS db FROM cb),
+           |act AS (SELECT CAST(sum(ca.c * cb.c) AS BIGINT) AS actual_rows
+           |        FROM ca JOIN cb USING (k)),
+           |hha AS (SELECT k, c FROM ca ORDER BY c DESC, k ASC LIMIT $hhN),
+           |hhb AS (SELECT k, c FROM cb ORDER BY c DESC, k ASC LIMIT $hhN),
+           |hh AS (SELECT
+           |    coalesce(CAST(sum(CASE WHEN a.c IS NOT NULL AND b.c IS NOT NULL
+           |      THEN a.c * b.c END) AS BIGINT), 0) AS hh_prod,
+           |    coalesce(CAST(sum(CASE WHEN a.c IS NOT NULL AND b.c IS NULL
+           |      THEN a.c END) AS BIGINT), 0) AS hh_a_only,
+           |    coalesce(CAST(sum(CASE WHEN b.c IS NOT NULL AND a.c IS NULL
+           |      THEN b.c END) AS BIGINT), 0) AS hh_b_only,
+           |    coalesce(CAST(sum(a.c) AS BIGINT), 0) AS hh_a_rows,
+           |    coalesce(CAST(sum(b.c) AS BIGINT), 0) AS hh_b_rows,
+           |    CAST(sum(CASE WHEN a.c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hha,
+           |    CAST(sum(CASE WHEN b.c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hhb,
+           |    CAST(sum(CASE WHEN a.c IS NOT NULL AND b.c IS NOT NULL
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+           |  FROM hha a FULL JOIN hhb b ON a.k = b.k),
+           |est AS (SELECT '$name' AS join_name, na AS n_a, da AS ndv_a,
+           |    nb AS n_b, db AS ndv_b, actual_rows,
+           |    CAST(round(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+           |      / CAST(greatest(da, db) AS DOUBLE)) AS BIGINT) AS est_sysr,
+           |    CAST(round(CAST(hh_prod AS DOUBLE)
+           |      + CAST(hh_a_only AS DOUBLE) * (CASE WHEN db > n_hhb
+           |          THEN CAST(nb - hh_b_rows AS DOUBLE) / CAST(db - n_hhb AS DOUBLE)
+           |          ELSE 0.0 END)
+           |      + CAST(hh_b_only AS DOUBLE) * (CASE WHEN da > n_hha
+           |          THEN CAST(na - hh_a_rows AS DOUBLE) / CAST(da - n_hha AS DOUBLE)
+           |          ELSE 0.0 END)
+           |      + CAST(greatest(0, least(da, db) - (n_hha + n_hhb - n_match)) AS DOUBLE)
+           |        * (CASE WHEN da > n_hha
+           |            THEN CAST(na - hh_a_rows AS DOUBLE) / CAST(da - n_hha AS DOUBLE)
+           |            ELSE 0.0 END)
+           |        * (CASE WHEN db > n_hhb
+           |            THEN CAST(nb - hh_b_rows AS DOUBLE) / CAST(db - n_hhb AS DOUBLE)
+           |            ELSE 0.0 END)) AS BIGINT) AS est_hh
+           |  FROM hh CROSS JOIN sa CROSS JOIN sb CROSS JOIN act)
+           |SELECT join_name, n_a, ndv_a, n_b, ndv_b, actual_rows, est_sysr, est_hh,
+           |       round(CAST(est_sysr - actual_rows AS DOUBLE) * 100.0
+           |         / CAST(actual_rows AS DOUBLE), 2) AS err_sysr_pct,
+           |       round(CAST(est_hh - actual_rows AS DOUBLE) * 100.0
+           |         / CAST(actual_rows AS DOUBLE), 2) AS err_hh_pct
+           |FROM est)""".stripMargin
+      Seq(
+        sc("events_self_type", "SELECT event_type AS k FROM events",
+          "SELECT event_type AS k FROM events"),
+        sc("events_self_user", "SELECT user_id AS k FROM events",
+          "SELECT user_id AS k FROM events"),
+        sc("orders_x_lineitem", "SELECT o_orderkey AS k FROM orders",
+          "SELECT l_orderkey AS k FROM lineitem"),
+        sc("part_x_lineitem", "SELECT p_partkey AS k FROM part",
+          "SELECT l_partkey AS k FROM lineitem"))
+        .map(q => s"SELECT * FROM $q")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY join_name")
+    },
+
+    // PAV via the minimax closed form over the O(bins) cell frame —
+    // interval means from exact integer cumulative sums on both sides
+    "q172_isotonic_fit" -> {
+      val nb = operators.Stats.IsoBins
+      s"""WITH sc AS (SELECT CAST(embedding[1] AS DOUBLE) AS s,
+         |      CASE WHEN label = 1 THEN 1 ELSE 0 END AS pos
+         |    FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
+         |      AND label IS NOT NULL),
+         |span AS (SELECT min(s) AS lo, max(s) AS hi FROM sc),
+         |b AS (SELECT CASE WHEN hi > lo THEN
+         |        CAST(least(floor((s - lo) / ((hi - lo) / $nb)),
+         |          CAST(${nb - 1} AS DOUBLE)) AS BIGINT)
+         |        ELSE 0 END AS bin, pos, lo, hi
+         |      FROM sc CROSS JOIN span),
+         |g AS (SELECT bin, lo, hi, count(*) AS n,
+         |        CAST(sum(pos) AS BIGINT) AS np FROM b GROUP BY 1, 2, 3),
+         |idx AS (SELECT bin, lo, hi, n, np,
+         |        CAST(row_number() OVER (ORDER BY bin) AS BIGINT) AS i,
+         |        CAST(sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+         |          AND CURRENT ROW) AS BIGINT) AS cn,
+         |        CAST(sum(np) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+         |          AND CURRENT ROW) AS BIGINT) AS cp
+         |        FROM g),
+         |jf AS (SELECT i AS j, cn - n AS cn0, cp - np AS cp0 FROM idx),
+         |kf AS (SELECT i AS k, cn AS cnk, cp AS cpk FROM idx),
+         |means AS (SELECT j, k,
+         |            CAST(cpk - cp0 AS DOUBLE) / CAST(cnk - cn0 AS DOUBLE) AS m
+         |          FROM jf CROSS JOIN kf WHERE j <= k),
+         |peri AS (SELECT ii.i, means.j, means.m FROM means
+         |         CROSS JOIN (SELECT i FROM idx) ii
+         |         WHERE means.j <= ii.i AND means.k >= ii.i),
+         |inner1 AS (SELECT i, j, min(m) AS mn FROM peri GROUP BY 1, 2),
+         |iso AS (SELECT i, max(mn) AS iso FROM inner1 GROUP BY 1)
+         |SELECT idx.i AS bin_idx,
+         |       round(lo + CAST(bin AS DOUBLE) * ((hi - lo) / $nb), 6) AS s_lo,
+         |       round(lo + CAST(bin + 1 AS DOUBLE) * ((hi - lo) / $nb), 6) AS s_hi,
+         |       n, np AS positives,
+         |       round(CAST(np AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_rate,
+         |       round(iso.iso, 6) AS iso_rate
+         |FROM idx JOIN iso ON idx.i = iso.i
+         |ORDER BY bin_idx""".stripMargin
     },
   )
 

@@ -99,4 +99,98 @@ object Skew {
         col("min_shard_load"), col("max_shard_load"))
       .orderBy("scheme")
   }
+
+  /** Heavy hitters kept per join side by [[q170JoinCardEst]]. */
+  val CardEstHH = 20
+
+  /** q170: join-cardinality estimation report — what a cost-based
+    * optimizer would PREDICT for a join's output size from bounded
+    * per-side statistics, against the true size, for four joins of
+    * very different key shapes (unique-key FK joins, a per-user
+    * self-join, a 5-key enum self-join). Two estimators:
+    * `est_sysr` — the System-R textbook formula |A|·|B|/max(ndv_A,
+    * ndv_B), which is skew-blind; `est_hh` — a top-[[CardEstHH]]
+    * heavy-hitter sketch per side (exact counts for the hitters,
+    * uniform tail under the containment assumption), the shape every
+    * modern CBO actually keeps. The report IS the argument for
+    * histogram statistics: on the enum self-join the tail model is
+    * exact and System-R's error is the skew.
+    *
+    * Scale shape: per side ONE partial-aggregated count shuffle with
+    * O(ndv) output; the true size comes from joining the two COUNT
+    * tables (O(ndv) rows, never the corpus against itself — Σ aₖ·bₖ
+    * is the join size without materializing the join); heavy-hitter
+    * shortlists are TakeOrdered top-20s, and the estimator algebra
+    * runs on ≤ 40-row broadcast frames. Counts stay exact integers
+    * (decimal sums — the q155 rule); the tail-rate doubles derive
+    * identically on both engines. */
+  def q170JoinCardEst(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    def scenario(name: String, a: DataFrame, b: DataFrame): DataFrame = {
+      val ca = a.filter(col("k").isNotNull).groupBy("k")
+        .agg(count(lit(1)).as("ca"))
+      val cb = b.filter(col("k").isNotNull).groupBy("k")
+        .agg(count(lit(1)).as("cb"))
+      val sa = ca.agg(sum(col("ca").cast(d38)).cast("long").as("na"),
+        count(lit(1)).as("da"))
+      val sb = cb.agg(sum(col("cb").cast(d38)).cast("long").as("nb"),
+        count(lit(1)).as("db"))
+      val actual = ca.join(cb, "k")
+        .agg(sum((col("ca") * col("cb")).cast(d38)).cast("long").as("actual_rows"))
+      val hha = ca.orderBy(col("ca").desc, col("k").asc).limit(CardEstHH)
+      val hhb = cb.orderBy(col("cb").desc, col("k").asc).limit(CardEstHH)
+      val hh = hha.join(hhb, Seq("k"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("ca").isNotNull && col("cb").isNotNull,
+            (col("ca") * col("cb")).cast(d38))), lit(0).cast(d38)).as("hh_prod"),
+          coalesce(sum(when(col("ca").isNotNull && col("cb").isNull,
+            col("ca").cast(d38))), lit(0).cast(d38)).as("hh_a_only"),
+          coalesce(sum(when(col("cb").isNotNull && col("ca").isNull,
+            col("cb").cast(d38))), lit(0).cast(d38)).as("hh_b_only"),
+          coalesce(sum(col("ca").cast(d38)), lit(0).cast(d38)).as("hh_a_rows"),
+          coalesce(sum(col("cb").cast(d38)), lit(0).cast(d38)).as("hh_b_rows"),
+          sum(col("ca").isNotNull.cast("long")).as("n_hha"),
+          sum(col("cb").isNotNull.cast("long")).as("n_hhb"),
+          sum((col("ca").isNotNull && col("cb").isNotNull).cast("long")).as("n_match"))
+      val taHat = when(col("da") > col("n_hha"),
+        (col("na") - col("hh_a_rows").cast("long")).cast("double") /
+          (col("da") - col("n_hha")).cast("double")).otherwise(lit(0.0))
+      val tbHat = when(col("db") > col("n_hhb"),
+        (col("nb") - col("hh_b_rows").cast("long")).cast("double") /
+          (col("db") - col("n_hhb")).cast("double")).otherwise(lit(0.0))
+      val tNdv = greatest(lit(0L),
+        least(col("da"), col("db")) - (col("n_hha") + col("n_hhb") - col("n_match")))
+      hh.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+        .crossJoin(broadcast(actual)) // 1-row frames throughout
+        .select(lit(name).as("join_name"),
+          col("na").as("n_a"), col("da").as("ndv_a"),
+          col("nb").as("n_b"), col("db").as("ndv_b"),
+          col("actual_rows"),
+          round(col("na").cast("double") * col("nb").cast("double") /
+            greatest(col("da"), col("db")).cast("double"), 0)
+            .cast("long").as("est_sysr"),
+          round(col("hh_prod").cast("double")
+            + col("hh_a_only").cast("double") * tbHat
+            + col("hh_b_only").cast("double") * taHat
+            + tNdv.cast("double") * taHat * tbHat, 0)
+            .cast("long").as("est_hh"))
+        .select(col("*"),
+          round((col("est_sysr") - col("actual_rows")).cast("double") * 100.0 /
+            col("actual_rows").cast("double"), 2).as("err_sysr_pct"),
+          round((col("est_hh") - col("actual_rows")).cast("double") * 100.0 /
+            col("actual_rows").cast("double"), 2).as("err_hh_pct"))
+    }
+    val orders = Tables.orders(spark, dir).select(col("o_orderkey").as("k"))
+    val li = Tables.lineitem(spark, dir)
+    val part = Tables.part(spark, dir).select(col("p_partkey").as("k"))
+    val evUser = Tables.events(spark, dir).select(col("user_id").as("k"))
+    val evType = Tables.events(spark, dir).select(col("event_type").as("k"))
+    scenario("events_self_type", evType, evType)
+      .unionAll(scenario("events_self_user", evUser, evUser))
+      .unionAll(scenario("orders_x_lineitem", orders,
+        li.select(col("l_orderkey").as("k"))))
+      .unionAll(scenario("part_x_lineitem", part,
+        li.select(col("l_partkey").as("k"))))
+      .orderBy("join_name")
+  }
 }

@@ -462,4 +462,76 @@ object Stats {
         abs(col("slope_loo") - col("slope_full")).desc, col("source").asc)).cast("long"))
       .orderBy("source")
   }
+
+  /** Equal-width score bins for [[q172IsotonicFit]]. */
+  val IsoBins = 20
+
+  /** q172: isotonic calibration — the FIX for what the q150
+    * reliability diagram only measures. A monotone score (here the
+    * first embedding dimension, scoring "is this the label-1
+    * cluster") gets a nondecreasing calibrated probability per score
+    * bin via isotonic regression: the PAV solution, computed NOT by
+    * the sequential pool-adjacent-violators sweep (driver-state,
+    * order-dependent) but by its minimax closed form
+    * iso(i) = max_{j≤i} min_{k≥i} weightedMean(bin_j..bin_k) —
+    * pure bounded joins, no iteration, no driver loop: exactly the
+    * declarative rendering a distributed engine wants (the q163
+    * "algebra on the collapsed frame" rule).
+    *
+    * Scale shape: ONE corpus scan collapses to O(bins) exact-integer
+    * (n, positives) cells (bin edges from a broadcast min/max
+    * aggregate); the minimax runs as two aggregations over the
+    * O(bins²) interval frame — 400 rows at [[IsoBins]]=20 regardless
+    * of corpus size. The doubles (interval means) derive from exact
+    * integers identically on both engines; the spec replays the
+    * classic PAVA sweep in plain Scala and pins equality. */
+  def q172IsotonicFit(spark: SparkSession, dir: String): DataFrame = {
+    val nb = IsoBins
+    val scored = Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0 &&
+        col("label").isNotNull)
+      .select(element_at(col("embedding"), 1).cast("double").as("s"),
+        (col("label") === 1).cast("long").as("pos"))
+    val span = scored.agg(min("s").as("lo"), max("s").as("hi"))
+    val binned = scored.crossJoin(broadcast(span))
+      .select(when(col("hi") > col("lo"),
+        least(floor((col("s") - col("lo")) / ((col("hi") - col("lo")) / nb)),
+          lit(nb - 1).cast("double")).cast("long"))
+        .otherwise(lit(0L)).as("bin"), col("pos"), col("lo"), col("hi"))
+      .groupBy("bin", "lo", "hi")
+      .agg(count(lit(1)).as("n"), sum("pos").as("np"))
+    // dense index over the PRESENT bins (empty bins carry no weight —
+    // PAV over observed blocks); O(bins) single-partition window
+    val idx = binned
+      .withColumn("i", row_number().over(Window.orderBy("bin")).cast("long"))
+      .withColumn("cn", sum("n").over(Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cp", sum("np").over(Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint() // O(bins); three bounded consumers below
+    // interval means over [j..k]: (cp_k − cp_{j−1}) / (cn_k − cn_{j−1})
+    val jf = idx.select(col("i").as("j"),
+      (col("cn") - col("n")).as("cn0"), (col("cp") - col("np")).as("cp0"))
+    val kf = idx.select(col("i").as("k"), col("cn").as("cnk"), col("cp").as("cpk"))
+    val means = jf.crossJoin(broadcast(kf)).filter(col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        (col("cpk") - col("cp0")).cast("double")
+          ./((col("cnk") - col("cn0")).cast("double")).as("m"))
+    // iso(i) = max over j ≤ i of ( min over k ≥ i of mean(j,k) ):
+    // expand per i, aggregate innermost-first — two bounded groupBys
+    val perI = means.crossJoin(broadcast(idx.select(col("i"))))
+      .filter(col("j") <= col("i") && col("k") >= col("i"))
+    val iso = perI.groupBy("i", "j").agg(min("m").as("mn"))
+      .groupBy("i").agg(max("mn").as("iso"))
+    idx.join(broadcast(iso), "i")
+      .select(col("i").as("bin_idx"),
+        round(col("lo") + col("bin").cast("double") *
+          ((col("hi") - col("lo")) / nb), 6).as("s_lo"),
+        round(col("lo") + (col("bin") + 1).cast("double") *
+          ((col("hi") - col("lo")) / nb), 6).as("s_hi"),
+        col("n"), col("np").as("positives"),
+        round(col("np").cast("double") / col("n").cast("double"), 6).as("raw_rate"),
+        round(col("iso"), 6).as("iso_rate"))
+      .orderBy("bin_idx")
+  }
 }

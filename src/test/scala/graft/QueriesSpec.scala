@@ -2167,6 +2167,69 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q170 cardinality estimates: HH estimator is exact when HHs cover the key space") {
+    val rows = run("q170_join_card_est").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("events_self_type", "events_self_user",
+      "orders_x_lineitem", "part_x_lineitem"))
+    // ≤ 20 distinct keys → the sketch IS the full histogram: est_hh exact
+    val enumJoin = rows("events_self_type")
+    assert(enumJoin.getLong(5) == enumJoin.getLong(7),
+      s"enum self-join: est_hh ${enumJoin.getLong(7)} must equal actual ${enumJoin.getLong(5)}")
+    // independent replay of the true size: Σ c² over event types
+    val actual = Tables.events(spark, sf0001)
+      .filter(col("event_type").isNotNull)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getLong(1) * r.getLong(1)).sum
+    assert(enumJoin.getLong(5) == actual, s"actual replay: $actual")
+    // FK joins: orders key unique → actual == lineitem row count
+    val fk = rows("orders_x_lineitem")
+    assert(fk.getLong(1) == fk.getLong(2), "o_orderkey must be unique")
+    assert(fk.getLong(5) == fk.getLong(3), "FK join size == fact rows")
+    // error columns are consistent with their estimates everywhere
+    rows.values.foreach { r =>
+      val (act, es, eh) = (r.getLong(5), r.getLong(6), r.getLong(7))
+      // 0.011 absorbs the 2-dp rounding; the replay pins sign and scale
+      assert(math.abs(r.getDouble(8) - (es - act) * 100.0 / act) < 0.011)
+      assert(math.abs(r.getDouble(9) - (eh - act) * 100.0 / act) < 0.011)
+    }
+  }
+
+  test("q172 isotonic fit: minimax closed form equals the sequential PAVA sweep") {
+    val rows = run("q172_isotonic_fit").collect()
+    assert(rows.nonEmpty)
+    val iso = rows.map(_.getDouble(6))
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b + 1e-9 },
+      "calibrated rates must be nondecreasing")
+    // classic pool-adjacent-violators replay over the same (n, np) blocks
+    case class Blk(n: Long, np: Long) { def rate: Double = np.toDouble / n }
+    var stack = List.empty[Blk]
+    rows.foreach { r =>
+      var b = Blk(r.getLong(3), r.getLong(4))
+      while (stack.nonEmpty && stack.head.rate >= b.rate) {
+        b = Blk(stack.head.n + b.n, stack.head.np + b.np); stack = stack.tail
+      }
+      stack ::= b
+    }
+    // expand each pooled block back over its member bins by weight
+    var bi = 0
+    val isoReplay = new Array[Double](rows.length)
+    stack.reverse.foreach { b =>
+      var w = b.n
+      while (w > 0) { isoReplay(bi) = b.rate; w -= rows(bi).getLong(3); bi += 1 }
+    }
+    assert(bi == rows.length, "pooled blocks must cover every bin exactly")
+    rows.indices.foreach { i =>
+      assert(math.abs(iso(i) - math.floor(isoReplay(i) * 1e6 + 0.5) / 1e6) < 1e-9,
+        s"bin ${i + 1}: minimax ${iso(i)} vs PAVA ${isoReplay(i)}")
+    }
+    // pooling conserves mass: Σ iso·n == Σ positives (PAV's defining
+    // property, checked on the unrounded replay)
+    val mass = rows.indices.map(i => isoReplay(i) * rows(i).getLong(3)).sum
+    assert(math.abs(mass - rows.map(_.getLong(4)).sum) < 1e-6,
+      s"pooled mass $mass vs positives ${rows.map(_.getLong(4)).sum}")
+  }
+
   test("q166 audience overlap: planted partial overlap yields exact set algebra") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-aud").toString
