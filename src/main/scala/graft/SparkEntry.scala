@@ -168,6 +168,7 @@ object SparkEntry {
     "q166_audience_overlap" -> (Associations.q166AudienceOverlap _),
     "q167_loo_influence"  -> (Stats.q167LooInfluence _),
     "q168_vocab_coverage" -> (TextAnalysis.q168VocabCoverage _),
+    "q169_setsim_join"    -> (Dedup.q169SetSimJoin _),
     "q170_join_card_est"  -> (Skew.q170JoinCardEst _),
     "q172_isotonic_fit"   -> (Stats.q172IsotonicFit _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
@@ -3081,6 +3082,31 @@ object SparkEntry {
          |         / CAST(total AS DOUBLE), 2) AS oov_per_10k
          |FROM r CROSS JOIN tot WHERE rk IN ($cuts) OR rk = n_types
          |ORDER BY vocab_size""".stripMargin
+    },
+
+    // BRUTE-FORCE twin of the prefix-filtered exact join: the oracle
+    // proves COMPLETENESS (every τ-pair present), which is the whole
+    // claim prefix filtering makes; string shingles here == hash
+    // shingles there (equality-only use, the q33 precedent)
+    "q169_setsim_join" -> {
+      val tau = operators.Dedup.SetSimTau
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |    WHERE text IS NOT NULL),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |         range(1, greatest(len(ws)-3, 1)+1),
+         |         i -> array_to_string(ws[i:i+3], ' ')))) AS shingle FROM w),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+         |          FROM sh x JOIN sh y
+         |            ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(sa.n AS BIGINT) AS size_a,
+         |       CAST(sb.n AS BIGINT) AS size_b, CAST(inter AS BIGINT) AS inter,
+         |       round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+         |FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+         |           JOIN sizes sb ON id_b = sb.doc_id
+         |WHERE inter / (sa.n + sb.n - inter) >= $tau
+         |ORDER BY id_a, id_b""".stripMargin
     },
 
     // one CTE chain per join scenario (WITH inside a parenthesized

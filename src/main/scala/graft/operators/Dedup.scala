@@ -602,4 +602,79 @@ object Dedup {
         org.apache.spark.ml.functions.vector_to_array(col("hvec")).getItem(0).cast("long").as("hash"))
       .orderBy("doc_id", "table_id")
   }
+
+  /** Jaccard threshold for [[q169SetSimJoin]]. */
+  val SetSimTau = 0.8
+
+  /** q169: EXACT set-similarity self-join at Jaccard ≥ [[SetSimTau]]
+    * via prefix filtering (the PPJoin family, Xiao et al. 2008/
+    * Chaudhuri et al. 2006) — the provably COMPLETE counterpart to
+    * q33's df-capped candidates and q42's probabilistic MinHash: every
+    * pair at the threshold is returned, no sketch error, no dropped
+    * stop-shingles. The principle: order every doc's shingle set by a
+    * GLOBAL frequency order (rarest first) and keep only the first
+    * |d| − ⌈τ·|d|⌉ + 1 tokens as its prefix; two sets with J ≥ τ must
+    * overlap within those prefixes (if the prefixes were disjoint, the
+    * intersection is confined to the suffixes, too small to reach τ).
+    * Candidates come from an inverted index over PREFIX tokens only,
+    * plus the length filter τ·max(|a|,|b|) ≤ min(|a|,|b|); survivors
+    * verify EXACTLY on the full sets.
+    *
+    * Scale shape: no global rank is materialized — (df, shingle) IS
+    * the frequency order, so ordering is a per-doc sort_array after
+    * one df join (shingle-keyed shuffles, O(corpus shingles)). The
+    * inverted index holds only prefix occurrences (~(1−τ) of shingle
+    * volume, and prefix tokens are the RAREST, so per-token fanout is
+    * smallest where lists would be longest — the algorithm's whole
+    * point); verification joins are candidate-bounded. A pathological
+    * hot prefix token would be AQE-split (and τ bounds how common a
+    * prefix token can usefully be). Doc shingle arrays are bounded by
+    * doc length — the collect_list is per-doc, never cross-doc. */
+  def q169SetSimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tau = SetSimTau
+    val sh = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(
+        graft.plans.ShingleHashes.shingleHashes(split(col("text"), " "), 4))
+        .as("shingle"))
+      .persist() // df build + per-doc arrays both read it
+    try {
+      val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      val ordered = sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("toks"),
+          sort_array(collect_list(col("shingle"))).as("set"))
+        .withColumn("sz", size(col("toks")).cast("long"))
+        .select(col("doc_id"), col("sz"), col("toks"), col("set"))
+        .localCheckpoint() // O(docs); feeds prefixes AND verification
+      val prefixes = ordered
+        .select(col("doc_id"), col("sz"),
+          explode(slice(col("toks"), lit(1),
+            (col("sz") - ceil(col("sz") * tau) + 1).cast("int"))).as("t"))
+        .select(col("doc_id"), col("sz"), col("t.shingle").as("shingle"))
+      val cands = prefixes.as("a").join(prefixes.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            greatest(col("a.sz"), col("b.sz")) * tau <=
+              least(col("a.sz"), col("b.sz")).cast("double"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      val ta = ordered.select(col("doc_id").as("id_a"),
+        col("set").as("set_a"), col("sz").as("size_a"))
+      val tb = ordered.select(col("doc_id").as("id_b"),
+        col("set").as("set_b"), col("sz").as("size_b"))
+      val out = cands.join(ta, "id_a").join(tb, "id_b")
+        .select(col("id_a"), col("id_b"), col("size_a"), col("size_b"),
+          size(array_intersect(col("set_a"), col("set_b"))).cast("long").as("inter"))
+        .filter(col("inter") / (col("size_a") + col("size_b") - col("inter")) >= tau)
+        .select(col("id_a"), col("id_b"), col("size_a"), col("size_b"), col("inter"),
+          round(col("inter") / (col("size_a") + col("size_b") - col("inter")), 6)
+            .as("jaccard"))
+        .orderBy("id_a", "id_b")
+      val rows = out.collect() // result bounded by the τ=0.8 near-dup
+                               // population (measured: tens of pairs);
+                               // eager so the shingle cache releases
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally sh.unpersist()
+  }
 }

@@ -2230,6 +2230,46 @@ class QueriesSpec extends AnyFunSuite {
       s"pooled mass $mass vs positives ${rows.map(_.getLong(4)).sum}")
   }
 
+  test("q169 exact set-sim join: complete vs brute force, τ boundary inclusive") {
+    // brute-force all-pairs replay over the real corpus — completeness
+    // is prefix filtering's entire claim, so check EVERY pair
+    val sets = Tables.documents(spark, sf0001)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val ws = r.getString(1).split(" ")
+        val sh = if (ws.length <= 4) Set(ws.mkString(" "))
+        else (0 to ws.length - 4).map(i => ws.slice(i, i + 4).mkString(" ")).toSet
+        r.getLong(0) -> sh
+      }
+    val brute = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size if inter > 0
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      if j >= graft.operators.Dedup.SetSimTau
+    } yield (a, b) -> j).toMap
+    val got = run("q169_setsim_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(got.keySet == brute.keySet,
+      s"missing=${brute.keySet -- got.keySet} extra=${got.keySet -- brute.keySet}")
+    brute.foreach { case (k, j) => assert(math.abs(got(k) - j) < 1e-6, s"$k") }
+    // planted boundary: J(1,2) = 8/10 = τ exactly (kept), J(1,3) below (cut)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ppj").toString
+    val ts = (1 to 12).map(i => s"t$i")
+    val a = ts.mkString(" ")                                   // 9 shingles
+    val b = (ts.take(11) :+ "x").mkString(" ")                 // 8 shared of 9
+    val c = (ts.take(10) ++ Seq("y", "z")).mkString(" ")       // 7 shared of 9
+    Seq((1L, a), (2L, b), (3L, c))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val planted = graft.operators.Dedup.q169SetSimJoin(spark, dir).collect()
+    assert(planted.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)),
+      s"exactly the τ-boundary pair survives: ${planted.toSeq}")
+    assert(planted.head.getDouble(5) == 0.8, "J(1,2) = 8/10 exactly")
+  }
+
   test("q166 audience overlap: planted partial overlap yields exact set algebra") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-aud").toString
