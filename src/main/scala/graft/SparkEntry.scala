@@ -170,6 +170,7 @@ object SparkEntry {
     "q168_vocab_coverage" -> (TextAnalysis.q168VocabCoverage _),
     "q169_setsim_join"    -> (Dedup.q169SetSimJoin _),
     "q170_join_card_est"  -> (Skew.q170JoinCardEst _),
+    "q171_deepwalk"       -> (Graph.q171DeepWalk _),
     "q172_isotonic_fit"   -> (Stats.q172IsotonicFit _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
@@ -3173,6 +3174,47 @@ object SparkEntry {
           "SELECT l_partkey AS k FROM lineitem"))
         .map(q => s"SELECT * FROM $q")
         .mkString("", "\nUNION ALL\n", "\nORDER BY join_name")
+    },
+
+    // every walk transition replayed bit-for-bit: the multiply-mod
+    // chooser (q153/q164 chain) mod out-degree lands in a successor's
+    // cumulative-count interval; one unrolled CTE per step (the
+    // q110/q147/q163 fixed-iteration rule)
+    "q171_deepwalk" -> {
+      val (ns, nw, nt) = (operators.Graph.WalkStarts,
+        operators.Graph.WalksPerStart, operators.Graph.WalkSteps)
+      def mm(key: String, salt: String): String =
+        s"(((($key) % 1000000007) * 1000003 % 1000000007 + ($salt) * 7919) " +
+          s"% 1000000007) * 69069 % 1000000007"
+      val steps = (1 to nt).map { t =>
+        val r = s"(${mm(tokenId("s.cur"), s"s.walk * 100 + $t")}) % e.tot"
+        s"""s$t AS (SELECT s.start, s.walk, coalesce(e.u, s.cur) AS cur,
+           |  CASE WHEN e.u IS NULL THEN s.path
+           |       ELSE s.path || ' ' || e.u END AS path
+           |FROM s${t - 1} s LEFT JOIN ed e ON e.v = s.cur
+           |  AND $r >= e.cum - e.cnt AND $r < e.cum)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (SELECT ${tok("text")} AS ws FROM documents
+         |    WHERE text IS NOT NULL),
+         |bg AS (SELECT unnest(list_transform(range(1, len(ws)),
+         |         i -> {'v': ws[i], 'u': ws[i+1]})) AS p
+         |       FROM d WHERE len(ws) >= 2),
+         |e0 AS (SELECT p['v'] AS v, p['u'] AS u, count(*) AS cnt
+         |       FROM bg GROUP BY 1, 2),
+         |ed AS (SELECT v, u, cnt,
+         |         CAST(sum(cnt) OVER (PARTITION BY v ORDER BY cnt DESC, u ASC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |         CAST(sum(cnt) OVER (PARTITION BY v) AS BIGINT) AS tot
+         |       FROM e0),
+         |tw AS (SELECT unnest(ws) AS word FROM d),
+         |st AS (SELECT word AS start FROM (SELECT word, count(*) AS c FROM tw
+         |        GROUP BY 1 ORDER BY c DESC, word ASC LIMIT $ns)),
+         |s0 AS (SELECT start, CAST(unnest(range(0, $nw)) AS BIGINT) AS walk,
+         |         start AS cur, start AS path FROM st),
+         |$steps
+         |SELECT start AS start_word, walk AS walk_id, path,
+         |       CAST(len(string_split(path, ' ')) AS BIGINT) AS n_nodes
+         |FROM s$nt ORDER BY start_word, walk_id""".stripMargin
     },
 
     // PAV via the minimax closed form over the O(bins) cell frame —

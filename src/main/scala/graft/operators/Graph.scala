@@ -439,4 +439,90 @@ object Graph {
       .select(col("id").as("word"), round(col("d"), 6).as("dist"))
       .orderBy("dist", "word")
   }
+
+  /** Walk shape for [[q171DeepWalk]]: top-N start words, walks per
+    * start, transitions per walk (8-node paths). */
+  val WalkStarts = 20
+  val WalksPerStart = 2
+  val WalkSteps = 7
+
+  /** q171: DeepWalk corpus generation (Perozzi et al. 2014) — random
+    * walks over the bigram transition graph, emitted as token
+    * sequences. This is the graph-to-sequence bridge back to the
+    * reference's own model: DeepWalk's whole insight is that walk
+    * corpora feed word2vec UNCHANGED, so these paths are literal
+    * training input for the q40 embedding trainer — graph embeddings
+    * from the same Spark pipeline, no new trainer.
+    *
+    * "Random" is DERIVED, never drawn (the q153/q45b determinism rule,
+    * here applied to a CHOICE instead of a weight): at node v, step t,
+    * walk w the chooser is r = mmix(tokenId(v), 100·w + t) mod out(v) —
+    * pure integer arithmetic — and the walk takes the successor whose
+    * cumulative-count interval [cum − cnt, cum) contains r, i.e. a
+    * frequency-proportional draw from a common random sequence. Both
+    * engines (and any two cluster runs) walk the SAME paths, so the
+    * oracle replays every transition bit-for-bit through
+    * [[WalkSteps]] unrolled CTEs (the q110/q147/q163 fixed-iteration
+    * rule). Dead ends self-resolve: a node with no successors simply
+    * stops extending (left-join miss keeps cur/path unchanged).
+    *
+    * Scale shape: bigrams extract IN-ROW (zip of adjacent tokens, no
+    * corpus shuffle before the edge groupBy); the edge table with
+    * per-source cumulative counts is vocabulary-capped (the q110
+    * argument — this IS q110's graph family) and localCheckpointed
+    * once; each step is a broadcast left join of the O(starts × walks)
+    * frontier against it. The corpus is touched exactly once. */
+  def q171DeepWalk(spark: SparkSession, dir: String): DataFrame = {
+    val m = 1000000007L
+    def mmix(key: org.apache.spark.sql.Column, salt: org.apache.spark.sql.Column) =
+      pmod(pmod(pmod(pmod(key, lit(m)) * lit(1000003L), lit(m))
+        + salt * lit(7919L), lit(m)) * lit(69069L), lit(m))
+    val toks = graft.Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(graft.functions.Portable.tokenize(col("text")).as("ws"))
+      .persist() // edge build + start shortlist share the scan
+    try {
+      val bigrams = toks.filter(size(col("ws")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(ws) - 1), " +
+            "i -> struct(element_at(ws, i) AS v, element_at(ws, i + 1) AS u))"))
+          .as("p"))
+        .groupBy(col("p.v").as("v"), col("p.u").as("u"))
+        .agg(count(lit(1)).as("cnt"))
+      val bySucc = Window.partitionBy("v").orderBy(col("cnt").desc, col("u").asc)
+      val edges = bigrams
+        .withColumn("cum", sum("cnt").over(
+          bySucc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", sum("cnt").over(Window.partitionBy("v")))
+        .localCheckpoint(eager = true) // vocabulary-capped; 7 join consumers
+      val starts = toks.select(explode(col("ws")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("word").asc).limit(WalkStarts)
+        .select(col("word").as("start"))
+      var frontier = starts
+        .select(col("start"), explode(sequence(lit(0L),
+          lit(WalksPerStart - 1L))).as("walk"))
+        .select(col("start"), col("walk"),
+          col("start").as("cur"), col("start").as("path"))
+      for (t <- 1 to WalkSteps) {
+        val r = pmod(mmix(graft.plans.TokenId.tokenId(col("cur")),
+          col("walk") * lit(100L) + lit(t.toLong)), col("tot"))
+        frontier = frontier.join(broadcast(edges),
+            col("v") === col("cur") &&
+              r >= col("cum") - col("cnt") && r < col("cum"), "left")
+          .select(col("start"), col("walk"),
+            coalesce(col("u"), col("cur")).as("cur"),
+            when(col("u").isNull, col("path"))
+              .otherwise(concat_ws(" ", col("path"), col("u"))).as("path"))
+      }
+      val out = frontier
+        .select(col("start").as("start_word"), col("walk").as("walk_id"),
+          col("path"),
+          size(split(col("path"), " ")).cast("long").as("n_nodes"))
+        .orderBy("start_word", "walk_id")
+      val rows = out.collect() // O(starts × walks) by construction;
+                               // eager so the token cache releases
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally toks.unpersist()
+  }
 }

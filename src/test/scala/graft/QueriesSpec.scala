@@ -2270,6 +2270,55 @@ class QueriesSpec extends AnyFunSuite {
     assert(planted.head.getDouble(5) == 0.8, "J(1,2) = 8/10 exactly")
   }
 
+  test("q171 DeepWalk: plain-Scala replay walks the identical paths") {
+    val rows = run("q171_deepwalk").collect()
+    assert(rows.length == graft.operators.Graph.WalkStarts *
+      graft.operators.Graph.WalksPerStart)
+    // rebuild the bigram graph independently from raw text
+    val docs = Tables.documents(spark, sf0001).filter(col("text").isNotNull)
+      .select(col("text")).collect().map(_.getString(0))
+    def tokenize(t: String): Seq[String] =
+      t.toLowerCase.split("\\W+").filter(_.matches("[a-z]+")).toSeq
+    val bigrams = docs.flatMap(d => tokenize(d).sliding(2).filter(_.length == 2)
+      .map(p => (p(0), p(1)))).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val succ = bigrams.toSeq.map { case ((v, u), c) => (v, u, c) }
+      .groupBy(_._1).view.mapValues { es =>
+        val sorted = es.sortBy { case (_, u, c) => (-c, u) }
+        val tot = sorted.map(_._3).sum
+        (sorted, tot)
+      }.toMap
+    val m = 1000000007L
+    def tokenId(w: String): Long =
+      w.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % m)
+    def mmix(key: Long, salt: Long): Long =
+      ((key % m) * 1000003 % m + salt * 7919) % m * 69069 % m
+    rows.foreach { r =>
+      val (start, walk, path) = (r.getString(0), r.getLong(1), r.getString(2))
+      var cur = start
+      val replay = new scala.collection.mutable.ArrayBuffer[String]
+      replay += start
+      (1 to graft.operators.Graph.WalkSteps).foreach { t =>
+        succ.get(cur).foreach { case (es, tot) =>
+          val rr = mmix(tokenId(cur), walk * 100 + t) % tot
+          var cum = 0L
+          val next = es.collectFirst {
+            case (_, u, c) if { cum += c; rr < cum } => u
+          }.get
+          replay += next; cur = next
+        }
+      }
+      assert(path == replay.mkString(" "),
+        s"walk ($start, $walk): $path vs replay ${replay.mkString(" ")}")
+      assert(r.getLong(3) == path.split(" ").length.toLong)
+    }
+    // every consecutive pair in every path is an observed bigram
+    rows.foreach { r =>
+      r.getString(2).split(" ").sliding(2).filter(_.length == 2).foreach { p =>
+        assert(bigrams.contains((p(0), p(1))), s"unseen transition ${p.toSeq}")
+      }
+    }
+  }
+
   test("q166 audience overlap: planted partial overlap yields exact set algebra") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-aud").toString
