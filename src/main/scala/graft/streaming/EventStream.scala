@@ -770,6 +770,75 @@ object EventStream {
       .orderBy("cohort_week", "week_offset")
   }
 
+  case class TypeSeen(user_id: Long, event_type: String)
+  case class AudSeen(types: Set[String])
+
+  /** Streaming half of the batch q166 audience-overlap matrix: emits
+    * one (user, type) row the FIRST time a user is seen doing a type —
+    * the retentionWeeks pattern applied to audience membership. Append
+    * mode, rows never retract, and the emitted set is identical under
+    * any micro-batch delivery order (order-independent parity). State
+    * per user is the seen-type set — bounded by the type ENUM (≤ 64 by
+    * the q166 contract), the smallest state of any stateful twin here.
+    * [[audienceMatrix]] folds the sightings into the exact batch
+    * matrix, so segment overlap is incrementally maintainable at
+    * ingest instead of recomputed over the full history. */
+  def audienceFirstSightings(events: Dataset[TypedEvent]): Dataset[TypeSeen] = {
+    import events.sparkSession.implicits._
+    droppingNullKeys(events).filter(col("event_type").isNotNull)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[TypedEvent], state: GroupState[AudSeen]) => {
+          var s = state.getOption.getOrElse(AudSeen(Set.empty))
+          val out = Vector.newBuilder[TypeSeen]
+          rows.foreach { e =>
+            if (!s.types(e.event_type)) {
+              s = AudSeen(s.types + e.event_type)
+              out += TypeSeen(uid, e.event_type)
+            }
+          }
+          state.update(s)
+          out.result().iterator
+        })
+  }
+
+  /** Fold [[audienceFirstSightings]] emissions into the q166 matrix —
+    * the sightings ARE the distinct (user, type) set, so the batch
+    * oracle's own algebra (pair counts from a per-user self-join,
+    * singles, total) applies verbatim; output matches q166 column for
+    * column. The self-join here runs on user×type sightings (already
+    * distinct), one user-keyed shuffle — the q166 bitmask form remains
+    * the batch-scan shape; this fold's input is the already-collapsed
+    * stream. */
+  def audienceMatrix(seen: DataFrame): DataFrame = {
+    val singles = seen.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+    val nUsers = seen.select("user_id").distinct().agg(count(lit(1)).as("n_users"))
+    // in-row pair expansion of each user's sorted type set (the q124
+    // shape) — no self-join, so no conflicting-lineage trap on a
+    // memory-sink view and one user-keyed shuffle total
+    val pairs = seen.groupBy("user_id")
+      .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+      .select(explode(expr(
+        "flatten(transform(ts, (x, i) -> " +
+          "transform(slice(ts, i + 2, size(ts)), y -> struct(x AS type_a, y AS type_b))))"))
+        .as("p"))
+      .select(col("p.type_a").as("type_a"), col("p.type_b").as("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(singles.select(col("event_type").as("type_a"),
+        col("cnt").as("ua"))), "type_a")
+      .join(broadcast(singles.select(col("event_type").as("type_b"),
+        col("cnt").as("ub"))), "type_b")
+      .crossJoin(broadcast(nUsers))
+      .select(col("type_a"), col("type_b"),
+        col("ua").as("users_a"), col("ub").as("users_b"), col("n_both").as("users_both"),
+        round(col("n_both").cast("double") /
+          (col("ua") + col("ub") - col("n_both")).cast("double"), 6).as("jaccard"),
+        round(col("n_both").cast("double") * col("n_users") /
+          (col("ua").cast("double") * col("ub").cast("double")), 4).as("lift"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Custom state machine via flatMapGroupsWithState: per-user session
     * counting with a 30-minute gap rule — the streaming twin of the
     * batch q25 window query. State is one small record per active user,

@@ -300,6 +300,32 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming audience sightings fold into the batch q166 overlap matrix") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-aud-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = EventStream.readStream(spark, dir.toString)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+      .as[EventStream.TypedEvent]
+    val q = EventStream.audienceFirstSightings(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("aud_sightings")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-aud-ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // the emitted rows are EXACTLY the distinct (user, type) set
+    val seen = spark.table("aud_sightings")
+    assert(seen.count() == seen.distinct().count(), "sightings emit once per (user, type)")
+    val got = EventStream.audienceMatrix(seen).collect().map(_.toSeq).toSeq
+    val want = SparkEntry.queries("q166_audience_overlap")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty, "batch q166 must produce pairs at sf0.001")
+    assert(got == want, "stream-folded audience matrix must equal batch q166 row-for-row")
+  }
+
   test("streaming retention weeks fold into the batch q101 cohort matrix") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-retention-stream")
