@@ -172,6 +172,16 @@ object SparkEntry {
     "q170_join_card_est"  -> (Skew.q170JoinCardEst _),
     "q171_deepwalk"       -> (Graph.q171DeepWalk _),
     "q172_isotonic_fit"   -> (Stats.q172IsotonicFit _),
+    "q173_survival_km"    -> (Temporal.q173SurvivalKm _),
+    "q174_active_users"   -> (Temporal.q174ActiveUsers _),
+    // rows-only: DataSketches HLL internals (the q44/q166b contract)
+    "q174b_active_users_hll" -> (Temporal.q174bActiveUsersHll _),
+    "q175_msprt"          -> (Stats.q175Msprt _),
+    "q176_covariate_balance" -> (Stats.q176CovariateBalance _),
+    "q177_centroid_geometry" -> (LinAlg.q177CentroidGeometry _),
+    "q178_source_containment" -> (Dedup.q178SourceContainment _),
+    "q179_dq_audit"       -> (Profile.q179DqAudit _),
+    "q180_lexical_drift"  -> (TextAnalysis.q180LexicalDrift _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -3259,6 +3269,286 @@ object SparkEntry {
          |FROM idx JOIN iso ON idx.i = iso.i
          |ORDER BY bin_idx""".stripMargin
     },
+
+    // KM survival: exact integer risk/event counts; Π(1−d/n) as
+    // exp(Σ ln f) over the SAME ordered window both engines evaluate
+    // sequentially; a zero factor short-circuits to exactly 0
+    "q173_survival_km" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+        |oe AS (SELECT max(us) AS obs_end FROM ev),
+        |fv AS (SELECT user_id, min(us) AS fv FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |fp AS (SELECT e.user_id, min(e.us) AS fp FROM ev e
+        |       JOIN fv ON e.user_id = fv.user_id
+        |       WHERE e.event_type = 'purchase' AND e.us > fv.fv GROUP BY 1),
+        |subj AS (SELECT CAST(floor((CASE WHEN fp.fp IS NOT NULL THEN fp.fp - fv.fv
+        |            ELSE oe.obs_end - fv.fv END) / 3600000000) AS BIGINT) AS t_h,
+        |            CASE WHEN fp.fp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |         FROM fv LEFT JOIN fp ON fv.user_id = fp.user_id CROSS JOIN oe),
+        |g AS (SELECT t_h, CAST(sum(ev) AS BIGINT) AS n_events,
+        |        CAST(sum(1 - ev) AS BIGINT) AS n_censored FROM subj GROUP BY 1),
+        |r AS (SELECT *, CAST(sum(n_events + n_censored) OVER ()
+        |        - coalesce(sum(n_events + n_censored) OVER (ORDER BY t_h
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS BIGINT) AS n_risk FROM g),
+        |f AS (SELECT *, CAST(n_risk - n_events AS DOUBLE) / n_risk AS factor
+        |      FROM r WHERE n_events > 0),
+        |k AS (SELECT *, max(CASE WHEN factor <= 0 THEN 1 ELSE 0 END) OVER
+        |        (ORDER BY t_h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        AS hit_zero,
+        |        sum(CASE WHEN factor > 0 THEN ln(factor) ELSE 0 END) OVER
+        |        (ORDER BY t_h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        AS lsum FROM f)
+        |SELECT t_h AS t_hours, n_risk, n_events, n_censored,
+        |       CASE WHEN hit_zero = 1 THEN 0.0 ELSE round(exp(lsum), 6) END AS surv
+        |FROM k ORDER BY t_hours""".stripMargin,
+
+    // rolling active users on integer epoch-days: each (user, active
+    // day) row represents day d in the trailing window iff the user's
+    // next active day is past d — one bounded explode, no day×history
+    // join; counts are exact integers
+    "q174_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |      CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d
+        |    FROM events),
+        |span AS (SELECT min(d) AS d0, max(d) AS d1 FROM ud),
+        |nx AS (SELECT user_id, d,
+        |         lead(d) OVER (PARTITION BY user_id ORDER BY d) AS nxt,
+        |         d1 FROM ud CROSS JOIN span),
+        |wau AS (SELECT unnest(range(d, least(d + 6, coalesce(nxt - 1, d1), d1) + 1)) AS di
+        |        FROM nx),
+        |mau AS (SELECT unnest(range(d, least(d + 27, coalesce(nxt - 1, d1), d1) + 1)) AS di
+        |        FROM nx),
+        |wc AS (SELECT di, count(*) AS wau FROM wau GROUP BY 1),
+        |mc AS (SELECT di, count(*) AS mau FROM mau GROUP BY 1),
+        |dc AS (SELECT d AS di, count(*) AS dau FROM ud GROUP BY 1),
+        |spine AS (SELECT unnest(range(d0, d1 + 1)) AS di FROM span)
+        |SELECT strftime(DATE '1970-01-01' + CAST(spine.di AS INTEGER),
+        |         '%Y-%m-%d') AS day,
+        |       CAST(coalesce(dau, 0) AS BIGINT) AS dau,
+        |       CAST(coalesce(wau, 0) AS BIGINT) AS wau,
+        |       CAST(coalesce(mau, 0) AS BIGINT) AS mau,
+        |       CASE WHEN coalesce(mau, 0) > 0 THEN
+        |         round(CAST(coalesce(dau, 0) AS DOUBLE) / mau, 4) END AS stickiness
+        |FROM spine LEFT JOIN dc ON spine.di = dc.di
+        |  LEFT JOIN wc ON spine.di = wc.di
+        |  LEFT JOIN mc ON spine.di = mc.di
+        |ORDER BY day""".stripMargin,
+
+    // mSPRT: cumulative moments on the exact 1e-3 integer grid (the
+    // q155 rule — HUGEINT here, decimal(38,0) in Spark), the Λ closed
+    // form with identical literals, always-valid p = running min of 1/Λ
+    "q175_msprt" ->
+      """WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |      ((user_id % 1000000007) * 1000003) % 1000000007 % 2 = 1 AS t,
+        |      CAST(round(value * 1000) AS BIGINT) AS v3
+        |    FROM events WHERE value IS NOT NULL),
+        |daily AS (SELECT day,
+        |      sum(CASE WHEN t THEN 1 ELSE 0 END) AS dn1,
+        |      sum(CASE WHEN t THEN v3 ELSE 0 END) AS ds1,
+        |      sum(CASE WHEN t THEN v3 * v3 ELSE 0 END) AS dq1,
+        |      sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS dn2,
+        |      sum(CASE WHEN NOT t THEN v3 ELSE 0 END) AS ds2,
+        |      sum(CASE WHEN NOT t THEN v3 * v3 ELSE 0 END) AS dq2
+        |    FROM e GROUP BY 1),
+        |c AS (SELECT day,
+        |       CAST(sum(dn1) OVER w AS BIGINT) AS n1,
+        |       CAST(sum(dn2) OVER w AS BIGINT) AS n2,
+        |       CAST(sum(ds1) OVER w AS DOUBLE) / 1000.0 AS s1,
+        |       CAST(sum(dq1) OVER w AS DOUBLE) / 1000000.0 AS q1,
+        |       CAST(sum(ds2) OVER w AS DOUBLE) / 1000.0 AS s2,
+        |       CAST(sum(dq2) OVER w AS DOUBLE) / 1000000.0 AS q2
+        |      FROM daily
+        |      WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND CURRENT ROW)),
+        |m AS (SELECT day, n1, n2,
+        |        CAST(n1 AS DOUBLE) AS nd1, CAST(n2 AS DOUBLE) AS nd2,
+        |        s1, q1, s2, q2 FROM c),
+        |vv AS (SELECT *, s1 / nd1 - s2 / nd2 AS dd,
+        |        CASE WHEN n1 >= 2 AND n2 >= 2 THEN
+        |          (q1 - s1 * s1 / nd1) / (nd1 - 1) / nd1
+        |          + (q2 - s2 * s2 / nd2) / (nd2 - 1) / nd2 END AS v
+        |       FROM m),
+        |lam AS (SELECT *, CASE WHEN v IS NOT NULL AND v > 0 THEN
+        |          sqrt(v / (v + 0.01)) * exp(dd * dd * 0.01
+        |            / (2.0 * v * (v + 0.01))) END AS lam FROM vv),
+        |p AS (SELECT *, round(least(coalesce(min(1.0 / lam) OVER
+        |        (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |        1.0), 1.0), 6) AS p_avi FROM lam)
+        |SELECT day, n1 AS n_t, n2 AS n_c, round(dd, 6) AS delta,
+        |       round(ln(lam), 6) AS log_lambda, p_avi,
+        |       CAST(CASE WHEN p_avi <= 0.05 THEN 1 ELSE 0 END AS BIGINT)
+        |         AS significant
+        |FROM p ORDER BY day""".stripMargin,
+
+    // covariate balance: per-user integer covariates on the ×1000 grid,
+    // exact HUGEINT arm moments, SMD from identical integers
+    "q176_covariate_balance" ->
+      """WITH pu AS (SELECT user_id,
+        |      ((user_id % 1000000007) * 1000003) % 1000000007 % 2 = 1 AS t,
+        |      count(*) * 1000 AS n_events,
+        |      sum(coalesce(CAST(round(value * 1000) AS BIGINT), 0)) AS value_sum,
+        |      count(DISTINCT event_type) * 1000 AS n_types,
+        |      count(DISTINCT CAST(ts AS DATE)) * 1000 AS n_days
+        |    FROM events GROUP BY 1, 2),
+        |long AS (
+        |  SELECT t, 'n_events' AS covariate, n_events AS x3 FROM pu
+        |  UNION ALL SELECT t, 'value_sum', value_sum FROM pu
+        |  UNION ALL SELECT t, 'n_types', n_types FROM pu
+        |  UNION ALL SELECT t, 'n_days', n_days FROM pu),
+        |g AS (SELECT covariate,
+        |       CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |       sum(CASE WHEN t THEN x3 ELSE 0 END) AS s_t,
+        |       sum(CASE WHEN t THEN x3 * x3 ELSE 0 END) AS q_t,
+        |       CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        |       sum(CASE WHEN NOT t THEN x3 ELSE 0 END) AS s_c,
+        |       sum(CASE WHEN NOT t THEN x3 * x3 ELSE 0 END) AS q_c
+        |      FROM long GROUP BY 1),
+        |d AS (SELECT covariate, n_t, n_c,
+        |        CAST(s_t AS DOUBLE) / 1000.0 / n_t AS m_t,
+        |        CAST(s_c AS DOUBLE) / 1000.0 / n_c AS m_c,
+        |        (CAST(q_t AS DOUBLE) / 1000000.0
+        |          - (CAST(s_t AS DOUBLE) / 1000.0) * (CAST(s_t AS DOUBLE) / 1000.0)
+        |            / n_t) / (n_t - 1) AS v_t,
+        |        (CAST(q_c AS DOUBLE) / 1000000.0
+        |          - (CAST(s_c AS DOUBLE) / 1000.0) * (CAST(s_c AS DOUBLE) / 1000.0)
+        |            / n_c) / (n_c - 1) AS v_c
+        |      FROM g),
+        |s AS (SELECT covariate, n_t, n_c, round(m_t, 6) AS mean_t,
+        |        round(m_c, 6) AS mean_c,
+        |        CASE WHEN v_t + v_c > 0 THEN
+        |          round((m_t - m_c) / sqrt((v_t + v_c) / 2.0), 4) END AS smd
+        |      FROM d)
+        |SELECT covariate, n_t, n_c, mean_t, mean_c, smd,
+        |       CAST(CASE WHEN smd IS NOT NULL THEN
+        |           CASE WHEN abs(smd) < 0.1 THEN 1 ELSE 0 END
+        |         ELSE CASE WHEN mean_t = mean_c THEN 1 ELSE 0 END END
+        |         AS BIGINT) AS balanced
+        |FROM s ORDER BY covariate""".stripMargin,
+
+    // centroid geometry: 6-dp centroids land on the ×10⁶ integer grid
+    // (the q05 round + the q155 exact-sum rule), so dots/norms are
+    // exact integers and only the final cosine is a double
+    "q177_centroid_geometry" ->
+      """WITH c AS (SELECT label, pos,
+        |      CAST(round(round(avg(val), 6) * 1000000.0) AS BIGINT) AS v6
+        |    FROM (SELECT CAST(label AS BIGINT) AS label,
+        |            CAST(unnest(range(len(embedding))) AS BIGINT) AS pos,
+        |            unnest(CAST(embedding AS DOUBLE[])) AS val
+        |          FROM embeddings)
+        |    GROUP BY 1, 2),
+        |n AS (SELECT label, sum(v6 * v6) AS nrm FROM c GROUP BY 1),
+        |p AS (SELECT a.label AS label_a, b.label AS label_b,
+        |        sum(a.v6 * b.v6) AS dot
+        |      FROM c a JOIN c b ON a.pos = b.pos AND a.label <> b.label
+        |      GROUP BY 1, 2),
+        |s AS (SELECT label_a, label_b,
+        |        round(CAST(dot AS DOUBLE)
+        |          / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6)
+        |          AS cosine
+        |      FROM p JOIN n na ON p.label_a = na.label
+        |        JOIN n nb ON p.label_b = nb.label)
+        |SELECT label_a, label_b, cosine,
+        |       CAST(row_number() OVER (PARTITION BY label_a
+        |         ORDER BY cosine DESC, label_b ASC) AS BIGINT) AS rnk
+        |FROM s ORDER BY label_a, rnk""".stripMargin,
+
+    // source containment: the q33 shingle grammar at the source grain
+    // (string shingles here mirror the native hash equality exactly)
+    "q178_source_containment" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') AS ws
+        |    FROM documents WHERE text IS NOT NULL),
+        |sh0 AS (SELECT source,
+        |         unnest(list_distinct(list_transform(
+        |           range(1, greatest(len(ws)-3, 1)+1),
+        |           i -> array_to_string(ws[i:i+3], ' ')))) AS shingle
+        |       FROM w),
+        |sh AS (SELECT DISTINCT source, shingle FROM sh0),
+        |sizes AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+        |            count(*) AS shared
+        |          FROM sh a JOIN sh b
+        |            ON a.shingle = b.shingle AND a.source < b.source
+        |          GROUP BY 1, 2)
+        |SELECT src_a, src_b, shared, sa.n_sh AS n_a, sb.n_sh AS n_b,
+        |       round(CAST(shared AS DOUBLE) / sa.n_sh, 6) AS containment_ab,
+        |       round(CAST(shared AS DOUBLE) / sb.n_sh, 6) AS containment_ba
+        |FROM pairs JOIN sizes sa ON pairs.src_a = sa.source
+        |  JOIN sizes sb ON pairs.src_b = sb.source
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    // DQ audit: one conditional count per declared rule
+    "q179_dq_audit" ->
+      """WITH rules AS (
+        |  SELECT 'fk_orders_customer' AS rule, 'orders' AS table_name,
+        |    count(*) AS n_checked,
+        |    coalesce(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END), 0)
+        |      AS n_violations
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_orders', 'lineitem', count(*),
+        |    coalesce(sum(CASE WHEN oo.o_orderkey IS NULL THEN 1 ELSE 0 END), 0)
+        |  FROM lineitem l LEFT JOIN orders oo ON l.l_orderkey = oo.o_orderkey
+        |  UNION ALL
+        |  SELECT 'lineitem_qty_in_range', 'lineitem', count(*),
+        |    coalesce(sum(CASE WHEN l_quantity <= 0 OR l_quantity > 100
+        |      THEN 1 ELSE 0 END), 0) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_discount_in_range', 'lineitem', count(*),
+        |    coalesce(sum(CASE WHEN l_discount < 0 OR l_discount > 0.5
+        |      THEN 1 ELSE 0 END), 0) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders_price_positive', 'orders', count(*),
+        |    coalesce(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END), 0)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'events_value_present', 'events', count(*),
+        |    coalesce(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END), 0)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'events_ts_in_bounds', 'events', count(*),
+        |    coalesce(sum(CASE WHEN ts IS NULL OR ts < TIMESTAMP '2020-01-01'
+        |      OR ts >= TIMESTAMP '2030-01-01' THEN 1 ELSE 0 END), 0)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'documents_nchars_consistent', 'documents', count(*),
+        |    coalesce(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END), 0)
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT rule, table_name, CAST(n_checked AS BIGINT) AS n_checked,
+        |       CAST(n_violations AS BIGINT) AS n_violations,
+        |       CASE WHEN n_checked > 0 THEN
+        |         round(CAST(n_violations AS DOUBLE) / n_checked, 6) END
+        |         AS violation_rate,
+        |       CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |         AS passed
+        |FROM rules ORDER BY rule""".stripMargin,
+
+    // lexical drift: q01 token grammar, split-half integer counts,
+    // add-one-smoothed share ratio with identical literals
+    "q180_lexical_drift" ->
+      s"""WITH mid AS (SELECT CAST(floor((min(doc_id) + max(doc_id)) / 2) AS BIGINT) AS mid
+         |    FROM documents WHERE text IS NOT NULL),
+         |tokens AS (SELECT doc_id <= mid.mid AS early,
+         |      unnest(${tok("text")}) AS word
+         |    FROM documents CROSS JOIN mid WHERE text IS NOT NULL),
+         |counts AS (SELECT word,
+         |      CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS cnt_early,
+         |      CAST(sum(CASE WHEN NOT early THEN 1 ELSE 0 END) AS BIGINT) AS cnt_late
+         |    FROM tokens GROUP BY 1),
+         |tot AS (SELECT sum(cnt_early) AS tot_early, sum(cnt_late) AS tot_late,
+         |        count(*) AS v FROM counts)
+         |SELECT word, cnt_early, cnt_late,
+         |       round(CAST(cnt_early + 1 AS DOUBLE)
+         |         / CAST(tot_early + v AS DOUBLE), 8) AS share_early,
+         |       round(CAST(cnt_late + 1 AS DOUBLE)
+         |         / CAST(tot_late + v AS DOUBLE), 8) AS share_late,
+         |       round((CAST(cnt_late + 1 AS DOUBLE)
+         |           / CAST(tot_late + v AS DOUBLE))
+         |         / (CAST(cnt_early + 1 AS DOUBLE)
+         |           / CAST(tot_early + v AS DOUBLE)), 4) AS lift
+         |FROM counts CROSS JOIN tot
+         |WHERE cnt_early + cnt_late >= 5
+         |ORDER BY lift DESC, word LIMIT 20""".stripMargin,
   )
 
   /** q162b is the hour-sharded PHYSICAL form of q162 — identical

@@ -677,4 +677,45 @@ object Dedup {
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     } finally sh.unpersist()
   }
+
+  /** q178: cross-source shingle containment — the provenance question
+    * the SYMMETRIC measures (q33 Jaccard, q120 divergence) can't
+    * answer: "what fraction of source A's distinct 4-gram shingles
+    * also appear in source B", which is directional — a small feed
+    * scraped from a big one shows high containment A→B with near-zero
+    * Jaccard (Broder's containment vs resemblance distinction). This
+    * is the source-level plagiarism/mirror audit a mix planner runs
+    * before counting two feeds as independent.
+    *
+    * Plan: native [[graft.plans.ShingleHashes]] per doc (no shingle
+    * strings ever), dedup to (source, shingle) — the corpus collapses
+    * to the source-level shingle-set relation — then ONE shuffle on
+    * shingle joins the ≤|sources| owners of each shingle into ordered
+    * pairs; per-source set sizes are a broadcast. Output is
+    * O(sources²). Exact at this scale; at 100 TB the q33 df-cap (drop
+    * shingles in >K sources) bounds the per-shingle fanout at K²
+    * pairs — it biases containment DOWN by at most the capped-shingle
+    * share, the documented tradeoff. */
+  def q178SourceContainment(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(
+        graft.plans.ShingleHashes.shingleHashes(split(col("text"), " "), 4))
+        .as("shingle"))
+      .distinct() // (source, shingle): the whole downstream input
+      .localCheckpoint()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.select(col("source").as("src_a"), col("shingle"))
+      .join(sh.select(col("source").as("src_b"), col("shingle")), "shingle")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n_sh").as("n_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n_sh").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared"), col("n_a"), col("n_b"),
+        round(col("shared").cast("double") / col("n_a"), 6).as("containment_ab"),
+        round(col("shared").cast("double") / col("n_b"), 6).as("containment_ba"))
+      .orderBy("src_a", "src_b")
+  }
 }

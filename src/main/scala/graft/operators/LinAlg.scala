@@ -251,4 +251,51 @@ object LinAlg {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .select(col("vec_id") +: proj.zipWithIndex.map { case (c, i) => c.as(s"pc$i") }: _*)
   }
+
+  /** q177: label-centroid geometry — the pairwise cosine structure of
+    * the class centroids, with each centroid's neighbors ranked: the
+    * embedding-space confusion map ("which classes sit on top of each
+    * other") a team reads before trusting kNN label propagation (q99)
+    * or mining cross-label hard negatives (q141 assumes near classes
+    * exist — this says WHICH). The q120/q160 source-divergence idea
+    * moved from lexical histograms to embedding geometry.
+    *
+    * Scale shape: one posexplode pass collapses the corpus to
+    * O(labels × d) centroid cells (the q05 plan — partial-aggregated,
+    * one exchange); every downstream join runs on that bounded frame.
+    * Determinism: centroid coordinates round to 6 dp (the q05
+    * contract), then land on the ×10⁶ integer grid, so the pairwise
+    * dot products and norms are EXACT integer sums (the q155 rule
+    * applied to vector algebra — a float dot over shuffled cells would
+    * be accumulation-order-sensitive); cosine is the only double,
+    * derived identically on both engines. */
+  def q177CentroidGeometry(spark: SparkSession, dir: String): DataFrame = {
+    val cent = Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      // 6-dp round then exact ×10⁶ grid: |v6| ≤ ~10⁷, d = 64 → dot
+      // sums ≤ ~6.4e15, well inside long range. The second round(…, 0)
+      // matters: double→long CAST truncates in Spark but rounds in
+      // DuckDB, so the grid landing must be an explicit round on both
+      .agg(round(round(avg("x"), 6) * 1000000.0, 0).cast("long").as("v6"))
+      .localCheckpoint() // O(labels × d); feeds norms and pairs
+    val norms = cent.groupBy("label")
+      .agg(sum(col("v6") * col("v6")).as("nrm"))
+    val pairs = cent.select(col("label").as("la"), col("pos"), col("v6").as("va"))
+      .join(cent.select(col("label").as("lb"), col("pos"), col("v6").as("vb")), "pos")
+      .filter(col("la") =!= col("lb"))
+      .groupBy("la", "lb")
+      .agg(sum(col("va") * col("vb")).as("dot"))
+    pairs
+      .join(norms.select(col("label").as("la"), col("nrm").as("na")), "la")
+      .join(norms.select(col("label").as("lb"), col("nrm").as("nb")), "lb")
+      .select(col("la").as("label_a"), col("lb").as("label_b"),
+        round(col("dot").cast("double") /
+          sqrt(col("na").cast("double") * col("nb").cast("double")), 6).as("cosine"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("label_a").orderBy(desc("cosine"), asc("label_b"))))
+      .orderBy("label_a", "rnk")
+  }
 }

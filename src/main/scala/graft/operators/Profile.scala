@@ -124,4 +124,61 @@ object Profile {
         round(avg("x"), 4).as("mean_x"))
       .orderBy("bin")
   }
+
+  /** q179: data-contract constraint audit — the rules engine that
+    * complements q130's profiler: the profiler DESCRIBES a table (null
+    * rates, distincts); this one ENFORCES declared expectations
+    * (referential integrity, value ranges, derived-column consistency,
+    * temporal sanity) and reports violations per rule — the
+    * Deequ/Great-Expectations-style gate a lakehouse runs on every
+    * snapshot before promoting it.
+    *
+    * Each rule is one scan with a partial-aggregated conditional count
+    * (violations never materialize as rows — only the counts move);
+    * the FK checks are left joins against the dimension's key set
+    * (broadcast when the dimension fits, shuffled hash otherwise — the
+    * optimizer's call, both correct). The result is O(rules) rows
+    * whatever the corpus size. */
+  def q179DqAudit(spark: SparkSession, dir: String): DataFrame = {
+    def audit(rule: String, table: String, checked: DataFrame,
+              viol: org.apache.spark.sql.Column): DataFrame =
+      checked.agg(count(lit(1)).as("n_checked"),
+          coalesce(sum(viol.cast("long")), lit(0L)).as("n_violations"))
+        .select(lit(rule).as("rule"), lit(table).as("table_name"),
+          col("n_checked"), col("n_violations"))
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val events = Tables.events(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val fkOrders = audit("fk_orders_customer", "orders",
+      orders.join(Tables.customer(spark, dir).select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left"),
+      col("c_custkey").isNull)
+    val fkLineitem = audit("fk_lineitem_orders", "lineitem",
+      lineitem.join(orders.select(col("o_orderkey").as("ok")),
+        col("l_orderkey") === col("ok"), "left"),
+      col("ok").isNull)
+    val qty = audit("lineitem_qty_in_range", "lineitem", lineitem,
+      col("l_quantity") <= 0 || col("l_quantity") > 100)
+    val disc = audit("lineitem_discount_in_range", "lineitem", lineitem,
+      col("l_discount") < 0 || col("l_discount") > 0.5)
+    val price = audit("orders_price_positive", "orders", orders,
+      col("o_totalprice") <= 0)
+    val evNull = audit("events_value_present", "events", events,
+      col("value").isNull)
+    val evTs = audit("events_ts_in_bounds", "events", events,
+      col("ts").isNull || col("ts") < to_timestamp(lit("2020-01-01")) ||
+        col("ts") >= to_timestamp(lit("2030-01-01")))
+    val nchars = audit("documents_nchars_consistent", "documents",
+      docs.filter(col("text").isNotNull),
+      col("n_chars") =!= length(col("text")))
+    Seq(fkOrders, fkLineitem, qty, disc, price, evNull, evTs, nchars)
+      .reduce(_.union(_))
+      .withColumn("violation_rate",
+        // an empty table passes vacuously (rate null, zero violations)
+        when(col("n_checked") > 0,
+          round(col("n_violations").cast("double") / col("n_checked"), 6)))
+      .withColumn("passed", (col("n_violations") === 0L).cast("long"))
+      .orderBy("rule")
+  }
 }

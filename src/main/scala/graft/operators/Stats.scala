@@ -534,4 +534,146 @@ object Stats {
         round(col("iso"), 6).as("iso_rate"))
       .orderBy("bin_idx")
   }
+
+  /** Deterministic 50/50 experiment split on user_id — the q153
+    * multiply-mod chain applied to ASSIGNMENT: both engines (and any
+    * two cluster runs) put every user in the same arm with no stored
+    * assignment table. Shared by q175/q176 so the monitor and its
+    * balance diagnostic audit the SAME experiment. */
+  private[operators] def armOf(user: Column): Column =
+    pmod(pmod(user, lit(1000000007L)) * lit(1000003L), lit(1000000007L)) % 2L === 1L
+
+  /** q175: always-valid sequential A/B monitor (mixture SPRT) — the
+    * peeking-safe replacement for re-running q137's fixed-horizon
+    * t-test every day: a fixed-horizon p-value re-checked daily inflates
+    * false positives without bound, while the mSPRT's always-valid
+    * p-value (pₙ = min over days so far of 1/Λₙ; Johari, Koomen,
+    * Pekelis & Walsh, KDD 2017) is valid at EVERY look, so the monitor
+    * may stop the moment it crosses 0.05. Λₙ for a normal mean
+    * difference under a N(0, τ²) mixture prior has the closed form
+    * √(Vₙ/(Vₙ+τ²))·exp(Δₙ²τ²/(2Vₙ(Vₙ+τ²))) with Vₙ the Welch variance
+    * of the running difference — arithmetic both engines evaluate
+    * identically.
+    *
+    * ONE corpus scan collapses to O(days) per-day/per-arm cells with
+    * moments on the EXACT 1e-3 integer grid (the q155 rule:
+    * decimal(38,0) sums, order-free); the cumulative sums that feed
+    * every daily look are ordered-window folds over that tiny frame, so
+    * all doubles derive from identical exact integers in identical
+    * sequential order. Days before both arms hold ≥ 2 observations
+    * report a null look (min skips them). */
+  def q175Msprt(spark: SparkSession, dir: String): DataFrame = {
+    val tau2 = 0.01 // τ = 0.1, on the metric's own scale
+    val daily = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        armOf(col("user_id")).as("t"),
+        round(col("value") * 1000, 0).cast("long").as("v3"))
+      .groupBy("day")
+      .agg(
+        sum(when(col("t"), 1L).otherwise(0L)).as("dn1"),
+        sum(when(col("t"), col("v3")).otherwise(0L).cast("decimal(38,0)")).as("ds1"),
+        sum(when(col("t"), col("v3") * col("v3")).otherwise(0L).cast("decimal(38,0)")).as("dq1"),
+        sum(when(!col("t"), 1L).otherwise(0L)).as("dn2"),
+        sum(when(!col("t"), col("v3")).otherwise(0L).cast("decimal(38,0)")).as("ds2"),
+        sum(when(!col("t"), col("v3") * col("v3")).otherwise(0L).cast("decimal(38,0)")).as("dq2"))
+    val cum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // exact integer cumulative moments → doubles at the last moment
+    val cumd = daily
+      .withColumn("n1", sum("dn1").over(cum))
+      .withColumn("n2", sum("dn2").over(cum))
+      .withColumn("s1", sum("ds1").over(cum).cast("double") / 1000.0)
+      .withColumn("q1", sum("dq1").over(cum).cast("double") / 1000000.0)
+      .withColumn("s2", sum("ds2").over(cum).cast("double") / 1000.0)
+      .withColumn("q2", sum("dq2").over(cum).cast("double") / 1000000.0)
+      .withColumn("nd1", col("n1").cast("double"))
+      .withColumn("nd2", col("n2").cast("double"))
+    val v = (col("q1") - col("s1") * col("s1") / col("nd1"))
+      ./(col("nd1") - 1) / col("nd1") +
+      (col("q2") - col("s2") * col("s2") / col("nd2"))
+        ./(col("nd2") - 1) / col("nd2")
+    val delta = col("s1") / col("nd1") - col("s2") / col("nd2")
+    val lam = sqrt(col("vv") / (col("vv") + lit(tau2))) *
+      exp(col("dd") * col("dd") * lit(tau2) /
+        (lit(2.0) * col("vv") * (col("vv") + lit(tau2))))
+    val looks = cumd
+      .withColumn("vv", when(col("n1") >= 2 && col("n2") >= 2, v))
+      .withColumn("dd", delta)
+      .withColumn("lam", when(col("vv").isNotNull && col("vv") > 0, lam))
+    looks
+      .withColumn("p_avi",
+        round(least(coalesce(min(lit(1.0) / col("lam")).over(cum), lit(1.0)),
+          lit(1.0)), 6))
+      .select(col("day"), col("n1").as("n_t"), col("n2").as("n_c"),
+        round(col("dd"), 6).as("delta"),
+        round(log(col("lam")), 6).as("log_lambda"),
+        col("p_avi"),
+        (col("p_avi") <= 0.05).cast("long").as("significant"))
+      .orderBy("day")
+  }
+
+  /** q176: covariate-balance report for the q175 experiment — the SMD
+    * (standardized mean difference) audit every experimentation
+    * platform runs before trusting an effect estimate: if the arms
+    * differ on PRE-treatment covariates, the randomization (or the
+    * hash!) is suspect. Covariates are per-user integers (event count,
+    * Σvalue on the 1e-3 grid, distinct types, active days), so arm
+    * moments are exact decimal sums (the q155 rule) and the SMD
+    * (mₜ−m꜀)/√((vₜ+v꜀)/2) — Cohen's d with the standard pooled-SD
+    * denominator — derives from identical integers on both engines.
+    * |SMD| < 0.1 is the conventional balance threshold. The corpus
+    * collapses to O(users) covariate rows in one user-keyed exchange;
+    * the unpivot and the per-covariate moments run on that frame. */
+  def q176CovariateBalance(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        to_date(col("ts")).as("d"),
+        coalesce(round(col("value") * 1000, 0).cast("long"), lit(0L)).as("v3"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum("v3").as("vsum3"),
+        countDistinct("event_type").as("n_types"),
+        countDistinct("d").as("n_days"))
+      .select(armOf(col("user_id")).as("t"),
+        // everything on the ×1000 grid so all four covariates share
+        // one exact-integer moment pipeline
+        col("n_events") * 1000L as "n_events",
+        col("vsum3").as("value_sum"),
+        col("n_types") * 1000L as "n_types",
+        col("n_days") * 1000L as "n_days")
+    val long = perUser.select(col("t"),
+      expr("stack(4, 'n_events', n_events, 'value_sum', value_sum, " +
+        "'n_types', n_types, 'n_days', n_days) AS (covariate, x3)"))
+    long.groupBy("covariate")
+      .agg(
+        sum(when(col("t"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("t"), col("x3")).otherwise(0L).cast("decimal(38,0)")).as("s_t"),
+        sum(when(col("t"), col("x3") * col("x3")).otherwise(0L).cast("decimal(38,0)")).as("q_t"),
+        sum(when(!col("t"), 1L).otherwise(0L)).as("n_c"),
+        sum(when(!col("t"), col("x3")).otherwise(0L).cast("decimal(38,0)")).as("s_c"),
+        sum(when(!col("t"), col("x3") * col("x3")).otherwise(0L).cast("decimal(38,0)")).as("q_c"))
+      .select(col("covariate"), col("n_t"), col("n_c"),
+        (col("s_t").cast("double") / 1000.0 / col("n_t")).as("m_t"),
+        (col("s_c").cast("double") / 1000.0 / col("n_c")).as("m_c"),
+        ((col("q_t").cast("double") / 1000000.0
+          - (col("s_t").cast("double") / 1000.0) * (col("s_t").cast("double") / 1000.0)
+            / col("n_t")) / (col("n_t") - 1)).as("v_t"),
+        ((col("q_c").cast("double") / 1000000.0
+          - (col("s_c").cast("double") / 1000.0) * (col("s_c").cast("double") / 1000.0)
+            / col("n_c")) / (col("n_c") - 1)).as("v_c"))
+      .select(col("covariate"), col("n_t"), col("n_c"),
+        round(col("m_t"), 6).as("mean_t"),
+        round(col("m_c"), 6).as("mean_c"),
+        // a covariate constant in BOTH arms has no SD to standardize
+        // by: smd is null there (and the arms are trivially balanced
+        // iff the constants agree)
+        when(col("v_t") + col("v_c") > 0,
+          round((col("m_t") - col("m_c")) /
+            sqrt((col("v_t") + col("v_c")) / 2.0), 4)).as("smd"))
+      .withColumn("balanced",
+        when(col("smd").isNotNull, (abs(col("smd")) < 0.1).cast("long"))
+          .otherwise((col("mean_t") === col("mean_c")).cast("long")))
+      .orderBy("covariate")
+  }
 }

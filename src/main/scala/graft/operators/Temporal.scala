@@ -605,4 +605,166 @@ object Temporal {
             .cast("long")))
       .orderBy("event_type", "day")
   }
+
+  /** q173: Kaplan–Meier survival of view→purchase conversion with
+    * right-censoring — the estimator q127's percentiles CANNOT replace:
+    * percentiles over converters only are biased optimistic because the
+    * users who never purchased are silently dropped; KM keeps them in
+    * the risk set until their observation window ends (censored at the
+    * corpus horizon), which is the statistically honest "how long until
+    * conversion" curve (Kaplan & Meier 1958, the standard survival
+    * answer every growth team ships).
+    *
+    * Subjects: each user's FIRST view; event = first purchase strictly
+    * after it (duration binned to whole hours on exact integer micros);
+    * no purchase → censored at max(ts) − first view. The corpus
+    * collapses to O(users) subject rows (two user-keyed partial
+    * aggregations, the q127 shape), then to O(duration bins ≤ hours in
+    * the horizon) — the KM fold itself runs on that bounded frame, so
+    * the single-partition ordered window is O(bins), never O(corpus).
+    *
+    * Determinism: risk counts and event/censor counts are exact
+    * integers; the survival product Π(1 − dᵢ/nᵢ) is exp(Σ ln fᵢ) over
+    * an ORDERED cumulative window — sequential evaluation in both
+    * engines, so the doubles agree bit-for-bit (the q154/q155 ln/exp
+    * precedent); a zero factor (everyone-at-risk converts) short-
+    * circuits to exactly 0 rather than through ln(0). */
+  def q173SurvivalKm(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+    val obsEnd = ev.agg(max("us").as("obs_end"))
+    val fv = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("fv"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .join(fv, "user_id").filter(col("us") > col("fv"))
+      .groupBy("user_id").agg(min("us").as("fp"))
+    val subjects = fv.join(fp, Seq("user_id"), "left")
+      .crossJoin(broadcast(obsEnd))
+      .select(
+        floor(when(col("fp").isNotNull, col("fp") - col("fv"))
+          .otherwise(col("obs_end") - col("fv")) / lit(3600000000L))
+          .cast("long").as("t_h"),
+        when(col("fp").isNotNull, 1L).otherwise(0L).as("ev"))
+    val grouped = subjects.groupBy("t_h")
+      .agg(sum("ev").as("n_events"),
+        sum(lit(1L) - col("ev")).as("n_censored"))
+    // O(bins) frame from here on: the unpartitioned window is bounded
+    val w = Window.orderBy("t_h")
+    val before = w.rowsBetween(Window.unboundedPreceding, -1)
+    val all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRisk = grouped
+      .withColumn("n_risk",
+        sum(col("n_events") + col("n_censored")).over(all)
+          - coalesce(sum(col("n_events") + col("n_censored")).over(before), lit(0L)))
+      // censor-only bins have factor 1: dropping them changes nothing in
+      // the product, so the curve is computed over event bins only
+      .filter(col("n_events") > 0)
+      .withColumn("factor",
+        (col("n_risk") - col("n_events")).cast("double") / col("n_risk"))
+    withRisk
+      .withColumn("hit_zero", max((col("factor") <= 0.0).cast("long")).over(cum))
+      .withColumn("surv",
+        when(col("hit_zero") === 1L, lit(0.0))
+          .otherwise(round(exp(sum(
+            when(col("factor") > 0.0, log(col("factor"))).otherwise(lit(0.0))
+          ).over(cum)), 6)))
+      .select(col("t_h").as("t_hours"), col("n_risk"), col("n_events"),
+        col("n_censored"), col("surv"))
+      .orderBy("t_hours")
+  }
+
+  /** q174: rolling active users — per calendar day, DAU plus exact
+    * trailing 7-day (WAU) and 28-day (MAU) distinct users and the
+    * DAU/MAU stickiness ratio: the canonical engagement surface. The
+    * naive formulation (for each day, COUNT(DISTINCT) over a 7/28-day
+    * self-join window) re-scans up to 28× the user-day history PER DAY;
+    * this plan is linear instead: dedupe to (user, active-day) rows,
+    * lead() to each user's NEXT active day, and explode each row into
+    * the ≤7 (≤28) days it is that user's window representative for —
+    * day d counts user u iff u has an active day a with
+    * a ≤ d ≤ a+win−1 and u's next active day is > d, which picks
+    * exactly ONE representative per (user, window-day). One user-keyed
+    * exchange (the dedupe + lead share it), in-row sequence() explode
+    * (≤35× bounded amplification inside the scan stage, the q153
+    * shape), one day-keyed exchange — no day×history join, no distinct
+    * aggregation over overlapping windows. Counts are exact integers;
+    * stickiness is the only double. Days with zero activity come from
+    * the q156 dense-spine pattern so gaps read 0, not absent. */
+  def q174ActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    // integer epoch-days: window arithmetic and the dense spine run on
+    // exact integers both engines agree on
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), to_date(lit("1970-01-01"))).cast("long").as("d"))
+      .distinct()
+    activeUsersFromDayRows(ud)
+  }
+
+  /** The q174 fold over an already-distinct (user_id, d epoch-day)
+    * frame — shared verbatim by the batch query and the streaming
+    * twin's emitted first-sightings ([[graft.streaming.EventStream
+    * .activeDaySightings]]), so both render the SAME algebra. */
+  def activeUsersFromDayRows(ud: DataFrame): DataFrame = {
+    val span = ud.agg(min("d").as("d0"), max("d").as("d1"))
+    val wU = Window.partitionBy("user_id").orderBy("d")
+    val withNext = ud
+      .withColumn("nxt", lead("d", 1).over(wU))
+      .crossJoin(broadcast(span))
+      .localCheckpoint() // one (user, day) frame feeds both explodes
+    def windowed(win: Int, name: String) = withNext
+      .select(explode(sequence(col("d"),
+        least(col("d") + lit(win - 1L),
+          coalesce(col("nxt") - 1L, col("d1")),
+          col("d1")))).as("di"))
+      .groupBy("di").agg(count(lit(1)).as(name))
+    val dau = ud.groupBy(col("d").as("di")).agg(count(lit(1)).as("dau"))
+    val spine = span.select(explode(sequence(col("d0"), col("d1"))).as("di"))
+    spine
+      .join(dau, Seq("di"), "left")
+      .join(windowed(7, "wau"), Seq("di"), "left")
+      .join(windowed(28, "mau"), Seq("di"), "left")
+      .select(
+        date_format(date_add(to_date(lit("1970-01-01")),
+          col("di").cast("int")), "yyyy-MM-dd").as("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau"),
+        coalesce(col("mau"), lit(0L)).as("mau"))
+      .withColumn("stickiness",
+        when(col("mau") > 0, round(col("dau").cast("double") / col("mau"), 4)))
+      .orderBy("day")
+  }
+
+  /** q174b: the 100 TB rendering of q174 — per-day mergeable HLL
+    * sketches (lgK 12) replace the user-day explode entirely: the
+    * corpus collapses map-side to O(days) sketch rows (no user-keyed
+    * exchange at all), and each day's WAU/MAU is the union of ≤7/≤28
+    * day-sketches via a bounded range join over the O(days) frame.
+    * Exactly the q166b contract: estimates are DataSketches internals →
+    * rows-only; the spec bounds every day against exact q174 instead.
+    * At 1000 executors this is the plan that survives: per-day
+    * audiences never co-locate, only 4 KB sketches move. */
+  def q174bActiveUsersHll(spark: SparkSession, dir: String): DataFrame = {
+    val lgK = 12
+    val daySk = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .groupBy("d")
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"))
+      .localCheckpoint() // O(days) rows; joined against itself below
+    val spine = daySk.select(col("d").as("day"))
+    spine
+      .join(daySk, col("d").between(date_sub(col("day"), 27), col("day")))
+      .groupBy("day")
+      .agg(
+        hll_sketch_estimate(
+          hll_union_agg(when(col("d") === col("day"), col("sk")), lit(true)))
+          .as("dau_est"),
+        hll_sketch_estimate(
+          hll_union_agg(when(col("d") >= date_sub(col("day"), 6), col("sk")), lit(true)))
+          .as("wau_est"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(true))).as("mau_est"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau_est"), col("wau_est"), col("mau_est"))
+      .orderBy("day")
+  }
 }

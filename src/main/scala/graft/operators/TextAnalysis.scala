@@ -1798,4 +1798,46 @@ object TextAnalysis {
           col("total").cast("double"), 2).as("oov_per_10k"))
       .orderBy("vocab_size")
   }
+
+  /** q180: split-half lexical drift — the trending-vocabulary report:
+    * words whose frequency SHARE in the late half of ingest most
+    * outgrew their early-half share (add-one-smoothed share ratio, so
+    * a word absent early doesn't divide by zero and rare flukes don't
+    * dominate). This is the signal that decides a tokenizer refresh or
+    * a q168 vocab-size revisit: the q98/q106 snapshot-drift machinery
+    * at the WORD grain instead of the document grain. The ingest axis
+    * is doc_id order (the q144 convention — documents carry no
+    * timestamp); the halves split at the id midpoint, so both engines
+    * agree on membership exactly.
+    *
+    * One tokenize pass collapses the corpus to (word, half) counts —
+    * the q01 histogram shape, partial-aggregated; totals and the vocab
+    * size V (for smoothing) fold from that O(V) frame. All counts are
+    * exact integers; shares/lift are derived identically. Top-20 via
+    * TakeOrderedAndProject (per-partition top-k, no full sort). */
+  def q180LexicalDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val mid = docs.agg(floor((min("doc_id") + max("doc_id")) / 2).cast("long").as("mid"))
+    val counts = docs.crossJoin(broadcast(mid))
+      .select((col("doc_id") <= col("mid")).as("early"),
+        explode(Portable.tokenize(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(sum(when(col("early"), 1L).otherwise(0L)).as("cnt_early"),
+        sum(when(!col("early"), 1L).otherwise(0L)).as("cnt_late"))
+    val tot = counts.agg(sum("cnt_early").as("tot_early"),
+      sum("cnt_late").as("tot_late"), count(lit(1)).as("v"))
+    counts.crossJoin(broadcast(tot))
+      .filter(col("cnt_early") + col("cnt_late") >= 5)
+      .select(col("word"), col("cnt_early"), col("cnt_late"),
+        round((col("cnt_early") + 1).cast("double") /
+          (col("tot_early") + col("v")).cast("double"), 8).as("share_early"),
+        round((col("cnt_late") + 1).cast("double") /
+          (col("tot_late") + col("v")).cast("double"), 8).as("share_late"),
+        round(((col("cnt_late") + 1).cast("double") /
+            (col("tot_late") + col("v")).cast("double")) /
+          ((col("cnt_early") + 1).cast("double") /
+            (col("tot_early") + col("v")).cast("double")), 4).as("lift"))
+      .orderBy(desc("lift"), asc("word"))
+      .limit(20)
+  }
 }

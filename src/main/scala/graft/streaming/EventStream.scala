@@ -839,6 +839,47 @@ object EventStream {
       .orderBy("type_a", "type_b")
   }
 
+  case class DayActive(user_id: Long, day: Long)
+  case class DaysSeen(days: Set[Long])
+
+  /** Streaming half of the batch q174 rolling-active-users report:
+    * emits one (user, epoch-day) row the FIRST time a user is seen
+    * active on a day — the retentionWeeks pattern at the day grain.
+    * Append mode, order-independent under any micro-batch delivery
+    * (the emitted rows are a SET). Per-user state is the active-day
+    * set, bounded by history length in DAYS — the same bound as the
+    * batch dedupe's distinct, and orders of magnitude below the event
+    * count. [[activeUsersReport]] folds the sightings through the
+    * EXACT batch algebra (Temporal.activeUsersFromDayRows), so
+    * DAU/WAU/MAU is incrementally maintainable at ingest. */
+  def activeDaySightings(events: Dataset[Event]): Dataset[DayActive] = {
+    import events.sparkSession.implicits._
+    droppingNullKeys(events).groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[DaysSeen]) => {
+          var s = state.getOption.getOrElse(DaysSeen(Set.empty))
+          val out = Vector.newBuilder[DayActive]
+          rows.foreach { e =>
+            val d = java.time.LocalDate
+              .ofInstant(e.ts.toInstant, java.time.ZoneOffset.UTC).toEpochDay
+            if (!s.days(d)) {
+              s = DaysSeen(s.days + d)
+              out += DayActive(userId, d)
+            }
+          }
+          state.update(s)
+          out.result().iterator
+        })
+  }
+
+  /** Fold [[activeDaySightings]] emissions into the q174 report — the
+    * sightings ARE the batch plan's distinct (user, day) frame, so the
+    * shared fold renders identical rows (StreamingSpec pins the
+    * row-for-row parity). */
+  def activeUsersReport(sightings: DataFrame): DataFrame =
+    graft.operators.Temporal.activeUsersFromDayRows(
+      sightings.select(col("user_id"), col("day").as("d")))
+
   /** Custom state machine via flatMapGroupsWithState: per-user session
     * counting with a 30-minute gap rule — the streaming twin of the
     * batch q25 window query. State is one small record per active user,

@@ -380,7 +380,9 @@ class QueriesSpec extends AnyFunSuite {
       // q166b: DataSketches HLL estimates are engine-specific (the
       // q44/q130b precedent); the error-bound-vs-exact-q166 contract
       // is spec-tested above instead
-      "q166b_audience_overlap_hll")
+      "q166b_audience_overlap_hll",
+      // q174b: same HLL contract; spec bounds it against exact q174
+      "q174b_active_users_hll")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries with neither oracle nor rows-only justification: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -2427,5 +2429,283 @@ class QueriesSpec extends AnyFunSuite {
     assert(cov.last == 1.0 && rows.last.getDouble(4) == 0.0,
       "the rk=|V| row must close the curve")
     assert(rows.last.getLong(0) == hist.length, "saturation row sits at |V|")
+  }
+
+  /** The q175/q176 deterministic arm, replayed in plain Scala. */
+  private def armOf(u: Long): Boolean = ((u % 1000000007L) * 1000003L) % 1000000007L % 2L == 1L
+
+  test("q173 KM survival equals a plain-Scala Kaplan-Meier replay with censoring") {
+    val evs = Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val obsEnd = evs.map(_._2).max
+    val fv = evs.filter(_._3 == "view").groupBy(_._1).map { case (u, g) => u -> g.map(_._2).min }
+    val subjects = fv.toSeq.map { case (u, t0) =>
+      val fp = evs.filter(e => e._1 == u && e._3 == "purchase" && e._2 > t0)
+        .map(_._2).sorted.headOption
+      val durUs = fp.getOrElse(obsEnd) - t0
+      (durUs / 3600000000L, fp.isDefined)
+    }
+    // KM over event bins; censor-only bins only shrink the risk set
+    val byBin = subjects.groupBy(_._1).map { case (t, g) =>
+      (t, g.count(_._2).toLong, g.count(!_._2).toLong)
+    }.toSeq.sortBy(_._1)
+    var atRisk = subjects.size.toLong
+    var surv = 1.0
+    val want = byBin.flatMap { case (t, d, c) =>
+      val row = if (d > 0) {
+        surv *= (atRisk - d).toDouble / atRisk
+        Some((t, atRisk, d, c, math.rint(surv * 1e6) / 1e6))
+      } else None
+      atRisk -= d + c
+      row
+    }
+    val got = run("q173_survival_km").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.length == want.length, s"bins: ${got.length} vs ${want.length}")
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3 && g._4 == w._4,
+        s"counts at t=${g._1}: $g vs $w")
+      assert(math.abs(g._5 - w._5) < 2e-6, s"surv at t=${g._1}: ${g._5} vs ${w._5}")
+    }
+    // survival is a non-increasing curve from below 1
+    val s = got.map(_._5)
+    assert(s.zip(s.tail).forall { case (a, b) => b <= a }, "survival non-increasing")
+    assert(got.head._2 == subjects.size, "first risk set is every subject")
+  }
+
+  test("q174 active users equals a brute-force sliding-window distinct replay") {
+    val ud = Tables.events(spark, sf0001)
+      .select(col("user_id"), datediff(to_date(col("ts")), lit("1970-01-01")))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong)).distinct
+    val days = ud.map(_._2)
+    val rows = run("q174_active_users").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = java.time.LocalDate.parse(r.getString(0)).toEpochDay
+      def win(k: Long) = ud.filter(p => p._2 <= d && p._2 > d - k).map(_._1).distinct.length.toLong
+      assert(r.getLong(1) == ud.filter(_._2 == d).length.toLong, s"dau@$d")
+      assert(r.getLong(2) == win(7), s"wau@$d: ${r.getLong(2)} vs ${win(7)}")
+      assert(r.getLong(3) == win(28), s"mau@$d: ${r.getLong(3)} vs ${win(28)}")
+      assert(r.getLong(2) >= r.getLong(1) && r.getLong(3) >= r.getLong(2),
+        "DAU <= WAU <= MAU")
+    }
+    // the dense spine covers exactly the corpus day span
+    assert(rows.length == (days.max - days.min + 1).toInt, "one row per spine day")
+  }
+
+  test("q174b HLL active users tracks the exact q174 within sketch error") {
+    val exact = run("q174_active_users").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val approx = run("q174b_active_users_hll").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(approx.nonEmpty && approx.keySet.subsetOf(exact.keySet))
+    approx.foreach { case (day, (da, wa, ma)) =>
+      val (de, we, me) = exact(day)
+      assert(math.abs(da - de) <= math.max(2.0, 0.05 * de), s"$day dau $da vs $de")
+      assert(math.abs(wa - we) <= math.max(2.0, 0.05 * we), s"$day wau $wa vs $we")
+      assert(math.abs(ma - me) <= math.max(2.0, 0.05 * me), s"$day mau $ma vs $me")
+    }
+  }
+
+  test("q175 mSPRT: null split stays insignificant; a planted arm effect is detected") {
+    // corpus run: the deterministic 50/50 split carries no real effect,
+    // so the always-valid p must never cross — the whole point of AVI
+    // is that this holds at EVERY look, not just the last
+    val rows = run("q175_msprt").collect()
+    assert(rows.nonEmpty)
+    val ps = rows.map(_.getDouble(5))
+    assert(ps.zip(ps.tail).forall { case (a, b) => b <= a + 1e-12 },
+      "always-valid p is a running min (non-increasing)")
+    assert(ps.forall(p => p > 0.0 && p <= 1.0))
+    assert(rows.forall(_.getLong(6) == 0L), "a null split must not reject")
+    // planted effect: treated users (by the SAME hash) get +5.0
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-msprt").toString
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val evs = for (day <- 0 until 10; u <- 1L to 40L; k <- 0 until 3) yield {
+      val v = 1.0 + 0.137 * ((u * 7 + k) % 5) + (if (armOf(u)) 5.0 else 0.0)
+      ((day * 1000 + u * 10 + k).toLong,
+        base.plusSeconds(day * 86400L + u * 60 + k).toEpochMilli * 1000000L,
+        u, "click", v)
+    }
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val planted = graft.operators.Stats.q175Msprt(spark, dir).collect()
+    assert(planted.last.getLong(6) == 1L,
+      s"planted +5.0 arm effect must reject by the last look: ${planted.last}")
+    assert(planted.last.getDouble(3) > 4.0, "estimated delta near the planted shift")
+  }
+
+  test("q176 covariate balance: planted per-arm activity gap shows up as |SMD| >> 0.1") {
+    // corpus run: moments replay + structural checks
+    val rows = run("q176_covariate_balance").collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+      Seq("n_days", "n_events", "n_types", "value_sum"))
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0, "both arms populated")
+      val balanced = if (r.isNullAt(5)) r.getDouble(3) == r.getDouble(4)
+        else math.abs(r.getDouble(5)) < 0.1
+      assert(r.getLong(6) == (if (balanced) 1L else 0L), s"balanced flag: $r")
+    }
+    // planted: treated users log 3x the events
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-smd").toString
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    // 9±1 vs 3±1 events per user: the within-arm spread keeps the
+    // pooled SD nonzero so the SMD is defined (not a constant covariate)
+    val evs = for (u <- 1L to 60L;
+                   k <- 0 until ((if (armOf(u)) 8 else 2) + (u % 3).toInt)) yield
+      ((u * 100 + k).toLong, base.plusSeconds(u * 60 + k).toEpochMilli * 1000000L,
+        u, "click", 1.0 + (k % 3) * 0.5)
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val got = graft.operators.Stats.q176CovariateBalance(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ne = got("n_events")
+    assert(ne.getDouble(3) > 8.0 && ne.getDouble(4) < 4.0,
+      s"planted means: ${ne.getDouble(3)} / ${ne.getDouble(4)}")
+    assert(!ne.isNullAt(5) && ne.getDouble(5) > 1.0 && ne.getLong(6) == 0L,
+      "a 3x activity gap is a gross imbalance")
+    assert(got("n_types").isNullAt(5) && got("n_types").getLong(6) == 1L,
+      "single-type fixture: zero variance, trivially balanced")
+  }
+
+  test("q177 centroid geometry replays from q05 centroids; symmetric and ranked") {
+    val cent = run("q05_vector_mean").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val labels = cent.keySet.map(_._1).toSeq.sorted
+    val dims = cent.keySet.map(_._2).toSeq.sorted
+    def v6(l: Long) = dims.map(p => math.rint(cent((l, p)) * 1e6).toLong)
+    val want = (for (a <- labels; b <- labels if a != b) yield {
+      val (va, vb) = (v6(a), v6(b))
+      val dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      val cos = dot.toDouble / math.sqrt(
+        va.map(x => x * x).sum.toDouble * vb.map(x => x * x).sum.toDouble)
+      (a, b) -> (math.rint(cos * 1e6) / 1e6)
+    }).toMap
+    val got = run("q177_centroid_geometry").collect()
+    assert(got.length == labels.size * (labels.size - 1))
+    got.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(math.abs(r.getDouble(2) - want(k)) < 2e-6, s"cos$k: ${r.getDouble(2)} vs ${want(k)}")
+      assert(r.getDouble(2) >= -1.0 - 1e-9 && r.getDouble(2) <= 1.0 + 1e-9)
+    }
+    val byKey = got.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    byKey.foreach { case ((a, b), c) => assert(byKey((b, a)) == c, "cosine symmetric") }
+    // per-label ranks are a permutation of 1..n-1 ordered by cosine desc
+    got.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      val sorted = g.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3).toLong).toSeq == (1L until labels.size).toSeq)
+      val cs = sorted.map(_.getDouble(2))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y }, "ranked by cosine desc")
+    }
+  }
+
+  test("q178 containment: a planted mirror source scores 1.0 and direction matters") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-contain").toString
+    // s_big holds two docs; s_copy mirrors ONE of them verbatim →
+    // containment(copy→big) = 1.0 while containment(big→copy) < 1
+    val d1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val d2 = "one two three four five six seven eight nine ten"
+    Seq((1L, d1, "en", "s_big", d1.length.toLong),
+      (2L, d2, "en", "s_big", d2.length.toLong),
+      (3L, d1, "en", "s_copy", d1.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.Dedup.q178SourceContainment(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getString(0), r.getString(1)) == ("s_big", "s_copy"))
+    assert(r.getLong(3) == 12L && r.getLong(4) == 5L, s"set sizes: $r") // 5+7 vs 5 shingles
+    assert(r.getDouble(6) == 1.0, "copied source fully contained in the original")
+    assert(r.getDouble(5) < 0.5, "the original is NOT contained in the partial copy")
+    // corpus run: set-algebra invariants on every pair
+    run("q178_source_containment").collect().foreach { p =>
+      assert(p.getLong(2) <= math.min(p.getLong(3), p.getLong(4)))
+      assert(p.getDouble(5) > 0.0 && p.getDouble(5) <= 1.0)
+      assert(p.getDouble(6) > 0.0 && p.getDouble(6) <= 1.0)
+    }
+  }
+
+  test("q179 DQ audit: planted violations are counted rule-for-rule") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dq").toString
+    Seq((1L, "c1", 0, 10.0, "B")).toDF(
+      "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+    // order 11 OK, order 12 orphaned custkey + nonpositive price
+    Seq((11L, 1L, "O", 100.0, ts0, "1-URGENT"),
+      (12L, 99L, "O", -5.0, ts0, "1-URGENT")).toDF(
+      "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+      "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    // one good line, one orphaned order ref + zero qty + 0.9 discount
+    Seq((11L, 1L, 1L, 1, 5.0, 100.0, 0.1, 0.02, "N", "O", ts0),
+      (77L, 1L, 1L, 1, 0.0, 100.0, 0.9, 0.02, "N", "O", ts0)).toDF(
+      "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+      "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val us0 = ts0.toInstant.toEpochMilli * 1000000L
+    // one null value, one out-of-bounds ts (2035)
+    Seq((1L, us0, 1L, "click", Some(1.0)),
+      (2L, us0, 1L, "click", None),
+      (3L, java.time.Instant.parse("2035-01-01T00:00:00Z").toEpochMilli * 1000000L,
+        1L, "view", Some(2.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    // one doc with a lying n_chars
+    Seq((1L, "good text", "en", "s", 9L), (2L, "bad", "en", "s", 99L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Profile.q179DqAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getLong(5)))).toMap
+    assert(got("fk_orders_customer") == ((2L, 1L, 0L)))
+    assert(got("fk_lineitem_orders") == ((2L, 1L, 0L)))
+    assert(got("lineitem_qty_in_range") == ((2L, 1L, 0L)))
+    assert(got("lineitem_discount_in_range") == ((2L, 1L, 0L)))
+    assert(got("orders_price_positive") == ((2L, 1L, 0L)))
+    assert(got("events_value_present") == ((3L, 1L, 0L)))
+    assert(got("events_ts_in_bounds") == ((3L, 1L, 0L)))
+    assert(got("documents_nchars_consistent") == ((2L, 1L, 0L)))
+    // corpus run: every declared rule reports, rates well-formed
+    val corpus = run("q179_dq_audit").collect()
+    assert(corpus.length == 8)
+    corpus.foreach { r =>
+      assert(r.getLong(2) > 0)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
+  test("q180 lexical drift replays from split-half token counts") {
+    val docs = Tables.documents(spark, sf0001)
+      .filter(col("text").isNotNull) // the operator's own membership filter
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val mid = (docs.map(_._1).min + docs.map(_._1).max) / 2
+    def toks(t: String) = t.toLowerCase.split("\\W+").filter(_.matches("[a-z]+"))
+    val early = docs.filter(_._1 <= mid).flatMap(d => toks(d._2))
+    val late = docs.filter(_._1 > mid).flatMap(d => toks(d._2))
+    val ce = early.groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    val cl = late.groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    val vocab = (ce.keySet ++ cl.keySet)
+    val (te, tl, v) = (early.length.toLong, late.length.toLong, vocab.size.toLong)
+    val want = vocab.toSeq
+      .map { w =>
+        val (a, b) = (ce.getOrElse(w, 0L), cl.getOrElse(w, 0L))
+        val lift = ((b + 1).toDouble / (tl + v)) / ((a + 1).toDouble / (te + v))
+        (w, a, b, math.rint(lift * 1e4) / 1e4)
+      }
+      .filter(t => t._2 + t._3 >= 5)
+      .sortBy(t => (-t._4, t._1)).take(20)
+    val got = run("q180_lexical_drift").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3, s"$g vs $w")
+      assert(math.abs(g._4 - w._4) < 2e-4, s"lift ${g._1}: ${g._4} vs ${w._4}")
+    }
   }
 }

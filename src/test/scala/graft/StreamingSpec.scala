@@ -326,6 +326,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, "stream-folded audience matrix must equal batch q166 row-for-row")
   }
 
+  test("streaming day sightings fold into the batch q174 active-users report") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dau-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = EventStream.readStream(spark, dir.toString)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[EventStream.Event]
+    val q = EventStream.activeDaySightings(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dau_sightings")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-dau-ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // the emitted rows are EXACTLY the distinct (user, epoch-day) set
+    val seen = spark.table("dau_sightings")
+    assert(seen.count() == seen.distinct().count(), "sightings emit once per (user, day)")
+    val got = EventStream.activeUsersReport(seen).collect().map(_.toSeq).toSeq
+    val want = SparkEntry.queries("q174_active_users")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty, "batch q174 must produce days at sf0.001")
+    assert(got == want, "stream-folded active-users report must equal batch q174 row-for-row")
+  }
+
   test("streaming retention weeks fold into the batch q101 cohort matrix") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-retention-stream")
