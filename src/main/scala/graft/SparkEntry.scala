@@ -182,6 +182,13 @@ object SparkEntry {
     "q178_source_containment" -> (Dedup.q178SourceContainment _),
     "q179_dq_audit"       -> (Profile.q179DqAudit _),
     "q180_lexical_drift"  -> (TextAnalysis.q180LexicalDrift _),
+    "q181_benford_audit"  -> (Profile.q181BenfordAudit _),
+    "q182_theil_sen"      -> (Stats.q182TheilSen _),
+    "q183_order_recon"    -> (Profile.q183OrderReconciliation _),
+    "q184_debounce"       -> (Temporal.q184Debounce _),
+    "q185_markov_eval"    -> (Temporal.q185MarkovEval _),
+    "q186_lang_consistency" -> (TextAnalysis.q186LangConsistency _),
+    "q187_conformal_gate" -> (TextAnalysis.q187ConformalGate _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -3549,6 +3556,195 @@ object SparkEntry {
          |FROM counts CROSS JOIN tot
          |WHERE cnt_early + cnt_late >= 5
          |ORDER BY lift DESC, word LIMIT 20""".stripMargin,
+
+    // Benford: leading digit from the INTEGER cent string (never
+    // floor(x/10^floor(log10 x)) — exact-power-of-ten log hazard);
+    // χ² folds over a digit-ORDERED window so the double sum is
+    // sequential and engine-identical; log10 spelled ln/ln(10) to
+    // mirror Spark's log(base, x) exactly
+    "q181_benford_audit" ->
+      """WITH u AS (
+        |  SELECT 'o_totalprice' AS metric,
+        |    CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+        |      1, 1) AS BIGINT) AS digit
+        |  FROM orders WHERE o_totalprice > 0
+        |  UNION ALL
+        |  SELECT 'l_extendedprice',
+        |    CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR),
+        |      1, 1) AS BIGINT)
+        |  FROM lineitem WHERE l_extendedprice > 0
+        |  UNION ALL
+        |  SELECT 'l_quantity',
+        |    CAST(substr(CAST(CAST(round(l_quantity * 100) AS BIGINT) AS VARCHAR),
+        |      1, 1) AS BIGINT)
+        |  FROM lineitem WHERE l_quantity > 0),
+        |g AS (SELECT metric, digit, count(*) AS n FROM u GROUP BY 1, 2),
+        |w AS (SELECT metric, digit, CAST(n AS BIGINT) AS n,
+        |        CAST(sum(n) OVER (PARTITION BY metric) AS BIGINT) AS total
+        |      FROM g),
+        |b AS (SELECT *, round(CAST(n AS DOUBLE) / total, 6) AS share,
+        |        round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford
+        |      FROM w)
+        |SELECT metric, digit, n, share, benford,
+        |       round(sum((n - total * benford) * (n - total * benford)
+        |           / (total * benford)) OVER (PARTITION BY metric ORDER BY digit
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 4)
+        |         AS chi2
+        |FROM b ORDER BY metric, digit""".stripMargin,
+
+    // Theil-Sen: the pair frame is calendar-bounded (days², never the
+    // corpus); slopes round to 6 dp before the exact median
+    "q182_theil_sen" ->
+      """WITH daily AS (SELECT event_type,
+        |      CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+        |        AS d,
+        |      round(sum(value), 6) AS x
+        |    FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |    GROUP BY 1, 2),
+        |s AS (SELECT a.event_type, round((b.x - a.x) / (b.d - a.d), 6) AS slope
+        |      FROM daily a JOIN daily b
+        |        ON a.event_type = b.event_type AND a.d < b.d),
+        |o AS (SELECT event_type, count(*) AS n_days,
+        |        round(regr_slope(x, d), 6) AS ols_slope FROM daily GROUP BY 1),
+        |t AS (SELECT event_type, count(*) AS n_pairs,
+        |        round(quantile_cont(slope, 0.5), 6) AS ts_slope FROM s GROUP BY 1)
+        |SELECT t.event_type, CAST(n_days AS BIGINT) AS n_days,
+        |       CAST(n_pairs AS BIGINT) AS n_pairs, ts_slope, ols_slope,
+        |       round(abs(ts_slope - ols_slope), 6) AS divergence
+        |FROM t JOIN o ON t.event_type = o.event_type
+        |ORDER BY t.event_type""".stripMargin,
+
+    // reconciliation: per-line charges land on the cent grid BEFORE
+    // summing (exact integers; float-Σ-then-round is order-sensitive)
+    "q183_order_recon" ->
+      """WITH lt AS (SELECT l_orderkey,
+        |      sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+        |        * (1.0 + l_tax) * 100) AS BIGINT)) AS line_cents
+        |    FROM lineitem GROUP BY 1),
+        |j AS (SELECT o_orderstatus,
+        |        CAST(round(o_totalprice * 100) AS BIGINT) AS hdr_cents,
+        |        lt.line_cents,
+        |        CASE WHEN lt.line_cents IS NOT NULL THEN
+        |          abs(CAST(round(o_totalprice * 100) AS BIGINT) - lt.line_cents)
+        |        END AS adelta
+        |      FROM orders LEFT JOIN lt ON orders.o_orderkey = lt.l_orderkey)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |       CAST(sum(CASE WHEN line_cents IS NOT NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_with_lines,
+        |       CAST(coalesce(sum(CASE WHEN adelta > 1 THEN 1 ELSE 0 END), 0)
+        |         AS BIGINT) AS n_mismatch,
+        |       round(CAST(coalesce(sum(adelta), 0) AS DOUBLE) / 100.0, 2)
+        |         AS sum_abs_delta,
+        |       round(CAST(coalesce(max(adelta), 0) AS DOUBLE) / 100.0, 2)
+        |         AS max_abs_delta
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // debounce: adjacent-gap bursts (the session_window rule at 6 h);
+    // kept = first of burst; exact integer counts
+    "q184_debounce" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+        |    FROM events WHERE event_type IS NOT NULL),
+        |l AS (SELECT event_type,
+        |        CASE WHEN lag(us) OVER (PARTITION BY user_id, event_type
+        |            ORDER BY us, event_id) IS NULL
+        |          OR us - lag(us) OVER (PARTITION BY user_id, event_type
+        |            ORDER BY us, event_id) > 21600000000
+        |          THEN 1 ELSE 0 END AS kept
+        |      FROM e)
+        |SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(kept) AS BIGINT) AS n_kept,
+        |       CAST(count(*) - sum(kept) AS BIGINT) AS n_dropped,
+        |       round(CAST(count(*) - sum(kept) AS DOUBLE) / count(*), 6)
+        |         AS drop_rate
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Markov holdout eval: train/eval transition frames over disjoint
+    // day ranges; argmax with the lexicographic tie-break
+    "q185_markov_eval" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |      CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+        |        AS day
+        |    FROM events WHERE event_type IS NOT NULL),
+        |m AS (SELECT CAST(floor((min(day) + max(day)) / 2) AS BIGINT) AS mid
+        |      FROM ev),
+        |tr AS (SELECT prev_type, event_type AS next_type, count(*) AS cnt FROM (
+        |        SELECT event_type, lag(event_type) OVER
+        |          (PARTITION BY user_id ORDER BY us, event_id) AS prev_type
+        |        FROM ev CROSS JOIN m WHERE day <= mid)
+        |       WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |te AS (SELECT prev_type, event_type AS next_type, count(*) AS cnt FROM (
+        |        SELECT event_type, lag(event_type) OVER
+        |          (PARTITION BY user_id ORDER BY us, event_id) AS prev_type
+        |        FROM ev CROSS JOIN m WHERE day > mid)
+        |       WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |p AS (SELECT prev_type, next_type AS predicted_next FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY prev_type
+        |          ORDER BY cnt DESC, next_type ASC) AS rk FROM tr)
+        |      WHERE rk = 1)
+        |SELECT te.prev_type, CAST(sum(cnt) AS BIGINT) AS n_eval,
+        |       max(predicted_next) AS predicted_next,
+        |       CAST(coalesce(sum(CASE WHEN next_type = predicted_next
+        |         THEN cnt ELSE 0 END), 0) AS BIGINT) AS n_correct,
+        |       round(CAST(coalesce(sum(CASE WHEN next_type = predicted_next
+        |           THEN cnt ELSE 0 END), 0) AS DOUBLE) / sum(cnt), 6) AS accuracy
+        |FROM te LEFT JOIN p ON te.prev_type = p.prev_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // lang consistency: q36's stopword rule vs the declared column,
+    // scored on the detector's own en/not-en axis
+    "q186_lang_consistency" ->
+      s"""WITH d AS (SELECT source, lang, ${tok("text")} AS words
+         |    FROM documents WHERE text IS NOT NULL),
+         |s AS (SELECT source, lang,
+         |        round(CAST(len(list_filter(words, w -> w IN $stoplist)) AS DOUBLE)
+         |          / greatest(len(words), 1), 6) >= 0.08 AS pred_en
+         |      FROM d)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_declared_en,
+         |       CAST(sum(CASE WHEN pred_en THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_pred_en,
+         |       CAST(sum(CASE WHEN (lang = 'en') <> pred_en THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_mismatch,
+         |       round(CAST(sum(CASE WHEN (lang = 'en') <> pred_en THEN 1 ELSE 0 END)
+         |         AS DOUBLE) / count(*), 6) AS mismatch_rate
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // conformal gate: exact k-th order statistic from the bounded 6-dp
+    // quality histogram (cum ≥ k first value), α = 0.1, strict < flag
+    "q187_conformal_gate" ->
+      s"""WITH d AS (SELECT doc_id, source, n_chars, ${tok("text")} AS words
+         |    FROM documents WHERE text IS NOT NULL),
+         |sc AS (SELECT doc_id, source,
+         |        CAST(len(words) AS BIGINT) AS n_tokens,
+         |        round(CAST(len(list_distinct(words)) AS DOUBLE)
+         |          / greatest(len(words), 1), 6) AS ttr,
+         |        round(CAST(len(list_filter(words, w -> w IN $stoplist)) AS DOUBLE)
+         |          / greatest(len(words), 1), 6) AS stop_share
+         |      FROM d),
+         |s AS (SELECT doc_id, source,
+         |        round(least(ttr * 2.0, 1.0) * 0.5
+         |          + CASE WHEN n_tokens BETWEEN 20 AND 400 THEN 0.3 ELSE 0.0 END
+         |          + least(stop_share * 3.0, 0.2), 6) AS quality
+         |      FROM sc),
+         |hist AS (SELECT quality, count(*) AS c FROM s WHERE doc_id % 2 = 0
+         |         GROUP BY 1),
+         |h2 AS (SELECT *, sum(c) OVER (ORDER BY quality ROWS BETWEEN UNBOUNDED
+         |          PRECEDING AND CURRENT ROW) AS cum,
+         |          sum(c) OVER () AS n_cal FROM hist),
+         |thr AS (SELECT quality AS threshold, CAST(n_cal AS BIGINT) AS n_cal
+         |        FROM h2
+         |        WHERE cum >= floor((n_cal + 1) * 0.1)
+         |          AND cum - c < floor((n_cal + 1) * 0.1)
+         |          AND floor((n_cal + 1) * 0.1) >= 1)
+         |SELECT source, count(*) AS n_prod,
+         |       CAST(sum(CASE WHEN quality < threshold THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_flagged,
+         |       round(CAST(sum(CASE WHEN quality < threshold THEN 1 ELSE 0 END)
+         |         AS DOUBLE) / count(*), 6) AS flag_rate,
+         |       threshold, n_cal
+         |FROM s CROSS JOIN thr WHERE doc_id % 2 = 1
+         |GROUP BY source, threshold, n_cal ORDER BY source""".stripMargin,
   )
 
   /** q162b is the hour-sharded PHYSICAL form of q162 — identical

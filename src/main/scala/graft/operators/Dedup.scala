@@ -671,10 +671,13 @@ object Dedup {
           round(col("inter") / (col("size_a") + col("size_b") - col("inter")), 6)
             .as("jaccard"))
         .orderBy("id_a", "id_b")
-      val rows = out.collect() // result bounded by the τ=0.8 near-dup
-                               // population (measured: tens of pairs);
-                               // eager so the shingle cache releases
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      // materialize EAGERLY so the shingle cache can release — but on
+      // the EXECUTORS (localCheckpoint), never the driver: a driver
+      // collect here OOMed on the 100×-amplified corpus, where every
+      // doc carries 100 verbatim copies and the τ=0.8 answer is ~25M
+      // pairs (C(100,2) × originals) — the result is bounded by the
+      // near-dup POPULATION, which an adversarial corpus controls
+      out.localCheckpoint()
     } finally sh.unpersist()
   }
 

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -180,5 +181,96 @@ object Profile {
           round(col("n_violations").cast("double") / col("n_checked"), 6)))
       .withColumn("passed", (col("n_violations") === 0L).cast("long"))
       .orderBy("rule")
+  }
+
+  /** q181: Benford leading-digit audit — the forensic-accounting check
+    * (Benford 1938; the auditor's first screen for fabricated or
+    * truncated figures): for each monetary/quantity column, the
+    * observed leading-digit distribution beside Benford's log₁₀(1+1/d)
+    * expectation and the χ² distance. A synthetic or capped generator
+    * fails loudly (uniform quantities score a huge χ²), which is
+    * exactly the point — the q179 rules engine checks DECLARED
+    * contracts, this one checks a STATISTICAL law the data should obey.
+    *
+    * Leading digits are extracted in exact integer space: amounts land
+    * on the cent grid (round(x·100) — the q155 rule), and the digit is
+    * the first character of the INTEGER's decimal string — never
+    * floor(x/10^floor(log₁₀x)), whose log of an exact power of ten can
+    * land at 2.999… and misclassify a boundary amount (the float
+    * hazard both engines would hit differently). One scan per column
+    * collapses to 9 partial-aggregated digit cells; χ² folds over
+    * those 27 rows. */
+  def q181BenfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    def digits(metric: String, table: DataFrame, x: org.apache.spark.sql.Column) =
+      table.filter(x > 0)
+        .select(substring(round(x * 100, 0).cast("long").cast("string"), 1, 1)
+          .cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .select(lit(metric).as("metric"), col("digit"), col("n"))
+    val cells = Seq(
+      digits("o_totalprice", Tables.orders(spark, dir), col("o_totalprice")),
+      digits("l_extendedprice", Tables.lineitem(spark, dir), col("l_extendedprice")),
+      digits("l_quantity", Tables.lineitem(spark, dir), col("l_quantity")))
+      .reduce(_.union(_))
+    val w = Window.partitionBy("metric")
+    // the χ² fold is a DOUBLE sum: pin its order (9 digit rows) so the
+    // accumulation is sequential and engine-identical
+    val wOrd = Window.partitionBy("metric").orderBy("digit")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cells
+      .withColumn("total", sum("n").over(w))
+      .withColumn("share", round(col("n").cast("double") / col("total"), 6))
+      .withColumn("benford",
+        round(log(10.0, lit(1.0) + lit(1.0) / col("digit")), 6))
+      .withColumn("chi2", round(sum(
+        (col("n") - col("total") * col("benford"))
+          * (col("n") - col("total") * col("benford"))
+          / (col("total") * col("benford"))).over(wOrd), 4))
+      .select(col("metric"), col("digit"), col("n"), col("share"),
+        col("benford"), col("chi2"))
+      .orderBy("metric", "digit")
+  }
+
+  /** q183: order-header vs line-item revenue reconciliation — the
+    * warehouse cross-table consistency check q179's single-table rules
+    * cannot express: does Σ extendedprice·(1−disc)·(1+tax) over an
+    * order's lines reproduce the header's o_totalprice? Per-status
+    * summary with exact mismatch counts and cent-grid delta magnitudes
+    * (Σ|Δ| accumulates as exact integers — the q155 rule — so the
+    * report hashes identically however partial sums interleave).
+    * One join shuffled on orderkey (both sides partial-aggregated
+    * first: lines collapse to O(orders) rows BEFORE the join), then
+    * O(statuses) output. Headers with no lines count separately —
+    * absence is its own finding. */
+  def q183OrderReconciliation(spark: SparkSession, dir: String): DataFrame = {
+    val lineTotals = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      // cent-grid per line, summed exactly: round each line's charge to
+      // cents FIRST (the only portable definition — float Σ then round
+      // is order-sensitive)
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * (lit(1.0) + col("l_tax")) * 100, 0).cast("long")).as("line_cents"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("hdr_cents"))
+      .join(lineTotals, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderstatus"),
+        col("hdr_cents"),
+        col("line_cents"),
+        when(col("line_cents").isNotNull,
+          abs(col("hdr_cents") - col("line_cents"))).as("adelta"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("line_cents").isNotNull.cast("long")).as("n_with_lines"),
+        sum((col("adelta") > 1L).cast("long")).as("n_mismatch"),
+        sum(col("adelta")).as("sum_abs_cents"),
+        max(col("adelta")).as("max_abs_cents"))
+      .select(col("o_orderstatus"), col("n_orders"), col("n_with_lines"),
+        coalesce(col("n_mismatch"), lit(0L)).as("n_mismatch"),
+        round(coalesce(col("sum_abs_cents"), lit(0L)).cast("double") / 100.0, 2)
+          .as("sum_abs_delta"),
+        round(coalesce(col("max_abs_cents"), lit(0L)).cast("double") / 100.0, 2)
+          .as("max_abs_delta"))
+      .orderBy("o_orderstatus")
   }
 }

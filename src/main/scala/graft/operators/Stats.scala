@@ -676,4 +676,46 @@ object Stats {
           .otherwise((col("mean_t") === col("mean_c")).cast("long")))
       .orderBy("covariate")
   }
+
+  /** q182: exact Theil–Sen robust trend per event-type daily series —
+    * the median of ALL pairwise slopes (Theil 1950, Sen 1968): the
+    * robust complement to q144's OLS fit, immune to the outlier days
+    * q113/q136 flag (a single corrupted day can drag an OLS slope
+    * arbitrarily; the pairwise median shrugs at up to 29 % bad days).
+    * Reported beside the OLS slope so the gap itself is the outlier
+    * signal.
+    *
+    * Exact, not sampled, because the grain makes it cheap: the corpus
+    * collapses to O(types × days) daily cells first (one partial-
+    * aggregated scan — the q113 shape), and the pair self-join is
+    * O(types × days²) = bounded by the CALENDAR, not the corpus (30
+    * days → 435 pairs/type). Slopes round to 6 dp (the q51 exact-
+    * percentile contract: interpolation over identical doubles), day
+    * indices are exact integer epoch-days. */
+  def q182TheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+          .cast("long").as("d"))
+      .agg(round(sum("value"), 6).as("x"))
+      .localCheckpoint() // O(types × days); joined against itself
+    val slopes = daily.select(col("event_type"), col("d").as("di"), col("x").as("xi"))
+      .join(daily.select(col("event_type"), col("d").as("dj"), col("x").as("xj")),
+        "event_type")
+      .filter(col("di") < col("dj"))
+      .select(col("event_type"),
+        round((col("xj") - col("xi")) / (col("dj") - col("di")), 6).as("slope"))
+    val ols = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        round(expr("regr_slope(x, d)"), 6).as("ols_slope"))
+    slopes.groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(expr("percentile(slope, 0.5)"), 6).as("ts_slope"))
+      .join(ols, "event_type")
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        col("ts_slope"), col("ols_slope"),
+        round(abs(col("ts_slope") - col("ols_slope")), 6).as("divergence"))
+      .orderBy("event_type")
+  }
 }

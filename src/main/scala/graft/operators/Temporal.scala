@@ -767,4 +767,82 @@ object Temporal {
         col("dau_est"), col("wau_est"), col("mau_est"))
       .orderBy("day")
   }
+
+  /** q184: event debounce report — suppress repeat (user, type) events
+    * inside a 6-hour burst and report what survives: the standard
+    * duplicate-fire cleanup (retried webhooks, double-clicks, crawler
+    * re-visits) an ingest pipeline applies before counting anything.
+    * Burst semantics are ADJACENT-gap (a burst extends while
+    * consecutive gaps stay ≤ 6 h — the session_window rule at a
+    * tighter horizon); the first event of each burst is kept. One
+    * (user, type)-keyed window pass — the q111/q112 per-key shape, no
+    * self-join — collapsing to O(types) summary rows with exact
+    * integer counts. */
+  def q184Debounce(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 21600000000L // 6 h
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(asc("us"), asc("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap", col("us") - lag("us", 1).over(w))
+      .select(col("event_type"),
+        (col("gap").isNull || col("gap") > gapUs).cast("long").as("kept"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum("kept").as("n_kept"),
+        (count(lit(1)) - sum("kept")).as("n_dropped"))
+      .withColumn("drop_rate",
+        round(col("n_dropped").cast("double") / col("n_events"), 6))
+      .orderBy("event_type")
+  }
+
+  /** q185: Markov next-event prediction eval under a TEMPORAL holdout —
+    * closes q112's transition matrix into a measured model: transitions
+    * learned on the first half of the calendar predict (argmax over
+    * next-type counts, lexicographic tie-break) and are scored on
+    * transitions the second half actually took. Resubstitution accuracy
+    * (predicting the half you trained on) is the q112 matrix's own max
+    * row share — a tautology; the holdout number is the one a team can
+    * act on. Both halves collapse to O(types²) integer count frames
+    * (two q112-shaped user-keyed passes over disjoint day ranges);
+    * prediction and scoring join those enum-bounded frames. */
+  def q185MarkovEval(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+          .cast("long").as("day"))
+    val mid = ev.agg(floor((min("day") + max("day")) / 2).cast("long").as("mid"))
+    val tagged = ev.crossJoin(broadcast(mid)).localCheckpoint()
+    def transitions(half: DataFrame) = {
+      val w = Window.partitionBy("user_id").orderBy(asc("us"), asc("event_id"))
+      half
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("cnt"))
+    }
+    val train = transitions(tagged.filter(col("day") <= col("mid")))
+    val eval = transitions(tagged.filter(col("day") > col("mid")))
+    // argmax next per prev on the O(types²) train frame
+    val wp = Window.partitionBy("prev_type")
+      .orderBy(desc("cnt"), asc("next_type"))
+    val predicted = train
+      .withColumn("rk", row_number().over(wp))
+      .filter(col("rk") === 1)
+      .select(col("prev_type"), col("next_type").as("predicted_next"))
+    eval
+      .join(predicted, Seq("prev_type"), "left")
+      .groupBy("prev_type")
+      .agg(sum("cnt").as("n_eval"),
+        max("predicted_next").as("predicted_next"), // constant per group
+        coalesce(sum(when(col("next_type") === col("predicted_next"),
+          col("cnt")).otherwise(0L)), lit(0L)).as("n_correct"))
+      .withColumn("accuracy",
+        round(col("n_correct").cast("double") / col("n_eval"), 6))
+      .orderBy("prev_type")
+  }
 }

@@ -1840,4 +1840,86 @@ object TextAnalysis {
       .orderBy(desc("lift"), asc("word"))
       .limit(20)
   }
+
+  /** q186: language-metadata consistency audit — per source, how often
+    * the DECLARED `lang` column disagrees with what the content-based
+    * detector (q36's stopword rule) says: the mislabeled-feed alarm.
+    * Declared language is upstream metadata and upstream metadata
+    * lies; a source whose 'en' docs don't read as English (or whose
+    * 'de' docs do) is either mistagged or mixed — either way its
+    * per-language quotas (q83/q91) are built on sand. Disagreement is
+    * scored on the detector's own axis (en vs not-en, all q36's rule
+    * distinguishes). One tokenize scan collapses to O(sources)
+    * partial-aggregated rows; counts exact integers. */
+  def q186LangConsistency(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"), col("lang"),
+        Portable.tokenize(col("text")).as("words"))
+      .select(col("source"), col("lang"),
+        (round(size(filter(col("words"), w => w.isin(stopwords: _*)))
+          .cast("double") / greatest(size(col("words")), lit(1)), 6) >= 0.08)
+          .as("pred_en"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("lang") === "en").cast("long")).as("n_declared_en"),
+        sum(col("pred_en").cast("long")).as("n_pred_en"),
+        sum(((col("lang") === "en") =!= col("pred_en")).cast("long"))
+          .as("n_mismatch"))
+      .withColumn("mismatch_rate",
+        round(col("n_mismatch").cast("double") / col("n_docs"), 6))
+      .orderBy("source")
+  }
+
+  /** q187: split-conformal quality gate — a DISTRIBUTION-FREE flagging
+    * threshold on the q37 quality score (split conformal prediction,
+    * Vovk et al.; Lei et al. 2018): calibrate on the even-doc_id half
+    * (threshold = the k-th smallest calibration quality, k =
+    * ⌊α(n+1)⌋, α = 0.1), flag production (odd-half) docs scoring
+    * strictly below it. Exchangeability gives the finite-sample
+    * guarantee P(flag) ≤ ~α with NO model and NO distributional
+    * assumption — the honest version of "flag the worst 10 %", whose
+    * naive form (a percentile of the same data you flag) silently
+    * overfits. The deterministic parity split is engine-portable (the
+    * q98/q104 convention). One scoring scan; the threshold is an
+    * O(1) broadcast from the calibration half's rank window; per-
+    * source flag counts partial-aggregate. */
+  def q187ConformalGate(spark: SparkSession, dir: String): DataFrame = {
+    val scored = qualityScored(
+      Tables.documents(spark, dir).filter(col("text").isNotNull),
+      carry = Seq("source"))
+      .select(col("doc_id"), col("source"), col("quality"))
+      .localCheckpoint() // one scoring pass feeds both halves
+    val calib = scored.filter(col("doc_id") % 2 === 0)
+    // exact k-th order statistic WITHOUT a global rank: quality lives
+    // on the 6-dp grid, so the calibration half collapses to a bounded
+    // value histogram (≤ 10⁶+1 cells at ANY corpus size) and the
+    // threshold is the first value whose cumulative count reaches
+    // k = ⌊0.1(n+1)⌋ — the scale-safe exact quantile (no q51-style
+    // single-buffer percentile, no corpus-wide sort)
+    val hist = calib.groupBy("quality").agg(count(lit(1)).as("c"))
+    val wq = Window.orderBy("quality")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val thr = hist
+      .withColumn("cum", sum("c").over(wq))
+      .withColumn("n_cal", sum("c").over(all))
+      .withColumn("k", floor((col("n_cal") + 1) * 0.1).cast("long"))
+      .filter(col("cum") >= col("k") && col("cum") - col("c") < col("k") &&
+        col("k") >= 1)
+      .select(col("quality").as("threshold"), col("n_cal"))
+    scored.filter(col("doc_id") % 2 === 1)
+      .crossJoin(broadcast(thr))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_prod"),
+        sum((col("quality") < col("threshold")).cast("long")).as("n_flagged"),
+        max(col("threshold")).as("threshold"),
+        max(col("n_cal")).as("n_cal"))
+      .withColumn("flag_rate",
+        round(col("n_flagged").cast("double") / col("n_prod"), 6))
+      .select(col("source"), col("n_prod"), col("n_flagged"), col("flag_rate"),
+        col("threshold"), col("n_cal"))
+      .orderBy("source")
+  }
 }

@@ -2708,4 +2708,221 @@ class QueriesSpec extends AnyFunSuite {
       assert(math.abs(g._4 - w._4) < 2e-4, s"lift ${g._1}: ${g._4} vs ${w._4}")
     }
   }
+
+  test("q181 Benford audit replays digit counts and the chi-square fold") {
+    def lead(cents: Long): Long = cents.toString.head.toString.toLong
+    val want = Seq(
+      ("o_totalprice", Tables.orders(spark, sf0001)
+        .select("o_totalprice").collect().map(_.getDouble(0))),
+      ("l_extendedprice", Tables.lineitem(spark, sf0001)
+        .select("l_extendedprice").collect().map(_.getDouble(0))),
+      ("l_quantity", Tables.lineitem(spark, sf0001)
+        .select("l_quantity").collect().map(_.getDouble(0))))
+      .flatMap { case (m, xs) =>
+        val ds = xs.filter(_ > 0).map(x => lead(math.rint(x * 100).toLong))
+        val total = ds.length.toLong
+        ds.groupBy(identity).toSeq.map { case (d, g) =>
+          (m, d) -> ((g.length.toLong, total))
+        }
+      }.toMap
+    val got = run("q181_benford_audit").collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val k = (r.getString(0), r.getLong(1))
+      val (n, total) = want(k)
+      assert(r.getLong(2) == n, s"count$k: ${r.getLong(2)} vs $n")
+      assert(math.abs(r.getDouble(3) - n.toDouble / total) < 2e-6, s"share$k")
+      assert(math.abs(r.getDouble(4) -
+        math.log10(1.0 + 1.0 / r.getLong(1))) < 2e-6, s"benford$k")
+    }
+    // chi2 replay per metric from the emitted cells (constant per metric)
+    got.groupBy(_.getString(0)).foreach { case (m, g) =>
+      assert(g.map(_.getDouble(5)).distinct.length == 1, s"chi2 constant for $m")
+      val total = want.collect { case ((`m`, _), (_, t)) => t }.head.toDouble
+      val chi2 = g.map { r =>
+        val e = total * r.getDouble(4)
+        (r.getLong(2) - e) * (r.getLong(2) - e) / e
+      }.sum
+      assert(math.abs(g.head.getDouble(5) - chi2) < 1e-2, s"chi2 $m")
+      assert(g.head.getDouble(5) > 0.0)
+    }
+  }
+
+  test("q182 Theil-Sen shrugs at a planted outlier day that drags OLS") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ts").toString
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    // clean linear series x = 2*day, except day 5 spikes to 1000
+    val evs = (0 until 20).map { day =>
+      val v = if (day == 5) 1000.0 else 2.0 * day
+      (day.toLong, base.plusSeconds(day * 86400L).toEpochMilli * 1000000L,
+        1L, "click", v)
+    }
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val r = graft.operators.Stats.q182TheilSen(spark, dir).collect().head
+    assert(math.abs(r.getDouble(3) - 2.0) < 0.05,
+      s"TS slope robust to the spike: ${r.getDouble(3)}")
+    assert(math.abs(r.getDouble(4) - 2.0) > 1.0,
+      s"OLS dragged by the spike: ${r.getDouble(4)}")
+    // corpus run: full plain-Scala replay of the pairwise-median slope
+    val daily = Tables.events(spark, sf0001)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("d"))
+      .agg(round(sum("value"), 6).as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val want = daily.groupBy(_._1).map { case (t, g) =>
+      val pts = g.map(p => (p._2, p._3)).sortBy(_._1)
+      val slopes = for (i <- pts.indices; j <- pts.indices if i < j)
+        yield math.rint((pts(j)._2 - pts(i)._2) / (pts(j)._1 - pts(i)._1) * 1e6) / 1e6
+      val s = slopes.sorted
+      val med = if (s.length % 2 == 1) s(s.length / 2)
+        else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+      t -> (slopes.length.toLong, med)
+    }
+    run("q182_theil_sen").collect().foreach { row =>
+      val (np, med) = want(row.getString(0))
+      assert(row.getLong(2) == np, s"pairs ${row.getString(0)}")
+      assert(math.abs(row.getDouble(3) - med) < 2e-6,
+        s"ts_slope ${row.getString(0)}: ${row.getDouble(3)} vs $med")
+    }
+  }
+
+  test("q183 reconciliation counts planted header/line mismatches per status") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-recon").toString
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+    // order 1: lines reproduce the header exactly; order 2: header
+    // overstates by 10.00; order 3: no lines at all
+    Seq((1L, 1L, "O", 220.00, ts0, "x"), (2L, 1L, "O", 110.00, ts0, "x"),
+      (3L, 1L, "F", 50.00, ts0, "x")).toDF(
+      "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    // line charge = extprice * (1-disc) * (1+tax)
+    Seq((1L, 1L, 1L, 1, 1.0, 100.0, 0.0, 0.1, "N", "O", ts0), // 110.00
+      (1L, 1L, 1L, 2, 1.0, 100.0, 0.0, 0.1, "N", "O", ts0), // 110.00
+      (2L, 1L, 1L, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", ts0)) // 100.00 vs 110
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = graft.operators.Profile.q183OrderReconciliation(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val o = got("O")
+    assert(o.getLong(1) == 2 && o.getLong(2) == 2 && o.getLong(3) == 1, s"O: $o")
+    assert(o.getDouble(4) == 10.0 && o.getDouble(5) == 10.0, s"O deltas: $o")
+    val f = got("F")
+    assert(f.getLong(1) == 1 && f.getLong(2) == 0 && f.getLong(3) == 0,
+      s"lineless order is its own finding, not a mismatch: $f")
+    // corpus run: counts consistent
+    run("q183_order_recon").collect().foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(3) <= r.getLong(2))
+      assert(r.getDouble(5) <= r.getDouble(4) + 1e-9)
+    }
+  }
+
+  test("q184 debounce keeps burst heads under the adjacent-gap rule") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-deb").toString
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    // gaps: +1h (chain), +1h (chain), +7h (new burst) → 2 kept of 4;
+    // a second user's single event is its own burst
+    val evs = Seq(0L, 3600L, 7200L, 32400L).zipWithIndex.map { case (s, i) =>
+      (i.toLong, base.plusSeconds(s).toEpochMilli * 1000000L, 1L, "click", 1.0)
+    } :+ ((9L, base.toEpochMilli * 1000000L, 2L, "click", 1.0))
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val r = graft.operators.Temporal.q184Debounce(spark, dir).collect().head
+    assert(r.getLong(1) == 5 && r.getLong(2) == 3 && r.getLong(3) == 2,
+      s"burst heads: $r")
+    // corpus: conservation + the measured sf0.001 corpus has real bursts
+    run("q184_debounce").collect().foreach { row =>
+      assert(row.getLong(2) + row.getLong(3) == row.getLong(1))
+      assert(row.getDouble(4) >= 0.0 && row.getDouble(4) < 1.0)
+    }
+  }
+
+  test("q185 Markov holdout eval replays train-argmax scoring on the eval half") {
+    val evs = Tables.events(spark, sf0001)
+      .filter(col("event_type").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    val mid = (evs.map(_._5).min + evs.map(_._5).max) / 2
+    def trans(rows: Seq[(Long, Long, String, Long, Long)]) =
+      rows.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+        val s = g.sortBy(e => (e._4, e._2)).map(_._3)
+        s.zip(s.tail)
+      }.groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val tr = trans(evs.filter(_._5 <= mid).toSeq)
+    val te = trans(evs.filter(_._5 > mid).toSeq)
+    val predicted = tr.groupBy(_._1._1).map { case (p, m) =>
+      p -> m.toSeq.map { case ((_, n), c) => (n, c) }.minBy { case (n, c) => (-c, n) }._1
+    }
+    val want = te.groupBy(_._1._1).map { case (p, m) =>
+      val n = m.values.sum
+      val correct = predicted.get(p)
+        .map(pn => m.collect { case ((_, nx), c) if nx == pn => c }.sum).getOrElse(0L)
+      p -> ((n, predicted.get(p).orNull, correct))
+    }
+    val got = run("q185_markov_eval").collect()
+    assert(got.nonEmpty && got.length == want.size)
+    got.foreach { r =>
+      val (n, pn, correct) = want(r.getString(0))
+      assert(r.getLong(1) == n && r.getString(2) == pn && r.getLong(3) == correct,
+        s"${r.getString(0)}: $r vs ($n, $pn, $correct)")
+      assert(math.abs(r.getDouble(4) - correct.toDouble / n) < 2e-6)
+    }
+  }
+
+  test("q186 lang consistency flags planted metadata lies") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lang").toString
+    val en = "the cat and the dog are in the house with a bird of the sea"
+    val notEn = "zxq vbn mlk pqr stw xyz abcq defq ghiq jklq"
+    // s1: truthful en + truthful de; s2: declared en but non-stopword
+    // text, declared de but English-reading text — both lies
+    Seq((1L, en, "en", "s1", en.length.toLong),
+      (2L, notEn, "de", "s1", notEn.length.toLong),
+      (3L, notEn, "en", "s2", notEn.length.toLong),
+      (4L, en, "de", "s2", en.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis.q186LangConsistency(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("s1").getLong(4) == 0L && got("s1").getDouble(5) == 0.0,
+      s"truthful source clean: ${got("s1")}")
+    assert(got("s2").getLong(4) == 2L && got("s2").getDouble(5) == 1.0,
+      s"both lies caught: ${got("s2")}")
+    // corpus: counts consistent per source
+    run("q186_lang_consistency").collect().foreach { r =>
+      assert(r.getLong(4) <= r.getLong(1))
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
+
+  test("q187 conformal gate: threshold replays and the flag rate sits near alpha") {
+    val scored = graft.operators.TextAnalysis.qualityScored(
+      Tables.documents(spark, sf0001).filter(col("text").isNotNull))
+      .select(col("doc_id"), col("quality"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val cal = scored.filter(_._1 % 2 == 0).map(_._2).sorted
+    val k = ((cal.length + 1) * 0.1).toInt
+    val thr = cal(k - 1) // k-th smallest
+    val prod = scored.filter(_._1 % 2 == 1)
+    val rows = run("q187_conformal_gate").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getDouble(4)).distinct.toSeq == Seq(thr),
+      s"threshold: ${rows.head.getDouble(4)} vs $thr")
+    assert(rows.map(_.getLong(5)).distinct.toSeq == Seq(cal.length.toLong))
+    val flagged = rows.map(_.getLong(2)).sum
+    assert(flagged == prod.count(_._2 < thr), "flag replay over production half")
+    val rate = flagged.toDouble / prod.length
+    // the conformal promise: ~alpha of exchangeable production docs
+    assert(rate >= 0.02 && rate <= 0.2, s"global flag rate $rate vs alpha 0.1")
+  }
 }
