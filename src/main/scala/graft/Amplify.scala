@@ -99,7 +99,29 @@ object Amplify {
       .repartition(splits)
       .write.mode("overwrite").parquet(s"$dest/lineitem.parquet")
 
-    println(s"[amplify] wrote $dest: documents x$docCopies, embeddings x$vecCopies, events x$evCopies, part/lineitem x$docCopies")
+    // orders amplify by ORDER, slotted to match lineitem's l_orderkey
+    // slots (copy-N orders own copy-N lines), with o_custkey/o_totalprice
+    // passthrough: FK validity, status mix, and per-order reconciliation
+    // deltas are unchanged as order count scales — exactly what
+    // q179/q181/q183 measure. The small dims (customer/supplier/nation/
+    // region) pass through verbatim: dimension cardinality is NOT the
+    // scaling axis, and keeping them fixed preserves the broadcast-side
+    // shape the join plans are designed around.
+    Tables.orders(spark, src)
+      .crossJoin(spark.range(docCopies).toDF("copy"))
+      .select(
+        (col("copy") * slot + col("o_orderkey")).as("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+      .repartition(splits)
+      .write.mode("overwrite").parquet(s"$dest/orders.parquet")
+
+    Seq("customer", "supplier", "nation", "region").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dest/$t.parquet")
+    }
+
+    println(s"[amplify] wrote $dest: documents x$docCopies, embeddings x$vecCopies, events x$evCopies, part/lineitem/orders x$docCopies, dims passthrough")
     spark.stop()
   }
 }

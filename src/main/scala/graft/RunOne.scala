@@ -108,6 +108,20 @@ object RunOne {
       }
       spark.stop(); return
     }
+    // comma-separated names = one JVM measuring a batch (amplification
+    // sweeps); per-name iters, min reported per name
+    if (name.contains(",")) {
+      name.split(",").foreach { n =>
+        val f = SparkEntry.queries(n)
+        val times = (1 to iters).map { _ =>
+          val t0 = System.nanoTime()
+          f(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[runone] $n: min ${times.min}%.2f s  (${times.map(t => f"$t%.2f").mkString(", ")})")
+      }
+      spark.stop(); return
+    }
     val sampled = "q77_sampled_(\\d+)".r
     val hashed = "q81_hashed_(\\d+)".r
     val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame = name match {

@@ -189,6 +189,14 @@ object SparkEntry {
     "q185_markov_eval"    -> (Temporal.q185MarkovEval _),
     "q186_lang_consistency" -> (TextAnalysis.q186LangConsistency _),
     "q187_conformal_gate" -> (TextAnalysis.q187ConformalGate _),
+    "q188_zipf_fit"       -> (TextAnalysis.q188ZipfFit _),
+    "q189_gini"           -> (Stats.q189GiniConcentration _),
+    "q190_forecast_backtest" -> (Temporal.q190ForecastBacktest _),
+    "q191_rater_agreement" -> (TextAnalysis.q191RaterAgreement _),
+    "q192_k_anonymity"    -> (Profile.q192KAnonymity _),
+    "q193_rfm_segments"   -> (Relational.q193RfmSegments _),
+    "q194_column_entropy" -> (Profile.q194ColumnEntropy _),
+    "q195_power_mde"      -> (Stats.q195PowerMde _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -3745,6 +3753,245 @@ object SparkEntry {
          |       threshold, n_cal
          |FROM s CROSS JOIN thr WHERE doc_id % 2 = 1
          |GROUP BY source, threshold, n_cal ORDER BY source""".stripMargin,
+
+    // regr_* on ≤200 ln values rounded 6/4 dp (the q144 contract)
+    "q188_zipf_fit" ->
+      s"""WITH h AS (SELECT source, word, count(*) AS cnt
+         |  FROM (SELECT source, unnest(${tok("text")}) AS word
+         |        FROM documents WHERE text IS NOT NULL)
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |          CAST(count(*) AS BIGINT) AS n_vocab FROM h GROUP BY 1),
+         |r AS (SELECT source, word, cnt, row_number() OVER
+         |        (PARTITION BY source ORDER BY cnt DESC, word) AS rk FROM h),
+         |fit AS (SELECT source,
+         |    round(regr_slope(ln(cnt), ln(rk)), 6) AS zipf_slope,
+         |    round(regr_r2(ln(cnt), ln(rk)), 4) AS r2,
+         |    max(CASE WHEN rk = 1 THEN word END) AS top_word,
+         |    max(CASE WHEN rk = 1 THEN cnt END) AS top_cnt
+         |  FROM r WHERE rk <= 200 GROUP BY 1)
+         |SELECT f.source, n_tokens, n_vocab, zipf_slope, r2, top_word,
+         |       round(CAST(top_cnt AS DOUBLE) / n_tokens, 6) AS top_share
+         |FROM fit f JOIN tot t ON f.source = t.source
+         |ORDER BY f.source""".stripMargin,
+
+    // Gini from the value histogram: ranks of the c tied customers at
+    // value v are cum0+1..cum0+c, so Σ i·x over them is exact integer
+    // arithmetic (// = DuckDB integer division, mirroring Spark's DIV;
+    // c(c+1) is even so the quotient is exact)
+    "q189_gini" ->
+      """WITH spend AS (SELECT o_custkey,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+        |  FROM orders GROUP BY 1),
+        |j AS (SELECT n_name, v FROM spend
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |h AS (SELECT n_name, v, count(*) AS c FROM j GROUP BY 1, 2),
+        |w AS (SELECT n_name, v, c,
+        |    CAST(sum(c) OVER (PARTITION BY n_name ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) - c AS BIGINT) AS cum0 FROM h),
+        |parts AS (SELECT n_name, c, v,
+        |    v * (c * cum0 + (c * (c + 1)) // 2) AS iw FROM w),
+        |agg AS (SELECT n_name, CAST(sum(c) AS BIGINT) AS n_customers,
+        |    sum(v * c) AS s, sum(iw) AS t FROM parts GROUP BY 1)
+        |SELECT n_name AS nation, n_customers,
+        |       round(CAST(s AS DOUBLE) / 100.0, 2) AS total_rev,
+        |       round((2.0 * CAST(t AS DOUBLE)
+        |           - CAST(n_customers + 1 AS DOUBLE) * CAST(s AS DOUBLE))
+        |         / (CAST(n_customers AS DOUBLE) * CAST(s AS DOUBLE)), 6) AS gini
+        |FROM agg ORDER BY nation""".stripMargin,
+
+    // forecasts via calendar-keyed self-joins (day-1 / day-7), eval on
+    // the strict second half; |Δ| and Δ² accumulate as exact integers
+    "q190_forecast_backtest" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+        |      AS day,
+        |    CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS y3
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |mid AS (SELECT CAST(floor((min(day) + max(day)) / 2.0) AS BIGINT) AS mid
+        |        FROM daily),
+        |ev AS (SELECT d.event_type, d.y3, f1.y3 AS f1, f7.y3 AS f7
+        |  FROM daily d CROSS JOIN mid
+        |  JOIN daily f1 ON f1.event_type = d.event_type AND f1.day = d.day - 1
+        |  JOIN daily f7 ON f7.event_type = d.event_type AND f7.day = d.day - 7
+        |  WHERE d.day > mid)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+        |  round(CAST(sum(abs(y3 - f1)) AS DOUBLE) / count(*) / 1000.0, 4)
+        |    AS mae_naive,
+        |  round(sqrt(CAST(sum((y3 - f1) * (y3 - f1)) AS DOUBLE) / count(*))
+        |    / 1000.0, 4) AS rmse_naive,
+        |  round(CAST(sum(abs(y3 - f7)) AS DOUBLE) / count(*) / 1000.0, 4)
+        |    AS mae_snaive,
+        |  round(sqrt(CAST(sum((y3 - f7) * (y3 - f7)) AS DOUBLE) / count(*))
+        |    / 1000.0, 4) AS rmse_snaive,
+        |  CASE WHEN sum(abs(y3 - f7)) < sum(abs(y3 - f1)) THEN 'seasonal_naive'
+        |       WHEN sum(abs(y3 - f1)) < sum(abs(y3 - f7)) THEN 'naive'
+        |       ELSE 'tie' END AS best_baseline
+        |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // κ from exact integer 2×2 cells — the only doubles are single
+    // divisions of integers, identical expression tree both engines;
+    // gates mirror q37 (quality ≥ 0.5) and q65 (rounded fracs ≤ 0.1)
+    "q191_rater_agreement" ->
+      s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ws,
+         |    ${tok("text")} AS words
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+         |q AS (SELECT doc_id, source,
+         |    round(least(round(CAST(len(list_distinct(words)) AS DOUBLE)
+         |        / greatest(len(words), 1), 6) * 2.0, 1.0) * 0.5
+         |      + CASE WHEN len(words) BETWEEN 20 AND 400 THEN 0.3 ELSE 0.0 END
+         |      + least(round(CAST(len(list_filter(words, w -> w IN $stoplist))
+         |          AS DOUBLE) / greatest(len(words), 1), 6) * 3.0, 0.2), 6)
+         |      AS quality
+         |  FROM d),
+         |bg AS (SELECT doc_id, ws[i.i] || ' ' || ws[i.i+1] AS bigram
+         |       FROM d, LATERAL (SELECT unnest(range(1, len(ws))) AS i) i),
+         |cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg
+         |        GROUP BY doc_id, bigram),
+         |rg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb,
+         |         CAST(count(*) AS BIGINT) AS nd, CAST(max(c) AS BIGINT) AS tc
+         |       FROM cnt GROUP BY 1),
+         |g AS (SELECT q.source, (q.quality >= 0.5) AS a,
+         |        (round(tc * 1.0 / nb, 6) <= 0.1
+         |          AND round(1 - nd * 1.0 / nb, 6) <= 0.1) AS b
+         |      FROM q JOIN rg ON q.doc_id = rg.doc_id),
+         |cells AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         |    CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         |    CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         |    CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n00
+         |  FROM g GROUP BY 1),
+         |k AS (SELECT *,
+         |    CAST(n11 + n00 AS DOUBLE) / n_docs AS po,
+         |    (CAST(n11 + n10 AS DOUBLE) / n_docs)
+         |      * (CAST(n11 + n01 AS DOUBLE) / n_docs)
+         |    + (1.0 - CAST(n11 + n10 AS DOUBLE) / n_docs)
+         |      * (1.0 - CAST(n11 + n01 AS DOUBLE) / n_docs) AS pe
+         |  FROM cells)
+         |SELECT source, n_docs, n11, n10, n01, n00,
+         |       round(po, 6) AS po, round(pe, 6) AS pe,
+         |       CASE WHEN pe < 1.0 THEN round((po - pe) / (1.0 - pe), 6) END
+         |         AS kappa
+         |FROM k ORDER BY source""".stripMargin,
+
+    "q192_k_anonymity" ->
+      """WITH cls AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |    count(*) AS sz
+        |  FROM customer GROUP BY 1, 2, 3),
+        |x AS (SELECT sz, unnest([2, 5, 10, 20]) AS k FROM cls)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(sz) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_classes_at_risk,
+        |  CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
+        |    AS n_rows_at_risk,
+        |  round(CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS DOUBLE)
+        |    / sum(sz), 6) AS risk_share
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // quantile_cont == Spark percentile (linear interpolation, the
+    // q140 cutpoint contract); boundaries rounded 6 dp pre-binning
+    "q193_rfm_segments" ->
+      """WITH rfm AS (SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |sc AS (SELECT *, CAST(datediff('day', last_d,
+        |    (SELECT max(last_d) FROM rfm)) AS BIGINT) AS rec FROM rfm),
+        |b AS (SELECT
+        |    list_transform(quantile_cont(rec, [0.25, 0.5, 0.75]),
+        |      x -> round(x, 6)) AS rb,
+        |    list_transform(quantile_cont(freq, [0.25, 0.5, 0.75]),
+        |      x -> round(x, 6)) AS fb,
+        |    list_transform(quantile_cont(cents, [0.25, 0.5, 0.75]),
+        |      x -> round(x, 6)) AS mb
+        |  FROM sc),
+        |cells AS (SELECT cents, rec,
+        |    CAST(4 - len(list_filter(rb, bb -> rec > bb)) AS BIGINT) AS r_score,
+        |    CAST(1 + len(list_filter(fb, bb -> freq > bb)) AS BIGINT) AS f_score,
+        |    CAST(1 + len(list_filter(mb, bb -> cents > bb)) AS BIGINT) AS m_score
+        |  FROM sc CROSS JOIN b)
+        |SELECT r_score, f_score, m_score,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS segment_rev,
+        |  round(avg(CAST(rec AS DOUBLE)), 2) AS avg_recency_days,
+        |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+        |         THEN 'champion'
+        |       WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk_loyal'
+        |       WHEN f_score >= 3 THEN 'loyal'
+        |       WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+        |       ELSE 'regular' END AS label
+        |FROM cells GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // entropy folds over a value-ORDERED window (the q181 sequential-
+    // sum convention); log2 spelled ln/ln(2.0) both engines
+    "q194_column_entropy" -> {
+      def block(label: String, table: String, column: String) =
+        s"""SELECT '$label' AS column_name, CAST(max(total) AS BIGINT) AS n_rows,
+           |  CAST(count(*) AS BIGINT) AS n_distinct,
+           |  round(max(h2), 6) AS entropy_bits,
+           |  round(max(h2) / greatest(ln(CAST(count(*) AS DOUBLE)) / ln(2.0),
+           |    1e-12), 6) AS norm_entropy,
+           |  round(CAST(max(n) AS DOUBLE) / max(total), 6) AS top_share
+           |FROM (SELECT v, n, total,
+           |    sum(-(CAST(n AS DOUBLE) / total) * ln(CAST(n AS DOUBLE) / total)
+           |        / ln(2.0)) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+           |        AND UNBOUNDED FOLLOWING) AS h2
+           |  FROM (SELECT v, n, CAST(sum(n) OVER () AS BIGINT) AS total
+           |    FROM (SELECT CAST($column AS VARCHAR) AS v, count(*) AS n
+           |          FROM $table WHERE $column IS NOT NULL GROUP BY 1) hh) ww) ee
+           |""".stripMargin
+      Seq(
+        block("documents.lang", "documents", "lang"),
+        block("documents.source", "documents", "source"),
+        block("events.event_type", "events", "event_type"),
+        block("lineitem.l_returnflag", "lineitem", "l_returnflag"),
+        block("orders.o_orderstatus", "orders", "o_orderstatus"),
+        block("part.p_brand", "part", "p_brand"))
+        .mkString("", "UNION ALL\n", "ORDER BY column_name")
+    },
+
+    // z constants as the same literal sum both engines square;
+    // variance from the exact 1e-3 moments (q155)
+    "q195_power_mde" ->
+      """WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(round(value * 1000) AS BIGINT)) AS s3,
+        |    sum(CAST(round(value * 1000) AS BIGINT)
+        |      * CAST(round(value * 1000) AS BIGINT)) AS ss6,
+        |    CAST(max(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+        |      - min(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))) + 1
+        |      AS BIGINT) AS n_days
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1),
+        |d AS (SELECT event_type, n, n_days,
+        |    CAST(s3 AS DOUBLE) / 1000.0 AS s,
+        |    CAST(ss6 AS DOUBLE) / 1000000.0 AS ss,
+        |    CAST(n AS DOUBLE) AS nd FROM m),
+        |e AS (SELECT event_type, n, n_days,
+        |    s / nd AS mean, (ss - s * s / nd) / (nd - 1) AS var,
+        |    nd / n_days AS daily FROM d)
+        |SELECT event_type, n AS n_values, n_days,
+        |  round(mean, 4) AS mean_value, round(sqrt(var), 4) AS sd_value,
+        |  round(daily, 2) AS daily_volume,
+        |  CASE WHEN abs(mean) > 0 AND var > 0 THEN CAST(ceil(2.0
+        |    * (2.0 * var * ((1.959964 + 0.841621) * (1.959964 + 0.841621))
+        |       / ((mean * 0.01) * (mean * 0.01))) / daily) AS BIGINT) END
+        |    AS days_1pct,
+        |  CASE WHEN abs(mean) > 0 AND var > 0 THEN CAST(ceil(2.0
+        |    * (2.0 * var * ((1.959964 + 0.841621) * (1.959964 + 0.841621))
+        |       / ((mean * 0.02) * (mean * 0.02))) / daily) AS BIGINT) END
+        |    AS days_2pct,
+        |  CASE WHEN abs(mean) > 0 AND var > 0 THEN CAST(ceil(2.0
+        |    * (2.0 * var * ((1.959964 + 0.841621) * (1.959964 + 0.841621))
+        |       / ((mean * 0.05) * (mean * 0.05))) / daily) AS BIGINT) END
+        |    AS days_5pct
+        |FROM e ORDER BY event_type""".stripMargin,
   )
 
   /** q162b is the hour-sharded PHYSICAL form of q162 — identical

@@ -273,4 +273,82 @@ object Profile {
           .as("max_abs_delta"))
       .orderBy("o_orderstatus")
   }
+
+  /** q192: k-anonymity risk report over the customer table — for the
+    * quasi-identifier tuple (nation, market segment, account-balance
+    * band), how many customers sit in equivalence classes smaller
+    * than k for the standard ladder k ∈ {2, 5, 10, 20} (Sweeney 2002):
+    * the re-identification audit that must pass BEFORE a "de-
+    * identified" extract ships — q69 scrubs direct identifiers, this
+    * measures what the indirect ones still leak in combination.
+    *
+    * One scan collapses to the O(classes) equivalence-class histogram
+    * (classes are bounded by the QI value grid, not the row count);
+    * the per-k rollup is a conditional fold over that tiny frame
+    * (classes × 4 via a literal explode). Exact integer counts
+    * everywhere. */
+  def q192KAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val classes = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"),
+        col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("sz"))
+    classes
+      .select(col("sz"),
+        explode(array(lit(2L), lit(5L), lit(10L), lit(20L))).as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum("sz").as("n_rows"),
+        sum((col("sz") < col("k")).cast("long")).as("n_classes_at_risk"),
+        sum(when(col("sz") < col("k"), col("sz")).otherwise(0L))
+          .as("n_rows_at_risk"))
+      .withColumn("risk_share",
+        round(col("n_rows_at_risk").cast("double") / col("n_rows"), 6))
+      .orderBy("k")
+  }
+
+  /** q194: categorical-entropy audit across the lake — Shannon entropy,
+    * normalized entropy, and top-value share for the six governance-
+    * critical enum columns (events.event_type, documents.source/lang,
+    * orders.o_orderstatus, part.p_brand, lineitem.l_returnflag): the
+    * distribution-shape companion to q130's counts. A column whose
+    * entropy collapses release-over-release is a dying dimension (one
+    * value swallowing the feed — exactly what q83's mix planner and
+    * q138's skew report would hit next); near-max entropy on a
+    * supposedly-skewed column means a broken producer writing
+    * uniformly.
+    *
+    * Each column is one partial-aggregated scan to its O(distinct)
+    * histogram; the entropy folds over a value-ORDERED window (the
+    * q181 χ² convention — a sequential double sum both engines
+    * evaluate identically), and the six bounded frames union to
+    * O(columns) rows. log2 spelled ln/ln(2) to mirror Spark. */
+  def q194ColumnEntropy(spark: SparkSession, dir: String): DataFrame = {
+    def one(label: String, df: DataFrame, c: org.apache.spark.sql.Column) = {
+      val hist = df.filter(c.isNotNull)
+        .groupBy(c.cast("string").as("v"))
+        .agg(count(lit(1)).as("n"))
+      val all = Window.partitionBy(lit(1))
+      val wv = Window.partitionBy(lit(1)).orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val p = col("n").cast("double") / col("total").cast("double")
+      hist
+        .withColumn("total", sum("n").over(all))
+        .withColumn("h", sum(-p * log(p) / math.log(2.0)).over(wv))
+        .groupBy(lit(label).as("column_name"))
+        .agg(max("total").as("n_rows"),
+          count(lit(1)).as("n_distinct"),
+          round(max("h"), 6).as("entropy_bits"),
+          round(max("h") / greatest(log(count(lit(1)).cast("double"))
+            / math.log(2.0), lit(1e-12)), 6).as("norm_entropy"),
+          round(max("n").cast("double") / max("total"), 6).as("top_share"))
+    }
+    one("events.event_type", Tables.events(spark, dir), col("event_type"))
+      .union(one("documents.source", Tables.documents(spark, dir), col("source")))
+      .union(one("documents.lang", Tables.documents(spark, dir), col("lang")))
+      .union(one("orders.o_orderstatus", Tables.orders(spark, dir), col("o_orderstatus")))
+      .union(one("part.p_brand", Tables.part(spark, dir), col("p_brand")))
+      .union(one("lineitem.l_returnflag", Tables.lineitem(spark, dir), col("l_returnflag")))
+      .orderBy("column_name")
+  }
 }

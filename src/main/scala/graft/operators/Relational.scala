@@ -559,4 +559,61 @@ object Relational {
         round(col("z"), 4).as("z"))
       .orderBy("event_id")
   }
+
+  /** q193: RFM customer segmentation — the classic recency/frequency/
+    * monetary quartile scoring (Hughes 1994) over the orders fact,
+    * rolled up to segment cells with canonical labels: the analytics
+    * query every CRM mart runs nightly, and the revenue-side twin of
+    * q79's curriculum bins (same problem — global quantile scores
+    * without a global rank).
+    *
+    * Scale shape: the fact table collapses to the per-customer
+    * (recency, frequency, cents) frame in ONE partial-aggregated scan
+    * (monetary on the exact cent grid — the q155 rule); the three
+    * quartile boundary triples come from ONE percentile aggregate over
+    * that collapsed frame and broadcast back as a single row (the q140
+    * boundary pattern — deliberately NOT ntile, which would serialize
+    * the frame through one window task; at 100 TB swap in
+    * approx_percentile, the q51b/q140b trade). Scoring is a per-row
+    * counting fold over the 3-element boundary arrays; the output is
+    * O(segments) ≤ 64 cells. Boundaries round at 6 dp pre-binning
+    * (the q140 cutpoint-parity contract). */
+  def q193RfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val rfm = Tables.orders(spark, dir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("o_custkey")
+      .agg(max("d").as("last_d"), count(lit(1)).as("freq"),
+        sum("cents").as("cents"))
+    val scored = rfm
+      .crossJoin(broadcast(rfm.agg(max("last_d").as("max_d"))))
+      .withColumn("rec", datediff(col("max_d"), col("last_d")).cast("long"))
+      .localCheckpoint() // O(customers); feeds boundaries + scoring
+    val bounds = scored.agg(
+      expr("transform(percentile(rec, array(0.25, 0.5, 0.75)), b -> round(b, 6)) AS rb"),
+      expr("transform(percentile(freq, array(0.25, 0.5, 0.75)), b -> round(b, 6)) AS fb"),
+      expr("transform(percentile(cents, array(0.25, 0.5, 0.75)), b -> round(b, 6)) AS mb"))
+    val cells = scored.crossJoin(broadcast(bounds))
+      .select(col("cents"), col("rec"),
+        // recency: smaller = better = higher score
+        (lit(4) - expr("aggregate(rb, 0, (acc, b) -> acc + if(rec > b, 1, 0))"))
+          .cast("long").as("r_score"),
+        (lit(1) + expr("aggregate(fb, 0, (acc, b) -> acc + if(freq > b, 1, 0))"))
+          .cast("long").as("f_score"),
+        (lit(1) + expr("aggregate(mb, 0, (acc, b) -> acc + if(cents > b, 1, 0))"))
+          .cast("long").as("m_score"))
+    cells.groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("cents").cast("decimal(38,0)")).cast("double") / 100.0, 2)
+          .as("segment_rev"),
+        round(avg(col("rec").cast("double")), 2).as("avg_recency_days"))
+      .withColumn("label",
+        when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4,
+          "champion")
+          .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk_loyal")
+          .when(col("f_score") >= 3, "loyal")
+          .when(col("r_score") <= 2 && col("f_score") <= 2, "hibernating")
+          .otherwise("regular"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
 }

@@ -718,4 +718,112 @@ object Stats {
         round(abs(col("ts_slope") - col("ols_slope")), 6).as("divergence"))
       .orderBy("event_type")
   }
+
+  /** q189: revenue-concentration report — the Gini coefficient of
+    * per-customer spend by nation, plus the exact totals: "is this
+    * market a broad base or three whales" — the inequality companion
+    * to q138's shuffle-skew report, at the BUSINESS grain (whale-
+    * concentrated revenue means churn risk, and whale-concentrated
+    * keys mean the q138 salting advice applies to the revenue marts
+    * too).
+    *
+    * Scale shape: the fact table collapses to per-customer cent sums
+    * first (ONE partial-aggregated scan; exact decimal(38,0) cents —
+    * the q155 grid rule), then to the per-(nation, cents) VALUE
+    * histogram — so the rank-weighted sum Σ i·x_i is computed from
+    * cumulative counts over distinct spend values, never a
+    * per-customer global rank (Gini is invariant to tie order, which
+    * is what makes the histogram form exact). Customer and nation are
+    * broadcast dims. All sums exact integers/decimals until the single
+    * final division. */
+  def q189GiniConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("o_custkey")
+      .agg(sum(col("cents").cast("decimal(38,0)")).as("cust_cents"))
+    val nations = broadcast(
+      Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(Tables.nation(spark, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name")))
+    val hist = spend
+      .join(nations, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name"), col("cust_cents").as("v"))
+      .agg(count(lit(1)).as("c"))
+    // exclusive cumulative count below each value: ranks i of the c
+    // tied customers at value v are cum0+1 .. cum0+c, so
+    // Σ i·x over them = v·(c·cum0 + c(c+1)/2) — exact integers
+    val w = Window.partitionBy("n_name").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val parts = hist
+      .withColumn("cum0", sum("c").over(w) - col("c"))
+      // DIV = exact integer division (Column `/` would promote to
+      // double); c(c+1) is always even so the quotient is exact
+      .select(col("n_name"), col("c"), col("v"),
+        expr("v * (c * cum0 + (c * (c + 1)) DIV 2)").as("iw"))
+    parts.groupBy("n_name")
+      .agg(sum("c").as("n_customers"),
+        sum((col("v") * col("c")).cast("decimal(38,0)")).as("s"),
+        sum(col("iw").cast("decimal(38,0)")).as("t"))
+      .select(col("n_name").as("nation"), col("n_customers"),
+        round(col("s").cast("double") / 100.0, 2).as("total_rev"),
+        round((lit(2.0) * col("t").cast("double")
+            - (col("n_customers") + 1).cast("double") * col("s").cast("double"))
+          / (col("n_customers").cast("double") * col("s").cast("double")), 6)
+          .as("gini"))
+      .orderBy("nation")
+  }
+
+  /** q195: A/B test power planner — for each event type, the days of
+    * data needed to detect a 1 % / 2 % / 5 % relative lift in mean
+    * value at α = 0.05 (two-sided), power 0.8, from the type's OWN
+    * variance and daily volume: n/arm = 2σ²(z_{0.975}+z_{0.8})²/Δ².
+    * This is the query a team runs BEFORE q137/q155/q175 — "can this
+    * experiment ever conclude, and how long must it run": an
+    * underpowered test that runs anyway is how dashboards fill with
+    * false negatives.
+    *
+    * The corpus collapses to O(types) exact fixed-point moment rows
+    * (the q155 1e-3 grid — variance derives from identical integers in
+    * both engines) plus the calendar span; everything after is
+    * closed-form arithmetic with literal z constants. ceil lands on
+    * exact doubles from exact integers, so the day counts are engine-
+    * stable. */
+  def q195PowerMde(spark: SparkSession, dir: String): DataFrame = {
+    val zsum2 = (1.959964 + 0.841621) * (1.959964 + 0.841621)
+    val m = Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        round(col("value") * 1000, 0).cast("long").as("v3"),
+        datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+          .cast("long").as("day"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v3").cast("decimal(38,0)")).as("s3"),
+        sum((col("v3") * col("v3")).cast("decimal(38,0)")).as("ss6"),
+        (max("day") - min("day") + 1).as("n_days"))
+    val s = col("s3").cast("double") / 1000.0
+    val ss = col("ss6").cast("double") / 1000000.0
+    val nD = col("n").cast("double")
+    val mean = s / nD
+    val variance = (ss - s * s / nD) / (nD - 1)
+    val daily = nD / col("n_days").cast("double")
+    def days(liftPct: Double) = {
+      val delta = mean * (liftPct / 100.0)
+      // 2 arms share the type's daily volume; guard degenerate types
+      when(abs(mean) > 0 && variance > 0,
+        ceil(lit(2.0) * (lit(2.0) * variance * lit(zsum2) / (delta * delta))
+          / daily).cast("long"))
+    }
+    m.select(col("event_type"), col("n").as("n_values"), col("n_days"),
+        round(mean, 4).as("mean_value"),
+        round(sqrt(variance), 4).as("sd_value"),
+        round(daily, 2).as("daily_volume"),
+        days(1.0).as("days_1pct"),
+        days(2.0).as("days_2pct"),
+        days(5.0).as("days_5pct"))
+      .orderBy("event_type")
+  }
 }

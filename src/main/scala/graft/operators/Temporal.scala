@@ -845,4 +845,65 @@ object Temporal {
         round(col("n_correct").cast("double") / col("n_eval"), 6))
       .orderBy("prev_type")
   }
+
+  /** q190: forecast-baseline backtest — before anyone ships a "smart"
+    * forecaster for the daily per-type series, measure what the two
+    * canonical baselines already achieve on a temporal holdout: naive
+    * (ŷ_d = y_{d−1}) and seasonal-naive (ŷ_d = y_{d−7}, the weekly
+    * cycle q125's seasonal index established). Any model that can't
+    * beat these numbers is negative value — this query IS the bar,
+    * the same closing-the-loop move q185 makes for q112's matrix.
+    *
+    * The corpus collapses to O(types × days) daily cells on the exact
+    * 1e-3 grid (the q155 rule) in ONE partial-aggregated scan;
+    * forecasts come from calendar-keyed self-joins of that bounded
+    * frame (NOT row-lags — lag(1 ROW) silently reads across date gaps;
+    * joining on day−1/day−7 leaves missing days unforecast, which is
+    * the honest definition). Eval days are the strict second half of
+    * the calendar (q185's mid convention). MAE folds |Δ| as exact
+    * integers; RMSE's Σ Δ² is exact decimal — both engines derive the
+    * same doubles at the single final division/sqrt. */
+  def q190ForecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        round(col("value") * 1000, 0).cast("long").as("v3"),
+        datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+          .cast("long").as("day"))
+      .groupBy("event_type", "day")
+      .agg(sum("v3").as("y3"))
+      .localCheckpoint() // O(types × days); three consumers below
+    val mid = daily.agg(floor((min("day") + max("day")) / 2)
+      .cast("long").as("mid"))
+    def shifted(byDays: Int, as: String) = daily.select(
+      col("event_type"), (col("day") + byDays).as("day"), col("y3").as(as))
+    val eval = daily.crossJoin(broadcast(mid))
+      .filter(col("day") > col("mid"))
+      .join(shifted(1, "f1"), Seq("event_type", "day"), "inner")
+      .join(shifted(7, "f7"), Seq("event_type", "day"), "inner")
+    // Δ² factors cast to decimal BEFORE the multiply: a hot type-day at
+    // 100× carries y3 ~ 1e10-1e11, so the long square overflows (ANSI
+    // throws) — caught by the amplified run, not the sf gate
+    def sq(c: org.apache.spark.sql.Column) =
+      c.cast("decimal(38,0)") * c.cast("decimal(38,0)")
+    eval.groupBy("event_type")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("y3") - col("f1"))).as("ae1"),
+        sum(sq(col("y3") - col("f1"))).as("se1"),
+        sum(abs(col("y3") - col("f7"))).as("ae7"),
+        sum(sq(col("y3") - col("f7"))).as("se7"))
+      .select(col("event_type"), col("n_eval"),
+        round(col("ae1").cast("double") / col("n_eval") / 1000.0, 4)
+          .as("mae_naive"),
+        round(sqrt(col("se1").cast("double") / col("n_eval")) / 1000.0, 4)
+          .as("rmse_naive"),
+        round(col("ae7").cast("double") / col("n_eval") / 1000.0, 4)
+          .as("mae_snaive"),
+        round(sqrt(col("se7").cast("double") / col("n_eval")) / 1000.0, 4)
+          .as("rmse_snaive"),
+        when(col("ae7") < col("ae1"), "seasonal_naive")
+          .when(col("ae1") < col("ae7"), "naive")
+          .otherwise("tie").as("best_baseline"))
+      .orderBy("event_type")
+  }
 }

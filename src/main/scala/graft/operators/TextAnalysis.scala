@@ -1922,4 +1922,96 @@ object TextAnalysis {
         col("threshold"), col("n_cal"))
       .orderBy("source")
   }
+
+  /** q188: Zipf's-law fit per source — OLS slope of ln(freq) on
+    * ln(rank) over each source's top-200 words, with r² and the top
+    * word's share of ALL tokens. Natural text sits near slope −1
+    * (Zipf 1949); a source that departs hard (flat: template/keyword-
+    * stuffed with an artificially even vocabulary; steep: a few tokens
+    * stuffed everywhere) fails the same smell test q65 runs per-doc,
+    * but at the FEED grain — and the fit complements q165's Heaps
+    * curve (vocabulary growth) with the frequency-decay half of the
+    * same power-law family.
+    *
+    * Scale shape: one tokenize scan collapses to the (source, word)
+    * histogram — vocabulary-bounded, the q110/q168 cap argument — the
+    * rank window partitions by source over that bounded frame, and the
+    * regression consumes ≤ 200 rows/source. Totals fold from the same
+    * histogram (no second corpus scan). regr_slope/regr_r2 on ln
+    * values over ≤ 200 small doubles, rounded at 6/4 dp — the q144
+    * regression-rounding contract. */
+  def q188ZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(Portable.tokenize(col("text"))).as("word"))
+      .groupBy("source", "word")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // vocabulary-bounded; feeds totals + ranks
+    val totals = hist.groupBy("source")
+      .agg(sum("cnt").as("n_tokens"), count(lit(1)).as("n_vocab"))
+    val w = Window.partitionBy("source").orderBy(desc("cnt"), asc("word"))
+    hist.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 200)
+      .groupBy("source")
+      .agg(round(expr("regr_slope(ln(cnt), ln(rk))"), 6).as("zipf_slope"),
+        round(expr("regr_r2(ln(cnt), ln(rk))"), 4).as("r2"),
+        max(when(col("rk") === 1, col("word"))).as("top_word"),
+        max(when(col("rk") === 1, col("cnt"))).as("top_cnt"))
+      .join(totals, "source")
+      .select(col("source"), col("n_tokens"), col("n_vocab"),
+        col("zipf_slope"), col("r2"), col("top_word"),
+        round(col("top_cnt").cast("double") / col("n_tokens"), 6)
+          .as("top_share"))
+      .orderBy("source")
+  }
+
+  /** q191: inter-rater agreement audit — Cohen's κ (1960) per source
+    * between the two main curation gates: the q37 quality score
+    * (pass = quality ≥ 0.5) and the q65 Gopher repetition filter.
+    * Raw agreement is inflated when both gates pass almost everything;
+    * κ subtracts the agreement expected BY CHANCE from the two gates'
+    * marginal pass rates, so κ ≈ 0 means the gates are redundant noise
+    * w.r.t. each other and κ → 1 means they genuinely co-decide — the
+    * number that says whether running both filters buys signal or just
+    * latency.
+    *
+    * One scan: both gates are per-row projections (the quality kernel
+    * + the native RepetitionStats expression), collapsing to an
+    * O(sources) 2×2 contingency frame; κ is closed-form arithmetic on
+    * exact integer cells (identical expression tree in the oracle —
+    * no float accumulation anywhere, so no q155-class hazard). Docs
+    * without bigrams (< 2 whitespace tokens) drop from both engines
+    * identically (the q65 contract). */
+  def q191RaterAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val gated = qualityScored(
+      Tables.documents(spark, dir)
+        .filter(col("text").isNotNull && size(split(col("text"), " ")) >= 2),
+      carry = Seq("source", "text"))
+      .select(col("source"), col("quality"),
+        graft.plans.RepetitionStats.repetitionStats(split(col("text"), " "))
+          .as("st"))
+      .select(col("source"),
+        (col("quality") >= 0.5).as("a"),
+        (round(col("st.top_cnt").cast("double") / col("st.n_bigrams"), 6) <= 0.1
+          && round(lit(1.0) - col("st.n_distinct").cast("double")
+            / col("st.n_bigrams"), 6) <= 0.1).as("b"))
+    val cells = gated.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("a") && col("b")).cast("long")).as("n11"),
+        sum((col("a") && !col("b")).cast("long")).as("n10"),
+        sum((!col("a") && col("b")).cast("long")).as("n01"),
+        sum((!col("a") && !col("b")).cast("long")).as("n00"))
+    val n = col("n_docs").cast("double")
+    val po = (col("n11") + col("n00")).cast("double") / n
+    val pa = (col("n11") + col("n10")).cast("double") / n
+    val pb = (col("n11") + col("n01")).cast("double") / n
+    val pe = pa * pb + (lit(1.0) - pa) * (lit(1.0) - pb)
+    cells
+      .select(col("source"), col("n_docs"), col("n11"), col("n10"),
+        col("n01"), col("n00"),
+        round(po, 6).as("po"),
+        round(pe, 6).as("pe"),
+        when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+      .orderBy("source")
+  }
 }

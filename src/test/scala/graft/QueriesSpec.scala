@@ -2925,4 +2925,240 @@ class QueriesSpec extends AnyFunSuite {
     // the conformal promise: ~alpha of exchangeable production docs
     assert(rate >= 0.02 && rate <= 0.2, s"global flag rate $rate vs alpha 0.1")
   }
+
+  test("q188 Zipf fit: plain-Scala OLS replay over the top-200 rank curve") {
+    val hist = Tables.documents(spark, sf0001)
+      .filter(col("text").isNotNull)
+      .select(col("source"),
+        explode(graft.functions.Portable.tokenize(col("text"))).as("word"))
+      .groupBy("source", "word").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val bySource = hist.groupBy(_._1)
+    val got = run("q188_zipf_fit").collect().map(r => r.getString(0) -> r).toMap
+    assert(got.nonEmpty && got.keySet == bySource.keySet)
+    bySource.foreach { case (src, ws) =>
+      val ranked = ws.sortBy(w => (-w._3, w._2)).take(200).zipWithIndex
+        .map { case ((_, _, cnt), i) => (math.log(i + 1.0), math.log(cnt.toDouble)) }
+      val n = ranked.length.toDouble
+      val (mx, my) = (ranked.map(_._1).sum / n, ranked.map(_._2).sum / n)
+      val sxy = ranked.map { case (x, y) => (x - mx) * (y - my) }.sum
+      val sxx = ranked.map { case (x, _) => (x - mx) * (x - mx) }.sum
+      val slope = sxy / sxx
+      val r = got(src)
+      assert(math.abs(r.getDouble(3) - slope) < 1e-4,
+        s"$src slope ${r.getDouble(3)} vs replay $slope")
+      assert(r.getDouble(3) < 0, s"$src: frequency must decay with rank")
+      assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1.0)
+      assert(r.getLong(1) == ws.map(_._3).sum && r.getLong(2) == ws.length)
+      val top = ws.minBy(w => (-w._3, w._2))
+      assert(r.getString(5) == top._2)
+      assert(math.abs(r.getDouble(6) - top._3.toDouble / ws.map(_._3).sum) < 2e-6)
+    }
+  }
+
+  test("q189 Gini replays from the sorted per-customer spend list") {
+    val spend = Tables.orders(spark, sf0001)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("o_custkey").agg(sum("cents").as("v"))
+      .join(Tables.customer(spark, sf0001)
+          .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf0001)
+          .select(col("n_nationkey"), col("n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val got = run("q189_gini").collect().map(r => r.getString(0) -> r).toMap
+    val byNation = spend.groupBy(_._1)
+    assert(got.keySet == byNation.keySet && got.nonEmpty)
+    byNation.foreach { case (nat, xs) =>
+      val sorted = xs.map(_._2).sorted
+      val n = sorted.length.toLong
+      val s = sorted.map(BigInt(_)).sum
+      val t = sorted.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+      val gini = (2.0 * t.toDouble - (n + 1).toDouble * s.toDouble) /
+        (n.toDouble * s.toDouble)
+      val r = got(nat)
+      assert(r.getLong(1) == n)
+      assert(math.abs(r.getDouble(2) - s.toDouble / 100.0) < 0.011)
+      assert(math.abs(r.getDouble(3) - gini) < 2e-6,
+        s"$nat gini ${r.getDouble(3)} vs replay $gini")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0)
+    }
+  }
+
+  test("q190 forecast backtest replays both baselines from the daily series") {
+    val daily = Tables.events(spark, sf0001)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        round(col("value") * 1000, 0).cast("long").as("v3"),
+        datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+          .cast("long").as("day"))
+      .groupBy("event_type", "day").agg(sum("v3").as("y3"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val days = daily.keys.map(_._2)
+    val mid = math.floor((days.min + days.max) / 2.0).toLong
+    val got = run("q190_forecast_backtest").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val t = r.getString(0)
+      val eval = daily.collect {
+        case ((`t`, d), y) if d > mid &&
+          daily.contains((t, d - 1)) && daily.contains((t, d - 7)) =>
+          (y, daily((t, d - 1)), daily((t, d - 7)))
+      }.toSeq
+      assert(r.getLong(1) == eval.length, s"$t n_eval")
+      val ae1 = eval.map { case (y, f1, _) => math.abs(y - f1) }.sum
+      val ae7 = eval.map { case (y, _, f7) => math.abs(y - f7) }.sum
+      assert(math.abs(r.getDouble(2) - ae1.toDouble / eval.length / 1000.0) < 1e-4)
+      assert(math.abs(r.getDouble(4) - ae7.toDouble / eval.length / 1000.0) < 1e-4)
+      val best = if (ae7 < ae1) "seasonal_naive" else if (ae1 < ae7) "naive" else "tie"
+      assert(r.getString(6) == best)
+      assert(r.getDouble(3) >= r.getDouble(2) - 1e-9, s"$t rmse_naive >= mae_naive")
+    }
+  }
+
+  test("q191 rater agreement: kappa replays from the contingency cells") {
+    val rows = run("q191_rater_agreement").collect()
+    assert(rows.nonEmpty)
+    val eligible = Tables.documents(spark, sf0001)
+      .filter(col("text").isNotNull && size(split(col("text"), " ")) >= 2)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (n, n11, n10, n01, n00) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(n11 + n10 + n01 + n00 == n, s"${r.getString(0)}: cells sum to n")
+      assert(n == eligible(r.getString(0)), s"${r.getString(0)}: doc accounting")
+      val po = (n11 + n00).toDouble / n
+      val pa = (n11 + n10).toDouble / n
+      val pb = (n11 + n01).toDouble / n
+      val pe = pa * pb + (1 - pa) * (1 - pb)
+      assert(math.abs(r.getDouble(6) - po) < 2e-6)
+      assert(math.abs(r.getDouble(7) - pe) < 2e-6)
+      if (!r.isNullAt(8)) {
+        val kappa = (po - pe) / (1 - pe)
+        assert(math.abs(r.getDouble(8) - kappa) < 1e-4,
+          s"${r.getString(0)} kappa ${r.getDouble(8)} vs $kappa")
+        assert(r.getDouble(8) <= 1.0 + 1e-9)
+      }
+    }
+  }
+
+  test("q192 k-anonymity: planted QI classes counted at every k") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-kanon").toString
+    // class A: 25 members (safe at all k), class B: 7 (at risk for
+    // k=10,20), class C: 3 (risk for k=5,10,20), class D: 1 (all k)
+    val rows =
+      (1 to 25).map(i => (i.toLong, s"c$i", 1, 500.0, "AUTOMOBILE")) ++
+      (26 to 32).map(i => (i.toLong, s"c$i", 1, 1500.0, "AUTOMOBILE")) ++
+      (33 to 35).map(i => (i.toLong, s"c$i", 2, 500.0, "BUILDING")) ++
+      Seq((36L, "c36", 3, 2500.0, "MACHINERY"))
+    rows.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    val got = graft.operators.Profile.q192KAnonymity(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(2L, 5L, 10L, 20L))
+    def check(k: Long, classesAtRisk: Long, rowsAtRisk: Long) = {
+      val r = got(k)
+      assert(r.getLong(1) == 4 && r.getLong(2) == 36)
+      assert(r.getLong(3) == classesAtRisk && r.getLong(4) == rowsAtRisk,
+        s"k=$k: $r")
+    }
+    check(2, 1, 1); check(5, 2, 4); check(10, 3, 11); check(20, 3, 11)
+    // corpus: risk monotone in k
+    val corpus = run("q192_k_anonymity").collect().sortBy(_.getLong(0))
+    corpus.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) <= b.getLong(3) && a.getLong(4) <= b.getLong(4))
+    }
+    corpus.foreach(r => assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0))
+  }
+
+  test("q193 RFM segments: conservation, score ranges, label consistency") {
+    val rows = run("q193_rfm_segments").collect()
+    assert(rows.nonEmpty)
+    val nCust = Tables.orders(spark, sf0001)
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getLong(3)).sum == nCust, "every customer lands in a cell")
+    val totalRev = Tables.orders(spark, sf0001)
+      .select(round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+      .agg(sum("c")).head().getLong(0)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - totalRev / 100.0) < 0.01 * rows.length)
+    rows.foreach { r =>
+      val (rs, fs, ms) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(rs >= 1 && rs <= 4 && fs >= 1 && fs <= 4 && ms >= 1 && ms <= 4)
+      val label =
+        if (rs >= 4 && fs >= 4 && ms >= 4) "champion"
+        else if (rs <= 2 && fs >= 3) "at_risk_loyal"
+        else if (fs >= 3) "loyal"
+        else if (rs <= 2 && fs <= 2) "hibernating"
+        else "regular"
+      assert(r.getString(6) == label, s"($rs,$fs,$ms): ${r.getString(6)} vs $label")
+    }
+    // the quartile split must actually spread scores: at least 2
+    // distinct values on each axis
+    assert(rows.map(_.getLong(0)).distinct.length >= 2)
+    assert(rows.map(_.getLong(2)).distinct.length >= 2)
+  }
+
+  test("q194 column entropy replays for documents.lang and bounds hold") {
+    val hist = Tables.documents(spark, sf0001)
+      .filter(col("lang").isNotNull)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val total = hist.map(_._2).sum.toDouble
+    val h = hist.sortBy(_._1).map { case (_, n) =>
+      val p = n / total; -p * math.log(p) / math.log(2.0)
+    }.sum
+    val got = run("q194_column_entropy").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("documents.lang", "documents.source",
+      "events.event_type", "lineitem.l_returnflag", "orders.o_orderstatus",
+      "part.p_brand"))
+    val r = got("documents.lang")
+    assert(r.getLong(1) == total.toLong && r.getLong(2) == hist.length)
+    assert(math.abs(r.getDouble(3) - h) < 1e-6, s"entropy ${r.getDouble(3)} vs $h")
+    got.values.foreach { row =>
+      assert(row.getDouble(3) >= 0.0)
+      assert(row.getDouble(4) >= 0.0 && row.getDouble(4) <= 1.0 + 1e-9)
+      assert(row.getDouble(5) > 0.0 && row.getDouble(5) <= 1.0)
+      assert(row.getDouble(5) >= 1.0 / row.getLong(2) - 1e-9,
+        "top value at least the uniform share")
+    }
+  }
+
+  test("q195 power planner replays closed-form from exact moments") {
+    val vals = Tables.events(spark, sf0001)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        round(col("value") * 1000, 0).cast("long").as("v3"),
+        datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+          .cast("long").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = run("q195_power_mde").collect().map(r => r.getString(0) -> r).toMap
+    assert(got.nonEmpty)
+    vals.groupBy(_._1).foreach { case (t, xs) =>
+      val n = xs.length.toDouble
+      val s = xs.map(x => BigInt(x._2)).sum.toDouble / 1000.0
+      val ss = xs.map(x => BigInt(x._2) * BigInt(x._2)).sum.toDouble / 1e6
+      val mean = s / n
+      val variance = (ss - s * s / n) / (n - 1)
+      val nDays = (xs.map(_._3).max - xs.map(_._3).min + 1).toDouble
+      val daily = n / nDays
+      val z2 = (1.959964 + 0.841621) * (1.959964 + 0.841621)
+      val r = got(t)
+      assert(r.getLong(1) == xs.length && r.getLong(2) == nDays.toLong)
+      assert(math.abs(r.getDouble(3) - mean) < 1e-4)
+      assert(math.abs(r.getDouble(4) - math.sqrt(variance)) < 1e-4)
+      Seq((0.01, 6), (0.02, 7), (0.05, 8)).foreach { case (lift, idx) =>
+        val delta = mean * lift
+        val want = math.ceil(2.0 * (2.0 * variance * z2 / (delta * delta)) / daily).toLong
+        assert(r.getLong(idx) == want, s"$t lift $lift: ${r.getLong(idx)} vs $want")
+      }
+      // sanity: smaller lifts need more days
+      assert(r.getLong(6) >= r.getLong(7) && r.getLong(7) >= r.getLong(8))
+    }
+  }
 }
