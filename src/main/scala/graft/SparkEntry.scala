@@ -197,6 +197,10 @@ object SparkEntry {
     "q193_rfm_segments"   -> (Relational.q193RfmSegments _),
     "q194_column_entropy" -> (Profile.q194ColumnEntropy _),
     "q195_power_mde"      -> (Stats.q195PowerMde _),
+    "q196_priority_sample" -> (TextAnalysis.q196PrioritySample _),
+    "q197_inclusion_deps" -> (Profile.q197InclusionDeps _),
+    "q198_assortativity"  -> (Graph.q198Assortativity _),
+    "q199_embedding_health" -> (LinAlg.q199EmbeddingHealth _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -3992,6 +3996,115 @@ object SparkEntry {
         |       / ((mean * 0.05) * (mean * 0.05))) / daily) AS BIGINT) END
         |    AS days_5pct
         |FROM e ORDER BY event_type""".stripMargin,
+    // bottom-k priority sample: md5 hex compares identically as text
+    "q196_priority_sample" ->
+      """WITH s AS (SELECT doc_id, source, lang,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || text) AS pri
+        |  FROM documents WHERE text IS NOT NULL),
+        |k AS (SELECT * FROM s ORDER BY pri LIMIT 100)
+        |SELECT CAST(row_number() OVER (ORDER BY pri) AS BIGINT) AS rank,
+        |       doc_id, source, lang, pri
+        |FROM k ORDER BY rank""".stripMargin,
+
+    "q197_inclusion_deps" -> {
+      def probe(rule: String, childTable: String, childCol: String,
+                parentTable: String, parentCol: String) =
+        s"""SELECT '$rule' AS candidate,
+           |  CAST(count(*) AS BIGINT) AS n_child_distinct,
+           |  CAST(sum(CASE WHEN p.pv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_contained
+           |FROM (SELECT DISTINCT CAST($childCol AS BIGINT) AS v
+           |      FROM $childTable WHERE $childCol IS NOT NULL) c
+           |LEFT JOIN (SELECT DISTINCT CAST($parentCol AS BIGINT) AS pv
+           |      FROM $parentTable WHERE $parentCol IS NOT NULL) p
+           |  ON c.v = p.pv
+           |""".stripMargin
+      val probes = Seq(
+        probe("lineitem.l_orderkey->orders.o_orderkey",
+          "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        probe("lineitem.l_partkey->part.p_partkey",
+          "lineitem", "l_partkey", "part", "p_partkey"),
+        probe("orders.o_custkey->customer.c_custkey",
+          "orders", "o_custkey", "customer", "c_custkey"),
+        probe("customer.c_nationkey->nation.n_nationkey",
+          "customer", "c_nationkey", "nation", "n_nationkey"),
+        probe("orders.o_orderkey->lineitem.l_orderkey",
+          "orders", "o_orderkey", "lineitem", "l_orderkey"),
+        probe("events.user_id->customer.c_custkey",
+          "events", "user_id", "customer", "c_custkey"),
+        probe("documents.doc_id->embeddings.vec_id",
+          "documents", "doc_id", "embeddings", "vec_id"))
+        .mkString("WITH probes AS (\n", "UNION ALL\n", ")")
+      s"""$probes
+         |SELECT candidate, n_child_distinct, n_contained,
+         |  round(CAST(n_contained AS DOUBLE) / n_child_distinct, 6)
+         |    AS containment,
+         |  CAST(CASE WHEN n_contained = n_child_distinct THEN 1 ELSE 0 END
+         |    AS BIGINT) AS is_inclusion
+         |FROM probes ORDER BY candidate""".stripMargin
+    },
+
+    // assortativity from exact integer degree moments (q110's edge
+    // grammar; UNION ALL is safe — a<b makes directions disjoint)
+    "q198_assortativity" ->
+      s"""WITH t AS (SELECT doc_id, ${tok("text")} AS ws FROM documents),
+         |pairs AS (SELECT p['w1'] AS w1, p['w2'] AS w2 FROM
+         |  (SELECT unnest(list_transform(range(1, len(ws)),
+         |     i -> {'w1': ws[i], 'w2': ws[i+1]})) AS p
+         |   FROM t WHERE len(ws) >= 2)),
+         |ed AS (SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+         |       FROM pairs WHERE w1 <> w2),
+         |sym AS MATERIALIZED
+         |  (SELECT a AS src, b AS dst FROM ed UNION ALL SELECT b, a FROM ed),
+         |deg AS MATERIALIZED
+         |  (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+         |j AS (SELECT d1.deg AS dx, d2.deg AS dy FROM sym s
+         |      JOIN deg d1 ON s.src = d1.src JOIN deg d2 ON s.dst = d2.src),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m, sum(dx) AS sx,
+         |         sum(dy) AS sy, sum(dx * dy) AS sxy,
+         |         sum(dx * dx) AS sxx, sum(dy * dy) AS syy FROM j),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         |         CAST(max(deg) AS BIGINT) AS max_degree FROM deg),
+         |calc AS (SELECT n_nodes, m, max_degree,
+         |    CAST(m AS DOUBLE) AS md, CAST(sx AS DOUBLE) AS sxd,
+         |    CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+         |    CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+         |  FROM mm CROSS JOIN nn)
+         |SELECT n_nodes, CAST(m // 2 AS BIGINT) AS n_edges,
+         |  round(md / n_nodes, 4) AS mean_degree, max_degree,
+         |  CASE WHEN sqrt(md * sxxd - sxd * sxd)
+         |         * sqrt(md * syyd - syd * syd) > 0
+         |    THEN round((md * sxyd - sxd * syd)
+         |      / (sqrt(md * sxxd - sxd * sxd)
+         |         * sqrt(md * syyd - syd * syd)), 6) END AS assortativity
+         |FROM calc ORDER BY n_nodes""".stripMargin,
+
+    // per-element ×10⁶ grid (q177): all moments exact until the final
+    // sqrt/divisions
+    "q199_embedding_health" ->
+      """WITH r AS (SELECT CAST(label AS BIGINT) AS label,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(round(x * 1000000.0) AS BIGINT)) AS v6
+        |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        |rn AS (SELECT label, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(v6, v -> v * v)), (a, b) -> a + b) AS norm2 FROM r),
+        |per AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+        |        sum(norm2) AS sn FROM rn GROUP BY 1),
+        |cells AS (SELECT label, pos, sum(v) AS sp FROM
+        |  (SELECT label, CAST(unnest(range(len(v6))) AS BIGINT) AS pos,
+        |     unnest(v6) AS v FROM r) u
+        |  GROUP BY 1, 2),
+        |cn AS (SELECT label, sum(sp * sp) AS ssp FROM cells GROUP BY 1)
+        |SELECT p.label, n_vectors,
+        |  round(sqrt(CAST(sn AS DOUBLE) / n_vectors) / 1000000.0, 6)
+        |    AS rms_norm,
+        |  round(sqrt(CAST(ssp AS DOUBLE)) / n_vectors / 1000000.0, 6)
+        |    AS centroid_norm,
+        |  CASE WHEN sn > 0 THEN round(CAST(ssp AS DOUBLE)
+        |    / (CAST(n_vectors AS DOUBLE) * CAST(sn AS DOUBLE)), 6) END
+        |    AS anisotropy
+        |FROM per p JOIN cn ON p.label = cn.label
+        |ORDER BY p.label""".stripMargin,
   )
 
   /** q162b is the hour-sharded PHYSICAL form of q162 — identical

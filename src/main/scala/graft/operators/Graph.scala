@@ -525,4 +525,59 @@ object Graph {
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     } finally toks.unpersist()
   }
+
+  /** q198: graph summary + degree assortativity of the bigram word
+    * graph — Newman's r (2002): the Pearson correlation of endpoint
+    * degrees over every (directed-symmetrized) edge. r < 0 means hubs
+    * attach to leaves (the disassortative shape natural language
+    * produces — function words hub everything); r drifting toward 0/+
+    * on a corpus snapshot is template/boilerplate structure distorting
+    * the co-occurrence topology — a graph-level companion to q188's
+    * Zipf slope over the SAME vocabulary-capped graph q110/q117/q147
+    * analyze.
+    *
+    * All five correlation moments (Σx, Σy, Σxy, Σx², Σy²) accumulate
+    * as EXACT integers/decimals over the edge frame (degrees are
+    * integers — the q155 rule needs no grid here), so r is a single
+    * closed-form double both engines derive identically. Corpus cost
+    * is the one tokenize scan behind `transitions`; the edge and
+    * degree frames are vocabulary-bounded, and the degree join is a
+    * bounded-frame hash join. */
+  def q198Assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val edges = TextAnalysis.transitions(spark, dir)
+      .filter(col("w1") =!= col("w2"))
+      .select(least(col("w1"), col("w2")).as("a"),
+        greatest(col("w1"), col("w2")).as("b"))
+      .distinct()
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint() // vocabulary-bounded; feeds degrees + moments
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val joined = sym
+      .join(deg.select(col("src"), col("deg").as("dx")), "src")
+      .join(deg.select(col("src").as("dst"), col("deg").as("dy")), "dst")
+    val m = joined.agg(
+      count(lit(1)).as("m"),
+      sum(col("dx").cast("decimal(38,0)")).as("sx"),
+      sum(col("dy").cast("decimal(38,0)")).as("sy"),
+      sum((col("dx") * col("dy")).cast("decimal(38,0)")).as("sxy"),
+      sum((col("dx") * col("dx")).cast("decimal(38,0)")).as("sxx"),
+      sum((col("dy") * col("dy")).cast("decimal(38,0)")).as("syy"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+      max("deg").as("max_degree"))
+    val md = col("m").cast("double")
+    val (sx, sy) = (col("sx").cast("double"), col("sy").cast("double"))
+    val num = md * col("sxy").cast("double") - sx * sy
+    val den = sqrt(md * col("sxx").cast("double") - sx * sx) *
+      sqrt(md * col("syy").cast("double") - sy * sy)
+    m.crossJoin(broadcast(nodes)) // 1 row × 1 row
+      .select(col("n_nodes"),
+        expr("m DIV 2").as("n_edges"),
+        // empty-corpus guard: ANSI division by a zero node count throws
+        when(col("n_nodes") > 0,
+          round(md / col("n_nodes").cast("double"), 4)).as("mean_degree"),
+        col("max_degree"),
+        when(den > 0, round(num / den, 6)).as("assortativity"))
+      .orderBy("n_nodes")
+  }
 }

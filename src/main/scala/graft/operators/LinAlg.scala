@@ -298,4 +298,55 @@ object LinAlg {
           .partitionBy("label_a").orderBy(desc("cosine"), asc("label_b"))))
       .orderBy("label_a", "rnk")
   }
+
+  /** q199: embedding-space health report per label — RMS vector norm,
+    * centroid norm, and anisotropy ‖μ‖²/E‖x‖² (the mean-vector share
+    * of total energy; ≈ the expected cosine between random same-label
+    * pairs — Ethayarajh 2019's degeneration measure). Anisotropy → 1
+    * is embedding collapse (every vector points the same way: a dead
+    * encoder, a normalization bug, or mode-collapsed training) — the
+    * go/no-go check BEFORE this table feeds q34 retrieval or q49
+    * dedup, where collapsed geometry silently turns "nearest neighbor"
+    * into "random row". Complements q104 (drift BETWEEN snapshots)
+    * with the absolute geometry of ONE snapshot.
+    *
+    * Exactness: per-element values land on the ×10⁶ integer grid
+    * (the q177 contract), so per-row norm² is an exact in-row fold,
+    * per-label Σnorm² and per-(label, dim) component sums are exact
+    * decimals, and ‖Σx‖² = Σ_pos S_p² is exact decimal algebra —
+    * anisotropy = Σ S_p² / (n·Σnorm²) is ONE double division. One
+    * corpus scan for the row moments + one posexplode pass to
+    * O(labels × d) cells; nothing else touches the corpus. */
+  def q199EmbeddingHealth(spark: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("label").cast("long").as("label"),
+        expr("transform(cast(embedding AS array<double>)," +
+          " x -> cast(round(x * 1000000.0, 0) AS bigint))").as("v6"))
+      .localCheckpoint() // one decode of the grid feeds both passes
+    val rowMoments = grid
+      .select(col("label"),
+        expr("aggregate(v6, cast(0 AS bigint), (acc, v) -> acc + v * v)")
+          .as("norm2"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("norm2").cast("decimal(38,0)")).as("sn"))
+    val compSums = grid
+      .select(col("label"), posexplode(col("v6")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(sum(col("v").cast("decimal(38,0)")).as("sp"))
+      .groupBy("label")
+      .agg(sum(col("sp") * col("sp")).as("ssp"))
+    rowMoments.join(compSums, "label")
+      .select(col("label"), col("n_vectors"),
+        round(sqrt(col("sn").cast("double") / col("n_vectors"))
+          / 1000000.0, 6).as("rms_norm"),
+        round(sqrt(col("ssp").cast("double")) / col("n_vectors")
+          / 1000000.0, 6).as("centroid_norm"),
+        when(col("sn") > 0,
+          round(col("ssp").cast("double")
+            / (col("n_vectors").cast("double") * col("sn").cast("double")), 6))
+          .as("anisotropy"))
+      .orderBy("label")
+  }
 }

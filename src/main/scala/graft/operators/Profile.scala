@@ -351,4 +351,55 @@ object Profile {
       .union(one("lineitem.l_returnflag", Tables.lineitem(spark, dir), col("l_returnflag")))
       .orderBy("column_name")
   }
+
+  /** q197: inclusion-dependency discovery — q179 ENFORCES the FKs the
+    * schema declares; this one DISCOVERS them: for each candidate
+    * (child column → parent column) pair, what share of the child's
+    * DISTINCT values the parent contains (Bauckmann et al.'s unary IND
+    * profiling). Containment 1.0 = a joinable key relationship worth
+    * declaring; the deliberately-spurious candidates (events.user_id →
+    * customer, doc_id → vec_id) measure what a discovery pass must
+    * reject — a profiler that only confirms known FKs is a rubber
+    * stamp.
+    *
+    * Each pair collapses BOTH sides to distinct key sets before the
+    * one join (child distincts ⋖ parent key set — broadcast when the
+    * parent is a dim, shuffled otherwise, the optimizer's call);
+    * output is O(candidate pairs). Exact integer counts. */
+  def q197InclusionDeps(spark: SparkSession, dir: String): DataFrame = {
+    def probe(rule: String, child: DataFrame, childCol: String,
+              parent: DataFrame, parentCol: String): DataFrame = {
+      val c = child.filter(col(childCol).isNotNull)
+        .select(col(childCol).cast("long").as("v")).distinct()
+      val p = parent.filter(col(parentCol).isNotNull)
+        .select(col(parentCol).cast("long").as("pv")).distinct()
+      c.join(p, col("v") === col("pv"), "left")
+        .agg(lit(rule).as("candidate"),
+          count(lit(1)).as("n_child_distinct"),
+          sum(col("pv").isNotNull.cast("long")).as("n_contained"))
+        .withColumn("containment",
+          round(col("n_contained").cast("double") / col("n_child_distinct"), 6))
+        .withColumn("is_inclusion", (col("n_contained") === col("n_child_distinct")).cast("long"))
+    }
+    val li = Tables.lineitem(spark, dir)
+    val orders = Tables.orders(spark, dir)
+    probe("lineitem.l_orderkey->orders.o_orderkey", li, "l_orderkey",
+        orders, "o_orderkey")
+      .union(probe("lineitem.l_partkey->part.p_partkey", li, "l_partkey",
+        Tables.part(spark, dir), "p_partkey"))
+      .union(probe("orders.o_custkey->customer.c_custkey", orders, "o_custkey",
+        Tables.customer(spark, dir), "c_custkey"))
+      .union(probe("customer.c_nationkey->nation.n_nationkey",
+        Tables.customer(spark, dir), "c_nationkey",
+        Tables.nation(spark, dir), "n_nationkey"))
+      .union(probe("orders.o_orderkey->lineitem.l_orderkey", orders, "o_orderkey",
+        li, "l_orderkey"))
+      .union(probe("events.user_id->customer.c_custkey",
+        Tables.events(spark, dir), "user_id",
+        Tables.customer(spark, dir), "c_custkey"))
+      .union(probe("documents.doc_id->embeddings.vec_id",
+        Tables.documents(spark, dir), "doc_id",
+        Tables.embeddings(spark, dir), "vec_id"))
+      .orderBy("candidate")
+  }
 }

@@ -2014,4 +2014,34 @@ object TextAnalysis {
         when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
       .orderBy("source")
   }
+
+  /** q196: bottom-k priority sample — an exact fixed-SIZE uniform
+    * corpus sample drawn by content-hash priority (the bottom-k sketch,
+    * Cohen & Kaplan 2007): rank every doc by md5(doc_id:text), keep the
+    * k smallest. Unlike `df.sample` (partitioning-dependent RNG) or
+    * q66's Bernoulli (variable size), the draw is deterministic, exact-
+    * size, and stable under re-sharding — two runs over differently-
+    * partitioned copies of the corpus return the SAME docs, which is
+    * what makes eyeball-QA samples and regression fixtures comparable
+    * across snapshots. (The kept hash set doubles as a corpus-level
+    * bottom-k MinHash: Jaccard between two snapshots' samples estimates
+    * snapshot overlap for free.)
+    *
+    * Scale shape: orderBy(limit k) plans TakeOrderedAndProject — each
+    * partition keeps its local k, only k-row heaps move to the driver-
+    * side merge; no global sort, no full shuffle, O(k) output at any
+    * corpus size. */
+  def q196PrioritySample(spark: SparkSession, dir: String): DataFrame = {
+    val k = 100
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("lang"),
+        md5(concat(col("doc_id").cast("string"), lit(":"), col("text")))
+          .as("pri"))
+      .orderBy("pri").limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy("pri")))
+      .select(col("rank").cast("long").as("rank"), col("doc_id"),
+        col("source"), col("lang"), col("pri"))
+      .orderBy("rank")
+  }
 }

@@ -3161,4 +3161,120 @@ class QueriesSpec extends AnyFunSuite {
       assert(r.getLong(6) >= r.getLong(7) && r.getLong(7) >= r.getLong(8))
     }
   }
+
+  test("q196 priority sample: exact bottom-k by md5 and re-shard stability") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val all = Tables.documents(spark, sf0001)
+      .filter(col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), md5hex(s"${r.getLong(0)}:${r.getString(1)}")))
+    val want = all.sortBy(_._2).take(100)
+    val got = run("q196_priority_sample").collect()
+    assert(got.length == 100)
+    got.zip(want.sortBy(_._2)).zipWithIndex.foreach { case ((r, (id, pri)), i) =>
+      assert(r.getLong(0) == i + 1 && r.getLong(1) == id && r.getString(4) == pri,
+        s"rank ${i + 1}: $r vs ($id, $pri)")
+    }
+    // the property that justifies the operator: the draw is a function
+    // of CONTENT, so a re-sharded copy of the corpus samples the same docs
+    val dir = java.nio.file.Files.createTempDirectory("graft-psample").toString
+    Tables.documents(spark, sf0001).repartition(7)
+      .write.parquet(s"$dir/documents.parquet")
+    val reshard = graft.operators.TextAnalysis.q196PrioritySample(spark, dir)
+      .collect().map(_.getLong(1)).toSeq
+    assert(reshard == got.map(_.getLong(1)).toSeq, "re-shard stability")
+  }
+
+  test("q197 inclusion deps: independent containment replay and FK verdicts") {
+    val got = run("q197_inclusion_deps").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.size == 7)
+    got.values.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "contained <= distinct")
+      assert(math.abs(r.getDouble(3) -
+        r.getLong(2).toDouble / r.getLong(1)) < 2e-6)
+      assert(r.getLong(4) == (if (r.getLong(2) == r.getLong(1)) 1L else 0L))
+    }
+    // declared star-schema FKs must discover as full inclusions
+    Seq("lineitem.l_orderkey->orders.o_orderkey",
+      "lineitem.l_partkey->part.p_partkey",
+      "orders.o_custkey->customer.c_custkey",
+      "customer.c_nationkey->nation.n_nationkey").foreach { fk =>
+      assert(got(fk).getLong(4) == 1L, s"$fk must be a full inclusion")
+    }
+    // independent replay of the cross-modal probe
+    val docIds = Tables.documents(spark, sf0001)
+      .select(col("doc_id")).distinct()
+    val vecIds = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id")).distinct()
+    val contained = docIds.intersect(
+      vecIds.withColumnRenamed("vec_id", "doc_id")).count()
+    val r = got("documents.doc_id->embeddings.vec_id")
+    assert(r.getLong(1) == docIds.count() && r.getLong(2) == contained)
+  }
+
+  test("q198 assortativity replays exactly from the collected edge list") {
+    val pairs = Tables.documents(spark, sf0001)
+      .select(graft.functions.Portable.tokenize(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
+          " (a, b) -> struct(a AS w1, b AS w2))")).as("p"))
+      .filter(col("p.w1") =!= col("p.w2"))
+      .select(least(col("p.w1"), col("p.w2")), greatest(col("p.w1"), col("p.w2")))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    val sym = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = sym.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val xs = sym.map { case (s, d) => (deg(s), deg(d)) }
+    val m = xs.length.toDouble
+    def bsum(f: ((Long, Long)) => BigInt) = xs.map(f).sum.toDouble
+    val (sx, sy) = (bsum(x => BigInt(x._1)), bsum(x => BigInt(x._2)))
+    val (sxy, sxx, syy) = (bsum(x => BigInt(x._1) * x._2),
+      bsum(x => BigInt(x._1) * x._1), bsum(x => BigInt(x._2) * x._2))
+    val r0 = (m * sxy - sx * sy) /
+      (math.sqrt(m * sxx - sx * sx) * math.sqrt(m * syy - sy * sy))
+    val r = run("q198_assortativity").head()
+    assert(r.getLong(0) == deg.size && r.getLong(1) == pairs.length)
+    assert(math.abs(r.getDouble(2) - m / deg.size) < 1e-3)
+    assert(r.getLong(3) == deg.values.max)
+    assert(math.abs(r.getDouble(4) - r0) < 1e-4,
+      s"assortativity ${r.getDouble(4)} vs replay $r0")
+    assert(r.getDouble(4) >= -1.0 && r.getDouble(4) <= 1.0)
+    assert(r.getDouble(4) < 0, "word graphs are disassortative (hubs ⋈ leaves)")
+  }
+
+  test("q199 embedding health replays from BigInt grid moments") {
+    val rows = Tables.embeddings(spark, sf0001)
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("label").cast("long"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Double](1).map(x => math.round(x * 1000000.0)).toArray))
+    val got = run("q199_embedding_health").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val byLabel = rows.groupBy(_._1)
+    assert(got.keySet == byLabel.keySet && got.nonEmpty)
+    byLabel.foreach { case (label, vs) =>
+      val n = vs.length
+      val sn = vs.map(v => v._2.map(x => BigInt(x) * x).sum).sum
+      val d = vs.head._2.length
+      val ssp = (0 until d).map { p =>
+        val sp = vs.map(v => BigInt(v._2(p))).sum; sp * sp
+      }.sum
+      val r = got(label)
+      assert(r.getLong(1) == n)
+      assert(math.abs(r.getDouble(2) -
+        math.sqrt(sn.toDouble / n) / 1e6) < 2e-6, s"$label rms")
+      assert(math.abs(r.getDouble(3) -
+        math.sqrt(ssp.toDouble) / n / 1e6) < 2e-6, s"$label centroid")
+      val aniso = ssp.toDouble / (n.toDouble * sn.toDouble)
+      assert(math.abs(r.getDouble(4) - aniso) < 2e-6, s"$label anisotropy")
+      assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1.0 + 1e-9,
+        "anisotropy is an energy share")
+      assert(r.getDouble(3) <= r.getDouble(2) + 1e-9,
+        "centroid norm bounded by RMS norm (Jensen)")
+    }
+  }
 }
