@@ -907,4 +907,68 @@ object EventStream {
           }
         })
   }
+
+  /** Per-event admit/suppress decision from the debounce gate. */
+  case class DebounceDecision(user_id: Long, event_type: String,
+                              event_id: Long, kept: Boolean)
+  /** Debounce state: micros of the last event SEEN for the key (q184's
+    * gap is measured against the previous event, kept or not). */
+  case class LastSeen(us: Long)
+
+  /** Streaming twin of the batch q184 debounce: per (user, type), an
+    * event is KEPT iff it is the key's first or arrives > gap after
+    * the PREVIOUS event (kept or suppressed — the batch lag semantics).
+    * This is the ingest-time gate form: webhook retries and double-
+    * clicks are adjudicated as they arrive instead of in a nightly
+    * batch pass.
+    *
+    * State is ONE long per (user, type) — the smallest state record in
+    * this module. When the input carries a watermark, a key whose last
+    * event sits > gap below it is REMOVED: any future row has
+    * ts ≥ watermark, so its gap already exceeds the threshold and the
+    * fresh-state decision (kept) is identical — the funnel-trim
+    * argument in miniature, making state proportional to the ACTIVE
+    * key set, not key history. Parity contract: micro-batches sort on
+    * the batch sort key (us, event_id); cross-batch disorder changes
+    * gaps (the q59/q73 ordered-arrival contract). Rows below the
+    * watermark are dropped (the standard late-data rule — Spark does
+    * not pre-filter them for flatMapGroupsWithState). */
+  def debounceDecisions(events: Dataset[TypedEvent],
+                        gapUs: Long = 21600000000L): Dataset[DebounceDecision] = {
+    import events.sparkSession.implicits._
+    droppingNullKeys(events.filter(col("event_type").isNotNull))
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (Long, String), rows: Iterator[TypedEvent],
+         state: GroupState[LastSeen]) => {
+          // no watermark on the input -> getCurrentWatermarkMs THROWS
+          // (the funnel-trim lesson); 0 = unwatermarked, trim inactive
+          val wm = (try state.getCurrentWatermarkMs()
+            catch { case _: UnsupportedOperationException => 0L }) * 1000L
+          var last = state.getOption.map(_.us).getOrElse(Long.MinValue)
+          val out = rows.toSeq
+            .sortBy(e => (eventMicros(e.ts), e.event_id))
+            .filter(e => wm <= 0L || eventMicros(e.ts) >= wm) // late-data rule
+            .map { e =>
+              val us = eventMicros(e.ts)
+              val kept = last == Long.MinValue || us - last > gapUs
+              last = us
+              DebounceDecision(key._1, key._2, e.event_id, kept)
+            }
+          if (last != Long.MinValue && wm > 0L && wm - last > gapUs)
+            state.remove() // trimmed: any future row is kept regardless
+          else if (last != Long.MinValue) state.update(LastSeen(last))
+          out.iterator
+        })
+  }
+
+  /** Fold emitted decisions into the batch q184 report shape. */
+  def debounceReport(decisions: DataFrame): DataFrame =
+    decisions.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        (count(lit(1)) - sum(col("kept").cast("long"))).as("n_dropped"))
+      .withColumn("drop_rate",
+        round(col("n_dropped").cast("double") / col("n_events"), 6))
+      .orderBy("event_type")
 }

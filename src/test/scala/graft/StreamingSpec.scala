@@ -2440,4 +2440,89 @@ class StreamingSpec extends AnyFunSuite {
     t2.setNanos(123457789)
     assert(EventStream.eventMicros(t2) == EventStream.eventMicros(ts) + 1)
   }
+
+  test("streaming debounce decisions fold into the batch q184 report") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-deb-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = EventStream.readStream(spark, dir.toString)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+      .as[EventStream.TypedEvent]
+    val q = EventStream.debounceDecisions(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("deb_decisions")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-deb-ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val decisions = spark.table("deb_decisions")
+    assert(decisions.count() ==
+      decisions.select("event_id", "event_type").distinct().count(),
+      "one decision per (event, type)")
+    val got = EventStream.debounceReport(decisions).collect().map(_.toSeq).toSeq
+    val want = SparkEntry.queries("q184_debounce")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty, "batch q184 must produce rows at sf0.001")
+    assert(got == want, "stream-folded debounce report must equal batch q184")
+  }
+
+  test("debounce gate carries the last-seen gap across micro-batches and trims under watermark") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-deb2-src")
+    val t0 = 1700000000000000L // epoch micros
+    val h = 3600000000L
+    // burst spanning the batch boundary: t0 kept, t0+1h dropped (file 1);
+    // t0+2h dropped ONLY IF the 1h-ago state survived the boundary,
+    // t0+9h kept (file 2). A fresh-state bug would keep t0+2h.
+    writeFlatEvents(dir, "a.parquet", Seq(
+      (1L, t0, 7L, "click", 1.0, "{}"),
+      (2L, t0 + h, 7L, "click", 1.0, "{}")))
+    val stream = EventStream.readStream(spark, dir.toString)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+      .withWatermark("ts", "0 seconds")
+      .as[EventStream.TypedEvent]
+    val dirCk = java.nio.file.Files.createTempDirectory("graft-deb2-ckpt").toString
+    val q = EventStream.debounceDecisions(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("deb2_decisions")
+      .option("maxFilesPerTrigger", "1")
+      .option("checkpointLocation", dirCk)
+      .start()
+    try {
+      q.processAllAvailable()
+      writeFlatEvents(dir, "b.parquet", Seq(
+        (3L, t0 + 2 * h, 7L, "click", 1.0, "{}"),
+        (4L, t0 + 9 * h, 7L, "click", 1.0, "{}")))
+      q.processAllAvailable()
+      // file 3: a DIFFERENT user far in the future advances the
+      // watermark > gap past user 7's last event → user 7's state is
+      // trim-eligible on its next fold; user 8's own first event is kept
+      writeFlatEvents(dir, "c.parquet", Seq(
+        (5L, t0 + 24 * h, 8L, "click", 1.0, "{}")))
+      q.processAllAvailable()
+      // file 4: a LATE row for user 7 (ts = t0+10h < wm = t0+24h). The
+      // fold must (a) DROP it — no decision row — and (b) fire the
+      // physical trim: user 7's last event (t0+9h) sits 15h below the
+      // watermark, no admitted row re-armed it, so the key is removed
+      writeFlatEvents(dir, "d.parquet", Seq(
+        (6L, t0 + 10 * h, 7L, "click", 1.0, "{}")))
+      q.processAllAvailable()
+      val got = spark.table("deb2_decisions")
+        .collect().map(r => r.getLong(2) -> r.getBoolean(3)).toMap
+      assert(got == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true,
+        5L -> true),
+        s"late event 6 must emit NO decision; cross-batch gaps: $got")
+    } finally q.stop()
+    // the state STORE proves the trim is physical: user 7's key is
+    // GONE from the checkpoint (removed during the late-row fold);
+    // only user 8's last-seen survives
+    val state = spark.read.format("statestore")
+      .load(dirCk)
+      .selectExpr("key._1 AS user_id", "value.groupState.us AS us")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state == Map(8L -> (t0 + 24 * h)),
+      s"user 7's state must be physically trimmed: $state")
+  }
 }
