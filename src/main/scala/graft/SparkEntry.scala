@@ -201,6 +201,9 @@ object SparkEntry {
     "q197_inclusion_deps" -> (Profile.q197InclusionDeps _),
     "q198_assortativity"  -> (Graph.q198Assortativity _),
     "q199_embedding_health" -> (LinAlg.q199EmbeddingHealth _),
+    "q200_journey_entropy" -> (Temporal.q200JourneyEntropy _),
+    "q201_cluster_sizes"  -> (Dedup.q201ClusterSizes _),
+    "q202_latency_ci"     -> (Temporal.q202LatencyCi _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -4105,6 +4108,97 @@ object SparkEntry {
         |    AS anisotropy
         |FROM per p JOIN cn ON p.label = cn.label
         |ORDER BY p.label""".stripMargin,
+
+    // entropy folds over a next_type-ORDERED window (the q181
+    // convention); argmax ties break lexicographically (q185)
+    "q200_journey_entropy" ->
+      """WITH t AS (SELECT user_id, event_type,
+        |  lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS prev_type
+        |  FROM events),
+        |c AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+        |      FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |w AS (SELECT prev_type, next_type, n,
+        |        CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS total
+        |      FROM c),
+        |e AS (SELECT *, sum(-(CAST(n AS DOUBLE) / total)
+        |          * ln(CAST(n AS DOUBLE) / total) / ln(2.0))
+        |        OVER (PARTITION BY prev_type ORDER BY next_type
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |        AS h,
+        |        row_number() OVER (PARTITION BY prev_type
+        |          ORDER BY n DESC, next_type ASC) AS rk
+        |      FROM w)
+        |SELECT prev_type, CAST(max(total) AS BIGINT) AS n_transitions,
+        |  CAST(count(*) AS BIGINT) AS n_next_types,
+        |  round(max(h), 6) AS entropy_bits,
+        |  round(max(h) / greatest(ln(CAST(count(*) AS DOUBLE)) / ln(2.0),
+        |    1e-12), 6) AS norm_entropy,
+        |  max(CASE WHEN rk = 1 THEN next_type END) AS top_next,
+        |  round(CAST(max(n) AS DOUBLE) / max(total), 6) AS top_share
+        |FROM e GROUP BY 1 ORDER BY prev_type""".stripMargin,
+
+    // the q68 component CTEs + a size histogram + the singleton row
+    // (vectors on no near-dup edge)
+    "q201_cluster_sizes" ->
+      s"""WITH RECURSIVE $simhashCandCte,
+         |pairs AS (SELECT id_a, id_b
+         |          FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+         |                    JOIN e eb ON eb.vec_id = cand.id_b
+         |          WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.45),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (SELECT DISTINCT a, a FROM edges
+         |                 UNION
+         |                 SELECT ed.a, reach.r FROM edges ed
+         |                 JOIN reach ON reach.id = ed.b),
+         |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         |sizes AS (SELECT cluster, count(*) AS sz FROM comp GROUP BY cluster),
+         |hist AS (SELECT CAST(sz AS BIGINT) AS cluster_size,
+         |           CAST(count(*) AS BIGINT) AS n_clusters,
+         |           CAST(sum(sz) AS BIGINT) AS n_docs
+         |         FROM sizes GROUP BY 1),
+         |sing AS (SELECT CAST((SELECT count(*) FROM embeddings)
+         |           - (SELECT count(*) FROM comp) AS BIGINT) AS n1)
+         |SELECT cluster_size, n_clusters, n_docs,
+         |       CASE WHEN cluster_size >= 2 THEN n_docs - n_clusters
+         |            ELSE CAST(0 AS BIGINT) END AS removable
+         |FROM (SELECT CAST(1 AS BIGINT) AS cluster_size, n1 AS n_clusters,
+         |        n1 AS n_docs FROM sing WHERE n1 > 0
+         |      UNION ALL
+         |      SELECT cluster_size, n_clusters, n_docs FROM hist) u
+         |ORDER BY cluster_size""".stripMargin,
+
+    // order-statistic CI over the bounded latency-value histogram
+    // (q187's cumulative pick); ranks from exact n, one ceil each
+    "q202_latency_ci" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+        |fv AS (SELECT user_id, min(us) AS fv FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |d AS (SELECT round((min(p.us) - fv.fv) / 1000000.0, 6) AS delta_s
+        |      FROM ev p JOIN fv ON p.user_id = fv.user_id
+        |      WHERE p.event_type = 'purchase' AND p.us > fv.fv
+        |      GROUP BY p.user_id, fv.fv),
+        |hist AS (SELECT delta_s, count(*) AS c FROM d GROUP BY 1),
+        |h2 AS (SELECT delta_s, c,
+        |         CAST(sum(c) OVER (ORDER BY delta_s
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |         CAST(sum(c) OVER () AS BIGINT) AS n
+        |       FROM hist),
+        |r AS (SELECT *, greatest(1,
+        |          CAST(ceil(n * 0.5 - 1.959964 * sqrt(n * 0.25)) AS BIGINT))
+        |          AS kl,
+        |        (n + 1) // 2 AS km,
+        |        least(n,
+        |          CAST(ceil(n * 0.5 + 1.959964 * sqrt(n * 0.25)) AS BIGINT))
+        |          AS ku
+        |      FROM h2)
+        |SELECT n AS n_users,
+        |  max(CASE WHEN cum >= kl AND cum - c < kl THEN delta_s END) AS ci_lo_s,
+        |  max(CASE WHEN cum >= km AND cum - c < km THEN delta_s END) AS median_s,
+        |  max(CASE WHEN cum >= ku AND cum - c < ku THEN delta_s END) AS ci_hi_s,
+        |  0.95 AS confidence
+        |FROM r GROUP BY n ORDER BY n_users""".stripMargin,
   )
 
   /** q162b is the hour-sharded PHYSICAL form of q162 — identical

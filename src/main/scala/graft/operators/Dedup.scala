@@ -721,4 +721,43 @@ object Dedup {
         round(col("shared").cast("double") / col("n_b"), 6).as("containment_ba"))
       .orderBy("src_a", "src_b")
   }
+
+  /** q201: dedup-cluster size distribution — the planning view OVER
+    * the q68 resolution: how many clusters of each size the near-dup
+    * graph resolves to, including the size-1 singletons q68's
+    * edge-driven components never see (total vectors minus clustered
+    * vectors). The histogram is what prices a dedup pass BEFORE it
+    * runs — Σ(size−1) over sizes ≥ 2 is exactly the rows a keep-one-
+    * per-cluster policy deletes, and a fat tail (one giant cluster)
+    * is the q86-style template blob that deserves inspection, not
+    * silent deletion.
+    *
+    * Cost is the q49 candidate generation + q68's checkpointed CC
+    * rounds (both already bounded — banded candidates, vocabulary-free
+    * cluster frames); the histogram folds the O(clustered vectors)
+    * component table to O(distinct sizes), and the singleton row is
+    * two counts. */
+  def q201ClusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    val comp = Graph.connectedComponents(
+      q49EmbeddingNearDup(spark, dir).select("id_a", "id_b"))
+      .localCheckpoint() // feeds the histogram + the clustered count
+    val hist = comp.groupBy("label")
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum("sz").as("n_docs"))
+    val totals = Tables.embeddings(spark, dir)
+      .agg(count(lit(1)).as("nv"))
+      .crossJoin(broadcast(comp.agg(count(lit(1)).as("nc"))))
+    val singletons = totals
+      .select(lit(1L).as("cluster_size"),
+        (col("nv") - col("nc")).as("n_clusters"),
+        (col("nv") - col("nc")).as("n_docs"))
+      .filter(col("n_clusters") > 0)
+    singletons.union(hist)
+      .withColumn("removable",
+        when(col("cluster_size") >= 2,
+          col("n_docs") - col("n_clusters")).otherwise(0L))
+      .orderBy("cluster_size")
+  }
 }

@@ -906,4 +906,94 @@ object Temporal {
           .otherwise("tie").as("best_baseline"))
       .orderBy("event_type")
   }
+
+  /** q200: journey predictability — conditional next-event entropy
+    * H(next | prev) per source state, from the q112 transition counts:
+    * the UNCERTAINTY companion to q185's argmax accuracy (accuracy
+    * says how often the single best guess wins; entropy says how much
+    * structure there is to exploit at all — top_share is exactly the
+    * resubstitution ceiling any q185-class model can reach). A state
+    * whose entropy sits at log₂(k) routes users uniformly — no model,
+    * no personalization, will predict it.
+    *
+    * One q112-shaped user-keyed pass collapses the corpus to the
+    * O(types²) transition frame; entropy folds over a next_type-ORDERED
+    * window (the q181 sequential-sum convention) on that enum-bounded
+    * frame. */
+  def q200JourneyEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    val counts = Tables.events(spark, dir)
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val wp = Window.partitionBy("prev_type")
+    val wo = Window.partitionBy("prev_type").orderBy("next_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // q185's argmax convention: count desc, lexicographic tie-break
+    val wr = Window.partitionBy("prev_type").orderBy(desc("n"), asc("next_type"))
+    val p = col("n").cast("double") / col("total").cast("double")
+    counts
+      .withColumn("total", sum("n").over(wp))
+      .withColumn("h", sum(-p * log(p) / math.log(2.0)).over(wo))
+      .withColumn("rk", row_number().over(wr))
+      .groupBy("prev_type")
+      .agg(max("total").as("n_transitions"),
+        count(lit(1)).as("n_next_types"),
+        round(max("h"), 6).as("entropy_bits"),
+        round(max("h") / greatest(log(count(lit(1)).cast("double"))
+          / math.log(2.0), lit(1e-12)), 6).as("norm_entropy"),
+        max(when(col("rk") === 1, col("next_type"))).as("top_next"),
+        round(max("n").cast("double") / max("total"), 6).as("top_share"))
+      .orderBy("prev_type")
+  }
+
+  /** q202: a distribution-free confidence interval for the median
+    * view→purchase latency — the uncertainty q127's point percentiles
+    * omit: the binomial order-statistic CI (ranks n/2 ∓ z√(n/4), the
+    * standard nonparametric interval), so "median 42 s" ships as
+    * "median 42 s, 95 % CI [38, 47]" and a day-over-day wiggle inside
+    * the band stops paging anyone.
+    *
+    * Latencies collapse to the per-user frame (q127's shape), then to
+    * a bounded VALUE histogram on the 6-dp second grid; the three
+    * order statistics are cumulative-count picks over that histogram
+    * (the q187 k-th-order-statistic pattern — no global rank, no
+    * single-buffer percentile). Ranks derive from exact integer n via
+    * one ceil each; all picks are exact data values. */
+  def q202LatencyCi(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+    val fv = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("fv"))
+    val deltas = ev.filter(col("event_type") === "purchase")
+      .join(fv, "user_id")
+      .filter(col("us") > col("fv"))
+      .groupBy(col("user_id"), col("fv"))
+      .agg(min("us").as("fp"))
+      .select(round((col("fp") - col("fv")) / lit(1000000.0), 6).as("delta_s"))
+    val hist = deltas.groupBy("delta_s").agg(count(lit(1)).as("c"))
+    val wv = Window.orderBy("delta_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(lit(1))
+    val z = 1.959964
+    hist
+      .withColumn("cum", sum("c").over(wv))
+      .withColumn("n", sum("c").over(all))
+      .withColumn("kl", greatest(lit(1L),
+        ceil(col("n") * 0.5 - lit(z) * sqrt(col("n") * 0.25)).cast("long")))
+      .withColumn("km", expr("(n + 1) DIV 2"))
+      .withColumn("ku", least(col("n"),
+        ceil(col("n") * 0.5 + lit(z) * sqrt(col("n") * 0.25)).cast("long")))
+      .groupBy(col("n").as("n_users"))
+      .agg(
+        max(when(col("cum") >= col("kl") && col("cum") - col("c") < col("kl"),
+          col("delta_s"))).as("ci_lo_s"),
+        max(when(col("cum") >= col("km") && col("cum") - col("c") < col("km"),
+          col("delta_s"))).as("median_s"),
+        max(when(col("cum") >= col("ku") && col("cum") - col("c") < col("ku"),
+          col("delta_s"))).as("ci_hi_s"))
+      .withColumn("confidence", lit(0.95))
+      .orderBy("n_users")
+  }
 }

@@ -3277,4 +3277,81 @@ class QueriesSpec extends AnyFunSuite {
         "centroid norm bounded by RMS norm (Jensen)")
     }
   }
+
+  test("q200 journey entropy replays from the q112 transition counts") {
+    val counts = run("q112_markov_transitions")
+      .select("prev_type", "next_type", "n").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val got = run("q200_journey_entropy").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val byPrev = counts.groupBy(_._1)
+    assert(got.keySet == byPrev.keySet && got.nonEmpty)
+    byPrev.foreach { case (prev, xs) =>
+      val total = xs.map(_._3).sum.toDouble
+      val h = xs.sortBy(_._2).map { case (_, _, n) =>
+        val p = n / total; -p * math.log(p) / math.log(2.0)
+      }.sum
+      val top = xs.minBy(x => (-x._3, x._2))
+      val r = got(prev)
+      assert(r.getLong(1) == total.toLong && r.getLong(2) == xs.length)
+      assert(math.abs(r.getDouble(3) - h) < 1e-6, s"$prev H ${r.getDouble(3)} vs $h")
+      assert(r.getString(5) == top._2 && math.abs(r.getDouble(6) - top._3 / total) < 2e-6)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0 + 1e-9)
+      // top_share is the ceiling of any q185-class argmax predictor
+      assert(r.getDouble(6) >= 1.0 / xs.length - 1e-9)
+    }
+  }
+
+  test("q201 cluster sizes replay from q68 and conserve the corpus") {
+    val comp = run("q68_dedup_clusters").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sizes = comp.groupBy(_._2).map(_._2.length.toLong)
+    val hist = sizes.groupBy(identity).map { case (s, g) => s -> g.size.toLong }
+    val nVec = Tables.embeddings(spark, sf0001).count()
+    val got = run("q201_cluster_sizes").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val singles = nVec - comp.length
+    hist.foreach { case (sz, nCl) =>
+      val r = got(sz)
+      assert(r.getLong(1) == nCl && r.getLong(2) == sz * nCl, s"size $sz: $r")
+      assert(r.getLong(3) == (sz - 1) * nCl, s"size $sz removable")
+    }
+    if (singles > 0) {
+      val r = got(1L)
+      assert(r.getLong(1) == singles && r.getLong(2) == singles && r.getLong(3) == 0L)
+    }
+    // conservation: every vector lands in exactly one size bucket
+    assert(got.values.map(_.getLong(2)).sum == nVec)
+    // sf0.001 may legitimately resolve to all-singletons; when edges
+    // exist they must appear as ≥2-size buckets (sf0.01's oracle run
+    // covers the clustered shape)
+    if (comp.nonEmpty) assert(got.keys.max >= 2)
+  }
+
+  test("q202 latency CI replays as order statistics over the sorted deltas") {
+    val deltas = {
+      val ev = Tables.events(spark, sf0001)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      val fv = ev.filter(_._3 == "view").groupBy(_._1).map { case (u, xs) =>
+        u -> xs.map(_._2).min }
+      ev.filter(_._3 == "purchase")
+        .flatMap { case (u, us, _) => fv.get(u).filter(us > _).map(f => (u, f, us)) }
+        .groupBy(x => (x._1, x._2)).map { case ((_, f), xs) =>
+          math.rint((xs.map(_._3).min - f) / 1000000.0 * 1e6) / 1e6 }
+        .toSeq.sorted
+    }
+    val n = deltas.length
+    val z = 1.959964
+    val kl = math.max(1, math.ceil(n * 0.5 - z * math.sqrt(n * 0.25)).toLong)
+    val km = (n + 1) / 2
+    val ku = math.min(n.toLong, math.ceil(n * 0.5 + z * math.sqrt(n * 0.25)).toLong)
+    val r = run("q202_latency_ci").head()
+    assert(r.getLong(0) == n)
+    assert(math.abs(r.getDouble(1) - deltas((kl - 1).toInt)) < 2e-6, "ci_lo")
+    assert(math.abs(r.getDouble(2) - deltas((km - 1).toInt)) < 2e-6, "median")
+    assert(math.abs(r.getDouble(3) - deltas((ku - 1).toInt)) < 2e-6, "ci_hi")
+    assert(r.getDouble(1) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(3))
+    assert(r.getDouble(4) == 0.95)
+  }
 }
