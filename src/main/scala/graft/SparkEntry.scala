@@ -204,6 +204,8 @@ object SparkEntry {
     "q200_journey_entropy" -> (Temporal.q200JourneyEntropy _),
     "q201_cluster_sizes"  -> (Dedup.q201ClusterSizes _),
     "q202_latency_ci"     -> (Temporal.q202LatencyCi _),
+    "q203_banding_recall" -> (Dedup.q203BandingRecall _),
+    "q204_canonical_election" -> (Dedup.q204CanonicalElection _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -4199,6 +4201,64 @@ object SparkEntry {
         |  max(CASE WHEN cum >= ku AND cum - c < ku THEN delta_s END) AS ci_hi_s,
         |  0.95 AS confidence
         |FROM r GROUP BY n ORDER BY n_users""".stripMargin,
+
+    // banding recall vs an exact 50-anchor block; cosine rounded 6 dp
+    // (the q49/q68 list_cosine_similarity contract)
+    "q203_banding_recall" ->
+      s"""WITH $simhashCandCte,
+         |block AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 50),
+         |truth AS (SELECT least(a.vec_id, b.vec_id) AS id_a,
+         |    greatest(a.vec_id, b.vec_id) AS id_b,
+         |    max(round(list_cosine_similarity(a.v, b.v), 6)) AS cos
+         |  FROM block a JOIN e b ON a.vec_id <> b.vec_id
+         |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+         |  GROUP BY 1, 2),
+         |j AS (SELECT t.cos,
+         |    CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS caught
+         |  FROM truth t LEFT JOIN cand c
+         |    ON t.id_a = c.id_a AND t.id_b = c.id_b),
+         |x AS (SELECT cos, caught,
+         |    CAST(unnest([0.45, 0.6, 0.75]) AS DOUBLE) AS tau FROM j)
+         |SELECT tau, CAST(count(*) AS BIGINT) AS n_true,
+         |  CAST(sum(caught) AS BIGINT) AS n_caught,
+         |  round(CAST(sum(caught) AS DOUBLE) / count(*), 6) AS recall
+         |FROM x WHERE cos >= tau GROUP BY 1 ORDER BY tau""".stripMargin,
+
+    // q68's components + the q37 quality CTE + a NULLS LAST election
+    "q204_canonical_election" ->
+      s"""WITH RECURSIVE $simhashCandCte,
+         |pairs AS (SELECT id_a, id_b
+         |          FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+         |                    JOIN e eb ON eb.vec_id = cand.id_b
+         |          WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.45),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (SELECT DISTINCT a, a FROM edges
+         |                 UNION
+         |                 SELECT ed.a, reach.r FROM edges ed
+         |                 JOIN reach ON reach.id = ed.b),
+         |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         |d AS (SELECT doc_id, n_chars, ${tok("text")} AS words
+         |      FROM documents WHERE text IS NOT NULL),
+         |q AS (SELECT doc_id,
+         |    round(least(round(CAST(len(list_distinct(words)) AS DOUBLE)
+         |        / greatest(len(words), 1), 6) * 2.0, 1.0) * 0.5
+         |      + CASE WHEN len(words) BETWEEN 20 AND 400 THEN 0.3 ELSE 0.0 END
+         |      + least(round(CAST(len(list_filter(words, w -> w IN $stoplist))
+         |          AS DOUBLE) / greatest(len(words), 1), 6) * 3.0, 0.2), 6)
+         |      AS quality
+         |  FROM d),
+         |m AS (SELECT c.id AS vec_id, c.cluster, q.quality
+         |      FROM comp c LEFT JOIN q ON c.id = q.doc_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY cluster
+         |        ORDER BY quality DESC NULLS LAST, vec_id ASC) AS rk FROM m)
+         |SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+         |  max(CASE WHEN rk = 1 THEN vec_id END) AS canonical_vec,
+         |  max(CASE WHEN rk = 1 THEN quality END) AS canonical_quality,
+         |  round(max(quality) - min(quality), 6) AS quality_spread,
+         |  CAST(sum(CASE WHEN rk = 1 AND vec_id = cluster THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS same_as_minid
+         |FROM r GROUP BY 1 ORDER BY cluster""".stripMargin,
   )
 
   /** q162b is the hour-sharded PHYSICAL form of q162 — identical

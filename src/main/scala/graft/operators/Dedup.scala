@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -737,6 +738,84 @@ object Dedup {
     * cluster frames); the histogram folds the O(clustered vectors)
     * component table to O(distinct sizes), and the singleton row is
     * two counts. */
+  /** q203: banding recall curve — the q148 move applied to the DEDUP
+    * ladder: for a bounded anchor block (the 50 lowest vec_ids), what
+    * share of the TRUE ≥τ cosine pairs does q49's simhash banding block
+    * together, at τ ∈ {0.45, 0.6, 0.75}? This is the knob-tuning
+    * answer-quality number for the whole q49/q61/q68/q86/q201 family:
+    * recall near 1.0 at high τ (true near-dups) and sagging toward the
+    * 0.45 boundary is the designed trade — measured, not asserted, and
+    * re-measured whenever bands/planes change.
+    *
+    * Ground truth costs anchors × corpus (the q34 broadcast-block
+    * shape — the block is 50 rows at ANY corpus size, never N²); the
+    * candidate side is the same one-shuffle banding q49 already runs.
+    * Cosines round at 6 dp (CosineSim's oracle contract) before the τ
+    * threshold. */
+  def q203BandingRecall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.CosineSim
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val block = e.orderBy("vec_id").limit(50)
+    val truth = broadcast(block.select(col("vec_id").as("ba"), col("v").as("va")))
+      .join(e.select(col("vec_id").as("bb"), col("v").as("vb")),
+        col("ba") =!= col("bb"))
+      .select(least(col("ba"), col("bb")).as("id_a"),
+        greatest(col("ba"), col("bb")).as("id_b"),
+        round(CosineSim.cosine(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= 0.45)
+      .groupBy("id_a", "id_b").agg(max("cos").as("cos")) // in-block pairs hit twice
+    val cand = candidatePairs(simhashBandTable(e))
+      .withColumn("caught", lit(1L))
+    truth.join(cand, Seq("id_a", "id_b"), "left")
+      .select(col("cos"), coalesce(col("caught"), lit(0L)).as("caught"),
+        explode(array(lit(0.45), lit(0.6), lit(0.75))).as("tau"))
+      .filter(col("cos") >= col("tau"))
+      .groupBy("tau")
+      .agg(count(lit(1)).as("n_true"),
+        sum("caught").as("n_caught"))
+      .withColumn("recall",
+        round(col("n_caught").cast("double") / col("n_true"), 6))
+      .orderBy("tau")
+  }
+
+  /** q204: quality-aware canonical election — q68 elects min-id per
+    * cluster, which keeps an ARBITRARY copy; a curation pipeline should
+    * keep the BEST copy. Per q68 near-dup cluster, elect the member
+    * whose document carries the highest q37 quality (doc_id ties break
+    * low — deterministic), and report the quality spread the election
+    * spans: a wide spread is exactly the case where min-id election
+    * silently kept a worse copy. Members without a matching document
+    * (the q197 cross-modal containment caveat) participate with null
+    * quality and lose every contest against a scored member.
+    *
+    * Cost: the q49/q68 machinery (bounded) + one broadcast-size
+    * quality join at the CLUSTERED-vector grain (≪ corpus) + one
+    * per-cluster rank window over member lists bounded by cluster
+    * size. */
+  def q204CanonicalElection(spark: SparkSession, dir: String): DataFrame = {
+    val comp = Graph.connectedComponents(
+      q49EmbeddingNearDup(spark, dir).select("id_a", "id_b"))
+      .select(col("id").as("vec_id"), col("label").as("cluster"))
+    val quality = TextAnalysis.qualityScored(
+      Tables.documents(spark, dir).filter(col("text").isNotNull))
+      .select(col("doc_id"), col("quality"))
+    val members = comp.join(quality, col("vec_id") === col("doc_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("quality"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(desc_nulls_last("quality"), asc("vec_id"))
+    members
+      .withColumn("rk", row_number().over(w))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("rk") === 1, col("vec_id"))).as("canonical_vec"),
+        max(when(col("rk") === 1, col("quality"))).as("canonical_quality"),
+        round(max("quality") - min("quality"), 6).as("quality_spread"),
+        sum((col("rk") === 1 && col("vec_id") === col("cluster")).cast("long"))
+          .as("same_as_minid"))
+      .orderBy("cluster")
+  }
+
   def q201ClusterSizes(spark: SparkSession, dir: String): DataFrame = {
     val comp = Graph.connectedComponents(
       q49EmbeddingNearDup(spark, dir).select("id_a", "id_b"))

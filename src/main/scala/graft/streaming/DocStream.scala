@@ -403,6 +403,64 @@ object DocStream {
         })
   }
 
+  case class SampleDoc(doc_id: Long, source: String, lang: String, text: String)
+  case class SampleEntry(doc_id: Long, source: String, lang: String, pri: String)
+  case class ShardTopK(pris: Seq[SampleEntry])
+
+  /** Streaming twin of the batch q196 bottom-k priority sample — the
+    * mergeable-sketch property made operational: each of `shards`
+    * hash-shards keeps its own bottom-k (by the SAME md5 content
+    * priority) as stream state, and EMITS a doc the moment it enters
+    * its shard's current bottom-k. Entry is monotone — a shard's k-th
+    * smallest priority only decreases as docs arrive — so any doc in
+    * the shard's FINAL bottom-k was in it at arrival and was emitted:
+    * the append-only emission stream is a guaranteed superset of the
+    * final sample, and [[prioritySample]] (a plain batch bottom-k over
+    * the emissions) recovers the batch q196 answer exactly, in ANY
+    * arrival order. State: ≤ k entries × shards, constant in the
+    * stream length; emissions: bounded by shards × k × ln(n/k) in
+    * expectation (each later entry must beat a current member). */
+  def prioritySampleSightings(docs: DataFrame, k: Int = 100,
+                              shards: Int = 16): org.apache.spark.sql.Dataset[SampleEntry] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs.filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .as[SampleDoc]
+      .groupByKey(_.doc_id % shards)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[SampleDoc], state: GroupState[ShardTopK]) => {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def md5hex(s: String) = md.digest(s.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          var top = state.getOption.map(_.pris.toVector).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[SampleEntry]
+          rows.foreach { d =>
+            val e = SampleEntry(d.doc_id, d.source, d.lang,
+              md5hex(s"${d.doc_id}:${d.text}"))
+            if (top.size < k || e.pri < top.last.pri) {
+              out += e
+              top = ((top :+ e).sortBy(_.pri)).take(k)
+            }
+          }
+          state.update(ShardTopK(top))
+          out.result().iterator
+        })
+  }
+
+  /** Fold emitted sightings to the batch q196 answer: the global
+    * bottom-k over the (superset) emission stream. */
+  def prioritySample(sightings: DataFrame, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.functions._
+    sightings.orderBy("pri").limit(k)
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("pri")))
+      .select(col("rank").cast("long").as("rank"), col("doc_id"),
+        col("source"), col("lang"), col("pri"))
+      .orderBy("rank")
+  }
+
   def incrementalDedup(docs: DataFrame,
                        corpusIndex: DataFrame): org.apache.spark.sql.Dataset[DedupStatus] = {
     import docs.sparkSession.implicits._

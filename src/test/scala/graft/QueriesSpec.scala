@@ -3354,4 +3354,71 @@ class QueriesSpec extends AnyFunSuite {
     assert(r.getDouble(1) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(3))
     assert(r.getDouble(4) == 0.95)
   }
+
+  /** Planted near-dup corpus for q203/q204: pairs (1,2) and (3,4) are
+    * IDENTICAL vectors (same bands, cosine 1.0 — guaranteed blocked and
+    * true); 5/6 are distinct noise. Docs give 2 higher quality than 1;
+    * doc 4 is missing (the cross-modal containment caveat). */
+  private def plantedDedupDir(): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-planted-dedup").toString
+    // disjoint 16-dim supports ⇒ EXACTLY orthogonal groups (cos 0):
+    // no accidental cross-group near-dups to tangle the clusters
+    def vec(group: Int) = Seq.tabulate(64)(j =>
+      if (j / 16 == group) 1.0f + (j % 16) * 0.1f else 0.0f)
+    Seq((1L, vec(0), 0), (2L, vec(0), 0), (3L, vec(1), 1), (4L, vec(1), 1),
+      (5L, vec(2), 2), (6L, vec(3), 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val rich = (1 to 60).map(i => s"word$i").mkString(" ") +
+      " the and of to in is was he for it" // stopwords lift quality
+    val poor = "aaa bbb aaa bbb aaa bbb"
+    Seq((1L, poor, "en", "s", poor.length.toLong),
+      (2L, rich, "en", "s", rich.length.toLong),
+      (3L, rich, "en", "s", rich.length.toLong),
+      (5L, rich, "en", "s", rich.length.toLong),
+      (6L, poor, "en", "s", poor.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q203 banding recall: planted identical pairs are caught at every tau") {
+    val dir = plantedDedupDir()
+    val got = graft.operators.Dedup.q203BandingRecall(spark, dir)
+      .collect().map(r => r.getDouble(0) -> r).toMap
+    assert(got.keySet == Set(0.45, 0.6, 0.75))
+    got.values.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "caught <= true")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      // identical-vector pairs share every band: recall 1.0 unless the
+      // noise vectors manufacture uncaught near-threshold pairs
+      assert(r.getLong(2) >= 2, s"both planted pairs must be caught: $r")
+    }
+    // corpus run executes and stays bounded
+    run("q203_banding_recall").collect().foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("q204 canonical election keeps the BEST copy, not the lowest id") {
+    val dir = plantedDedupDir()
+    val got = graft.operators.Dedup.q204CanonicalElection(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(1L, 3L), s"two planted clusters: ${got.keySet}")
+    // cluster {1,2}: doc 2 outscores doc 1 → elected over min-id
+    val c1 = got(1L)
+    assert(c1.getLong(1) == 2 && c1.getLong(2) == 2L && c1.getLong(5) == 0L,
+      s"quality must beat min-id: $c1")
+    assert(c1.getDouble(4) > 0.0, "spread is the silent-worse-copy signal")
+    // cluster {3,4}: doc 4 missing → scored member 3 wins (null loses)
+    val c3 = got(3L)
+    assert(c3.getLong(1) == 2 && c3.getLong(2) == 3L && c3.getLong(5) == 1L)
+    assert(!c3.isNullAt(3), "elected member carries a real quality")
+    // corpus rows: elected member always one of the cluster, spread ≥ 0
+    run("q204_canonical_election").collect().foreach { r =>
+      assert(r.getLong(1) >= 2, "clusters have at least an edge")
+      if (!r.isNullAt(4)) assert(r.getDouble(4) >= 0.0)
+    }
+  }
 }

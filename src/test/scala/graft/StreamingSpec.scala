@@ -2525,4 +2525,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(state == Map(8L -> (t0 + 24 * h)),
       s"user 7's state must be physically trimmed: $state")
   }
+
+  test("streaming bottom-k sample folds to batch q196 under REVERSED arrival") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the property q196 sells is order-independence of the final
+    // sample; deliver the corpus in reverse doc_id order across three
+    // micro-batches to stress it
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "lang", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .sortBy(-_._1)
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, String, String)]
+    val q = graft.streaming.DocStream.prioritySampleSightings(
+        ms.toDF().toDF("doc_id", "source", "lang", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("psample_sightings")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ps-ckpt").toString)
+      .start()
+    try {
+      docs.grouped((docs.length + 2) / 3).foreach { g =>
+        ms.addData(g.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val sightings = spark.table("psample_sightings")
+    val got = graft.streaming.DocStream.prioritySample(sightings)
+      .collect().map(_.toSeq).toSeq
+    val want = SparkEntry.queries("q196_priority_sample")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty && got == want,
+      "stream-folded bottom-k must equal batch q196 row-for-row")
+    // the emission stream is a superset of the sample; the shards×k×ln
+    // undercut only bites when corpus ≫ shards·k (at sf0.001, 500 docs
+    // vs 16×100 slots, every doc legitimately enters its shard top-k)
+    val n = sightings.count()
+    assert(n >= 100 && n <= docs.length)
+    assert(sightings.select("doc_id").distinct().count() == n,
+      "a doc enters its shard's bottom-k at most once")
+  }
 }
