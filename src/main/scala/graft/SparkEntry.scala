@@ -4206,7 +4206,7 @@ object SparkEntry {
     // (the q49/q68 list_cosine_similarity contract)
     "q203_banding_recall" ->
       s"""WITH $simhashCandCte,
-         |block AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 50),
+         |block AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 200),
          |truth AS (SELECT least(a.vec_id, b.vec_id) AS id_a,
          |    greatest(a.vec_id, b.vec_id) AS id_b,
          |    max(round(list_cosine_similarity(a.v, b.v), 6)) AS cos

@@ -739,7 +739,7 @@ object Dedup {
     * component table to O(distinct sizes), and the singleton row is
     * two counts. */
   /** q203: banding recall curve — the q148 move applied to the DEDUP
-    * ladder: for a bounded anchor block (the 50 lowest vec_ids), what
+    * ladder: for a bounded anchor block (the 200 lowest vec_ids), what
     * share of the TRUE ≥τ cosine pairs does q49's simhash banding block
     * together, at τ ∈ {0.45, 0.6, 0.75}? This is the knob-tuning
     * answer-quality number for the whole q49/q61/q68/q86/q201 family:
@@ -748,7 +748,7 @@ object Dedup {
     * re-measured whenever bands/planes change.
     *
     * Ground truth costs anchors × corpus (the q34 broadcast-block
-    * shape — the block is 50 rows at ANY corpus size, never N²); the
+    * shape — the block is 200 rows at ANY corpus size, never N²); the
     * candidate side is the same one-shuffle banding q49 already runs.
     * Cosines round at 6 dp (CosineSim's oracle contract) before the τ
     * threshold. */
@@ -756,7 +756,7 @@ object Dedup {
     import graft.plans.CosineSim
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val block = e.orderBy("vec_id").limit(50)
+    val block = e.orderBy("vec_id").limit(200)
     val truth = broadcast(block.select(col("vec_id").as("ba"), col("v").as("va")))
       .join(e.select(col("vec_id").as("bb"), col("v").as("vb")),
         col("ba") =!= col("bb"))
