@@ -3088,8 +3088,12 @@ object SparkEntry {
         |        CAST(tsxx - sxx AS DOUBLE) AS lsxx
         |      FROM s CROSS JOIN tot),
         |k AS (SELECT source, cnt,
-        |        (fn * fsxy - fsx * fsy) / (fn * fsxx - fsx * fsx) AS slope_full,
-        |        (ln2 * lsxy - lsx * lsy) / (ln2 * lsxx - lsx * lsx) AS slope_loo
+        |        CASE WHEN fn * fsxx - fsx * fsx <> 0.0 THEN
+        |          (fn * fsxy - fsx * fsy) / (fn * fsxx - fsx * fsx) END
+        |          AS slope_full,
+        |        CASE WHEN ln2 * lsxx - lsx * lsx <> 0.0 THEN
+        |          (ln2 * lsxy - lsx * lsy) / (ln2 * lsxx - lsx * lsx) END
+        |          AS slope_loo
         |      FROM j)
         |SELECT source, cnt AS n_docs, round(slope_full, 6) AS slope_full,
         |       round(slope_loo, 6) AS slope_loo,
@@ -3388,7 +3392,8 @@ object SparkEntry {
         |m AS (SELECT day, n1, n2,
         |        CAST(n1 AS DOUBLE) AS nd1, CAST(n2 AS DOUBLE) AS nd2,
         |        s1, q1, s2, q2 FROM c),
-        |vv AS (SELECT *, s1 / nd1 - s2 / nd2 AS dd,
+        |vv AS (SELECT *, CASE WHEN n1 >= 1 AND n2 >= 1
+        |          THEN s1 / nd1 - s2 / nd2 END AS dd,
         |        CASE WHEN n1 >= 2 AND n2 >= 2 THEN
         |          (q1 - s1 * s1 / nd1) / (nd1 - 1) / nd1
         |          + (q2 - s2 * s2 / nd2) / (nd2 - 1) / nd2 END AS v
@@ -3459,7 +3464,9 @@ object SparkEntry {
         |    FROM (SELECT CAST(label AS BIGINT) AS label,
         |            CAST(unnest(range(len(embedding))) AS BIGINT) AS pos,
         |            unnest(CAST(embedding AS DOUBLE[])) AS val
-        |          FROM embeddings)
+        |          FROM embeddings
+        |          WHERE len(list_filter(embedding,
+        |            x -> isnan(CAST(x AS DOUBLE)))) = 0)
         |    GROUP BY 1, 2),
         |n AS (SELECT label, sum(v6 * v6) AS nrm FROM c GROUP BY 1),
         |p AS (SELECT a.label AS label_a, b.label AS label_b,
@@ -4090,7 +4097,8 @@ object SparkEntry {
       """WITH r AS (SELECT CAST(label AS BIGINT) AS label,
         |    list_transform(CAST(embedding AS DOUBLE[]),
         |      x -> CAST(round(x * 1000000.0) AS BIGINT)) AS v6
-        |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
+        |    AND len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0),
         |rn AS (SELECT label, list_reduce(list_prepend(CAST(0 AS BIGINT),
         |    list_transform(v6, v -> v * v)), (a, b) -> a + b) AS norm2 FROM r),
         |per AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,

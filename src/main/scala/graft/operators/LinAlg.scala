@@ -271,6 +271,9 @@ object LinAlg {
     * derived identically on both engines. */
   def q177CentroidGeometry(spark: SparkSession, dir: String): DataFrame = {
     val cent = Tables.embeddings(spark, dir)
+      // NaN dims (fp overflow upstream) poison avg → the grid CAST
+      // throws under ANSI; a poisoned vector drops, the centroid stands
+      .filter(!expr("exists(embedding, x -> isnan(cast(x AS double)))"))
       .select(col("label").cast("long").as("label"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
       .groupBy("label", "pos")
@@ -319,7 +322,8 @@ object LinAlg {
     * O(labels × d) cells; nothing else touches the corpus. */
   def q199EmbeddingHealth(spark: SparkSession, dir: String): DataFrame = {
     val grid = Tables.embeddings(spark, dir)
-      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0 &&
+        !expr("exists(embedding, x -> isnan(cast(x AS double)))"))
       .select(col("label").cast("long").as("label"),
         expr("transform(cast(embedding AS array<double>)," +
           " x -> cast(round(x * 1000000.0, 0) AS bigint))").as("v6"))

@@ -443,9 +443,15 @@ object Stats {
     val tot = perSource.agg(sum("cnt").as("tcnt"), sum("sx").as("tsx"),
       sum("sy").as("tsy"), sum("sxy").as("tsxy"), sum("sxx").as("tsxx"))
     // slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), full and LOO forms
-    // from the same exact integers → identical doubles both engines
-    def slope(n: Column, sx: Column, sy: Column, sxy: Column, sxx: Column): Column =
-      (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    // from the same exact integers → identical doubles both engines.
+    // Zero-variance guard: a degenerate feed (constant doc length —
+    // the dirty-rows sweep's template corpus) has no defined slope;
+    // null, never a DIVIDE_BY_ZERO that kills the stage (ANSI throws
+    // on double division too)
+    def slope(n: Column, sx: Column, sy: Column, sxy: Column, sxx: Column): Column = {
+      val den = n * sxx - sx * sx
+      when(den =!= 0.0, (n * sxy - sx * sy) / den)
+    }
     val asD = (c: Column) => c.cast("double")
     perSource.crossJoin(broadcast(tot)) // O(sources) × 1 row
       .select(col("source"), col("cnt"),
@@ -599,7 +605,10 @@ object Stats {
         (lit(2.0) * col("vv") * (col("vv") + lit(tau2))))
     val looks = cumd
       .withColumn("vv", when(col("n1") >= 2 && col("n2") >= 2, v))
-      .withColumn("dd", delta)
+      // one-armed prefix guard: a day-prefix with zero rows in an arm
+      // (tiny or skewed cohorts — the dirty-rows sweep) has no defined
+      // lift; null, never a 0/0 ANSI throw
+      .withColumn("dd", when(col("n1") >= 1 && col("n2") >= 1, delta))
       .withColumn("lam", when(col("vv").isNotNull && col("vv") > 0, lam))
     looks
       .withColumn("p_avi",

@@ -1087,7 +1087,13 @@ class QueriesSpec extends AnyFunSuite {
       "q144_quality_trend", "q145_unigram_encode", "q146_unigram_train",
       "q147_shortest_paths", "q149_multi_decontaminate",
       "q154_pmi_collocations", "q159_nfc_report", "q160_source_emd",
-      "q164_shard_moves", "q165_heaps_curve")
+      "q164_shard_moves", "q165_heaps_curve",
+      // round 8
+      "q167_loo_influence", "q168_vocab_coverage", "q169_setsim_join",
+      "q171_deepwalk", "q178_source_containment", "q180_lexical_drift",
+      "q186_lang_consistency", "q187_conformal_gate", "q188_zipf_fit",
+      "q191_rater_agreement", "q196_priority_sample", "q198_assortativity",
+      "q204_canonical_election")
     val failures = docQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -1145,7 +1151,12 @@ class QueriesSpec extends AnyFunSuite {
       "q138_skew_report", "q143_block_jackknife",
       "q153_poisson_bootstrap", "q155_ab_fdr", "q156_gap_fill",
       "q157_session_window", "q162_session_concurrency",
-      "q162b_concurrency_sharded", "q163_markov_attribution")
+      "q162b_concurrency_sharded", "q163_markov_attribution",
+      // round 8
+      "q166_audience_overlap", "q173_survival_km", "q174_active_users",
+      "q175_msprt", "q176_covariate_balance", "q182_theil_sen",
+      "q184_debounce", "q185_markov_eval", "q190_forecast_backtest",
+      "q195_power_mde", "q200_journey_entropy", "q202_latency_ci")
     val failures = eventQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -1195,7 +1206,10 @@ class QueriesSpec extends AnyFunSuite {
       "q104_embedding_drift", "q114_pq_codes", "q114b_pq_adc_topk",
       "q115_pq_rerank", "q116_kmeans_fit", "q119_ivf_search",
       "q139_ndcg_eval", "q141_hard_negatives", "q148_ivf_recall",
-      "q152_mrl_recall", "q158_diversity_sample", "q161_mmr_rerank")
+      "q152_mrl_recall", "q158_diversity_sample", "q161_mmr_rerank",
+      // round 8
+      "q177_centroid_geometry", "q199_embedding_health",
+      "q201_cluster_sizes", "q203_banding_recall")
     val failures = vecQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
