@@ -206,6 +206,8 @@ object SparkEntry {
     "q202_latency_ci"     -> (Temporal.q202LatencyCi _),
     "q203_banding_recall" -> (Dedup.q203BandingRecall _),
     "q204_canonical_election" -> (Dedup.q204CanonicalElection _),
+    "q205_deletion_impact" -> (Profile.q205DeletionImpact _),
+    "q206_retention_guardrail" -> (Stats.q206RetentionGuardrail _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -4267,6 +4269,66 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN rk = 1 AND vec_id = cluster THEN 1 ELSE 0 END)
          |    AS BIGINT) AS same_as_minid
          |FROM r GROUP BY 1 ORDER BY cluster""".stripMargin,
+
+    // deletion request set = principals ≡ 0 mod 97 (deterministic
+    // stand-in for the legal queue); cascade via the forgotten
+    // orderkey set
+    "q205_deletion_impact" ->
+      """WITH fo AS (SELECT DISTINCT o_orderkey FROM orders
+        |            WHERE o_custkey % 97 = 0),
+        |legs AS (
+        |  SELECT 'customer' AS table_name, count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_affected,
+        |    CAST(1 AS BIGINT) AS cascade_depth FROM customer
+        |  UNION ALL
+        |  SELECT 'orders', count(*),
+        |    CAST(sum(CASE WHEN o_custkey % 97 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT), CAST(1 AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'events', count(*),
+        |    CAST(sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT), CAST(1 AS BIGINT) FROM events
+        |  UNION ALL
+        |  SELECT 'lineitem', count(*),
+        |    CAST(sum(CASE WHEN fo.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT), CAST(2 AS BIGINT)
+        |  FROM lineitem l LEFT JOIN fo ON l.l_orderkey = fo.o_orderkey)
+        |SELECT table_name, n_rows, n_affected, cascade_depth,
+        |  round(CAST(n_affected AS DOUBLE) / n_rows, 6) AS share
+        |FROM legs ORDER BY table_name""".stripMargin,
+
+    // the q175 arm split + right-censored week cohorts; (user, w0+off)
+    // key probes into the distinct user-week frame
+    "q206_retention_guardrail" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) // 7 AS week
+        |  FROM events),
+        |f AS (SELECT user_id, min(week) AS w0,
+        |    ((user_id % 1000000007) * 1000003) % 1000000007 % 2 = 1 AS t
+        |  FROM uw GROUP BY user_id),
+        |hz AS (SELECT max(week) AS maxw FROM uw),
+        |probes AS (SELECT f.user_id, f.t, f.w0 + o.off AS target, o.off
+        |  FROM f CROSS JOIN hz
+        |  CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS off) o
+        |  WHERE f.w0 + o.off <= maxw),
+        |r AS (SELECT p.t, p.off,
+        |    CASE WHEN u.user_id IS NOT NULL THEN 1 ELSE 0 END AS retained
+        |  FROM probes p LEFT JOIN uw u
+        |    ON p.user_id = u.user_id AND p.target = u.week)
+        |SELECT CAST(off AS BIGINT) AS week_offset,
+        |  CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |  CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        |  round(CAST(sum(CASE WHEN t THEN retained ELSE 0 END) AS DOUBLE)
+        |    / sum(CASE WHEN t THEN 1 ELSE 0 END), 6) AS rate_t,
+        |  round(CAST(sum(CASE WHEN NOT t THEN retained ELSE 0 END) AS DOUBLE)
+        |    / sum(CASE WHEN NOT t THEN 1 ELSE 0 END), 6) AS rate_c,
+        |  round(CAST(sum(CASE WHEN t THEN retained ELSE 0 END) AS DOUBLE)
+        |      / sum(CASE WHEN t THEN 1 ELSE 0 END)
+        |    - CAST(sum(CASE WHEN NOT t THEN retained ELSE 0 END) AS DOUBLE)
+        |      / sum(CASE WHEN NOT t THEN 1 ELSE 0 END), 6) AS gap
+        |FROM r GROUP BY 1 ORDER BY week_offset""".stripMargin,
   )
 
   /** q162b is the hour-sharded PHYSICAL form of q162 — identical

@@ -402,4 +402,43 @@ object Profile {
         Tables.embeddings(spark, dir), "vec_id"))
       .orderBy("candidate")
   }
+
+  /** q205: right-to-be-forgotten impact report — BEFORE executing a
+    * GDPR/CCPA deletion batch, price it: for a deterministic request
+    * set of principals (ids ≡ 0 mod 97 stands in for the legal
+    * queue), how many rows each table purges, directly (the principal
+    * column) and by CASCADE (lineitems whose parent order belongs to a
+    * forgotten customer — depth 2). The report is what a data-deletion
+    * runbook reviews before the irreversible pass, and the share
+    * column is capacity planning for the rewrite (q69 scrubs content
+    * PII; this prices identity-keyed row deletion).
+    *
+    * Every leg is one conditional partial-aggregated scan; the only
+    * join is the cascade leg, where orders first COLLAPSE to the
+    * forgotten orderkey set (broadcast below the guard size, shuffled
+    * hash beyond it — the optimizer's call). O(tables) output. */
+  def q205DeletionImpact(spark: SparkSession, dir: String): DataFrame = {
+    def leg(table: String, df: DataFrame, principal: org.apache.spark.sql.Column,
+            depth: Long): DataFrame =
+      df.agg(lit(table).as("table_name"),
+        count(lit(1)).as("n_rows"),
+        sum((principal % 97 === 0).cast("long")).as("n_affected"),
+        lit(depth).as("cascade_depth"))
+    val forgottenOrders = Tables.orders(spark, dir)
+      .filter(col("o_custkey") % 97 === 0)
+      .select(col("o_orderkey").as("fk")).distinct()
+    val lineitemLeg = Tables.lineitem(spark, dir)
+      .join(forgottenOrders, col("l_orderkey") === col("fk"), "left")
+      .agg(lit("lineitem").as("table_name"),
+        count(lit(1)).as("n_rows"),
+        sum(col("fk").isNotNull.cast("long")).as("n_affected"),
+        lit(2L).as("cascade_depth"))
+    leg("customer", Tables.customer(spark, dir), col("c_custkey"), 1L)
+      .union(leg("orders", Tables.orders(spark, dir), col("o_custkey"), 1L))
+      .union(leg("events", Tables.events(spark, dir), col("user_id"), 1L))
+      .union(lineitemLeg)
+      .withColumn("share",
+        round(col("n_affected").cast("double") / col("n_rows"), 6))
+      .orderBy("table_name")
+  }
 }

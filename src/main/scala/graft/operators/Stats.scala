@@ -835,4 +835,53 @@ object Stats {
         days(5.0).as("days_5pct"))
       .orderBy("event_type")
   }
+
+  /** q206: experiment retention guardrail — week-offset retention per
+    * arm of the q175 experiment split, with the treatment−control gap:
+    * the check that a metric win is not paid for in churn (the
+    * guardrail every launch review demands next to the q175/q137 lift
+    * number). Cohorting is corpus-anchored: a user counts toward
+    * offset k only if their first week is ≥ k weeks before the corpus
+    * horizon (otherwise retention at k is unobservable — the q173
+    * right-censoring lesson at the week grain).
+    *
+    * The corpus collapses to the distinct (user, week) frame in one
+    * user-keyed pass; first weeks, the horizon, and the four offset
+    * probes are bounded algebra on that frame (offset probes join back
+    * on (user, w0+k) — key joins, never a week × history blowup).
+    * Counts are exact integers; the rates and gap are single
+    * divisions. */
+  def q206RetentionGuardrail(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT) DIV 7")
+          .as("week"))
+      .distinct()
+      .localCheckpoint() // O(users × weeks); four consumers below
+    val first = uw.groupBy("user_id").agg(min("week").as("w0"))
+      .withColumn("t", armOf(col("user_id")))
+    val horizon = uw.agg(max("week").as("maxw"))
+    val probes = first.crossJoin(broadcast(horizon))
+      .select(col("user_id"), col("t"), col("w0"),
+        explode(array(lit(1L), lit(2L), lit(3L), lit(4L))).as("off"))
+      .filter(col("w0") + col("off") <= col("maxw"))
+      // (user, w0+off) is a KEY probe into the distinct user-week frame
+      // — never a per-user history fanout
+      .withColumn("target", col("w0") + col("off"))
+      .join(uw.select(col("user_id"), col("week").as("target"),
+        lit(1L).as("hit")), Seq("user_id", "target"), "left")
+      .select(col("t"), col("off"), coalesce(col("hit"), lit(0L)).as("retained"))
+    probes.groupBy("off")
+      .agg(
+        sum(col("t").cast("long")).as("n_t"),
+        sum((!col("t")).cast("long")).as("n_c"),
+        sum(when(col("t"), col("retained")).otherwise(0L)).as("r_t"),
+        sum(when(!col("t"), col("retained")).otherwise(0L)).as("r_c"))
+      .select(col("off").as("week_offset"), col("n_t"), col("n_c"),
+        round(col("r_t").cast("double") / col("n_t"), 6).as("rate_t"),
+        round(col("r_c").cast("double") / col("n_c"), 6).as("rate_c"),
+        round(col("r_t").cast("double") / col("n_t")
+          - col("r_c").cast("double") / col("n_c"), 6).as("gap"))
+      .orderBy("week_offset")
+  }
 }

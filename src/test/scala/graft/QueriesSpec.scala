@@ -3435,4 +3435,57 @@ class QueriesSpec extends AnyFunSuite {
       if (!r.isNullAt(4)) assert(r.getDouble(4) >= 0.0)
     }
   }
+
+  test("q205 deletion impact replays per table, cascade included") {
+    val got = run("q205_deletion_impact").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("customer", "orders", "events", "lineitem"))
+    def direct(df: org.apache.spark.sql.DataFrame, c: String) =
+      (df.count(), df.filter(col(c) % 97 === 0).count())
+    Seq(("customer", direct(Tables.customer(spark, sf0001), "c_custkey"), 1L),
+      ("orders", direct(Tables.orders(spark, sf0001), "o_custkey"), 1L),
+      ("events", direct(Tables.events(spark, sf0001), "user_id"), 1L))
+      .foreach { case (t, (n, aff), depth) =>
+        val r = got(t)
+        assert(r.getLong(1) == n && r.getLong(2) == aff && r.getLong(3) == depth,
+          s"$t: $r vs ($n, $aff)")
+        assert(math.abs(r.getDouble(4) - aff.toDouble / n) < 2e-6)
+      }
+    // cascade: lineitems of forgotten customers' orders
+    val fo = Tables.orders(spark, sf0001).filter(col("o_custkey") % 97 === 0)
+      .select("o_orderkey")
+    val li = Tables.lineitem(spark, sf0001)
+    val cascade = li.join(fo, col("l_orderkey") === col("o_orderkey")).count()
+    val r = got("lineitem")
+    assert(r.getLong(1) == li.count() && r.getLong(2) == cascade &&
+      r.getLong(3) == 2L)
+    assert(r.getLong(2) > 0, "the fixture must exercise the cascade")
+  }
+
+  test("q206 retention guardrail replays from the user-week frame") {
+    val uw = Tables.events(spark, sf0001)
+      .select(col("user_id"),
+        expr("CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT) DIV 7")
+          .as("week"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val weeks = uw.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).toSet }
+    val maxw = uw.map(_._2).max
+    def arm(u: Long) = ((u % 1000000007L) * 1000003L) % 1000000007L % 2 == 1
+    val got = run("q206_retention_guardrail").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    (1L to 4L).foreach { off =>
+      val cohort = weeks.filter { case (_, ws) => ws.min + off <= maxw }
+      val (t, c) = cohort.partition(x => arm(x._1))
+      def retained(m: Map[Long, Set[Long]]) =
+        m.count { case (_, ws) => ws.contains(ws.min + off) }
+      if (cohort.nonEmpty) {
+        val r = got(off)
+        assert(r.getLong(1) == t.size && r.getLong(2) == c.size, s"off $off sizes")
+        assert(math.abs(r.getDouble(3) - retained(t.toMap).toDouble / t.size) < 2e-6)
+        assert(math.abs(r.getDouble(4) - retained(c.toMap).toDouble / c.size) < 2e-6)
+        assert(math.abs(r.getDouble(5) - (r.getDouble(3) - r.getDouble(4))) < 2e-6)
+      } else assert(!got.contains(off))
+    }
+    assert(got.nonEmpty, "the corpus spans enough weeks to probe")
+  }
 }
