@@ -757,4 +757,32 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"),
       s"q139 must not plan a cartesian:\n${plan.take(1500)}")
   }
+
+  test("q196 bottom-k sample draws via TakeOrdered, never a global sort") {
+    // the sample's scale contract: per-partition k-heaps merge at the
+    // driver; a Sort+Exchange before the limit means the corpus is
+    // being globally sorted to pick 100 rows
+    val plan = SparkEntry.queries("q196_priority_sample")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"bottom-k must be TakeOrdered:\n${plan.take(1500)}")
+    // plans print top-down, so the rank window (which consumes the
+    // k-row TakeOrdered result) must appear ABOVE it in the string
+    assert(plan.indexOf("Window") < plan.indexOf("TakeOrderedAndProject"),
+      s"the rank window must consume the k-row result:\n${plan.take(1500)}")
+  }
+
+  test("q193 RFM scores by broadcast boundaries, never an ntile window") {
+    // the q140 boundary contract applied to segmentation: ONE percentile
+    // aggregate broadcasts all nine cutpoints back; a Window here would
+    // mean a global rank over the customer frame
+    val plan = SparkEntry.queries("q193_rfm_segments")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // no physical Window node at all = no ntile/global-rank scoring
+    // ("ntile" can't be substring-matched: percentile contains it)
+    assert(!plan.contains("Window ["),
+      s"no global-rank scoring:\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the 1-row boundary frame must broadcast:\n${plan.take(1500)}")
+  }
 }

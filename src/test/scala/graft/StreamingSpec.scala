@@ -2526,6 +2526,47 @@ class StreamingSpec extends AnyFunSuite {
       s"user 7's state must be physically trimmed: $state")
   }
 
+  test("debounce gate recovers its last-seen state from a checkpoint restart") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-debr-src")
+    val ck = java.nio.file.Files.createTempDirectory("graft-debr-ckpt").toString
+    val t0 = 1700000000000000L
+    val h = 3600000000L
+    val rows = scala.collection.mutable.ArrayBuffer.empty[EventStream.DebounceDecision]
+    // the memory sink refuses checkpoint recovery by design — the
+    // established restart pattern is a foreachBatch collector
+    def query() = EventStream.debounceDecisions(
+        EventStream.readStream(spark, dir.toString)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"), col("value"))
+          .as[EventStream.TypedEvent])
+      .writeStream.outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[EventStream.DebounceDecision], _: Long) =>
+          val out = batch.collect()
+          rows.synchronized { rows ++= out }
+          ()
+      }
+      .option("checkpointLocation", ck)
+      .start()
+    writeFlatEvents(dir, "a.parquet", Seq(
+      (1L, t0, 7L, "click", 1.0, "{}"),
+      (2L, t0 + h, 7L, "click", 1.0, "{}")))
+    val q1 = query()
+    try q1.processAllAvailable() finally q1.stop() // kill after commit
+    writeFlatEvents(dir, "b.parquet", Seq(
+      (3L, t0 + 2 * h, 7L, "click", 1.0, "{}"),   // 1h after event 2:
+      (4L, t0 + 9 * h, 7L, "click", 1.0, "{}")))  // MUST drop post-restart
+    val q2 = query()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = rows.synchronized(rows.toSeq)
+      .map(d => d.event_id -> d.kept).toMap
+    // a fresh-state restart would KEEP event 3 (no last-seen) — the
+    // recovered state must drop it
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true),
+      s"state must survive the restart: $got")
+  }
+
   test("streaming bottom-k sample folds to batch q196 under REVERSED arrival") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
