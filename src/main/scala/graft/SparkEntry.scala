@@ -208,6 +208,9 @@ object SparkEntry {
     "q204_canonical_election" -> (Dedup.q204CanonicalElection _),
     "q205_deletion_impact" -> (Profile.q205DeletionImpact _),
     "q206_retention_guardrail" -> (Stats.q206RetentionGuardrail _),
+    "q207_effective_data" -> (TextAnalysis.q207EffectiveData _),
+    "q208_modality_coverage" -> (Profile.q208ModalityCoverage _),
+    "q209_funnel_ci"      -> (Relational.q209FunnelCi _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -4329,6 +4332,68 @@ object SparkEntry {
         |    - CAST(sum(CASE WHEN NOT t THEN retained ELSE 0 END) AS DOUBLE)
         |      / sum(CASE WHEN NOT t THEN 1 ELSE 0 END), 6) AS gap
         |FROM r GROUP BY 1 ORDER BY week_offset""".stripMargin,
+
+    "q207_effective_data" ->
+      """WITH d AS (SELECT doc_id, source, md5(text) AS h,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id)
+        |        AS rk FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_canonical,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(CASE WHEN rk = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+        |    AS effective_tokens,
+        |  round(CAST(sum(CASE WHEN rk = 1 THEN n_tokens ELSE 0 END) AS DOUBLE)
+        |    / sum(n_tokens), 6) AS effective_fraction
+        |FROM r GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "q208_modality_coverage" ->
+      """WITH v AS (SELECT DISTINCT vec_id FROM embeddings)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN v.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_embedded,
+        |  round(CAST(sum(CASE WHEN v.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS coverage
+        |FROM documents d LEFT JOIN v ON d.doc_id = v.vec_id
+        |GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // Wilson intervals on the q102 exact funnel counts; z expression
+    // (1.959964 * 1.959964) evaluated identically both engines
+    "q209_funnel_ci" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |t1 AS (SELECT user_id, min(us) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN t1 USING (user_id)
+        |       WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN t2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > t2 GROUP BY 1),
+        |row0 AS (SELECT (SELECT count(*) FROM t1) AS n1,
+        |           (SELECT count(*) FROM t2) AS n2,
+        |           (SELECT count(*) FROM t3) AS n3),
+        |steps AS (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'click_after_view' AS step_name,
+        |    CAST(n1 AS BIGINT) AS n_denom, CAST(n2 AS BIGINT) AS n_num
+        |  FROM row0
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'purchase_after_click',
+        |    CAST(n2 AS BIGINT), CAST(n3 AS BIGINT) FROM row0),
+        |calc AS (SELECT *, CAST(n_denom AS DOUBLE) AS n,
+        |    CAST(n_num AS DOUBLE) / CAST(n_denom AS DOUBLE) AS p
+        |  FROM steps WHERE n_denom > 0)
+        |SELECT step, step_name, n_denom, n_num, round(p, 6) AS rate,
+        |  round((p + (1.959964 * 1.959964) / (2.0 * n))
+        |      / (1.0 + (1.959964 * 1.959964) / n)
+        |    - (1.959964 * sqrt(p * (1.0 - p) / n
+        |        + (1.959964 * 1.959964) / (4.0 * n * n)))
+        |      / (1.0 + (1.959964 * 1.959964) / n), 6) AS wilson_lo,
+        |  round((p + (1.959964 * 1.959964) / (2.0 * n))
+        |      / (1.0 + (1.959964 * 1.959964) / n)
+        |    + (1.959964 * sqrt(p * (1.0 - p) / n
+        |        + (1.959964 * 1.959964) / (4.0 * n * n)))
+        |      / (1.0 + (1.959964 * 1.959964) / n), 6) AS wilson_hi
+        |FROM calc ORDER BY step""".stripMargin,
   )
 
   /** q162b is the hour-sharded PHYSICAL form of q162 — identical

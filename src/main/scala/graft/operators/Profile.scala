@@ -417,6 +417,28 @@ object Profile {
     * join is the cascade leg, where orders first COLLAPSE to the
     * forgotten orderkey set (broadcast below the guard size, shuffled
     * hash beyond it — the optimizer's call). O(tables) output. */
+  /** q208: cross-modal coverage — per source, the share of documents
+    * that HAVE an embedding row (doc_id ⇄ vec_id, the alignment q197
+    * profiles globally): the completeness gate before any q34/q49/q78
+    * semantic stage, where a source at 60 % coverage silently
+    * contributes only its embedded 60 % and the mix (q83) drifts from
+    * the text-side plan. One distinct-collapsed key join (embedding
+    * keys are the smaller side — broadcast under the guard), one
+    * partial-aggregated rollup; O(sources) output. */
+  def q208ModalityCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val vecIds = Tables.embeddings(spark, dir)
+      .select(col("vec_id")).distinct()
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(vecIds, col("doc_id") === col("vec_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("vec_id").isNotNull.cast("long")).as("n_embedded"))
+      .withColumn("coverage",
+        round(col("n_embedded").cast("double") / col("n_docs"), 6))
+      .orderBy("source")
+  }
+
   def q205DeletionImpact(spark: SparkSession, dir: String): DataFrame = {
     def leg(table: String, df: DataFrame, principal: org.apache.spark.sql.Column,
             depth: Long): DataFrame =

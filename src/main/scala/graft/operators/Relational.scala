@@ -560,6 +560,49 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** q209: funnel step conversions with Wilson 95 % intervals — q102's
+    * point rates shipped with their uncertainty (the q202 move applied
+    * to proportions): the Wilson score interval is the standard small-n
+    * robust band (never escapes [0,1], behaves at p≈0/1 where the Wald
+    * band collapses), so "purchase-after-click fell to 31 %" only pages
+    * when the bands of yesterday and today separate. Same three
+    * funnel-count aggregates as q102 (exact integers); the interval is
+    * closed-form arithmetic on (k, n) with a literal z — identical
+    * expression tree in the oracle. */
+  def q209FunnelCi(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t1"))
+    val t2 = e.join(t1, "user_id")
+      .filter(col("event_type") === "click" && col("us") > col("t1"))
+      .groupBy("user_id").agg(min("us").as("t2"))
+    val t3 = e.join(t2, "user_id")
+      .filter(col("event_type") === "purchase" && col("us") > col("t2"))
+      .groupBy("user_id").agg(min("us").as("t3"))
+    val row = t1.agg(count(lit(1)).as("n1"))
+      .crossJoin(t2.agg(count(lit(1)).as("n2")))
+      .crossJoin(t3.agg(count(lit(1)).as("n3")))
+    val steps = row.select(expr(
+      """stack(2,
+        |  1L, 'click_after_view', n1, n2,
+        |  2L, 'purchase_after_click', n2, n3
+        |) AS (step, step_name, n_denom, n_num)""".stripMargin))
+      .filter(col("n_denom") > 0)
+    val z = 1.959964
+    val n = col("n_denom").cast("double")
+    val p = col("n_num").cast("double") / n
+    val z2 = lit(z * z)
+    val center = (p + z2 / (lit(2.0) * n)) / (lit(1.0) + z2 / n)
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / n
+      + z2 / (lit(4.0) * n * n))) / (lit(1.0) + z2 / n)
+    steps.select(col("step"), col("step_name"), col("n_denom"), col("n_num"),
+        round(p, 6).as("rate"),
+        round(center - half, 6).as("wilson_lo"),
+        round(center + half, 6).as("wilson_hi"))
+      .orderBy("step")
+  }
+
   /** q193: RFM customer segmentation — the classic recency/frequency/
     * monetary quartile scoring (Hughes 1994) over the orders fact,
     * rolled up to segment cells with canonical labels: the analytics

@@ -2031,6 +2031,36 @@ object TextAnalysis {
     * partition keeps its local k, only k-row heaps move to the driver-
     * side merge; no global sort, no full shuffle, O(k) output at any
     * corpus size. */
+  /** q207: effective-data fraction — how much of each source is NEW
+    * data after exact dedup: token mass in canonical copies (the q30
+    * keep-one) vs total token mass, per source. A feed at 0.4 is 60 %
+    * re-crawl — its q83/q91 mix quota is built on inflated volume, and
+    * this is the number that deflates it (the corpus-level complement
+    * of q75's per-doc dup fraction).
+    *
+    * One tokenize-free scan: token counts come from the whitespace
+    * split length (the q63/q83 token-budget convention), canonicals
+    * from the q30 md5 group (min doc_id per hash — computed with ONE
+    * window over the hash-keyed frame, no second scan), then one
+    * partial-aggregated groupBy(source). */
+  def q207EffectiveData(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("content_hash").orderBy("doc_id")
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        md5(col("text").cast("binary")).as("content_hash"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("is_canonical", (row_number().over(w) === 1).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("is_canonical").as("n_canonical"),
+        sum("n_tokens").as("total_tokens"),
+        sum(col("n_tokens") * col("is_canonical")).as("effective_tokens"))
+      .withColumn("effective_fraction",
+        round(col("effective_tokens").cast("double") / col("total_tokens"), 6))
+      .orderBy("source")
+  }
+
   def q196PrioritySample(spark: SparkSession, dir: String): DataFrame = {
     val k = 100
     Tables.documents(spark, dir)

@@ -3488,4 +3488,67 @@ class QueriesSpec extends AnyFunSuite {
     }
     assert(got.nonEmpty, "the corpus spans enough weeks to probe")
   }
+
+  test("q207 effective-data fraction replays from java-MD5 canonicals") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf0001)
+      .filter(col("text").isNotNull)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val canonical = docs.groupBy(d => md5hex(d._3)).values
+      .map(_.minBy(_._1)._1).toSet
+    val got = run("q207_effective_data").collect()
+      .map(r => r.getString(0) -> r).toMap
+    docs.groupBy(_._2).foreach { case (src, xs) =>
+      val total = xs.map(_._3.split(" ", -1).length.toLong).sum
+      val eff = xs.filter(d => canonical(d._1))
+        .map(_._3.split(" ", -1).length.toLong).sum
+      val r = got(src)
+      assert(r.getLong(1) == xs.length &&
+        r.getLong(2) == xs.count(d => canonical(d._1)), s"$src counts")
+      assert(r.getLong(3) == total && r.getLong(4) == eff, s"$src tokens")
+      assert(math.abs(r.getDouble(5) - eff.toDouble / total) < 2e-6)
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
+
+  test("q208 modality coverage replays via an independent intersect") {
+    val vec = Tables.embeddings(spark, sf0001)
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    val got = run("q208_modality_coverage").collect()
+      .map(r => r.getString(0) -> r).toMap
+    Tables.documents(spark, sf0001).select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).groupBy(_._2)
+      .foreach { case (src, xs) =>
+        val r = got(src)
+        assert(r.getLong(1) == xs.length)
+        assert(r.getLong(2) == xs.count(d => vec(d._1)), s"$src embedded")
+        assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      }
+  }
+
+  test("q209 funnel CI: rates match q102 and the Wilson band replays") {
+    val q102 = run("q102_event_funnel").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val rows = run("q209_funnel_ci").collect()
+    assert(rows.length == 2)
+    val z = 1.959964
+    rows.foreach { r =>
+      val (nDen, nNum) = (r.getLong(2), r.getLong(3))
+      // denominators/numerators ARE the q102 stage populations
+      assert(nDen == q102(r.getLong(0))._1 && nNum == q102(r.getLong(0) + 1)._1)
+      assert(math.abs(r.getDouble(4) - q102(r.getLong(0) + 1)._2) < 2e-6,
+        "rate equals q102's conversion")
+      val n = nDen.toDouble; val p = nNum.toDouble / n; val z2 = z * z
+      val center = (p + z2 / (2 * n)) / (1 + z2 / n)
+      val half = z * math.sqrt(p * (1 - p) / n + z2 / (4 * n * n)) / (1 + z2 / n)
+      assert(math.abs(r.getDouble(5) - (center - half)) < 2e-6, "wilson_lo")
+      assert(math.abs(r.getDouble(6) - (center + half)) < 2e-6, "wilson_hi")
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(6) <= 1.0 &&
+        r.getDouble(5) <= r.getDouble(4) && r.getDouble(4) <= r.getDouble(6),
+        "the band brackets the rate inside [0,1]")
+    }
+  }
 }
