@@ -211,6 +211,9 @@ object SparkEntry {
     "q207_effective_data" -> (TextAnalysis.q207EffectiveData _),
     "q208_modality_coverage" -> (Profile.q208ModalityCoverage _),
     "q209_funnel_ci"      -> (Relational.q209FunnelCi _),
+    "q210_copy_flow"      -> (Dedup.q210CopyFlow _),
+    "q211_truncation_loss" -> (TextAnalysis.q211TruncationLoss _),
+    "q212_dedup_sensitivity" -> (Dedup.q212DedupSensitivity _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -4394,6 +4397,47 @@ object SparkEntry {
         |        + (1.959964 * 1.959964) / (4.0 * n * n)))
         |      / (1.0 + (1.959964 * 1.959964) / n), 6) AS wilson_hi
         |FROM calc ORDER BY step""".stripMargin,
+
+    "q210_copy_flow" ->
+      """WITH sh AS (SELECT DISTINCT source, md5(text) AS h
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared_hashes
+        |FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+        |GROUP BY 1, 2
+        |ORDER BY n_shared_hashes DESC, src_a, src_b""".stripMargin,
+
+    "q211_truncation_loss" ->
+      """WITH d AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL),
+        |x AS (SELECT source, n_tokens,
+        |    CAST(unnest([128, 512, 2048]) AS BIGINT) AS max_len FROM d)
+        |SELECT source, max_len, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN n_tokens > max_len THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_truncated,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(greatest(n_tokens - max_len, 0)) AS BIGINT) AS lost_tokens,
+        |  round(CAST(sum(greatest(n_tokens - max_len, 0)) AS DOUBLE)
+        |    / sum(n_tokens), 6) AS loss_share
+        |FROM x GROUP BY 1, 2 ORDER BY source, max_len""".stripMargin,
+
+    // one banding + rescoring pass (the q49 CTEs); the τ sweep is a
+    // post-score predicate
+    "q212_dedup_sensitivity" ->
+      s"""WITH $simhashCandCte,
+         |scored AS (SELECT cand.id_a, cand.id_b,
+         |    round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+         |  FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+         |            JOIN e eb ON eb.vec_id = cand.id_b
+         |  WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.45),
+         |x AS (SELECT *, CAST(unnest([0.45, 0.6, 0.75]) AS DOUBLE) AS tau
+         |      FROM scored),
+         |m AS (SELECT tau, id_a, id_b, unnest([id_a, id_b]) AS member
+         |      FROM x WHERE cos_sim >= tau)
+         |SELECT tau, CAST(count(*) / 2 AS BIGINT) AS n_pairs,
+         |  CAST(count(DISTINCT member) AS BIGINT) AS n_docs_affected
+         |FROM m GROUP BY 1 ORDER BY tau""".stripMargin,
   )
 
   /** q162b is the hour-sharded PHYSICAL form of q162 — identical

@@ -738,6 +738,52 @@ object Dedup {
     * cluster frames); the histogram folds the O(clustered vectors)
     * component table to O(distinct sizes), and the singleton row is
     * two counts. */
+  /** q210: cross-source copy flow — which source PAIRS share exact-
+    * duplicate content, and how much: the syndication/mirror map at
+    * the hash grain (q178 measures fuzzy shingle containment; this is
+    * verbatim copy flow — "who republishes whom", the thing a crawl
+    * dedup policy keys source priorities on). The (source, hash)
+    * DISTINCT frame self-joins on hash — fanout per hash is bounded by
+    * the number of SOURCES carrying it (≤ source cardinality, not copy
+    * count), so a 10⁶-copy boilerplate hash still produces at most
+    * O(sources²) pair rows. O(source pairs) output. */
+  def q210CopyFlow(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"), md5(col("text").cast("binary")).as("h"))
+      .distinct()
+    sh.select(col("source").as("src_a"), col("h"))
+      .join(sh.select(col("source").as("src_b"), col("h")), "h")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared_hashes"))
+      .orderBy(desc("n_shared_hashes"), asc("src_a"), asc("src_b"))
+  }
+
+  /** q212: dedup threshold sensitivity — the decision curve over the
+    * q49/q201 machinery: candidate-pair and affected-document counts
+    * as the cosine threshold τ sweeps {0.45, 0.6, 0.75}, from ONE
+    * banding + ONE exact rescoring pass (the τ filter is a post-score
+    * predicate, so the sweep costs nothing extra). This is the number
+    * a curation owner reads before picking τ: how many documents each
+    * setting would pull into clusters — next to q203's recall, the
+    * other axis of the same knob. */
+  def q212DedupSensitivity(spark: SparkSession, dir: String): DataFrame = {
+    val scored = q49EmbeddingNearDup(spark, dir) // pairs with cos ≥ 0.45
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+      .localCheckpoint() // one banding+rescore feeds all three τ
+    scored
+      .select(col("id_a"), col("id_b"), col("cos_sim"),
+        explode(array(lit(0.45), lit(0.6), lit(0.75))).as("tau"))
+      .filter(col("cos_sim") >= col("tau"))
+      .select(col("tau"), col("id_a"), col("id_b"),
+        explode(array(col("id_a"), col("id_b"))).as("member"))
+      .groupBy("tau")
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        countDistinct("member").as("n_docs_affected"))
+      .orderBy("tau")
+  }
+
   /** q203: banding recall curve — the q148 move applied to the DEDUP
     * ladder: for a bounded anchor block (the 200 lowest vec_ids), what
     * share of the TRUE ≥τ cosine pairs does q49's simhash banding block

@@ -2061,6 +2061,32 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** q211: truncation-loss report — the share of token mass a
+    * max-sequence-length cutoff throws away, per source, at the three
+    * canonical context lengths {128, 512, 2048}: the complement of
+    * q100's padding waste (padding wastes compute on SHORT docs;
+    * truncation destroys data on LONG ones — together they price the
+    * sequence-length choice, and q63's packing is the fix this report
+    * motivates). One scan: per-row token count → in-row overflow per
+    * cutoff → one partial-aggregated rollup; O(sources × 3) output. */
+  def q211TruncationLoss(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .select(col("source"), col("n_tokens"),
+        explode(array(lit(128L), lit(512L), lit(2048L))).as("max_len"))
+      .groupBy("source", "max_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("n_tokens") > col("max_len")).cast("long")).as("n_truncated"),
+        sum("n_tokens").as("total_tokens"),
+        sum(greatest(col("n_tokens") - col("max_len"), lit(0L)))
+          .as("lost_tokens"))
+      .withColumn("loss_share",
+        round(col("lost_tokens").cast("double") / col("total_tokens"), 6))
+      .orderBy("source", "max_len")
+  }
+
   def q196PrioritySample(spark: SparkSession, dir: String): DataFrame = {
     val k = 100
     Tables.documents(spark, dir)

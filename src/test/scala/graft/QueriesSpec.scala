@@ -3551,4 +3551,70 @@ class QueriesSpec extends AnyFunSuite {
         "the band brackets the rate inside [0,1]")
     }
   }
+
+  test("q210 copy flow counts planted cross-source verbatim shares") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-copyflow").toString
+    val (a, b, c) = ("shared text one two three", "another shared passage", "unique")
+    Seq((1L, a, "en", "wire"), (2L, b, "en", "wire"),
+      (3L, a, "en", "mirror"), (4L, b, "en", "mirror"), // mirrors both
+      (5L, a, "en", "blog"),                            // blog copies one
+      (6L, c, "en", "blog"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Dedup.q210CopyFlow(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("mirror", "wire") -> 2L, ("blog", "mirror") -> 1L,
+      ("blog", "wire") -> 1L), s"copy flow: $got")
+    // corpus: ordered pairs only (the base corpus may legitimately
+    // share nothing across sources)
+    run("q210_copy_flow").collect().foreach { r =>
+      assert(r.getString(0) < r.getString(1) && r.getLong(2) >= 1)
+    }
+  }
+
+  test("q211 truncation loss replays per source and shrinks with longer contexts") {
+    val docs = Tables.documents(spark, sf0001)
+      .filter(col("text").isNotNull)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+    val got = run("q211_truncation_loss").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    docs.groupBy(_._1).foreach { case (src, xs) =>
+      Seq(128L, 512L, 2048L).foreach { m =>
+        val r = got((src, m))
+        assert(r.getLong(2) == xs.length)
+        assert(r.getLong(3) == xs.count(_._2 > m), s"$src/$m truncated")
+        assert(r.getLong(4) == xs.map(_._2).sum)
+        assert(r.getLong(5) == xs.map(x => math.max(x._2 - m, 0L)).sum, s"$src/$m lost")
+      }
+      // longer context, strictly less loss (weakly)
+      assert(got((src, 128L)).getLong(5) >= got((src, 512L)).getLong(5))
+      assert(got((src, 512L)).getLong(5) >= got((src, 2048L)).getLong(5))
+    }
+  }
+
+  test("q212 dedup sensitivity replays from the q49 pair set per tau") {
+    val pairs = run("q49_embedding_neardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val got = run("q212_dedup_sensitivity").collect()
+      .map(r => r.getDouble(0) -> r).toMap
+    Seq(0.45, 0.6, 0.75).foreach { tau =>
+      val sel = pairs.filter(_._3 >= tau)
+      if (sel.nonEmpty) {
+        val r = got(tau)
+        assert(r.getLong(1) == sel.length, s"tau $tau pairs")
+        assert(r.getLong(2) ==
+          sel.flatMap(p => Seq(p._1, p._2)).distinct.length, s"tau $tau docs")
+        assert(r.getLong(2) <= 2 * r.getLong(1))
+      } else assert(!got.contains(tau))
+    }
+    // the curve is the point: counts weakly decrease in tau
+    val present = got.toSeq.sortBy(_._1).map(_._2)
+    present.sliding(2).foreach {
+      case Seq(x, y) => assert(x.getLong(1) >= y.getLong(1))
+      case _ =>
+    }
+  }
 }
