@@ -214,6 +214,8 @@ object SparkEntry {
     "q210_copy_flow"      -> (Dedup.q210CopyFlow _),
     "q211_truncation_loss" -> (TextAnalysis.q211TruncationLoss _),
     "q212_dedup_sensitivity" -> (Dedup.q212DedupSensitivity _),
+    "q213_weighted_sample" -> (TextAnalysis.q213WeightedSample _),
+    "q215_clustering_coefficient" -> (Graph.q215ClusteringCoefficient _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -4438,6 +4440,62 @@ object SparkEntry {
          |SELECT tau, CAST(count(*) / 2 AS BIGINT) AS n_pairs,
          |  CAST(count(DISTINCT member) AS BIGINT) AS n_docs_affected
          |FROM m GROUP BY 1 ORDER BY tau""".stripMargin,
+
+    // A-ES weighted sample: u from an EXPLICIT 12-hex-char polynomial
+    // (no engine hex-parse builtin trusted); ln agrees bit-for-bit
+    // (q154/q155 precedent)
+    "q213_weighted_sample" -> {
+      val uInt = (1 to 12).map { i =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1L << (4 * (12 - i))}"
+      }.mkString(" + ")
+      s"""WITH s AS (SELECT doc_id, source, n_chars,
+         |    md5(CAST(doc_id AS VARCHAR) || ':' || text) AS h
+         |  FROM documents WHERE text IS NOT NULL AND n_chars > 0),
+         |kx AS (SELECT doc_id, source, n_chars,
+         |    ln((($uInt) + 1.0) / 281474976710657.0) / n_chars AS key
+         |  FROM s),
+         |top AS (SELECT * FROM kx ORDER BY key DESC, doc_id LIMIT 100)
+         |SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT)
+         |    AS rank,
+         |  doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+         |  round(key, 10) AS key
+         |FROM top ORDER BY rank""".stripMargin
+    },
+
+    // q117's oriented enumeration + exact integer wedges
+    "q215_clustering_coefficient" ->
+      s"""WITH t AS (SELECT doc_id, ${tok("text")} AS ws FROM documents),
+         |pairs AS (SELECT p['w1'] AS w1, p['w2'] AS w2 FROM
+         |  (SELECT unnest(list_transform(range(1, len(ws)),
+         |     i -> {'w1': ws[i], 'w2': ws[i+1]})) AS p
+         |   FROM t WHERE len(ws) >= 2)),
+         |ed AS (SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+         |       FROM pairs WHERE w1 <> w2),
+         |deg AS (SELECT id, count(*) AS deg FROM
+         |  (SELECT a AS id FROM ed UNION ALL SELECT b FROM ed) s GROUP BY id),
+         |orr AS MATERIALIZED (SELECT
+         |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND ed.a < ed.b)
+         |         THEN ed.a ELSE ed.b END AS src,
+         |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND ed.a < ed.b)
+         |         THEN ed.b ELSE ed.a END AS dst,
+         |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND ed.a < ed.b)
+         |         THEN db.deg ELSE da.deg END AS dst_deg
+         |  FROM ed JOIN deg da ON da.id = ed.a JOIN deg db ON db.id = ed.b),
+         |tri AS (SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+         |        FROM orr o1 JOIN orr o2 ON o1.src = o2.src
+         |         AND (o1.dst_deg < o2.dst_deg
+         |              OR (o1.dst_deg = o2.dst_deg AND o1.dst < o2.dst))
+         |        JOIN orr o3 ON o3.src = o1.dst AND o3.dst = o2.dst),
+         |wd AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         |         CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+         |       FROM deg),
+         |tr AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM tri),
+         |me AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM ed)
+         |SELECT n_nodes, n_edges, n_triangles, n_wedges,
+         |  CASE WHEN n_wedges > 0 THEN round(3.0 * CAST(n_triangles AS DOUBLE)
+         |    / CAST(n_wedges AS DOUBLE), 6) END AS global_clustering
+         |FROM wd CROSS JOIN tr CROSS JOIN me
+         |ORDER BY n_nodes""".stripMargin,
   )
 
   /** q162b is the hour-sharded PHYSICAL form of q162 — identical

@@ -543,6 +543,40 @@ object Graph {
     * is the one tokenize scan behind `transitions`; the edge and
     * degree frames are vocabulary-bounded, and the degree join is a
     * bounded-frame hash join. */
+  /** q215: global clustering coefficient of the bigram graph —
+    * C = 3·triangles / wedges (wedges = Σ_v deg(v)(deg(v)−1)/2): the
+    * scalar transitivity measure over the same vocabulary-capped graph
+    * q117 enumerates and q198 correlates. Natural co-occurrence graphs
+    * cluster strongly (topics close triangles); a collapse toward the
+    * random-graph baseline is the same template-distortion smell as a
+    * flat q188 slope, measured on topology instead of frequency.
+    * Triangle cost is q117's O(√E)-oriented enumeration; wedges are
+    * exact integer arithmetic on the degree frame; one division. */
+  def q215ClusteringCoefficient(spark: SparkSession, dir: String): DataFrame = {
+    val edges = TextAnalysis.transitions(spark, dir)
+      .filter(col("w1") =!= col("w2"))
+      .select(least(col("w1"), col("w2")).as("id_a"),
+        greatest(col("w1"), col("w2")).as("id_b"))
+      .distinct()
+      .localCheckpoint() // feeds degrees AND the triangle enumeration
+    val deg = edges.select(col("id_a").as("id"))
+      .union(edges.select(col("id_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val degAgg = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("(deg * (deg - 1)) DIV 2").cast("decimal(38,0)")).as("wedges"))
+    // q117's per-node counts sum each triangle exactly 3 times
+    val triAgg = triangleCounts(edges)
+      .agg(coalesce(expr("sum(n_triangles) DIV 3"), lit(0L)).as("n_triangles"))
+    val m = edges.agg(count(lit(1)).as("n_edges"))
+    degAgg.crossJoin(broadcast(triAgg)).crossJoin(broadcast(m))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        col("wedges").cast("long").as("n_wedges"),
+        when(col("wedges") > 0,
+          round(lit(3.0) * col("n_triangles").cast("double")
+            / col("wedges").cast("double"), 6)).as("global_clustering"))
+      .orderBy("n_nodes")
+  }
+
   def q198Assortativity(spark: SparkSession, dir: String): DataFrame = {
     val edges = TextAnalysis.transitions(spark, dir)
       .filter(col("w1") =!= col("w2"))

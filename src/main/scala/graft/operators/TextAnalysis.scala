@@ -2087,6 +2087,44 @@ object TextAnalysis {
       .orderBy("source", "max_len")
   }
 
+  /** q213: weighted fixed-size sample — Efraimidis–Spirakis A-ES
+    * (2006) with deterministic pseudo-randomness: each doc draws
+    * u ∈ (0,1] from its content hash and keeps key = ln(u)/w (w =
+    * n_chars); the k LARGEST keys are an exact weighted-without-
+    * replacement sample — the fixed-SIZE companion to q97's Bernoulli
+    * weighting and the weighted companion to q196's uniform bottom-k
+    * (inspection samples where long docs should surface
+    * proportionally, but the sample must be exactly k and re-shard
+    * stable).
+    *
+    * Portability: u comes from the first 12 hex chars of md5 folded to
+    * an integer with an EXPLICIT 12-term polynomial (identical
+    * expression both engines — no engine hex-parse builtin is
+    * trusted); ln agrees bit-for-bit across the engines (the q154/q155
+    * ln/exp precedent), and the selection compares keys derived from
+    * identical doubles. TakeOrderedAndProject: per-partition k-heaps,
+    * no global sort. */
+  def q213WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val k = 100
+    val uInt = (1 to 12).map { i =>
+      s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1L << (4 * (12 - i))}L"
+    }.mkString(" + ")
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && col("n_chars") > 0)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        md5(concat(col("doc_id").cast("string"), lit(":"), col("text")))
+          .as("h"))
+      .withColumn("key",
+        expr(s"ln((($uInt) + 1.0) / 281474976710657.0) / n_chars"))
+      .orderBy(desc("key"), asc("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("key"), asc("doc_id"))))
+      .select(col("rank").cast("long").as("rank"), col("doc_id"),
+        col("source"), col("n_chars").as("weight"),
+        round(col("key"), 10).as("key"))
+      .orderBy("rank")
+  }
+
   def q196PrioritySample(spark: SparkSession, dir: String): DataFrame = {
     val k = 100
     Tables.documents(spark, dir)

@@ -3617,4 +3617,58 @@ class QueriesSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("q213 weighted sample replays exactly and oversamples heavy docs") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val hexDigits = "0123456789abcdef"
+    val docs = Tables.documents(spark, sf0001)
+      .filter(col("text").isNotNull && col("n_chars") > 0)
+      .select("doc_id", "text", "n_chars").collect()
+      .map { r =>
+        val h = md5hex(s"${r.getLong(0)}:${r.getString(1)}")
+        val uInt = (0 until 12).map(i =>
+          (hexDigits.indexOf(h(i)).toLong) * (1L << (4 * (11 - i)))).sum
+        val key = math.log((uInt + 1.0) / 281474976710657.0) / r.getLong(2)
+        (r.getLong(0), r.getLong(2), key)
+      }
+    val want = docs.sortBy(d => (-d._3, d._1)).take(100)
+    val got = run("q213_weighted_sample").collect()
+    assert(got.length == 100)
+    got.zip(want).zipWithIndex.foreach { case ((r, (id, w, key)), i) =>
+      assert(r.getLong(0) == i + 1 && r.getLong(1) == id && r.getLong(3) == w,
+        s"rank ${i + 1}: $r vs ($id, w=$w)")
+      assert(math.abs(r.getDouble(4) - key) < 1e-9)
+    }
+    // the weighting works: sampled docs are heavier than average
+    val sampleMeanW = got.map(_.getLong(3)).sum.toDouble / got.length
+    val corpusMeanW = docs.map(_._2).sum.toDouble / docs.length
+    assert(sampleMeanW > corpusMeanW,
+      s"A-ES must oversample heavy docs: $sampleMeanW vs $corpusMeanW")
+  }
+
+  test("q215 clustering coefficient replays from q117's triangle counts") {
+    val triTotal = run("q117_triangles").collect().map(_.getLong(1)).sum / 3
+    val pairs = Tables.documents(spark, sf0001)
+      .select(graft.functions.Portable.tokenize(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
+          " (a, b) -> struct(a AS w1, b AS w2))")).as("p"))
+      .filter(col("p.w1") =!= col("p.w2"))
+      .select(least(col("p.w1"), col("p.w2")), greatest(col("p.w1"), col("p.w2")))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    val deg = pairs.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (_, v) => v.length.toLong }
+    val wedges = deg.map(d => d * (d - 1) / 2).sum
+    val r = run("q215_clustering_coefficient").head()
+    assert(r.getLong(0) == deg.size && r.getLong(1) == pairs.length)
+    assert(r.getLong(2) == triTotal, s"triangles ${r.getLong(2)} vs $triTotal")
+    assert(r.getLong(3) == wedges)
+    val c = 3.0 * triTotal / wedges
+    assert(math.abs(r.getDouble(4) - c) < 2e-6)
+    assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0,
+      "a co-occurrence graph closes triangles")
+  }
 }
