@@ -215,6 +215,7 @@ object SparkEntry {
     "q211_truncation_loss" -> (TextAnalysis.q211TruncationLoss _),
     "q212_dedup_sensitivity" -> (Dedup.q212DedupSensitivity _),
     "q213_weighted_sample" -> (TextAnalysis.q213WeightedSample _),
+    "q214_effective_mix"  -> (TextAnalysis.q214EffectiveMix _),
     "q215_clustering_coefficient" -> (Graph.q215ClusteringCoefficient _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
@@ -4461,6 +4462,26 @@ object SparkEntry {
          |  round(key, 10) AS key
          |FROM top ORDER BY rank""".stripMargin
     },
+
+    // the q83 temperature algebra on both raw and effective masses
+    "q214_effective_mix" ->
+      """WITH d AS (SELECT doc_id, source, md5(text) AS h,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id)
+        |        AS rk FROM d),
+        |per AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN rk = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+        |      AS effective_tokens
+        |  FROM r GROUP BY 1),
+        |tot AS (SELECT sum(pow(n_tokens, 0.5)) AS z_raw,
+        |          sum(pow(effective_tokens, 0.5)) AS z_eff FROM per)
+        |SELECT source, n_tokens, effective_tokens,
+        |  round(pow(n_tokens, 0.5) / z_raw, 6) AS raw_weight,
+        |  round(pow(effective_tokens, 0.5) / z_eff, 6) AS effective_weight,
+        |  round(pow(effective_tokens, 0.5) / z_eff
+        |    - pow(n_tokens, 0.5) / z_raw, 6) AS weight_shift
+        |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
 
     // q117's oriented enumeration + exact integer wedges
     "q215_clustering_coefficient" ->

@@ -2087,6 +2087,41 @@ object TextAnalysis {
       .orderBy("source", "max_len")
   }
 
+  /** q214: dedup-aware mix replanning — the q83 temperature weights
+    * recomputed on EFFECTIVE token mass (q207's exact-dedup canonical
+    * tokens) beside the raw weights, with the shift each source's
+    * quota takes: the composition that closes the loop q207 opens — a
+    * re-crawl-heavy feed's quota DROPS when the mix is priced on data
+    * it actually contributes, and weight_shift is exactly how much
+    * the raw plan was over-allocating it. One scan (the q207 canonical
+    * window), one O(sources) frame carrying both masses, the same
+    * τ=0.5 temperature algebra as q83 on each. */
+  def q214EffectiveMix(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("content_hash").orderBy("doc_id")
+    val per = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        md5(col("text").cast("binary")).as("content_hash"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("is_canonical", (row_number().over(w) === 1).cast("long"))
+      .groupBy("source")
+      .agg(sum("n_tokens").as("n_tokens"),
+        sum(col("n_tokens") * col("is_canonical")).as("effective_tokens"))
+    val tot = per.agg(
+      sum(pow(col("n_tokens").cast("double"), 0.5)).as("z_raw"),
+      sum(pow(col("effective_tokens").cast("double"), 0.5)).as("z_eff"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"), col("effective_tokens"),
+        round(pow(col("n_tokens").cast("double"), 0.5) / col("z_raw"), 6)
+          .as("raw_weight"),
+        round(pow(col("effective_tokens").cast("double"), 0.5) / col("z_eff"), 6)
+          .as("effective_weight"),
+        round(pow(col("effective_tokens").cast("double"), 0.5) / col("z_eff")
+          - pow(col("n_tokens").cast("double"), 0.5) / col("z_raw"), 6)
+          .as("weight_shift"))
+      .orderBy("source")
+  }
+
   /** q213: weighted fixed-size sample — Efraimidis–Spirakis A-ES
     * (2006) with deterministic pseudo-randomness: each doc draws
     * u ∈ (0,1] from its content hash and keeps key = ln(u)/w (w =

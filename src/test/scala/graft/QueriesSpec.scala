@@ -3648,6 +3648,35 @@ class QueriesSpec extends AnyFunSuite {
       s"A-ES must oversample heavy docs: $sampleMeanW vs $corpusMeanW")
   }
 
+  test("q214 effective mix: weights normalize and dup-heavy sources lose quota") {
+    val rows = run("q214_effective_mix").collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4, "raw weights sum 1")
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-4, "eff weights sum 1")
+    assert(math.abs(rows.map(_.getDouble(5)).sum) < 1e-4, "shifts are zero-sum")
+    // consistency with q207's masses
+    val eff = run("q207_effective_data").collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    rows.foreach { r =>
+      val (total, effective) = eff(r.getString(0))
+      assert(r.getLong(1) == total && r.getLong(2) == effective)
+      assert(math.abs(r.getDouble(5) - (r.getDouble(4) - r.getDouble(3))) < 2e-6)
+    }
+    // planted check: a source that is pure re-crawl must LOSE weight
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-effmix").toString
+    val text = (1 to 30).map(i => s"tok$i").mkString(" ")
+    (Seq((1L, text, "en", "dupfeed"), (2L, text, "en", "dupfeed"),
+      (3L, text, "en", "dupfeed"), (4L, text + " fresh", "en", "clean"))
+      .toDF("doc_id", "text", "lang", "source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val planted = graft.operators.TextAnalysis.q214EffectiveMix(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(planted("dupfeed").getDouble(5) < 0, "re-crawl feed loses quota")
+    assert(planted("clean").getDouble(5) > 0, "clean feed gains the difference")
+  }
+
   test("q215 clustering coefficient replays from q117's triangle counts") {
     val triTotal = run("q117_triangles").collect().map(_.getLong(1)).sum / 3
     val pairs = Tables.documents(spark, sf0001)
