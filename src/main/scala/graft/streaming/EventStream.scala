@@ -962,6 +962,38 @@ object EventStream {
         })
   }
 
+  /** Fold [[funnelStages]] emissions into the batch q209 Wilson-CI
+    * report: per-user best (min) stage times collapse the re-emitting
+    * stream to the stage populations, then the SAME closed-form
+    * interval arithmetic as the batch query — the live funnel dashboard
+    * ships its uncertainty bands for free. */
+  def funnelCiReport(stages: DataFrame): DataFrame = {
+    val counts = stages
+      .groupBy("user_id", "stage").agg(min("us").as("us"))
+      .groupBy()
+      .agg(sum((col("stage") === 1).cast("long")).as("n1"),
+        sum((col("stage") === 2).cast("long")).as("n2"),
+        sum((col("stage") === 3).cast("long")).as("n3"))
+    val steps = counts.select(expr(
+      """stack(2,
+        |  1L, 'click_after_view', n1, n2,
+        |  2L, 'purchase_after_click', n2, n3
+        |) AS (step, step_name, n_denom, n_num)""".stripMargin))
+      .filter(col("n_denom") > 0)
+    val z = 1.959964
+    val n = col("n_denom").cast("double")
+    val p = col("n_num").cast("double") / n
+    val z2 = lit(z * z)
+    val center = (p + z2 / (lit(2.0) * n)) / (lit(1.0) + z2 / n)
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / n
+      + z2 / (lit(4.0) * n * n))) / (lit(1.0) + z2 / n)
+    steps.select(col("step"), col("step_name"), col("n_denom"), col("n_num"),
+        round(p, 6).as("rate"),
+        round(center - half, 6).as("wilson_lo"),
+        round(center + half, 6).as("wilson_hi"))
+      .orderBy("step")
+  }
+
   /** Fold emitted decisions into the batch q184 report shape. */
   def debounceReport(decisions: DataFrame): DataFrame =
     decisions.groupBy("event_type")

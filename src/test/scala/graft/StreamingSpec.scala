@@ -239,6 +239,15 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).filter(_._2 > 0).toMap
     assert(got == want, s"stream stage counts must equal batch q102: got=$got want=$want")
 
+    // and the Wilson-CI fold over the SAME emissions equals batch q209
+    // row-for-row — the live dashboard's uncertainty bands are exact
+    val ciGot = EventStream.funnelCiReport(spark.table("funnel_stages"))
+      .collect().map(_.toSeq).toSeq
+    val ciWant = SparkEntry.queries("q209_funnel_ci")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(ciWant.nonEmpty && ciGot == ciWant,
+      s"stream-folded CI must equal batch q209: $ciGot vs $ciWant")
+
     // narrowing case (sf0.001's 15 users all convert): the planted
     // out-of-order users from the batch fixture must stall mid-funnel
     // in the stream exactly as they do in batch
