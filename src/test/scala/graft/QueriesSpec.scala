@@ -1093,7 +1093,10 @@ class QueriesSpec extends AnyFunSuite {
       "q171_deepwalk", "q178_source_containment", "q180_lexical_drift",
       "q186_lang_consistency", "q187_conformal_gate", "q188_zipf_fit",
       "q191_rater_agreement", "q196_priority_sample", "q198_assortativity",
-      "q204_canonical_election")
+      "q204_canonical_election",
+      "q207_effective_data", "q210_copy_flow", "q211_truncation_loss",
+      "q213_weighted_sample", "q214_effective_mix",
+      "q215_clustering_coefficient")
     val failures = docQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -1156,7 +1159,8 @@ class QueriesSpec extends AnyFunSuite {
       "q166_audience_overlap", "q173_survival_km", "q174_active_users",
       "q175_msprt", "q176_covariate_balance", "q182_theil_sen",
       "q184_debounce", "q185_markov_eval", "q190_forecast_backtest",
-      "q195_power_mde", "q200_journey_entropy", "q202_latency_ci")
+      "q195_power_mde", "q200_journey_entropy", "q202_latency_ci",
+      "q206_retention_guardrail", "q209_funnel_ci")
     val failures = eventQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -1209,7 +1213,7 @@ class QueriesSpec extends AnyFunSuite {
       "q152_mrl_recall", "q158_diversity_sample", "q161_mmr_rerank",
       // round 8
       "q177_centroid_geometry", "q199_embedding_health",
-      "q201_cluster_sizes", "q203_banding_recall")
+      "q201_cluster_sizes", "q203_banding_recall", "q212_dedup_sensitivity")
     val failures = vecQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
