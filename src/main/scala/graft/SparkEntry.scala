@@ -389,6 +389,36 @@ object SparkEntry {
     *     double — round BOTH sides to the same k decimals.
     *  5. Alias every computed column identically on both sides; the
     *     driver sorts columns by NAME before hashing.
+    *  6. SIGNED ZERO (the round-8 q155 single-bit fail): any ROUNDED
+    *     signed statistic that can land on zero from the negative side
+    *     (t/z stats, slopes, deltas, correlations, SMDs) gets `+ 0.0`
+    *     appended AFTER the round() on the DuckDB side. DuckDB's
+    *     round() on DOUBLE preserves IEEE sign (round(-3e-5, 4) →
+    *     −0.0, bits 0x8000…) while Spark's round() goes through
+    *     BigDecimal which has no signed zero (+0.0). Values compare
+    *     equal (pandas/NumPy treat −0.0 == 0.0 — which is exactly why
+    *     this escaped the local gate twice) but the driver's hash sees
+    *     the sign bit. IEEE −0.0 + 0.0 = +0.0, so the normalization is
+    *     exact and value-preserving for every other input.
+    *     tools/oracle_check.py is signbit-strict on float columns
+    *     since round 9, so this class now fails locally.
+    *
+    * ROUND-9 SIGNED-ZERO AUDIT (rule 6 sweep; q63→q129→q155 is the
+    * same lesson at three depths, so every rounded signed statistic
+    * was normalized at once rather than waiting for the next bit):
+    * `+ 0.0` added to q06/q34/q61/q76/q84/q141 cos_sim, q52 corr,
+    * q135 r, q177 cosine (signed cosines); q80 z, q137/q155 t_stat,
+    * q176 smd (standardized stats); q144 slope, q167 slope_full/
+    * slope_loo/influence, q182 ts_slope/ols_slope, q188 zipf_slope,
+    * q198 assortativity (regression stats); q98 doc_log_ratio,
+    * q104 mean_a/mean_b/mean_shift (embedding means), q113 dev,
+    * q126 shift, q154 pmi, q175 delta/log_lambda, q127 latency
+    * quantiles. Audited and left alone (provably non-negative or
+    * never ±0.0): q49/q68/q86/q201/q203/q204/q212 cosines (≥0.45
+    * thresholded), q139/q152/q96/q99 (cosines internal to ranks),
+    * q143/q153 (means of strictly-positive value), q181/q183/q190/
+    * q199 (abs/sqrt/χ²/ratios-of-nonneg), q202 (µs-integer deltas
+    * can't round to −0.0).
     *
     * ROUND-7 TYPE AUDIT (q129 repeated the q63 bug; swept all entries):
     * every `sum( ... ) OVER` in this map was checked — q129's `version`
@@ -435,7 +465,7 @@ object SparkEntry {
 
     "q06_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) + 0.0 AS cos_sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id + 1 = b.vec_id
         |ORDER BY id_a""".stripMargin,
 
@@ -634,7 +664,7 @@ object SparkEntry {
          |        CASE WHEN ($den) > 0 THEN round(($num) / ($den), 6) END AS baseline
          |      FROM lagd),
          |d AS (SELECT day, event_type, x, baseline,
-         |        CASE WHEN baseline IS NOT NULL THEN round(x - baseline, 6) END AS dev
+         |        CASE WHEN baseline IS NOT NULL THEN round(x - baseline, 6) + 0.0 END AS dev
          |      FROM b)
          |SELECT day, event_type, x, baseline, dev,
          |       CAST(CASE WHEN baseline IS NULL THEN 0
@@ -845,7 +875,7 @@ object SparkEntry {
         |                ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING))
         |SELECT event_type, day, x, left_mean, right_mean,
         |  CASE WHEN left_mean IS NOT NULL AND right_mean IS NOT NULL
-        |       THEN round(right_mean - left_mean, 6) END AS shift,
+        |       THEN round(right_mean - left_mean, 6) + 0.0 END AS shift,
         |  CAST(CASE WHEN left_mean IS NULL OR right_mean IS NULL THEN 0
         |            WHEN abs(round(right_mean - left_mean, 6)) >
         |                 0.25 * greatest(abs(left_mean), 1.0) THEN 1
@@ -862,9 +892,9 @@ object SparkEntry {
         |       WHERE event_type = 'purchase' AND us > fv GROUP BY ev.user_id, fv),
         |d AS (SELECT round((fp - fv) / 1000000.0, 6) AS delta_s FROM fp)
         |SELECT count(*) AS n_users,
-        |       round(quantile_cont(delta_s, 0.25), 4) AS p25_s,
-        |       round(quantile_cont(delta_s, 0.5), 4) AS median_s,
-        |       round(quantile_cont(delta_s, 0.9), 4) AS p90_s
+        |       round(quantile_cont(delta_s, 0.25), 4) + 0.0 AS p25_s,
+        |       round(quantile_cont(delta_s, 0.5), 4) + 0.0 AS median_s,
+        |       round(quantile_cont(delta_s, 0.9), 4) + 0.0 AS p90_s
         |FROM d ORDER BY n_users""".stripMargin,
 
     // three unrolled sync rounds, each referencing its predecessor
@@ -1018,7 +1048,7 @@ object SparkEntry {
       val pairs = for (i <- cols.indices; j <- i + 1 until cols.length)
         yield (cols(i), cols(j))
       pairs.map { case (a, b) =>
-        s"SELECT '$a' AS c1, '$b' AS c2, round(corr($a, $b), 4) AS r FROM lineitem"
+        s"SELECT '$a' AS c1, '$b' AS c2, round(corr($a, $b), 4) + 0.0 AS r FROM lineitem"
       }.mkString("", "\nUNION ALL\n", "\nORDER BY c1, c2")
     },
 
@@ -1045,7 +1075,7 @@ object SparkEntry {
         |b AS (SELECT n AS n2, m AS m2, s2 AS v2 FROM g WHERE event_type = 'view')
         |SELECT CAST(n1 AS BIGINT) AS n_purchase, CAST(n2 AS BIGINT) AS n_view,
         |       round(m1, 4) AS mean_purchase, round(m2, 4) AS mean_view,
-        |       round((m1 - m2) / sqrt(v1/n1 + v2/n2), 4) AS t_stat,
+        |       round((m1 - m2) / sqrt(v1/n1 + v2/n2), 4) + 0.0 AS t_stat,
         |       round((v1/n1 + v2/n2) * (v1/n1 + v2/n2) /
         |             (v1*v1/(n1*n1*(n1-1)) + v2*v2/(n2*n2*(n2-1))), 4) AS welch_df
         |FROM a CROSS JOIN b ORDER BY n_purchase""".stripMargin,
@@ -1116,7 +1146,7 @@ object SparkEntry {
         |  FROM documents WHERE text IS NOT NULL AND length(text) > 0
         |  GROUP BY 1, 2)
         |SELECT source, count(*) AS n_days,
-        |       round(regr_slope(q, day), 6) AS slope,
+        |       round(regr_slope(q, day), 6) + 0.0 AS slope,
         |       round(regr_r2(q, day), 4) AS r2,
         |       round(avg(q), 6) AS mean_q
         |FROM daily GROUP BY source HAVING count(*) >= 2
@@ -1127,7 +1157,7 @@ object SparkEntry {
         |           CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |sims AS (SELECT q.vec_id AS q_id, q.label AS true_label,
         |    c.vec_id AS neg_id, c.label AS neg_label,
-        |    round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+        |    round(list_cosine_similarity(q.v, c.v), 6) + 0.0 AS cos_sim
         |  FROM e c CROSS JOIN (SELECT * FROM e WHERE vec_id < 50) q
         |  WHERE c.vec_id <> q.vec_id AND c.label <> q.label),
         |ranked AS (SELECT *, CAST(row_number() OVER
@@ -1283,7 +1313,7 @@ object SparkEntry {
          |n AS (SELECT sum(c12) AS n_pairs FROM bi)
          |SELECT bi.w1, bi.w2, bi.c12 AS n,
          |       round(ln(CAST(bi.c12 AS DOUBLE) * CAST(n_pairs AS DOUBLE)
-         |         / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 6) AS pmi
+         |         / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 6) + 0.0 AS pmi
          |FROM bi JOIN l ON l.w1 = bi.w1 JOIN r ON r.w2 = bi.w2 CROSS JOIN n
          |WHERE bi.c12 >= 5
          |ORDER BY pmi DESC, bi.w1, bi.w2 LIMIT 20""".stripMargin,
@@ -1294,7 +1324,11 @@ object SparkEntry {
     // Moments accumulate on the EXACT 1e-3 integer grid (the
     // q161/q163 fixed-point rule) — HUGEINT sums here, decimal(38,0)
     // in Spark — so both engines derive identical doubles; float
-    // Σvalue was accumulation-order-sensitive (the round-7 hash fail)
+    // Σvalue was accumulation-order-sensitive (the round-7 hash fail).
+    // t_stat gets `+ 0.0` (type rule 6): the `error` group's unrounded
+    // t is ≈ −3e−5, and DuckDB's round() on DOUBLE preserves the IEEE
+    // sign (−0.0) while Spark's round() goes through BigDecimal (+0.0)
+    // — values equal, hash bits differ (the round-8 single-bit fail)
     "q155_ab_fdr" ->
       """WITH e AS (SELECT event_type,
         |      CAST(round(value * 1000) AS BIGINT) AS v3
@@ -1319,7 +1353,7 @@ object SparkEntry {
         |        (tss - ss) - (ts - sv) * (ts - sv) / (tn - n) AS ss2c
         |      FROM d),
         |tt AS (SELECT event_type, CAST(n AS BIGINT) AS n_values, m,
-        |         round((m1 - m2) / sqrt(v1 / n + ss2c / (n2 - 1) / n2), 4) AS t_stat
+        |         round((m1 - m2) / sqrt(v1 / n + ss2c / (n2 - 1) / n2), 4) + 0.0 AS t_stat
         |       FROM j),
         |xx AS (SELECT *, abs(t_stat) / sqrt(2.0) AS x,
         |         1.0 / (1.0 + 0.3275911 * (abs(t_stat) / sqrt(2.0))) AS kk FROM tt),
@@ -1881,7 +1915,7 @@ object SparkEntry {
       """SELECT l_returnflag,
         |       round(stddev_samp(l_quantity), 4) AS sd_qty,
         |       round(var_samp(l_quantity), 2) AS var_qty,
-        |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |       round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS corr_qty_price,
         |       round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
@@ -2118,7 +2152,7 @@ object SparkEntry {
         |          i -> (v[i] - dq[i]) * (v[i] - dq[i]))), (acc, x) -> acc + x) AS sq_err
         |      FROM d)
         |SELECT vec_id, scale, round(sqrt(sq_err / len(v)), 6) AS rmse,
-        |       round(list_cosine_similarity(v, dq), 6) AS cos_q
+        |       round(list_cosine_similarity(v, dq), 6) + 0.0 AS cos_q
         |FROM r ORDER BY vec_id""".stripMargin,
 
     // MinHash calibration: q31's band constants + the exact word-set
@@ -2278,9 +2312,9 @@ object SparkEntry {
         |             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
         |           FROM embeddings)
         |SELECT CAST(dim1 - 1 AS BIGINT) AS dim,
-        |       round(avg(x) FILTER (WHERE a), 6) AS mean_a,
-        |       round(avg(x) FILTER (WHERE NOT a), 6) AS mean_b,
-        |       round(avg(x) FILTER (WHERE NOT a) - avg(x) FILTER (WHERE a), 6) AS mean_shift,
+        |       round(avg(x) FILTER (WHERE a), 6) + 0.0 AS mean_a,
+        |       round(avg(x) FILTER (WHERE NOT a), 6) + 0.0 AS mean_b,
+        |       round(avg(x) FILTER (WHERE NOT a) - avg(x) FILTER (WHERE a), 6) + 0.0 AS mean_shift,
         |       round(var_samp(x) FILTER (WHERE a), 6) AS var_a,
         |       round(var_samp(x) FILTER (WHERE NOT a), 6) AS var_b
         |FROM e GROUP BY dim1 ORDER BY dim""".stripMargin,
@@ -2357,7 +2391,7 @@ object SparkEntry {
         |        FROM sig s CROSS JOIN q WHERE s.vec_id <> q_id),
         |short AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY hamming, n_id) AS hrank FROM ham),
         |resc AS (SELECT q_id, n_id, hamming,
-        |           round(list_cosine_similarity(qv, v), 6) AS cos_sim
+        |           round(list_cosine_similarity(qv, v), 6) + 0.0 AS cos_sim
         |         FROM short WHERE hrank <= 30),
         |rr AS (SELECT q_id, n_id, hamming, cos_sim,
         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS BIGINT) AS rank
@@ -2383,7 +2417,7 @@ object SparkEntry {
         |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
         |SELECT event_id, user_id, event_type, value,
         |       round(mu, 6) AS trailing_mean, n_prev,
-        |       round((value - mu) / sigma, 4) AS z
+        |       round((value - mu) / sigma, 4) + 0.0 AS z
         |FROM t
         |WHERE n_prev >= 10 AND sigma > 1e-12 AND abs((value - mu) / sigma) >= 2.5
         |ORDER BY event_id""".stripMargin,
@@ -2506,7 +2540,7 @@ object SparkEntry {
          |directed AS (SELECT id_a AS q_id, id_b AS n_id FROM cand
          |             UNION ALL SELECT id_b, id_a FROM cand),
          |scored AS (SELECT q_id, n_id,
-         |                  round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+         |                  round(list_cosine_similarity(a.v, b.v), 6) + 0.0 AS cos_sim
          |           FROM directed JOIN e a ON a.vec_id = q_id
          |                         JOIN e b ON b.vec_id = n_id),
          |ranked AS (SELECT q_id, n_id, cos_sim,
@@ -2848,7 +2882,7 @@ object SparkEntry {
          |       coalesce(share_old, 0.0) AS share_old,
          |       coalesce(share_new, 0.0) AS share_new,
          |       round(abs(coalesce(share_new, 0.0) - coalesce(share_old, 0.0)), 6) AS share_drift,
-         |       round(ln((coalesce(n_docs_new, 0) + 1.0) / (coalesce(n_docs_old, 0) + 1.0)), 6) AS doc_log_ratio
+         |       round(ln((coalesce(n_docs_new, 0) + 1.0) / (coalesce(n_docs_old, 0) + 1.0)), 6) + 0.0 AS doc_log_ratio
          |FROM oo FULL OUTER JOIN nn ON oo.lang = nn.lang AND oo.source = nn.source
          |ORDER BY lang, source""".stripMargin,
 
@@ -2887,7 +2921,7 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
         |scored AS (SELECT q_id, e.vec_id AS n_id,
-        |                  round(list_cosine_similarity(qv, v), 6) AS cos_sim
+        |                  round(list_cosine_similarity(qv, v), 6) + 0.0 AS cos_sim
         |           FROM e CROSS JOIN q WHERE e.vec_id <> q_id),
         |ranked AS (SELECT q_id, n_id, cos_sim,
         |                  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS BIGINT) AS rank
@@ -3106,9 +3140,9 @@ object SparkEntry {
         |          (ln2 * lsxy - lsx * lsy) / (ln2 * lsxx - lsx * lsx) END
         |          AS slope_loo
         |      FROM j)
-        |SELECT source, cnt AS n_docs, round(slope_full, 6) AS slope_full,
-        |       round(slope_loo, 6) AS slope_loo,
-        |       round(slope_loo - slope_full, 6) AS influence,
+        |SELECT source, cnt AS n_docs, round(slope_full, 6) + 0.0 AS slope_full,
+        |       round(slope_loo, 6) + 0.0 AS slope_loo,
+        |       round(slope_loo - slope_full, 6) + 0.0 AS influence,
         |       CAST(row_number() OVER (ORDER BY abs(slope_loo - slope_full) DESC,
         |         source ASC) AS BIGINT) AS infl_rank
         |FROM k ORDER BY source""".stripMargin,
@@ -3415,8 +3449,8 @@ object SparkEntry {
         |p AS (SELECT *, round(least(coalesce(min(1.0 / lam) OVER
         |        (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
         |        1.0), 1.0), 6) AS p_avi FROM lam)
-        |SELECT day, n1 AS n_t, n2 AS n_c, round(dd, 6) AS delta,
-        |       round(ln(lam), 6) AS log_lambda, p_avi,
+        |SELECT day, n1 AS n_t, n2 AS n_c, round(dd, 6) + 0.0 AS delta,
+        |       round(ln(lam), 6) + 0.0 AS log_lambda, p_avi,
         |       CAST(CASE WHEN p_avi <= 0.05 THEN 1 ELSE 0 END AS BIGINT)
         |         AS significant
         |FROM p ORDER BY day""".stripMargin,
@@ -3457,7 +3491,7 @@ object SparkEntry {
         |s AS (SELECT covariate, n_t, n_c, round(m_t, 6) AS mean_t,
         |        round(m_c, 6) AS mean_c,
         |        CASE WHEN v_t + v_c > 0 THEN
-        |          round((m_t - m_c) / sqrt((v_t + v_c) / 2.0), 4) END AS smd
+        |          round((m_t - m_c) / sqrt((v_t + v_c) / 2.0), 4) + 0.0 END AS smd
         |      FROM d)
         |SELECT covariate, n_t, n_c, mean_t, mean_c, smd,
         |       CAST(CASE WHEN smd IS NOT NULL THEN
@@ -3487,7 +3521,7 @@ object SparkEntry {
         |s AS (SELECT label_a, label_b,
         |        round(CAST(dot AS DOUBLE)
         |          / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6)
-        |          AS cosine
+        |          + 0.0 AS cosine
         |      FROM p JOIN n na ON p.label_a = na.label
         |        JOIN n nb ON p.label_b = nb.label)
         |SELECT label_a, label_b, cosine,
@@ -3640,9 +3674,9 @@ object SparkEntry {
         |      FROM daily a JOIN daily b
         |        ON a.event_type = b.event_type AND a.d < b.d),
         |o AS (SELECT event_type, count(*) AS n_days,
-        |        round(regr_slope(x, d), 6) AS ols_slope FROM daily GROUP BY 1),
+        |        round(regr_slope(x, d), 6) + 0.0 AS ols_slope FROM daily GROUP BY 1),
         |t AS (SELECT event_type, count(*) AS n_pairs,
-        |        round(quantile_cont(slope, 0.5), 6) AS ts_slope FROM s GROUP BY 1)
+        |        round(quantile_cont(slope, 0.5), 6) + 0.0 AS ts_slope FROM s GROUP BY 1)
         |SELECT t.event_type, CAST(n_days AS BIGINT) AS n_days,
         |       CAST(n_pairs AS BIGINT) AS n_pairs, ts_slope, ols_slope,
         |       round(abs(ts_slope - ols_slope), 6) AS divergence
@@ -3792,7 +3826,7 @@ object SparkEntry {
          |r AS (SELECT source, word, cnt, row_number() OVER
          |        (PARTITION BY source ORDER BY cnt DESC, word) AS rk FROM h),
          |fit AS (SELECT source,
-         |    round(regr_slope(ln(cnt), ln(rk)), 6) AS zipf_slope,
+         |    round(regr_slope(ln(cnt), ln(rk)), 6) + 0.0 AS zipf_slope,
          |    round(regr_r2(ln(cnt), ln(rk)), 4) AS r2,
          |    max(CASE WHEN rk = 1 THEN word END) AS top_word,
          |    max(CASE WHEN rk = 1 THEN cnt END) AS top_cnt
@@ -4094,12 +4128,13 @@ object SparkEntry {
          |    CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
          |  FROM mm CROSS JOIN nn)
          |SELECT n_nodes, CAST(m // 2 AS BIGINT) AS n_edges,
-         |  round(md / n_nodes, 4) AS mean_degree, max_degree,
+         |  CASE WHEN n_nodes > 0 THEN round(md / n_nodes, 4) END AS mean_degree,
+         |  max_degree,
          |  CASE WHEN sqrt(md * sxxd - sxd * sxd)
          |         * sqrt(md * syyd - syd * syd) > 0
          |    THEN round((md * sxyd - sxd * syd)
          |      / (sqrt(md * sxxd - sxd * sxd)
-         |         * sqrt(md * syyd - syd * syd)), 6) END AS assortativity
+         |         * sqrt(md * syyd - syd * syd)), 6) + 0.0 END AS assortativity
          |FROM calc ORDER BY n_nodes""".stripMargin,
 
     // per-element ×10⁶ grid (q177): all moments exact until the final
@@ -4136,7 +4171,7 @@ object SparkEntry {
       """WITH t AS (SELECT user_id, event_type,
         |  lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |    AS prev_type
-        |  FROM events),
+        |  FROM events WHERE event_type IS NOT NULL),
         |c AS (SELECT prev_type, event_type AS next_type, count(*) AS n
         |      FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2),
         |w AS (SELECT prev_type, next_type, n,
@@ -4221,7 +4256,7 @@ object SparkEntry {
         |  0.95 AS confidence
         |FROM r GROUP BY n ORDER BY n_users""".stripMargin,
 
-    // banding recall vs an exact 50-anchor block; cosine rounded 6 dp
+    // banding recall vs an exact 200-anchor block; cosine rounded 6 dp
     // (the q49/q68 list_cosine_similarity contract)
     "q203_banding_recall" ->
       s"""WITH $simhashCandCte,

@@ -658,10 +658,15 @@ object Stats {
       .agg(
         sum(when(col("t"), 1L).otherwise(0L)).as("n_t"),
         sum(when(col("t"), col("x3")).otherwise(0L).cast("decimal(38,0)")).as("s_t"),
-        sum(when(col("t"), col("x3") * col("x3")).otherwise(0L).cast("decimal(38,0)")).as("q_t"),
+        // square in decimal(38,0), never LONG: a user whose x3 exceeds
+        // ~3e9 on the ×1000 grid overflows the long square and ANSI-
+        // throws (the q190 hazard); DuckDB promotes to HUGEINT
+        sum(when(col("t"), col("x3").cast("decimal(38,0)") * col("x3").cast("decimal(38,0)"))
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("q_t"),
         sum(when(!col("t"), 1L).otherwise(0L)).as("n_c"),
         sum(when(!col("t"), col("x3")).otherwise(0L).cast("decimal(38,0)")).as("s_c"),
-        sum(when(!col("t"), col("x3") * col("x3")).otherwise(0L).cast("decimal(38,0)")).as("q_c"))
+        sum(when(!col("t"), col("x3").cast("decimal(38,0)") * col("x3").cast("decimal(38,0)"))
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("q_c"))
       .select(col("covariate"), col("n_t"), col("n_c"),
         (col("s_t").cast("double") / 1000.0 / col("n_t")).as("m_t"),
         (col("s_c").cast("double") / 1000.0 / col("n_c")).as("m_c"),

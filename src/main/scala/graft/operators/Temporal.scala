@@ -922,7 +922,11 @@ object Temporal {
     * frame. */
   def q200JourneyEntropy(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    // NULL event_type rows are dropped BEFORE the lag (the q184/q185
+    // convention) — otherwise NULL next_type forms a group whose sort
+    // position differs across engines (Spark NULLS FIRST, DuckDB LAST)
     val counts = Tables.events(spark, dir)
+      .filter(col("event_type").isNotNull)
       .withColumn("prev_type", lag("event_type", 1).over(w))
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col("event_type").as("next_type"))

@@ -82,7 +82,16 @@ def main(outdir: str, sfdir: str) -> int:
             try:
                 if str(a.dtype).startswith("float") or str(b.dtype).startswith("float"):
                     import numpy as np
-                    bad = ~((a.isna() & b.isna()) | (a == b))
+                    # Signbit-strict (the q155 bug class): pandas equality
+                    # treats -0.0 == +0.0 but the driver hashes raw bits,
+                    # so DuckDB round() preserving IEEE -0.0 vs Spark's
+                    # BigDecimal +0.0 must fail HERE.  NaN-safe: signbit
+                    # only matters where both values are non-NaN equal.
+                    av = a.astype("float64").to_numpy()
+                    bv = b.astype("float64").to_numpy()
+                    sign_diff = (np.signbit(av) != np.signbit(bv)) \
+                        & ~(np.isnan(av) | np.isnan(bv))
+                    bad = (~((a.isna() & b.isna()) | (a == b))) | pd.Series(sign_diff, index=a.index)
                 else:
                     bad = ~((a.isna() & b.isna()) | (a.astype(object) == b.astype(object)))
                 if bad.any():
