@@ -461,6 +461,76 @@ object DocStream {
       .orderBy("rank")
   }
 
+  case class AesDoc(doc_id: Long, source: String, n_chars: Long, text: String)
+  case class AesEntry(doc_id: Long, source: String, weight: Long, key: Double)
+  case class ShardTopKW(entries: Seq[AesEntry])
+
+  /** Streaming twin of the batch q213 Efraimidis–Spirakis weighted
+    * fixed-size sample — [[prioritySampleSightings]]'s argument with
+    * the sign flipped: the weighted key ln(u)/w is monotone in exactly
+    * the same way the uniform priority is. Each shard keeps its own
+    * TOP-k by (key desc, doc_id asc) — the SAME deterministic key as
+    * the batch side (u from the first 12 hex chars of md5(doc_id:text)
+    * folded with the identical polynomial, ln via the identical JVM
+    * Math.log the Catalyst Log expression calls) — and EMITS a doc the
+    * moment it enters its shard's current top-k. Entry is monotone: a
+    * shard's k-th LARGEST key only increases as docs arrive, so any
+    * doc in the shard's final top-k was in it at arrival and was
+    * emitted — the append-only emission stream is a guaranteed
+    * superset of the final sample under ANY arrival order, and
+    * [[weightedSample]] recovers the batch q213 answer exactly.
+    * State: ≤ k entries × shards; emissions: shards × k × ln(n/k) in
+    * expectation. */
+  def weightedSampleSightings(docs: DataFrame, k: Int = 100,
+                              shards: Int = 16): org.apache.spark.sql.Dataset[AesEntry] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // (key desc, doc_id asc): the batch q213 selection order
+    val ord = Ordering.by[AesEntry, (Double, Long)](e => (-e.key, e.doc_id))
+    docs.filter(col("doc_id").isNotNull && col("text").isNotNull
+        && col("n_chars") > 0)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
+      .as[AesDoc]
+      .groupByKey(_.doc_id % shards)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[AesDoc], state: GroupState[ShardTopKW]) => {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def aesKey(d: AesDoc): Double = {
+            val h = md.digest(s"${d.doc_id}:${d.text}".getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString.substring(0, 12)
+            val u = h.foldLeft(0L)((acc, c) => acc * 16L + Character.digit(c, 16))
+            // identical doubles to the batch expr: (u+1)/(16^12+1), ln, /w
+            math.log((u + 1.0) / 281474976710657.0) / d.n_chars
+          }
+          var top = state.getOption.map(_.entries.toVector).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[AesEntry]
+          rows.foreach { d =>
+            val e = AesEntry(d.doc_id, d.source, d.n_chars, aesKey(d))
+            if (top.size < k || ord.lt(e, top.last)) {
+              out += e
+              top = (top :+ e).sorted(ord).take(k)
+            }
+          }
+          state.update(ShardTopKW(top))
+          out.result().iterator
+        })
+  }
+
+  /** Fold emitted sightings to the batch q213 answer: the global
+    * top-k by (key desc, doc_id asc) over the (superset) emission
+    * stream, with q213's exact output shape (key rounded 10 dp AFTER
+    * selection on the raw double). */
+  def weightedSample(sightings: DataFrame, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.functions._
+    sightings.orderBy(desc("key"), asc("doc_id")).limit(k)
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(desc("key"), asc("doc_id"))))
+      .select(col("rank").cast("long").as("rank"), col("doc_id"),
+        col("source"), col("weight"), round(col("key"), 10).as("key"))
+      .orderBy("rank")
+  }
+
   def incrementalDedup(docs: DataFrame,
                        corpusIndex: DataFrame): org.apache.spark.sql.Dataset[DedupStatus] = {
     import docs.sparkSession.implicits._

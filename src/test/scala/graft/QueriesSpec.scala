@@ -1017,6 +1017,37 @@ class QueriesSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"cartesian plans found: ${offenders.mkString(", ")}")
   }
 
+  test("no declared query plans an unpartitioned Window over an unbounded frame") {
+    // A Window with no partition spec moves ALL input rows to one
+    // partition — fine on a frame bounded by construction, a scale
+    // bug on anything corpus-sized. Whitelist the audited bounded
+    // sites (with their bound arguments); fail on any NEW one so the
+    // bound argument has to be written down before the plan ships.
+    val bounded: Map[String, String] = Map(
+      "q155_ab_fdr" -> "BH running-min + rank over the O(event types) frame (~5 rows)",
+      "q167_loo_influence" -> "LOO rank over the O(sources) moment frame (20 rows)",
+      "q173_survival_km" -> "KM product over the O(distinct durations) day grid",
+      "q175_msprt" -> "running min over the O(days) look sequence (~30 rows)",
+      "q187_conformal_gate" -> "conformal rank over the O(calibration quantile grid) frame",
+      "q194_column_entropy" -> "per-column share windows over ndv-capped histograms (each <= 64 bins)",
+      "q196_priority_sample" -> "final rank over the k-row TakeOrdered shortlist (k=100)",
+      "q202_latency_ci" -> "cumulative counts over the 6-dp-second value histogram (O(distinct latencies))",
+      "q213_weighted_sample" -> "final rank over the k-row TakeOrdered shortlist (k=100)")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => bounded.contains(q._1))
+      .flatMap { case (name, fn) =>
+        try {
+          val plan = fn(spark, sf0001).queryExecution.optimizedPlan
+          val hits = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+          if (hits.nonEmpty) Some(name) else None
+        } catch { case _: Throwable => None } // execution failures are other tests' business
+      }
+    assert(offenders.isEmpty,
+      s"NEW unpartitioned-window plans (write the bound argument and whitelist, " +
+        s"or partition the window): ${offenders.mkString(", ")}")
+  }
+
   test("every declared query degrades gracefully on an empty corpus") {
     // at 100 TB a partition, a source, or a whole filtered corpus can
     // legitimately be empty — a query that throws there takes down the

@@ -2615,4 +2615,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(sightings.select("doc_id").distinct().count() == n,
       "a doc enters its shard's bottom-k at most once")
   }
+
+  test("streaming A-ES weighted sample folds to batch q213 under REVERSED arrival") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // q196's monotone-entry argument with the sign flipped: the
+    // weighted key ln(u)/w enters a shard's TOP-k monotonically, so
+    // the fold must equal batch q213 under any delivery order —
+    // reverse doc_id across three micro-batches stresses it
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "n_chars", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sortBy(-_._1)
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Long, String)]
+    val q = graft.streaming.DocStream.weightedSampleSightings(
+        ms.toDF().toDF("doc_id", "source", "n_chars", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("aes_sightings")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-aes-ckpt").toString)
+      .start()
+    try {
+      docs.grouped((docs.length + 2) / 3).foreach { g =>
+        ms.addData(g.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val sightings = spark.table("aes_sightings")
+    val got = graft.streaming.DocStream.weightedSample(sightings)
+      .collect().map(_.toSeq).toSeq
+    val want = SparkEntry.queries("q213_weighted_sample")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty && got == want,
+      "stream-folded A-ES sample must equal batch q213 row-for-row")
+    val n = sightings.count()
+    assert(n >= 100 && n <= docs.length)
+    assert(sightings.select("doc_id").distinct().count() == n,
+      "a doc enters its shard's top-k at most once")
+  }
 }
