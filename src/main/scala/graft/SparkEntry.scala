@@ -217,6 +217,18 @@ object SparkEntry {
     "q213_weighted_sample" -> (TextAnalysis.q213WeightedSample _),
     "q214_effective_mix"  -> (TextAnalysis.q214EffectiveMix _),
     "q215_clustering_coefficient" -> (Graph.q215ClusteringCoefficient _),
+    "q216_cuped"          -> (Stats.q216Cuped _),
+    "q217_mann_whitney"   -> (Stats.q217MannWhitney _),
+    "q218_ks_test"        -> (Stats.q218KsTest _),
+    "q219_eb_shrinkage"   -> (Stats.q219EbShrinkage _),
+    "q220_autocorr"       -> (Stats.q220Autocorr _),
+    "q221_bernstein_bounds" -> (Stats.q221BernsteinBounds _),
+    "q222_banding_planner" -> (Dedup.q222BandingPlanner _),
+    "q223_threshold_stability" -> (Dedup.q223ThresholdStability _),
+    "q224_nprobe_sweep"   -> (KMeans.q224NprobeSweep _),
+    "q225_pq_distortion"  -> (Quantize.q225PqDistortion _),
+    "q226_encoder_consistency" -> (Dedup.q226EncoderConsistency _),
+    "q227_signal_agreement" -> (Dedup.q227SignalAgreement _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -413,7 +425,7 @@ object SparkEntry {
     * q198 assortativity (regression stats); q98 doc_log_ratio,
     * q104 mean_a/mean_b/mean_shift (embedding means), q113 dev,
     * q126 shift, q154 pmi, q175 delta/log_lambda, q127 latency
-    * quantiles. Audited and left alone (provably non-negative or
+    * quantiles, q206 gap (retention-rate delta). Audited and left alone (provably non-negative or
     * never ±0.0): q49/q68/q86/q201/q203/q204/q212 cosines (≥0.45
     * thresholded), q139/q152/q96/q99 (cosines internal to ranks),
     * q143/q153 (means of strictly-positive value), q181/q183/q190/
@@ -4371,7 +4383,7 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN t THEN retained ELSE 0 END) AS DOUBLE)
         |      / sum(CASE WHEN t THEN 1 ELSE 0 END)
         |    - CAST(sum(CASE WHEN NOT t THEN retained ELSE 0 END) AS DOUBLE)
-        |      / sum(CASE WHEN NOT t THEN 1 ELSE 0 END), 6) AS gap
+        |      / sum(CASE WHEN NOT t THEN 1 ELSE 0 END), 6) + 0.0 AS gap
         |FROM r GROUP BY 1 ORDER BY week_offset""".stripMargin,
 
     "q207_effective_data" ->
@@ -4552,6 +4564,476 @@ object SparkEntry {
          |    / CAST(n_wedges AS DOUBLE), 6) END AS global_clustering
          |FROM wd CROSS JOIN tr CROSS JOIN me
          |ORDER BY n_nodes""".stripMargin,
+
+    // CUPED: all moments exact 1e-3-grid integers (HUGEINT here,
+    // decimal(38,0) in Spark); every variance ALGEBRAIC — never a
+    // per-user residual double sum. θ pools arms; mid = the q190 split
+    "q216_cuped" ->
+      """WITH ev AS (SELECT user_id,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+        |      AS day,
+        |    CAST(round(value * 1000) AS BIGINT) AS v3
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |mid AS (SELECT CAST(floor((min(day) + max(day)) / 2.0) AS BIGINT) AS mid
+        |        FROM ev),
+        |per AS (SELECT ((user_id % 1000000007) * 1000003) % 1000000007 % 2 = 1
+        |          AS t,
+        |        sum(CASE WHEN day <= mid THEN v3 ELSE 0 END) AS x3,
+        |        sum(CASE WHEN day > mid THEN v3 ELSE 0 END) AS y3
+        |      FROM ev CROSS JOIN mid GROUP BY user_id),
+        |arms AS (SELECT t, count(*) AS n,
+        |    sum(x3) AS sx, sum(y3) AS sy,
+        |    sum(CAST(x3 AS HUGEINT) * CAST(x3 AS HUGEINT)) AS sxx,
+        |    sum(CAST(x3 AS HUGEINT) * CAST(y3 AS HUGEINT)) AS sxy,
+        |    sum(CAST(y3 AS HUGEINT) * CAST(y3 AS HUGEINT)) AS syy
+        |  FROM per GROUP BY 1),
+        |tot AS (SELECT sum(n) AS gn, sum(sx) AS gsx, sum(sxx) AS gsxx,
+        |        sum(sxy) AS gsxy, sum(sy) AS gsy FROM arms),
+        |j AS (SELECT t, CAST(n AS DOUBLE) AS n,
+        |    CAST(sx AS DOUBLE) / 1000.0 AS sxd,
+        |    CAST(sy AS DOUBLE) / 1000.0 AS syd,
+        |    CAST(sxx AS DOUBLE) / 1000000.0 AS sxxd,
+        |    CAST(sxy AS DOUBLE) / 1000000.0 AS sxyd,
+        |    CAST(syy AS DOUBLE) / 1000000.0 AS syyd,
+        |    CAST(gn AS DOUBLE) AS gnd,
+        |    CAST(gsx AS DOUBLE) / 1000.0 AS gsxd,
+        |    CAST(gsy AS DOUBLE) / 1000.0 AS gsyd,
+        |    CAST(gsxx AS DOUBLE) / 1000000.0 AS gsxxd,
+        |    CAST(gsxy AS DOUBLE) / 1000000.0 AS gsxyd
+        |  FROM arms CROSS JOIN tot),
+        |k AS (SELECT t, n, sxd / n AS mx, syd / n AS my,
+        |    (sxxd - sxd * sxd / n) / (n - 1) AS vx,
+        |    (syyd - syd * syd / n) / (n - 1) AS vy,
+        |    (sxyd - sxd * syd / n) / (n - 1) AS cxy,
+        |    gsxd / gnd AS gmx,
+        |    (gsxxd - gsxd * gsxd / gnd) / (gnd - 1) AS gvx,
+        |    (gsxyd - gsxd * gsyd / gnd) / (gnd - 1) AS gcxy
+        |  FROM j),
+        |f AS (SELECT *, CASE WHEN gvx > 0 THEN gcxy / gvx END AS theta FROM k)
+        |SELECT CASE WHEN t THEN 'treatment' ELSE 'control' END AS arm,
+        |  CAST(n AS BIGINT) AS n_users,
+        |  round(my, 6) AS mean_y,
+        |  round(CASE WHEN theta IS NOT NULL
+        |    THEN my - theta * (mx - gmx) END, 6) + 0.0 AS mean_cuped,
+        |  round(vy, 6) AS var_y,
+        |  round(CASE WHEN theta IS NOT NULL
+        |    THEN vy - 2.0 * theta * cxy + theta * theta * vx END, 6) + 0.0
+        |    AS var_cuped,
+        |  round(CASE WHEN theta IS NOT NULL AND vy > 0
+        |    THEN 1.0 - (vy - 2.0 * theta * cxy + theta * theta * vx) / vy
+        |    END, 6) + 0.0 AS var_reduction,
+        |  round(theta, 6) + 0.0 AS theta
+        |FROM f ORDER BY arm""".stripMargin,
+
+    // Mann-Whitney: ×2-scaled midranks keep every intermediate an
+    // exact integer over the O(|value grid|) histogram; z/p via the
+    // q155 erfc polynomial with identical literals
+    "q217_mann_whitney" ->
+      """WITH h AS (SELECT CAST(round(value * 1000) AS BIGINT) AS v3,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n2
+        |  FROM events WHERE value IS NOT NULL
+        |    AND event_type IN ('purchase', 'view')
+        |  GROUP BY 1),
+        |c AS (SELECT *, coalesce(sum(n1 + n2) OVER (ORDER BY v3
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+        |      n1 + n2 AS tcell FROM h),
+        |m AS (SELECT sum(n1) AS n1t, sum(n2) AS n2t,
+        |    sum(CAST(n1 AS HUGEINT)
+        |      * (CAST(below AS HUGEINT) * 2 + CAST(tcell AS HUGEINT) + 1))
+        |      AS r1x2,
+        |    sum(CAST(tcell AS HUGEINT) * CAST(tcell AS HUGEINT)
+        |      * CAST(tcell AS HUGEINT) - CAST(tcell AS HUGEINT)) AS ties
+        |  FROM c),
+        |g AS (SELECT CAST(n1t AS DOUBLE) AS n1, CAST(n2t AS DOUBLE) AS n2,
+        |    CAST(r1x2 AS DOUBLE) AS r1x2, CAST(ties AS DOUBLE) AS tsum FROM m),
+        |u AS (SELECT n1, n2, r1x2 / 2.0 - n1 * (n1 + 1) / 2.0 AS u,
+        |    n1 + n2 AS nn, tsum FROM g),
+        |z0 AS (SELECT *, n1 * n2 / 2.0 AS mu,
+        |    n1 * n2 / 12.0 * ((nn + 1) - tsum / (nn * (nn - 1))) AS varu FROM u),
+        |zz AS (SELECT *, CASE WHEN varu > 0
+        |    THEN round((u - mu) / sqrt(varu), 4) + 0.0 END AS z FROM z0),
+        |p AS (SELECT *, abs(z) / sqrt(2.0) AS x,
+        |    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS kk FROM zz)
+        |SELECT CAST(n1 AS BIGINT) AS n_purchase, CAST(n2 AS BIGINT) AS n_view,
+        |  round(u, 1) AS u_stat, z,
+        |  round((((((1.061405429 * kk - 1.453152027) * kk) + 1.421413741) * kk
+        |    - 0.284496736) * kk + 0.254829592) * kk * exp(-(x * x)), 6)
+        |    AS p_value
+        |FROM p ORDER BY n_purchase""".stripMargin,
+
+    // KS: the sup runs over exact integers |c1·N2 − c2·N1| per grid
+    // cell; argmax tie-break = lowest value
+    "q218_ks_test" ->
+      """WITH h AS (SELECT CAST(round(value * 1000) AS BIGINT) AS v3,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n2
+        |  FROM events WHERE value IS NOT NULL
+        |    AND event_type IN ('purchase', 'view')
+        |  GROUP BY 1),
+        |tot AS (SELECT sum(n1) AS n1t, sum(n2) AS n2t FROM h),
+        |cum AS (SELECT v3, n1t, n2t,
+        |    sum(CAST(n1 AS HUGEINT)) OVER w AS c1,
+        |    sum(CAST(n2 AS HUGEINT)) OVER w AS c2
+        |  FROM h CROSS JOIN tot
+        |  WINDOW w AS (ORDER BY v3
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |d AS (SELECT *, abs(c1 * CAST(n2t AS HUGEINT)
+        |    - c2 * CAST(n1t AS HUGEINT)) AS idiff FROM cum),
+        |top AS (SELECT * FROM (SELECT *,
+        |    row_number() OVER (ORDER BY idiff DESC, v3 ASC) AS rk FROM d)
+        |  WHERE rk = 1),
+        |sel AS (SELECT CAST(n1t AS BIGINT) AS n_purchase,
+        |    CAST(n2t AS BIGINT) AS n_view,
+        |    round(CAST(idiff AS DOUBLE)
+        |      / (CAST(n1t AS DOUBLE) * CAST(n2t AS DOUBLE)), 6) AS d_stat,
+        |    CAST(v3 AS DOUBLE) / 1000.0 AS at_value,
+        |    round(1.358 * sqrt((CAST(n1t AS DOUBLE) + CAST(n2t AS DOUBLE))
+        |      / (CAST(n1t AS DOUBLE) * CAST(n2t AS DOUBLE))), 6) AS crit_05
+        |  FROM top)
+        |SELECT n_purchase, n_view, d_stat, at_value, crit_05,
+        |  CAST(CASE WHEN d_stat > crit_05 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS reject_05
+        |FROM sel ORDER BY n_purchase""".stripMargin,
+
+    // EB shrinkage: q37 quality on the 1e-6 grid -> exact per-source
+    // moments; the two cross-source double folds run source-ORDERED
+    // (the q181 sequential-sum convention)
+    "q219_eb_shrinkage" -> {
+      s"""WITH d AS (SELECT source, n_chars, ${tok("text")} AS words
+         |  FROM documents WHERE text IS NOT NULL),
+         |s AS (SELECT source,
+         |    CAST(len(words) AS BIGINT) AS n_tokens,
+         |    round(CAST(len(list_distinct(words)) AS DOUBLE)
+         |      / greatest(len(words), 1), 6) AS ttr,
+         |    round(CAST(len(list_filter(words, w -> w IN $stoplist)) AS DOUBLE)
+         |      / greatest(len(words), 1), 6) AS stop_share
+         |  FROM d),
+         |q AS (SELECT source, CAST(round(round(least(ttr * 2.0, 1.0) * 0.5
+         |      + CASE WHEN n_tokens BETWEEN 20 AND 400 THEN 0.3 ELSE 0.0 END
+         |      + least(stop_share * 3.0, 0.2), 6) * 1000000) AS BIGINT) AS q6
+         |  FROM s),
+         |per AS (SELECT source, count(*) AS n, sum(q6) AS s,
+         |    sum(CAST(q6 AS HUGEINT) * CAST(q6 AS HUGEINT)) AS ss
+         |  FROM q GROUP BY 1),
+         |w1 AS (SELECT source, n, s, ss,
+         |    sum(n) OVER wa AS bign, count(*) OVER wa AS k,
+         |    sum(s) OVER wa AS gs,
+         |    sum(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) OVER wa AS sn2
+         |  FROM per WINDOW wa AS (ORDER BY source
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+         |c AS (SELECT source, n,
+         |    CAST(n AS DOUBLE) AS nd, CAST(s AS DOUBLE) / 1000000.0 AS sd,
+         |    CAST(ss AS DOUBLE) / 1e12 AS ssd, CAST(bign AS DOUBLE) AS bnd,
+         |    CAST(k AS DOUBLE) AS kd, CAST(gs AS DOUBLE) / 1000000.0 AS gsd,
+         |    CAST(sn2 AS DOUBLE) AS sn2d
+         |  FROM w1),
+         |c2 AS (SELECT *, sd / nd AS m, gsd / bnd AS mu FROM c),
+         |c3 AS (SELECT *,
+         |    sum(ssd - sd * sd / nd) OVER wa AS wss,
+         |    sum(nd * (m - mu) * (m - mu)) OVER wa AS bss
+         |  FROM c2 WINDOW wa AS (ORDER BY source
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+         |c4 AS (SELECT *, wss / (bnd - kd) AS sig2, bss / (kd - 1) AS msb,
+         |    (bnd - sn2d / bnd) / (kd - 1) AS n0 FROM c3),
+         |c5 AS (SELECT *, greatest((msb - sig2) / n0, 0.0) AS tau2 FROM c4),
+         |c6 AS (SELECT *, CASE WHEN tau2 + sig2 / nd > 0
+         |    THEN tau2 / (tau2 + sig2 / nd) ELSE 0.0 END AS shrink FROM c5)
+         |SELECT source, CAST(n AS BIGINT) AS n_docs,
+         |  round(m, 6) AS raw_mean,
+         |  round(mu + shrink * (m - mu), 6) AS shrunk_mean,
+         |  round(shrink, 6) AS shrink_weight,
+         |  round(tau2, 8) AS tau2
+         |FROM c6 ORDER BY source""".stripMargin
+    },
+
+    // ACF1/DW from exact 1e-3-grid integer series moments (one
+    // ordered-window pass); row lag over observed days (q126)
+    "q220_autocorr" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    sum(CAST(round(value * 1000) AS BIGINT)) AS y3
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |    AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |l AS (SELECT event_type, d, y3,
+        |    lag(y3) OVER (PARTITION BY event_type ORDER BY d) AS yl FROM daily),
+        |m AS (SELECT event_type, count(*) AS n, sum(y3) AS s,
+        |    sum(CAST(y3 AS HUGEINT) * CAST(y3 AS HUGEINT)) AS ss,
+        |    sum(CASE WHEN yl IS NOT NULL
+        |      THEN CAST(y3 AS HUGEINT) * CAST(yl AS HUGEINT)
+        |      ELSE 0 END) AS sl,
+        |    sum(CASE WHEN yl IS NOT NULL
+        |      THEN (CAST(y3 AS HUGEINT) - CAST(yl AS HUGEINT))
+        |         * (CAST(y3 AS HUGEINT) - CAST(yl AS HUGEINT))
+        |      ELSE 0 END) AS sd2,
+        |    min_by(y3, d) AS yfirst, max_by(y3, d) AS ylast
+        |  FROM l GROUP BY 1),
+        |c AS (SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |    CAST(n AS DOUBLE) AS nd,
+        |    CAST(s AS DOUBLE) / 1000.0 AS sd,
+        |    CAST(ss AS DOUBLE) / 1000000.0 AS ssd,
+        |    CAST(sl AS DOUBLE) / 1000000.0 AS sld,
+        |    CAST(sd2 AS DOUBLE) / 1000000.0 AS sd2d,
+        |    CAST(yfirst AS DOUBLE) / 1000.0 AS y1,
+        |    CAST(ylast AS DOUBLE) / 1000.0 AS yn
+        |  FROM m WHERE n >= 3),
+        |e AS (SELECT *, sd / nd AS ybar, ssd - sd * sd / nd AS css FROM c)
+        |SELECT event_type, n_days,
+        |  round(ybar, 4) AS mean_daily,
+        |  round(CASE WHEN css > 0
+        |    THEN (sld - ybar * (sd - y1) - ybar * (sd - yn)
+        |      + (nd - 1) * ybar * ybar) / css END, 4) + 0.0 AS acf1,
+        |  round(CASE WHEN css > 0 THEN sd2d / css END, 4) AS dw
+        |FROM e ORDER BY event_type""".stripMargin,
+
+    // empirical-Bernstein bounds: per-source closed-form arithmetic on
+    // exact 1e-6-grid moments; ln(3/0.05) spelled ln(60.0) — 3.0/0.05
+    // is NOT the exact double 60
+    "q221_bernstein_bounds" -> {
+      s"""WITH d AS (SELECT source, n_chars, ${tok("text")} AS words
+         |  FROM documents WHERE text IS NOT NULL),
+         |s AS (SELECT source,
+         |    CAST(len(words) AS BIGINT) AS n_tokens,
+         |    round(CAST(len(list_distinct(words)) AS DOUBLE)
+         |      / greatest(len(words), 1), 6) AS ttr,
+         |    round(CAST(len(list_filter(words, w -> w IN $stoplist)) AS DOUBLE)
+         |      / greatest(len(words), 1), 6) AS stop_share
+         |  FROM d),
+         |q AS (SELECT source, CAST(round(round(least(ttr * 2.0, 1.0) * 0.5
+         |      + CASE WHEN n_tokens BETWEEN 20 AND 400 THEN 0.3 ELSE 0.0 END
+         |      + least(stop_share * 3.0, 0.2), 6) * 1000000) AS BIGINT) AS q6
+         |  FROM s),
+         |per AS (SELECT source, count(*) AS n, sum(q6) AS s,
+         |    sum(CAST(q6 AS HUGEINT) * CAST(q6 AS HUGEINT)) AS ss
+         |  FROM q GROUP BY 1),
+         |c AS (SELECT source, CAST(n AS BIGINT) AS n_docs,
+         |    CAST(n AS DOUBLE) AS nd,
+         |    CAST(s AS DOUBLE) / 1000000.0 AS sd,
+         |    CAST(ss AS DOUBLE) / 1e12 AS ssd
+         |  FROM per WHERE n >= 2),
+         |e AS (SELECT *, sd / nd AS m,
+         |    (ssd - sd * sd / nd) / (nd - 1) AS v FROM c),
+         |f AS (SELECT *, sqrt(2.0 * v * ln(60.0) / nd)
+         |    + 3.0 * ln(60.0) / nd AS margin FROM e),
+         |o AS (SELECT source, n_docs, round(m, 6) AS mean_q,
+         |    round(v, 8) AS var_q,
+         |    round(m - margin, 6) + 0.0 AS lb_95,
+         |    round(m + margin, 6) AS ub_95 FROM f)
+         |SELECT source, n_docs, mean_q, var_q, lb_95, ub_95,
+         |  CAST(CASE WHEN ub_95 < 0.5 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS confidently_low
+         |FROM o ORDER BY source""".stripMargin
+    },
+
+    // banding planner: powers as LEFT-ASSOC multiplication chains and
+    // s* = exp(ln(1/b)/r) — cross-engine pow() bit-parity is NOT
+    // established, ln/exp and products are. Generated from the same
+    // Dedup.BandingConfigs constants as the Spark plan.
+    "q222_banding_planner" -> {
+      val blocks = operators.Dedup.BandingConfigs.map { case (b, r) =>
+        val sr = Seq.fill(r)("s").mkString(" * ")
+        val qb = Seq.fill(b)(s"(1.0 - $sr)").mkString(" * ")
+        s"""SELECT CAST($b AS BIGINT) AS bands,
+           |  CAST($r AS BIGINT) AS rows_per_band, s,
+           |  round(1.0 - $qb, 6) AS p_collide,
+           |  round(exp(ln(1.0 / $b) / ${r.toDouble}), 6) AS s_threshold
+           |FROM grid""".stripMargin
+      }
+      s"""WITH grid AS (SELECT CAST(unnest(range(1, 20)) AS DOUBLE) / 20.0 AS s)
+         |${blocks.mkString("\n", "\nUNION ALL\n", "\n")}
+         |ORDER BY rows_per_band, s""".stripMargin
+    },
+
+    // threshold stability: the q201 recursive-closure pattern run at
+    // BOTH taus on one scored pair set; pair-counting sums exact
+    // (×2-scaled, HUGEINT); singleton-free contested universe by
+    // documented scope
+    "q223_threshold_stability" ->
+      s"""WITH RECURSIVE $simhashCandCte,
+         |p45 AS MATERIALIZED (SELECT id_a, id_b,
+         |    round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+         |  FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+         |            JOIN e eb ON eb.vec_id = cand.id_b
+         |  WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.45),
+         |ed45 AS (SELECT id_a AS a, id_b AS b FROM p45
+         |         UNION SELECT id_b, id_a FROM p45),
+         |r45(id, r) AS (SELECT DISTINCT a, a FROM ed45
+         |               UNION
+         |               SELECT ed.a, r45.r FROM ed45 ed
+         |               JOIN r45 ON r45.id = ed.b),
+         |cl45 AS (SELECT id, min(r) AS c45 FROM r45 GROUP BY id),
+         |p60 AS (SELECT id_a, id_b FROM p45 WHERE cos_sim >= 0.6),
+         |ed60 AS (SELECT id_a AS a, id_b AS b FROM p60
+         |         UNION SELECT id_b, id_a FROM p60),
+         |r60(id, r) AS (SELECT DISTINCT a, a FROM ed60
+         |               UNION
+         |               SELECT ed.a, r60.r FROM ed60 ed
+         |               JOIN r60 ON r60.id = ed.b),
+         |cl60 AS (SELECT id, min(r) AS c60 FROM r60 GROUP BY id),
+         |asg AS (SELECT cl45.id, cl45.c45, coalesce(cl60.c60, cl45.id) AS c60
+         |        FROM cl45 LEFT JOIN cl60 ON cl60.id = cl45.id),
+         |cells AS (SELECT c45, c60, count(*) AS nij FROM asg GROUP BY 1, 2),
+         |sij AS (SELECT sum(CAST(nij AS HUGEINT) * (CAST(nij AS HUGEINT) - 1))
+         |          AS sij2, sum(nij) AS n FROM cells),
+         |sa AS (SELECT sum(CAST(ai AS HUGEINT) * (CAST(ai AS HUGEINT) - 1))
+         |          AS sa2, count(*) AS k45
+         |       FROM (SELECT c45, sum(nij) AS ai FROM cells GROUP BY 1)),
+         |sb AS (SELECT sum(CAST(bj AS HUGEINT) * (CAST(bj AS HUGEINT) - 1))
+         |          AS sb2, count(*) AS k60
+         |       FROM (SELECT c60, sum(nij) AS bj FROM cells GROUP BY 1)),
+         |np1 AS (SELECT count(*) AS n_pairs_045 FROM p45),
+         |np2 AS (SELECT count(*) AS n_pairs_060 FROM p60),
+         |base AS (SELECT CAST(coalesce(n, 0) AS BIGINT) AS n_vectors,
+         |    n_pairs_045,
+         |    n_pairs_060, CAST(k45 AS BIGINT) AS n_clusters_045,
+         |    CAST(k60 AS BIGINT) AS n_clusters_060,
+         |    CAST(coalesce(n, 0) AS DOUBLE) AS nd,
+         |    CAST(sij2 AS DOUBLE) AS sij2d,
+         |    CAST(sa2 AS DOUBLE) AS sa2d, CAST(sb2 AS DOUBLE) AS sb2d
+         |  FROM sij CROSS JOIN sa CROSS JOIN sb
+         |  CROSS JOIN np1 CROSS JOIN np2),
+         |calc AS (SELECT *, nd * (nd - 1) AS rr FROM base),
+         |calc2 AS (SELECT *, CASE WHEN rr > 0
+         |    THEN sa2d / 2.0 * (sb2d / 2.0) / (rr / 2.0) END AS expected
+         |  FROM calc),
+         |calc3 AS (SELECT *, CASE WHEN expected IS NOT NULL
+         |    THEN (sa2d / 2.0 + sb2d / 2.0) / 2.0 - expected END AS denom
+         |  FROM calc2)
+         |SELECT n_vectors, n_pairs_045, n_pairs_060, n_clusters_045,
+         |  n_clusters_060,
+         |  round(CASE WHEN rr > 0
+         |    THEN (rr + 2.0 * sij2d - sa2d - sb2d) / rr END, 6) AS rand_index,
+         |  round(CASE WHEN denom IS NOT NULL AND abs(denom) > 0
+         |    THEN (sij2d / 2.0 - expected) / denom END, 6) + 0.0 AS ari
+         |FROM calc3 ORDER BY n_vectors""".stripMargin,
+
+    // nprobe sweep: the q148 CTEs with a probe-count series; nested
+    // probe sets (crk <= np), one fit/truth shared across the sweep
+    "q224_nprobe_sweep" ->
+      s"""WITH $kmeansCte,
+         |mem AS (SELECT a.vec_id AS n_id, a.cluster, e.v AS nv
+         |        FROM af a JOIN e ON e.vec_id = a.vec_id),
+         |csz AS (SELECT cluster, count(*) AS csz FROM af GROUP BY 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         |pr AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS np),
+         |qr AS (SELECT q_id, qv, cluster, crk FROM (
+         |    SELECT q_id, qv, cluster, row_number() OVER
+         |      (PARTITION BY q_id ORDER BY cdist, cluster) AS crk
+         |    FROM (SELECT q.q_id, q.qv, c.cluster,
+         |                 round(${sqDistSql("q.qv", "c.cv")}, 6) AS cdist
+         |          FROM q CROSS JOIN $kmeansLast c) s0) t WHERE crk <= 8),
+         |qc AS (SELECT pr.np, qr.q_id, qr.qv, qr.cluster
+         |       FROM qr JOIN pr ON qr.crk <= pr.np),
+         |ivf AS (SELECT np, q_id, n_id FROM (
+         |    SELECT qc.np, qc.q_id, m.n_id, row_number() OVER
+         |      (PARTITION BY qc.np, qc.q_id ORDER BY
+         |         round(${sqDistSql("qc.qv", "m.nv")}, 6), m.n_id) AS rank
+         |    FROM mem m JOIN qc USING (cluster)
+         |    WHERE m.n_id <> qc.q_id) t WHERE rank <= 10),
+         |truth AS (SELECT q_id, n_id FROM (
+         |    SELECT q.q_id, e.vec_id AS n_id, row_number() OVER
+         |      (PARTITION BY q.q_id ORDER BY
+         |         round(${sqDistSql("q.qv", "e.v")}, 6), e.vec_id) AS rank
+         |    FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id) t
+         |  WHERE rank <= 10),
+         |tn AS (SELECT pr.np, t.q_id, t.n_id FROM truth t CROSS JOIN pr),
+         |ov AS (SELECT tn.np, tn.q_id,
+         |         CAST(count(i.n_id) AS BIGINT) AS n_overlap
+         |       FROM tn LEFT JOIN ivf i
+         |         ON i.np = tn.np AND i.q_id = tn.q_id AND i.n_id = tn.n_id
+         |       GROUP BY 1, 2),
+         |sc AS (SELECT np, q_id, sum(csz) AS n_raw
+         |       FROM qc JOIN csz USING (cluster) GROUP BY 1, 2)
+         |SELECT sc.np AS nprobe, sc.q_id AS q_id,
+         |  CAST(sc.n_raw - 1 AS BIGINT) AS n_scanned, ov.n_overlap,
+         |  round(ov.n_overlap / 10.0, 4) AS recall_at_10
+         |FROM sc JOIN ov ON ov.np = sc.np AND ov.q_id = sc.q_id
+         |ORDER BY nprobe, sc.q_id""".stripMargin,
+
+    // PQ distortion: mean distances on the exact x1e6 grid (dist is
+    // already 6-dp rounded); min/max/distinct order-independent
+    "q225_pq_distortion" ->
+      s"""WITH $pqCodesCte
+         |SELECT sub, CAST(count(*) AS BIGINT) AS n_vectors,
+         |  round(CAST(sum(CAST(round(dist * 1000000) AS BIGINT)) AS DOUBLE)
+         |    / count(*) / 1000000.0, 6) AS mean_sqdist,
+         |  max(dist) AS max_sqdist,
+         |  CAST(count(DISTINCT code) AS BIGINT) AS n_codes_used
+         |FROM codes WHERE NOT isnan(dist) GROUP BY sub ORDER BY sub""".stripMargin,
+
+    // encoder consistency: q30 md5 groups -> consecutive-member pairs
+    // (lead per hash, O(group) pairs) -> exact cosine cross-check
+    "q226_encoder_consistency" ->
+      """WITH d AS (SELECT doc_id, source, md5(text) AS h
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT source, doc_id AS id_a,
+        |        lead(doc_id, 1) OVER (PARTITION BY h ORDER BY doc_id) AS id_b
+        |      FROM d),
+        |pp AS (SELECT source, id_a, id_b FROM p WHERE id_b IS NOT NULL),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sc AS (SELECT pp.source,
+        |        round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+        |      FROM pp JOIN e ea ON ea.vec_id = pp.id_a
+        |              JOIN e eb ON eb.vec_id = pp.id_b),
+        |g AS (SELECT source, count(*) AS n_dup_pairs,
+        |    CAST(sum(CASE WHEN cos_sim < 0.999 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_mismatch,
+        |    min(cos_sim) + 0.0 AS min_cos
+        |  FROM sc GROUP BY source)
+        |SELECT source, n_dup_pairs, n_mismatch,
+        |  round(CAST(n_mismatch AS DOUBLE) / n_dup_pairs, 6) AS mismatch_rate,
+        |  min_cos
+        |FROM g ORDER BY source""".stripMargin,
+
+    // signal agreement: q49 candidate universe x (q31 MinHash verdict,
+    // cosine verdict) -> one exact 2x2 -> kappa (the q191 algebra);
+    // po/pe computed UNROUNDED for kappa, rounded only at output
+    "q227_signal_agreement" -> {
+      val mins = operators.Dedup.minhashBands
+        .map { case (band, a, b) => s"min((h * $a + $b) % 1000000007) AS m$band" }
+        .mkString(",\n|    ")
+      val nEqual = operators.Dedup.minhashBands.indices
+        .map(k => s"(CASE WHEN sa.m$k = sb.m$k THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $simhashCandCte,
+         |sc AS (SELECT cand.id_a, cand.id_b,
+         |        round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+         |      FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+         |                JOIN e eb ON eb.vec_id = cand.id_b),
+         |tok2 AS (SELECT DISTINCT doc_id, word FROM
+         |  (SELECT doc_id, unnest(${tok("text")}) AS word FROM documents) t),
+         |wh AS (SELECT doc_id, ${tokenId("word")} AS h FROM tok2),
+         |msig AS (SELECT doc_id,
+         |    $mins
+         |  FROM wh GROUP BY doc_id),
+         |verd AS (SELECT (($nEqual) >= 2) AS a, (sc.cos_sim >= 0.45) AS b
+         |      FROM sc JOIN msig sa ON sa.doc_id = sc.id_a
+         |              JOIN msig sb ON sb.doc_id = sc.id_b),
+         |cells AS (SELECT count(*) AS n_pairs,
+         |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         |    CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n10,
+         |    CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n01,
+         |    CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n00
+         |  FROM verd),
+         |k AS (SELECT *,
+         |    CASE WHEN n_pairs > 0
+         |      THEN CAST(n11 + n00 AS DOUBLE) / n_pairs END AS po,
+         |    CASE WHEN n_pairs > 0 THEN
+         |      (CAST(n11 + n10 AS DOUBLE) / n_pairs)
+         |        * (CAST(n11 + n01 AS DOUBLE) / n_pairs)
+         |      + (CAST(n01 + n00 AS DOUBLE) / n_pairs)
+         |        * (CAST(n10 + n00 AS DOUBLE) / n_pairs)
+         |    END AS pe FROM cells)
+         |SELECT n_pairs, n11, n10, n01, n00,
+         |  round(po, 6) AS po, round(pe, 6) AS pe,
+         |  round(CASE WHEN pe < 1.0 THEN (po - pe) / (1.0 - pe) END, 6) + 0.0
+         |    AS kappa
+         |FROM k ORDER BY n_pairs""".stripMargin
+    },
   )
 
   /** q162b is the hour-sharded PHYSICAL form of q162 — identical

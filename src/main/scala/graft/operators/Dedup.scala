@@ -885,4 +885,203 @@ object Dedup {
           col("n_docs") - col("n_clusters")).otherwise(0L))
       .orderBy("cluster_size")
   }
+
+  /** The (bands, rows-per-band) splits of the 8 MinHash functions a
+    * banding planner can choose among — shared literally with the q222
+    * oracle. */
+  val BandingConfigs: Seq[(Int, Int)] = Seq((8, 1), (4, 2), (2, 4), (1, 8))
+
+  /** q222: LSH banding PLANNER — the closed-form collision s-curve
+    * p(s) = 1 − (1 − sʳ)ᵇ for every (b, r) split of the shipped 8
+    * MinHash functions, beside each config's threshold s* = (1/b)^(1/r)
+    * (Mining of Massive Datasets §3.4, the standard banding analysis).
+    * q203 MEASURES what the shipped banding recalls on this corpus;
+    * this is the a-priori curve you consult BEFORE re-hashing 100 TB
+    * with a different (b, r) — pure arithmetic over a 19-point
+    * similarity grid × 4 configs, no corpus scan at all.
+    *
+    * Parity: powers unroll to LEFT-ASSOCIATED multiplication chains
+    * (sʳ = s·s·…, (1−sʳ)ᵇ likewise) and s* is spelled exp(ln(1/b)/r) —
+    * cross-engine pow() bit-parity is NOT established, ln/exp and
+    * products are (the q154/q155 precedent). */
+  def q222BandingPlanner(spark: SparkSession, dir: String): DataFrame = {
+    val grid = spark.range(1, 20)
+      .select((col("id").cast("double") / 20.0).as("s"))
+    BandingConfigs.map { case (b, r) =>
+      val sr = (1 to r).map(_ => col("s")).reduce(_ * _)
+      val qb = (1 to b).map(_ => lit(1.0) - sr).reduce(_ * _)
+      grid.select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+        col("s"),
+        round(lit(1.0) - qb, 6).as("p_collide"),
+        round(exp(log(lit(1.0) / b) / lit(r.toDouble)), 6).as("s_threshold"))
+    }.reduce(_ unionAll _)
+      .orderBy("rows_per_band", "s")
+  }
+
+  /** q223: dedup threshold STABILITY — Rand index and adjusted Rand
+    * index between the cluster resolutions at τ = 0.45 (the shipped
+    * q49/q68 gate) and τ = 0.60: the "how much does my dedup decision
+    * actually change if I tighten the gate" number that turns q212's
+    * pair counts into a partition-level answer (pairs can shift a lot
+    * while the de-duplicated corpus barely moves, and vice versa).
+    * ARI ≈ 1 says the threshold choice is a non-event; ARI ≪ 1 says
+    * the corpus sits exactly in the contested cosine band and the
+    * gate needs the q203-style measured calibration.
+    *
+    * Scale shape: the banding + exact rescoring runs ONCE
+    * (localCheckpoint), both closures run on the EDGE list (bounded by
+    * candidates, never the corpus), and all pair-counting sums are
+    * exact integers over the O(clusters²-joint) contingency cells —
+    * C(n,2) terms carried ×2 (n(n−1)) so nothing divides until the
+    * final closed-form doubles. Vectors on no 0.45-edge are singletons
+    * in BOTH partitions — they agree trivially and only shift both
+    * indices toward 1, so the report scopes to the contested universe
+    * (documented; the oracle mirrors the same scope). */
+  def q223ThresholdStability(spark: SparkSession, dir: String): DataFrame = {
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs45 = blockedEmbeddingNearDup(e, 0.45)
+      .select("id_a", "id_b", "cos_sim").localCheckpoint()
+    val pairs60 = pairs45.filter(col("cos_sim") >= 0.6)
+    val c45 = Graph.connectedComponents(pairs45.select("id_a", "id_b"))
+      .select(col("id"), col("label").as("c45"))
+    val c60 = Graph.connectedComponents(pairs60.select("id_a", "id_b"))
+      .select(col("id"), col("label").as("c60"))
+    val assigned = c45.join(c60, Seq("id"), "left")
+      .select(col("id"), col("c45"), coalesce(col("c60"), col("id")).as("c60"))
+    val cells = assigned.groupBy("c45", "c60").agg(count(lit(1)).as("nij"))
+      .localCheckpoint() // O(joint clusters) rows, three consumers
+    val sij = cells.agg(
+      sum(d38(col("nij")) * (d38(col("nij")) - 1)).as("sij2"),
+      sum(col("nij")).as("n"))
+    val sa = cells.groupBy("c45").agg(sum(col("nij")).as("ai"))
+      .agg(sum(d38(col("ai")) * (d38(col("ai")) - 1)).as("sa2"),
+        count(lit(1)).as("k45"))
+    val sb = cells.groupBy("c60").agg(sum(col("nij")).as("bj"))
+      .agg(sum(d38(col("bj")) * (d38(col("bj")) - 1)).as("sb2"),
+        count(lit(1)).as("k60"))
+    val np45 = pairs45.agg(count(lit(1)).as("n_pairs_045"))
+    val np60 = pairs60.agg(count(lit(1)).as("n_pairs_060"))
+    sij.crossJoin(sa).crossJoin(sb).crossJoin(np45).crossJoin(np60)
+      .select(coalesce(col("n"), lit(0L)).cast("long").as("n_vectors"),
+        col("n_pairs_045"), col("n_pairs_060"),
+        col("k45").as("n_clusters_045"), col("k60").as("n_clusters_060"),
+        coalesce(col("n"), lit(0L)).cast("double").as("nd"),
+        col("sij2").cast("double").as("sij2d"),
+        col("sa2").cast("double").as("sa2d"),
+        col("sb2").cast("double").as("sb2d"))
+      .withColumn("rr", col("nd") * (col("nd") - 1))
+      .withColumn("rand_index", round(when(col("rr") > 0,
+        (col("rr") + lit(2.0) * col("sij2d") - col("sa2d") - col("sb2d"))
+          / col("rr")), 6))
+      .withColumn("expected", when(col("rr") > 0,
+        col("sa2d") / 2.0 * (col("sb2d") / 2.0) / (col("rr") / 2.0)))
+      .withColumn("denom", when(col("expected").isNotNull,
+        (col("sa2d") / 2.0 + col("sb2d") / 2.0) / 2.0 - col("expected")))
+      .withColumn("ari", round(when(
+        col("denom").isNotNull && abs(col("denom")) > 0,
+        (col("sij2d") / 2.0 - col("expected")) / col("denom")), 6))
+      .select("n_vectors", "n_pairs_045", "n_pairs_060", "n_clusters_045",
+        "n_clusters_060", "rand_index", "ari")
+      .orderBy("n_vectors")
+  }
+
+  /** q226: encoder-consistency audit — docs with IDENTICAL text whose
+    * embeddings disagree. Same input must embed to (numerically) the
+    * same vector; a cosine below ~1 on an exact-dup pair means the
+    * encoder is non-deterministic, version-drifted mid-backfill, or
+    * the vector store is keyed wrong — a silent poison for every
+    * ANN/dedup result built on the store, detectable ONLY by this
+    * cross-check (each pipeline is self-consistent on its own).
+    *
+    * Scale shape: exact-dup pairs come from the q30 md5 groups as
+    * CONSECUTIVE members per group (a lead() per hash — O(group)
+    * pairs, never O(group²): consecutive pairs already witness every
+    * group, since same-text ⇒ same expected vector is transitive);
+    * two key joins fetch the vectors; O(sources) output. */
+  def q226EncoderConsistency(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.CosineSim
+    val w = Window.partitionBy("h").orderBy("doc_id")
+    val pairs = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        md5(col("text").cast("binary")).as("h"))
+      .withColumn("id_b", lead("doc_id", 1).over(w))
+      .filter(col("id_b").isNotNull)
+      .select(col("source"), col("doc_id").as("id_a"), col("id_b"))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    pairs
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("source"),
+        round(CosineSim.cosine(col("va"), col("vb")), 6).as("cos_sim"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_dup_pairs"),
+        sum((col("cos_sim") < 0.999).cast("long")).as("n_mismatch"),
+        min("cos_sim").as("min_cos"))
+      .select(col("source"), col("n_dup_pairs"), col("n_mismatch"),
+        round(col("n_mismatch").cast("double") / col("n_dup_pairs"), 6)
+          .as("mismatch_rate"),
+        col("min_cos"))
+      .orderBy("source")
+  }
+
+  /** q227: dedup SIGNAL agreement — Cohen's κ between the two
+    * independent near-dup verdicts the engine ships, measured on the
+    * shared candidate universe (the q49 embedding banding): per pair,
+    * (a) the TEXT verdict — ≥ 2 of the 8 q31 MinHash band minima equal
+    * (the q42 LSH decision), and (b) the EMBEDDING verdict — exact
+    * cosine ≥ 0.45 (the q49 gate). κ ≈ 0 means the q86 hybrid's two
+    * signals fire on disjoint populations (both earn their keep);
+    * κ ≈ 1 means one of the two passes is redundant cost at 100 TB.
+    *
+    * Scale shape: candidates from ONE capped bucket-collect; MinHash
+    * signatures are the q31 aggregate; two key joins + a single 2×2
+    * cell fold — no doc×doc anywhere. κ algebra from exact integer
+    * cells (the q191 shape, one global table). */
+  def q227SignalAgreement(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.CosineSim
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cos = candidatePairs(simhashBandTable(e))
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(CosineSim.cosine(col("va"), col("vb")), 6).as("cos_sim"))
+    val mins = minhashBands.map { case (band, a, b) =>
+      min((col("h") * a + b) % Portable.P).as(s"m$band")
+    }
+    val sigs = docTokens(spark, dir)
+      .withColumn("h", Portable.tokenId(col("word")))
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+    val nEqual = minhashBands.indices
+      .map(k => when(col(s"sa.m$k") === col(s"sb.m$k"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cos
+      .join(sigs.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select((nEqual >= 2).as("a"), (col("cos_sim") >= 0.45).as("b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+      .select(col("n_pairs"), col("n11"), col("n10"), col("n01"), col("n00"),
+        when(col("n_pairs") > 0,
+          (col("n11") + col("n00")).cast("double") / col("n_pairs")).as("po"),
+        when(col("n_pairs") > 0,
+          ((col("n11") + col("n10")).cast("double") / col("n_pairs"))
+            * ((col("n11") + col("n01")).cast("double") / col("n_pairs"))
+            + ((col("n01") + col("n00")).cast("double") / col("n_pairs"))
+            * ((col("n10") + col("n00")).cast("double") / col("n_pairs")))
+          .as("pe"))
+      .select(col("n_pairs"), col("n11"), col("n10"), col("n01"), col("n00"),
+        round(col("po"), 6).as("po"), round(col("pe"), 6).as("pe"),
+        round(when(col("pe") < 1.0,
+          (col("po") - col("pe")) / (lit(1.0) - col("pe"))), 6).as("kappa"))
+      .orderBy("n_pairs")
+  }
 }

@@ -154,6 +154,71 @@ object KMeans {
       .orderBy("q_id")
   }
 
+  /** Probe counts swept by q224 (of K = 16 cells). */
+  val ProbeSweep: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** q224: IVF nprobe sweep — recall@10 AND vectors-scanned per query
+    * at nprobe ∈ {1, 2, 4, 8}: the cost/quality TRADEOFF CURVE behind
+    * q148's single recall point (q148 says what Nprobe = 4 recalls;
+    * this says what each extra probe buys and what it costs, which is
+    * the number that actually tunes a 100 TB deployment — scanned
+    * vectors IS the query's IO bill when cells are storage-clustered).
+    *
+    * One fit, one assignment, one truth pass (all shared across the
+    * sweep); the probe sets nest (crk ≤ np), so the sweep is a probe-
+    * table EXPLODE — the corpus-side join fans out only on the
+    * broadcast side. n_scanned = probed cell sizes − 1 (a query's own
+    * cell is always its crk = 1 probe, and self is excluded from
+    * candidates). */
+  def q224NprobeSweep(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = fit(e)
+    val members = assign(e, cents)
+      .select(col("vec_id").as("n_id"), col("v").as("nv"), col("cluster"))
+    val cellSizes = members.groupBy("cluster").agg(count(lit(1)).as("csz"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wq = Window.partitionBy("q_id").orderBy(asc("cdist"), asc("cluster"))
+    val probes = array(ProbeSweep.map(p => lit(p.toLong)): _*)
+    val qcells = q.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qv"), col("cluster"),
+        round(sqDist(col("qv"), col("cv")), 6).as("cdist"))
+      .withColumn("crk", row_number().over(wq))
+      .filter(col("crk") <= ProbeSweep.max)
+      .withColumn("np", explode(probes))
+      .filter(col("crk") <= col("np"))
+      .select("np", "q_id", "qv", "cluster")
+    val wx = Window.partitionBy("np", "q_id").orderBy(asc("l2sq"), asc("n_id"))
+    val ivf = members.join(broadcast(qcells), "cluster")
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("np"), col("q_id"), col("n_id"),
+        round(sqDist(col("qv"), col("nv")), 6).as("l2sq"))
+      .withColumn("rank", row_number().over(wx))
+      .filter(col("rank") <= 10)
+      .select(col("np"), col("q_id"), col("n_id"), lit(1L).as("hit"))
+    val wt = Window.partitionBy("q_id").orderBy(asc("l2sq"), asc("n_id"))
+    val truth = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(sqDist(col("qv"), col("v")), 6).as("l2sq"))
+      .withColumn("rank", row_number().over(wt))
+      .filter(col("rank") <= 10)
+      .select("q_id", "n_id")
+      .withColumn("np", explode(probes))
+    val overlap = truth.join(ivf, Seq("np", "q_id", "n_id"), "left")
+      .groupBy("np", "q_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+    val scanned = qcells.join(broadcast(cellSizes), "cluster")
+      .groupBy("np", "q_id")
+      .agg(sum("csz").as("n_raw"))
+    scanned.join(overlap, Seq("np", "q_id"))
+      .select(col("np").as("nprobe"), col("q_id"),
+        (col("n_raw") - 1).as("n_scanned"), col("n_overlap"),
+        round(col("n_overlap") / lit(10.0), 4).as("recall_at_10"))
+      .orderBy("nprobe", "q_id")
+  }
+
   /** Per-cluster sample quota for [[q158DiversitySample]]. */
   val SampleQuota = 8
 

@@ -297,4 +297,40 @@ object Quantize {
       .select(col("q_id"), col("rank"), col("n_id"), col("l2sq"), col("adc"))
       .orderBy("q_id", "rank")
   }
+
+  /** q225: PQ distortion report — per-subspace quantization error of
+    * the q114 code table: mean/max squared distance of assigned
+    * subvectors to their centroid plus codebook utilization (codes
+    * actually used of PqK). THE index-health readout for a deployed
+    * PQ store: a subspace with 2× the others' MSE dominates every ADC
+    * distance (q114b/q115 quality is gated by the worst subspace, not
+    * the average), and utilization ≪ PqK says the seeded codebook
+    * wasted codes — the signal that decides re-training the codebook
+    * BEFORE re-encoding 100 TB of vectors.
+    *
+    * One pass over the code table (already O(corpus × PqM) from a
+    * broadcast-codebook scan, no extra shuffle beyond the PqM-group
+    * fold); mean distances sum on the exact ×10⁶ grid (dist is
+    * 6-dp-rounded — the q155 fixed-point rule), min/max/distinct are
+    * order-independent. */
+  def q225PqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    pqCodes(e)
+      // a NaN dim makes the whole subvector's dist NaN — drop it from
+      // the report (the q177/q199 NaN-vector rule) instead of ANSI-
+      // throwing on the exact-grid cast; mirrored in the oracle
+      .filter(!isnan(col("dist")))
+      .groupBy("sub")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(round(col("dist") * 1000000, 0).cast("long").cast("decimal(38,0)"))
+          .as("s6"),
+        max("dist").as("max_sqdist"),
+        countDistinct("code").as("n_codes_used"))
+      .select(col("sub"), col("n_vectors"),
+        round(col("s6").cast("double") / col("n_vectors") / 1000000.0, 6)
+          .as("mean_sqdist"),
+        col("max_sqdist"), col("n_codes_used"))
+      .orderBy("sub")
+  }
 }

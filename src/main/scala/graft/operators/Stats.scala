@@ -889,4 +889,358 @@ object Stats {
           - col("r_c").cast("double") / col("n_c"), 6).as("gap"))
       .orderBy("week_offset")
   }
+
+  private def dec(c: Column): Column = c.cast("decimal(38,0)")
+
+  /** q216: CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM
+    * 2013) — the adjustment every mature A/B platform applies before
+    * reading a lift: regress each user's experiment-period value (Y)
+    * on their PRE-period value (X), report the residualized mean
+    * Y − θ(X − μx) per arm and how much variance the adjustment
+    * removed (the whole point: a 40 % variance cut is a 40 % shorter
+    * experiment at the same power, q195's planner fed better inputs).
+    *
+    * Period split = the q190 mid-day convention. All moments are
+    * EXACT integers on the 1e-3 grid (decimal(38,0)/HUGEINT — the
+    * q155 rule), and every variance is derived ALGEBRAICALLY:
+    * var(Y_cuped) = var(Y) − 2θcov + θ²var(X), never by accumulating
+    * per-user residual doubles (whose sum order differs across
+    * engines). θ pools both arms (the standard pre-experiment
+    * covariate is treatment-independent by construction). Corpus
+    * collapses to O(users) rows in one user-keyed exchange, then to
+    * O(arms) exact moment rows. */
+  def q216Cuped(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("value").isNotNull
+        && col("ts").isNotNull)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"),
+        round(col("value") * 1000, 0).cast("long").as("v3"))
+    val mid = ev.agg(floor((min("day") + max("day")) / 2.0).cast("long").as("mid"))
+    val per = ev.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(sum(when(col("day") <= col("mid"), col("v3")).otherwise(0L)).as("x3"),
+        sum(when(col("day") > col("mid"), col("v3")).otherwise(0L)).as("y3"))
+      .select(armOf(col("user_id")).as("t"), col("x3"), col("y3"))
+    val arms = per.groupBy("t")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("x3"))).as("sx"), sum(dec(col("y3"))).as("sy"),
+        sum(dec(col("x3")) * dec(col("x3"))).as("sxx"),
+        sum(dec(col("x3")) * dec(col("y3"))).as("sxy"),
+        sum(dec(col("y3")) * dec(col("y3"))).as("syy"))
+      .localCheckpoint() // O(2) rows feeding totals + the final select
+    val tot = arms.agg(sum("n").as("gn"), sum("sx").as("gsx"),
+      sum("sxx").as("gsxx"), sum("sxy").as("gsxy"), sum("sy").as("gsy"))
+    // exact integers → doubles with an expression tree the oracle
+    // mirrors literally (division order matters at the last ulp)
+    val j = arms.crossJoin(broadcast(tot))
+      .select(col("t"), col("n").cast("double").as("n"),
+        (col("sx").cast("double") / 1000.0).as("sxd"),
+        (col("sy").cast("double") / 1000.0).as("syd"),
+        (col("sxx").cast("double") / 1000000.0).as("sxxd"),
+        (col("sxy").cast("double") / 1000000.0).as("sxyd"),
+        (col("syy").cast("double") / 1000000.0).as("syyd"),
+        col("gn").cast("double").as("gnd"),
+        (col("gsx").cast("double") / 1000.0).as("gsxd"),
+        (col("gsy").cast("double") / 1000.0).as("gsyd"),
+        (col("gsxx").cast("double") / 1000000.0).as("gsxxd"),
+        (col("gsxy").cast("double") / 1000000.0).as("gsxyd"))
+      .select(col("t"), col("n"),
+        (col("sxd") / col("n")).as("mx"), (col("syd") / col("n")).as("my"),
+        ((col("sxxd") - col("sxd") * col("sxd") / col("n"))
+          / (col("n") - 1)).as("vx"),
+        ((col("syyd") - col("syd") * col("syd") / col("n"))
+          / (col("n") - 1)).as("vy"),
+        ((col("sxyd") - col("sxd") * col("syd") / col("n"))
+          / (col("n") - 1)).as("cxy"),
+        (col("gsxd") / col("gnd")).as("gmx"),
+        ((col("gsxxd") - col("gsxd") * col("gsxd") / col("gnd"))
+          / (col("gnd") - 1)).as("gvx"),
+        ((col("gsxyd") - col("gsxd") * col("gsyd") / col("gnd"))
+          / (col("gnd") - 1)).as("gcxy"))
+      .withColumn("theta",
+        when(col("gvx") > 0, col("gcxy") / col("gvx"))) // degenerate pre-period: no adjustment defined
+    j.select(
+        when(col("t"), "treatment").otherwise("control").as("arm"),
+        col("n").cast("long").as("n_users"),
+        round(col("my"), 6).as("mean_y"),
+        round(when(col("theta").isNotNull,
+          col("my") - col("theta") * (col("mx") - col("gmx"))), 6)
+          .as("mean_cuped"),
+        round(col("vy"), 6).as("var_y"),
+        round(when(col("theta").isNotNull,
+          col("vy") - lit(2.0) * col("theta") * col("cxy")
+            + col("theta") * col("theta") * col("vx")), 6).as("var_cuped"),
+        round(when(col("theta").isNotNull && col("vy") > 0,
+          lit(1.0) - (col("vy") - lit(2.0) * col("theta") * col("cxy")
+            + col("theta") * col("theta") * col("vx")) / col("vy")), 6)
+          .as("var_reduction"),
+        round(col("theta"), 6).as("theta"))
+      .orderBy("arm")
+  }
+
+  /** q217: Mann–Whitney U (Wilcoxon rank-sum) — purchase vs view
+    * values: the DISTRIBUTION-FREE companion to q137's Welch t (heavy
+    * right tails make means lie; ranks don't care). Exact midranks
+    * with tie correction, computed WITHOUT a corpus-sized sort: the
+    * corpus collapses to the O(|value grid|) histogram (value is
+    * 1e-3-grid data, ≤ ~5e5 cells no matter the corpus size), ranks
+    * fold over the value-ORDERED histogram, and every intermediate is
+    * kept ×2 so midrank arithmetic stays in EXACT integers (a midrank
+    * is a half-integer; 2·R1 = Σ n1·(2·below + t + 1) is an integer).
+    * z from the normal approximation with tie-corrected variance;
+    * p via the q155 A&S erfc polynomial. */
+  def q217MannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.events(spark, dir)
+      .filter(col("value").isNotNull
+        && col("event_type").isin("purchase", "view"))
+      .select(round(col("value") * 1000, 0).cast("long").as("v3"),
+        (col("event_type") === "purchase").as("is_p"))
+      .groupBy("v3")
+      .agg(sum(col("is_p").cast("long")).as("n1"),
+        sum((!col("is_p")).cast("long")).as("n2"))
+    val below = coalesce(sum(col("n1") + col("n2"))
+      .over(Window.orderBy("v3").rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val cells = hist
+      .withColumn("below", below)
+      .withColumn("tcell", col("n1") + col("n2"))
+      // 2·Σ n1·midrank and Σ(t³−t), both exact integers
+      .agg(
+        sum(dec(col("n1"))).as("n1t"), sum(dec(col("n2"))).as("n2t"),
+        sum(dec(col("n1")) * (dec(col("below")) * 2 + dec(col("tcell")) + 1))
+          .as("r1x2"),
+        sum(dec(col("tcell")) * dec(col("tcell")) * dec(col("tcell"))
+          - dec(col("tcell"))).as("ties"))
+    val g = cells.select(
+      col("n1t").cast("double").as("n1"), col("n2t").cast("double").as("n2"),
+      col("r1x2").cast("double").as("r1x2"),
+      col("ties").cast("double").as("tsum"))
+      .select(col("n1"), col("n2"),
+        (col("r1x2") / 2.0 - col("n1") * (col("n1") + 1) / 2.0).as("u"),
+        (col("n1") + col("n2")).as("nn"), col("tsum"))
+      .withColumn("mu", col("n1") * col("n2") / 2.0)
+      .withColumn("varu",
+        col("n1") * col("n2") / 12.0 * ((col("nn") + 1)
+          - col("tsum") / (col("nn") * (col("nn") - 1))))
+      .withColumn("z", when(col("varu") > 0,
+        round((col("u") - col("mu")) / sqrt(col("varu")), 4)))
+    val x = abs(col("z")) / sqrt(lit(2.0))
+    val kk = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = (((((lit(1.061405429) * kk - lit(1.453152027)) * kk)
+      + lit(1.421413741)) * kk - lit(0.284496736)) * kk + lit(0.254829592)) * kk
+    g.select(col("n1").cast("long").as("n_purchase"),
+        col("n2").cast("long").as("n_view"),
+        round(col("u"), 1).as("u_stat"), col("z"),
+        round(poly * exp(-x * x), 6).as("p_value"))
+      .orderBy("n_purchase")
+  }
+
+  /** q218: two-sample Kolmogorov–Smirnov — the SHAPE test beside
+    * q217's location test: D = sup|F₁−F₂| between the purchase and
+    * view value distributions, answering "is the whole distribution
+    * different" (a variance or tail change moves D while leaving
+    * ranks and means alone). Same O(|value grid|) histogram collapse
+    * as q217; the sup runs over EXACT integers — |c1·N2 − c2·N1| is
+    * an integer for every grid cell, so the argmax (max diff, then
+    * lowest value: the deterministic tie-break) never compares
+    * accumulated doubles. Decision at the asymptotic 5 % critical
+    * value 1.358·√(N/(n1·n2)). */
+  def q218KsTest(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.events(spark, dir)
+      .filter(col("value").isNotNull
+        && col("event_type").isin("purchase", "view"))
+      .select(round(col("value") * 1000, 0).cast("long").as("v3"),
+        (col("event_type") === "purchase").as("is_p"))
+      .groupBy("v3")
+      .agg(sum(col("is_p").cast("long")).as("n1"),
+        sum((!col("is_p")).cast("long")).as("n2"))
+      .localCheckpoint() // O(grid) rows feeding totals + the cum fold
+    val tot = hist.agg(sum(dec(col("n1"))).as("n1t"), sum(dec(col("n2"))).as("n2t"))
+    val wcum = Window.orderBy("v3")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val diffs = hist.crossJoin(broadcast(tot))
+      .withColumn("c1", sum(dec(col("n1"))).over(wcum))
+      .withColumn("c2", sum(dec(col("n2"))).over(wcum))
+      .withColumn("idiff", abs(col("c1") * col("n2t") - col("c2") * col("n1t")))
+    val top = diffs
+      .withColumn("rk", row_number().over(
+        Window.orderBy(desc("idiff"), asc("v3"))))
+      .filter(col("rk") === 1)
+    top.select(
+        col("n1t").cast("long").as("n_purchase"),
+        col("n2t").cast("long").as("n_view"),
+        round(col("idiff").cast("double")
+          / (col("n1t").cast("double") * col("n2t").cast("double")), 6)
+          .as("d_stat"),
+        (col("v3").cast("double") / 1000.0).as("at_value"),
+        round(lit(1.358) * sqrt((col("n1t").cast("double")
+            + col("n2t").cast("double"))
+          / (col("n1t").cast("double") * col("n2t").cast("double"))), 6)
+          .as("crit_05"))
+      .withColumn("reject_05",
+        (col("d_stat") > col("crit_05")).cast("long"))
+      .orderBy("n_purchase")
+  }
+
+  /** q219: empirical-Bayes (James–Stein) shrinkage of per-source mean
+    * quality — the fix for the q88/q144 report's small-source lie: a
+    * 30-doc source topping the raw quality ranking on noise. One-way
+    * random-effects moments (MSB vs pooled within-σ², the textbook
+    * ANOVA estimator with n₀ for unequal group sizes) give τ², and
+    * each source's mean shrinks toward the grand mean with weight
+    * τ²/(τ² + σ²/nₛ) — exactly 0 information added, just variance
+    * traded for bias where n is small.
+    *
+    * Quality is the q37 score on its 1e-6 grid → per-source moments
+    * are EXACT integers; the two cross-source double folds (MSB,
+    * pooled within) run over the source-ORDERED O(sources) frame (the
+    * q181 sequential-sum convention), so both engines fold in the
+    * same order. */
+  def q219EbShrinkage(spark: SparkSession, dir: String): DataFrame = {
+    val q6 = TextAnalysis.qualityScored(
+        Tables.documents(spark, dir).filter(col("text").isNotNull),
+        carry = Seq("source"))
+      .select(col("source"),
+        round(col("quality") * 1000000, 0).cast("long").as("q6"))
+    val per = q6.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(dec(col("q6"))).as("s"),
+        sum(dec(col("q6")) * dec(col("q6"))).as("ss"))
+      .localCheckpoint() // O(sources) rows, four window consumers
+    val wAll = Window.orderBy("source")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val folded = per
+      .withColumn("bign", sum(col("n")).over(wAll))
+      .withColumn("k", count(lit(1)).over(wAll))
+      .withColumn("gs", sum(col("s")).over(wAll))
+      .withColumn("sn2", sum(dec(col("n")) * dec(col("n"))).over(wAll))
+      .select(col("source"), col("n"), col("bign"), col("k"),
+        col("n").cast("double").as("nd"),
+        (col("s").cast("double") / 1000000.0).as("sd"),
+        (col("ss").cast("double") / 1e12).as("ssd"),
+        col("bign").cast("double").as("bnd"),
+        col("k").cast("double").as("kd"),
+        (col("gs").cast("double") / 1000000.0).as("gsd"),
+        col("sn2").cast("double").as("sn2d"))
+      .withColumn("m", col("sd") / col("nd"))
+      .withColumn("mu", col("gsd") / col("bnd"))
+      // within-SS and n(m−μ)² fold source-ordered: identical sequence
+      // both engines
+      .withColumn("wss", sum(col("ssd") - col("sd") * col("sd") / col("nd"))
+        .over(wAll))
+      .withColumn("bss", sum(col("nd") * (col("m") - col("mu"))
+        * (col("m") - col("mu"))).over(wAll))
+      .withColumn("sig2", col("wss") / (col("bnd") - col("kd")))
+      .withColumn("msb", col("bss") / (col("kd") - 1))
+      .withColumn("n0", (col("bnd") - col("sn2d") / col("bnd"))
+        / (col("kd") - 1))
+      .withColumn("tau2",
+        greatest((col("msb") - col("sig2")) / col("n0"), lit(0.0)))
+      .withColumn("shrink", when(col("tau2") + col("sig2") / col("nd") > 0,
+        col("tau2") / (col("tau2") + col("sig2") / col("nd")))
+        .otherwise(lit(0.0)))
+    folded.select(col("source"), col("n").as("n_docs"),
+        round(col("m"), 6).as("raw_mean"),
+        round(col("mu") + col("shrink") * (col("m") - col("mu")), 6)
+          .as("shrunk_mean"),
+        round(col("shrink"), 6).as("shrink_weight"),
+        round(col("tau2"), 8).as("tau2"))
+      .orderBy("source")
+  }
+
+  /** q220: lag-1 autocorrelation + Durbin–Watson per event type's
+    * daily value series — the "is today's total just yesterday's"
+    * check that decides whether q80/q113's independence-assuming
+    * alarms are trustworthy (an ACF₁ of 0.8 means every z-score is
+    * effectively computed on n/5 independent points). Daily totals
+    * land on the exact 1e-3 grid (the q190 y3 convention); ALL
+    * series moments — Σy, Σy², Σy·y₋₁, Σ(Δy)², the boundary values
+    * y₁/yₙ needed to de-mean the lag product — are exact integers
+    * from ONE ordered-window pass over the O(types × days) frame, so
+    * acf1 = (ΣyL − ȳ(S−y₁) − ȳ(S−yₙ) + (n−1)ȳ²) / (Σy² − S²/n) and
+    * dw derive from identical doubles. Consecutive OBSERVED days (row
+    * lag, the q126 convention — gaps are q156's business). */
+  def q220Autocorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("event_type").isNotNull
+        && col("ts").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(sum(round(col("value") * 1000, 0).cast("long")).as("y3"))
+    val wo = Window.partitionBy("event_type").orderBy("d")
+    val lagged = daily
+      .withColumn("yl", lag("y3", 1).over(wo))
+    val m = lagged.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("y3"))).as("s"),
+        sum(dec(col("y3")) * dec(col("y3"))).as("ss"),
+        sum(when(col("yl").isNotNull, dec(col("y3")) * dec(col("yl")))
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("sl"),
+        sum(when(col("yl").isNotNull,
+          (dec(col("y3")) - dec(col("yl"))) * (dec(col("y3")) - dec(col("yl"))))
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("sd2"),
+        min_by(col("y3"), col("d")).as("yfirst"),
+        max_by(col("y3"), col("d")).as("ylast"))
+    m.filter(col("n") >= 3)
+      .select(col("event_type"), col("n").cast("long").as("n_days"),
+        col("n").cast("double").as("nd"),
+        (col("s").cast("double") / 1000.0).as("sd"),
+        (col("ss").cast("double") / 1000000.0).as("ssd"),
+        (col("sl").cast("double") / 1000000.0).as("sld"),
+        (col("sd2").cast("double") / 1000000.0).as("sd2d"),
+        (col("yfirst").cast("double") / 1000.0).as("y1"),
+        (col("ylast").cast("double") / 1000.0).as("yn"))
+      .withColumn("ybar", col("sd") / col("nd"))
+      .withColumn("css", col("ssd") - col("sd") * col("sd") / col("nd"))
+      .select(col("event_type"), col("n_days"),
+        round(col("ybar"), 4).as("mean_daily"),
+        round(when(col("css") > 0,
+          (col("sld") - col("ybar") * (col("sd") - col("y1"))
+            - col("ybar") * (col("sd") - col("yn"))
+            + (col("nd") - 1) * col("ybar") * col("ybar")) / col("css")), 4)
+          .as("acf1"),
+        round(when(col("css") > 0, col("sd2d") / col("css")), 4).as("dw"))
+      .orderBy("event_type")
+  }
+
+  /** q221: empirical-Bernstein confidence bounds per source on mean
+    * quality — the DECISION layer over q219's point shrinkage: a
+    * variance-adaptive bound (Maurer & Pontil 2009: mean ∓
+    * √(2·v·ln(3/δ)/n) + 3·ln(3/δ)/n, valid for [0,1]-bounded scores)
+    * that says which sources are CONFIDENTLY below the q37 quality
+    * gate rather than merely sample-noisy — the difference between
+    * cutting a feed and re-crawling it. Per-source exact 1e-6-grid
+    * moments (one scan, O(sources) frame); every bound is closed-form
+    * arithmetic on that source's OWN integers — no cross-source
+    * double fold at all. δ = 0.05. */
+  def q221BernsteinBounds(spark: SparkSession, dir: String): DataFrame = {
+    val q6 = TextAnalysis.qualityScored(
+        Tables.documents(spark, dir).filter(col("text").isNotNull),
+        carry = Seq("source"))
+      .select(col("source"),
+        round(col("quality") * 1000000, 0).cast("long").as("q6"))
+    // ln(3/δ) at δ=0.05 spelled ln(60.0): 3.0/0.05 is NOT the exact
+    // double 60, and the oracle must evaluate the identical literal
+    val ln3d = math.log(60.0)
+    q6.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(dec(col("q6"))).as("s"),
+        sum(dec(col("q6")) * dec(col("q6"))).as("ss"))
+      .filter(col("n") >= 2)
+      .select(col("source"), col("n").cast("long").as("n_docs"),
+        col("n").cast("double").as("nd"),
+        (col("s").cast("double") / 1000000.0).as("sd"),
+        (col("ss").cast("double") / 1e12).as("ssd"))
+      .withColumn("m", col("sd") / col("nd"))
+      .withColumn("v",
+        (col("ssd") - col("sd") * col("sd") / col("nd")) / (col("nd") - 1))
+      .withColumn("margin",
+        sqrt(lit(2.0) * col("v") * lit(ln3d) / col("nd"))
+          + lit(3.0) * lit(ln3d) / col("nd"))
+      .select(col("source"), col("n_docs"),
+        round(col("m"), 6).as("mean_q"),
+        round(col("v"), 8).as("var_q"),
+        round(col("m") - col("margin"), 6).as("lb_95"),
+        round(col("m") + col("margin"), 6).as("ub_95"))
+      .withColumn("confidently_low", (col("ub_95") < 0.5).cast("long"))
+      .orderBy("source")
+  }
 }

@@ -1032,7 +1032,10 @@ class QueriesSpec extends AnyFunSuite {
       "q194_column_entropy" -> "per-column share windows over ndv-capped histograms (each <= 64 bins)",
       "q196_priority_sample" -> "final rank over the k-row TakeOrdered shortlist (k=100)",
       "q202_latency_ci" -> "cumulative counts over the 6-dp-second value histogram (O(distinct latencies))",
-      "q213_weighted_sample" -> "final rank over the k-row TakeOrdered shortlist (k=100)")
+      "q213_weighted_sample" -> "final rank over the k-row TakeOrdered shortlist (k=100)",
+      "q217_mann_whitney" -> "midrank fold over the O(|1e-3 value grid|) histogram (<= ~5e5 cells at any corpus size)",
+      "q218_ks_test" -> "CDF cumsum + argmax over the same O(|value grid|) histogram",
+      "q219_eb_shrinkage" -> "source-ordered moment folds over the O(sources) frame (q181 convention)")
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => bounded.contains(q._1))
@@ -1127,7 +1130,10 @@ class QueriesSpec extends AnyFunSuite {
       "q204_canonical_election",
       "q207_effective_data", "q210_copy_flow", "q211_truncation_loss",
       "q213_weighted_sample", "q214_effective_mix",
-      "q215_clustering_coefficient")
+      "q215_clustering_coefficient",
+      // round 9 (q226/q227 read documents + the clean embeddings above)
+      "q219_eb_shrinkage", "q221_bernstein_bounds",
+      "q226_encoder_consistency", "q227_signal_agreement")
     val failures = docQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -1191,7 +1197,9 @@ class QueriesSpec extends AnyFunSuite {
       "q175_msprt", "q176_covariate_balance", "q182_theil_sen",
       "q184_debounce", "q185_markov_eval", "q190_forecast_backtest",
       "q195_power_mde", "q200_journey_entropy", "q202_latency_ci",
-      "q206_retention_guardrail", "q209_funnel_ci")
+      "q206_retention_guardrail", "q209_funnel_ci",
+      // round 9
+      "q216_cuped", "q217_mann_whitney", "q218_ks_test", "q220_autocorr")
     val failures = eventQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -1244,7 +1252,9 @@ class QueriesSpec extends AnyFunSuite {
       "q152_mrl_recall", "q158_diversity_sample", "q161_mmr_rerank",
       // round 8
       "q177_centroid_geometry", "q199_embedding_health",
-      "q201_cluster_sizes", "q203_banding_recall", "q212_dedup_sensitivity")
+      "q201_cluster_sizes", "q203_banding_recall", "q212_dedup_sensitivity",
+      // round 9
+      "q223_threshold_stability", "q224_nprobe_sweep", "q225_pq_distortion")
     val failures = vecQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -3522,6 +3532,315 @@ class QueriesSpec extends AnyFunSuite {
       } else assert(!got.contains(off))
     }
     assert(got.nonEmpty, "the corpus spans enough weeks to probe")
+  }
+
+  test("q216 CUPED replays from exact user moments and reduces variance") {
+    val ev = Tables.events(spark, sf0001)
+      .filter(col("user_id").isNotNull && col("value").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"),
+        expr("CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT)").as("day"),
+        round(col("value") * 1000, 0).cast("long").as("v3"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mid = math.floor((ev.map(_._2).min + ev.map(_._2).max) / 2.0).toLong
+    val per = ev.groupBy(_._1).map { case (u, xs) =>
+      (u, xs.filter(_._2 <= mid).map(x => BigInt(x._3)).sum,
+        xs.filter(_._2 > mid).map(x => BigInt(x._3)).sum)
+    }.toSeq
+    def arm(u: Long) = ((u % 1000000007L) * 1000003L) % 1000000007L % 2 == 1
+    // pooled theta from exact global moments
+    val n = per.size.toDouble
+    val sx = per.map(_._2).sum.toDouble / 1000.0
+    val sy = per.map(_._3).sum.toDouble / 1000.0
+    val sxx = per.map(p => p._2 * p._2).sum.toDouble / 1e6
+    val sxy = per.map(p => p._2 * p._3).sum.toDouble / 1e6
+    val theta = ((sxy - sx * sy / n) / (n - 1)) / ((sxx - sx * sx / n) / (n - 1))
+    val gmx = sx / n
+    val got = run("q216_cuped").collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("treatment", "control"))
+    Seq(true, false).foreach { t =>
+      val g = per.filter(p => arm(p._1) == t)
+      val r = got(if (t) "treatment" else "control")
+      val an = g.size.toDouble
+      val amx = g.map(_._2).sum.toDouble / 1000.0 / an
+      val amy = g.map(_._3).sum.toDouble / 1000.0 / an
+      assert(r.getLong(1) == g.size)
+      assert(math.abs(r.getDouble(2) - amy) < 2e-6, "mean_y")
+      assert(math.abs(r.getDouble(3) - (amy - theta * (amx - gmx))) < 2e-6, "mean_cuped")
+      assert(math.abs(r.getDouble(7) - theta) < 2e-6, "theta")
+      // the adjustment's whole point on correlated pre/post behavior
+      assert(r.getDouble(5) <= r.getDouble(4) * 1.05,
+        "CUPED must not inflate variance materially")
+    }
+  }
+
+  test("q217 Mann-Whitney replays from plain-Scala midranks") {
+    val vals = Tables.events(spark, sf0001)
+      .filter(col("value").isNotNull && col("event_type").isin("purchase", "view"))
+      .select(round(col("value") * 1000, 0).cast("long").as("v3"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val all = vals.sortBy(_._1)
+    // midrank of each value cell = below + (t+1)/2
+    val byV = all.groupBy(_._1).map { case (v, xs) =>
+      v -> (xs.count(_._2 == "purchase"), xs.length) }
+    val sortedV = byV.keys.toSeq.sorted
+    var below = 0L; var r1x2 = BigInt(0); var ties = BigInt(0)
+    sortedV.foreach { v =>
+      val (n1c, tc) = byV(v)
+      r1x2 += BigInt(n1c) * (BigInt(below) * 2 + tc + 1)
+      ties += BigInt(tc).pow(3) - tc
+      below += tc
+    }
+    val n1 = vals.count(_._2 == "purchase").toDouble
+    val n2 = vals.count(_._2 == "view").toDouble
+    val u = r1x2.toDouble / 2.0 - n1 * (n1 + 1) / 2.0
+    val nn = n1 + n2
+    val varu = n1 * n2 / 12.0 * ((nn + 1) - ties.toDouble / (nn * (nn - 1)))
+    val z = (u - n1 * n2 / 2.0) / math.sqrt(varu)
+    val r = run("q217_mann_whitney").collect().head
+    assert(r.getLong(0) == n1.toLong && r.getLong(1) == n2.toLong)
+    assert(math.abs(r.getDouble(2) - u) < 0.51, "u_stat (rounded to 1 dp)")
+    assert(math.abs(r.getDouble(3) - z) < 2e-4, "z")
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0, "p in range")
+  }
+
+  test("q218 KS statistic replays from plain-Scala CDFs") {
+    val vals = Tables.events(spark, sf0001)
+      .filter(col("value").isNotNull && col("event_type").isin("purchase", "view"))
+      .select(round(col("value") * 1000, 0).cast("long").as("v3"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val p = vals.filter(_._2 == "purchase").map(_._1).sorted
+    val v = vals.filter(_._2 == "view").map(_._1).sorted
+    val grid = (p ++ v).distinct.sorted
+    def cdf(xs: Array[Long], x: Long) = xs.count(_ <= x).toDouble / xs.length
+    val dByV = grid.map(x => (math.abs(cdf(p.toArray, x) - cdf(v.toArray, x)), x))
+    val dmax = dByV.map(_._1).max
+    val atV = dByV.filter(d => math.abs(d._1 - dmax) < 1e-12).map(_._2).min
+    val r = run("q218_ks_test").collect().head
+    assert(r.getLong(0) == p.length.toLong && r.getLong(1) == v.length.toLong)
+    assert(math.abs(r.getDouble(2) - dmax) < 2e-6, "d_stat")
+    assert(math.abs(r.getDouble(3) - atV / 1000.0) < 1e-9, "at_value")
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    assert(r.getLong(5) == (if (r.getDouble(2) > r.getDouble(4)) 1L else 0L))
+  }
+
+  test("q219 EB shrinkage pulls toward the grand mean, more for small sources") {
+    val got = run("q219_eb_shrinkage").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.nonEmpty)
+    // grand mean from the same exact grid the operator uses
+    val q6 = graft.operators.TextAnalysis.qualityScored(
+        Tables.documents(spark, sf0001).filter(col("text").isNotNull),
+        carry = Seq("source"))
+      .select(col("source"), round(col("quality") * 1000000, 0).cast("long").as("q6"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val mu = q6.map(x => BigInt(x._2)).sum.toDouble / 1e6 / q6.length
+    got.foreach { case (src, n, raw, shrunk, w, tau2) =>
+      val xs = q6.filter(_._1 == src)
+      assert(n == xs.length, s"$src n")
+      assert(math.abs(raw - xs.map(x => BigInt(x._2)).sum.toDouble / 1e6 / n) < 2e-6)
+      assert(w >= 0.0 && w <= 1.0, s"$src shrink weight in [0,1]")
+      // shrunk sits between the raw mean and the grand mean
+      assert(shrunk >= math.min(raw, mu) - 2e-6 && shrunk <= math.max(raw, mu) + 2e-6)
+      assert(math.abs(shrunk - (mu + w * (raw - mu))) < 2e-6)
+      assert(tau2 >= 0.0)
+    }
+    // monotone: with tau2 > 0, bigger n -> bigger shrink weight
+    if (got.head._6 > 0) {
+      val byN = got.sortBy(_._2)
+      byN.sliding(2).foreach { case Array(a, b) =>
+        if (b._2 > a._2) assert(b._5 >= a._5 - 1e-9,
+          s"shrink weight must grow with n: ${a._1} vs ${b._1}")
+        case _ => ()
+      }
+    }
+  }
+
+  test("q220 autocorrelation replays from the daily series") {
+    val daily = Tables.events(spark, sf0001)
+      .filter(col("value").isNotNull && col("event_type").isNotNull && col("ts").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(sum(round(col("value") * 1000, 0).cast("long")).as("y3"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val got = run("q220_autocorr").collect().map(r => r.getString(0) -> r).toMap
+    daily.groupBy(_._1).foreach { case (et, xs) =>
+      val ys = xs.sortBy(_._2.toEpochDay).map(_._3.toDouble / 1000.0)
+      if (ys.length >= 3) {
+        val n = ys.length.toDouble
+        val ybar = ys.sum / n
+        val css = ys.map(y => (y - ybar) * (y - ybar)).sum
+        val acf1 = ys.sliding(2).map(w => (w(0) - ybar) * (w(1) - ybar)).sum / css
+        val dw = ys.sliding(2).map(w => (w(1) - w(0)) * (w(1) - w(0))).sum / css
+        val r = got(et)
+        assert(r.getLong(1) == ys.length.toLong)
+        assert(math.abs(r.getDouble(3) - acf1) < 2e-4, s"$et acf1")
+        assert(math.abs(r.getDouble(4) - dw) < 2e-4, s"$et dw")
+        assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 4.0 + 1e-9, s"$et dw range")
+      } else assert(!got.contains(et))
+    }
+  }
+
+  test("q221 Bernstein bounds bracket the mean and tighten with n") {
+    val got = run("q221_bernstein_bounds").collect()
+    assert(got.nonEmpty)
+    val ln60 = math.log(60.0)
+    got.foreach { r =>
+      val (n, m, v, lb, ub) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      val margin = math.sqrt(2.0 * v * ln60 / n) + 3.0 * ln60 / n
+      assert(math.abs(lb - (m - margin)) < 2e-6, s"${r.getString(0)} lb")
+      assert(math.abs(ub - (m + margin)) < 2e-6, s"${r.getString(0)} ub")
+      assert(lb <= m + 1e-9 && m <= ub + 1e-9, "bounds bracket the mean")
+      assert(r.getLong(6) == (if (ub < 0.5) 1L else 0L))
+    }
+  }
+
+  test("q222 banding planner replays the closed-form s-curves") {
+    val got = run("q222_banding_planner").collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getDouble(2)),
+        (r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.size == 4 * 19)
+    graft.operators.Dedup.BandingConfigs.foreach { case (b, r) =>
+      (1 to 19).foreach { i =>
+        val s = i.toDouble / 20.0
+        val (p, st) = got((b.toLong, r.toLong, s))
+        assert(math.abs(p - (1.0 - math.pow(1.0 - math.pow(s, r), b))) < 2e-6,
+          s"(b=$b r=$r s=$s)")
+        assert(math.abs(st - math.pow(1.0 / b, 1.0 / r)) < 2e-6)
+      }
+      // monotone in s, and the curve crosses ~0.5+ at its threshold
+      val curve = (1 to 19).map(i => got((b.toLong, r.toLong, i / 20.0))._1)
+      assert(curve.sliding(2).forall(w => w(1) >= w(0) - 1e-9))
+    }
+  }
+
+  test("q223 threshold stability replays via plain-Scala union-find") {
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = graft.operators.Dedup.blockedEmbeddingNearDup(e, 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def components(ps: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      ps.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val c45 = components(pairs.map(p => (p._1, p._2)))
+    val p60 = pairs.filter(_._3 >= 0.6)
+    val c60 = components(p60.map(p => (p._1, p._2)))
+    val ids = c45.keySet.toSeq
+    val joint = ids.groupBy(id => (c45(id), c60.getOrElse(id, id)))
+      .map(_._2.size.toLong)
+    val ai = ids.groupBy(c45).map(_._2.size.toLong)
+    val bj = ids.groupBy(id => c60.getOrElse(id, id)).map(_._2.size.toLong)
+    def c2(xs: Iterable[Long]) = xs.map(x => x * (x - 1) / 2.0).sum
+    val (sij, sa, sb) = (c2(joint), c2(ai), c2(bj))
+    val rr = ids.size.toLong * (ids.size - 1) / 2.0
+    val expected = sa * sb / rr
+    val r = run("q223_threshold_stability").collect().head
+    assert(r.getLong(0) == ids.size && r.getLong(1) == pairs.length
+      && r.getLong(2) == p60.length)
+    assert(r.getLong(3) == ai.size && r.getLong(4) == bj.size)
+    if (ids.size >= 2) {
+      assert(math.abs(r.getDouble(5) - (rr + 2 * sij - sa - sb) / rr) < 2e-6, "rand")
+      assert(math.abs(r.getDouble(6)
+        - (sij - expected) / ((sa + sb) / 2.0 - expected)) < 2e-6, "ari")
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0 + 1e-9)
+    } else {
+      // a pair-free corpus has no contested universe: indices are null
+      assert(r.isNullAt(5) && r.isNullAt(6))
+    }
+  }
+
+  test("q224 nprobe sweep nests: recall and scan cost grow with probes") {
+    val got = run("q224_nprobe_sweep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 4 * 10)
+    val byQ = got.groupBy(_._2)
+    byQ.values.foreach { rows =>
+      val ordered = rows.sortBy(_._1)
+      // probe sets nest, so both candidates-scanned and overlap are
+      // monotone in nprobe
+      assert(ordered.sliding(2).forall(w => w(1)._3 >= w(0)._3), "n_scanned")
+      assert(ordered.sliding(2).forall(w => w(1)._4 >= w(0)._4), "n_overlap")
+      assert(ordered.forall(r => r._4 >= 0 && r._4 <= 10))
+    }
+    // the np=4 column IS q148 (same fit, same probe count)
+    val q148 = run("q148_ivf_recall").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.filter(_._1 == 4L).foreach { case (_, qid, _, overlap) =>
+      assert(q148(qid) == overlap, s"q$qid: np=4 must reproduce q148")
+    }
+  }
+
+  test("q225 PQ distortion replays from the q114 code table") {
+    val codes = run("q114_pq_codes").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))) // (sub, code, dist)
+    val got = run("q225_pq_distortion").collect()
+    assert(got.length == graft.operators.Quantize.PqM)
+    got.foreach { r =>
+      val sub = r.getLong(0)
+      val mine = codes.filter(_._1 == sub)
+      assert(r.getLong(1) == mine.length)
+      val mean = mine.map(c => math.round(c._3 * 1e6)).sum.toDouble / mine.length / 1e6
+      assert(math.abs(r.getDouble(2) - mean) < 2e-6, s"sub $sub mean")
+      assert(math.abs(r.getDouble(3) - mine.map(_._3).max) < 1e-9, s"sub $sub max")
+      assert(r.getLong(4) == mine.map(_._2).distinct.length
+        && r.getLong(4) <= graft.operators.Quantize.PqK)
+      assert(r.getDouble(2) <= r.getDouble(3) + 1e-9, "mean <= max")
+    }
+  }
+
+  test("q226 encoder consistency fires on planted dup-text vector drift") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-enc").toString
+    // two dup groups in one source: group A embeds identically (clean),
+    // group B drifted (the bug the audit exists to catch)
+    Seq((1L, "alpha beta gamma delta", "en", "srcA"),
+      (2L, "alpha beta gamma delta", "en", "srcA"),
+      (3L, "epsilon zeta eta theta", "en", "srcA"),
+      (4L, "epsilon zeta eta theta", "en", "srcA"),
+      (5L, "unique text one", "en", "srcA"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val same = Seq.tabulate(64)(j => j * 0.01f)
+    val drifted = Seq.tabulate(64)(j => -j * 0.01f)
+    Seq((1L, same), (2L, same), (3L, same), (4L, drifted), (5L, same))
+      .toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val r = SparkEntry.queries("q226_encoder_consistency")(spark, dir)
+      .collect()
+    assert(r.length == 1 && r.head.getString(0) == "srcA")
+    assert(r.head.getLong(1) == 2, "two dup pairs")
+    assert(r.head.getLong(2) == 1, "exactly the drifted pair flagged")
+    assert(math.abs(r.head.getDouble(3) - 0.5) < 1e-9)
+    assert(r.head.getDouble(4) < 0.0, "the drifted pair's cosine is negative")
+    // and on the clean sf0.001 fixture the audit stays quiet (no dups)
+    assert(run("q226_encoder_consistency").collect()
+      .forall(_.getLong(2) == 0L))
+  }
+
+  test("q227 signal agreement: cells conserve and kappa replays from po/pe") {
+    val r = run("q227_signal_agreement").collect().head
+    val (n, n11, n10, n01, n00) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(n > 0 && n11 + n10 + n01 + n00 == n, "2x2 cells conserve")
+    val po = (n11 + n00).toDouble / n
+    val pe = ((n11 + n10).toDouble / n) * ((n11 + n01).toDouble / n) +
+      ((n01 + n00).toDouble / n) * ((n10 + n00).toDouble / n)
+    assert(math.abs(r.getDouble(5) - po) < 2e-6)
+    assert(math.abs(r.getDouble(6) - pe) < 2e-6)
+    assert(math.abs(r.getDouble(7) - (po - pe) / (1.0 - pe)) < 2e-4)
+    // the embedding marginal IS q49: same candidates, same threshold
+    assert(n11 + n01 == run("q49_embedding_neardup").count(),
+      "cos>=0.45 marginal must equal the q49 pair count")
   }
 
   test("q207 effective-data fraction replays from java-MD5 canonicals") {
