@@ -229,6 +229,11 @@ object SparkEntry {
     "q225_pq_distortion"  -> (Quantize.q225PqDistortion _),
     "q226_encoder_consistency" -> (Dedup.q226EncoderConsistency _),
     "q227_signal_agreement" -> (Dedup.q227SignalAgreement _),
+    "q228_signal_mi"      -> (TextAnalysis.q228SignalMi _),
+    "q229_good_turing"    -> (Profile.q229GoodTuring _),
+    "q230_l_diversity"    -> (Profile.q230LDiversity _),
+    "q231_template_similarity" -> (TextAnalysis.q231TemplateSimilarity _),
+    "q232_budget_allocator" -> (TextAnalysis.q232BudgetAllocator _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -5034,6 +5039,168 @@ object SparkEntry {
          |    AS kappa
          |FROM k ORDER BY n_pairs""".stripMargin
     },
+
+    // signal MI: buckets via integer // on the exact grids; the MI/chi2
+    // double folds run (q_bucket, len_bucket)-ORDERED (q181)
+    "q228_signal_mi" -> {
+      s"""WITH d AS (SELECT n_chars, ${tok("text")} AS words
+         |  FROM documents WHERE text IS NOT NULL),
+         |s AS (SELECT CAST(len(words) AS BIGINT) AS n_tokens,
+         |    round(CAST(len(list_distinct(words)) AS DOUBLE)
+         |      / greatest(len(words), 1), 6) AS ttr,
+         |    round(CAST(len(list_filter(words, w -> w IN $stoplist)) AS DOUBLE)
+         |      / greatest(len(words), 1), 6) AS stop_share
+         |  FROM d),
+         |q AS (SELECT n_tokens, CAST(round(round(least(ttr * 2.0, 1.0) * 0.5
+         |      + CASE WHEN n_tokens BETWEEN 20 AND 400 THEN 0.3 ELSE 0.0 END
+         |      + least(stop_share * 3.0, 0.2), 6) * 1000000) AS BIGINT) AS q6
+         |  FROM s),
+         |cells AS (SELECT least(q6 // 100000, 9) AS q_bucket,
+         |    least(n_tokens // 64, 9) AS len_bucket, count(*) AS n
+         |  FROM q GROUP BY 1, 2),
+         |dims AS (SELECT CAST(count(DISTINCT q_bucket) AS DOUBLE) AS kq,
+         |    CAST(count(DISTINCT len_bucket) AS DOUBLE) AS kl FROM cells),
+         |m1 AS (SELECT q_bucket, len_bucket, n, kq, kl,
+         |    sum(n) OVER () AS bign,
+         |    sum(n) OVER (PARTITION BY q_bucket) AS nq,
+         |    sum(n) OVER (PARTITION BY len_bucket) AS nl
+         |  FROM cells CROSS JOIN dims),
+         |m2 AS (SELECT *, CAST(n AS DOUBLE) / bign AS p,
+         |    CAST(nq AS DOUBLE) / bign AS pq,
+         |    CAST(nl AS DOUBLE) / bign AS pl FROM m1),
+         |m3 AS (SELECT *, p / (pq * pl) AS lift FROM m2),
+         |m4 AS (SELECT *,
+         |    sum(p * ln(lift)) OVER wa AS mi,
+         |    sum((CAST(n AS DOUBLE) - pq * pl * bign)
+         |      * (CAST(n AS DOUBLE) - pq * pl * bign)
+         |      / (pq * pl * bign)) OVER wa AS chi2
+         |  FROM m3 WINDOW wa AS (ORDER BY q_bucket, len_bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+         |SELECT CAST(q_bucket AS BIGINT) AS q_bucket,
+         |  CAST(len_bucket AS BIGINT) AS len_bucket, n,
+         |  round(p, 6) AS p, round(lift, 4) AS lift,
+         |  round(mi, 6) + 0.0 AS mi_nats,
+         |  round(CASE WHEN least(kq, kl) > 1
+         |    THEN sqrt(chi2 / (bign * (least(kq, kl) - 1))) END, 4) AS cramers_v
+         |FROM m4 ORDER BY q_bucket, len_bucket""".stripMargin
+    },
+
+    // Good-Turing: exact integer frequency-of-frequencies per source
+    "q229_good_turing" ->
+      s"""WITH wc AS (SELECT source, word, count(*) AS c FROM
+         |  (SELECT source, unnest(${tok("text")}) AS word FROM documents) t
+         |  GROUP BY 1, 2),
+         |g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    count(*) AS n_vocab,
+         |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_singletons,
+         |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_doubletons
+         |  FROM wc GROUP BY 1)
+         |SELECT source, n_tokens, n_vocab, n_singletons, n_doubletons,
+         |  round(CASE WHEN n_tokens > 0
+         |    THEN CAST(n_singletons AS DOUBLE) / n_tokens END, 6)
+         |    AS unseen_mass,
+         |  round(CASE WHEN n_doubletons > 0
+         |    THEN CAST(n_vocab AS DOUBLE) + CAST(n_singletons AS DOUBLE)
+         |      * CAST(n_singletons AS DOUBLE)
+         |      / (2.0 * CAST(n_doubletons AS DOUBLE))
+         |    ELSE CAST(n_vocab AS DOUBLE) END, 2) AS chao1_richness
+         |FROM g ORDER BY source""".stripMargin,
+
+    // l-diversity: the q192 class collapse + a distinct-sensitive count
+    "q230_l_diversity" ->
+      """WITH classes AS (SELECT c_nationkey,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |    count(*) AS sz, count(DISTINCT c_mktsegment) AS l
+        |  FROM customer GROUP BY 1, 2),
+        |x AS (SELECT sz, l, unnest([2, 3, 5]) AS l_bar FROM classes)
+        |SELECT CAST(l_bar AS BIGINT) AS l_bar, count(*) AS n_classes,
+        |  CAST(sum(sz) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN l < l_bar THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_classes_below,
+        |  CAST(coalesce(sum(CASE WHEN l < l_bar THEN sz ELSE 0 END), 0)
+        |    AS BIGINT) AS n_rows_at_risk,
+        |  CAST(min(l) AS BIGINT) AS min_l,
+        |  round(CAST(coalesce(sum(CASE WHEN l < l_bar THEN sz ELSE 0 END), 0)
+        |    AS DOUBLE) / sum(sz), 6) AS risk_share
+        |FROM x GROUP BY 1 ORDER BY l_bar""".stripMargin,
+
+    // template similarity: the q33 4-word string-shingle grammar
+    // (mirrors the native hashes exactly), source-partitioned lead
+    // adjacency, per-pair Jaccard on the 1e-6 grid before the mean
+    "q231_template_similarity" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(ws)-3, 1)+1),
+        |    i -> array_to_string(ws[i:i+3], ' ')))) AS shingle FROM w),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |adj AS (SELECT doc_id AS id_a, source, lead(doc_id, 1) OVER
+        |    (PARTITION BY source ORDER BY doc_id) AS id_b FROM w),
+        |adj2 AS (SELECT * FROM adj WHERE id_b IS NOT NULL),
+        |inter AS (SELECT a.id_a, a.id_b, count(*) AS n_inter
+        |  FROM adj2 a JOIN sh s1 ON s1.doc_id = a.id_a
+        |              JOIN sh s2 ON s2.doc_id = a.id_b
+        |                AND s2.shingle = s1.shingle
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT a.source,
+        |    round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+        |      / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) AS jac
+        |  FROM adj2 a JOIN sizes sa ON sa.doc_id = a.id_a
+        |              JOIN sizes sb ON sb.doc_id = a.id_b
+        |              LEFT JOIN inter i
+        |                ON i.id_a = a.id_a AND i.id_b = a.id_b),
+        |g AS (SELECT source, count(*) AS n_pairs,
+        |    sum(CAST(round(jac * 1000000) AS BIGINT)) AS sj6,
+        |    max(jac) AS max_jaccard,
+        |    CAST(sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_template_pairs
+        |  FROM pairs GROUP BY 1)
+        |SELECT source, n_pairs,
+        |  round(CAST(sj6 AS DOUBLE) / n_pairs / 1000000.0, 6) AS mean_jaccard,
+        |  max_jaccard, n_template_pairs
+        |FROM g ORDER BY source""".stripMargin,
+
+    // budget allocator: q207 canonical supply + q83 temperature targets
+    // + one documented rebalance round; all folds source-ORDERED
+    "q232_budget_allocator" ->
+      """WITH per AS (SELECT source, sum(n_tokens * is_canonical) AS supply
+        |  FROM (SELECT source, len(string_split(text, ' ')) AS n_tokens,
+        |      CASE WHEN row_number() OVER
+        |        (PARTITION BY md5(text) ORDER BY doc_id) = 1
+        |        THEN 1 ELSE 0 END AS is_canonical
+        |    FROM documents WHERE text IS NOT NULL) t GROUP BY 1),
+        |f1 AS (SELECT source, supply,
+        |    sum(pow(CAST(supply AS DOUBLE), 0.5)) OVER wa AS z
+        |  FROM per WINDOW wa AS (ORDER BY source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+        |f2 AS (SELECT *, pow(CAST(supply AS DOUBLE), 0.5) / z AS wgt FROM f1),
+        |f3 AS (SELECT *, wgt * 1000000000.0 AS target,
+        |    least(CAST(supply AS DOUBLE), wgt * 1000000000.0) AS alloc1
+        |  FROM f2),
+        |f4 AS (SELECT *,
+        |    1000000000.0 - sum(alloc1) OVER wa AS leftover,
+        |    CASE WHEN alloc1 < CAST(supply AS DOUBLE) THEN 1 ELSE 0 END
+        |      AS uncapped
+        |  FROM f3 WINDOW wa AS (ORDER BY source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+        |f5 AS (SELECT *,
+        |    sum(CASE WHEN uncapped = 1 THEN wgt ELSE 0.0 END) OVER wa AS zu
+        |  FROM f4 WINDOW wa AS (ORDER BY source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+        |f6 AS (SELECT *, CASE WHEN uncapped = 1 AND zu > 0
+        |    THEN least(CAST(supply AS DOUBLE), alloc1 + wgt / zu * leftover)
+        |    ELSE alloc1 END AS alloc2 FROM f5)
+        |SELECT source, CAST(supply AS BIGINT) AS supply_tokens,
+        |  round(wgt, 6) AS mix_weight,
+        |  round(target, 2) AS target_tokens,
+        |  round(alloc2, 2) AS allocated_tokens,
+        |  CAST(CASE WHEN alloc1 >= CAST(supply AS DOUBLE) THEN 1 ELSE 0 END
+        |    AS BIGINT) AS capped,
+        |  round(CASE WHEN supply > 0
+        |    THEN alloc2 / CAST(supply AS DOUBLE) END, 4) AS epochs
+        |FROM f6 ORDER BY source""".stripMargin,
   )
 
   /** q162b is the hour-sharded PHYSICAL form of q162 — identical

@@ -463,4 +463,69 @@ object Profile {
         round(col("n_affected").cast("double") / col("n_rows"), 6))
       .orderBy("table_name")
   }
+
+  /** q229: Good–Turing unseen-mass estimate per source — P(the next
+    * token drawn from this feed is a word never seen before) ≈ n₁/N
+    * (Good 1953), plus the Chao1 richness floor V + n₁²/(2·n₂): the
+    * "is more of this feed worth crawling" number — a source whose
+    * unseen mass is ~0 is exhausted (more of it is rote), one at 0.05
+    * still pays for collection. Complements q165's Heaps CURVE with
+    * the closed-form marginal estimate a mix planner can threshold.
+    *
+    * One token scan → (source, word) counts → the O(sources)
+    * frequency-of-frequencies fold. Exact integer counts everywhere;
+    * the two estimates are single closed-form doubles per source. */
+  def q229GoodTuring(spark: SparkSession, dir: String): DataFrame = {
+    val wc = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(graft.functions.Portable.tokenize(col("text"))).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("c"))
+    wc.groupBy("source")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("n_vocab"),
+        sum((col("c") === 1).cast("long")).as("n_singletons"),
+        sum((col("c") === 2).cast("long")).as("n_doubletons"))
+      .select(col("source"), col("n_tokens"), col("n_vocab"),
+        col("n_singletons"), col("n_doubletons"),
+        round(when(col("n_tokens") > 0,
+          col("n_singletons").cast("double") / col("n_tokens")), 6)
+          .as("unseen_mass"),
+        round(when(col("n_doubletons") > 0,
+          col("n_vocab").cast("double")
+            + col("n_singletons").cast("double")
+            * col("n_singletons").cast("double")
+            / (lit(2.0) * col("n_doubletons").cast("double")))
+          .otherwise(col("n_vocab").cast("double")), 2).as("chao1_richness"))
+      .orderBy("source")
+  }
+
+  /** q230: l-diversity audit — the sensitive-attribute companion to
+    * q192's k-anonymity (Machanavajjhala et al. 2007): a class can be
+    * k-anonymous and STILL leak if all k members share one sensitive
+    * value (homogeneity attack — "I can't tell which row is you, but
+    * every candidate row says the same thing about you"). Per
+    * (nation, balance-band) quasi-identifier class, l = distinct
+    * market segments; the ladder l ∈ {2, 3, 5} reports classes and
+    * customers below each bar. Same O(classes) collapse as q192 —
+    * classes are bounded by the QI value grid, never row count. */
+  def q230LDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val classes = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("sz"),
+        countDistinct("c_mktsegment").as("l"))
+    classes
+      .select(col("sz"), col("l"),
+        explode(array(lit(2L), lit(3L), lit(5L))).as("l_bar"))
+      .groupBy("l_bar")
+      .agg(count(lit(1)).as("n_classes"),
+        sum("sz").as("n_rows"),
+        sum((col("l") < col("l_bar")).cast("long")).as("n_classes_below"),
+        sum(when(col("l") < col("l_bar"), col("sz")).otherwise(0L))
+          .as("n_rows_at_risk"),
+        min("l").as("min_l"))
+      .withColumn("risk_share",
+        round(col("n_rows_at_risk").cast("double") / col("n_rows"), 6))
+      .orderBy("l_bar")
+  }
 }

@@ -2173,4 +2173,166 @@ object TextAnalysis {
         col("source"), col("lang"), col("pri"))
       .orderBy("rank")
   }
+
+  /** q228: quality-signal mutual information — the 10×10 grid cross-tab
+    * of the q37 quality score against document length (token-count
+    * bucket), with per-cell lift and global MI / Cramér's V: the "is
+    * my quality gate secretly a LENGTH gate" audit (a curation score
+    * that carries high MI with length filters by length while claiming
+    * to filter by quality — the mix it produces then skews long). One
+    * qualityScored pass collapses the corpus to ≤ 100 exact-integer
+    * cells; buckets derive from the EXACT 1e-6 quality grid via integer
+    * division (never floor(double·10) — a cell-edge double can land on
+    * either side across engines); the MI / χ² folds run (q_bucket,
+    * len_bucket)-ORDERED (the q181 sequential-sum convention). */
+  def q228SignalMi(spark: SparkSession, dir: String): DataFrame = {
+    val cells = qualityScored(
+        Tables.documents(spark, dir).filter(col("text").isNotNull))
+      .select(
+        round(col("quality") * 1000000, 0).cast("long").as("q6"),
+        col("n_tokens"))
+      // integer DIV on the exact grids — never floor(double·k), whose
+      // cell-edge values can land on either side across engines
+      .select(least(expr("q6 DIV 100000"), lit(9L)).as("q_bucket"),
+        least(expr("n_tokens DIV 64"), lit(9L)).as("len_bucket"))
+      .groupBy("q_bucket", "len_bucket")
+      .agg(count(lit(1)).as("n"))
+    val wAll = Window.orderBy("q_bucket", "len_bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wq = Window.partitionBy("q_bucket")
+    val wl = Window.partitionBy("len_bucket")
+    val dims = cells.agg(countDistinct("q_bucket").cast("double").as("kq"),
+      countDistinct("len_bucket").cast("double").as("kl"))
+    cells
+      .crossJoin(broadcast(dims))
+      .withColumn("bign", sum("n").over(wAll))
+      .withColumn("nq", sum("n").over(wq))
+      .withColumn("nl", sum("n").over(wl))
+      .withColumn("p", col("n").cast("double") / col("bign"))
+      .withColumn("pq", col("nq").cast("double") / col("bign"))
+      .withColumn("pl", col("nl").cast("double") / col("bign"))
+      .withColumn("lift", col("p") / (col("pq") * col("pl")))
+      .withColumn("mi", sum(col("p") * log(col("lift"))).over(wAll))
+      .withColumn("chi2", sum(
+        (col("n").cast("double") - col("pq") * col("pl") * col("bign"))
+          * (col("n").cast("double") - col("pq") * col("pl") * col("bign"))
+          / (col("pq") * col("pl") * col("bign"))).over(wAll))
+      .select(col("q_bucket").cast("long").as("q_bucket"),
+        col("len_bucket").cast("long").as("len_bucket"), col("n"),
+        round(col("p"), 6).as("p"),
+        round(col("lift"), 4).as("lift"),
+        round(col("mi"), 6).as("mi_nats"),
+        round(when(least(col("kq"), col("kl")) > 1,
+          sqrt(col("chi2") / (col("bign") * (least(col("kq"), col("kl")) - 1)))), 4)
+          .as("cramers_v"))
+      .orderBy("q_bucket", "len_bucket")
+  }
+
+  /** q231: template-similarity report — per source, the 4-word-shingle
+    * Jaccard between CONSECUTIVE documents: boilerplate feeds (wire
+    * copy, product pages, generated spam) show high adjacent
+    * similarity long before q49/q68 would call any pair a duplicate —
+    * the cheap early-warning that a feed needs the dedup ladder at
+    * all. Adjacent pairs are O(docs), never doc×doc (the q47
+    * adjacency idea lifted from char prefixes to shingle sets), and
+    * the intersection joins on the COMPOSITE (shingle, id+1 = id) key
+    * (the q77 shape — a stop-shingle produces no fanout). Per-pair
+    * Jaccard lands on the 1e-6 grid before the per-source mean (exact
+    * integer sums; a float mean over a corpus of pairs is
+    * accumulation-order-sensitive). */
+  def q231TemplateSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.plans.ShingleHashes.shingleHashes(split(col("text"), " "), 4)))
+          .as("shash"))
+      .localCheckpoint() // one shingle scan, three key-join consumers
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // consecutive WITHIN each source (doc_ids interleave sources, so
+    // global id+1 adjacency would compare across feeds)
+    val ws = Window.partitionBy("source").orderBy("id_a")
+    val adj = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id").as("id_a"), col("source"))
+      .withColumn("id_b", lead("id_a", 1).over(ws))
+      .filter(col("id_b").isNotNull)
+    val inter = adj
+      .join(sh.select(col("doc_id").as("id_a"), col("shash")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("shash")),
+        Seq("id_b", "shash"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    val pairs = adj
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("sa")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("sb")), "id_b")
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .select(col("source"),
+        round(coalesce(col("n_inter"), lit(0L)).cast("double")
+          / (col("sa") + col("sb") - coalesce(col("n_inter"), lit(0L))), 6)
+          .as("jac"))
+    pairs
+      .select(col("source"),
+        round(col("jac") * 1000000, 0).cast("long").as("j6"),
+        col("jac"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("j6").cast("decimal(38,0)")).as("sj6"),
+        max("jac").as("max_jaccard"),
+        sum((col("jac") >= 0.5).cast("long")).as("n_template_pairs"))
+      .select(col("source"), col("n_pairs"),
+        round(col("sj6").cast("double") / col("n_pairs") / 1000000.0, 6)
+          .as("mean_jaccard"),
+        col("max_jaccard"), col("n_template_pairs"))
+      .orderBy("source")
+  }
+
+  /** q232: token-budget allocator — the 1e9-token training-mix plan
+    * that q83's temperature weights IMPLY, made feasible against what
+    * each source actually HAS (q207's effective canonical mass): a
+    * weight that wants 3× a source's supply is capped at the supply
+    * and its surplus redistributes across the uncapped sources in one
+    * documented rebalance round (surplus after a SECOND cap is left
+    * unallocated and reported — a planner wants to SEE unfillable
+    * budget, not have it silently smeared). Everything is O(sources)
+    * closed-form arithmetic over exact integer masses; the three
+    * cross-source folds run source-ORDERED (q181). */
+  def q232BudgetAllocator(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 1e9
+    val w = Window.partitionBy("content_hash").orderBy("doc_id")
+    val wAll = Window.orderBy("source")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val per = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        md5(col("text").cast("binary")).as("content_hash"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("is_canonical", (row_number().over(w) === 1).cast("long"))
+      .groupBy("source")
+      .agg(sum(col("n_tokens") * col("is_canonical")).as("supply"))
+    per
+      .withColumn("z", sum(pow(col("supply").cast("double"), 0.5)).over(wAll))
+      .withColumn("wgt", pow(col("supply").cast("double"), 0.5) / col("z"))
+      .withColumn("target", col("wgt") * lit(budget))
+      .withColumn("alloc1",
+        least(col("supply").cast("double"), col("target")))
+      .withColumn("leftover",
+        lit(budget) - sum(col("alloc1")).over(wAll))
+      .withColumn("uncapped",
+        (col("alloc1") < col("supply").cast("double")).cast("long"))
+      .withColumn("zu", sum(when(col("uncapped") === 1, col("wgt"))
+        .otherwise(0.0)).over(wAll))
+      .withColumn("alloc2", when(col("uncapped") === 1 && col("zu") > 0,
+        least(col("supply").cast("double"),
+          col("alloc1") + col("wgt") / col("zu") * col("leftover")))
+        .otherwise(col("alloc1")))
+      .select(col("source"), col("supply").as("supply_tokens"),
+        round(col("wgt"), 6).as("mix_weight"),
+        round(col("target"), 2).as("target_tokens"),
+        round(col("alloc2"), 2).as("allocated_tokens"),
+        (col("alloc1") >= col("supply").cast("double")).cast("long")
+          .as("capped"),
+        round(when(col("supply") > 0,
+          col("alloc2") / col("supply").cast("double")), 4).as("epochs"))
+      .orderBy("source")
+  }
 }

@@ -1035,7 +1035,9 @@ class QueriesSpec extends AnyFunSuite {
       "q213_weighted_sample" -> "final rank over the k-row TakeOrdered shortlist (k=100)",
       "q217_mann_whitney" -> "midrank fold over the O(|1e-3 value grid|) histogram (<= ~5e5 cells at any corpus size)",
       "q218_ks_test" -> "CDF cumsum + argmax over the same O(|value grid|) histogram",
-      "q219_eb_shrinkage" -> "source-ordered moment folds over the O(sources) frame (q181 convention)")
+      "q219_eb_shrinkage" -> "source-ordered moment folds over the O(sources) frame (q181 convention)",
+      "q228_signal_mi" -> "MI/chi2 folds over the <=100-cell bucket grid",
+      "q232_budget_allocator" -> "allocation folds over the O(sources) frame (q181 convention)")
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => bounded.contains(q._1))
@@ -1133,7 +1135,9 @@ class QueriesSpec extends AnyFunSuite {
       "q215_clustering_coefficient",
       // round 9 (q226/q227 read documents + the clean embeddings above)
       "q219_eb_shrinkage", "q221_bernstein_bounds",
-      "q226_encoder_consistency", "q227_signal_agreement")
+      "q226_encoder_consistency", "q227_signal_agreement",
+      "q228_signal_mi", "q229_good_turing", "q231_template_similarity",
+      "q232_budget_allocator")
     val failures = docQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -3841,6 +3845,128 @@ class QueriesSpec extends AnyFunSuite {
     // the embedding marginal IS q49: same candidates, same threshold
     assert(n11 + n01 == run("q49_embedding_neardup").count(),
       "cos>=0.45 marginal must equal the q49 pair count")
+  }
+
+  test("q228 signal MI replays from the bucket grid") {
+    val docs = graft.operators.TextAnalysis.qualityScored(
+        Tables.documents(spark, sf0001).filter(col("text").isNotNull))
+      .select(round(col("quality") * 1000000, 0).cast("long").as("q6"),
+        col("n_tokens"))
+      .collect().map(r => (math.min(r.getLong(0) / 100000, 9L),
+        math.min(r.getLong(1) / 64, 9L)))
+    val n = docs.length.toDouble
+    val cells = docs.groupBy(identity).map { case (k, xs) => k -> xs.length }
+    val pq = docs.groupBy(_._1).map { case (k, xs) => k -> xs.length / n }
+    val pl = docs.groupBy(_._2).map { case (k, xs) => k -> xs.length / n }
+    val mi = cells.map { case ((a, b), c) =>
+      (c / n) * math.log((c / n) / (pq(a) * pl(b))) }.sum
+    val got = run("q228_signal_mi").collect()
+    assert(got.length == cells.size)
+    got.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) == cells(key).toLong, s"cell $key")
+      assert(math.abs(r.getDouble(3) - cells(key) / n) < 2e-6)
+      assert(math.abs(r.getDouble(5) - mi) < 2e-4, "mi")
+      assert(r.getDouble(5) >= -1e-9, "MI is non-negative")
+      if (!r.isNullAt(6))
+        assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0 + 1e-9, "V in [0,1]")
+    }
+  }
+
+  test("q229 Good-Turing replays from token counts; Chao1 bounds vocab") {
+    val wc = Tables.documents(spark, sf0001)
+      .select(col("source"),
+        explode(graft.functions.Portable.tokenize(col("text"))).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    val got = run("q229_good_turing").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val src = r.getString(0)
+      val cs = wc.filter(_._1 == src).map(_._2)
+      assert(r.getLong(1) == cs.sum && r.getLong(2) == cs.length.toLong)
+      assert(r.getLong(3) == cs.count(_ == 1L) && r.getLong(4) == cs.count(_ == 2L))
+      assert(math.abs(r.getDouble(5) - cs.count(_ == 1L).toDouble / cs.sum) < 2e-6)
+      assert(r.getDouble(6) >= r.getLong(2) - 1e-9, "Chao1 >= observed vocab")
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
+
+  test("q230 l-diversity replays from the customer QI classes") {
+    val classes = Tables.customer(spark, sf0001)
+      .groupBy(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("sz"), countDistinct("c_mktsegment").as("l"))
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    val got = run("q230_l_diversity").collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(2L, 3L, 5L))
+    got.foreach { case (bar, r) =>
+      val below = classes.filter(_._2 < bar)
+      assert(r.getLong(1) == classes.length.toLong)
+      assert(r.getLong(2) == classes.map(_._1).sum)
+      assert(r.getLong(3) == below.length.toLong, s"bar $bar classes")
+      assert(r.getLong(4) == below.map(_._1).sum, s"bar $bar rows")
+      assert(r.getLong(5) == classes.map(_._2).min)
+      assert(math.abs(r.getDouble(6)
+        - below.map(_._1).sum.toDouble / classes.map(_._1).sum) < 2e-6)
+    }
+    // risk is monotone in the bar
+    val shares = Seq(2L, 3L, 5L).map(b => got(b).getDouble(6))
+    assert(shares.sliding(2).forall(w => w(1) >= w(0) - 1e-12))
+  }
+
+  test("q231 template similarity replays from plain-Scala shingle sets") {
+    val docs = Tables.documents(spark, sf0001)
+      .filter(col("text").isNotNull)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def shingles(t: String): Set[String] = {
+      val ws = t.split(" ", -1)
+      val k = math.max(ws.length - 3, 1)
+      (0 until k).map(i => ws.slice(i, i + 4).mkString(" ")).toSet
+    }
+    val bySrc = docs.groupBy(_._2)
+    val got = run("q231_template_similarity").collect()
+      .map(r => r.getString(0) -> r).toMap
+    bySrc.foreach { case (src, xs) =>
+      val ordered = xs.sortBy(_._1)
+      val pairs = ordered.sliding(2).filter(_.length == 2).map { w =>
+        val (a, b) = (shingles(w(0)._3), shingles(w(1)._3))
+        val inter = (a intersect b).size
+        BigDecimal(inter.toDouble / (a.size + b.size - inter))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toSeq
+      if (pairs.nonEmpty) {
+        val r = got(src)
+        assert(r.getLong(1) == pairs.length.toLong, s"$src n_pairs")
+        val mean = pairs.map(j => math.round(j * 1e6)).sum.toDouble / pairs.length / 1e6
+        assert(math.abs(r.getDouble(2) - mean) < 2e-6, s"$src mean")
+        assert(math.abs(r.getDouble(3) - pairs.max) < 2e-6, s"$src max")
+        assert(r.getLong(4) == pairs.count(_ >= 0.5).toLong)
+      } else assert(!got.contains(src))
+    }
+  }
+
+  test("q232 budget allocation is feasible, capped correctly, and q214-consistent") {
+    val got = run("q232_budget_allocator").collect()
+    assert(got.nonEmpty)
+    val budget = 1e9
+    var total = 0.0
+    got.foreach { r =>
+      val (supply, alloc, capped) = (r.getLong(1), r.getDouble(4), r.getLong(5))
+      assert(alloc <= supply + 0.01, s"${r.getString(0)}: never exceed supply")
+      if (capped == 1L) assert(math.abs(alloc - supply) < 0.01, "capped = full supply")
+      if (!r.isNullAt(6)) assert(r.getDouble(6) <= 1.0 + 1e-9, "epochs <= 1")
+      total += alloc
+    }
+    assert(total <= budget + 1.0, "never over-allocate the budget")
+    // the temperature weights ARE q214's effective weights
+    val q214 = run("q214_effective_mix").collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(2) - q214(r.getString(0))) < 2e-6,
+        s"${r.getString(0)}: mix weight must equal q214's effective weight")
+    }
   }
 
   test("q207 effective-data fraction replays from java-MD5 canonicals") {
