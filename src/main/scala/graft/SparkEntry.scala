@@ -234,6 +234,10 @@ object SparkEntry {
     "q230_l_diversity"    -> (Profile.q230LDiversity _),
     "q231_template_similarity" -> (TextAnalysis.q231TemplateSimilarity _),
     "q232_budget_allocator" -> (TextAnalysis.q232BudgetAllocator _),
+    "q233_stationary_dist" -> (Temporal.q233StationaryDist _),
+    "q234_k_core"         -> (Graph.q234KCore _),
+    "q235_burstiness"     -> (Temporal.q235Burstiness _),
+    "q236_type_cooccurrence" -> (Temporal.q236TypeCooccurrence _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -5201,6 +5205,152 @@ object SparkEntry {
         |  round(CASE WHEN supply > 0
         |    THEN alloc2 / CAST(supply AS DOUBLE) END, 4) AS epochs
         |FROM f6 ORDER BY source""".stripMargin,
+
+    // stationary distribution: 10 unrolled power iterations, every
+    // double fold over an ORDERED window (q181); P entries exact
+    // n/total; dangling mass renormalized per round
+    "q233_stationary_dist" -> {
+      val n = operators.Temporal.StationaryIters
+      val iters = (1 to n).map { i =>
+        s"""t$i AS (SELECT p.next_type,
+           |    sum(pi.pi * p.prob) OVER (PARTITION BY p.next_type
+           |      ORDER BY p.prev_type
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           |      AS s,
+           |    row_number() OVER (PARTITION BY p.next_type
+           |      ORDER BY p.prev_type) AS rk
+           |  FROM pp p JOIN pi${i - 1} pi ON pi.state = p.prev_type),
+           |u$i AS (SELECT next_type AS state, s FROM t$i WHERE rk = 1),
+           |pi$i AS (SELECT state, s / sum(s) OVER (ORDER BY state
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           |    AS pi
+           |  FROM u$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH c0 AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+         |  FROM (SELECT event_type, lag(event_type, 1) OVER
+         |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+         |    FROM events WHERE event_type IS NOT NULL) t
+         |  WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         |states AS (SELECT DISTINCT prev_type AS state FROM c0),
+         |cc AS (SELECT c0.* FROM c0 JOIN states ON states.state = c0.next_type),
+         |pp AS (SELECT prev_type, next_type,
+         |    CAST(n AS DOUBLE)
+         |      / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS prob
+         |  FROM cc),
+         |pi0 AS (SELECT state,
+         |    1.0 / (SELECT count(*) FROM states) AS pi FROM states),
+         |$iters,
+         |h0 AS (SELECT prev_type,
+         |    sum(-prob * ln(prob) / ln(2.0)) OVER (PARTITION BY prev_type
+         |      ORDER BY next_type
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS h,
+         |    row_number() OVER (PARTITION BY prev_type ORDER BY next_type)
+         |      AS rk
+         |  FROM pp),
+         |hh AS (SELECT prev_type AS state, h FROM h0 WHERE rk = 1),
+         |fin AS (SELECT s.state, coalesce(p.pi, 0.0) AS pi,
+         |    coalesce(hh.h, 0.0) AS h
+         |  FROM states s LEFT JOIN pi$n p ON p.state = s.state
+         |  LEFT JOIN hh ON hh.state = s.state),
+         |fin2 AS (SELECT *, sum(pi * h) OVER (ORDER BY state
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         |    AS rate FROM fin)
+         |SELECT state, round(pi, 6) AS pi, round(h, 6) AS h_bits,
+         |  round(rate, 6) AS entropy_rate_bits
+         |FROM fin2 ORDER BY state""".stripMargin
+    },
+
+    // k-core: fixed unrolled peels on the q198 bigram edge list;
+    // every round MATERIALIZED so the chain stays linear
+    "q234_k_core" -> {
+      val chains = operators.Graph.CoreKs.map { k =>
+        (1 to operators.Graph.CoreRounds).map { r =>
+          s"""kp${k}_$r AS MATERIALIZED (SELECT id FROM (
+             |    SELECT id, count(*) AS deg FROM (
+             |      SELECT a AS id FROM e${k}_${r - 1}
+             |      UNION ALL SELECT b FROM e${k}_${r - 1}) u
+             |    GROUP BY 1) d WHERE deg >= $k),
+             |e${k}_$r AS MATERIALIZED (SELECT e.a, e.b FROM e${k}_${r - 1} e
+             |  JOIN kp${k}_$r ka ON ka.id = e.a
+             |  JOIN kp${k}_$r kb ON kb.id = e.b)""".stripMargin
+        }.mkString(",\n")
+      }
+      val seeds = operators.Graph.CoreKs
+        .map(k => s"e${k}_0 AS (SELECT a, b FROM ed)").mkString(",\n")
+      val finals = operators.Graph.CoreKs.map { k =>
+        val last = s"e${k}_${operators.Graph.CoreRounds}"
+        s"""SELECT CAST($k AS BIGINT) AS k,
+           |  CAST((SELECT count(*) FROM (SELECT DISTINCT a AS id FROM $last
+           |    UNION SELECT b FROM $last) nn) AS BIGINT) AS n_nodes,
+           |  CAST((SELECT count(*) FROM $last) AS BIGINT) AS n_edges,
+           |  CAST(coalesce((SELECT max(deg) FROM (
+           |    SELECT id, count(*) AS deg FROM (
+           |      SELECT a AS id FROM $last UNION ALL SELECT b FROM $last) u
+           |    GROUP BY 1) d), 0) AS BIGINT) AS max_core_degree""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH t AS (SELECT doc_id, ${tok("text")} AS ws FROM documents),
+         |prs AS (SELECT p['w1'] AS w1, p['w2'] AS w2 FROM
+         |  (SELECT unnest(list_transform(range(1, len(ws)),
+         |     i -> {'w1': ws[i], 'w2': ws[i+1]})) AS p
+         |   FROM t WHERE len(ws) >= 2)),
+         |ed AS MATERIALIZED (SELECT DISTINCT least(w1, w2) AS a,
+         |    greatest(w1, w2) AS b FROM prs WHERE w1 <> w2),
+         |$seeds,
+         |${chains.mkString(",\n")}
+         |$finals
+         |ORDER BY k""".stripMargin
+    },
+
+    // burstiness: exact integer-microsecond gap moments per type
+    "q235_burstiness" ->
+      """WITH g AS (SELECT event_type,
+        |    us - lag(us) OVER (PARTITION BY event_type ORDER BY us, event_id)
+        |      AS gap
+        |  FROM (SELECT event_type, event_id, epoch_us(ts) AS us FROM events
+        |        WHERE event_type IS NOT NULL AND ts IS NOT NULL) t),
+        |m AS (SELECT event_type, count(*) AS n_gaps, sum(gap) AS sg,
+        |    sum(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS sgg
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1),
+        |c AS (SELECT event_type, CAST(n_gaps AS BIGINT) AS n_gaps,
+        |    CAST(n_gaps AS DOUBLE) AS nd, CAST(sg AS DOUBLE) / 1000000.0 AS sgd,
+        |    CAST(sgg AS DOUBLE) / 1e12 AS sggd
+        |  FROM m WHERE n_gaps >= 2),
+        |e AS (SELECT *, sgd / nd AS mean_s,
+        |    (sggd - sgd * sgd / nd) / (nd - 1) AS v FROM c),
+        |f AS (SELECT *, CASE WHEN mean_s > 0 AND v >= 0
+        |    THEN sqrt(v) / mean_s END AS cv FROM e)
+        |SELECT event_type, n_gaps, round(mean_s, 4) AS mean_gap_s,
+        |  round(cv, 4) AS cv,
+        |  round(CASE WHEN cv IS NOT NULL
+        |    THEN (cv - 1.0) / (cv + 1.0) END, 4) + 0.0 AS burstiness
+        |FROM f ORDER BY event_type""".stripMargin,
+
+    // co-occurrence: distinct session-presence collapse; lift/PMI from
+    // exact integer counts
+    "q236_type_cooccurrence" ->
+      """WITH pres AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d,
+        |    event_type
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |ns AS (SELECT count(*) AS n_sessions FROM
+        |  (SELECT DISTINCT user_id, d FROM pres) s),
+        |per AS (SELECT event_type, count(*) AS n_t FROM pres GROUP BY 1),
+        |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_both
+        |  FROM pres a JOIN pres b ON a.user_id = b.user_id AND a.d = b.d
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2),
+        |j AS (SELECT type_a, type_b, n_both, pa.n_t AS n_a, pb.n_t AS n_b,
+        |    ns.n_sessions,
+        |    CAST(n_both AS DOUBLE) * CAST(ns.n_sessions AS DOUBLE)
+        |      / (CAST(pa.n_t AS DOUBLE) * CAST(pb.n_t AS DOUBLE)) AS l
+        |  FROM pairs JOIN per pa ON pa.event_type = pairs.type_a
+        |    JOIN per pb ON pb.event_type = pairs.type_b CROSS JOIN ns)
+        |SELECT type_a, type_b, CAST(n_both AS BIGINT) AS n_both,
+        |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(n_sessions AS BIGINT) AS n_sessions,
+        |  round(l, 4) AS lift, round(ln(l), 6) + 0.0 AS pmi
+        |FROM j ORDER BY type_a, type_b""".stripMargin,
   )
 
   /** q162b is the hour-sharded PHYSICAL form of q162 — identical

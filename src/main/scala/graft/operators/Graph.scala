@@ -614,4 +614,61 @@ object Graph {
         when(den > 0, round(num / den, 6)).as("assortativity"))
       .orderBy("n_nodes")
   }
+
+  /** Peeling rounds for [[q234KCore]] — fixed, never convergence-gated
+    * (the q110/q116 cross-engine rule); 10 rounds reach the fixpoint
+    * on every fixture and the CONTRACT is "the subgraph after 10
+    * peels", so a pathological deep-peel graph still matches. */
+  val CoreRounds = 10
+  /** Core orders reported by q234. */
+  val CoreKs: Seq[Int] = Seq(2, 3)
+
+  /** q234: k-core decomposition of the bigram word graph — iteratively
+    * peel nodes of degree &lt; k; what survives is the graph's dense
+    * backbone (Seidman 1983). On a text graph the 2-core separates
+    * connective vocabulary from one-off fringe words, and the 3-core
+    * is the template/boilerplate skeleton — the STRUCTURAL complement
+    * to q110's TextRank scores (rank says important; core says
+    * embedded in dense structure). k ∈ [[CoreKs]], [[CoreRounds]]
+    * unrolled peels.
+    *
+    * Scale shape: each peel is one degree aggregate + two key joins on
+    * the vocabulary-capped edge list (never the corpus), with a
+    * localCheckpoint lineage cut per round (the q132/q110 pattern);
+    * rounds × ks is a fixed constant. */
+  def q234KCore(spark: SparkSession, dir: String): DataFrame = {
+    val ed0 = TextAnalysis.transitions(spark, dir)
+      .filter(col("w1") =!= col("w2"))
+      .select(least(col("w1"), col("w2")).as("a"),
+        greatest(col("w1"), col("w2")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    CoreKs.map { k =>
+      var ed = ed0
+      var r = 0
+      while (r < CoreRounds) {
+        val keep = ed.select(col("a").as("id"))
+          .union(ed.select(col("b").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select("id")
+        ed = ed
+          .join(keep.select(col("id").as("a")), "a")
+          .join(keep.select(col("id").as("b")), "b")
+          .select("a", "b")
+          .localCheckpoint()
+        r += 1
+      }
+      val nodes = ed.select(col("a").as("id"))
+        .union(ed.select(col("b").as("id"))).distinct()
+        .agg(count(lit(1)).as("n_nodes"))
+      val maxDeg = ed.select(col("a").as("id"))
+        .union(ed.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+        .agg(coalesce(max("deg"), lit(0L)).as("max_core_degree"))
+      ed.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(nodes).crossJoin(maxDeg)
+        .select(lit(k.toLong).as("k"), col("n_nodes"), col("n_edges"),
+          col("max_core_degree"))
+    }.reduce(_ unionAll _).orderBy("k")
+  }
 }

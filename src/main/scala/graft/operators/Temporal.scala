@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -999,5 +999,195 @@ object Temporal {
           col("delta_s"))).as("ci_hi_s"))
       .withColumn("confidence", lit(0.95))
       .orderBy("n_users")
+  }
+
+  /** Fixed power-iteration rounds for [[q233StationaryDist]] — a
+    * convergence-gated loop can stop at different rounds across
+    * engines (the q110/q116 rule). */
+  val StationaryIters = 10
+
+  /** q233: stationary distribution + entropy rate of the q112 user-
+    * journey Markov chain — where the traffic SETTLES (π: long-run
+    * share of time in each event state) and how unpredictable the
+    * settled process is (entropy rate Σ πᵢHᵢ, bits/step — the single
+    * number that says whether q185-class next-event models can work
+    * AT ALL on this product). Completes the Markov family: q112
+    * estimates the chain, q185 scores its argmax, q200 its per-state
+    * uncertainty; this is the chain's long-run behavior.
+    *
+    * π by [[StationaryIters]] unrolled power iterations from uniform,
+    * renormalized each round (dangling-state mass guard). The state
+    * space CLOSES over types observed as a transition SOURCE (edges
+    * into never-a-source states are dropped and rows renormalize —
+    * documented scope, mirrored in the oracle). Every double sum —
+    * the matrix-vector product per target state, the renormalizer,
+    * the entropy and rate folds — runs over an ORDERED window on the
+    * O(types)/O(types²) frame (the q181 convention), so both engines
+    * fold in the same sequence. P entries are exact n/total doubles
+    * (never pre-rounded). */
+  def q233StationaryDist(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    val counts0 = Tables.events(spark, dir)
+      .filter(col("event_type").isNotNull)
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // O(types²); consumed by states + P + entropy
+    val states = counts0.select(col("prev_type").as("state")).distinct()
+    val counts = counts0
+      .join(states.select(col("state").as("next_type")), "next_type")
+    val wp = Window.partitionBy("prev_type")
+    val p = counts
+      .withColumn("prob", col("n").cast("double")
+        / sum("n").over(wp).cast("double"))
+      .select("prev_type", "next_type", "prob")
+      .localCheckpoint() // consumed once per iteration
+    val wk = Window.orderBy("state")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    var pi = states
+      .withColumn("k", count(lit(1)).over(wk))
+      .select(col("state"), (lit(1.0) / col("k")).as("pi"))
+      .localCheckpoint()
+    val wj = Window.partitionBy("next_type").orderBy("prev_type")
+    val wjf = wj.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    var r = 0
+    while (r < StationaryIters) {
+      val stepped = p.join(pi, p("prev_type") === pi("state"))
+        .select(col("next_type"), col("prev_type"),
+          (col("pi") * col("prob")).as("term"))
+        .withColumn("s", sum("term").over(wjf))
+        .withColumn("rk", row_number().over(wj))
+        .filter(col("rk") === 1)
+        .select(col("next_type").as("state"), col("s"))
+      pi = stepped
+        .withColumn("z", sum("s").over(wk))
+        .select(col("state"), (col("s") / col("z")).as("pi"))
+        .localCheckpoint()
+      r += 1
+    }
+    val we = Window.partitionBy("prev_type").orderBy("next_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wer = Window.partitionBy("prev_type").orderBy("next_type")
+    val h = p
+      .withColumn("hterm", -col("prob") * log(col("prob")) / math.log(2.0))
+      .withColumn("h", sum("hterm").over(we))
+      .withColumn("rk", row_number().over(wer))
+      .filter(col("rk") === 1)
+      .select(col("prev_type").as("state"), col("h"))
+    states
+      .join(pi, Seq("state"), "left")
+      .join(h, Seq("state"), "left")
+      .select(col("state"), coalesce(col("pi"), lit(0.0)).as("pi"),
+        coalesce(col("h"), lit(0.0)).as("h"))
+      .withColumn("rate", sum(col("pi") * col("h")).over(wk))
+      .select(col("state"), round(col("pi"), 6).as("pi"),
+        round(col("h"), 6).as("h_bits"),
+        round(col("rate"), 6).as("entropy_rate_bits"))
+      .orderBy("state")
+  }
+
+  /** q235: inter-event burstiness per event type — the gap-process
+    * shape test (Goh & Barabási 2008): B = (CV − 1)/(CV + 1) of the
+    * inter-arrival gaps, where CV = σ/μ. B ≈ 0 is Poisson (q195's
+    * power math and q80's alarms assume it), B → 1 is bursty (alarms
+    * fire on every burst head), B → −1 is periodic (a bot/heartbeat
+    * signature q113 would mistake for healthy regularity). Gaps are
+    * exact integer MICROSECONDS; moments are exact decimals; CV/B
+    * closed-form doubles on the O(types) frame.
+    *
+    * Physical form is DAY-SHARDED (the q162b lesson, caught by the
+    * 100× sweep: a window partitioned by type alone sorts corpus/types
+    * rows per task — 23 s at 10M events, unbounded at 100 TB): gaps
+    * within a (type, day) shard come from bounded shard windows, and
+    * the shard-BOUNDARY gaps (first event of a day minus last event of
+    * the previous observed day) come from one O(types × days) frame —
+    * the same gap multiset, summed as order-independent exact
+    * integers, so the oracle keeps the simple global-lag form. */
+  def q235Burstiness(spark: SparkSession, dir: String): DataFrame = {
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isNotNull && col("ts").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("day", expr("us DIV 86400000000"))
+    val wd = Window.partitionBy("event_type", "day")
+      .orderBy(asc("us"), asc("event_id"))
+    val within = ev
+      .withColumn("gap", col("us") - lag("us", 1).over(wd))
+      .filter(col("gap").isNotNull)
+      .select("event_type", "gap")
+    val wb = Window.partitionBy("event_type").orderBy("day")
+    val boundary = ev.groupBy("event_type", "day")
+      .agg(min("us").as("first_us"), max("us").as("last_us"))
+      .withColumn("gap", col("first_us") - lag("last_us", 1).over(wb))
+      .filter(col("gap").isNotNull)
+      .select("event_type", "gap")
+    within.unionAll(boundary)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(d38(col("gap"))).as("sg"),
+        sum(d38(col("gap")) * d38(col("gap"))).as("sgg"))
+      .filter(col("n_gaps") >= 2)
+      .select(col("event_type"), col("n_gaps"),
+        col("n_gaps").cast("double").as("nd"),
+        (col("sg").cast("double") / 1000000.0).as("sgd"),
+        (col("sgg").cast("double") / 1e12).as("sggd"))
+      .withColumn("mean_s", col("sgd") / col("nd"))
+      .withColumn("v",
+        (col("sggd") - col("sgd") * col("sgd") / col("nd")) / (col("nd") - 1))
+      .withColumn("cv",
+        when(col("mean_s") > 0 && col("v") >= 0,
+          sqrt(col("v")) / col("mean_s")))
+      .select(col("event_type"), col("n_gaps"),
+        round(col("mean_s"), 4).as("mean_gap_s"),
+        round(col("cv"), 4).as("cv"),
+        round(when(col("cv").isNotNull,
+          (col("cv") - 1.0) / (col("cv") + 1.0)), 4).as("burstiness"))
+      .orderBy("event_type")
+  }
+
+  /** q236: event-type co-occurrence lift within user-day sessions —
+    * which behaviors arrive TOGETHER (lift = P(a,b)/P(a)P(b) over
+    * session presence, PMI in nats): the co-presence complement to
+    * q112's sequential transitions (q112 says what FOLLOWS a view;
+    * this says what a view-day also contains — the association a
+    * session-scoped recommender or anomaly rule keys on). One
+    * distinct (user, day, type) collapse, a presence self-join keyed
+    * on the session (per-session fanout bounded by the TYPE
+    * cardinality squared), exact integer counts → closed-form lift. */
+  def q236TypeCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val pres = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull
+        && col("event_type").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+      .distinct()
+      .localCheckpoint() // O(sessions × types); three consumers
+    val ns = pres.select("user_id", "d").distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val per = pres.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+    val pairs = pres.as("a")
+      .join(pres.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.d") === col("b.d")
+          && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(per.select(col("event_type").as("type_a"), col("n_t").as("n_a")),
+        "type_a")
+      .join(per.select(col("event_type").as("type_b"), col("n_t").as("n_b")),
+        "type_b")
+      .crossJoin(broadcast(ns))
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"),
+        col("n_b"), col("n_sessions"),
+        (col("n_both").cast("double") * col("n_sessions").cast("double")
+          / (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("l"))
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"),
+        col("n_b"), col("n_sessions"),
+        round(col("l"), 4).as("lift"),
+        round(log(col("l")), 6).as("pmi"))
+      .orderBy("type_a", "type_b")
   }
 }

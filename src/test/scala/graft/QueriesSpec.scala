@@ -1037,7 +1037,8 @@ class QueriesSpec extends AnyFunSuite {
       "q218_ks_test" -> "CDF cumsum + argmax over the same O(|value grid|) histogram",
       "q219_eb_shrinkage" -> "source-ordered moment folds over the O(sources) frame (q181 convention)",
       "q228_signal_mi" -> "MI/chi2 folds over the <=100-cell bucket grid",
-      "q232_budget_allocator" -> "allocation folds over the O(sources) frame (q181 convention)")
+      "q232_budget_allocator" -> "allocation folds over the O(sources) frame (q181 convention)",
+      "q233_stationary_dist" -> "power-iteration renormalizers + rate fold over the O(event types) state frame")
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => bounded.contains(q._1))
@@ -1137,7 +1138,7 @@ class QueriesSpec extends AnyFunSuite {
       "q219_eb_shrinkage", "q221_bernstein_bounds",
       "q226_encoder_consistency", "q227_signal_agreement",
       "q228_signal_mi", "q229_good_turing", "q231_template_similarity",
-      "q232_budget_allocator")
+      "q232_budget_allocator", "q234_k_core")
     val failures = docQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -1203,7 +1204,8 @@ class QueriesSpec extends AnyFunSuite {
       "q195_power_mde", "q200_journey_entropy", "q202_latency_ci",
       "q206_retention_guardrail", "q209_funnel_ci",
       // round 9
-      "q216_cuped", "q217_mann_whitney", "q218_ks_test", "q220_autocorr")
+      "q216_cuped", "q217_mann_whitney", "q218_ks_test", "q220_autocorr",
+      "q233_stationary_dist", "q235_burstiness", "q236_type_cooccurrence")
     val failures = eventQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -3966,6 +3968,123 @@ class QueriesSpec extends AnyFunSuite {
     got.foreach { r =>
       assert(math.abs(r.getDouble(2) - q214(r.getString(0))) < 2e-6,
         s"${r.getString(0)}: mix weight must equal q214's effective weight")
+    }
+  }
+
+  test("q233 stationary distribution replays via plain-Scala power iteration") {
+    val trans = run("q112_markov_transitions").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val states = trans.map(_._1).distinct.sorted
+    val closed = trans.filter(t => states.contains(t._2))
+    val totals = closed.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._3).sum }
+    val p = closed.map(t => (t._1, t._2, t._3.toDouble / totals(t._1)))
+    var pi = states.map(s => s -> 1.0 / states.length).toMap
+    (1 to graft.operators.Temporal.StationaryIters).foreach { _ =>
+      val s = states.map { j =>
+        j -> p.filter(_._2 == j).sortBy(_._1).map(e => pi(e._1) * e._3).sum
+      }.toMap
+      val z = s.values.sum
+      pi = s.map { case (k, v) => k -> (if (z > 0) v / z else 0.0) }
+    }
+    val h = states.map { i =>
+      i -> p.filter(_._1 == i).sortBy(_._2)
+        .map(e => -e._3 * math.log(e._3) / math.log(2.0)).sum
+    }.toMap
+    val rate = states.map(s => pi(s) * h(s)).sum
+    val got = run("q233_stationary_dist").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == states.toSet)
+    states.foreach { s =>
+      assert(math.abs(got(s).getDouble(1) - pi(s)) < 2e-5, s"$s pi")
+      assert(math.abs(got(s).getDouble(2) - h(s)) < 2e-5, s"$s h")
+      assert(math.abs(got(s).getDouble(3) - rate) < 2e-4, "rate")
+    }
+    // pi is a distribution
+    assert(math.abs(got.values.map(_.getDouble(1)).sum - 1.0) < 1e-4)
+  }
+
+  test("q234 k-core replays via plain-Scala peeling and nests") {
+    val toks = Tables.documents(spark, sf0001)
+      .select(graft.functions.Portable.tokenize(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
+          " (a, b) -> struct(a AS w1, b AS w2))")).as("p"))
+      .filter(col("p.w1") =!= col("p.w2"))
+      .select(least(col("p.w1"), col("p.w2")), greatest(col("p.w1"), col("p.w2")))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    def peel(k: Int): Set[(String, String)] = {
+      var es = toks.toSet
+      (1 to graft.operators.Graph.CoreRounds).foreach { _ =>
+        val deg = (es.toSeq.map(_._1) ++ es.toSeq.map(_._2))
+          .groupBy(identity).map { case (id, xs) => id -> xs.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        es = es.filter(e => keep(e._1) && keep(e._2))
+      }
+      es
+    }
+    val got = run("q234_k_core").collect().map(r => r.getLong(0) -> r).toMap
+    graft.operators.Graph.CoreKs.foreach { k =>
+      val core = peel(k)
+      val nodes = (core.toSeq.map(_._1) ++ core.toSeq.map(_._2)).distinct
+      val r = got(k.toLong)
+      assert(r.getLong(1) == nodes.size.toLong, s"k=$k nodes")
+      assert(r.getLong(2) == core.size.toLong, s"k=$k edges")
+    }
+    // cores nest: the 3-core is a subgraph of the 2-core
+    assert(got(3L).getLong(1) <= got(2L).getLong(1)
+      && got(3L).getLong(2) <= got(2L).getLong(2))
+  }
+
+  test("q235 burstiness replays from exact microsecond gaps") {
+    val ev = Tables.events(spark, sf0001)
+      .filter(col("event_type").isNotNull && col("ts").isNotNull)
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = run("q235_burstiness").collect().map(r => r.getString(0) -> r).toMap
+    ev.groupBy(_._1).foreach { case (et, xs) =>
+      val gaps = xs.sortBy(x => (x._3, x._2)).sliding(2)
+        .filter(_.length == 2).map(w => w(1)._3 - w(0)._3).toSeq
+      if (gaps.length >= 2) {
+        val n = gaps.length.toDouble
+        val mean = gaps.map(g => BigInt(g)).sum.toDouble / 1e6 / n
+        val sgg = gaps.map(g => BigInt(g) * BigInt(g)).sum.toDouble / 1e12
+        val sgd = gaps.map(g => BigInt(g)).sum.toDouble / 1e6
+        val v = (sgg - sgd * sgd / n) / (n - 1)
+        val cv = math.sqrt(v) / mean
+        val r = got(et)
+        assert(r.getLong(1) == gaps.length.toLong)
+        assert(math.abs(r.getDouble(2) - mean) < 2e-4, s"$et mean")
+        assert(math.abs(r.getDouble(3) - cv) < 2e-4, s"$et cv")
+        assert(math.abs(r.getDouble(4) - (cv - 1) / (cv + 1)) < 2e-4, s"$et b")
+        assert(r.getDouble(4) >= -1.0 - 1e-9 && r.getDouble(4) <= 1.0 + 1e-9)
+      } else assert(!got.contains(et))
+    }
+  }
+
+  test("q236 type co-occurrence replays from session presence") {
+    val pres = Tables.events(spark, sf0001)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull
+        && col("event_type").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+      .distinct().collect()
+      .map(r => ((r.getLong(0), r.getDate(1).toString), r.getString(2)))
+    val sessions = pres.map(_._1).distinct
+    val byType = pres.groupBy(_._2).map { case (t, xs) => t -> xs.length }
+    val got = run("q236_type_cooccurrence").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b, "pairs are ordered")
+      val bySess = pres.groupBy(_._1)
+      val both = bySess.count { case (_, xs) =>
+        val ts = xs.map(_._2).toSet; ts(a) && ts(b) }
+      assert(r.getLong(2) == both.toLong, s"($a,$b) n_both")
+      assert(r.getLong(3) == byType(a).toLong && r.getLong(4) == byType(b).toLong)
+      assert(r.getLong(5) == sessions.length.toLong)
+      val lift = both.toDouble * sessions.length / (byType(a).toDouble * byType(b))
+      assert(math.abs(r.getDouble(6) - lift) < 2e-4, s"($a,$b) lift")
+      assert(math.abs(r.getDouble(7) - math.log(lift)) < 2e-4, s"($a,$b) pmi")
     }
   }
 
