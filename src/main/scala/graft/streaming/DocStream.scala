@@ -517,6 +517,81 @@ object DocStream {
         })
   }
 
+  case class EmbeddedDoc(doc_id: Long, source: String, text: String,
+                         embedding: Seq[Double])
+  case class DriftSighting(source: String, id_prev: Long, id_new: Long,
+                           cos_sim: Double)
+  case class LastVec(doc_id: Long, v: Seq[Double])
+
+  /** Streaming twin of the batch q226 encoder-consistency audit — the
+    * drift check moved to INGEST time, where it pays for itself: a
+    * version-drifted encoder detected at the nightly batch audit has
+    * already poisoned a day of ANN/dedup writes; this gate emits the
+    * drifted pair the moment the second copy of a text arrives. State
+    * per distinct content hash = the LAST member's (doc_id, vector) —
+    * the CHAIN pairing, so under doc_id-ordered delivery (the
+    * lineDedup/sourceCap arrival-order contract) the emissions are
+    * EXACTLY q226's consecutive-member pairs and
+    * [[encoderConsistencyReport]] folds them to the batch answer
+    * row-for-row. State grows with distinct hashes (the
+    * incrementalDedup class — at web scale the hash space shards by
+    * groupByKey exactly as here, and vectors are the 64-float payload
+    * a real gate would hold anyway to compare against). Cosine uses
+    * the same sequential fold as the batch CosineSim expression. */
+  def encoderConsistencySightings(
+      docs: DataFrame): org.apache.spark.sql.Dataset[DriftSighting] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs.filter(col("doc_id").isNotNull && col("text").isNotNull
+        && col("embedding").isNotNull)
+      .select(col("doc_id"), col("source"), col("text"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .as[EmbeddedDoc]
+      .groupByKey(d => java.security.MessageDigest.getInstance("MD5")
+        .digest(d.text.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[EmbeddedDoc], state: GroupState[LastVec]) => {
+          // the EXACT CosineSim fold (index-ordered, sqrt(nx)*sqrt(ny)
+          // denominator) so sightings match the batch expression
+          def cos(a: Seq[Double], b: Seq[Double]): Double = {
+            var i = 0; var dot = 0.0; var nx = 0.0; var ny = 0.0
+            val n = math.min(a.length, b.length)
+            while (i < n) {
+              dot += a(i) * b(i); nx += a(i) * a(i); ny += b(i) * b(i); i += 1
+            }
+            val denom = math.sqrt(nx) * math.sqrt(ny)
+            if (denom == 0.0) 0.0 else dot / denom
+          }
+          var last = state.getOption
+          val out = Vector.newBuilder[DriftSighting]
+          rows.toSeq.sortBy(_.doc_id).foreach { d =>
+            last.foreach { p =>
+              out += DriftSighting(d.source, p.doc_id, d.doc_id,
+                BigDecimal(cos(p.v, d.embedding))
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            }
+            last = Some(LastVec(d.doc_id, d.embedding))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+        })
+  }
+
+  /** Fold emitted drift sightings to the batch q226 report shape. */
+  def encoderConsistencyReport(sightings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    sightings.groupBy("source")
+      .agg(count(lit(1)).as("n_dup_pairs"),
+        sum((col("cos_sim") < 0.999).cast("long")).as("n_mismatch"),
+        min("cos_sim").as("min_cos"))
+      .select(col("source"), col("n_dup_pairs"), col("n_mismatch"),
+        round(col("n_mismatch").cast("double") / col("n_dup_pairs"), 6)
+          .as("mismatch_rate"),
+        col("min_cos"))
+      .orderBy("source")
+  }
+
   /** Fold emitted sightings to the batch q213 answer: the global
     * top-k by (key desc, doc_id asc) over the (superset) emission
     * stream, with q213's exact output shape (key rounded 10 dp AFTER

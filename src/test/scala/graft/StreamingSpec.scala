@@ -2653,4 +2653,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(sightings.select("doc_id").distinct().count() == n,
       "a doc enters its shard's top-k at most once")
   }
+
+  test("streaming encoder-consistency gate folds to batch q226 on a planted drift") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the q226 planted fixture: two dup groups, one drifted vector —
+    // delivered doc_id-ordered across two micro-batches (the chain-
+    // pairing arrival contract)
+    val dir = java.nio.file.Files.createTempDirectory("graft-encs").toString
+    val same = Seq.tabulate(64)(j => j * 0.01)
+    val drifted = Seq.tabulate(64)(j => -j * 0.01)
+    val rows = Seq(
+      (1L, "srcA", "alpha beta gamma delta", same),
+      (2L, "srcA", "alpha beta gamma delta", same),
+      (3L, "srcA", "epsilon zeta eta theta", same),
+      (4L, "srcA", "epsilon zeta eta theta", drifted),
+      (5L, "srcA", "unique text one", same))
+    // batch ground truth over the same rows
+    rows.map(r => (r._1, r._3, "en", r._2))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    rows.map(r => (r._1, r._4.map(_.toFloat)))
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    val want = SparkEntry.queries("q226_encoder_consistency")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, String, Seq[Double])]
+    val q = graft.streaming.DocStream.encoderConsistencySightings(
+        ms.toDF().toDF("doc_id", "source", "text", "embedding"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enc_sightings")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-encs-ckpt").toString)
+      .start()
+    try {
+      ms.addData(rows.take(2)); q.processAllAvailable()
+      ms.addData(rows.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val sightings = spark.table("enc_sightings")
+    // the drifted pair was emitted the moment doc 4 arrived
+    val drift = sightings.filter(col("cos_sim") < 0.999).collect()
+    assert(drift.length == 1 && drift.head.getLong(1) == 3L
+      && drift.head.getLong(2) == 4L)
+    val got = graft.streaming.DocStream.encoderConsistencyReport(sightings)
+      .collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty && got == want,
+      "stream-folded drift report must equal batch q226 row-for-row")
+  }
 }
