@@ -238,6 +238,10 @@ object SparkEntry {
     "q234_k_core"         -> (Graph.q234KCore _),
     "q235_burstiness"     -> (Temporal.q235Burstiness _),
     "q236_type_cooccurrence" -> (Temporal.q236TypeCooccurrence _),
+    "q237_quality_deciles" -> (TextAnalysis.q237QualityDeciles _),
+    "q238_length_adjusted_quality" -> (TextAnalysis.q238LengthAdjustedQuality _),
+    "q239_deseasonalized_anomaly" -> (Temporal.q239DeseasonalizedAnomaly _),
+    "q240_daily_latency"  -> (Temporal.q240DailyLatency _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -5351,6 +5355,140 @@ object SparkEntry {
         |  CAST(n_sessions AS BIGINT) AS n_sessions,
         |  round(l, 4) AS lift, round(ln(l), 6) + 0.0 AS pmi
         |FROM j ORDER BY type_a, type_b""".stripMargin,
+
+    // quality deciles: exact order-statistic picks over the (source,
+    // 1e-6 grid) histogram; ceil via (d*n+9) // 10
+    "q237_quality_deciles" -> {
+      s"""WITH d AS (SELECT source, n_chars, ${tok("text")} AS words
+         |  FROM documents WHERE text IS NOT NULL),
+         |s AS (SELECT source,
+         |    CAST(len(words) AS BIGINT) AS n_tokens,
+         |    round(CAST(len(list_distinct(words)) AS DOUBLE)
+         |      / greatest(len(words), 1), 6) AS ttr,
+         |    round(CAST(len(list_filter(words, w -> w IN $stoplist)) AS DOUBLE)
+         |      / greatest(len(words), 1), 6) AS stop_share
+         |  FROM d),
+         |q AS (SELECT source, CAST(round(round(least(ttr * 2.0, 1.0) * 0.5
+         |      + CASE WHEN n_tokens BETWEEN 20 AND 400 THEN 0.3 ELSE 0.0 END
+         |      + least(stop_share * 3.0, 0.2), 6) * 1000000) AS BIGINT) AS q6
+         |  FROM s),
+         |hist AS (SELECT source, q6, count(*) AS cnt FROM q GROUP BY 1, 2),
+         |c AS (SELECT source, q6, cnt,
+         |    sum(cnt) OVER (PARTITION BY source ORDER BY q6
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(cnt) OVER (PARTITION BY source) AS n
+         |  FROM hist),
+         |x AS (SELECT *, unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS decile FROM c),
+         |y AS (SELECT *, (decile * n + 9) // 10 AS k FROM x)
+         |SELECT source, CAST(decile AS BIGINT) AS decile,
+         |  CAST(q6 AS DOUBLE) / 1000000.0 AS quality,
+         |  CAST(n AS BIGINT) AS n_docs
+         |FROM y WHERE cum >= k AND cum - cnt < k
+         |ORDER BY source, decile""".stripMargin
+    },
+
+    // length-adjusted quality: direct standardization over the corpus
+    // length mix, folds bucket-ORDERED per source (q181)
+    "q238_length_adjusted_quality" -> {
+      s"""WITH d AS (SELECT source, n_chars, ${tok("text")} AS words
+         |  FROM documents WHERE text IS NOT NULL),
+         |s AS (SELECT source,
+         |    CAST(len(words) AS BIGINT) AS n_tokens,
+         |    round(CAST(len(list_distinct(words)) AS DOUBLE)
+         |      / greatest(len(words), 1), 6) AS ttr,
+         |    round(CAST(len(list_filter(words, w -> w IN $stoplist)) AS DOUBLE)
+         |      / greatest(len(words), 1), 6) AS stop_share
+         |  FROM d),
+         |q AS (SELECT source, n_tokens,
+         |    CAST(round(round(least(ttr * 2.0, 1.0) * 0.5
+         |      + CASE WHEN n_tokens BETWEEN 20 AND 400 THEN 0.3 ELSE 0.0 END
+         |      + least(stop_share * 3.0, 0.2), 6) * 1000000) AS BIGINT) AS q6
+         |  FROM s),
+         |cells AS (SELECT source, least(n_tokens // 64, 9) AS lb,
+         |    count(*) AS n, sum(q6) AS s6 FROM q GROUP BY 1, 2),
+         |m1 AS (SELECT *, sum(n) OVER (PARTITION BY lb) AS nb,
+         |    sum(n) OVER () AS bign FROM cells),
+         |m2 AS (SELECT *, CAST(nb AS DOUBLE) / CAST(bign AS DOUBLE) AS wgt,
+         |    CAST(s6 AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS m FROM m1),
+         |m3 AS (SELECT *, sum(wgt * m) OVER ws AS adj_num,
+         |    sum(wgt) OVER ws AS adj_den,
+         |    sum(n) OVER ws AS ns, sum(s6) OVER ws AS ss6,
+         |    row_number() OVER (PARTITION BY source ORDER BY lb) AS rk
+         |  FROM m2 WINDOW ws AS (PARTITION BY source ORDER BY lb
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+         |SELECT source, CAST(ns AS BIGINT) AS n_docs,
+         |  round(CAST(ss6 AS DOUBLE) / 1000000.0 / CAST(ns AS DOUBLE), 6)
+         |    AS raw_mean,
+         |  round(CASE WHEN adj_den > 0 THEN adj_num / adj_den END, 6)
+         |    AS adjusted_mean,
+         |  round((CASE WHEN adj_den > 0 THEN adj_num / adj_den END)
+         |    - CAST(ss6 AS DOUBLE) / 1000000.0 / CAST(ns AS DOUBLE), 6) + 0.0
+         |    AS length_effect
+         |FROM m3 WHERE rk = 1 ORDER BY source""".stripMargin
+    },
+
+    // deseasonalized anomalies: dow indexes from exact integer sums;
+    // residual moments fold day-ORDERED per type (q181)
+    "q239_deseasonalized_anomaly" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    sum(CAST(round(value * 1000) AS BIGINT)) AS y3
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |    AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |dd AS (SELECT *, dayofweek(d) AS dow FROM daily),
+        |i1 AS (SELECT *,
+        |    sum(y3) OVER (PARTITION BY event_type, dow) AS sdw,
+        |    count(*) OVER (PARTITION BY event_type, dow) AS ndw,
+        |    sum(y3) OVER (PARTITION BY event_type) AS st,
+        |    count(*) OVER (PARTITION BY event_type) AS nt FROM dd),
+        |i2 AS (SELECT *, CASE WHEN st > 0 THEN
+        |    (CAST(sdw AS DOUBLE) / CAST(ndw AS DOUBLE))
+        |      / (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)) END AS dow_index
+        |  FROM i1),
+        |i3 AS (SELECT *, CASE WHEN dow_index > 0
+        |    THEN CAST(y3 AS DOUBLE) / 1000.0 / dow_index END AS adj FROM i2),
+        |i4 AS (SELECT *, count(adj) OVER wz AS n, sum(adj) OVER wz AS sa,
+        |    sum(adj * adj) OVER wz AS saa
+        |  FROM i3 WINDOW wz AS (PARTITION BY event_type ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+        |i5 AS (SELECT *, sa / n AS mean_adj,
+        |    CASE WHEN n > 1 THEN sqrt(greatest((saa - sa * sa / n) / (n - 1),
+        |      0.0)) END AS sd_adj FROM i4),
+        |i6 AS (SELECT *, round(CASE WHEN sd_adj > 0
+        |    THEN (adj - mean_adj) / sd_adj END, 4) + 0.0 AS z FROM i5)
+        |SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+        |  CAST(y3 AS DOUBLE) / 1000.0 AS value,
+        |  round(dow_index, 4) AS dow_index,
+        |  round(adj, 4) AS adjusted, z,
+        |  CAST(CASE WHEN z IS NOT NULL AND abs(z) > 3.0 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_anomaly
+        |FROM i6 ORDER BY event_type, day""".stripMargin,
+
+    // daily latency percentiles: q127's per-user collapse keyed to the
+    // purchase day; exact order-statistic picks per day histogram
+    "q240_daily_latency" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_type
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |fv AS (SELECT user_id, min(us) AS fv FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |fp AS (SELECT e.user_id, fv.fv, min(e.us) AS fp
+        |  FROM ev e JOIN fv ON fv.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us > fv.fv GROUP BY 1, 2),
+        |dl AS (SELECT CAST(make_timestamp(fp) AS DATE) AS day,
+        |    round((fp - fv) / 1000000.0, 6) AS delta_s FROM fp),
+        |hist AS (SELECT day, delta_s, count(*) AS cnt FROM dl GROUP BY 1, 2),
+        |c AS (SELECT *, sum(cnt) OVER (PARTITION BY day ORDER BY delta_s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY day) AS n FROM hist),
+        |k AS (SELECT *, (n + 1) // 2 AS k50, (9 * n + 9) // 10 AS k90 FROM c),
+        |p50 AS (SELECT day, n, delta_s AS p50_s FROM k
+        |  WHERE cum >= k50 AND cum - cnt < k50),
+        |p90 AS (SELECT day, delta_s AS p90_s FROM k
+        |  WHERE cum >= k90 AND cum - cnt < k90)
+        |SELECT strftime(p50.day, '%Y-%m-%d') AS day,
+        |  CAST(n AS BIGINT) AS n_conversions, p50_s, p90_s
+        |FROM p50 JOIN p90 ON p90.day = p50.day
+        |ORDER BY day""".stripMargin,
   )
 
   /** q162b is the hour-sharded PHYSICAL form of q162 — identical

