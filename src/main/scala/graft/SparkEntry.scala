@@ -426,7 +426,11 @@ object SparkEntry {
     *     the sign bit. IEEE −0.0 + 0.0 = +0.0, so the normalization is
     *     exact and value-preserving for every other input.
     *     tools/oracle_check.py is signbit-strict on float columns
-    *     since round 9, so this class now fails locally.
+    *     since round 9, so this class now fails locally — and DID:
+    *     the sf0.1 sweep caught q81's dsir_weight (a rounded avg of
+    *     signed log-ratios the candidate list missed) within hours of
+    *     the gate landing; q92/q71/q74 (same family) normalized with
+    *     it.
     *
     * ROUND-9 SIGNED-ZERO AUDIT (rule 6 sweep; q63→q129→q155 is the
     * same lesson at three depths, so every rounded signed statistic
@@ -2074,7 +2078,7 @@ object SparkEntry {
          |freq AS (SELECT word, count(*) AS cnt FROM words GROUP BY word),
          |t AS (SELECT sum(cnt) AS total FROM freq)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         |       round(avg(ln(cnt * 1.0 / total)), 6) AS avg_logp
+         |       round(avg(ln(cnt * 1.0 / total)), 6) + 0.0 AS avg_logp
          |FROM words JOIN freq USING (word) CROSS JOIN t
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
@@ -2107,7 +2111,7 @@ object SparkEntry {
          |t AS (SELECT sum(cnt1) AS total FROM uni),
          |bi AS (SELECT w1, w2, count(*) AS cnt2 FROM pr GROUP BY w1, w2 HAVING count(*) >= 3)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
-         |       round(avg(ln(coalesce(cnt2 * 0.9 / u1.cnt1, 0.0) + 0.1 * u2.cnt1 / total)), 6) AS avg_logp
+         |       round(avg(ln(coalesce(cnt2 * 0.9 / u1.cnt1, 0.0) + 0.1 * u2.cnt1 / total)), 6) + 0.0 AS avg_logp
          |FROM pr LEFT JOIN bi USING (w1, w2)
          |JOIN uni u1 ON pr.w1 = u1.word
          |JOIN uni u2 ON pr.w2 = u2.word
@@ -2242,7 +2246,7 @@ object SparkEntry {
          |tgttot AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS nt FROM tgt)
          |SELECT doc_id, count(*) AS n_tokens,
          |       round(avg(ln((coalesce(ct, 0) + 1.0) / (nt + v)) - ln(cr * 1.0 / nr)), 6)
-         |         AS dsir_weight
+         |         + 0.0 AS dsir_weight
          |FROM w JOIN raw USING (word) LEFT JOIN tgt USING (word)
          |CROSS JOIN rawtot CROSS JOIN tgttot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
@@ -2260,7 +2264,7 @@ object SparkEntry {
          |tgttot AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS nt FROM tgt)
          |SELECT doc_id, count(*) AS n_tokens,
          |       round(avg(ln((coalesce(ct, 0) + 1.0) / (nt + ${TextAnalysis.dsirHashBuckets}))
-         |                 - ln(cr * 1.0 / nr)), 6) AS dsir_weight
+         |                 - ln(cr * 1.0 / nr)), 6) + 0.0 AS dsir_weight
          |FROM w JOIN raw USING (wb) LEFT JOIN tgt USING (wb)
          |CROSS JOIN rawtot CROSS JOIN tgttot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
