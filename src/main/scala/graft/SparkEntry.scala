@@ -242,6 +242,7 @@ object SparkEntry {
     "q238_length_adjusted_quality" -> (TextAnalysis.q238LengthAdjustedQuality _),
     "q239_deseasonalized_anomaly" -> (Temporal.q239DeseasonalizedAnomaly _),
     "q240_daily_latency"  -> (Temporal.q240DailyLatency _),
+    "q241_dup_trend"      -> (TextAnalysis.q241DupTrend _),
     "q81_dsir_weight"    -> (TextAnalysis.q81DsirWeight _),
     "q82_novelty"        -> (TextAnalysis.q82NgramNovelty _),
     "q83_domain_mix"     -> (TextAnalysis.q83DomainMix _),
@@ -5493,6 +5494,23 @@ object SparkEntry {
         |  CAST(n AS BIGINT) AS n_conversions, p50_s, p90_s
         |FROM p50 JOIN p90 ON p90.day = p50.day
         |ORDER BY day""".stripMargin,
+
+    // dup trend: deciles by integer DIV on the id range (no global
+    // rank); first occurrence per md5 group
+    "q241_dup_trend" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents
+        |  WHERE text IS NOT NULL),
+        |span AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM d),
+        |x AS (SELECT doc_id, h, (hi - lo + 10) // 10 AS width, lo
+        |      FROM d CROSS JOIN span),
+        |y AS (SELECT least((doc_id - lo) // width, 9) AS decile,
+        |    CASE WHEN row_number() OVER (PARTITION BY h ORDER BY doc_id) > 1
+        |      THEN 1 ELSE 0 END AS is_dup
+        |  FROM x)
+        |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_docs,
+        |  CAST(sum(is_dup) AS BIGINT) AS n_dups,
+        |  round(CAST(sum(is_dup) AS DOUBLE) / count(*), 6) AS dup_rate
+        |FROM y GROUP BY 1 ORDER BY decile""".stripMargin,
   )
 
   /** q162b is the hour-sharded PHYSICAL form of q162 — identical

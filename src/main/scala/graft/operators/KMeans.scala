@@ -206,13 +206,17 @@ object KMeans {
       .filter(col("rank") <= 10)
       .select("q_id", "n_id")
       .withColumn("np", explode(probes))
-    val overlap = truth.join(ivf, Seq("np", "q_id", "n_id"), "left")
+    // ivf (≤ sweep × queries × 10 rows) and overlap (≤ sweep × queries)
+    // are probe-block-bounded at ANY corpus size — broadcast both so
+    // the tail of the plan stays exchange-light (the bare joins planned
+    // as SortMergeJoins of 40-row frames)
+    val overlap = truth.join(broadcast(ivf), Seq("np", "q_id", "n_id"), "left")
       .groupBy("np", "q_id")
       .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
     val scanned = qcells.join(broadcast(cellSizes), "cluster")
       .groupBy("np", "q_id")
       .agg(sum("csz").as("n_raw"))
-    scanned.join(overlap, Seq("np", "q_id"))
+    scanned.join(broadcast(overlap), Seq("np", "q_id"))
       .select(col("np").as("nprobe"), col("q_id"),
         (col("n_raw") - 1).as("n_scanned"), col("n_overlap"),
         round(col("n_overlap") / lit(10.0), 4).as("recall_at_10"))

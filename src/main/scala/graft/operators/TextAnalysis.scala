@@ -2368,6 +2368,33 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** q241: duplication trend by ingest decile — the crawl FRESHNESS
+    * curve: per tenth of the corpus (doc_id as the ingest axis, the
+    * q144 convention), what share of docs is an exact re-crawl of
+    * EARLIER content. q75 prices duplication per doc and q207 per
+    * source; this is the TIME derivative — a rising curve says the
+    * frontier is exhausted and each marginal crawl-day buys less (the
+    * q229 unseen-mass signal, measured on whole documents), which is
+    * when a crawl stops paying for itself. One md5 projection, one
+    * hash-keyed first-occurrence window, one O(10) rollup; deciles by
+    * integer DIV on the id range (no global rank). */
+  def q241DupTrend(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val span = d.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+    val w = Window.partitionBy("h").orderBy("doc_id")
+    d.crossJoin(broadcast(span))
+      .withColumn("width", expr("(hi - lo + 10) DIV 10"))
+      .withColumn("decile", least(expr("(doc_id - lo) DIV width"), lit(9L)))
+      .withColumn("is_dup", (row_number().over(w) > 1).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum("is_dup").as("n_dups"))
+      .select(col("decile"), col("n_docs"), col("n_dups"),
+        round(col("n_dups").cast("double") / col("n_docs"), 6).as("dup_rate"))
+      .orderBy("decile")
+  }
+
   /** q232: token-budget allocator — the 1e9-token training-mix plan
     * that q83's temperature weights IMPLY, made feasible against what
     * each source actually HAS (q207's effective canonical mass): a

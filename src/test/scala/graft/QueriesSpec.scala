@@ -1140,7 +1140,8 @@ class QueriesSpec extends AnyFunSuite {
       "q226_encoder_consistency", "q227_signal_agreement",
       "q228_signal_mi", "q229_good_turing", "q231_template_similarity",
       "q232_budget_allocator", "q234_k_core",
-      "q237_quality_deciles", "q238_length_adjusted_quality")
+      "q237_quality_deciles", "q238_length_adjusted_quality",
+      "q241_dup_trend")
     val failures = docQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -4180,6 +4181,26 @@ class QueriesSpec extends AnyFunSuite {
     // machinery: every daily p50 is a real observed delta
     val deltas = run("q240_daily_latency").collect().map(_.getDouble(2))
     assert(deltas.forall(_ >= 0.0))
+  }
+
+  test("q241 dup trend conserves the corpus and replays on a planted re-crawl") {
+    import spark.implicits._
+    val got = run("q241_dup_trend").collect()
+    val total = Tables.documents(spark, sf0001)
+      .filter(col("text").isNotNull).count()
+    assert(got.map(_.getLong(1)).sum == total, "deciles partition the corpus")
+    assert(got.forall(r => r.getLong(2) <= r.getLong(1)))
+    // planted staleness: second half re-crawls the first half verbatim
+    val dir = java.nio.file.Files.createTempDirectory("graft-dtrend").toString
+    (0 until 100).map(i =>
+      (i.toLong, s"fresh text number ${i % 50} padded", "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val planted = SparkEntry.queries("q241_dup_trend")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    (0L to 4L).foreach(d => assert(planted(d) == 0.0, s"first half fresh: $d"))
+    (5L to 9L).foreach(d => assert(planted(d) == 1.0, s"second half stale: $d"))
   }
 
   test("q207 effective-data fraction replays from java-MD5 canonicals") {

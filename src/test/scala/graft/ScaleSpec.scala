@@ -467,6 +467,25 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("q224 nprobe sweep: corpus side only ever joins broadcast probe frames") {
+    // the sweep's big side (assigned members) must stream past
+    // BROADCAST probe/centroid/size frames; a SortMergeJoin anywhere
+    // means a corpus shuffle onto a key the sweep doesn't need
+    val plan = SparkEntry.queries("q224_nprobe_sweep")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"probe frames must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"the corpus must never shuffle into a sweep join:\n$plan")
+  }
+
+  test("q225 PQ distortion rides the broadcast-codebook scan, no corpus shuffle join") {
+    val plan = SparkEntry.queries("q225_pq_distortion")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"codebook must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"the code table must never shuffle into the codebook join:\n$plan")
+  }
+
   test("q84 BQ retrieval: corpus joins the query block by broadcast, never by shuffle or cartesian") {
     // the q84/q34 contract: the corpus side streams past a broadcast
     // query block — a SortMergeJoin (corpus shuffle on a join key it
