@@ -448,7 +448,11 @@ object SparkEntry {
     * thresholded), q139/q152/q96/q99 (cosines internal to ranks),
     * q143/q153 (means of strictly-positive value), q181/q183/q190/
     * q199 (abs/sqrt/χ²/ratios-of-nonneg), q202 (µs-integer deltas
-    * can't round to −0.0).
+    * can't round to −0.0). Round-9's own new queries carry the rule
+    * from birth: q216 mean_cuped/var_cuped/var_reduction/theta,
+    * q217 z, q220 acf1, q223 ari, q226 min_cos, q227 kappa,
+    * q228 mi_nats, q235 burstiness, q236 pmi, q238 length_effect,
+    * q239 z (the rest provably non-negative).
     *
     * ROUND-7 TYPE AUDIT (q129 repeated the q63 bug; swept all entries):
     * every `sum( ... ) OVER` in this map was checked — q129's `version`
