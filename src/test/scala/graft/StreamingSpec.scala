@@ -2654,6 +2654,63 @@ class StreamingSpec extends AnyFunSuite {
       "a doc enters its shard's top-k at most once")
   }
 
+  test("A-ES weighted sample state survives a checkpoint restart") {
+    import spark.implicits._
+    // kill the query after the first micro-batch commits, restart from
+    // the checkpoint, deliver the rest: the recovered shard top-k state
+    // must suppress docs that would re-enter a FRESH top-k, and the
+    // fold must still equal batch q213 (the q184 debounce restart
+    // pattern applied to sample state)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-aesr-src")
+    val ck = java.nio.file.Files.createTempDirectory("graft-aesr-ckpt").toString
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "n_chars", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val rows = scala.collection.mutable.ArrayBuffer.empty[
+      graft.streaming.DocStream.AesEntry]
+    def query() = graft.streaming.DocStream.weightedSampleSightings(
+        spark.readStream.schema(graft.streaming.DocStream.docSchema)
+          .parquet(srcDir.toString)
+          .select(col("doc_id"), col("source"), col("n_chars"), col("text")))
+      .writeStream.outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[graft.streaming.DocStream.AesEntry],
+         _: Long) =>
+          val out = batch.collect()
+          rows.synchronized { rows ++= out }
+          ()
+      }
+      .option("checkpointLocation", ck)
+      .start()
+    val (half1, half2) = docs.splitAt(docs.length / 2)
+    // write FLAT part files as the file stream expects (the
+    // writeFlatEvents stage-and-move pattern, documents schema)
+    def writeFlatDocs(name: String,
+        ds: Seq[(Long, String, Long, String)]): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory(s"graft-aes-$name")
+      ds.map(d => (d._1, d._4, "en", d._2, d._3))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part, srcDir.resolve(name))
+    }
+    writeFlatDocs("a.parquet", half1.toSeq)
+    val q1 = query()
+    try q1.processAllAvailable() finally q1.stop()
+    writeFlatDocs("b.parquet", half2.toSeq)
+    val q2 = query()
+    try q2.processAllAvailable() finally q2.stop()
+    import org.apache.spark.sql.functions.{desc, asc}
+    val sightings = rows.synchronized(rows.toSeq).toDF()
+    val got = graft.streaming.DocStream.weightedSample(sightings)
+      .collect().map(_.toSeq).toSeq
+    val want = SparkEntry.queries("q213_weighted_sample")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty && got == want,
+      "restart-recovered state must still fold to batch q213")
+  }
+
   test("streaming encoder-consistency gate folds to batch q226 on a planted drift") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
