@@ -2197,6 +2197,8 @@ object TextAnalysis {
         least(expr("n_tokens DIV 64"), lit(9L)).as("len_bucket"))
       .groupBy("q_bucket", "len_bucket")
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // ≤ 100 rows; the dims agg + the main chain
+      // both consume it — without the cut each re-runs the corpus scan
     val wAll = Window.orderBy("q_bucket", "len_bucket")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val wq = Window.partitionBy("q_bucket")
