@@ -176,6 +176,9 @@ object KMeans {
     val cents = fit(e)
     val members = assign(e, cents)
       .select(col("vec_id").as("n_id"), col("v").as("nv"), col("cluster"))
+      .localCheckpoint() // cell sizes + the probe join both consume the
+      // assignment — without the cut each re-runs the K×corpus argmin
+      // (this IS the stored index artifact a deployment materializes)
     val cellSizes = members.groupBy("cluster").agg(count(lit(1)).as("csz"))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
