@@ -1003,4 +1003,62 @@ object EventStream {
       .withColumn("drop_rate",
         round(col("n_dropped").cast("double") / col("n_events"), 6))
       .orderBy("event_type")
+
+  case class LastEvent(us: Long, event_id: Long)
+  case class GapSighting(event_type: String, gap: Long)
+
+  /** Streaming twin of the batch q235 burstiness monitor — the live
+    * bot/burst detector's input stream: per event type, each arriving
+    * event emits its inter-arrival GAP against the previous one (exact
+    * integer microseconds). State is two longs per type — the smallest
+    * state of any twin here — and under event-time-ordered delivery
+    * (the lineDedup/sourceCap arrival contract; micro-batch rows fold
+    * in the batch sort order) the emitted gap stream IS the batch gap
+    * multiset, so [[burstinessReport]] folds it to q235 row-for-row:
+    * the moments are order-independent exact integers, so even the
+    * fold's grouping order cannot diverge. */
+  def gapSightings(events: Dataset[TypedEvent]): Dataset[GapSighting] = {
+    import events.sparkSession.implicits._
+    events.filter(e => e.event_type != null && e.ts != null)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (tpe: String, rows: Iterator[TypedEvent], state: GroupState[LastEvent]) => {
+          var last = state.getOption
+          val out = Vector.newBuilder[GapSighting]
+          rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id)).foreach { e =>
+            val us = eventMicros(e.ts)
+            last.foreach(p => out += GapSighting(tpe, us - p.us))
+            last = Some(LastEvent(us, e.event_id))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+        })
+  }
+
+  /** Fold emitted gaps to the batch q235 report shape — the identical
+    * exact-decimal moment algebra and guards. */
+  def burstinessReport(sightings: DataFrame): DataFrame = {
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    sightings.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(d38(col("gap"))).as("sg"),
+        sum(d38(col("gap")) * d38(col("gap"))).as("sgg"))
+      .filter(col("n_gaps") >= 2)
+      .select(col("event_type"), col("n_gaps"),
+        col("n_gaps").cast("double").as("nd"),
+        (col("sg").cast("double") / 1000000.0).as("sgd"),
+        (col("sgg").cast("double") / 1e12).as("sggd"))
+      .withColumn("mean_s", col("sgd") / col("nd"))
+      .withColumn("v",
+        (col("sggd") - col("sgd") * col("sgd") / col("nd")) / (col("nd") - 1))
+      .withColumn("cv",
+        when(col("mean_s") > 0 && col("v") >= 0,
+          sqrt(col("v")) / col("mean_s")))
+      .select(col("event_type"), col("n_gaps"),
+        round(col("mean_s"), 4).as("mean_gap_s"),
+        round(col("cv"), 4).as("cv"),
+        round(when(col("cv").isNotNull,
+          (col("cv") - lit(1.0)) / (col("cv") + lit(1.0))), 4).as("burstiness"))
+      .orderBy("event_type")
+  }
 }

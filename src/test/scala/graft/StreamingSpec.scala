@@ -2711,6 +2711,44 @@ class StreamingSpec extends AnyFunSuite {
       "restart-recovered state must still fold to batch q213")
   }
 
+  test("streaming gap sightings fold to batch q235 under ordered delivery") {
+    import spark.implicits._
+    // the live burstiness monitor's contract: under event-time-ordered
+    // delivery the emitted gap stream IS the batch gap multiset
+    val rows = Tables.events(spark, sf0001)
+      .filter(col("event_type").isNotNull && col("ts").isNotNull)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        if (r.isNullAt(4)) 1.0 else r.getDouble(4), "{}"))
+      .sortBy(r => (r._2, r._1))
+    val dir = java.nio.file.Files.createTempDirectory("graft-gaps")
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    writeFlatEvents(dir, "a.parquet", h1.toSeq)
+    writeFlatEvents(dir, "b.parquet", h2.toSeq)
+    val stream = spark.readStream
+      .schema(EventStream.rawSchema(org.apache.spark.sql.types.TimestampNTZType))
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = EventStream.gapSightings(
+        Tables.normalizeTs(stream)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"), col("value"))
+          .as[EventStream.TypedEvent])
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gap_sightings")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-gaps-ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = EventStream.burstinessReport(spark.table("gap_sightings"))
+      .collect().map(_.toSeq).toSeq
+    val want = SparkEntry.queries("q235_burstiness")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty && got == want,
+      "stream-folded burstiness must equal batch q235 row-for-row")
+  }
+
   test("streaming encoder-consistency gate folds to batch q226 on a planted drift") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
