@@ -36,6 +36,16 @@ object Bench {
     // 3-decimal times (halves the line length vs full doubles), printed
     // last so the tail always captures it.
     def r3(v: Double): String = f"$v%.3f"
+    // Per-query 1-minute system load average (round 10): the round-9
+    // driver sample was uniformly 1.274× the same-code regen (host
+    // contention), and two queries (q235 12×, q79 2.8×) had BOTH warm
+    // samples inflated — a state the >2×-disagreement hatch cannot
+    // detect because the samples agree with each other. Recording the
+    // load alongside each timing makes a contended sample
+    // self-identifying: a slow query with load >> cpus is the host,
+    // not the code.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def loadAvg(): Double = osBean.getSystemLoadAverage
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val c0 = System.nanoTime()
@@ -61,9 +71,10 @@ object Bench {
       // a third and record the min of all three.
       val warm = if (warm2.max > 2.0 * warm2.min) warm2 :+ timed() else warm2
       val sec = warm.min // best-of-N warm: robust to contended samples
+      val load = loadAvg()
       System.err.println(
-        s"[bench] $name cold ${r3(cold)}s warm ${warm.map(r3).mkString("/")}s → ${r3(sec)}s")
-      name -> sec
+        s"[bench] $name cold ${r3(cold)}s warm ${warm.map(r3).mkString("/")}s → ${r3(sec)}s load ${r3(load)}")
+      (name, sec, load)
     }
     val distinctFailed = failed.distinct // both warm runs of one query can fail
     if (distinctFailed.nonEmpty)
@@ -76,18 +87,20 @@ object Bench {
     // uses the SHORT query ids ("q101_retention_cohorts" → "q101") and
     // 3-decimal times. Round 2 lost 14 queries to a ~2 KB tail window
     // on a 2.8 KB line; short ids keep 103+ queries under ~1.6 KB.
-    def fullJson(times: String => String) = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + times(k) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$fails}"""
-    }
-    val byName = results.toMap
+    // The file JSON also carries a "loads" map (per-query 1-min system
+    // load average at measurement time) so a contended run is
+    // self-identifying; the stdout line stays timing-only for size.
+    val byName = results.map { case (k, v, _) => k -> v }.toMap
+    val fullQs = results.map { case (k, _, _) => "\"" + k + "\":" + byName(k) }
+      .mkString("{", ",", "}")
+    val fullLoads = results.map { case (k, _, l) => "\"" + k + "\":" + r3(l) }
+      .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
-      fullJson(k => byName(k).toString) + "\n")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fullQs,"loads":$fullLoads,"sf":"$sfDir","failures":$fails}""" + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file dump failed: ${e.getMessage}") }
     def shortId(name: String) = name.takeWhile(_ != '_')
-    val shortQs = results.map { case (k, v) => "\"" + shortId(k) + "\":" + r3(v) }
+    val shortQs = results.map { case (k, v, _) => "\"" + shortId(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$shortQs,"sf":"$sfDir","failures":$fails}""")
     spark.stop()

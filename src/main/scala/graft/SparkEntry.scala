@@ -2374,11 +2374,11 @@ object SparkEntry {
         |                    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         |             FROM documents GROUP BY source),
         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-        |               sum(pow(n_tokens, 0.5)) AS z FROM per)
+        |               sum(sqrt(n_tokens)) AS z FROM per)
         |SELECT source, n_docs, n_tokens,
         |       round(n_tokens * 1.0 / total_tokens, 6) AS share,
-        |       round(pow(n_tokens, 0.5) / z, 6) AS mix_weight,
-        |       round(1e9 * (pow(n_tokens, 0.5) / z) / n_tokens, 4) AS epochs_at_1b
+        |       round(sqrt(n_tokens) / z, 6) AS mix_weight,
+        |       round(1e9 * (sqrt(n_tokens) / z) / n_tokens, 4) AS epochs_at_1b
         |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
 
     // Duplicated-substring spans: string-window twin of the Spark
@@ -2729,9 +2729,9 @@ object SparkEntry {
       s"""WITH per AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
          |             FROM documents GROUP BY source),
          |tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
-         |               sum(pow(src_tokens, 0.5)) AS z FROM per),
+         |               sum(sqrt(src_tokens)) AS z FROM per),
          |rates AS (SELECT source,
-         |            CAST(floor(least(1.0, (total_tokens * 0.1) * (pow(src_tokens, 0.5) / z)
+         |            CAST(floor(least(1.0, (total_tokens * 0.1) * (sqrt(src_tokens) / z)
          |                 / src_tokens) * 1000000) AS BIGINT) AS rate_ppm
          |          FROM per CROSS JOIN tot),
          |d AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -4543,13 +4543,13 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN rk = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
         |      AS effective_tokens
         |  FROM r GROUP BY 1),
-        |tot AS (SELECT sum(pow(n_tokens, 0.5)) AS z_raw,
-        |          sum(pow(effective_tokens, 0.5)) AS z_eff FROM per)
+        |tot AS (SELECT sum(sqrt(n_tokens)) AS z_raw,
+        |          sum(sqrt(effective_tokens)) AS z_eff FROM per)
         |SELECT source, n_tokens, effective_tokens,
-        |  round(pow(n_tokens, 0.5) / z_raw, 6) AS raw_weight,
-        |  round(pow(effective_tokens, 0.5) / z_eff, 6) AS effective_weight,
-        |  round(pow(effective_tokens, 0.5) / z_eff
-        |    - pow(n_tokens, 0.5) / z_raw, 6) AS weight_shift
+        |  round(sqrt(n_tokens) / z_raw, 6) AS raw_weight,
+        |  round(sqrt(effective_tokens) / z_eff, 6) AS effective_weight,
+        |  round(sqrt(effective_tokens) / z_eff
+        |    - sqrt(n_tokens) / z_raw, 6) AS weight_shift
         |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
 
     // q117's oriented enumeration + exact integer wedges
@@ -4625,12 +4625,17 @@ object SparkEntry {
         |    CAST(gsxy AS DOUBLE) / 1000000.0 AS gsxyd
         |  FROM arms CROSS JOIN tot),
         |k AS (SELECT t, n, sxd / n AS mx, syd / n AS my,
-        |    (sxxd - sxd * sxd / n) / (n - 1) AS vx,
-        |    (syyd - syd * syd / n) / (n - 1) AS vy,
-        |    (sxyd - sxd * syd / n) / (n - 1) AS cxy,
+        |    CASE WHEN n > 1
+        |      THEN (sxxd - sxd * sxd / n) / (n - 1) END AS vx,
+        |    CASE WHEN n > 1
+        |      THEN (syyd - syd * syd / n) / (n - 1) END AS vy,
+        |    CASE WHEN n > 1
+        |      THEN (sxyd - sxd * syd / n) / (n - 1) END AS cxy,
         |    gsxd / gnd AS gmx,
-        |    (gsxxd - gsxd * gsxd / gnd) / (gnd - 1) AS gvx,
-        |    (gsxyd - gsxd * gsyd / gnd) / (gnd - 1) AS gcxy
+        |    CASE WHEN gnd > 1
+        |      THEN (gsxxd - gsxd * gsxd / gnd) / (gnd - 1) END AS gvx,
+        |    CASE WHEN gnd > 1
+        |      THEN (gsxyd - gsxd * gsyd / gnd) / (gnd - 1) END AS gcxy
         |  FROM j),
         |f AS (SELECT *, CASE WHEN gvx > 0 THEN gcxy / gvx END AS theta FROM k)
         |SELECT CASE WHEN t THEN 'treatment' ELSE 'control' END AS arm,
@@ -4757,11 +4762,17 @@ object SparkEntry {
          |    sum(nd * (m - mu) * (m - mu)) OVER wa AS bss
          |  FROM c2 WINDOW wa AS (ORDER BY source
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
-         |c4 AS (SELECT *, wss / (bnd - kd) AS sig2, bss / (kd - 1) AS msb,
-         |    (bnd - sn2d / bnd) / (kd - 1) AS n0 FROM c3),
-         |c5 AS (SELECT *, greatest((msb - sig2) / n0, 0.0) AS tau2 FROM c4),
+         |c4 AS (SELECT *,
+         |    CASE WHEN bnd > kd THEN wss / (bnd - kd) END AS sig2,
+         |    CASE WHEN kd > 1 THEN bss / (kd - 1) END AS msb,
+         |    CASE WHEN kd > 1
+         |      THEN (bnd - sn2d / bnd) / (kd - 1) END AS n0 FROM c3),
+         |c5 AS (SELECT *, CASE WHEN msb IS NOT NULL AND sig2 IS NOT NULL
+         |    THEN greatest((msb - sig2) / n0, 0.0) END AS tau2 FROM c4),
          |c6 AS (SELECT *, CASE WHEN tau2 + sig2 / nd > 0
-         |    THEN tau2 / (tau2 + sig2 / nd) ELSE 0.0 END AS shrink FROM c5)
+         |    THEN tau2 / (tau2 + sig2 / nd)
+         |    ELSE CASE WHEN tau2 IS NOT NULL AND sig2 IS NOT NULL
+         |      THEN 0.0 END END AS shrink FROM c5)
          |SELECT source, CAST(n AS BIGINT) AS n_docs,
          |  round(m, 6) AS raw_mean,
          |  round(mu + shrink * (m - mu), 6) AS shrunk_mean,
@@ -5189,10 +5200,10 @@ object SparkEntry {
         |        THEN 1 ELSE 0 END AS is_canonical
         |    FROM documents WHERE text IS NOT NULL) t GROUP BY 1),
         |f1 AS (SELECT source, supply,
-        |    sum(pow(CAST(supply AS DOUBLE), 0.5)) OVER wa AS z
+        |    sum(sqrt(CAST(supply AS DOUBLE))) OVER wa AS z
         |  FROM per WINDOW wa AS (ORDER BY source
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
-        |f2 AS (SELECT *, pow(CAST(supply AS DOUBLE), 0.5) / z AS wgt FROM f1),
+        |f2 AS (SELECT *, sqrt(CAST(supply AS DOUBLE)) / z AS wgt FROM f1),
         |f3 AS (SELECT *, wgt * 1000000000.0 AS target,
         |    least(CAST(supply AS DOUBLE), wgt * 1000000000.0) AS alloc1
         |  FROM f2),

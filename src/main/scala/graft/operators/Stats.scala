@@ -946,19 +946,25 @@ object Stats {
         (col("gsy").cast("double") / 1000.0).as("gsyd"),
         (col("gsxx").cast("double") / 1000000.0).as("gsxxd"),
         (col("gsxy").cast("double") / 1000000.0).as("gsxyd"))
+      // n=1 arms / gn=1 corpora: (n−1) denominators are 0/0 → NaN,
+      // and NaN > 0 is TRUE in Spark, so an unguarded NaN would sail
+      // through the theta/var_reduction gates instead of nulling them
+      // (the q220 n>=3 / q221 n>=2 degenerate-denominator convention)
       .select(col("t"), col("n"),
         (col("sxd") / col("n")).as("mx"), (col("syd") / col("n")).as("my"),
-        ((col("sxxd") - col("sxd") * col("sxd") / col("n"))
+        when(col("n") > 1, (col("sxxd") - col("sxd") * col("sxd") / col("n"))
           / (col("n") - 1)).as("vx"),
-        ((col("syyd") - col("syd") * col("syd") / col("n"))
+        when(col("n") > 1, (col("syyd") - col("syd") * col("syd") / col("n"))
           / (col("n") - 1)).as("vy"),
-        ((col("sxyd") - col("sxd") * col("syd") / col("n"))
+        when(col("n") > 1, (col("sxyd") - col("sxd") * col("syd") / col("n"))
           / (col("n") - 1)).as("cxy"),
         (col("gsxd") / col("gnd")).as("gmx"),
-        ((col("gsxxd") - col("gsxd") * col("gsxd") / col("gnd"))
-          / (col("gnd") - 1)).as("gvx"),
-        ((col("gsxyd") - col("gsxd") * col("gsyd") / col("gnd"))
-          / (col("gnd") - 1)).as("gcxy"))
+        when(col("gnd") > 1,
+          (col("gsxxd") - col("gsxd") * col("gsxd") / col("gnd"))
+            / (col("gnd") - 1)).as("gvx"),
+        when(col("gnd") > 1,
+          (col("gsxyd") - col("gsxd") * col("gsyd") / col("gnd"))
+            / (col("gnd") - 1)).as("gcxy"))
       .withColumn("theta",
         when(col("gvx") > 0, col("gcxy") / col("gvx"))) // degenerate pre-period: no adjustment defined
     j.select(
@@ -1130,15 +1136,21 @@ object Stats {
         .over(wAll))
       .withColumn("bss", sum(col("nd") * (col("m") - col("mu"))
         * (col("m") - col("mu"))).over(wAll))
-      .withColumn("sig2", col("wss") / (col("bnd") - col("kd")))
-      .withColumn("msb", col("bss") / (col("kd") - 1))
-      .withColumn("n0", (col("bnd") - col("sn2d") / col("bnd"))
-        / (col("kd") - 1))
-      .withColumn("tau2",
-        greatest((col("msb") - col("sig2")) / col("n0"), lit(0.0)))
+      // degenerate corpora null out cleanly rather than flowing NaN
+      // (NaN > 0 is TRUE in Spark, so an unguarded 0/0 would pass the
+      // shrink gate): all-singleton sources ⇒ bign = k ⇒ no within-σ²;
+      // a single source ⇒ k = 1 ⇒ no between-MSB and no shrink target
+      .withColumn("sig2", when(col("bnd") > col("kd"),
+        col("wss") / (col("bnd") - col("kd"))))
+      .withColumn("msb", when(col("kd") > 1, col("bss") / (col("kd") - 1)))
+      .withColumn("n0", when(col("kd") > 1,
+        (col("bnd") - col("sn2d") / col("bnd")) / (col("kd") - 1)))
+      .withColumn("tau2", when(col("msb").isNotNull && col("sig2").isNotNull,
+        greatest((col("msb") - col("sig2")) / col("n0"), lit(0.0))))
       .withColumn("shrink", when(col("tau2") + col("sig2") / col("nd") > 0,
         col("tau2") / (col("tau2") + col("sig2") / col("nd")))
-        .otherwise(lit(0.0)))
+        .otherwise(when(col("tau2").isNotNull && col("sig2").isNotNull,
+          lit(0.0))))
     folded.select(col("source"), col("n").as("n_docs"),
         round(col("m"), 6).as("raw_mean"),
         round(col("mu") + col("shrink") * (col("m") - col("mu")), 6)

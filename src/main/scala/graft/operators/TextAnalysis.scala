@@ -334,18 +334,21 @@ object TextAnalysis {
     * that cap here. floor() pins the per-mille threshold on both
     * engines (double→int casts round differently across engines). */
   def q91MixSample(spark: SparkSession, dir: String): DataFrame = {
-    val tau = 0.5
+    // τ = 0.5 temperature ⇒ sqrt(), NOT pow(x, 0.5): IEEE-754 requires
+    // sqrt correctly rounded on both engines; pow carries no such
+    // guarantee and a last-ulp divergence under floor()/round() is a
+    // hash flip waiting for a data point (the q222 lesson)
     val per = Tables.documents(spark, dir)
       .groupBy("source")
       .agg(sum(size(split(col("text"), " ")).cast("long")).as("src_tokens"))
     val tot = per.agg(
       sum("src_tokens").as("total_tokens"),
-      sum(pow(col("src_tokens").cast("double"), tau)).as("z"))
+      sum(sqrt(col("src_tokens").cast("double"))).as("z"))
     val rates = per.crossJoin(broadcast(tot))
       .select(col("source"),
         floor(least(lit(1.0),
           (col("total_tokens") * 0.1)
-            * (pow(col("src_tokens").cast("double"), tau) / col("z"))
+            * (sqrt(col("src_tokens").cast("double")) / col("z"))
             / col("src_tokens")) * 1000000).cast("long").as("rate_ppm"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
@@ -1158,7 +1161,8 @@ object TextAnalysis {
     * O(sources) result then self-normalizes via a one-row cross join.
     * Nothing here grows with corpus size except the first scan. */
   def q83DomainMix(spark: SparkSession, dir: String): DataFrame = {
-    val tau = 0.5
+    // τ = 0.5 ⇒ sqrt(): correctly rounded per IEEE-754 on BOTH engines,
+    // unlike pow(x, 0.5) whose last ulp is engine-specific (q222)
     val budget = 1.0e9
     val per = Tables.documents(spark, dir)
       .groupBy("source")
@@ -1167,13 +1171,13 @@ object TextAnalysis {
         sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
     val tot = per.agg(
       sum("n_tokens").as("total_tokens"),
-      sum(pow(col("n_tokens").cast("double"), tau)).as("z"))
+      sum(sqrt(col("n_tokens").cast("double"))).as("z"))
     per.crossJoin(broadcast(tot))
       .select(
         col("source"), col("n_docs"), col("n_tokens"),
         round(col("n_tokens") * lit(1.0) / col("total_tokens"), 6).as("share"),
-        round(pow(col("n_tokens").cast("double"), tau) / col("z"), 6).as("mix_weight"),
-        round(lit(budget) * (pow(col("n_tokens").cast("double"), tau) / col("z"))
+        round(sqrt(col("n_tokens").cast("double")) / col("z"), 6).as("mix_weight"),
+        round(lit(budget) * (sqrt(col("n_tokens").cast("double")) / col("z"))
           / col("n_tokens"), 4).as("epochs_at_1b"))
       .orderBy("source")
   }
@@ -2107,17 +2111,18 @@ object TextAnalysis {
       .groupBy("source")
       .agg(sum("n_tokens").as("n_tokens"),
         sum(col("n_tokens") * col("is_canonical")).as("effective_tokens"))
+    // sqrt, not pow(x, 0.5): IEEE-correctly-rounded on both engines
     val tot = per.agg(
-      sum(pow(col("n_tokens").cast("double"), 0.5)).as("z_raw"),
-      sum(pow(col("effective_tokens").cast("double"), 0.5)).as("z_eff"))
+      sum(sqrt(col("n_tokens").cast("double"))).as("z_raw"),
+      sum(sqrt(col("effective_tokens").cast("double"))).as("z_eff"))
     per.crossJoin(broadcast(tot))
       .select(col("source"), col("n_tokens"), col("effective_tokens"),
-        round(pow(col("n_tokens").cast("double"), 0.5) / col("z_raw"), 6)
+        round(sqrt(col("n_tokens").cast("double")) / col("z_raw"), 6)
           .as("raw_weight"),
-        round(pow(col("effective_tokens").cast("double"), 0.5) / col("z_eff"), 6)
+        round(sqrt(col("effective_tokens").cast("double")) / col("z_eff"), 6)
           .as("effective_weight"),
-        round(pow(col("effective_tokens").cast("double"), 0.5) / col("z_eff")
-          - pow(col("n_tokens").cast("double"), 0.5) / col("z_raw"), 6)
+        round(sqrt(col("effective_tokens").cast("double")) / col("z_eff")
+          - sqrt(col("n_tokens").cast("double")) / col("z_raw"), 6)
           .as("weight_shift"))
       .orderBy("source")
   }
@@ -2236,7 +2241,10 @@ object TextAnalysis {
     * similarity long before q49/q68 would call any pair a duplicate —
     * the cheap early-warning that a feed needs the dedup ladder at
     * all. Adjacent pairs are O(docs), never doc×doc (the q47
-    * adjacency idea lifted from char prefixes to shingle sets), and
+    * adjacency idea lifted from char prefixes to shingle sets),
+    * enumerated by BLOCK-SHARDED windows (id DIV 65536 shards + a
+    * per-block boundary frame — the q235 shape; a source-only window
+    * would sort corpus/sources rows in a single task at 100 TB), and
     * the intersection joins on the COMPOSITE (shingle, id+1 = id) key
     * (the q77 shape — a stop-shingle produces no fanout). Per-pair
     * Jaccard lands on the 1e-6 grid before the per-source mean (exact
@@ -2252,13 +2260,31 @@ object TextAnalysis {
       .localCheckpoint() // one shingle scan, three key-join consumers
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     // consecutive WITHIN each source (doc_ids interleave sources, so
-    // global id+1 adjacency would compare across feeds)
-    val ws = Window.partitionBy("source").orderBy("id_a")
-    val adj = Tables.documents(spark, dir)
+    // global id+1 adjacency would compare across feeds). Physical form
+    // is BLOCK-SHARDED (the q235/q162b lesson: a window partitioned by
+    // the ~20-value source key alone sorts corpus/sources rows in one
+    // task — fine at sf0.1, unbounded at 100 TB): within-block
+    // adjacency comes from (source, id DIV 65536) windows (≤ 65536
+    // rows per task by id-range construction), and the block-BOUNDARY
+    // pairs (last doc of a block, first doc of the next non-empty
+    // block) come from one O(docs / 65536) per-block min/max frame.
+    // Same pair multiset, so the oracle keeps the simple lead() form.
+    val ids = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select(col("doc_id").as("id_a"), col("source"))
-      .withColumn("id_b", lead("id_a", 1).over(ws))
+      .withColumn("blk", expr("id_a DIV 65536"))
+    val wsb = Window.partitionBy("source", "blk").orderBy("id_a")
+    val withinAdj = ids
+      .withColumn("id_b", lead("id_a", 1).over(wsb))
       .filter(col("id_b").isNotNull)
+      .select("source", "id_a", "id_b")
+    val wblk = Window.partitionBy("source").orderBy("blk")
+    val boundaryAdj = ids.groupBy("source", "blk")
+      .agg(min("id_a").as("first_id"), max("id_a").as("last_id"))
+      .withColumn("id_b", lead("first_id", 1).over(wblk))
+      .filter(col("id_b").isNotNull)
+      .select(col("source"), col("last_id").as("id_a"), col("id_b"))
+    val adj = withinAdj.unionAll(boundaryAdj)
     val inter = adj
       .join(sh.select(col("doc_id").as("id_a"), col("shash")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("shash")),
@@ -2421,8 +2447,9 @@ object TextAnalysis {
       .groupBy("source")
       .agg(sum(col("n_tokens") * col("is_canonical")).as("supply"))
     per
-      .withColumn("z", sum(pow(col("supply").cast("double"), 0.5)).over(wAll))
-      .withColumn("wgt", pow(col("supply").cast("double"), 0.5) / col("z"))
+      // sqrt, not pow(x, 0.5): IEEE-correctly-rounded on both engines
+      .withColumn("z", sum(sqrt(col("supply").cast("double"))).over(wAll))
+      .withColumn("wgt", sqrt(col("supply").cast("double")) / col("z"))
       .withColumn("target", col("wgt") * lit(budget))
       .withColumn("alloc1",
         least(col("supply").cast("double"), col("target")))

@@ -521,7 +521,7 @@ object DocStream {
                          embedding: Seq[Double])
   case class DriftSighting(source: String, id_prev: Long, id_new: Long,
                            cos_sim: Double)
-  case class LastVec(doc_id: Long, v: Seq[Double])
+  case class LastVec(doc_id: Long, source: String, v: Seq[Double])
 
   /** Streaming twin of the batch q226 encoder-consistency audit — the
     * drift check moved to INGEST time, where it pays for itself: a
@@ -566,12 +566,17 @@ object DocStream {
           var last = state.getOption
           val out = Vector.newBuilder[DriftSighting]
           rows.toSeq.sortBy(_.doc_id).foreach { d =>
+            // batch q226 attributes each consecutive pair to the FIRST
+            // member's source (the lead() row keeps ITS source column),
+            // so the twin must emit the PREVIOUS doc's source — for a
+            // dup pair spanning two sources the per-source report rows
+            // diverge from the batch answer otherwise
             last.foreach { p =>
-              out += DriftSighting(d.source, p.doc_id, d.doc_id,
+              out += DriftSighting(p.source, p.doc_id, d.doc_id,
                 BigDecimal(cos(p.v, d.embedding))
                   .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
             }
-            last = Some(LastVec(d.doc_id, d.embedding))
+            last = Some(LastVec(d.doc_id, d.source, d.embedding))
           }
           last.foreach(state.update)
           out.result().iterator

@@ -2758,12 +2758,21 @@ class StreamingSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft-encs").toString
     val same = Seq.tabulate(64)(j => j * 0.01)
     val drifted = Seq.tabulate(64)(j => -j * 0.01)
+    // includes a CROSS-SOURCE dup pair (5 srcA → 6 srcB): batch q226
+    // attributes the pair to the FIRST member's source (srcA), so the
+    // twin must carry the previous doc's source in state — emitting
+    // the NEW doc's source would put this pair under srcB and diverge
+    // the per-source report (the round-9 ADVICE finding). srcB also
+    // gets its own drifted pair (7,8) so both sources carry rows.
     val rows = Seq(
       (1L, "srcA", "alpha beta gamma delta", same),
       (2L, "srcA", "alpha beta gamma delta", same),
       (3L, "srcA", "epsilon zeta eta theta", same),
       (4L, "srcA", "epsilon zeta eta theta", drifted),
-      (5L, "srcA", "unique text one", same))
+      (5L, "srcA", "unique text one", same),
+      (6L, "srcB", "unique text one", same),
+      (7L, "srcB", "omega psi chi phi", same),
+      (8L, "srcB", "omega psi chi phi", drifted))
     // batch ground truth over the same rows
     rows.map(r => (r._1, r._3, "en", r._2))
       .toDF("doc_id", "text", "lang", "source")
@@ -2783,14 +2792,22 @@ class StreamingSpec extends AnyFunSuite {
         java.nio.file.Files.createTempDirectory("graft-encs-ckpt").toString)
       .start()
     try {
-      ms.addData(rows.take(2)); q.processAllAvailable()
-      ms.addData(rows.drop(2)); q.processAllAvailable()
+      // split so the cross-source pair (5 srcA, 6 srcB) ALSO spans two
+      // micro-batches: doc 5's (id, source, vector) must survive in
+      // state to attribute the pair when doc 6 arrives
+      ms.addData(rows.take(5)); q.processAllAvailable()
+      ms.addData(rows.drop(5)); q.processAllAvailable()
     } finally q.stop()
     val sightings = spark.table("enc_sightings")
-    // the drifted pair was emitted the moment doc 4 arrived
-    val drift = sightings.filter(col("cos_sim") < 0.999).collect()
-    assert(drift.length == 1 && drift.head.getLong(1) == 3L
-      && drift.head.getLong(2) == 4L)
+    // each drifted pair was emitted the moment its second copy arrived
+    val drift = sightings.filter(col("cos_sim") < 0.999)
+      .orderBy("id_prev").collect()
+    assert(drift.length == 2 && drift(0).getLong(1) == 3L
+      && drift(0).getLong(2) == 4L && drift(1).getLong(1) == 7L
+      && drift(1).getLong(2) == 8L)
+    // the cross-source pair carries the FIRST member's source
+    val cross = sightings.filter(col("id_prev") === 5L).collect()
+    assert(cross.length == 1 && cross.head.getString(0) == "srcA")
     val got = graft.streaming.DocStream.encoderConsistencyReport(sightings)
       .collect().map(_.toSeq).toSeq
     assert(want.nonEmpty && got == want,
