@@ -1087,6 +1087,13 @@ class QueriesSpec extends AnyFunSuite {
     // a 100 TB crawl WILL contain these; a query that NPEs on one row
     // poisons its whole stage. ML fits and embeddings-only queries are
     // out of scope (no dirty-text exposure / documented fit contract).
+    // Round-9 enrollment audit (the three dirty sweeps + the all-query
+    // empty-corpus sweep): 24 of the 26 round-9 queries are enrolled
+    // below / in the event and embedding sweeps; q222 reads NO table
+    // (pure closed-form grid, zero dirty exposure) and q230 reads the
+    // TPC-H customer dim (no customer dirty sweep exists — the same
+    // class as q192/q193, whose dirty exposure is the dims' NOT NULL
+    // schema contract, not crawl data).
     val dir = java.nio.file.Files.createTempDirectory("graft-dirty").toString
     val clean = (1 to 40).map { i =>
       (i.toLong,

@@ -791,6 +791,77 @@ class ScaleSpec extends AnyFunSuite {
       s"the rank window must consume the k-row result:\n${plan.take(1500)}")
   }
 
+  test("q223 ARI algebra matches a driver-side union-find at the 100x vector corpus") {
+    // q223 is the one round-9 query whose 100x check DuckDB cannot run
+    // (the double recursive-CTE closure is prohibitive there). Verify
+    // ENGINE-SIDE instead, at the exact 20k-vector corpus the SCALING
+    // table's 100x rows use (sf0.1 embeddings x 10 copies, dim-0
+    // perturbed per copy — the Amplify recipe): the SAME edge list the
+    // query consumes, but clustered by an INDEPENDENT driver-side
+    // union-find and counted with exact BigInt contingency algebra —
+    // nothing shared with the Graph.connectedComponents + DataFrame
+    // decimal fold under test except the final double expression order.
+    val dir = java.nio.file.Files.createTempDirectory("graft-amp223").toString
+    val slot = 1000000L
+    Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .crossJoin(spark.range(10).toDF("copy"))
+      .select((col("copy") * slot + col("vec_id")).as("vec_id"),
+        expr("transform(embedding, (x, i) -> CASE WHEN i = 0" +
+          " THEN cast(x + copy * 0.0001 AS float) ELSE x END)").as("embedding"),
+        col("label"))
+      .repartition(4)
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("q223_threshold_stability")(spark, dir).collect()
+    assert(got.length == 1)
+    val row = got.head
+    // independent path: same edges, driver union-find, BigInt counts
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val edges = graft.operators.Dedup.blockedEmbeddingNearDup(e, 0.45)
+      .select("id_a", "id_b", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(edges.length > 1000, "amplified corpus must produce real dup structure")
+    val ids = edges.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+    def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+      }
+      val minOf = ids.groupBy(find).map { case (r, m) => r -> m.min }
+      ids.map(i => i -> minOf(find(i))).toMap
+    }
+    val c45 = unionFind(edges.map(t => (t._1, t._2)))
+    val c60 = unionFind(edges.filter(_._3 >= 0.6).map(t => (t._1, t._2)))
+    val cells = ids.groupBy(i => (c45(i), c60(i))).map { case (_, m) => BigInt(m.size) }
+    val ai = ids.groupBy(c45).map { case (_, m) => BigInt(m.size) }
+    val bj = ids.groupBy(c60).map { case (_, m) => BigInt(m.size) }
+    val n = BigInt(ids.length)
+    val sij2 = cells.map(c => c * (c - 1)).sum.toDouble
+    val sa2 = ai.map(c => c * (c - 1)).sum.toDouble
+    val sb2 = bj.map(c => c * (c - 1)).sum.toDouble
+    // the q223 double expression order, from exact integers
+    val rr = n.toDouble * (n.toDouble - 1)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rand = r6((rr + 2.0 * sij2 - sa2 - sb2) / rr)
+    val expected = sa2 / 2.0 * (sb2 / 2.0) / (rr / 2.0)
+    val denom = (sa2 / 2.0 + sb2 / 2.0) / 2.0 - expected
+    val ari = r6((sij2 / 2.0 - expected) / denom)
+    assert(row.getLong(0) == ids.length.toLong, "n_vectors")
+    assert(row.getLong(1) == edges.length.toLong, "n_pairs_045")
+    assert(row.getLong(2) == edges.count(_._3 >= 0.6).toLong, "n_pairs_060")
+    assert(row.getLong(3) == ai.size.toLong, "n_clusters_045")
+    assert(row.getLong(4) == bj.size.toLong, "n_clusters_060")
+    assert(row.getDouble(5) == rand, s"rand_index: got ${row.getDouble(5)}, want $rand")
+    assert(row.getDouble(6) == ari, s"ari: got ${row.getDouble(6)}, want $ari")
+  }
+
   test("q193 RFM scores by broadcast boundaries, never an ntile window") {
     // the q140 boundary contract applied to segmentation: ONE percentile
     // aggregate broadcasts all nine cutpoints back; a Window here would
