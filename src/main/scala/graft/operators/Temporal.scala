@@ -1162,8 +1162,18 @@ object Temporal {
         && col("ts").isNotNull)
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
       .agg(sum(round(col("value") * 1000, 0).cast("long")).as("y3"))
-      .withColumn("dow", dayofweek(col("d")).cast("long"))
       .localCheckpoint() // O(types × days); dow index + residual fold
+    deseasonalizedFold(daily)
+  }
+
+  /** The q239 fold from the (event_type, d, y3) daily-total frame to
+    * the anomaly report — shared with the streaming twin
+    * (`EventStream.deseasonalizedReport`), so the two surfaces are
+    * parity-by-construction: identical expression tree, identical
+    * rounding, identical guards. */
+  def deseasonalizedFold(dailyTotals: DataFrame): DataFrame = {
+    val daily = dailyTotals
+      .withColumn("dow", dayofweek(col("d")).cast("long"))
     val wt = Window.partitionBy("event_type")
     val wd = Window.partitionBy("event_type", "dow")
     val wz = Window.partitionBy("event_type").orderBy("d")

@@ -1035,6 +1035,61 @@ object EventStream {
         })
   }
 
+  case class DayTotalState(y3: Long, seq: Long)
+  case class DayTotalSighting(event_type: String, day: Long, y3: Long, seq: Long)
+
+  /** Streaming twin of the batch q239 deseasonalized-anomaly monitor —
+    * the monitor a pipeline actually pages on — decomposed the way a
+    * live deployment runs it: the stream maintains EXACT per-(type,
+    * day) 1e-3-grid daily totals (state = one long + an emission
+    * counter per open key — the q80 accumulate-then-score shape with
+    * the day as the frame), and the seasonal index + residual z fold
+    * runs over the emitted O(types × days) total frame. Each
+    * micro-batch re-emits the updated running total with a bumped
+    * per-key `seq`, so the LAST emission per (type, day) is the closed
+    * total no matter how deliveries interleave — order-INDEPENDENT,
+    * stronger than the gap twin's ordered-delivery contract (a sum
+    * needs no arrival order; the counter survives checkpoint restarts,
+    * and a replayed batch re-emits the identical row).
+    * [[deseasonalizedReport]] then folds to batch q239 row-for-row via
+    * the SHARED `Temporal.deseasonalizedFold` — parity by
+    * construction, down to rounding. */
+  def dailyTotalSightings(events: Dataset[TypedEvent]): Dataset[DayTotalSighting] = {
+    import events.sparkSession.implicits._
+    // column-level filters (pushed BEFORE object deserialization, so a
+    // producer-bug null user_id can't kill the decode): the q239 value/
+    // type/ts filters plus the standard keyable-rows ingest contract
+    droppingNullKeys(events)
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .groupByKey(e => (e.event_type, Math.floorDiv(eventMicros(e.ts), 86400000000L)))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (String, Long), rows: Iterator[TypedEvent],
+         state: GroupState[DayTotalState]) => {
+          var (sum, seq) = state.getOption.map(s => (s.y3, s.seq)).getOrElse((0L, 0L))
+          // batch parity: round(value * 1000, 0) per event (HALF_UP on
+          // the decimal rendering, Spark's Round semantics), summed as
+          // exact longs — order-independent, so micro-batch interleaving
+          // cannot diverge from the batch groupBy
+          rows.foreach(e => sum += roundHalfUp(e.value.get * 1000, 0).toLong)
+          seq += 1
+          state.update(DayTotalState(sum, seq))
+          Iterator.single(DayTotalSighting(key._1, key._2, sum, seq))
+        })
+  }
+
+  /** Fold emitted running totals to the batch q239 answer: last
+    * emission per (type, day) = the closed daily total, then the
+    * SHARED `Temporal.deseasonalizedFold` (identical expression tree
+    * and rounding — parity by construction). */
+  def deseasonalizedReport(sightings: DataFrame): DataFrame = {
+    val closed = sightings.groupBy("event_type", "day")
+      .agg(max_by(col("y3"), col("seq")).as("y3"))
+      .select(col("event_type"),
+        date_add(lit("1970-01-01").cast("date"), col("day").cast("int")).as("d"),
+        col("y3"))
+    graft.operators.Temporal.deseasonalizedFold(closed.localCheckpoint())
+  }
+
   /** Fold emitted gaps to the batch q235 report shape — the identical
     * exact-decimal moment algebra and guards. */
   def burstinessReport(sightings: DataFrame): DataFrame = {

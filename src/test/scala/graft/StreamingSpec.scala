@@ -680,6 +680,9 @@ class StreamingSpec extends AnyFunSuite {
     drain("dirty_attrib", df => EventStream.attributionCredits(
       df.select(col("user_id"), col("event_id"), col("ts"),
         col("event_type"), col("value")).as[EventStream.TypedEvent]))
+    drain("dirty_deseason", df => EventStream.dailyTotalSightings(
+      df.select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value")).as[EventStream.TypedEvent]))
     // retention matrix == batch q101 over the keyable rows
     val gotRet = EventStream.retentionMatrix(spark.table("dirty_retention"))
       .collect().map(_.toSeq).toSeq
@@ -709,6 +712,16 @@ class StreamingSpec extends AnyFunSuite {
       .select("user_id", "n_sessions", "n_events")
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(gotS == wantS && gotS.nonEmpty)
+    // deseasonalized daily report == batch q239 over the keyable rows
+    // (the null-type and null-value rows drop in both engines' own
+    // q239 filters; null-user/ts rows drop at ingest by the keyable
+    // contract and never reach a daily total)
+    val gotD = EventStream.deseasonalizedReport(spark.table("dirty_deseason"))
+      .collect().map(_.toSeq).toSeq
+    val wantD = SparkEntry.queries("q239_deseasonalized_anomaly")(
+        spark, keyableDir.toString)
+      .collect().map(_.toSeq).toSeq
+    assert(wantD.nonEmpty && gotD == wantD)
     // attribution credits == batch q122 over the keyable rows (the
     // null-TYPE row is neither touch nor purchase in both engines)
     val gotA = foldCredits("dirty_attrib")
@@ -2747,6 +2760,54 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(want.nonEmpty && got == want,
       "stream-folded burstiness must equal batch q235 row-for-row")
+  }
+
+  test("streaming daily totals fold to batch q239 under arbitrary delivery") {
+    import spark.implicits._
+    // the live deseasonalized-anomaly monitor's contract: running
+    // per-(type, day) totals re-emit with a bumped seq each micro-batch,
+    // the LAST emission per key is the closed total, and the shared
+    // Temporal.deseasonalizedFold reproduces batch q239 row-for-row.
+    // Unlike the gap twin this needs NO ordered delivery — sums are
+    // order-independent — so the file split deliberately slices days
+    // across micro-batches.
+    val rows = Tables.events(spark, sf0001)
+      .filter(col("event_type").isNotNull && col("ts").isNotNull
+        && col("value").isNotNull)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4), "{}"))
+    // split by event_id parity, NOT time: every day spans both files
+    val (h1, h2) = rows.partition(_._1 % 2 == 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-deseason")
+    writeFlatEvents(dir, "a.parquet", h1.toSeq)
+    writeFlatEvents(dir, "b.parquet", h2.toSeq)
+    val stream = spark.readStream
+      .schema(EventStream.rawSchema(org.apache.spark.sql.types.TimestampNTZType))
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = EventStream.dailyTotalSightings(
+        Tables.normalizeTs(stream)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"), col("value"))
+          .as[EventStream.TypedEvent])
+      .writeStream.outputMode("append")
+      .format("memory").queryName("day_totals")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-deseason-ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val sightings = spark.table("day_totals")
+    // days sliced across micro-batches really did re-emit (seq > 1)
+    assert(sightings.filter(col("seq") > 1).count() > 0,
+      "the split must exercise the last-emission-wins fold")
+    val got = EventStream.deseasonalizedReport(sightings)
+      .collect().map(_.toSeq).toSeq
+    val want = SparkEntry.queries("q239_deseasonalized_anomaly")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty && got == want,
+      "stream-folded deseasonalized report must equal batch q239 row-for-row")
   }
 
   test("streaming encoder-consistency gate folds to batch q226 on a planted drift") {
