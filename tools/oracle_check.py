@@ -29,9 +29,15 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main(outdir: str, sfdir: str) -> int:
+    import os
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+        # sf dirs ship single files; Spark-written corpora (the Amplify
+        # 100x output) are DIRECTORIES of part files — glob those
+        path = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     failures = 0
     for name, sql in sorted(oracle.items()):
