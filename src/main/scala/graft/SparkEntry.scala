@@ -593,15 +593,27 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id + 1 = b.vec_id
         |ORDER BY id_a""".stripMargin,
 
+    // money sums on the exact 2-dp integer grid (the 100x sweep caught
+    // the float-sum order divergence at 60M rows)
     "q10_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
-        |       round(sum(l_extendedprice), 2) AS sum_base_price,
-        |       round(sum(l_extendedprice * (1.0 - l_discount)), 0) AS sum_disc_price,
-        |       round(avg(l_quantity), 4) AS avg_qty,
-        |       round(avg(l_extendedprice), 4) AS avg_price,
-        |       count(*) AS n_rows
-        |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
-        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      """WITH g AS (SELECT l_returnflag, l_linestatus,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS q2,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS p2,
+        |    CAST(round((1.0 - l_discount) * 100) AS BIGINT) AS d2
+        |  FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'),
+        |a AS (SELECT l_returnflag, l_linestatus,
+        |    sum(CAST(q2 AS HUGEINT)) AS sq, sum(CAST(p2 AS HUGEINT)) AS sp,
+        |    sum(CAST(p2 AS HUGEINT) * CAST(d2 AS HUGEINT)) AS sd,
+        |    count(*) AS n_rows
+        |  FROM g GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus,
+        |  round(CAST(sq AS DOUBLE) / 100.0, 2) AS sum_qty,
+        |  round(CAST(sp AS DOUBLE) / 100.0, 2) AS sum_base_price,
+        |  round(CAST(sd AS DOUBLE) / 10000.0, 0) AS sum_disc_price,
+        |  round(CAST(sq AS DOUBLE) / 100.0 / n_rows, 4) AS avg_qty,
+        |  round(CAST(sp AS DOUBLE) / 100.0 / n_rows, 4) AS avg_price,
+        |  n_rows
+        |FROM a ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q11_join_dims" ->
       """SELECT r_name, n_name, count(*) AS n_customers,
@@ -955,7 +967,9 @@ object SparkEntry {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
         |  FROM events)
         |SELECT coalesce(touch, 'direct') AS touch_type,
-        |       count(*) AS n_purchases, round(sum(value), 6) AS credited_value
+        |       count(*) AS n_purchases,
+        |       round(CAST(sum(CAST(round(value * 1000) AS HUGEINT)) AS DOUBLE)
+        |         / 1000.0, 6) AS credited_value
         |FROM t WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY touch_type""".stripMargin,
 
@@ -1080,7 +1094,7 @@ object SparkEntry {
         |         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
         |  FROM documents WHERE doc_id % 13 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0)
+        |  SELECT doc_id + 1000000000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0)
         |SELECT doc_id, md5(text) AS h, CAST(length(text) AS BIGINT) AS n_chars
         |FROM rev ORDER BY doc_id""".stripMargin,
 
@@ -3011,7 +3025,7 @@ object SparkEntry {
          |ORDER BY lang, source""".stripMargin,
 
     // Snapshot content delta: the synthetic revision (removals % 13,
-    // rewrites % 7, re-crawls % 11 under +10M ids) derives identically
+    // rewrites % 7, re-crawls % 11 under +1e12 ids) derives identically
     // on both engines; md5 hex agrees cross-engine (the q30 contract).
     "q106_snapshot_delta" ->
       """WITH rev AS (
@@ -3019,7 +3033,7 @@ object SparkEntry {
         |         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
         |  FROM documents WHERE doc_id % 13 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0),
+        |  SELECT doc_id + 1000000000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0),
         |a AS (SELECT doc_id, md5(text) AS h FROM documents),
         |b AS (SELECT doc_id, md5(text) AS h FROM rev),
         |j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
@@ -3987,7 +4001,10 @@ object SparkEntry {
         |FROM agg ORDER BY nation""".stripMargin,
 
     // forecasts via calendar-keyed self-joins (day-1 / day-7), eval on
-    // the strict second half; |Δ| and Δ² accumulate as exact integers
+    // the strict second half; |Δ| and Δ² accumulate as exact integers.
+    // Δ² factors cast HUGEINT BEFORE the multiply, mirroring the Spark
+    // side's decimal(38,0) squares — at 100× y3 deltas reach ~3.7e9 and
+    // the INT64 square overflowed (caught by the round-10 amp sweep)
     "q190_forecast_backtest" ->
       """WITH daily AS (SELECT event_type,
         |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
@@ -4005,11 +4022,11 @@ object SparkEntry {
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
         |  round(CAST(sum(abs(y3 - f1)) AS DOUBLE) / count(*) / 1000.0, 4)
         |    AS mae_naive,
-        |  round(sqrt(CAST(sum((y3 - f1) * (y3 - f1)) AS DOUBLE) / count(*))
+        |  round(sqrt(CAST(sum(CAST(y3 - f1 AS HUGEINT) * CAST(y3 - f1 AS HUGEINT)) AS DOUBLE) / count(*))
         |    / 1000.0, 4) AS rmse_naive,
         |  round(CAST(sum(abs(y3 - f7)) AS DOUBLE) / count(*) / 1000.0, 4)
         |    AS mae_snaive,
-        |  round(sqrt(CAST(sum((y3 - f7) * (y3 - f7)) AS DOUBLE) / count(*))
+        |  round(sqrt(CAST(sum(CAST(y3 - f7 AS HUGEINT) * CAST(y3 - f7 AS HUGEINT)) AS DOUBLE) / count(*))
         |    / 1000.0, 4) AS rmse_snaive,
         |  CASE WHEN sum(abs(y3 - f7)) < sum(abs(y3 - f1)) THEN 'seasonal_naive'
         |       WHEN sum(abs(y3 - f1)) < sum(abs(y3 - f7)) THEN 'naive'

@@ -45,16 +45,33 @@ object Relational {
   /** q10: TPC-H Q1-style pricing summary — full-scan partial/final hash
     * aggregate over lineitem; the canonical scan-bound query. */
   def q10PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    // money sums on the EXACT 2-dp integer grid (the q155/q190 rule):
+    // a float Σ over the corpus is accumulation-order-sensitive, and
+    // the round-10 100× hash sweep caught exactly that here —
+    // sum_base_price 283913704430.98 (Spark partial sums) vs …431.0
+    // (DuckDB sequential) at 60M rows. Quantities/prices/discounts are
+    // 2-dp data, so every moment is an exact decimal(38,0) integer and
+    // the only doubles are the final closed-form divisions.
     Tables.lineitem(spark, dir)
       .filter(to_date(col("l_shipdate")) <= to_date(lit("1998-09-02")))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("l_quantity") * 100, 0).cast("long").as("q2"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("p2"),
+        round((lit(1.0) - col("l_discount")) * 100, 0).cast("long").as("d2"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 0).as("sum_disc_price"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_extendedprice"), 4).as("avg_price"),
+        sum(col("q2").cast("decimal(38,0)")).as("sq"),
+        sum(col("p2").cast("decimal(38,0)")).as("sp"),
+        sum(col("p2").cast("decimal(38,0)") * col("d2").cast("decimal(38,0)"))
+          .as("sd"),
         count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("sq").cast("double") / 100.0, 2).as("sum_qty"),
+        round(col("sp").cast("double") / 100.0, 2).as("sum_base_price"),
+        round(col("sd").cast("double") / 10000.0, 0).as("sum_disc_price"),
+        round(col("sq").cast("double") / 100.0 / col("n_rows"), 4).as("avg_qty"),
+        round(col("sp").cast("double") / 100.0 / col("n_rows"), 4).as("avg_price"),
+        col("n_rows"))
       .orderBy("l_returnflag", "l_linestatus")
 
   /** q11: customer ⋈ nation ⋈ region, both dims broadcast. */

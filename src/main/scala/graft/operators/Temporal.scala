@@ -107,8 +107,14 @@ object Temporal {
           .over(w))
       .filter(col("event_type") === "purchase")
       .groupBy(coalesce(col("touch"), lit("direct")).as("touch_type"))
+      // credited value on the EXACT 1e-3 grid: ~4 groups over every
+      // purchase in the corpus is the float-Σ-order class the 100×
+      // sweep flagged here (…869.000001 vs …869.0 at 3M purchases)
       .agg(count(lit(1)).as("n_purchases"),
-        round(sum("value"), 6).as("credited_value"))
+        sum(round(col("value") * 1000, 0).cast("long")
+          .cast("decimal(38,0)")).as("v3"))
+      .select(col("touch_type"), col("n_purchases"),
+        round(col("v3").cast("double") / 1000.0, 6).as("credited_value"))
       .orderBy("touch_type")
   }
 

@@ -1339,7 +1339,8 @@ object TextAnalysis {
   /** q106: [[snapshotDelta]] on the declared surface. The "new"
     * snapshot is a deterministic synthetic revision of the corpus —
     * doc_id % 13 = 0 removed, doc_id % 7 = 0 rewritten (" v2"
-    * appended), doc_id % 11 = 0 re-crawled under a fresh id (+10M) —
+    * appended), doc_id % 11 = 0 re-crawled under a fresh id (+1e12,
+    * above ANY corpus's id range incl. the 100x amplified slots) —
     * so both engines derive the same two snapshots and the full
     * added/removed/changed surface is exercised under the DuckDB hash
     * gate. */
@@ -1406,14 +1407,19 @@ object TextAnalysis {
 
   /** The q106 synthetic "new crawl" (one definition, shared with the
     * StreamingSpec parity fixture): removals % 13, rewrites % 7,
-    * re-crawls % 11 under fresh +10M ids. */
+    * re-crawls % 11 under fresh +1e12 ids — the offset must clear
+    * EVERY corpus's id range: the original +10M collided with the
+    * amplified corpus's copy-slotted ids (copy*1e6 reaches 99M), so
+    * recrawl ids landed on copy+10's docs, doc_id stopped being a
+    * key, and merge(old, delta) != rev (caught by the round-10 100x
+    * hash sweep: 517,783 vs 506,995 rows). */
   private[graft] def syntheticRevision(docs: DataFrame): DataFrame = {
     val revised = docs.filter(col("doc_id") % 13 =!= 0)
       .select(col("doc_id"),
         when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
           .otherwise(col("text")).as("text"))
     val recrawled = docs.filter(col("doc_id") % 11 === 0)
-      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      .select((col("doc_id") + 1000000000000L).as("doc_id"), col("text"))
     revised.unionByName(recrawled)
   }
 

@@ -849,7 +849,7 @@ class QueriesSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     val removed = (1 to 100).filter(_ % 13 == 0).map(_.toLong)
     val changed = (1 to 100).filter(i => i % 7 == 0 && i % 13 != 0).map(_.toLong)
-    val added = (1 to 100).filter(_ % 11 == 0).map(i => 10000000L + i)
+    val added = (1 to 100).filter(_ % 11 == 0).map(i => 1000000000000L + i)
     assert(got.size == removed.size + changed.size + added.size,
       s"unchanged docs must not appear: $got")
     assert(removed.forall(got.get(_).contains("removed")), s"removals: $got")
