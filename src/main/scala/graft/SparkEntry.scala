@@ -1943,10 +1943,14 @@ object SparkEntry {
         |SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // money on the exact 2-dp grid — the cube's grand-total cell sums
+    // the whole join (the q10 float-sum class, caught at 100x)
     "q26_cube" ->
       """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
         |       coalesce(o_orderpriority, 'ALL') AS priority,
-        |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+        |       count(*) AS n_orders,
+        |       round(CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT))
+        |         AS DOUBLE) / 100.0, 2) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY CUBE (c_mktsegment, o_orderpriority)
         |ORDER BY segment, priority""".stripMargin,

@@ -195,10 +195,16 @@ object Relational {
     * the same reason as q17. */
   def q26Cube(spark: SparkSession, dir: String): DataFrame = {
     val (c, o) = (view(spark, dir, "customer"), view(spark, dir, "orders"))
+    // money on the exact 2-dp integer grid: the cube's grand-total cell
+    // sums the WHOLE join — the float-Σ-order class the round-10 100×
+    // sweep flagged here (…386.99 vs …387.0); q17/q54 escape only
+    // because they sum integral quantities (exact in double < 2^53)
     spark.sql(
       s"""SELECT coalesce(c_mktsegment, 'ALL') AS segment,
          |       coalesce(o_orderpriority, 'ALL') AS priority,
-         |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+         |       count(*) AS n_orders,
+         |       round(CAST(sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+         |           AS DECIMAL(38,0))) AS DOUBLE) / 100.0, 2) AS sum_price
          |FROM $o JOIN $c ON o_custkey = c_custkey
          |GROUP BY CUBE (c_mktsegment, o_orderpriority)
          |ORDER BY segment, priority""".stripMargin)
