@@ -1239,6 +1239,15 @@ object Temporal {
       .agg(min("us").as("fp"))
       .select(to_date(timestamp_micros(col("fp"))).as("day"),
         round((col("fp") - col("fv")) / lit(1000000.0), 6).as("delta_s"))
+    dailyLatencyFold(deltas)
+  }
+
+  /** The q240 fold from the (day, delta_s) conversion-latency frame to
+    * the daily p50/p90 report — shared with the streaming twin
+    * (`EventStream.dailyLatencyReport`), so the two surfaces are
+    * parity-by-construction: identical histogram, identical exact
+    * order-statistic picks, identical rounding. */
+  def dailyLatencyFold(deltas: DataFrame): DataFrame = {
     val hist = deltas.groupBy("day", "delta_s").agg(count(lit(1)).as("cnt"))
     val wc = Window.partitionBy("day").orderBy("delta_s")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

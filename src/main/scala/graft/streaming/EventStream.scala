@@ -1004,6 +1004,61 @@ object EventStream {
         round(col("n_dropped").cast("double") / col("n_events"), 6))
       .orderBy("event_type")
 
+  case class ConvState(fv: Long, done: Boolean)
+  case class LatencySighting(user_id: Long, day: Long, delta_s: Double)
+
+  /** Streaming twin of the batch q240 daily view→purchase latency —
+    * the SLA trend a latency dashboard pages on, measured AT CONVERSION
+    * TIME instead of a nightly batch: per user, state is (first-view
+    * micros, done) — the funnel/attribution state shape — and the
+    * FIRST purchase strictly after the first view emits that user's
+    * latency delta keyed to the purchase day. Under event-time-ordered
+    * delivery (the gap-twin contract; micro-batch rows fold in the
+    * batch sort order) the first arriving view IS min(view us) and the
+    * first qualifying purchase IS min(purchase us > fv), so the
+    * emitted delta multiset equals the batch q240 deltas exactly and
+    * [[dailyLatencyReport]] folds to the batch answer row-for-row via
+    * the SHARED `Temporal.dailyLatencyFold`. One emission per
+    * converting user, ever (the done flag survives checkpoint
+    * restarts); state is two fields per user. */
+  def conversionLatencySightings(
+      events: Dataset[TypedEvent]): Dataset[LatencySighting] = {
+    import events.sparkSession.implicits._
+    droppingNullKeys(events)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[TypedEvent], state: GroupState[ConvState]) => {
+          var st = state.getOption
+          val out = Vector.newBuilder[LatencySighting]
+          rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id)).foreach { e =>
+            val us = eventMicros(e.ts)
+            e.event_type match {
+              case "view" if st.isEmpty =>
+                st = Some(ConvState(us, done = false))
+              case "purchase" if st.exists(s => !s.done && us > s.fv) =>
+                // batch parity: strict us > fv (a purchase at the exact
+                // view timestamp is not a conversion in either engine);
+                // delta rounds exactly like round((fp-fv)/1e6, 6)
+                out += LatencySighting(uid, Math.floorDiv(us, 86400000000L),
+                  roundHalfUp((us - st.get.fv) / 1000000.0, 6))
+                st = st.map(_.copy(done = true))
+              case _ =>
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+        })
+  }
+
+  /** Fold emitted latency sightings to the batch q240 answer via the
+    * SHARED `Temporal.dailyLatencyFold` — parity by construction. */
+  def dailyLatencyReport(sightings: DataFrame): DataFrame =
+    graft.operators.Temporal.dailyLatencyFold(sightings.select(
+      date_add(lit("1970-01-01").cast("date"), col("day").cast("int"))
+        .as("day"),
+      col("delta_s")))
+
   case class LastEvent(us: Long, event_id: Long)
   case class GapSighting(event_type: String, gap: Long)
 

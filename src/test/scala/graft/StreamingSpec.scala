@@ -683,6 +683,9 @@ class StreamingSpec extends AnyFunSuite {
     drain("dirty_deseason", df => EventStream.dailyTotalSightings(
       df.select(col("user_id"), col("event_id"), col("ts"),
         col("event_type"), col("value")).as[EventStream.TypedEvent]))
+    drain("dirty_convlat", df => EventStream.conversionLatencySightings(
+      df.select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value")).as[EventStream.TypedEvent]))
     // retention matrix == batch q101 over the keyable rows
     val gotRet = EventStream.retentionMatrix(spark.table("dirty_retention"))
       .collect().map(_.toSeq).toSeq
@@ -712,6 +715,15 @@ class StreamingSpec extends AnyFunSuite {
       .select("user_id", "n_sessions", "n_events")
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(gotS == wantS && gotS.nonEmpty)
+    // daily latency report == batch q240 over the keyable rows (the
+    // null-TYPE row is neither view nor purchase in both engines; the
+    // null-VALUE row is a valid view — q240 never reads value)
+    val gotL = EventStream.dailyLatencyReport(spark.table("dirty_convlat"))
+      .collect().map(_.toSeq).toSeq
+    val wantL = SparkEntry.queries("q240_daily_latency")(
+        spark, keyableDir.toString)
+      .collect().map(_.toSeq).toSeq
+    assert(wantL.nonEmpty && gotL == wantL)
     // deseasonalized daily report == batch q239 over the keyable rows
     // (the null-type and null-value rows drop in both engines' own
     // q239 filters; null-user/ts rows drop at ingest by the keyable
@@ -2760,6 +2772,51 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(want.nonEmpty && got == want,
       "stream-folded burstiness must equal batch q235 row-for-row")
+  }
+
+  test("streaming conversion latencies fold to batch q240 under ordered delivery") {
+    import spark.implicits._
+    // the live SLA monitor's contract: per user, the first view then
+    // the first strictly-later purchase emit ONE latency delta at
+    // conversion time; under event-time-ordered delivery the emitted
+    // delta multiset IS the batch q240 deltas, and the shared
+    // Temporal.dailyLatencyFold reproduces the report row-for-row
+    val rows = Tables.events(spark, sf0001)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        if (r.isNullAt(4)) 1.0 else r.getDouble(4), "{}"))
+      .sortBy(r => (r._2, r._1))
+    val dir = java.nio.file.Files.createTempDirectory("graft-convlat")
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    writeFlatEvents(dir, "a.parquet", h1.toSeq)
+    writeFlatEvents(dir, "b.parquet", h2.toSeq)
+    val stream = spark.readStream
+      .schema(EventStream.rawSchema(org.apache.spark.sql.types.TimestampNTZType))
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = EventStream.conversionLatencySightings(
+        Tables.normalizeTs(stream)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"), col("value"))
+          .as[EventStream.TypedEvent])
+      .writeStream.outputMode("append")
+      .format("memory").queryName("conv_lat")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-convlat-ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val sightings = spark.table("conv_lat")
+    // one emission per converting user, ever
+    assert(sightings.groupBy("user_id").count().filter(col("count") > 1)
+      .count() == 0)
+    val got = EventStream.dailyLatencyReport(sightings)
+      .collect().map(_.toSeq).toSeq
+    val want = SparkEntry.queries("q240_daily_latency")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty && got == want,
+      "stream-folded daily latency must equal batch q240 row-for-row")
   }
 
   test("streaming daily totals fold to batch q239 under arbitrary delivery") {
