@@ -2819,6 +2819,62 @@ class StreamingSpec extends AnyFunSuite {
       "stream-folded daily latency must equal batch q240 row-for-row")
   }
 
+  test("latency twin recovers first-view state and the done flag from a restart") {
+    import spark.implicits._
+    // both halves of the claimed restart contract, each observable only
+    // through restored state: u1's view arrives in run 1 and its
+    // purchase in run 2 (fresh state would emit NOTHING for u1); u2
+    // converts fully in run 1, then gets ANOTHER view+purchase pair in
+    // run 2 (fresh state would emit a second, WRONG delta — only the
+    // restored done flag keeps the one-emission-per-user contract).
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def us(minute: Long) = base.plusSeconds(minute * 60).toEpochMilli * 1000L
+    def ev(id: Long, user: Long, minute: Long, tpe: String) =
+      (id, us(minute), user, tpe, 1.0, "{}")
+    val fileA = Seq(ev(1, 1, 10, "view"), ev(2, 2, 20, "view"),
+      ev(3, 2, 30, "purchase"))
+    val fileB = Seq(ev(4, 1, 50, "purchase"), ev(5, 2, 40, "view"),
+      ev(6, 2, 60, "purchase"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-lrestart")
+    val ck = java.nio.file.Files.createTempDirectory("graft-lrestart-ckpt").toString
+    writeFlatEvents(dir, "a.parquet", fileA)
+    // the memory sink cannot recover a checkpoint; collect emissions
+    // across runs via foreachBatch (the attribution-restart pattern)
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[EventStream.LatencySighting]
+    def query() = EventStream.conversionLatencySightings(
+        EventStream.readStream(spark, dir.toString)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"), col("value")).as[EventStream.TypedEvent])
+      .writeStream.outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[EventStream.LatencySighting],
+         _: Long) =>
+          val out = batch.collect()
+          rows.synchronized { rows ++= out }
+          ()
+      }
+      .option("checkpointLocation", ck).start()
+    val q1 = query(); try q1.processAllAvailable() finally q1.stop()
+    val run1 = rows.synchronized(rows.toSeq).map(s => s.user_id -> s.delta_s)
+    assert(run1 == Seq(2L -> 600.0), s"run 1: only u2 converted: ${run1.toList}")
+    writeFlatEvents(dir, "b.parquet", fileB)
+    val q2 = query(); try q2.processAllAvailable() finally q2.stop()
+    val all = rows.synchronized(rows.toSeq).map(s => s.user_id -> s.delta_s)
+      .sortBy(_._1)
+    assert(all == Seq(1L -> 2400.0, 2L -> 600.0),
+      s"restored fv must emit u1; the restored done flag must silence u2: $all")
+    // and the fold equals batch q240 over the union
+    val batchDir = java.nio.file.Files.createTempDirectory("graft-lrestart-batch")
+    writeBatchEvents(batchDir, fileA ++ fileB)
+    val got = EventStream.dailyLatencyReport(
+        rows.synchronized(rows.toSeq).toDF())
+      .collect().map(_.toSeq).toSeq
+    val want = SparkEntry.queries("q240_daily_latency")(spark, batchDir.toString)
+      .collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty && got == want)
+  }
+
   test("streaming daily totals fold to batch q239 under arbitrary delivery") {
     import spark.implicits._
     // the live deseasonalized-anomaly monitor's contract: running
