@@ -48,6 +48,11 @@ object Bench {
     def loadAvg(): Double = osBean.getSystemLoadAverage
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Load is sampled BEFORE the cold run and after EVERY warm run,
+      // recording the max: a single trailing sample can miss the spike
+      // that inflated the cold or first-warm sample (the exact q235-12×
+      // shape the field exists to expose).
+      var loadMax = loadAvg()
       val c0 = System.nanoTime()
       // first run is the COLD (codegen-compile) run; the cold/warm gap
       // is the signal that exposed the round-3 timing distortion — keep
@@ -60,7 +65,9 @@ object Bench {
           failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        loadMax = math.max(loadMax, loadAvg())
+        dt
       }
       val warm2 = (1 to 2).map(_ => timed())
       // Variance escape hatch (round 7): best-of-two hardened single-
@@ -71,7 +78,7 @@ object Bench {
       // a third and record the min of all three.
       val warm = if (warm2.max > 2.0 * warm2.min) warm2 :+ timed() else warm2
       val sec = warm.min // best-of-N warm: robust to contended samples
-      val load = loadAvg()
+      val load = loadMax
       System.err.println(
         s"[bench] $name cold ${r3(cold)}s warm ${warm.map(r3).mkString("/")}s → ${r3(sec)}s load ${r3(load)}")
       (name, sec, load)

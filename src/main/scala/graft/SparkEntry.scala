@@ -442,7 +442,7 @@ object SparkEntry {
        |      (PARTITION BY q_id ORDER BY cdist, cluster) AS crk
        |    FROM (SELECT q.q_id, q.qv, c.cluster,
        |                 round(${sqDistSql("q.qv", "c.cv")}, 6) AS cdist
-       |          FROM q CROSS JOIN $last c) s0) t WHERE crk <= 8),
+       |          FROM q CROSS JOIN $last c) s0) t WHERE crk <= ${operators.KMeans.ProbeSweep.max}),
        |${p}qc AS (SELECT pr.np, qr.q_id, qr.qv, qr.cluster
        |       FROM ${p}qr qr JOIN pr ON qr.crk <= pr.np),
        |${p}ivf AS (SELECT np, q_id, n_id FROM (
@@ -460,7 +460,7 @@ object SparkEntry {
        |       FROM ${p}qc JOIN ${p}csz USING (cluster) GROUP BY 1),
        |${p}row AS (SELECT CAST($k AS BIGINT) AS k, sc.np AS nprobe,
        |         sc.n_scanned, ov.n_overlap,
-       |         round(ov.n_overlap / 100.0, 4) AS recall_at_10,
+       |         round(ov.n_overlap / ${operators.KMeans.EvalBlock * 10}.0, 4) AS recall_at_10,
        |         CAST(nv.n_vectors * $k * ${operators.KMeans.Iters} AS BIGINT)
        |           AS fit_dist_evals
        |       FROM ${p}sc sc JOIN ${p}ov ov ON ov.np = sc.np CROSS JOIN nv)""".stripMargin
@@ -5059,14 +5059,14 @@ object SparkEntry {
          |mem AS (SELECT a.vec_id AS n_id, a.cluster, e.v AS nv
          |        FROM af a JOIN e ON e.vec_id = a.vec_id),
          |csz AS (SELECT cluster, count(*) AS csz FROM af GROUP BY 1),
-         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
-         |pr AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS np),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < ${operators.KMeans.EvalBlock}),
+         |pr AS (SELECT CAST(unnest([${operators.KMeans.ProbeSweep.mkString(", ")}]) AS BIGINT) AS np),
          |qr AS (SELECT q_id, qv, cluster, crk FROM (
          |    SELECT q_id, qv, cluster, row_number() OVER
          |      (PARTITION BY q_id ORDER BY cdist, cluster) AS crk
          |    FROM (SELECT q.q_id, q.qv, c.cluster,
          |                 round(${sqDistSql("q.qv", "c.cv")}, 6) AS cdist
-         |          FROM q CROSS JOIN $kmeansLast c) s0) t WHERE crk <= 8),
+         |          FROM q CROSS JOIN $kmeansLast c) s0) t WHERE crk <= ${operators.KMeans.ProbeSweep.max}),
          |qc AS (SELECT pr.np, qr.q_id, qr.qv, qr.cluster
          |       FROM qr JOIN pr ON qr.crk <= pr.np),
          |ivf AS (SELECT np, q_id, n_id FROM (
@@ -5099,8 +5099,8 @@ object SparkEntry {
     // pr/tn/nv CTEs; per-(K, nprobe) totals from exact integers
     "q242_k_sweep" ->
       s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
-         |pr AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS np),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < ${operators.KMeans.EvalBlock}),
+         |pr AS (SELECT CAST(unnest([${operators.KMeans.ProbeSweep.mkString(", ")}]) AS BIGINT) AS np),
          |nv AS (SELECT count(*) AS n_vectors FROM e),
          |truth AS MATERIALIZED (SELECT q_id, n_id FROM (
          |    SELECT q.q_id, e.vec_id AS n_id, row_number() OVER

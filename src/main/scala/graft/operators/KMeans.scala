@@ -102,7 +102,7 @@ object KMeans {
     val cents = fit(e)
     val members = assign(e, cents)
       .select(col("vec_id").as("n_id"), col("v").as("nv"), col("cluster"))
-    val q = e.filter(col("vec_id") < 10)
+    val q = e.filter(col("vec_id") < EvalBlock)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val wq = Window.partitionBy("q_id").orderBy(asc("cdist"), asc("cluster"))
     val qcells = q.crossJoin(broadcast(cents))
@@ -142,7 +142,7 @@ object KMeans {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val ivf = ivfTop10(e).select(col("q_id"), col("n_id"), lit(1L).as("hit"))
-    val q = e.filter(col("vec_id") < 10)
+    val q = e.filter(col("vec_id") < EvalBlock)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val wx = Window.partitionBy("q_id").orderBy(asc("l2sq"), asc("n_id"))
     val truth = e.crossJoin(broadcast(q))
@@ -162,6 +162,11 @@ object KMeans {
 
   /** Probe counts swept by q224 (of K = 16 cells). */
   val ProbeSweep: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** Recall eval block for the sweeps: queries are `vec_id <
+    * EvalBlock` (q224/q242/q244 share it, and the oracle SQL
+    * interpolates it — a hardcoded copy desyncs silently). */
+  val EvalBlock = 10
 
   /** q224: IVF nprobe sweep — recall@10 AND vectors-scanned per query
     * at nprobe ∈ {1, 2, 4, 8}: the cost/quality TRADEOFF CURVE behind
@@ -186,7 +191,7 @@ object KMeans {
       // assignment — without the cut each re-runs the K×corpus argmin
       // (this IS the stored index artifact a deployment materializes)
     val cellSizes = members.groupBy("cluster").agg(count(lit(1)).as("csz"))
-    val q = e.filter(col("vec_id") < 10)
+    val q = e.filter(col("vec_id") < EvalBlock)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val wq = Window.partitionBy("q_id").orderBy(asc("cdist"), asc("cluster"))
     val probes = array(ProbeSweep.map(p => lit(p.toLong)): _*)
@@ -267,7 +272,7 @@ object KMeans {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val nv = e.agg(count(lit(1)).as("n_vectors"))
-    val q = e.filter(col("vec_id") < 10)
+    val q = e.filter(col("vec_id") < EvalBlock)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val probes = array(ProbeSweep.map(p => lit(p.toLong)): _*)
     // all four seeded centroid tables, disjoint-tagged by kk
@@ -344,7 +349,7 @@ object KMeans {
       .crossJoin(broadcast(nv))
       .select(col("kk").as("k"), col("np").as("nprobe"),
         col("n_scanned"), col("n_overlap"),
-        round(col("n_overlap") / lit(100.0), 4).as("recall_at_10"),
+        round(col("n_overlap") / lit(EvalBlock * 10.0), 4).as("recall_at_10"),
         (col("n_vectors") * col("kk") * Iters).as("fit_dist_evals"))
       .orderBy("k", "nprobe")
   }

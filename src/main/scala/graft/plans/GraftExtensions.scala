@@ -49,6 +49,11 @@ object GraftExtensions {
         require(args.length == 2, "cosine_sim expects 2 arguments")
         CosineSim(args(0), args(1))
       }),
+    (FunctionIdentifier("l2_dist"), info("l2_dist"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "l2_dist expects 2 arguments")
+        L2Dist(args(0), args(1))
+      }),
     (FunctionIdentifier("bpe_encode"), info("bpe_encode"),
       (args: Seq[Expression]) => {
         require(args.length == 1, "bpe_encode expects 1 argument")

@@ -1020,7 +1020,22 @@ object EventStream {
     * [[dailyLatencyReport]] folds to the batch answer row-for-row via
     * the SHARED `Temporal.dailyLatencyFold`. One emission per
     * converting user, ever (the done flag survives checkpoint
-    * restarts); state is two fields per user. */
+    * restarts); state is two fields per user.
+    *
+    * STATE BOUND — deliberately UNBOUNDED in the user universe (unlike
+    * the daily-total twin's O(types × days)): exact batch parity needs
+    * every sighted user held forever — dropping a non-converter loses
+    * its eventual late conversion, and dropping a done flag double-
+    * emits if the user views again. At ~9 bytes of payload per user
+    * this is ~1 GB per 10⁸ users across the whole state store, which a
+    * production deployment bounds by business rule, not memory need:
+    * an event-time timeout at the attribution horizon (conversions
+    * beyond N days are out-of-SLA-window anyway), trading exact parity
+    * on >-horizon conversions for O(active users) state. The twin
+    * keeps NoTimeout so StreamingSpec's fold-to-batch contract stays
+    * exact; the horizon variant is the one-line
+    * `GroupStateTimeout.EventTimeTimeout` + `setTimeoutTimestamp`
+    * change documented here rather than silently approximated. */
   def conversionLatencySightings(
       events: Dataset[TypedEvent]): Dataset[LatencySighting] = {
     import events.sparkSession.implicits._

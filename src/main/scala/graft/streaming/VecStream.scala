@@ -116,45 +116,55 @@ object VecStream {
       .agg(count(lit(1)).as("n_vectors"), mean(col("v")).as("centroid"))
   }
 
+  /** The argmin fold over the broadcast centroid array, shared by
+    * [[ivfAssign]] and [[assignKeepingVector]]. The squared-L2 inside
+    * the lambda is the native [[graft.plans.L2Dist]] expression via its
+    * SQL name — the batch-side lesson applied to the ingest path: the
+    * HOF `aggregate(zip_with(...))` form this replaced ran interpreted
+    * lambdas and allocated a zipped array PER (row × centroid)
+    * EVALUATION, corpus × K continuously at a pipeline's ingest rate.
+    * `l2_dist` is one allocation-free loop with the identical
+    * sequential left fold (bit-equal doubles; StreamingSpec pins rows
+    * equal to the batch assignment). The outer per-row fold stays a
+    * HOF — it is O(K) struct compares per row, not the hot kernel. */
+  private val argminFold =
+    """aggregate(cs,
+      |  named_struct('cluster', CAST(-1 AS BIGINT), 'dist', CAST('Infinity' AS DOUBLE)),
+      |  (acc, c) -> CASE
+      |    WHEN round(l2_dist(v, c.cv), 6) < acc.dist
+      |    THEN named_struct('cluster', CAST(c.cluster AS BIGINT),
+      |      'dist', round(l2_dist(v, c.cv), 6))
+      |    ELSE acc END)""".stripMargin
+
+  /** `l2_dist` resolves from the session's function registry
+    * ([[graft.plans.GraftExtensions]]); sessions built without the
+    * extension get it registered here — idempotent registry put. */
+  private def withNativeFns(df: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    df
+  }
+
   /** The [[ivfAssign]] fold, carrying the vector through for consumers
     * that aggregate it (centroid update); same argmin contract. */
   private def assignKeepingVector(vecs: DataFrame, centroids: DataFrame): DataFrame = {
     val centArr = broadcast(centroids.agg(
       expr("sort_array(collect_list(struct(cluster, cv)))").as("cs")))
-    vecs
+    withNativeFns(vecs)
       .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .crossJoin(centArr)
-      .select(col("vec_id"), col("v"), expr(
-        """aggregate(cs,
-          |  named_struct('cluster', CAST(-1 AS BIGINT), 'dist', CAST('Infinity' AS DOUBLE)),
-          |  (acc, c) -> CASE
-          |    WHEN round(aggregate(zip_with(v, c.cv, (x, y) -> (x - y) * (x - y)),
-          |               0D, (a2, x2) -> a2 + x2), 6) < acc.dist
-          |    THEN named_struct('cluster', CAST(c.cluster AS BIGINT),
-          |      'dist', round(aggregate(zip_with(v, c.cv, (x, y) -> (x - y) * (x - y)),
-          |              0D, (a2, x2) -> a2 + x2), 6))
-          |    ELSE acc END)""".stripMargin).as("best"))
+      .select(col("vec_id"), col("v"), expr(argminFold).as("best"))
       .select(col("vec_id"), col("v"), col("best.cluster").as("cluster"))
   }
 
   def ivfAssign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
     val centArr = broadcast(centroids.agg(
       expr("sort_array(collect_list(struct(cluster, cv)))").as("cs")))
-    vecs
+    withNativeFns(vecs)
       .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .crossJoin(centArr)
-      .select(col("vec_id"), expr(
-        """aggregate(cs,
-          |  named_struct('cluster', CAST(-1 AS BIGINT), 'dist', CAST('Infinity' AS DOUBLE)),
-          |  (acc, c) -> CASE
-          |    WHEN round(aggregate(zip_with(v, c.cv, (x, y) -> (x - y) * (x - y)),
-          |               0D, (a2, x2) -> a2 + x2), 6) < acc.dist
-          |    THEN named_struct('cluster', CAST(c.cluster AS BIGINT),
-          |      'dist', round(aggregate(zip_with(v, c.cv, (x, y) -> (x - y) * (x - y)),
-          |              0D, (a2, x2) -> a2 + x2), 6))
-          |    ELSE acc END)""".stripMargin).as("best"))
+      .select(col("vec_id"), expr(argminFold).as("best"))
       .select(col("vec_id"), col("best.cluster").as("cluster"),
         col("best.dist").as("dist"))
   }

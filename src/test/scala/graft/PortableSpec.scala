@@ -124,19 +124,21 @@ class PortableSpec extends AnyFunSuite {
     val row = spark.sql(
       s"""SELECT token_id('spark')                             AS t,
          |       cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+         |       l2_dist(array(1.0D, 2.0D), array(4.0D, 6.0D)) AS l,
          |       bpe_encode('customer')                        AS b,
          |       repetition_stats(array('a', 'b', 'a', 'b'))   AS r,
          |       shingle_hashes(array('a', 'b', 'a', 'b'), 2)  AS s,
          |       nfc_normalize('cafe\u0301')                   AS n""".stripMargin).head()
     assert(row.getLong(0) == tokenIdRef("spark"))
     assert(row.getDouble(1) == 1.0)
-    assert(row.getSeq[String](2).toList == List("c", "u", "st", "o", "mer"))
+    assert(row.getDouble(2) == 25.0) // 3² + 4²
+    assert(row.getSeq[String](3).toList == List("c", "u", "st", "o", "mer"))
     // bigrams of [a b a b]: "a b"×2, "b a"×1 → (3, 2, 2)
-    val r = row.getStruct(3)
+    val r = row.getStruct(4)
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 2L)))
     // 2-shingles of [a b a b]: windows ab, ba, ab → 2 distinct hashes
-    assert(row.getSeq[Long](4).length == 2)
-    assert(row.getString(5) == "caf\u00e9")
+    assert(row.getSeq[Long](5).length == 2)
+    assert(row.getString(6) == "caf\u00e9")
     // arity errors surface at analysis, like built-ins
     intercept[Exception](spark.sql("SELECT token_id('a', 'b')").head())
   }
