@@ -873,6 +873,112 @@ class ScaleSpec extends AnyFunSuite {
     assert(row.getDouble(6) == ari, s"ari: got ${row.getDouble(6)}, want $ari")
   }
 
+  test("q86 hybrid-dedup composition matches a driver-side union-find at the 100x corpus") {
+    // q86 is the ONE oracle-declared query the round-10 full-surface
+    // 100x sweep could not hash-verify: DuckDB's recursive CC closure
+    // spilled > 70 GB at the amplified clique structure. Its three
+    // component passes (q31/q49/q68) each verify at 100x individually;
+    // what was unverified is their COMPOSITION — union + provenance
+    // flags + connectedComponents + canonical election. Verify it
+    // engine-side (the q223 pattern): same Amplify recipe the SCALING
+    // 100x table uses (100x docs with per-copy suffix words, 10x
+    // vectors dim-0 perturbed), same two edge generators, but resolved
+    // by an INDEPENDENT driver-side union-find with plain Scala maps —
+    // nothing shared with Graph.connectedComponents' pregel rounds or
+    // the DataFrame provenance rollup under test.
+    val dir = java.nio.file.Files.createTempDirectory("graft-amp86").toString
+    val slot = 1000000L
+    // The 100x copy recipe makes the TEXT signal structurally empty —
+    // every base shingle lands in >= 100 docs, above the df <= 50 cap
+    // (exactly the bound that keeps C(100,2) clone pairs from
+    // materializing; SCALING's q86 row), and the per-copy suffix
+    // shingles are unique. So the text half of the union is exercised
+    // by PLANTED dup groups whose vocabulary is confined to 3 docs
+    // each (df = 3, under the cap), ids minted at +1e12 — above any
+    // corpus's copy-slot range, the q106/q131 convention.
+    val planted = spark.range(20).toDF("grp")
+      .crossJoin(spark.range(3).toDF("member"))
+      .select((lit(1000000000000L) + col("grp") * 10 + col("member")).as("doc_id"),
+        expr("concat_ws(' ', transform(sequence(1, 13), " +
+          "i -> concat('pg', grp, '_w', i)))").as("text"),
+        lit("en").as("lang"), lit("planted").as("source"))
+    Tables.documents(spark, "/root/testdata/sf0.1")
+      .crossJoin(spark.range(100).toDF("copy"))
+      .select((col("copy") * slot + col("doc_id")).as("doc_id"),
+        concat(col("text"), lit(" uniq"), col("copy")).as("text"),
+        col("lang"), col("source"))
+      .unionByName(planted)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(8)
+      .write.parquet(s"$dir/documents.parquet")
+    Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .crossJoin(spark.range(10).toDF("copy"))
+      .select((col("copy") * slot + col("vec_id")).as("vec_id"),
+        expr("transform(embedding, (x, i) -> CASE WHEN i = 0" +
+          " THEN cast(x + copy * 0.0001 AS float) ELSE x END)").as("embedding"),
+        col("label"))
+      .repartition(4)
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("q86_hybrid_dedup")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSet
+    // independent path: the same two edge lists, driver union-find
+    val text = graft.operators.Dedup.textNearDupEdges(
+      Tables.documents(spark, dir).select("doc_id", "text"),
+      k = 4, dfCap = 50, minJaccard = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), 1L, 0L))
+    val emb = graft.operators.Dedup.blockedEmbeddingNearDup(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      minCosine = 0.45)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), 0L, 1L))
+    assert(emb.length > 1000, "amplified corpus must produce real emb dup structure")
+    assert(text.length >= 60, // 20 groups x C(3,2) pairs
+      s"planted text dup groups must survive the df cap, got ${text.length}")
+    val edges = (text ++ emb).groupBy(e => (e._1, e._2)).map { case ((a, b), es) =>
+      (a, b, es.map(_._3).max, es.map(_._4).max)
+    }.toSeq
+    val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b, _, _) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+    }
+    val clusterOf: Map[Long, Long] =
+      ids.groupBy(find).flatMap { case (_, m) => val c = m.min; m.map(_ -> c) }
+    val sizes = ids.groupBy(clusterOf).map { case (c, m) => c -> m.size.toLong }
+    val flagsOf = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    edges.foreach { case (a, _, st, se) =>
+      val c = clusterOf(a)
+      val (pt, pe) = flagsOf.getOrElse(c, (0L, 0L))
+      flagsOf(c) = (math.max(pt, st), math.max(pe, se))
+    }
+    val want = ids.map { i =>
+      val c = clusterOf(i)
+      val (ht, he) = flagsOf(c)
+      (i, c, sizes(c), if (i == c) 1L else 0L, ht, he)
+    }.toSet
+    // the composition the sweep could not check, exact at 100x: same
+    // members, same clusters, same sizes, same canonicals, same
+    // per-cluster signal provenance
+    assert(got.size == want.size, s"row count: got ${got.size}, want ${want.size}")
+    assert(got == want, {
+      val missing = (want -- got).take(5)
+      val extra = (got -- want).take(5)
+      s"cluster sets diverge; want-not-got: $missing; got-not-want: $extra"
+    })
+  }
+
   test("q193 RFM scores by broadcast boundaries, never an ntile window") {
     // the q140 boundary contract applied to segmentation: ONE percentile
     // aggregate broadcasts all nine cutpoints back; a Window here would
