@@ -227,6 +227,7 @@ object SparkEntry {
     "q223_threshold_stability" -> (Dedup.q223ThresholdStability _),
     "q224_nprobe_sweep"   -> (KMeans.q224NprobeSweep _),
     "q242_k_sweep"        -> (KMeans.q242KSweep _),
+    "q244_ivf_adc"        -> (Quantize.q244IvfAdc _),
     "q225_pq_distortion"  -> (Quantize.q225PqDistortion _),
     "q226_encoder_consistency" -> (Dedup.q226EncoderConsistency _),
     "q227_signal_agreement" -> (Dedup.q227SignalAgreement _),
@@ -473,7 +474,12 @@ object SparkEntry {
     * constants PqM/PqK/subDim = 8/16/8). */
   private def pqCodesCte: String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |subs AS (SELECT unnest(range(0, ${operators.Quantize.PqM})) AS sub),
+       |$pqTailCte""".stripMargin
+
+  /** [[pqCodesCte]] minus its leading `e` CTE — for composing with
+    * chains that already define `e` (q244 stacks it on [[kmeansCte]]). */
+  private def pqTailCte: String =
+    s"""subs AS (SELECT unnest(range(0, ${operators.Quantize.PqM})) AS sub),
        |flat AS (SELECT vec_id, sub, list_slice(v, sub * 8 + 1, sub * 8 + 8) AS sv
        |         FROM e CROSS JOIN subs),
        |cb AS (SELECT vec_id AS code, sub, sv AS cv FROM flat
@@ -5114,6 +5120,67 @@ object SparkEntry {
          |${operators.KMeans.KSweep.map(k =>
              s"SELECT * FROM k${k}_row").mkString("\nUNION ALL\n")}
          |ORDER BY k, nprobe""".stripMargin,
+
+    // composed IVF+ADC+refine: the kmeans chain + the PQ tail over the
+    // shared e; probe Nprobe cells, ADC-rank members, exact-rescore
+    // top-RefineR; per-query recall + the codes/floats bill
+    "q244_ivf_adc" ->
+      s"""WITH $kmeansCte,
+         |$pqTailCte,
+         |qq AS (SELECT vec_id AS q_id, v AS qv FROM e
+         |       WHERE vec_id < ${operators.KMeans.EvalBlock}),
+         |qr AS (SELECT q_id, cluster FROM (
+         |    SELECT q_id, cluster, row_number() OVER
+         |      (PARTITION BY q_id ORDER BY cdist, cluster) AS crk
+         |    FROM (SELECT qq.q_id, c.cluster,
+         |                 round(${sqDistSql("qq.qv", "c.cv")}, 6) AS cdist
+         |          FROM qq CROSS JOIN $kmeansLast c) s0) t
+         |  WHERE crk <= ${operators.KMeans.Nprobe}),
+         |cand AS (SELECT qr.q_id, a.vec_id AS n_id
+         |         FROM qr JOIN af a USING (cluster) WHERE a.vec_id <> qr.q_id),
+         |lut AS (SELECT f.vec_id AS q_id, f.sub, cb.code,
+         |          round(${sqDistSql("f.sv", "cb.cv")}, 6) AS d
+         |        FROM flat f JOIN cb ON cb.sub = f.sub
+         |        WHERE f.vec_id < ${operators.KMeans.EvalBlock}),
+         |adc AS (SELECT c.q_id, c.n_id, round(sum(l.d), 6) AS adc
+         |        FROM cand c JOIN codes k ON k.vec_id = c.n_id
+         |        JOIN lut l ON l.q_id = c.q_id AND l.sub = k.sub
+         |          AND l.code = k.code
+         |        GROUP BY 1, 2),
+         |short AS (SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, row_number() OVER
+         |      (PARTITION BY q_id ORDER BY adc, n_id) AS ark
+         |    FROM adc) t WHERE ark <= ${operators.Quantize.RefineR}),
+         |res AS (SELECT q_id, n_id FROM (
+         |    SELECT s.q_id, s.n_id, row_number() OVER
+         |      (PARTITION BY s.q_id ORDER BY
+         |         round(${sqDistSql("qq.qv", "e.v")}, 6), s.n_id) AS rank
+         |    FROM short s JOIN qq ON qq.q_id = s.q_id
+         |    JOIN e ON e.vec_id = s.n_id) t WHERE rank <= 10),
+         |truth AS (SELECT q_id, n_id FROM (
+         |    SELECT qq.q_id, e.vec_id AS n_id, row_number() OVER
+         |      (PARTITION BY qq.q_id ORDER BY
+         |         round(${sqDistSql("qq.qv", "e.v")}, 6), e.vec_id) AS rank
+         |    FROM e CROSS JOIN qq WHERE e.vec_id <> qq.q_id) t
+         |  WHERE rank <= 10),
+         |ov AS (SELECT t.q_id, CAST(count(r.n_id) AS BIGINT) AS n_overlap
+         |       FROM truth t LEFT JOIN res r
+         |         ON r.q_id = t.q_id AND r.n_id = t.n_id
+         |       GROUP BY 1),
+         |cs AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_candidates
+         |       FROM cand GROUP BY 1)
+         |SELECT cs.q_id, cs.n_candidates,
+         |  CAST(cs.n_candidates * ${operators.Quantize.PqM} AS BIGINT)
+         |    AS codes_scanned,
+         |  CAST(least(cs.n_candidates, ${operators.Quantize.RefineR}) AS BIGINT)
+         |    AS n_shortlist,
+         |  CAST((least(cs.n_candidates, ${operators.Quantize.RefineR})
+         |    + ${operators.KMeans.K}) * ${operators.Quantize.PqM * 8} AS BIGINT)
+         |    AS floats_scanned,
+         |  ov.n_overlap,
+         |  round(ov.n_overlap / 10.0, 4) AS recall_at_10
+         |FROM cs JOIN ov ON ov.q_id = cs.q_id
+         |ORDER BY cs.q_id""".stripMargin,
 
     // PQ distortion: mean distances on the exact x1e6 grid (dist is
     // already 6-dp rounded); min/max/distinct order-independent

@@ -335,4 +335,108 @@ object Quantize {
         col("max_sqdist"), col("n_codes_used"))
       .orderBy("sub")
   }
+
+  /** Exact-rescore depth for [[q244IvfAdc]] (the q84 shortlist size). */
+  val RefineR = 30
+
+  /** q244: the composed PRODUCTION ANN index — IVF + ADC + refine,
+    * the FAISS `IVFPQ,Refine` shape a 100 TB serving deployment
+    * actually runs, assembled from rungs the ladder already verified
+    * one at a time (q119 IVF probe, q114b ADC table lookup, q84/q115
+    * two-stage rescore) but never composed: per query,
+    *
+    *   1. rank the [[KMeans.K]] coarse centroids, probe the
+    *      [[KMeans.Nprobe]] nearest cells (q119);
+    *   2. rank ONLY the probed cells' members by ADC — sum of
+    *      [[PqM]] code-table lookups, zero float reads (q114b);
+    *   3. exact-rescore the ADC top-[[RefineR]] against their stored
+    *      floats, top-10 out (q115's refine).
+    *
+    * Reported per query beside recall@10 vs the exact q34 truth pass:
+    * the BILL — codes_scanned (candidates × PqM byte lookups: the
+    * memory-bandwidth cost of step 2) and floats_scanned (shortlist +
+    * centroid vectors, × dim: the only full-precision reads the whole
+    * query makes). Beside q224's nprobe sweep and q242's K sweep,
+    * this is the third readout a deployment tunes against: what the
+    * CHOSEN operating point actually pays end to end.
+    *
+    * Scale shape: every stage inherits its rung's audited plan — the
+    * fit/assignment is the broadcast-centroid Lloyd (corpus never
+    * shuffles), candidates are members × a broadcast |q|×Nprobe probe
+    * frame, ADC joins a broadcast PqM×PqK-per-query LUT against the
+    * code table (floats untouched), and the refine joins floats
+    * against a broadcast |q|×RefineR shortlist (Catalyst can't derive
+    * the bound from the rank filter, so the broadcasts are explicit —
+    * the q115 note). Fully deterministic (seeded fit + codebook,
+    * 6-dp-rounded distances, id tie-breaks) → oracle-checked end to
+    * end. */
+  def q244IvfAdc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = KMeans.fit(e)
+    // the stored index artifact is cell membership + codes; membership
+    // has ONE consumer here (cand, itself checkpointed), so no cut
+    val members = KMeans.assign(e, cents)
+      .select(col("vec_id").as("n_id"), col("cluster"))
+    val q = e.filter(col("vec_id") < KMeans.EvalBlock)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wq = Window.partitionBy("q_id").orderBy(asc("cdist"), asc("cluster"))
+    val qcells = q.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("cluster"),
+        round(sqDist(col("qv"), col("cv")), 6).as("cdist"))
+      .withColumn("crk", row_number().over(wq))
+      .filter(col("crk") <= KMeans.Nprobe)
+      .select("q_id", "cluster")
+    val cand = members.join(broadcast(qcells), "cluster")
+      .filter(col("n_id") =!= col("q_id"))
+      .select("q_id", "n_id")
+      .localCheckpoint(true) // ADC chain + the candidate bill both read it
+    // per-query ADC lookup table: PqM×PqK rounded sub-distances
+    val lut = pqFlat(e.filter(col("vec_id") < KMeans.EvalBlock))
+      .select(col("vec_id").as("q_id"), col("sub"), col("sv").as("qsv"))
+      .join(broadcast(pqCodebook(e)), "sub")
+      .select(col("q_id"), col("sub"), col("code"),
+        round(sqDist(col("qsv"), col("cv")), 6).as("d"))
+    val adc = cand
+      .join(pqCodes(e).select(col("vec_id").as("n_id"), col("sub"), col("code")), "n_id")
+      .join(broadcast(lut), Seq("q_id", "sub", "code"))
+      .groupBy("q_id", "n_id")
+      .agg(round(sum("d"), 6).as("adc"))
+    val wa = Window.partitionBy("q_id").orderBy(asc("adc"), asc("n_id"))
+    val short = adc.withColumn("ark", row_number().over(wa))
+      .filter(col("ark") <= RefineR)
+      .select("q_id", "n_id")
+    val withQ = q.join(broadcast(short), "q_id")
+    val wr = Window.partitionBy("q_id").orderBy(asc("l2sq"), asc("n_id"))
+    val res10 = e.select(col("vec_id").as("n_id"), col("v").as("nv"))
+      .join(broadcast(withQ), "n_id")
+      .select(col("q_id"), col("n_id"),
+        round(sqDist(col("qv"), col("nv")), 6).as("l2sq"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    val wt = Window.partitionBy("q_id").orderBy(asc("l2sq"), asc("n_id"))
+    val truth = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(sqDist(col("qv"), col("v")), 6).as("l2sq"))
+      .withColumn("rank", row_number().over(wt))
+      .filter(col("rank") <= 10)
+      .select("q_id", "n_id")
+    val ov = truth.join(broadcast(res10), Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+    val dim = PqM * subDim
+    cand.groupBy("q_id").agg(count(lit(1)).as("n_candidates"))
+      .join(broadcast(ov), "q_id")
+      .select(col("q_id"), col("n_candidates"),
+        (col("n_candidates") * PqM).as("codes_scanned"),
+        least(col("n_candidates"), lit(RefineR.toLong)).as("n_shortlist"),
+        ((least(col("n_candidates"), lit(RefineR.toLong)) + KMeans.K) * dim)
+          .as("floats_scanned"),
+        col("n_overlap"),
+        round(col("n_overlap") / lit(10.0), 4).as("recall_at_10"))
+      .orderBy("q_id")
+  }
 }

@@ -1276,7 +1276,9 @@ class QueriesSpec extends AnyFunSuite {
       // round 9
       "q223_threshold_stability", "q224_nprobe_sweep", "q225_pq_distortion",
       // round 10
-      "q242_k_sweep")
+      "q242_k_sweep",
+      // round 11
+      "q244_ivf_adc")
     val failures = vecQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -3824,6 +3826,39 @@ class QueriesSpec extends AnyFunSuite {
     }
     got.filter(_._1 == 16L).foreach { case (_, np, scanned, overlap, _) =>
       assert(byNp(np) == ((scanned, overlap)), s"np=$np must fold q224's rows")
+    }
+  }
+
+  test("q244 IVF+ADC composition: candidates fold q224's np=4 bill, ADC refine never beats exact") {
+    val got = run("q244_ivf_adc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(got.length == graft.operators.KMeans.EvalBlock)
+    val m = graft.operators.Quantize.PqM.toLong
+    val rr = graft.operators.Quantize.RefineR.toLong
+    val dim = 64L
+    got.foreach { case (q, nCand, codes, nShort, floats, nOv, rec) =>
+      // the bill arithmetic, per the declared contract
+      assert(codes == nCand * m, s"q=$q codes_scanned")
+      assert(nShort == math.min(nCand, rr), s"q=$q n_shortlist")
+      assert(floats == (nShort + graft.operators.KMeans.K) * dim, s"q=$q floats_scanned")
+      assert(nOv >= 0 && nOv <= 10 && math.abs(rec - nOv / 10.0) < 1e-9)
+    }
+    // same fit, same Nprobe=4 probe sets: q244's candidate set IS
+    // q224's np=4 scanned set, query by query
+    val q224 = run("q224_nprobe_sweep").collect()
+      .filter(_.getLong(0) == graft.operators.KMeans.Nprobe.toLong)
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    got.foreach { case (q, nCand, _, _, _, _, _) =>
+      assert(q224(q) == nCand, s"q=$q candidates must equal q224's np=4 bill")
+    }
+    // the ADC top-R shortlist can only LOSE true neighbors vs q148's
+    // exact rescore of ALL probed members (exact candidate top-10
+    // contains every truth member present in the candidate set)
+    val q148 = run("q148_ivf_recall").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (q, _, _, _, _, nOv, _) =>
+      assert(nOv <= q148(q), s"q=$q ADC refine must not beat exact rescore")
     }
   }
 
