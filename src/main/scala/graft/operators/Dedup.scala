@@ -208,7 +208,18 @@ object Dedup {
     * bucket 0). Vectors SHORTER than planeDim still degenerate that
     * way and are a contract violation; the DuckDB twin assumes exactly
     * planeDim. */
-  def simhashBandTable(e: DataFrame, bands: Int = nBands): DataFrame = {
+  def simhashBandTable(e: DataFrame, bands: Int = nBands): DataFrame =
+    bandTable(e, bands, keepV = false)
+
+  /** [[simhashBandTable]] carrying the vector through the explode —
+    * for consumers that need per-member vectors AT the bucket (the
+    * streaming cluster-maintenance twin scores exact cosine inside the
+    * bucket state instead of re-joining the corpus). Same band values,
+    * same row multiplicity. */
+  def simhashBandTableWithV(e: DataFrame, bands: Int = nBands): DataFrame =
+    bandTable(e, bands, keepV = true)
+
+  private def bandTable(e: DataFrame, bands: Int, keepV: Boolean): DataFrame = {
     val planesLit = array(simhashPlanes.take(bands * bandBits).map(p => array(p.map(lit): _*)): _*)
     val dots = transform(planesLit, p =>
       aggregate(zip_with(slice(col("v"), 1, planeDim), p, (x, w) => x * w),
@@ -218,10 +229,11 @@ object Dedup {
         .map(t => when(element_at(col("dots"), k * bandBits + t + 1) >= 0, lit(1L << t)).otherwise(0L))
         .reduce(_ + _).as(s"band$k")
     }
+    val carry = if (keepV) Seq(col("vec_id"), col("v")) else Seq(col("vec_id"))
     e.withColumn("dots", dots)
-      .select(col("vec_id") +: bandCols: _*)
-      .select(col("vec_id"),
-        posexplode(array((0 until bands).map(k => col(s"band$k")): _*)).as(Seq("band", "val")))
+      .select(carry ++ bandCols: _*)
+      .select(carry :+
+        posexplode(array((0 until bands).map(k => col(s"band$k")): _*)).as(Seq("band", "val")): _*)
   }
 
   /** Distinct ordered candidate pairs (id_a < id_b) from an unpivoted
@@ -291,8 +303,14 @@ object Dedup {
     * tell you that (A~B, B~C must collapse to ONE survivor even when
     * A~C was never emitted). Only vectors that appear in some pair are
     * listed — everything else is trivially its own singleton. */
-  def q68DedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = q49EmbeddingNearDup(spark, dir).select("id_a", "id_b")
+  def q68DedupClusters(spark: SparkSession, dir: String): DataFrame =
+    clustersFromPairs(q49EmbeddingNearDup(spark, dir).select("id_a", "id_b"))
+
+  /** q68's resolution tail from any (id_a, id_b) pair list — factored
+    * so the streaming cluster-maintenance twin folds its emitted edge
+    * sightings through the SAME connectedComponents + election body
+    * (parity by construction, the q239/q240 shared-fold rule). */
+  def clustersFromPairs(pairs: DataFrame): DataFrame = {
     val comp = Graph.connectedComponents(pairs)
     val sizes = comp.groupBy(col("label").as("cluster"))
       .agg(count(lit(1)).as("n_members"))

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 import graft.operators.{LinAlg, Quantize}
@@ -114,6 +115,116 @@ object VecStream {
     assignKeepingVector(vecs, centroids)
       .groupBy("cluster")
       .agg(count(lit(1)).as("n_vectors"), mean(col("v")).as("centroid"))
+  }
+
+  case class BucketMember(vec_id: Long, v: Seq[Double])
+  case class BucketState(members: Seq[BucketMember], dead: Boolean)
+  case class EdgeSighting(band: Int, bval: Long, id_a: Long, id_b: Long,
+                          cos_sim: Double, dead: Boolean)
+
+  /** CosineSim's exact accumulation order (dot/√nx·√ny, sequential),
+    * rounded half-up to 6 like the batch `round(cosine, 6)`; the batch
+    * NULL lanes (length mismatch, zero norm) and NaN components map to
+    * NaN — every one of them fails the fold's `>= threshold` gate
+    * exactly as the batch filter drops its null/NaN rows. */
+  private def cos6(a: Seq[Double], b: Seq[Double]): Double = {
+    if (a.length != b.length) return Double.NaN
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i); val y = b(i)
+      dot += x * y; nx += x * x; ny += y * y; i += 1
+    }
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    if (denom == 0.0) return Double.NaN
+    val r = dot / denom
+    if (r.isNaN) Double.NaN
+    else BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** Streaming dedup-cluster MAINTENANCE — the production event no
+    * batch pass handles live: an arriving near-dup that BRIDGES two
+    * existing clusters. Each arriving vector lands in its
+    * [[graft.operators.Dedup.nBands]] simhash band buckets (the SAME
+    * banding projection as batch q49 — [[graft.operators.Dedup
+    * .simhashBandTableWithV]]); per bucket, `flatMapGroupsWithState`
+    * keeps the members seen so far and emits one EXACT-cosine edge
+    * sighting per (new member × existing member). The bucket cap is
+    * enforced ONLINE: the arrival that would push a bucket past
+    * [[graft.operators.Dedup.bucketCap]] kills it — a tombstone
+    * sighting retracts the bucket downstream (batch keeps only buckets
+    * with FINAL size ≤ cap, which no stream can know early; the
+    * tombstone makes the early emissions harmless) and the dead
+    * bucket's member list is DROPPED, so a hot bucket's state shrinks
+    * to one flag the moment it stops mattering.
+    *
+    * [[dedupClusterReport]] folds the sighting stream to the batch q68
+    * answer row-for-row through the SHARED
+    * [[graft.operators.Dedup.clustersFromPairs]] body. The emission
+    * set is arrival-order INDEPENDENT (every within-bucket pair is
+    * emitted exactly once whatever the order; dead is a monotone
+    * property of the final member count), so this twin needs no
+    * event-time-ordered delivery contract at all — stronger than the
+    * gap/latency twins.
+    *
+    * STATE BOUND: live buckets hold ≤ cap members × dim doubles; the
+    * state in aggregate IS the online banding index — the same
+    * asymptotic footprint as the batch signature table (nBands rows
+    * per corpus vector), sharded by (band, value) key exactly as a
+    * production deployment shards its LSH index. Duplicate deliveries
+    * (checkpoint replay) are idempotent: a member id already in the
+    * bucket re-emits nothing. */
+  def bandEdgeSightings(vecs: DataFrame): Dataset[EdgeSighting] = {
+    import vecs.sparkSession.implicits._
+    val banded = graft.operators.Dedup.simhashBandTableWithV(
+      vecs.filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+      .select(col("band"), col("val").as("bval"), col("vec_id"), col("v"))
+      .as[(Int, Long, Long, Seq[Double])]
+    banded.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (Int, Long), rows: Iterator[(Int, Long, Long, Seq[Double])],
+         state: GroupState[BucketState]) => {
+          var st = state.getOption.getOrElse(BucketState(Nil, dead = false))
+          val out = Vector.newBuilder[EdgeSighting]
+          rows.toSeq.sortBy(_._3).foreach { case (band, bval, id, v) =>
+            if (!st.dead && !st.members.exists(_.vec_id == id)) {
+              if (st.members.size + 1 > graft.operators.Dedup.bucketCap) {
+                st = BucketState(Nil, dead = true)
+                out += EdgeSighting(band, bval, -1L, -1L, 0.0, dead = true)
+              } else {
+                st.members.foreach { m =>
+                  val (a, b) =
+                    if (m.vec_id < id) (m.vec_id, id) else (id, m.vec_id)
+                  out += EdgeSighting(band, bval, a, b, cos6(m.v, v), dead = false)
+                }
+                st = st.copy(members = st.members :+ BucketMember(id, v))
+              }
+            }
+          }
+          state.update(st)
+          out.result().iterator
+        })
+  }
+
+  /** Fold emitted edge sightings to the batch q68 answer: drop every
+    * sighting from a tombstoned bucket, gate at the q49 threshold,
+    * dedup pairs across buckets, and resolve through the SHARED
+    * [[graft.operators.Dedup.clustersFromPairs]] — parity by
+    * construction. */
+  def dedupClusterReport(sightings: DataFrame,
+                         minCosine: Double = 0.45): DataFrame = {
+    // rename the dead side's keys: both sides derive from the same
+    // (often memory-sink) frame, and a self-anti-join on the shared
+    // attribute ids trips conflicting-reference resolution — the alias
+    // mints fresh ids
+    val dead = sightings.filter(col("dead"))
+      .select(col("band").as("dband"), col("bval").as("dbval")).distinct()
+    val pairs = sightings.filter(!col("dead"))
+      .join(dead, col("band") === col("dband")
+        && col("bval") === col("dbval"), "left_anti")
+      .filter(col("cos_sim") >= minCosine)
+      .select("id_a", "id_b").distinct()
+    graft.operators.Dedup.clustersFromPairs(pairs)
   }
 
   /** The argmin fold over the broadcast centroid array, shared by

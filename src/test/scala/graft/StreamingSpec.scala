@@ -2987,4 +2987,216 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty && got == want,
       "stream-folded drift report must equal batch q226 row-for-row")
   }
+
+  /** Stage `rows` as ONE flat embeddings parquet file `dir/<name>`
+    * (float array, the driver encoding); nullEmbedding/nullId rows are
+    * appended as dirty-stream fixtures. */
+  private def writeVecFile(dir: java.nio.file.Path, name: String,
+      rows: Seq[(java.lang.Long, Array[Double])]): Unit = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.IntegerType)))
+    val rws = rows.map { case (id, v) =>
+      org.apache.spark.sql.Row(id,
+        if (v == null) null else v.map(_.toFloat).toSeq, 0)
+    }
+    val stage = java.nio.file.Files.createTempDirectory(s"graft-vstage")
+    spark.createDataFrame(spark.sparkContext.parallelize(rws, 1), schema)
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = java.nio.file.Files.list(stage).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    java.nio.file.Files.move(part, dir.resolve(name))
+  }
+
+  /** Plain-Scala replica of Dedup.simhashBandTable's per-vector band
+    * values — same plane literals, same sequential dot order, same
+    * `>= 0` sign rule — for engineering band-collision fixtures. */
+  private def bandsOf(v: Array[Double]): Seq[(Int, Long)] = {
+    import graft.operators.Dedup
+    (0 until Dedup.nBands).map { k =>
+      var bv = 0L
+      (0 until Dedup.bandBits).foreach { t =>
+        val p = Dedup.simhashPlanes(k * Dedup.bandBits + t)
+        var dot = 0.0
+        var i = 0
+        while (i < Dedup.planeDim) { dot += v(i) * p(i); i += 1 }
+        if (dot >= 0) bv |= (1L << t)
+      }
+      k -> bv
+    }
+  }
+
+  private def cosRef(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); nx += a(i) * a(i); ny += b(i) * b(i); i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  test("streaming band-edge sightings fold to batch q68 under arbitrary dirty delivery") {
+    // the cluster-maintenance twin's baseline parity: the real corpus
+    // split across micro-batches by id PARITY (no ordering contract —
+    // the emission set is order-independent), plus unkeyable dirty rows
+    // (null id, null embedding) that must drop at ingest. The fold must
+    // equal batch q68 over the clean corpus row-for-row.
+    // sf0.01: the smallest corpus where batch q68 is non-empty
+    val corpus = "/root/testdata/sf0.01"
+    val rows = Tables.embeddings(spark, corpus)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (java.lang.Long.valueOf(r.getLong(0)),
+        r.getSeq[Double](1).toArray))
+    val (h1, h2) = rows.partition(_._1 % 2 == 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bandedge")
+    writeVecFile(dir, "a.parquet", h1.toSeq)
+    writeVecFile(dir, "b.parquet",
+      h2.toSeq ++ Seq((null: java.lang.Long, rows.head._2),
+        (java.lang.Long.valueOf(999999L), null: Array[Double])))
+    val q = graft.streaming.VecStream.bandEdgeSightings(
+        spark.readStream.schema(graft.streaming.VecStream.vecSchema)
+          .option("maxFilesPerTrigger", "1").parquet(dir.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("band_edges")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-bandedge-ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = graft.streaming.VecStream
+      .dedupClusterReport(spark.table("band_edges"))
+      .collect().map(_.toSeq).toSeq
+    val want = SparkEntry.queries("q68_dedup_clusters")(spark, corpus)
+      .collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty && got == want,
+      "stream-folded dedup clusters must equal batch q68 row-for-row")
+  }
+
+  test("a bridging near-dup merges two live clusters across a checkpoint restart") {
+    // THE production event the twin exists for: clusters {A, A2} and
+    // {B, B2} form in run 1; the stream restarts; a single bridging
+    // vector C arrives in run 2 and must merge them into ONE cluster —
+    // possible only if the restored bucket state still holds the run-1
+    // members (fresh state would emit no edges for C at all).
+    val rnd = new scala.util.Random(20260815L)
+    def gen(): Array[Double] =
+      Array.fill(64)(rnd.nextGaussian().toFloat.toDouble)
+    // search a deterministic fixture: cos(A,B) well under the 0.45
+    // gate, the bridge C = A + B at cos ~0.7 to both, sharing at least
+    // one band BUCKET with each (collision odds ~0.33 per side)
+    val fixture = Iterator.continually {
+      val a = gen(); val b = gen()
+      val c = a.zip(b).map { case (x, y) => (x + y).toFloat.toDouble }
+      (a, b, c)
+    }.take(10000).find { case (a, b, c) =>
+      val (ba, bb, bc) = (bandsOf(a).toSet, bandsOf(b).toSet, bandsOf(c).toSet)
+      cosRef(a, b) < 0.4 && cosRef(c, a) >= 0.5 && cosRef(c, b) >= 0.5 &&
+        (bc & ba).nonEmpty && (bc & bb).nonEmpty && (ba & bb).isEmpty
+    }
+    assert(fixture.nonEmpty, "no band-collision fixture found in 10000 draws")
+    val (a, b, c) = fixture.get
+    def scaled(v: Array[Double], s: Double): Array[Double] =
+      v.map(x => (x * s).toFloat.toDouble) // positive scale: same signs,
+        // same buckets in every band, cosine 1 — a guaranteed near-dup
+    val run1 = Seq((0L, a), (1L, scaled(a, 1.05)),
+      (10L, b), (11L, scaled(b, 1.05)))
+      .map { case (i, v) => (java.lang.Long.valueOf(i), v) }
+    val run2 = Seq((java.lang.Long.valueOf(5L), c))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bridge")
+    val ck = java.nio.file.Files.createTempDirectory("graft-bridge-ckpt").toString
+    writeVecFile(dir, "a.parquet", run1)
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[graft.streaming.VecStream.EdgeSighting]
+    def query() = graft.streaming.VecStream.bandEdgeSightings(
+        spark.readStream.schema(graft.streaming.VecStream.vecSchema)
+          .parquet(dir.toString))
+      .writeStream.outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[graft.streaming.VecStream.EdgeSighting],
+         _: Long) =>
+          val out = batch.collect()
+          rows.synchronized { rows ++= out }
+          ()
+      }
+      .option("checkpointLocation", ck).start()
+    import spark.implicits._
+    val q1 = query(); try q1.processAllAvailable() finally q1.stop()
+    val rep1 = graft.streaming.VecStream
+      .dedupClusterReport(rows.synchronized(rows.toSeq).toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rep1 == Set((0L, 0L), (1L, 0L), (10L, 10L), (11L, 10L)),
+      s"run 1 must hold two separate clusters: $rep1")
+    writeVecFile(dir, "b.parquet", run2)
+    val q2 = query(); try q2.processAllAvailable() finally q2.stop()
+    val all = rows.synchronized(rows.toSeq)
+    val rep2 = graft.streaming.VecStream.dedupClusterReport(all.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rep2 == Set((0L, 0L, 5L), (1L, 0L, 5L), (5L, 0L, 5L),
+      (10L, 0L, 5L), (11L, 0L, 5L)),
+      s"the bridge must merge both clusters into canonical 0: $rep2")
+    // and the fold equals batch q68 over the union corpus
+    val batchDir = java.nio.file.Files.createTempDirectory("graft-bridge-batch")
+    writeVecFile(batchDir, "embeddings.parquet", run1 ++ run2)
+    val want = SparkEntry.queries("q68_dedup_clusters")(spark, batchDir.toString)
+      .collect().map(_.toSeq).toSeq
+    val got = graft.streaming.VecStream.dedupClusterReport(all.toDF())
+      .collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("a bucket past the cap is tombstoned: its early emissions retract, live pairs survive") {
+    import spark.implicits._
+    // batch keeps only buckets whose FINAL size is within bucketCap —
+    // a stream can't know that early, so the twin emits as it goes and
+    // RETRACTS via a tombstone the moment the cap is crossed. 201
+    // positive scalings of one vector flood their four buckets past
+    // the cap (every early pair must vanish from the fold); a separate
+    // scaled pair in other buckets must survive.
+    val rnd = new scala.util.Random(20260816L)
+    def gen(): Array[Double] =
+      Array.fill(64)(rnd.nextGaussian().toFloat.toDouble)
+    val hot = gen()
+    val hotBands = bandsOf(hot).toSet
+    // a pair whose buckets avoid the flooded ones entirely
+    val d = Iterator.continually(gen()).take(10000)
+      .find(v => (bandsOf(v).toSet & hotBands).isEmpty && cosRef(v, hot) < 0.4)
+    assert(d.nonEmpty)
+    val cap = graft.operators.Dedup.bucketCap
+    val flood = (0 until cap + 1).map(j =>
+      (java.lang.Long.valueOf(100L + j),
+        hot.map(x => (x * (1.0 + 0.001 * j)).toFloat.toDouble)))
+    val pair = Seq(
+      (java.lang.Long.valueOf(500L), d.get),
+      (java.lang.Long.valueOf(501L), d.get.map(x => (x * 1.05).toFloat.toDouble)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-capstream")
+    writeVecFile(dir, "a.parquet", flood ++ pair)
+    val q = graft.streaming.VecStream.bandEdgeSightings(
+        spark.readStream.schema(graft.streaming.VecStream.vecSchema)
+          .parquet(dir.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cap_edges")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-cap-ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val sightings = spark.table("cap_edges")
+    assert(sightings.filter(col("dead")).count() == graft.operators.Dedup.nBands.toLong,
+      "all four flooded buckets must tombstone")
+    assert(sightings.filter(!col("dead") && col("id_a") >= 100L
+        && col("id_a") < 500L).count() > 0,
+      "early flood pairs WERE emitted (the retraction is load-bearing)")
+    val got = graft.streaming.VecStream.dedupClusterReport(sightings)
+      .collect().map(_.toSeq).toSeq
+    val batchDir = java.nio.file.Files.createTempDirectory("graft-cap-batch")
+    writeVecFile(batchDir, "embeddings.parquet", flood ++ pair)
+    val want = SparkEntry.queries("q68_dedup_clusters")(spark, batchDir.toString)
+      .collect().map(_.toSeq).toSeq
+    assert(want == Seq(Seq(500L, 500L, 2L, 1L), Seq(501L, 500L, 2L, 0L)),
+      s"batch must keep only the live pair: $want")
+    assert(got == want, "tombstoned fold must equal batch q68")
+  }
 }
