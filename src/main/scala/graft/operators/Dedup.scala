@@ -220,20 +220,20 @@ object Dedup {
     bandTable(e, bands, keepV = true)
 
   private def bandTable(e: DataFrame, bands: Int, keepV: Boolean): DataFrame = {
-    val planesLit = array(simhashPlanes.take(bands * bandBits).map(p => array(p.map(lit): _*)): _*)
-    val dots = transform(planesLit, p =>
-      aggregate(zip_with(slice(col("v"), 1, planeDim), p, (x, w) => x * w),
-        lit(0.0), (acc, y) => acc + y))
-    val bandCols = (0 until bands).map { k =>
-      (0 until bandBits)
-        .map(t => when(element_at(col("dots"), k * bandBits + t + 1) >= 0, lit(1L << t)).otherwise(0L))
-        .reduce(_ + _).as(s"band$k")
-    }
+    // Round 11: the 32-dot projection is the native codegen'd
+    // graft.plans.SimhashBands expression — bit-identical band values
+    // to the HOF `transform(planes, p -> aggregate(zip_with(...)))`
+    // form it replaced (DedupSimilaritySpec pins equality incl. the
+    // short/null/NaN/long-vector lanes). At the 100x corpus the
+    // banded queries drop ~10-15% end-to-end (q61 6.4->5.7s, q78
+    // 1.27->1.16s; SCALING.md) — the family's cost there is dominated
+    // by the bucket shuffle + rescore joins, but the projection is
+    // the one stage that is pure per-row CPU on EVERY corpus row, the
+    // part whose share grows as the corpus outgrows the eval block.
     val carry = if (keepV) Seq(col("vec_id"), col("v")) else Seq(col("vec_id"))
-    e.withColumn("dots", dots)
-      .select(carry ++ bandCols: _*)
-      .select(carry :+
-        posexplode(array((0 until bands).map(k => col(s"band$k")): _*)).as(Seq("band", "val")): _*)
+    e.select(carry :+
+      posexplode(graft.plans.SimhashBands.bands(col("v"), bands))
+        .as(Seq("band", "val")): _*)
   }
 
   /** Distinct ordered candidate pairs (id_a < id_b) from an unpivoted

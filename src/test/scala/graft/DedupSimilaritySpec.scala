@@ -285,6 +285,59 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "band values collapsed — dimension slice is broken")
   }
 
+  test("native simhash_bands equals the HOF projection bit-for-bit, incl. degenerate lanes") {
+    // the round-11 kernel promotion's parity gate: the codegen'd
+    // SimhashBands expression must reproduce the HOF
+    // transform(planes, p -> aggregate(zip_with(slice(v), p, *), 0, +))
+    // + sign-packing form it replaced on every lane — real corpus
+    // vectors, longer vectors, SHORT vectors (all-zero bands via
+    // zip_with null-poisoning), vectors with null and NaN components.
+    val rnd = new scala.util.Random(17)
+    val fixtures: Seq[(Long, Seq[java.lang.Double])] =
+      (0 until 50).map(i => (i.toLong,
+        Seq.fill(Dedup.planeDim)(java.lang.Double.valueOf(rnd.nextGaussian())))) ++
+      Seq(
+        (100L, Seq.fill(100)(java.lang.Double.valueOf(rnd.nextGaussian()))),
+        (101L, Seq.fill(10)(java.lang.Double.valueOf(1.0))),  // short
+        (102L, Seq.tabulate(Dedup.planeDim)(j =>
+          if (j == 7) null else java.lang.Double.valueOf(1.0))), // null elem
+        (103L, Seq.tabulate(Dedup.planeDim)(j =>
+          java.lang.Double.valueOf(if (j == 3) Double.NaN else 1.0)))) // NaN
+    val e = fixtures.toDF("vec_id", "v")
+    // the replaced HOF form, reconstructed verbatim as the reference
+    val planesLit = array(Dedup.simhashPlanes.take(Dedup.nBands * Dedup.bandBits)
+      .map(p => array(p.map(lit): _*)): _*)
+    val dots = transform(planesLit, p =>
+      aggregate(zip_with(slice(col("v"), 1, Dedup.planeDim), p, (x, w) => x * w),
+        lit(0.0), (acc, y) => acc + y))
+    val hofBands = (0 until Dedup.nBands).map { k =>
+      (0 until Dedup.bandBits)
+        .map(t => when(element_at(col("dots"), k * Dedup.bandBits + t + 1) >= 0,
+          lit(1L << t)).otherwise(0L))
+        .reduce(_ + _)
+    }
+    val want = e.withColumn("dots", dots)
+      .select(col("vec_id"), array(hofBands: _*).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val got = e.select(col("vec_id"),
+        graft.plans.SimhashBands.bands(col("v"), Dedup.nBands).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, w) =>
+      assert(got(id) == w, s"vec $id: got ${got(id)}, want $w")
+    }
+    // the degenerate lanes: short/null-element vectors null-poison to
+    // all-zero bands; a NaN component NaNs every dot and Spark's
+    // NaN-sorts-greatest `>=` sets every bit (the HOF contract)
+    Seq(101L, 102L).foreach(id =>
+      assert(got(id) == List.fill(Dedup.nBands)(0L), s"vec $id not degenerate"))
+    assert(got(103L) == List.fill(Dedup.nBands)(255L), "NaN lane must saturate")
+    // null input stays null
+    assert(e.filter(col("vec_id") === 0L)
+      .select(graft.plans.SimhashBands.bands(lit(null).cast("array<double>"),
+        Dedup.nBands)).head().isNullAt(0))
+  }
+
   test("blocked kNN join ranks a planted near-duplicate as the top neighbor") {
     val rnd = new scala.util.Random(11)
     def vec() = Array.fill(Dedup.planeDim)(rnd.nextGaussian().toFloat)
