@@ -74,6 +74,16 @@ object GraftExtensions {
         }
         ShingleHashes(args.head, n)
       }),
+    (FunctionIdentifier("simhash_bands"), info("simhash_bands"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "simhash_bands expects (v, bands)")
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"simhash_bands bands must be an integer literal, got $other")
+        }
+        SimhashBands(args.head, n)
+      }),
     (FunctionIdentifier("nfc_normalize"), info("nfc_normalize"),
       (args: Seq[Expression]) => {
         require(args.length == 1, "nfc_normalize expects 1 argument")

@@ -128,6 +128,7 @@ class PortableSpec extends AnyFunSuite {
          |       bpe_encode('customer')                        AS b,
          |       repetition_stats(array('a', 'b', 'a', 'b'))   AS r,
          |       shingle_hashes(array('a', 'b', 'a', 'b'), 2)  AS s,
+         |       simhash_bands(array(${Seq.fill(64)("1.0D").mkString(", ")}), 4) AS sb,
          |       nfc_normalize('cafe\u0301')                   AS n""".stripMargin).head()
     assert(row.getLong(0) == tokenIdRef("spark"))
     assert(row.getDouble(1) == 1.0)
@@ -138,7 +139,12 @@ class PortableSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 2L)))
     // 2-shingles of [a b a b]: windows ab, ba, ab → 2 distinct hashes
     assert(row.getSeq[Long](5).length == 2)
-    assert(row.getString(6) == "caf\u00e9")
+    // all-ones vector: same band values as the Column-API expression
+    assert(row.getSeq[Long](6) ==
+      graft.operators.Dedup.simhashPlanes.take(32).map(_.sum >= 0)
+        .grouped(8).map(_.zipWithIndex.collect { case (true, t) => 1L << t }.sum)
+        .toSeq)
+    assert(row.getString(7) == "caf\u00e9")
     // arity errors surface at analysis, like built-ins
     intercept[Exception](spark.sql("SELECT token_id('a', 'b')").head())
   }
