@@ -228,6 +228,7 @@ object SparkEntry {
     "q224_nprobe_sweep"   -> (KMeans.q224NprobeSweep _),
     "q242_k_sweep"        -> (KMeans.q242KSweep _),
     "q244_ivf_adc"        -> (Quantize.q244IvfAdc _),
+    "q245_ivfpq_residual" -> (Quantize.q245IvfPqResidual _),
     "q225_pq_distortion"  -> (Quantize.q225PqDistortion _),
     "q226_encoder_consistency" -> (Dedup.q226EncoderConsistency _),
     "q227_signal_agreement" -> (Dedup.q227SignalAgreement _),
@@ -5165,6 +5166,80 @@ object SparkEntry {
          |  WHERE rank <= 10),
          |ov AS (SELECT t.q_id, CAST(count(r.n_id) AS BIGINT) AS n_overlap
          |       FROM truth t LEFT JOIN res r
+         |         ON r.q_id = t.q_id AND r.n_id = t.n_id
+         |       GROUP BY 1),
+         |cs AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_candidates
+         |       FROM cand GROUP BY 1)
+         |SELECT cs.q_id, cs.n_candidates,
+         |  CAST(cs.n_candidates * ${operators.Quantize.PqM} AS BIGINT)
+         |    AS codes_scanned,
+         |  CAST(least(cs.n_candidates, ${operators.Quantize.RefineR}) AS BIGINT)
+         |    AS n_shortlist,
+         |  CAST((least(cs.n_candidates, ${operators.Quantize.RefineR})
+         |    + ${operators.KMeans.K}) * ${operators.Quantize.PqM * 8} AS BIGINT)
+         |    AS floats_scanned,
+         |  ov.n_overlap,
+         |  round(ov.n_overlap / 10.0, 4) AS recall_at_10
+         |FROM cs JOIN ov ON ov.q_id = cs.q_id
+         |ORDER BY cs.q_id""".stripMargin,
+
+    // residual-encoded IVF+PQ (FAISS by_residual): codebook over
+    // v − centroid(cell), per-(query, probed cell) ADC tables; same
+    // candidates and bill as q244 by construction, recall differs
+    "q245_ivfpq_residual" ->
+      s"""WITH $kmeansCte,
+         |res AS MATERIALIZED (SELECT a.vec_id, a.cluster,
+         |    list_transform(range(1, len(e.v)+1), i -> e.v[i] - c.cv[i]) AS r
+         |  FROM af a JOIN e ON e.vec_id = a.vec_id
+         |  JOIN $kmeansLast c ON c.cluster = a.cluster),
+         |rsubs AS (SELECT unnest(range(0, ${operators.Quantize.PqM})) AS sub),
+         |rflat AS (SELECT vec_id, sub, list_slice(r, sub * 8 + 1, sub * 8 + 8) AS sv
+         |          FROM res CROSS JOIN rsubs),
+         |rcb AS (SELECT vec_id AS code, sub, sv AS cv FROM rflat
+         |        WHERE vec_id < ${operators.Quantize.PqK}),
+         |rcodes AS MATERIALIZED (SELECT vec_id, sub, code FROM (
+         |    SELECT f.vec_id, f.sub, cb.code, row_number() OVER
+         |      (PARTITION BY f.vec_id, f.sub ORDER BY
+         |         round(${sqDistSql("f.sv", "cb.cv")}, 6), cb.code) AS rk
+         |    FROM rflat f JOIN rcb cb ON f.sub = cb.sub) t WHERE rk = 1),
+         |qq AS (SELECT vec_id AS q_id, v AS qv FROM e
+         |       WHERE vec_id < ${operators.KMeans.EvalBlock}),
+         |qr AS (SELECT q_id, cluster, qrv FROM (
+         |    SELECT qq.q_id, c.cluster, row_number() OVER
+         |      (PARTITION BY qq.q_id ORDER BY
+         |         round(${sqDistSql("qq.qv", "c.cv")}, 6), c.cluster) AS crk,
+         |      list_transform(range(1, len(qq.qv)+1), i -> qq.qv[i] - c.cv[i]) AS qrv
+         |    FROM qq CROSS JOIN $kmeansLast c) t
+         |  WHERE crk <= ${operators.KMeans.Nprobe}),
+         |lut AS (SELECT qr.q_id, qr.cluster, s.sub, cb.code,
+         |          round(${sqDistSql(
+                      "list_slice(qr.qrv, s.sub * 8 + 1, s.sub * 8 + 8)", "cb.cv")}, 6) AS d
+         |        FROM qr CROSS JOIN rsubs s JOIN rcb cb ON cb.sub = s.sub),
+         |cand AS (SELECT qr.q_id, qr.cluster, r.vec_id AS n_id
+         |         FROM qr JOIN res r USING (cluster) WHERE r.vec_id <> qr.q_id),
+         |adc AS (SELECT c.q_id, c.n_id, round(sum(l.d), 6) AS adc
+         |        FROM cand c JOIN rcodes k ON k.vec_id = c.n_id
+         |        JOIN lut l ON l.q_id = c.q_id AND l.cluster = c.cluster
+         |          AND l.sub = k.sub AND l.code = k.code
+         |        GROUP BY 1, 2),
+         |short AS (SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, row_number() OVER
+         |      (PARTITION BY q_id ORDER BY adc, n_id) AS ark
+         |    FROM adc) t WHERE ark <= ${operators.Quantize.RefineR}),
+         |rs AS (SELECT q_id, n_id FROM (
+         |    SELECT s.q_id, s.n_id, row_number() OVER
+         |      (PARTITION BY s.q_id ORDER BY
+         |         round(${sqDistSql("qq.qv", "e.v")}, 6), s.n_id) AS rank
+         |    FROM short s JOIN qq ON qq.q_id = s.q_id
+         |    JOIN e ON e.vec_id = s.n_id) t WHERE rank <= 10),
+         |truth AS (SELECT q_id, n_id FROM (
+         |    SELECT qq.q_id, e.vec_id AS n_id, row_number() OVER
+         |      (PARTITION BY qq.q_id ORDER BY
+         |         round(${sqDistSql("qq.qv", "e.v")}, 6), e.vec_id) AS rank
+         |    FROM e CROSS JOIN qq WHERE e.vec_id <> qq.q_id) t
+         |  WHERE rank <= 10),
+         |ov AS (SELECT t.q_id, CAST(count(r.n_id) AS BIGINT) AS n_overlap
+         |       FROM truth t LEFT JOIN rs r
          |         ON r.q_id = t.q_id AND r.n_id = t.n_id
          |       GROUP BY 1),
          |cs AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_candidates

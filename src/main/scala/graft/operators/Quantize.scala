@@ -439,4 +439,110 @@ object Quantize {
         round(col("n_overlap") / lit(10.0), 4).as("recall_at_10"))
       .orderBy("q_id")
   }
+
+  /** q245: RESIDUAL-encoded IVF+PQ — [[q244IvfAdc]] with the PQ
+    * codebook trained on residuals `v − centroid(cell)` instead of raw
+    * vectors, FAISS's `by_residual=true` DEFAULT and the reason IVF-PQ
+    * beats flat PQ in production: within a cell the residuals span a
+    * small ball around the centroid, so the same PqK codes quantize a
+    * much tighter distribution (lower distortion per bit). The ADC
+    * table becomes PER (query, probed cell) — `‖q − (c + r̂)‖² =
+    * ‖(q − c) − r̂‖²`, so the query's residual against EACH probed
+    * centroid gets its own PqM×PqK lookup table (|q|·Nprobe·PqM·PqK
+    * rows — still broadcast-sized). Same candidates, same RefineR,
+    * same bill columns as q244 BY CONSTRUCTION (QueriesSpec pins the
+    * equality), so the two reports differ only in recall — the
+    * cleanest possible read of what residual encoding buys.
+    *
+    * Determinism: seeded fit + seeded residual codebook (the q45b
+    * vec_id &lt; PqK rule applied to residuals) + 6-dp rounding + id
+    * tie-breaks — oracle-checked end to end like the whole ladder. */
+  def q245IvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = KMeans.fit(e)
+    // assignment + exact residual against the OWNING centroid; one
+    // corpus scan, checkpointed once for codebook/codes/candidates
+    val res = KMeans.assign(e, cents)
+      .join(broadcast(cents), "cluster")
+      .select(col("vec_id"), col("cluster"),
+        expr("zip_with(v, cv, (x, y) -> x - y)").as("r"))
+      .localCheckpoint(true)
+    val rcb = pqFlat(res.filter(col("vec_id") < PqK)
+        .select(col("vec_id"), col("r").as("v")))
+      .select(col("vec_id").as("code"), col("sub"), col("sv").as("cv"))
+    val wc = Window.partitionBy("vec_id", "sub").orderBy(asc("dist"), asc("code"))
+    val rcodes = pqFlat(res.select(col("vec_id"), col("r").as("v")))
+      .join(broadcast(rcb), "sub")
+      .select(col("vec_id"), col("sub"), col("code"),
+        round(sqDist(col("sv"), col("cv")), 6).as("dist"))
+      .withColumn("rk", row_number().over(wc))
+      .filter(col("rk") === 1)
+      .select("vec_id", "sub", "code")
+    val q = e.filter(col("vec_id") < KMeans.EvalBlock)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wq = Window.partitionBy("q_id").orderBy(asc("cdist"), asc("cluster"))
+    val qcells = q.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qv"), col("cluster"), col("cv"),
+        round(sqDist(col("qv"), col("cv")), 6).as("cdist"))
+      .withColumn("crk", row_number().over(wq))
+      .filter(col("crk") <= KMeans.Nprobe)
+      .select(col("q_id"), col("cluster"),
+        expr("zip_with(qv, cv, (x, y) -> x - y)").as("qrv"))
+    // per-(query, probed cell) residual ADC table — |q|·Nprobe·PqM·PqK
+    val lut = qcells
+      .select(col("q_id"), col("cluster"), explode(expr(
+        s"transform(sequence(0, ${PqM - 1}, 1), s -> " +
+          s"struct(CAST(s AS BIGINT) AS sub, slice(qrv, s * $subDim + 1, $subDim) AS qsv))")).as("p"))
+      .select(col("q_id"), col("cluster"), col("p.sub").as("sub"), col("p.qsv").as("qsv"))
+      .join(broadcast(rcb), "sub")
+      .select(col("q_id"), col("cluster"), col("sub"), col("code"),
+        round(sqDist(col("qsv"), col("cv")), 6).as("d"))
+    val cand = res.select(col("vec_id").as("n_id"), col("cluster"))
+      .join(broadcast(qcells.select("q_id", "cluster")), "cluster")
+      .filter(col("n_id") =!= col("q_id"))
+      .select("q_id", "cluster", "n_id")
+      .localCheckpoint(true)
+    val adc = cand
+      .join(rcodes.select(col("vec_id").as("n_id"), col("sub"), col("code")), "n_id")
+      .join(broadcast(lut), Seq("q_id", "cluster", "sub", "code"))
+      .groupBy("q_id", "n_id")
+      .agg(round(sum("d"), 6).as("adc"))
+    val wa = Window.partitionBy("q_id").orderBy(asc("adc"), asc("n_id"))
+    val short = adc.withColumn("ark", row_number().over(wa))
+      .filter(col("ark") <= RefineR)
+      .select("q_id", "n_id")
+    val withQ = q.join(broadcast(short), "q_id")
+    val wr = Window.partitionBy("q_id").orderBy(asc("l2sq"), asc("n_id"))
+    val res10 = e.select(col("vec_id").as("n_id"), col("v").as("nv"))
+      .join(broadcast(withQ), "n_id")
+      .select(col("q_id"), col("n_id"),
+        round(sqDist(col("qv"), col("nv")), 6).as("l2sq"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    val wt = Window.partitionBy("q_id").orderBy(asc("l2sq"), asc("n_id"))
+    val truth = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(sqDist(col("qv"), col("v")), 6).as("l2sq"))
+      .withColumn("rank", row_number().over(wt))
+      .filter(col("rank") <= 10)
+      .select("q_id", "n_id")
+    val ov = truth.join(broadcast(res10), Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+    val dim = PqM * subDim
+    cand.groupBy("q_id").agg(count(lit(1)).as("n_candidates"))
+      .join(broadcast(ov), "q_id")
+      .select(col("q_id"), col("n_candidates"),
+        (col("n_candidates") * PqM).as("codes_scanned"),
+        least(col("n_candidates"), lit(RefineR.toLong)).as("n_shortlist"),
+        ((least(col("n_candidates"), lit(RefineR.toLong)) + KMeans.K) * dim)
+          .as("floats_scanned"),
+        col("n_overlap"),
+        round(col("n_overlap") / lit(10.0), 4).as("recall_at_10"))
+      .orderBy("q_id")
+  }
 }

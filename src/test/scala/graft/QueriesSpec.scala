@@ -1278,7 +1278,7 @@ class QueriesSpec extends AnyFunSuite {
       // round 10
       "q242_k_sweep",
       // round 11
-      "q244_ivf_adc")
+      "q244_ivf_adc", "q245_ivfpq_residual")
     val failures = vecQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -3860,6 +3860,31 @@ class QueriesSpec extends AnyFunSuite {
     got.foreach { case (q, _, _, _, _, nOv, _) =>
       assert(nOv <= q148(q), s"q=$q ADC refine must not beat exact rescore")
     }
+  }
+
+  test("q245 residual IVF-PQ pays exactly q244's bill; recall is the only degree of freedom") {
+    // the two reports share candidates, RefineR and the bill columns BY
+    // CONSTRUCTION — the comparison is a pure read of what residual
+    // encoding buys. Pin the construction so a drift in either query's
+    // probe/cap constants shows up as a bill mismatch here.
+    val raw = run("q244_ivf_adc").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val res = run("q245_ivfpq_residual").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(res.length == graft.operators.KMeans.EvalBlock)
+    res.foreach { case (q, nCand, codes, nShort, floats, nOv) =>
+      assert(raw(q) == ((nCand, codes, nShort, floats)),
+        s"q=$q bill must equal q244's exactly")
+      assert(nOv >= 0 && nOv <= 10)
+    }
+    // on the synthetic fixture the residual codebook should not LOSE
+    // to raw-vector PQ in aggregate (it measured 59 -> 72 at sf0.01);
+    // assert non-strictly to stay robust across SFs
+    val rawTotal = run("q244_ivf_adc").collect().map(_.getLong(5)).sum
+    assert(res.map(_._6).sum >= rawTotal,
+      "residual encoding must not reduce aggregate recall at equal bill")
   }
 
   test("q225 PQ distortion replays from the q114 code table") {
