@@ -370,36 +370,63 @@ object Quantize {
     * the q115 note). Fully deterministic (seeded fit + codebook,
     * 6-dp-rounded distances, id tie-breaks) → oracle-checked end to
     * end. */
-  def q244IvfAdc(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+  /** The stored IVF+ADC serving artifacts — what a deployment keeps
+    * hot: the K coarse centroids, the cell membership table, the PqM
+    * byte codes per vector, the PqM×PqK codebook, and the (cold-path)
+    * float vectors for the refine stage. `materialized = true` cuts
+    * lineage on the corpus-sized pieces, the right shape when the
+    * index is probed repeatedly (the streaming serving twin);
+    * `false` leaves plain frames for one-shot batch plans. */
+  case class IvfAdcIndex(cents: DataFrame, members: DataFrame,
+                         codes: DataFrame, codebook: DataFrame,
+                         floats: DataFrame)
+
+  /** Build the [[IvfAdcIndex]] from an embedding table
+    * (vec_id, v: array&lt;double&gt;) — seeded Lloyd fit, assignment,
+    * seeded PQ codebook, code table. */
+  def buildIvfAdcIndex(e: DataFrame, materialized: Boolean = false): IvfAdcIndex = {
+    def cut(df: DataFrame): DataFrame =
+      if (materialized) df.localCheckpoint(true) else df
     val cents = KMeans.fit(e)
-    // the stored index artifact is cell membership + codes; membership
-    // has ONE consumer here (cand, itself checkpointed), so no cut
-    val members = KMeans.assign(e, cents)
-      .select(col("vec_id").as("n_id"), col("cluster"))
-    val q = e.filter(col("vec_id") < KMeans.EvalBlock)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    IvfAdcIndex(
+      cents,
+      cut(KMeans.assign(e, cents).select(col("vec_id").as("n_id"), col("cluster"))),
+      cut(pqCodes(e).select(col("vec_id").as("n_id"), col("sub"), col("code"))),
+      pqCodebook(e),
+      e)
+  }
+
+  /** Stage 1 of the q244 query path: probe the Nprobe nearest cells
+    * per query, return the candidate pairs (q_id, n_id) — self
+    * excluded. `queries` is (q_id, qv), broadcast-sized by contract. */
+  def ivfAdcCandidates(idx: IvfAdcIndex, queries: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wq = Window.partitionBy("q_id").orderBy(asc("cdist"), asc("cluster"))
-    val qcells = q.crossJoin(broadcast(cents))
+    val qcells = queries.crossJoin(broadcast(idx.cents))
       .select(col("q_id"), col("cluster"),
         round(sqDist(col("qv"), col("cv")), 6).as("cdist"))
       .withColumn("crk", row_number().over(wq))
       .filter(col("crk") <= KMeans.Nprobe)
       .select("q_id", "cluster")
-    val cand = members.join(broadcast(qcells), "cluster")
+    idx.members.join(broadcast(qcells), "cluster")
       .filter(col("n_id") =!= col("q_id"))
       .select("q_id", "n_id")
-      .localCheckpoint(true) // ADC chain + the candidate bill both read it
+  }
+
+  /** Stages 2+3 of the q244 query path over a prepared candidate set:
+    * ADC-rank via PqM code-table lookups (zero float reads), then
+    * exact-rescore the top-[[RefineR]] — (q_id, rank, n_id, l2sq). */
+  def ivfAdcTop10(idx: IvfAdcIndex, queries: DataFrame,
+                  cand: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // per-query ADC lookup table: PqM×PqK rounded sub-distances
-    val lut = pqFlat(e.filter(col("vec_id") < KMeans.EvalBlock))
+    val lut = pqFlat(queries.select(col("q_id").as("vec_id"), col("qv").as("v")))
       .select(col("vec_id").as("q_id"), col("sub"), col("sv").as("qsv"))
-      .join(broadcast(pqCodebook(e)), "sub")
+      .join(broadcast(idx.codebook), "sub")
       .select(col("q_id"), col("sub"), col("code"),
         round(sqDist(col("qsv"), col("cv")), 6).as("d"))
     val adc = cand
-      .join(pqCodes(e).select(col("vec_id").as("n_id"), col("sub"), col("code")), "n_id")
+      .join(idx.codes, "n_id")
       .join(broadcast(lut), Seq("q_id", "sub", "code"))
       .groupBy("q_id", "n_id")
       .agg(round(sum("d"), 6).as("adc"))
@@ -407,14 +434,33 @@ object Quantize {
     val short = adc.withColumn("ark", row_number().over(wa))
       .filter(col("ark") <= RefineR)
       .select("q_id", "n_id")
-    val withQ = q.join(broadcast(short), "q_id")
+    val withQ = queries.join(broadcast(short), "q_id")
     val wr = Window.partitionBy("q_id").orderBy(asc("l2sq"), asc("n_id"))
-    val res10 = e.select(col("vec_id").as("n_id"), col("v").as("nv"))
+    idx.floats.select(col("vec_id").as("n_id"), col("v").as("nv"))
       .join(broadcast(withQ), "n_id")
       .select(col("q_id"), col("n_id"),
         round(sqDist(col("qv"), col("nv")), 6).as("l2sq"))
-      .withColumn("rank", row_number().over(wr))
+      .withColumn("rank", row_number().over(wr).cast("long"))
       .filter(col("rank") <= 10)
+      .select("q_id", "rank", "n_id", "l2sq")
+  }
+
+  /** The full q244 serving path — build-free probe of a prepared
+    * index: candidates → ADC → refine, top-10 per query. */
+  def ivfAdcSearch(idx: IvfAdcIndex, queries: DataFrame): DataFrame =
+    ivfAdcTop10(idx, queries, ivfAdcCandidates(idx, queries))
+      .orderBy("q_id", "rank")
+
+  def q244IvfAdc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val idx = buildIvfAdcIndex(e)
+    val q = e.filter(col("vec_id") < KMeans.EvalBlock)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val cand = ivfAdcCandidates(idx, q)
+      .localCheckpoint(true) // ADC chain + the candidate bill both read it
+    val res10 = ivfAdcTop10(idx, q, cand)
       .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
     val wt = Window.partitionBy("q_id").orderBy(asc("l2sq"), asc("n_id"))
     val truth = e.crossJoin(broadcast(q))

@@ -47,6 +47,25 @@ object VecStream {
     Quantize.bqTopK(corpusSig, Quantize.asQueryBlock(queryBatch), shortlistN, k)
       .select("q_id", "rank", "n_id", "hamming", "cos_sim")
 
+  /** [[bqProbe]]'s shape applied to the FLAGSHIP composed index:
+    * answer one micro-batch of query vectors against a PREPARED
+    * IVF+ADC index ([[graft.operators.Quantize.buildIvfAdcIndex]]
+    * with `materialized = true` — the checkpointed artifacts are what
+    * a deployment keeps hot). Runs the SAME
+    * [[graft.operators.Quantize.ivfAdcSearch]] core as batch q244's
+    * query path, per query independent, so online answers are
+    * bit-identical to the batch ones (StreamingSpec asserts row
+    * parity). Stateless — nothing to checkpoint but source offsets;
+    * index refresh is a new `buildIvfAdcIndex` swap, exactly how a
+    * serving tier rotates IVF-PQ segments. Null-id/null-embedding
+    * rows drop (the null-key contract). */
+  def ivfAdcProbe(idx: Quantize.IvfAdcIndex, queryBatch: DataFrame): DataFrame =
+    Quantize.ivfAdcSearch(idx,
+      queryBatch
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+        .select(col("vec_id").as("q_id"),
+          col("embedding").cast("array<double>").as("qv")))
+
   /** The embeddings schema, declared (streaming sources cannot infer).
     * `label` is int32 in the driver's parquet — a mis-declared type here
     * stays latent until a consumer actually projects the column (the

@@ -3076,6 +3076,52 @@ class StreamingSpec extends AnyFunSuite {
       "stream-folded dedup clusters must equal batch q68 row-for-row")
   }
 
+  test("online IVF+ADC probe answers equal the batch q244 query path row-for-row") {
+    // the serving twin of the flagship composed index: the index is
+    // built ONCE (materialized artifacts — what a deployment keeps
+    // hot), query vectors arrive as a stream, and each micro-batch's
+    // foreachBatch answer must be bit-identical to the batch
+    // ivfAdcSearch over the same queries. Queries split across two
+    // files: per-query independence means batch boundaries are
+    // invisible in the answers. A dirty null-embedding row drops.
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val idx = graft.operators.Quantize.buildIvfAdcIndex(e, materialized = true)
+    val queries = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (java.lang.Long.valueOf(r.getLong(0)), r.getSeq[Double](1).toArray))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfadc-serve")
+    writeVecFile(dir, "a.parquet", queries.take(5).toSeq)
+    writeVecFile(dir, "b.parquet",
+      queries.drop(5).toSeq :+ ((null: java.lang.Long, queries.head._2)))
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val q = spark.readStream.schema(graft.streaming.VecStream.vecSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val out = graft.streaming.VecStream.ivfAdcProbe(idx, batch)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        rows.synchronized { rows ++= out }
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ivfadc-ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = rows.synchronized(rows.toSeq).sortBy(r => (r._1, r._2))
+    val want = graft.operators.Quantize.ivfAdcSearch(idx,
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(want.nonEmpty && got == want,
+      "online probe answers must equal the batch q244 query path")
+    assert(got.map(_._1).distinct.length == 10, "every query answered once")
+  }
+
   test("a bridging near-dup merges two live clusters across a checkpoint restart") {
     // THE production event the twin exists for: clusters {A, A2} and
     // {B, B2} form in run 1; the stream restarts; a single bridging
