@@ -224,12 +224,11 @@ object Dedup {
     // graft.plans.SimhashBands expression — bit-identical band values
     // to the HOF `transform(planes, p -> aggregate(zip_with(...)))`
     // form it replaced (DedupSimilaritySpec pins equality incl. the
-    // short/null/NaN/long-vector lanes). At the 100x corpus the
-    // banded queries drop ~10-15% end-to-end (q61 6.4->5.7s, q78
-    // 1.27->1.16s; SCALING.md) — the family's cost there is dominated
-    // by the bucket shuffle + rescore joins, but the projection is
-    // the one stage that is pure per-row CPU on EVERY corpus row, the
-    // part whose share grows as the corpus outgrows the eval block.
+    // short/null/NaN/long-vector lanes). The round-11 bench regen
+    // roughly HALVED every banded query (q86 4.17->2.76s, q49
+    // 0.82->0.31, q61 0.99->0.37, q203 1.01->0.44; SCALING.md), and
+    // the projection is the one stage that is pure per-row CPU on
+    // EVERY corpus row — the share that grows with corpus size.
     val carry = if (keepV) Seq(col("vec_id"), col("v")) else Seq(col("vec_id"))
     e.select(carry :+
       posexplode(graft.plans.SimhashBands.bands(col("v"), bands))
