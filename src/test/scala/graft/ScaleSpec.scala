@@ -979,6 +979,22 @@ class ScaleSpec extends AnyFunSuite {
     })
   }
 
+  test("q244/q245 probe frames broadcast; the corpus never joins a cartesian") {
+    // the composed-index scale contract: candidates come from members
+    // × a broadcast probe frame, ADC joins a broadcast LUT, refine
+    // joins floats × a broadcast shortlist — the corpus side must
+    // never plan a CartesianProduct, and every query-block join must
+    // arrive as a broadcast
+    Seq("q244_ivf_adc", "q245_ivfpq_residual").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name must not plan a cartesian:\n${plan.take(1500)}")
+      assert(plan.contains("BroadcastExchange"),
+        s"$name must broadcast its probe/LUT/shortlist frames:\n${plan.take(1500)}")
+    }
+  }
+
   test("q193 RFM scores by broadcast boundaries, never an ntile window") {
     // the q140 boundary contract applied to segmentation: ONE percentile
     // aggregate broadcasts all nine cutpoints back; a Window here would
