@@ -206,6 +206,7 @@ object SparkEntry {
     "q202_latency_ci"     -> (Temporal.q202LatencyCi _),
     "q203_banding_recall" -> (Dedup.q203BandingRecall _),
     "q204_canonical_election" -> (Dedup.q204CanonicalElection _),
+    "q246_election_regret" -> (Dedup.q246ElectionRegret _),
     "q205_deletion_impact" -> (Profile.q205DeletionImpact _),
     "q206_retention_guardrail" -> (Stats.q206RetentionGuardrail _),
     "q207_effective_data" -> (TextAnalysis.q207EffectiveData _),
@@ -4465,6 +4466,50 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN rk = 1 AND vec_id = cluster THEN 1 ELSE 0 END)
          |    AS BIGINT) AS same_as_minid
          |FROM r GROUP BY 1 ORDER BY cluster""".stripMargin,
+
+    // election regret: the q204 chain carrying n_tokens, grouped into
+    // per-cluster regret + token bills of the min-id election
+    "q246_election_regret" ->
+      s"""WITH RECURSIVE $simhashCandCte,
+         |pairs AS (SELECT id_a, id_b
+         |          FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+         |                    JOIN e eb ON eb.vec_id = cand.id_b
+         |          WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.45),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (SELECT DISTINCT a, a FROM edges
+         |                 UNION
+         |                 SELECT ed.a, reach.r FROM edges ed
+         |                 JOIN reach ON reach.id = ed.b),
+         |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         |d AS (SELECT doc_id, n_chars, ${tok("text")} AS words
+         |      FROM documents WHERE text IS NOT NULL),
+         |q AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
+         |    round(least(round(CAST(len(list_distinct(words)) AS DOUBLE)
+         |        / greatest(len(words), 1), 6) * 2.0, 1.0) * 0.5
+         |      + CASE WHEN len(words) BETWEEN 20 AND 400 THEN 0.3 ELSE 0.0 END
+         |      + least(round(CAST(len(list_filter(words, w -> w IN $stoplist))
+         |          AS DOUBLE) / greatest(len(words), 1), 6) * 3.0, 0.2), 6)
+         |      AS quality
+         |  FROM d),
+         |m AS (SELECT c.id AS vec_id, c.cluster, q.n_tokens, q.quality
+         |      FROM comp c LEFT JOIN q ON c.id = q.doc_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY cluster
+         |        ORDER BY quality DESC NULLS LAST, vec_id ASC) AS rk FROM m),
+         |g AS (SELECT cluster, count(*) AS n_members,
+         |        max(CASE WHEN vec_id = cluster THEN quality END) AS minid_quality,
+         |        max(CASE WHEN rk = 1 THEN vec_id END) AS best_vec,
+         |        max(CASE WHEN rk = 1 THEN quality END) AS best_quality,
+         |        max(CASE WHEN vec_id = cluster THEN n_tokens END) AS kept_raw,
+         |        sum(CASE WHEN vec_id <> cluster THEN n_tokens END) AS drop_raw
+         |      FROM r GROUP BY 1)
+         |SELECT cluster, n_members,
+         |  CAST(best_vec <> cluster AS BIGINT) AS disagree,
+         |  minid_quality, best_quality,
+         |  round(best_quality - minid_quality, 6) AS regret,
+         |  CAST(kept_raw AS BIGINT) AS tokens_kept_minid,
+         |  CAST(drop_raw AS BIGINT) AS tokens_dropped_minid
+         |FROM g ORDER BY cluster""".stripMargin,
 
     // deletion request set = principals ≡ 0 mod 97 (deterministic
     // stand-in for the legal queue); cascade via the forgotten

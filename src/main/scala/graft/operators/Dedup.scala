@@ -879,6 +879,55 @@ object Dedup {
       .orderBy("cluster")
   }
 
+  /** q246: canonical-election REGRET — the bill for q204's
+    * observation. q68's production election keeps the min-id member
+    * (cheap: no quality join on the keep path); q204 showed the
+    * quality election can disagree. This query prices the
+    * disagreement per cluster: the quality gap between the best
+    * member and the min-id member actually kept (`regret`, ≥ 0 by
+    * construction of the election order), whether the two elections
+    * disagree at all, and the TOKEN mass each choice keeps/drops —
+    * the number that decides whether a pipeline should pay for the
+    * quality join at dedup time (regret ≈ 0 → min-id is free and
+    * fine; a fat regret tail on big clusters → the quality election
+    * pays for itself in kept training tokens). Members without a
+    * matching document carry null quality/tokens (the q204 rule) and
+    * lose every contest; null arithmetic propagates identically in
+    * both engines.
+    *
+    * Cost: the q49/q68 machinery + the q204 quality join + one
+    * per-cluster window — nothing beyond the passes it audits. */
+  def q246ElectionRegret(spark: SparkSession, dir: String): DataFrame = {
+    val comp = Graph.connectedComponents(
+      q49EmbeddingNearDup(spark, dir).select("id_a", "id_b"))
+      .select(col("id").as("vec_id"), col("label").as("cluster"))
+    val qual = TextAnalysis.qualityScored(
+      Tables.documents(spark, dir).filter(col("text").isNotNull))
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val members = comp.join(qual, col("vec_id") === col("doc_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("n_tokens"), col("quality"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(desc_nulls_last("quality"), asc("vec_id"))
+    members
+      .withColumn("rk", row_number().over(w))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("vec_id") === col("cluster"), col("quality")))
+          .as("minid_quality"),
+        max(when(col("rk") === 1, col("vec_id"))).as("best_vec"),
+        max(when(col("rk") === 1, col("quality"))).as("best_quality"),
+        max(when(col("vec_id") === col("cluster"), col("n_tokens")))
+          .as("tokens_kept_minid"),
+        sum(when(col("vec_id") =!= col("cluster"), col("n_tokens")))
+          .as("tokens_dropped_minid"))
+      .select(col("cluster"), col("n_members"),
+        (col("best_vec") =!= col("cluster")).cast("long").as("disagree"),
+        col("minid_quality"), col("best_quality"),
+        round(col("best_quality") - col("minid_quality"), 6).as("regret"),
+        col("tokens_kept_minid"), col("tokens_dropped_minid"))
+      .orderBy("cluster")
+  }
+
   def q201ClusterSizes(spark: SparkSession, dir: String): DataFrame = {
     val comp = Graph.connectedComponents(
       q49EmbeddingNearDup(spark, dir).select("id_a", "id_b"))

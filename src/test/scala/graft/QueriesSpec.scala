@@ -1151,7 +1151,9 @@ class QueriesSpec extends AnyFunSuite {
       "q237_quality_deciles", "q238_length_adjusted_quality",
       "q241_dup_trend",
       // round 10
-      "q243_budget_sample")
+      "q243_budget_sample",
+      // round 11 (reads documents + the clean embeddings above)
+      "q246_election_regret")
     val failures = docQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -3885,6 +3887,35 @@ class QueriesSpec extends AnyFunSuite {
     val rawTotal = run("q244_ivf_adc").collect().map(_.getLong(5)).sum
     assert(res.map(_._6).sum >= rawTotal,
       "residual encoding must not reduce aggregate recall at equal bill")
+  }
+
+  test("q246 election regret replays q204's election and q68's membership") {
+    // sf0.01: the smallest corpus where the q68 cluster set is non-empty
+    val corpus = "/root/testdata/sf0.01"
+    def runAt(name: String) = SparkEntry.queries(name)(spark, corpus)
+    val got = runAt("q246_election_regret").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // membership equals q68's cluster sizes
+    val q68 = runAt("q68_dedup_clusters").collect()
+      .groupBy(_.getLong(1)).map { case (c, rs) => c -> rs.length.toLong }
+    assert(got.keySet == q68.keySet && got.nonEmpty)
+    got.foreach { case (c, r) => assert(r.getLong(1) == q68(c), s"cluster $c size") }
+    // the election agrees with q204 row-for-row: disagree = !same_as_minid,
+    // best_quality = canonical_quality
+    val q204 = runAt("q204_canonical_election").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    got.foreach { case (c, r) =>
+      assert(r.getLong(2) == 1L - q204(c).getLong(5), s"cluster $c disagree")
+      assert((r.isNullAt(4) && q204(c).isNullAt(3))
+        || r.getDouble(4) == q204(c).getDouble(3), s"cluster $c best_quality")
+      // regret is non-negative where defined, and zero implies agreement
+      // (ties break toward the min id, which IS the cluster label)
+      if (!r.isNullAt(5)) {
+        assert(r.getDouble(5) >= 0.0, s"cluster $c regret sign")
+        if (r.getDouble(5) == 0.0)
+          assert(r.getLong(2) == 0L, s"cluster $c zero regret must agree")
+      }
+    }
   }
 
   test("q225 PQ distortion replays from the q114 code table") {
