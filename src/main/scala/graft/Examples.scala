@@ -198,6 +198,17 @@ object Examples {
     println("Markov removal-effect attribution vs last-touch:")
     operators.Temporal.q163MarkovAttribution(spark, "/root/testdata/sf0.001").show()
 
+    // the composed production ANN index: build the IVF+ADC artifacts
+    // once (the tables a serving tier keeps hot), then probe — the
+    // same core the streaming VecStream.ivfAdcProbe twin runs per
+    // micro-batch
+    val idx = operators.Quantize.buildIvfAdcIndex(corpus, materialized = true)
+    println("IVF+ADC top-3 for queries 0-1 (probe -> code-table ADC -> exact refine):")
+    operators.Quantize.ivfAdcSearch(idx,
+        corpus.filter(col("vec_id") < 2)
+          .select(col("vec_id").as("q_id"), col("v").as("qv")))
+      .filter(col("rank") <= 3).show()
+
     spark.stop()
   }
 }
