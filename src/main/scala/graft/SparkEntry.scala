@@ -230,6 +230,7 @@ object SparkEntry {
     "q242_k_sweep"        -> (KMeans.q242KSweep _),
     "q244_ivf_adc"        -> (Quantize.q244IvfAdc _),
     "q245_ivfpq_residual" -> (Quantize.q245IvfPqResidual _),
+    "q247_residual_distortion" -> (Quantize.q247ResidualDistortion _),
     "q225_pq_distortion"  -> (Quantize.q225PqDistortion _),
     "q226_encoder_consistency" -> (Dedup.q226EncoderConsistency _),
     "q227_signal_agreement" -> (Dedup.q227SignalAgreement _),
@@ -5301,6 +5302,40 @@ object SparkEntry {
          |  round(ov.n_overlap / 10.0, 4) AS recall_at_10
          |FROM cs JOIN ov ON ov.q_id = cs.q_id
          |ORDER BY cs.q_id""".stripMargin,
+
+    // residual-vs-raw PQ distortion: the q225 MSE fold over both
+    // codebooks (raw corpus slices vs residuals against the owning
+    // IVF centroid) + the ratio — the mechanism behind q245's recall
+    "q247_residual_distortion" ->
+      s"""WITH $kmeansCte,
+         |$pqTailCte,
+         |res AS MATERIALIZED (SELECT a.vec_id,
+         |    list_transform(range(1, len(e.v)+1), i -> e.v[i] - c.cv[i]) AS r
+         |  FROM af a JOIN e ON e.vec_id = a.vec_id
+         |  JOIN $kmeansLast c ON c.cluster = a.cluster),
+         |rflat AS (SELECT vec_id, sub, list_slice(r, sub * 8 + 1, sub * 8 + 8) AS sv
+         |          FROM res CROSS JOIN subs),
+         |rcb AS (SELECT vec_id AS code, sub, sv AS cv FROM rflat
+         |        WHERE vec_id < ${operators.Quantize.PqK}),
+         |rcodes AS (SELECT vec_id, sub, code, dist FROM (
+         |    SELECT f.vec_id, f.sub, cb.code,
+         |           round(${sqDistSql("f.sv", "cb.cv")}, 6) AS dist,
+         |           row_number() OVER (PARTITION BY f.vec_id, f.sub
+         |             ORDER BY round(${sqDistSql("f.sv", "cb.cv")}, 6), cb.code) AS rk
+         |    FROM rflat f JOIN rcb cb ON f.sub = cb.sub) t WHERE rk = 1),
+         |ra AS (SELECT sub, count(*) AS n_vectors,
+         |        round(CAST(sum(CAST(round(dist * 1000000) AS BIGINT)) AS DOUBLE)
+         |          / count(*) / 1000000.0, 6) AS raw_mse
+         |       FROM codes WHERE NOT isnan(dist) GROUP BY 1),
+         |rb AS (SELECT sub,
+         |        round(CAST(sum(CAST(round(dist * 1000000) AS BIGINT)) AS DOUBLE)
+         |          / count(*) / 1000000.0, 6) AS res_mse
+         |       FROM rcodes WHERE NOT isnan(dist) GROUP BY 1)
+         |SELECT ra.sub, CAST(ra.n_vectors AS BIGINT) AS n_vectors,
+         |  ra.raw_mse, rb.res_mse,
+         |  CASE WHEN ra.raw_mse > 0
+         |    THEN round(rb.res_mse / ra.raw_mse, 6) END AS mse_ratio
+         |FROM ra JOIN rb ON ra.sub = rb.sub ORDER BY ra.sub""".stripMargin,
 
     // PQ distortion: mean distances on the exact x1e6 grid (dist is
     // already 6-dp rounded); min/max/distinct order-independent

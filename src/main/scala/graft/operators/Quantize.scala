@@ -486,6 +486,55 @@ object Quantize {
       .orderBy("q_id")
   }
 
+  /** q247: residual-vs-raw PQ distortion — WHY q245 beats q244: the
+    * q225 per-subspace MSE readout computed for BOTH codebooks side by
+    * side (raw corpus vectors vs residuals against the owning IVF
+    * centroid), with the ratio. Residual MSE ≪ raw MSE is the
+    * mechanism behind the recall gain at equal bill; a subspace whose
+    * ratio approaches 1 is one where the coarse quantizer buys
+    * nothing (isotropic noise) — the per-subspace signal that decides
+    * whether residual encoding is worth the extra fit complexity on a
+    * given embedding space. Same NaN-drop and ×10⁶-grid mean rules as
+    * q225 (the q155 fixed-point contract). */
+  def q247ResidualDistortion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = KMeans.fit(e)
+    val res = KMeans.assign(e, cents)
+      .join(broadcast(cents), "cluster")
+      .select(col("vec_id"),
+        expr("zip_with(v, cv, (x, y) -> x - y)").as("r"))
+      .localCheckpoint(true)
+    val wc = Window.partitionBy("vec_id", "sub").orderBy(asc("dist"), asc("code"))
+    def codesWithDist(t: DataFrame): DataFrame = {
+      val cb = pqFlat(t.filter(col("vec_id") < PqK))
+        .select(col("vec_id").as("code"), col("sub"), col("sv").as("cv"))
+      pqFlat(t).join(broadcast(cb), "sub")
+        .select(col("vec_id"), col("sub"), col("code"),
+          round(sqDist(col("sv"), col("cv")), 6).as("dist"))
+        .withColumn("rk", row_number().over(wc))
+        .filter(col("rk") === 1)
+    }
+    def mseBySub(codes: DataFrame, name: String): DataFrame =
+      codes.filter(!isnan(col("dist")))
+        .groupBy("sub")
+        .agg(count(lit(1)).as(s"n_$name"),
+          sum(round(col("dist") * 1000000, 0).cast("long").cast("decimal(38,0)"))
+            .as("s6"))
+        .select(col("sub"), col(s"n_$name"),
+          round(col("s6").cast("double") / col(s"n_$name") / 1000000.0, 6)
+            .as(s"${name}_mse"))
+    val raw = mseBySub(codesWithDist(e), "raw")
+    val rr = mseBySub(codesWithDist(res.select(col("vec_id"), col("r").as("v"))), "res")
+    raw.join(rr, "sub")
+      .select(col("sub"), col("n_raw").as("n_vectors"),
+        col("raw_mse"), col("res_mse"),
+        when(col("raw_mse") > 0, round(col("res_mse") / col("raw_mse"), 6))
+          .as("mse_ratio"))
+      .orderBy("sub")
+  }
+
   /** q245: RESIDUAL-encoded IVF+PQ — [[q244IvfAdc]] with the PQ
     * codebook trained on residuals `v − centroid(cell)` instead of raw
     * vectors, FAISS's `by_residual=true` DEFAULT and the reason IVF-PQ

@@ -1280,7 +1280,7 @@ class QueriesSpec extends AnyFunSuite {
       // round 10
       "q242_k_sweep",
       // round 11
-      "q244_ivf_adc", "q245_ivfpq_residual")
+      "q244_ivf_adc", "q245_ivfpq_residual", "q247_residual_distortion")
     val failures = vecQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -3915,6 +3915,25 @@ class QueriesSpec extends AnyFunSuite {
         if (r.getDouble(5) == 0.0)
           assert(r.getLong(2) == 0L, s"cluster $c zero regret must agree")
       }
+    }
+  }
+
+  test("q247 residual distortion: raw column replays q225, ratio replays the division") {
+    val got = run("q247_residual_distortion").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toMap
+    assert(got.size == graft.operators.Quantize.PqM)
+    // the raw side IS q225's mean_sqdist fold — cross-pin the two
+    val q225 = run("q225_pq_distortion").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    got.foreach { case (sub, (n, raw, res, ratio)) =>
+      assert((n, raw) == q225(sub), s"sub $sub raw side must replay q225")
+      assert(res > 0 && raw > 0, s"sub $sub degenerate")
+      val want = BigDecimal(res / raw)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(ratio == want, s"sub $sub ratio")
+      // the point of residual encoding: per-cell residuals are tighter
+      assert(ratio < 1.0, s"sub $sub residual MSE must beat raw on this fixture")
     }
   }
 
