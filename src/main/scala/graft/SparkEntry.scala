@@ -89,6 +89,7 @@ object SparkEntry {
     "q67_source_cap"     -> (TextAnalysis.q67SourceCap _),
     "q69_pii_scrub"      -> (TextAnalysis.q69PiiScrub _),
     "q70_decontaminate"  -> (TextAnalysis.q70Decontaminate _),
+    "q248_eval_containment" -> (TextAnalysis.q248EvalContainment _),
     "q72_funnel"         -> (operators.Funnel.q72Funnel _),
     "q71_unigram_logp"   -> (TextAnalysis.q71UnigramLogProb _),
     "q73_incr_dedup"     -> (Dedup.q73IncrementalDedup _),
@@ -2159,6 +2160,33 @@ object SparkEntry {
          |FROM sh s LEFT JOIN ev USING (shingle)
          |WHERE s.bucket < 95
          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    // eval-side containment: q70's shingle machinery transposed —
+    // per eval doc, the best-matching training doc and the asymmetric
+    // containment |train ∩ eval| / |eval|, dirty at >= 0.8
+    "q248_eval_containment" ->
+      s"""WITH d AS (SELECT doc_id, text, ${tokenId("text")} % 100 AS bucket FROM documents),
+         |w AS (SELECT doc_id, bucket, string_split(text, ' ') AS ws FROM d),
+         |sh AS (SELECT doc_id, bucket, unnest(list_distinct(list_transform(range(1, greatest(len(ws)-7, 1)+1),
+         |         i -> array_to_string(ws[i:i+7], ' ')))) AS shingle FROM w),
+         |ev AS (SELECT doc_id AS eval_doc, shingle FROM sh WHERE bucket >= 95),
+         |sz AS (SELECT eval_doc, count(*) AS n_eval_shingles FROM ev GROUP BY 1),
+         |sj AS (SELECT ev.eval_doc, s.doc_id AS train_doc, count(*) AS n_shared
+         |       FROM sh s JOIN ev ON s.shingle = ev.shingle
+         |       WHERE s.bucket < 95 GROUP BY 1, 2),
+         |b AS (SELECT eval_doc, train_doc, n_shared FROM (
+         |    SELECT eval_doc, train_doc, n_shared, row_number() OVER
+         |      (PARTITION BY eval_doc ORDER BY n_shared DESC, train_doc ASC) AS rk
+         |    FROM sj) t WHERE rk = 1)
+         |SELECT sz.eval_doc, CAST(sz.n_eval_shingles AS BIGINT) AS n_eval_shingles,
+         |  b.train_doc AS best_train_doc,
+         |  CAST(coalesce(b.n_shared, 0) AS BIGINT) AS n_shared,
+         |  round(coalesce(b.n_shared, 0) / CAST(sz.n_eval_shingles AS DOUBLE), 6)
+         |    AS containment,
+         |  CAST(round(coalesce(b.n_shared, 0) / CAST(sz.n_eval_shingles AS DOUBLE), 6)
+         |    >= 0.8 AS BIGINT) AS dirty
+         |FROM sz LEFT JOIN b USING (eval_doc)
+         |ORDER BY sz.eval_doc""".stripMargin,
 
     // q70's shingle machinery with suite tags; inner join ⇒ only
     // leaking (doc, suite) pairs reach the output

@@ -616,6 +616,54 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q248: EVAL-SIDE contamination containment — the complement of
+    * q70's train-side flag, and the view a benchmark owner needs
+    * (Brown et al. 2020, appendix C: an eval item is "dirty" when a
+    * large fraction of its n-grams appear in training). Per eval doc:
+    * its distinct-shingle count, the single best-matching training
+    * doc (most shared shingles, id tie-break), the shared count, the
+    * CONTAINMENT |train ∩ eval| / |eval| — asymmetric on purpose: an
+    * eval item pasted inside a longer training doc scores ~1 where
+    * symmetric Jaccard dilutes toward 0 — and the ≥ 0.8 dirty flag.
+    * q70 says which TRAINING docs to drop; this says which EVAL items
+    * no longer measure generalization even after the drop.
+    *
+    * Scale shape: q70's machinery transposed — the eval shingle set
+    * stays the size-guarded broadcast side, the training corpus
+    * streams past in ONE pass, and the per-(eval, train) counts are
+    * candidate-bounded by actual shingle hits; the final best-match
+    * rank partitions by eval_doc (suite-sized, never corpus-sized). */
+  def q248EvalContainment(spark: SparkSession, dir: String): DataFrame = {
+    val n = 8
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (Portable.tokenId(col("text")) % 100L).as("bucket"),
+        explode(graft.plans.ShingleHashes.shingleHashes(split(col("text"), " "), n)).as("shash"))
+    val evalSh = sh.filter(col("bucket") >= 95)
+      .select(col("doc_id").as("eval_doc"), col("shash"))
+      .localCheckpoint(true) // sizes + the probe join both read it
+    val evalSize = evalSh.groupBy("eval_doc")
+      .agg(count(lit(1)).as("n_eval_shingles")) // ShingleHashes emits distinct
+    val shared = sh.filter(col("bucket") < 95)
+      .select(col("doc_id").as("train_doc"), col("shash"))
+      .join(Guard.modelBroadcast(evalSh), Seq("shash"))
+      .groupBy("eval_doc", "train_doc")
+      .agg(count(lit(1)).as("n_shared"))
+    val w = Window.partitionBy("eval_doc")
+      .orderBy(desc("n_shared"), asc("train_doc"))
+    val best = shared.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("eval_doc", "train_doc", "n_shared")
+    evalSize.join(best, Seq("eval_doc"), "left")
+      .select(col("eval_doc"), col("n_eval_shingles"),
+        col("train_doc").as("best_train_doc"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared"), lit(0L)).cast("double")
+          / col("n_eval_shingles"), 6).as("containment"))
+      .withColumn("dirty", (col("containment") >= 0.8).cast("long"))
+      .orderBy("eval_doc")
+  }
+
   /** q149: multi-suite decontamination — the report a lab actually
     * files: WHICH benchmark leaked into WHICH training doc, per suite
     * (one merged flag, q70's shape, cannot tell a MMLU leak from a

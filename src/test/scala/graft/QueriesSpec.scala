@@ -1153,7 +1153,7 @@ class QueriesSpec extends AnyFunSuite {
       // round 10
       "q243_budget_sample",
       // round 11 (reads documents + the clean embeddings above)
-      "q246_election_regret")
+      "q246_election_regret", "q248_eval_containment")
     val failures = docQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -3916,6 +3916,42 @@ class QueriesSpec extends AnyFunSuite {
           assert(r.getLong(2) == 0L, s"cluster $c zero regret must agree")
       }
     }
+  }
+
+  test("q248 flags a planted eval item pasted inside a training doc; clean items score 0") {
+    import spark.implicits._
+    // construct a corpus where the bucket split is KNOWN: texts are
+    // chosen so tokenId(text) % 100 lands >= 95 (eval) or < 95 (train).
+    // One eval item is pasted verbatim inside a longer training doc
+    // (containment 1.0, dirty); one eval item shares nothing (0, clean).
+    def bucket(t: String): Long =
+      t.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % graft.functions.Portable.P) % 100L
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def sentence(seed: Int, n: Int): String =
+      (0 until n).map(i => words((seed * 7 + i * 3) % words.length)).mkString(" ")
+    // search deterministic salts that land each text in its bucket
+    def find(base: String, eval: Boolean): String =
+      Iterator.from(0).map(i => s"$base salt$i")
+        .find(t => if (eval) bucket(t) >= 95 else bucket(t) < 95).get
+    val evalDirty = find(sentence(1, 12), eval = true)
+    val evalClean = find("omicron pi rho sigma tau upsilon phi chi psi omega", eval = true)
+    val trainHost = find(s"${sentence(3, 9)} $evalDirty ${sentence(4, 9)}", eval = false)
+    val trainOther = find(sentence(5, 15), eval = false)
+    val dir = java.nio.file.Files.createTempDirectory("graft-contain").toString
+    Seq((0L, trainHost), (1L, trainOther), (10L, evalDirty), (11L, evalClean))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q248_eval_containment")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(2)) -1L else r.getLong(2)), r.getDouble(4), r.getLong(5))).toMap
+    assert(got.keySet == Set(10L, 11L))
+    // the pasted item: every 8-gram of the eval doc appears in the host
+    assert(got(10L) == ((0L, 1.0, 1L)), s"dirty item: ${got(10L)}")
+    // the clean item shares no 8-gram with any training doc
+    assert(got(11L) == ((-1L, 0.0, 0L)), s"clean item: ${got(11L)}")
   }
 
   test("q247 residual distortion: raw column replays q225, ratio replays the division") {
