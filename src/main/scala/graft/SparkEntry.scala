@@ -75,6 +75,9 @@ object SparkEntry {
     "q36_lang_id"        -> (TextAnalysis.q36LangId _),
     "q37_quality_score"  -> (TextAnalysis.q37QualityScore _),
     "q38_fingerprint"    -> (TextAnalysis.q38Fingerprint _),
+    "q250_winnow_fingerprint" -> (TextAnalysis.q250WinnowFingerprint _),
+    "q253_ols_quality"   -> (Stats.q253OlsQuality _),
+    "q254_diff_in_diff"  -> (Stats.q254DiffInDiff _),
     "q47_edit_distance"  -> (TextAnalysis.q47EditDistance _),
     "q59_line_dedup"     -> (TextAnalysis.q59LineDedup _),
     "q62_corpus_split"   -> (TextAnalysis.q62CorpusSplit _),
@@ -232,12 +235,15 @@ object SparkEntry {
     "q244_ivf_adc"        -> (Quantize.q244IvfAdc _),
     "q245_ivfpq_residual" -> (Quantize.q245IvfPqResidual _),
     "q247_residual_distortion" -> (Quantize.q247ResidualDistortion _),
+    "q249_sq8_knn"        -> (Quantize.q249Sq8Knn _),
+    "q251_balanced_pq"    -> (Quantize.q251BalancedPq _),
     "q225_pq_distortion"  -> (Quantize.q225PqDistortion _),
     "q226_encoder_consistency" -> (Dedup.q226EncoderConsistency _),
     "q227_signal_agreement" -> (Dedup.q227SignalAgreement _),
     "q228_signal_mi"      -> (TextAnalysis.q228SignalMi _),
     "q229_good_turing"    -> (Profile.q229GoodTuring _),
     "q230_l_diversity"    -> (Profile.q230LDiversity _),
+    "q252_t_closeness"    -> (Profile.q252TCloseness _),
     "q231_template_similarity" -> (TextAnalysis.q231TemplateSimilarity _),
     "q232_budget_allocator" -> (TextAnalysis.q232BudgetAllocator _),
     "q243_budget_sample"  -> (TextAnalysis.q243BudgetSample _),
@@ -3207,12 +3213,117 @@ object SparkEntry {
          |             + least(stop_share * 3.0, 0.2), 6) AS quality
          |FROM s ORDER BY doc_id""".stripMargin,
 
+    // per-source OLS: the q37 feature grammar -> exact 1e-6 grid ints
+    // -> HUGEINT Gram moments -> the SAME Cramer/R-squared expression
+    // tree as the Spark side (doubles appear only after aggregation);
+    // + 0.0 on every signed rounded output (Spark round is BigDecimal
+    // +0.0, DuckDB round preserves IEEE -0.0)
+    "q253_ols_quality" ->
+      s"""WITH d AS (SELECT source, n_chars, ${tok("text")} AS words
+         |  FROM documents WHERE text IS NOT NULL),
+         |f AS (SELECT source,
+         |        CAST(len(words) AS BIGINT) AS n_tokens,
+         |        round(CAST(len(list_distinct(words)) AS DOUBLE)
+         |          / greatest(len(words), 1), 6) AS ttr,
+         |        round(CAST(len(list_filter(words, w -> w IN $stoplist)) AS DOUBLE)
+         |          / greatest(len(words), 1), 6) AS stop_share
+         |      FROM d),
+         |g AS (SELECT source,
+         |        CAST(round(ttr * 1000000) AS BIGINT) AS t,
+         |        CAST(round(stop_share * 1000000) AS BIGINT) AS s,
+         |        CAST(round(round(least(ttr * 2.0, 1.0) * 0.5
+         |          + CASE WHEN n_tokens BETWEEN 20 AND 400 THEN 0.3 ELSE 0.0 END
+         |          + least(stop_share * 3.0, 0.2), 6) * 1000000) AS BIGINT) AS y
+         |      FROM f),
+         |m AS (SELECT source, count(*) AS n,
+         |        sum(CAST(t AS HUGEINT)) AS st, sum(CAST(s AS HUGEINT)) AS ss,
+         |        sum(CAST(y AS HUGEINT)) AS sy,
+         |        sum(t * t) AS stt, sum(s * s) AS sss, sum(t * s) AS sts,
+         |        sum(t * y) AS sty, sum(s * y) AS ssy, sum(y * y) AS syy
+         |      FROM g GROUP BY 1),
+         |u AS (SELECT source, CAST(n AS DOUBLE) AS n,
+         |        CAST(st AS DOUBLE) / 1e6 AS st, CAST(ss AS DOUBLE) / 1e6 AS ss,
+         |        CAST(sy AS DOUBLE) / 1e6 AS sy,
+         |        CAST(stt AS DOUBLE) / 1e12 AS stt, CAST(sss AS DOUBLE) / 1e12 AS sss,
+         |        CAST(sts AS DOUBLE) / 1e12 AS sts, CAST(sty AS DOUBLE) / 1e12 AS sty,
+         |        CAST(ssy AS DOUBLE) / 1e12 AS ssy, CAST(syy AS DOUBLE) / 1e12 AS syy
+         |      FROM m),
+         |dets AS (SELECT *,
+         |    n * (stt * sss - sts * sts) - st * (st * sss - sts * ss)
+         |      + ss * (st * sts - stt * ss) AS det,
+         |    sy * (stt * sss - sts * sts) - st * (sty * sss - sts * ssy)
+         |      + ss * (sty * sts - stt * ssy) AS det0,
+         |    n * (sty * sss - sts * ssy) - sy * (st * sss - sts * ss)
+         |      + ss * (st * ssy - sty * ss) AS det1,
+         |    n * (stt * ssy - sty * sts) - st * (st * ssy - sty * ss)
+         |      + sy * (st * sts - stt * ss) AS det2
+         |  FROM u),
+         |sol AS (SELECT *,
+         |    CASE WHEN det <> 0.0 THEN det0 / det END AS b0,
+         |    CASE WHEN det <> 0.0 THEN det1 / det END AS b1,
+         |    CASE WHEN det <> 0.0 THEN det2 / det END AS b2
+         |  FROM dets),
+         |fit AS (SELECT *,
+         |    syy - b0 * sy - b1 * sty - b2 * ssy AS sse,
+         |    syy - sy * sy / n AS sst
+         |  FROM sol)
+         |SELECT source, CAST(n AS BIGINT) AS n_docs,
+         |  round(b0, 6) + 0.0 AS b_intercept,
+         |  round(b1, 6) + 0.0 AS b_ttr,
+         |  round(b2, 6) + 0.0 AS b_stop_share,
+         |  CASE WHEN sst > 0 THEN round(1.0 - sse / sst, 6) + 0.0 END AS r2
+         |FROM fit ORDER BY source""".stripMargin,
+
     "q38_fingerprint" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws, ${tok("text")} AS words FROM documents)
          |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_ws_tokens,
          |       CAST(len(words) AS BIGINT) AS n_alpha_tokens,
          |       ${fingerprint("words")} AS fp
          |FROM d ORDER BY doc_id""".stripMargin,
+
+    // winnowed fingerprints: positional poly-131 gram hashes (the q38
+    // chain, windowed — `gi` as the outer lambda var, the helpers' `i`/
+    // `wrd` stay inner), per-w window-min selection, df<=50-capped pair
+    // joins; w / window widths interpolated from TextAnalysis.WinnowWindows
+    "q250_winnow_fingerprint" -> {
+      val k = TextAnalysis.WinnowK
+      val sigs = TextAnalysis.WinnowWindows.map { w =>
+        s"""s$w AS (SELECT doc_id, gh,
+           |  list_distinct(list_transform(range(1, greatest(len(gh)-$w+1, 1)+1),
+           |    j -> list_aggregate(gh[j:j+${w - 1}], 'min'))) AS sig FROM g),
+           |c$w AS (SELECT count(*) AS n_docs, sum(len(list_distinct(gh))) AS n_gram_hashes,
+           |        sum(len(sig)) AS n_selected FROM s$w),
+           |wf$w AS (SELECT s.doc_id, unnest(sig) AS h FROM s$w s),
+           |wr$w AS (SELECT wf.doc_id, wf.h FROM wf$w wf JOIN rare USING (h)),
+           |wn$w AS (SELECT count(*) AS n_winnow_pairs FROM (
+           |  SELECT DISTINCT a.doc_id, b.doc_id
+           |  FROM wr$w a JOIN wr$w b ON a.h = b.h AND a.doc_id < b.doc_id) t)""".stripMargin
+      }.mkString(",\n")
+      val rows = TextAnalysis.WinnowWindows.map { w =>
+        s"""SELECT CAST($w AS BIGINT) AS w, CAST(n_docs AS BIGINT) AS n_docs,
+           |  CAST(n_gram_hashes AS BIGINT) AS n_gram_hashes,
+           |  CAST(n_selected AS BIGINT) AS n_selected,
+           |  round(n_selected * 1.0 / n_gram_hashes, 6) AS keep_ratio,
+           |  CAST(n_truth_pairs AS BIGINT) AS n_truth_pairs,
+           |  CAST(n_winnow_pairs AS BIGINT) AS n_winnow_pairs,
+           |  CASE WHEN n_truth_pairs > 0
+           |    THEN round(n_winnow_pairs * 1.0 / n_truth_pairs, 6) END AS pair_recall
+           |FROM c$w, wn$w, tn""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM documents WHERE text IS NOT NULL),
+         |g AS (SELECT doc_id, list_transform(range(1, greatest(len(ws)-${k - 1}, 1)+1),
+         |  gi -> ${fingerprint(s"ws[gi:gi+${k - 1}]")}) AS gh FROM w),
+         |f AS (SELECT doc_id, unnest(list_distinct(gh)) AS h FROM g),
+         |rare AS (SELECT h FROM f GROUP BY h HAVING count(*) <= 50),
+         |fr AS (SELECT f.doc_id, f.h FROM f JOIN rare USING (h)),
+         |tn AS (SELECT count(*) AS n_truth_pairs FROM (
+         |  SELECT DISTINCT a.doc_id, b.doc_id
+         |  FROM fr a JOIN fr b ON a.h = b.h AND a.doc_id < b.doc_id) t),
+         |$sigs
+         |$rows
+         |ORDER BY w""".stripMargin
+    },
 
     "q47_edit_distance" ->
       """WITH d AS (SELECT doc_id,
@@ -4782,6 +4893,62 @@ object SparkEntry {
     // CUPED: all moments exact 1e-3-grid integers (HUGEINT here,
     // decimal(38,0) in Spark); every variance ALGEBRAIC — never a
     // per-user residual double sum. θ pools arms; mid = the q190 split
+    // diff-in-diff: the q216 per-user period totals + hash arm, paired
+    // d = post − pre, Welch on d between arms (the q137 df tree);
+    // + 0.0 on signed rounded outputs (Spark round is BigDecimal +0.0)
+    "q254_diff_in_diff" ->
+      """WITH ev AS (SELECT user_id,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+        |      AS day,
+        |    CAST(round(value * 1000) AS BIGINT) AS v3
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |mid AS (SELECT CAST(floor((min(day) + max(day)) / 2.0) AS BIGINT) AS mid
+        |        FROM ev),
+        |per AS (SELECT ((user_id % 1000000007) * 1000003) % 1000000007 % 2 = 1
+        |          AS t,
+        |        sum(CASE WHEN day <= mid THEN v3 ELSE 0 END) AS x3,
+        |        sum(CASE WHEN day > mid THEN v3 ELSE 0 END) AS y3,
+        |        sum(CASE WHEN day > mid THEN v3 ELSE 0 END)
+        |          - sum(CASE WHEN day <= mid THEN v3 ELSE 0 END) AS d3
+        |      FROM ev CROSS JOIN mid GROUP BY user_id),
+        |arms AS (SELECT t, count(*) AS n,
+        |    sum(x3) AS sx, sum(y3) AS sy, sum(d3) AS sd,
+        |    sum(CAST(d3 AS HUGEINT) * CAST(d3 AS HUGEINT)) AS sdd
+        |  FROM per GROUP BY 1),
+        |row1 AS (SELECT
+        |    sum(CASE WHEN t THEN n END) AS nt, sum(CASE WHEN NOT t THEN n END) AS nc,
+        |    sum(CASE WHEN t THEN sx END) AS sxt, sum(CASE WHEN NOT t THEN sx END) AS sxc,
+        |    sum(CASE WHEN t THEN sy END) AS syt, sum(CASE WHEN NOT t THEN sy END) AS syc,
+        |    sum(CASE WHEN t THEN sd END) AS sdt, sum(CASE WHEN NOT t THEN sd END) AS sdc,
+        |    sum(CASE WHEN t THEN sdd END) AS sddt, sum(CASE WHEN NOT t THEN sdd END) AS sddc
+        |  FROM arms),
+        |u AS (SELECT CAST(nt AS DOUBLE) AS nt, CAST(nc AS DOUBLE) AS nc,
+        |    CAST(sxt AS DOUBLE) / 1000.0 AS sxt, CAST(sxc AS DOUBLE) / 1000.0 AS sxc,
+        |    CAST(syt AS DOUBLE) / 1000.0 AS syt, CAST(syc AS DOUBLE) / 1000.0 AS syc,
+        |    CAST(sdt AS DOUBLE) / 1000.0 AS sdt, CAST(sdc AS DOUBLE) / 1000.0 AS sdc,
+        |    CAST(sddt AS DOUBLE) / 1000000.0 AS sddt,
+        |    CAST(sddc AS DOUBLE) / 1000000.0 AS sddc
+        |  FROM row1),
+        |g AS (SELECT *,
+        |    sdt / nt - sdc / nc AS did,
+        |    CASE WHEN nt > 1 THEN (sddt - sdt * sdt / nt) / (nt - 1) END AS vt,
+        |    CASE WHEN nc > 1 THEN (sddc - sdc * sdc / nc) / (nc - 1) END AS vc
+        |  FROM u),
+        |h AS (SELECT *, vt / nt + vc / nc AS se2 FROM g)
+        |SELECT CAST(nt AS BIGINT) AS n_treat, CAST(nc AS BIGINT) AS n_ctrl,
+        |  round(sxt / nt, 6) + 0.0 AS pre_mean_treat,
+        |  round(syt / nt, 6) + 0.0 AS post_mean_treat,
+        |  round(sxc / nc, 6) + 0.0 AS pre_mean_ctrl,
+        |  round(syc / nc, 6) + 0.0 AS post_mean_ctrl,
+        |  round(did, 6) + 0.0 AS did,
+        |  CASE WHEN se2 > 0 THEN round(sqrt(se2), 6) + 0.0 END AS se,
+        |  CASE WHEN se2 > 0 THEN round(did / sqrt(se2), 4) + 0.0 END AS t_stat,
+        |  CASE WHEN se2 > 0 THEN round(se2 * se2 /
+        |    (vt * vt / (nt * nt * (nt - 1)) + vc * vc / (nc * nc * (nc - 1))), 4)
+        |    + 0.0 END AS welch_df
+        |FROM h""".stripMargin,
+
     "q216_cuped" ->
       """WITH ev AS (SELECT user_id,
         |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
@@ -5365,6 +5532,101 @@ object SparkEntry {
          |    THEN round(rb.res_mse / ra.raw_mse, 6) END AS mse_ratio
          |FROM ra JOIN rb ON ra.sub = rb.sub ORDER BY ra.sub""".stripMargin,
 
+    // SQ8 serving rung: the q76 quantization grid (floor(x/scale+0.5),
+    // clamp ±127, scale floored at 1e-12) + the q84 rank/truth chain —
+    // asymmetric search: float query vs int8 reconstructions
+    "q249_sq8_knn" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |           WHERE embedding IS NOT NULL AND len(embedding) > 0),
+         |s AS (SELECT vec_id, v,
+         |        greatest(list_aggregate(list_transform(v, x -> abs(x)), 'max'), 1e-12) / 127.0 AS scale
+         |      FROM e),
+         |d AS (SELECT vec_id AS n_id,
+         |        list_transform(v, x -> CAST(greatest(-127.0, least(127.0, floor(x / scale + 0.5))) AS BIGINT) * scale) AS dq
+         |      FROM s),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+         |      WHERE vec_id < ${operators.KMeans.EvalBlock}),
+         |ap AS (SELECT q_id, n_id, round(${sqDistSql("qv", "dq")}, 6) AS l2q
+         |       FROM d CROSS JOIN q WHERE n_id <> q_id),
+         |rk AS (SELECT q_id, n_id, l2q,
+         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY l2q, n_id) AS BIGINT) AS rank
+         |       FROM ap),
+         |truth AS (SELECT q_id, n_id FROM (
+         |            SELECT q_id, e.vec_id AS n_id,
+         |              row_number() OVER (PARTITION BY q_id
+         |                ORDER BY round(${sqDistSql("qv", "e.v")}, 6), e.vec_id) AS trank
+         |            FROM e CROSS JOIN q WHERE e.vec_id <> q_id) t
+         |          WHERE trank <= 10)
+         |SELECT rk.q_id, rk.rank, rk.n_id, rk.l2q,
+         |       CAST(CASE WHEN t.n_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_exact_topk
+         |FROM rk LEFT JOIN truth t ON rk.q_id = t.q_id AND rk.n_id = t.n_id
+         |WHERE rk.rank <= 10 ORDER BY rk.q_id, rk.rank""".stripMargin,
+
+    // balanced-PQ: the per-dim variance KEY is an exact integer
+    // (n·Σx̂² − (Σx̂)² on the floor-pinned 1e-6 grid — raw doubles can
+    // land on .5 round edges, so floor(x·1e6 + 0.5) pins one semantics),
+    // ranked DESC with j tie-break, snake-dealt; natural codes reuse
+    // the q225 chain, balanced codes rebuild it on (bsub, slot)-ordered
+    // slices; var sums fold over j-ORDERED windows (q194 convention)
+    "q251_balanced_pq" -> {
+      val m = operators.Quantize.PqM
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |           WHERE embedding IS NOT NULL AND len(embedding) = ${m * 8}),
+         |$pqTailCte,
+         |dims AS (SELECT CAST(unnest(range(${m * 8})) AS BIGINT) AS j),
+         |fl AS (SELECT e.vec_id, d.j, e.v[d.j + 1] AS x FROM e CROSS JOIN dims d),
+         |st AS (SELECT j, count(*) AS n,
+         |         sum(CAST(floor(x * 1000000 + 0.5) AS HUGEINT)) AS s1,
+         |         sum(CAST(floor(x * 1000000 + 0.5) AS BIGINT)
+         |           * CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS s2
+         |       FROM fl WHERE NOT isnan(x) GROUP BY 1),
+         |mp AS (SELECT j, n, vkey, p, p // $m AS rnd, p % $m AS pos,
+         |         CASE WHEN (p // $m) % 2 = 0 THEN p % $m
+         |              ELSE ${m - 1} - (p % $m) END AS bsub,
+         |         CAST(vkey AS DOUBLE) / (n * n) / 1e12 AS var_j
+         |       FROM (SELECT j, n, s2 * n - s1 * s1 AS vkey,
+         |               CAST(row_number() OVER (ORDER BY s2 * n - s1 * s1 DESC, j)
+         |                 AS BIGINT) - 1 AS p
+         |             FROM st) t),
+         |bfl AS (SELECT f.vec_id, m.bsub AS sub, m.rnd AS slot, f.x
+         |        FROM fl f JOIN mp m ON m.j = f.j),
+         |bflat AS (SELECT vec_id, sub, list(x ORDER BY slot) AS sv
+         |          FROM bfl GROUP BY 1, 2),
+         |bcb AS (SELECT vec_id AS code, sub, sv AS cv FROM bflat
+         |        WHERE vec_id < ${operators.Quantize.PqK}),
+         |bscored AS (SELECT f.vec_id, f.sub, cb.code,
+         |    round(${sqDistSql("f.sv", "cb.cv")}, 6) AS dist
+         |  FROM bflat f JOIN bcb cb ON f.sub = cb.sub),
+         |bcodes AS (SELECT vec_id, sub, code, dist FROM (
+         |    SELECT vec_id, sub, code, dist,
+         |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rk
+         |    FROM bscored) WHERE rk = 1),
+         |natm AS (SELECT sub, count(*) AS n_nat,
+         |    round(CAST(sum(CAST(round(dist * 1000000) AS BIGINT)) AS DOUBLE)
+         |      / count(*) / 1000000.0, 6) AS nat_mse
+         |  FROM codes WHERE NOT isnan(dist) GROUP BY 1),
+         |balm AS (SELECT sub,
+         |    round(CAST(sum(CAST(round(dist * 1000000) AS BIGINT)) AS DOUBLE)
+         |      / count(*) / 1000000.0, 6) AS bal_mse
+         |  FROM bcodes WHERE NOT isnan(dist) GROUP BY 1),
+         |natv AS (SELECT sub, round(max(vs), 6) AS var_sum_natural FROM (
+         |    SELECT j // 8 AS sub, sum(var_j) OVER (PARTITION BY j // 8 ORDER BY j
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS vs
+         |    FROM mp) t GROUP BY 1),
+         |balv AS (SELECT sub, round(max(vs), 6) AS var_sum_balanced FROM (
+         |    SELECT bsub AS sub, sum(var_j) OVER (PARTITION BY bsub ORDER BY j
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS vs
+         |    FROM mp) t GROUP BY 1)
+         |SELECT natm.sub, CAST(natm.n_nat AS BIGINT) AS n_vectors,
+         |  natv.var_sum_natural, balv.var_sum_balanced,
+         |  natm.nat_mse AS natural_mse, balm.bal_mse AS balanced_mse,
+         |  CASE WHEN natm.nat_mse > 0
+         |    THEN round(balm.bal_mse / natm.nat_mse, 6) END AS mse_ratio
+         |FROM natm JOIN balm ON balm.sub = natm.sub
+         |JOIN natv ON natv.sub = natm.sub JOIN balv ON balv.sub = natm.sub
+         |ORDER BY natm.sub""".stripMargin
+    },
+
     // PQ distortion: mean distances on the exact x1e6 grid (dist is
     // already 6-dp rounded); min/max/distinct order-independent
     "q225_pq_distortion" ->
@@ -5534,6 +5796,45 @@ object SparkEntry {
         |  round(CAST(coalesce(sum(CASE WHEN l < l_bar THEN sz ELSE 0 END), 0)
         |    AS DOUBLE) / sum(sz), 6) AS risk_share
         |FROM x GROUP BY 1 ORDER BY l_bar""".stripMargin,
+
+    // t-closeness: variational distance per QI class vs the global
+    // segment distribution, folded over a segment-ORDERED window (the
+    // q194 sequential-sum convention) so both engines add the same
+    // doubles in the same order; zero cells materialized by the grid
+    "q252_t_closeness" ->
+      """WITH cust AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+        |  FROM customer),
+        |gl AS (SELECT c_mktsegment, count(*) AS gn,
+        |    (SELECT count(*) FROM cust) AS n_total
+        |  FROM cust GROUP BY 1),
+        |classes AS (SELECT c_nationkey, bal_band, count(*) AS sz
+        |  FROM cust GROUP BY 1, 2),
+        |cells AS (SELECT c_nationkey, bal_band, c_mktsegment, count(*) AS cn
+        |  FROM cust GROUP BY 1, 2, 3),
+        |grid AS (SELECT cl.c_nationkey, cl.bal_band, cl.sz, g.c_mktsegment,
+        |    abs(CAST(coalesce(ce.cn, 0) AS DOUBLE) / cl.sz
+        |        - CAST(g.gn AS DOUBLE) / g.n_total) AS ad
+        |  FROM classes cl CROSS JOIN gl g
+        |  LEFT JOIN cells ce ON ce.c_nationkey = cl.c_nationkey
+        |    AND ce.bal_band = cl.bal_band AND ce.c_mktsegment = g.c_mktsegment),
+        |tt AS (SELECT c_nationkey, bal_band, max(sz) AS sz, max(t) AS t FROM (
+        |    SELECT c_nationkey, bal_band, sz,
+        |      sum(ad) OVER (PARTITION BY c_nationkey, bal_band
+        |        ORDER BY c_mktsegment
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) / 2.0 AS t
+        |    FROM grid) s GROUP BY 1, 2),
+        |x AS (SELECT sz, t, unnest([0.1, 0.2, 0.3]) AS t_bar FROM tt)
+        |SELECT t_bar, count(*) AS n_classes,
+        |  CAST(sum(sz) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN t > t_bar THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_classes_above,
+        |  CAST(coalesce(sum(CASE WHEN t > t_bar THEN sz ELSE 0 END), 0)
+        |    AS BIGINT) AS n_rows_at_risk,
+        |  round(max(t), 6) AS max_t,
+        |  round(CAST(coalesce(sum(CASE WHEN t > t_bar THEN sz ELSE 0 END), 0)
+        |    AS DOUBLE) / sum(sz), 6) AS risk_share
+        |FROM x GROUP BY 1 ORDER BY t_bar""".stripMargin,
 
     // template similarity: the q33 4-word string-shingle grammar
     // (mirrors the native hashes exactly), source-partitioned lead

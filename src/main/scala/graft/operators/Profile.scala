@@ -528,4 +528,61 @@ object Profile {
         round(col("n_rows_at_risk").cast("double") / col("n_rows"), 6))
       .orderBy("l_bar")
   }
+
+  /** q252: t-closeness audit — the third rung of the anonymization
+    * ladder (Li, Li & Venkatasubramanian 2007) after q192's
+    * k-anonymity and q230's l-diversity: a class can be k-anonymous
+    * AND l-diverse and still leak if its sensitive-value DISTRIBUTION
+    * differs sharply from the global one (skewness attack — "every
+    * candidate row for you is 90% segment X in a population that's
+    * 20% X"). Per (nation, balance-band) quasi-identifier class
+    * (q230's QI), t = the variational distance ½·Σ|p_s − q_s| between
+    * the class's market-segment distribution and the global one (the
+    * paper's equal-ground-distance EMD for categorical attributes);
+    * the ladder t̄ ∈ {0.1, 0.2, 0.3} reports classes and customers
+    * above each bar.
+    *
+    * Scale shape: one scan to the O(classes × segments) cell
+    * histogram plus one to the O(segments) global — zero cells are
+    * materialized by a classes × segments grid join (a missing
+    * segment still contributes |0 − q_s|), everything downstream is
+    * arithmetic over that bounded frame. Determinism: p/q are ratios
+    * of exact counts; the per-class Σ folds over a segment-ORDERED
+    * window (the q194/q181 sequential-sum convention), so both
+    * engines add the same doubles in the same order. */
+  def q252TCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+    val global = cust.groupBy("c_mktsegment").agg(count(lit(1)).as("gn"))
+      .crossJoin(broadcast(
+        cust.groupBy().agg(count(lit(1)).as("n_total"))))
+    val classes = cust.groupBy("c_nationkey", "bal_band")
+      .agg(count(lit(1)).as("sz"))
+    val cells = cust.groupBy("c_nationkey", "bal_band", "c_mktsegment")
+      .agg(count(lit(1)).as("cn"))
+    val wv = Window.partitionBy("c_nationkey", "bal_band")
+      .orderBy("c_mktsegment")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val t = classes.crossJoin(broadcast(global))
+      .join(cells, Seq("c_nationkey", "bal_band", "c_mktsegment"), "left")
+      .withColumn("ad",
+        abs(coalesce(col("cn"), lit(0L)).cast("double") / col("sz")
+          - col("gn").cast("double") / col("n_total")))
+      .withColumn("t", sum("ad").over(wv) / 2.0)
+      .groupBy("c_nationkey", "bal_band")
+      .agg(max("sz").as("sz"), max("t").as("t"))
+    t.select(col("sz"), col("t"),
+        explode(array(lit(0.1), lit(0.2), lit(0.3))).as("t_bar"))
+      .groupBy("t_bar")
+      .agg(count(lit(1)).as("n_classes"),
+        sum("sz").as("n_rows"),
+        sum((col("t") > col("t_bar")).cast("long")).as("n_classes_above"),
+        sum(when(col("t") > col("t_bar"), col("sz")).otherwise(0L))
+          .as("n_rows_at_risk"),
+        round(max("t"), 6).as("max_t"))
+      .withColumn("risk_share",
+        round(col("n_rows_at_risk").cast("double") / col("n_rows"), 6))
+      .orderBy("t_bar")
+  }
 }

@@ -158,6 +158,63 @@ object Quantize {
       .orderBy("q_id", "rank")
   }
 
+  /** q249: scalar-quantized (SQ8) retrieval — the serving rung the
+    * quantization ladder measured for FIDELITY (q76's per-vector
+    * rmse/cos_q) but never for RANKING: top-10 by squared-L2 between
+    * the full-precision query and each corpus vector's int8
+    * reconstruction q_i·scale, with recall against the exact float
+    * truth. This is the "SQ8" tier of FAISS / scalar-quantized HNSW —
+    * the first compression stop a deployment tries (8× lighter scans
+    * than float64: dim bytes + one scale per vector) and usually the
+    * last, because int8 is near-lossless where PQ (q114b) and sign
+    * bits (q84) are not. The search is ASYMMETRIC (the query is never
+    * quantized — it exists once per query, so quantizing it buys no
+    * bytes and costs accuracy), the same ADC argument as q114b.
+    *
+    * Scale shape: the scanned side is the quantized table — the
+    * artifact the deployment stores — against the fixed
+    * [[KMeans.EvalBlock]] broadcast query block (the q34/q84
+    * bounded-fanout contract: |q|×N candidate rows at any corpus
+    * size); the corpus never shuffles and the only exchange is the
+    * per-query rank window. Dequantization is a per-row transform
+    * fused into the scan — at 100 TB the floats exist only inside the
+    * kernel, never on disk or the wire. Determinism: the q76
+    * quantization grid (floor(x/scale + 0.5), clamp ±127, scale
+    * floored at 1e-12), the sequential L2 fold, 6-dp rounding before
+    * ranking, vec_id tie-breaks — oracle-replayed end to end. */
+  def q249Sq8Knn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dq = quantized(e)
+      .select(col("vec_id").as("n_id"),
+        transform(col("qvec"), q => q.cast("double") * col("scale")).as("dq"))
+    val q = e.filter(col("vec_id") < KMeans.EvalBlock)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wq = Window.partitionBy("q_id").orderBy(asc("l2q"), asc("n_id"))
+    val approx = dq.crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        round(sqDist(col("qv"), col("dq")), 6).as("l2q"))
+      .withColumn("rank", row_number().over(wq).cast("long"))
+      .filter(col("rank") <= 10)
+    // truth: exact float top-10 (the q244 truth pass) — the calibration
+    // cost; a production SQ8 query path runs only the quantized scan
+    val wt = Window.partitionBy("q_id").orderBy(asc("l2sq"), asc("n_id"))
+    val truth = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(sqDist(col("qv"), col("v")), 6).as("l2sq"))
+      .withColumn("trank", row_number().over(wt))
+      .filter(col("trank") <= 10)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    approx.join(broadcast(truth), Seq("q_id", "n_id"), "left")
+      .select(col("q_id"), col("rank"), col("n_id"), col("l2q"),
+        coalesce(col("hit"), lit(0L)).as("in_exact_topk"))
+      .orderBy("q_id", "rank")
+  }
+
   // -------------------------------------------------------------------
   // Product quantization (Jégou et al., "Product Quantization for
   // Nearest Neighbor Search", PAMI '11) — the third compression tier
@@ -531,6 +588,116 @@ object Quantize {
       .select(col("sub"), col("n_raw").as("n_vectors"),
         col("raw_mse"), col("res_mse"),
         when(col("raw_mse") > 0, round(col("res_mse") / col("raw_mse"), 6))
+          .as("mse_ratio"))
+      .orderBy("sub")
+  }
+
+  /** Seeded PQ code assignment over an already-flattened
+    * (vec_id, sub, sv) frame — the [[pqCodes]] chain minus the
+    * slicing, so callers control how dims map to subspaces (q251's
+    * permuted slices). Codebook = the vec_id &lt; PqK rows (the q45b
+    * seeding rule), distances 6-dp-rounded with code tie-breaks. */
+  private def seededCodesFromFlat(flat: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = Window.partitionBy("vec_id", "sub").orderBy(asc("dist"), asc("code"))
+    val cb = flat.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("code"), col("sub"), col("sv").as("cv"))
+    flat.join(broadcast(cb), "sub")
+      .select(col("vec_id"), col("sub"), col("code"),
+        round(sqDist(col("sv"), col("cv")), 6).as("dist"))
+      .withColumn("rk", row_number().over(wc))
+      .filter(col("rk") === 1)
+  }
+
+  /** q251: variance-balanced PQ subspace assignment — OPQ's cheap
+    * deterministic cousin (Ge et al., "Optimized Product Quantization",
+    * CVPR '13 learns a full rotation; the production shortcut is a
+    * dimension PERMUTATION that balances per-subspace variance, e.g.
+    * FAISS's pre-transform stage): rank dims by corpus variance, deal
+    * them to the [[PqM]] subspaces in snake (boustrophedon) order, and
+    * run the q225 distortion readout on the permuted slices BESIDE the
+    * natural contiguous ones. When variance concentrates in a few dims,
+    * natural slicing hands one subspace all the energy and its MSE
+    * dominates every ADC distance (the q225 worst-subspace argument);
+    * the snake spreads it at zero serving cost — the permutation is a
+    * free gather at encode/query time, no rotation matmul.
+    *
+    * Determinism: the permutation DECISION never touches a float — the
+    * per-dim ranking key is vkey_j = n·Σx̂² − (Σx̂)² over the exact
+    * floor-pinned 1e-6 grid x̂ = floor(x·10⁶ + 0.5) (the q76 floor rule:
+    * raw doubles CAN land on .5 edges where the engines' round()
+    * semantics split), an exact decimal(38,0) both engines rank
+    * identically (ties on j). MSEs then follow the q225 contract
+    * (6-dp dists, ×10⁶-grid means, NaN rows dropped).
+    *
+    * Scale shape: the variance pass is one corpus scan partial-agged to
+    * O(dim) rows; the permutation is an O(dim) artifact collected once
+    * (the bounded-by-construction collect rule — the IVF-cell-ids
+    * precedent) and folded back into a PER-ROW gather projection, so
+    * the permuted coding pass costs exactly the natural one — no
+    * (vec_id, sub) shuffle. Per-sub variance sums fold over j-ordered
+    * windows (the q194 sequential-sum convention). */
+  def q251BalancedPq(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dim = PqM * subDim
+    val e = Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === dim)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val flat = e.select(posexplode(col("v")).as(Seq("j", "x")))
+      .filter(!isnan(col("x")))
+      .select(col("j").cast("long").as("j"),
+        floor(col("x") * 1000000 + 0.5).cast("long").as("xg"))
+    val stats = flat.groupBy("j").agg(count(lit(1)).as("n"),
+        sum(col("xg").cast("decimal(38,0)")).as("s1"),
+        sum((col("xg") * col("xg")).cast("decimal(38,0)")).as("s2"))
+      .select(col("j"), col("n"),
+        (col("s2") * col("n") - col("s1") * col("s1")).as("vkey"))
+    // snake deal: rank p = 0..dim-1 by vkey desc (tie j asc); round
+    // r = p/M hands each subspace ONE dim per round, direction
+    // alternating so the sub that took the round's largest gets the
+    // next round's smallest
+    val mapped = stats
+      .withColumn("p",
+        row_number().over(Window.orderBy(desc("vkey"), asc("j"))).cast("long") - 1)
+      .withColumn("rnd", (col("p") / PqM).cast("long"))
+      .withColumn("pos", col("p") % PqM)
+      .withColumn("bsub", when(col("rnd") % 2 === 0, col("pos"))
+        .otherwise(lit(PqM - 1L) - col("pos")))
+      .withColumn("var_j",
+        col("vkey").cast("double") / (col("n") * col("n")) / 1e12)
+    // O(dim) rows BY CONSTRUCTION — the permutation artifact
+    val perm = Array.ofDim[Int](PqM, subDim)
+    mapped.select("j", "bsub", "rnd").collect().foreach { r =>
+      perm(r.getLong(1).toInt)(r.getLong(2).toInt) = r.getLong(0).toInt
+    }
+    val bflat = e.select(col("vec_id"), posexplode(array((0 until PqM).map { s =>
+        array((0 until subDim).map(t => col("v").getItem(perm(s)(t))): _*)
+      }: _*)).as(Seq("sub", "sv")))
+      .select(col("vec_id"), col("sub").cast("long").as("sub"), col("sv"))
+    def mseBySub(codes: DataFrame, name: String): DataFrame =
+      codes.filter(!isnan(col("dist")))
+        .groupBy("sub")
+        .agg(count(lit(1)).as(s"n_$name"),
+          sum(round(col("dist") * 1000000, 0).cast("long").cast("decimal(38,0)"))
+            .as("s6"))
+        .select(col("sub"), col(s"n_$name"),
+          round(col("s6").cast("double") / col(s"n_$name") / 1000000.0, 6)
+            .as(s"${name}_mse"))
+    val nat = mseBySub(seededCodesFromFlat(pqFlat(e)), "nat")
+    val bal = mseBySub(seededCodesFromFlat(bflat), "bal")
+    val wj = Window.partitionBy("sub").orderBy("j")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def varSum(subCol: Column, name: String): DataFrame =
+      mapped.select(col("j"), col("var_j"), subCol.as("sub"))
+        .withColumn("vs", sum("var_j").over(wj))
+        .groupBy("sub").agg(round(max("vs"), 6).as(name))
+    val natv = varSum((col("j") / subDim).cast("long"), "var_sum_natural")
+    val balv = varSum(col("bsub"), "var_sum_balanced")
+    nat.join(bal, "sub").join(broadcast(natv), "sub").join(broadcast(balv), "sub")
+      .select(col("sub"), col("n_nat").as("n_vectors"),
+        col("var_sum_natural"), col("var_sum_balanced"),
+        col("nat_mse").as("natural_mse"), col("bal_mse").as("balanced_mse"),
+        when(col("nat_mse") > 0, round(col("bal_mse") / col("nat_mse"), 6))
           .as("mse_ratio"))
       .orderBy("sub")
   }

@@ -1255,4 +1255,171 @@ object Stats {
       .withColumn("confidently_low", (col("ub_95") < 0.5).cast("long"))
       .orderBy("source")
   }
+
+  /** q254: difference-in-differences — the OBSERVATIONAL-causal
+    * estimator the experimentation family lacked: when a change ships
+    * at a known cutover (the q190/q216 mid-day split) to one user
+    * group (the q216 hash arm), the treated arm's naive post−pre delta
+    * confounds the change with seasonality; DiD subtracts the control
+    * arm's delta under the parallel-trends assumption (Card & Krueger
+    * 1994). Implemented in the PAIRED form, which is both the tighter
+    * estimator and the shuffle-cheaper plan: per user,
+    * d = post-total − pre-total on the exact 1e-3 value grid, then a
+    * Welch two-sample test on d between arms — did = mean(d_T) −
+    * mean(d_C), Welch SE / t / Satterthwaite df (the q137 tree), with
+    * the four arm×period cell means as the parallel-trends readout.
+    *
+    * Scale shape: ONE user-keyed exchange to per-user period totals
+    * (the q216 plan), then O(arms) exact decimal moment rows; the
+    * statistic is closed-form arithmetic on a 1-row frame. All moments
+    * are exact integers (d ≤ ~1e9·grid per user → d² sums in
+    * decimal(38,0)); doubles appear only after aggregation, in an
+    * expression tree the oracle mirrors literally. Degenerate-arm
+    * guards follow the q216 convention (n ≤ 1 ⇒ null variance ⇒ null
+    * se/t/df rather than NaN). */
+  def q254DiffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("value").isNotNull
+        && col("ts").isNotNull)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"),
+        round(col("value") * 1000, 0).cast("long").as("v3"))
+    val mid = ev.agg(floor((min("day") + max("day")) / 2.0).cast("long").as("mid"))
+    val per = ev.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(sum(when(col("day") <= col("mid"), col("v3")).otherwise(0L)).as("x3"),
+        sum(when(col("day") > col("mid"), col("v3")).otherwise(0L)).as("y3"))
+      .select(armOf(col("user_id")).as("t"), col("x3"), col("y3"),
+        (col("y3") - col("x3")).as("d3"))
+    val arms = per.groupBy("t")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("x3"))).as("sx"), sum(dec(col("y3"))).as("sy"),
+        sum(dec(col("d3"))).as("sd"),
+        sum(dec(col("d3")) * dec(col("d3"))).as("sdd"))
+    // pivot the two arm rows into one via conditional aggregation —
+    // the frame is O(arms), the pivot is free
+    val row = arms.agg(
+      sum(when(col("t"), col("n"))).as("nt"),
+      sum(when(!col("t"), col("n"))).as("nc"),
+      sum(when(col("t"), col("sx"))).as("sxt"),
+      sum(when(!col("t"), col("sx"))).as("sxc"),
+      sum(when(col("t"), col("sy"))).as("syt"),
+      sum(when(!col("t"), col("sy"))).as("syc"),
+      sum(when(col("t"), col("sd"))).as("sdt"),
+      sum(when(!col("t"), col("sd"))).as("sdc"),
+      sum(when(col("t"), col("sdd"))).as("sddt"),
+      sum(when(!col("t"), col("sdd"))).as("sddc"))
+    val u = row.select(
+      col("nt").cast("double").as("nt"), col("nc").cast("double").as("nc"),
+      (col("sxt").cast("double") / 1000.0).as("sxt"),
+      (col("sxc").cast("double") / 1000.0).as("sxc"),
+      (col("syt").cast("double") / 1000.0).as("syt"),
+      (col("syc").cast("double") / 1000.0).as("syc"),
+      (col("sdt").cast("double") / 1000.0).as("sdt"),
+      (col("sdc").cast("double") / 1000.0).as("sdc"),
+      (col("sddt").cast("double") / 1000000.0).as("sddt"),
+      (col("sddc").cast("double") / 1000000.0).as("sddc"))
+    val vt = when(col("nt") > 1,
+      (col("sddt") - col("sdt") * col("sdt") / col("nt")) / (col("nt") - 1))
+    val vc = when(col("nc") > 1,
+      (col("sddc") - col("sdc") * col("sdc") / col("nc")) / (col("nc") - 1))
+    val g = u.select(col("*"),
+      (col("sdt") / col("nt") - col("sdc") / col("nc")).as("did"),
+      vt.as("vt"), vc.as("vc"))
+      .withColumn("se2", col("vt") / col("nt") + col("vc") / col("nc"))
+    g.select(
+        col("nt").cast("long").as("n_treat"),
+        col("nc").cast("long").as("n_ctrl"),
+        round(col("sxt") / col("nt"), 6).as("pre_mean_treat"),
+        round(col("syt") / col("nt"), 6).as("post_mean_treat"),
+        round(col("sxc") / col("nc"), 6).as("pre_mean_ctrl"),
+        round(col("syc") / col("nc"), 6).as("post_mean_ctrl"),
+        round(col("did"), 6).as("did"),
+        when(col("se2") > 0, round(sqrt(col("se2")), 6)).as("se"),
+        when(col("se2") > 0, round(col("did") / sqrt(col("se2")), 4)).as("t_stat"),
+        when(col("se2") > 0, round(col("se2") * col("se2") /
+          (col("vt") * col("vt") / (col("nt") * col("nt") * (col("nt") - 1)) +
+           col("vc") * col("vc") / (col("nc") * col("nc") * (col("nc") - 1))), 4))
+          .as("welch_df"))
+  }
+
+  /** q253: per-source OLS feature attribution — the textbook
+    * DISTRIBUTED regression shape: regress each source's quality score
+    * (the q37 gate output) on its two ratio features (ttr, stop_share)
+    * by one-pass sufficient statistics — ONE partial-aggregated scan
+    * collapses the corpus to ten exact Gram/cross moments per source
+    * (O(sources) rows), then the 3×3 normal equations solve in closed
+    * form (Cramer) on that tiny frame. At 100 TB this is THE way to
+    * fit linear models: nothing iterative, nothing driver-side, no
+    * second pass — and the readout (which feature actually moves the
+    * gate, per source) is what a curation owner checks before tuning
+    * the q37 weights. R² from the same moments
+    * (SSE = Syy − b·X'y, SST = Syy − Sy²/n).
+    *
+    * Determinism: ttr / stop_share / quality are ALREADY 6-dp-rounded
+    * per-row values (the q37 contract), so their 1e-6 grid ints are
+    * exact; every Σ (incl. all products, ≤1e12 per row) accumulates as
+    * decimal(38,0) — order-free. The doubles appear only AFTER
+    * aggregation: grid sums convert and rescale identically in both
+    * engines, and the Cramer/R² expression tree is written in the
+    * same shape on both sides (the q155 fixed-point discipline). */
+  def q253OlsQuality(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.qualityScored(
+        Tables.documents(spark, dir).filter(col("text").isNotNull),
+        carry = Seq("source"))
+      .select(col("source"),
+        round(col("ttr") * 1000000, 0).cast("long").as("t"),
+        round(col("stop_share") * 1000000, 0).cast("long").as("s"),
+        round(col("quality") * 1000000, 0).cast("long").as("y"))
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val m = scored.groupBy("source").agg(
+      count(lit(1)).as("n"),
+      sum(d38(col("t"))).as("st"), sum(d38(col("s"))).as("ss"),
+      sum(d38(col("y"))).as("sy"),
+      sum(d38(col("t") * col("t"))).as("stt"),
+      sum(d38(col("s") * col("s"))).as("sss"),
+      sum(d38(col("t") * col("s"))).as("sts"),
+      sum(d38(col("t") * col("y"))).as("sty"),
+      sum(d38(col("s") * col("y"))).as("ssy"),
+      sum(d38(col("y") * col("y"))).as("syy"))
+    // unit-scale doubles (exact ints in, deterministic conversion)
+    val w = m.select(col("source"), col("n").cast("double").as("n"),
+      (col("st").cast("double") / 1e6).as("st"),
+      (col("ss").cast("double") / 1e6).as("ss"),
+      (col("sy").cast("double") / 1e6).as("sy"),
+      (col("stt").cast("double") / 1e12).as("stt"),
+      (col("sss").cast("double") / 1e12).as("sss"),
+      (col("sts").cast("double") / 1e12).as("sts"),
+      (col("sty").cast("double") / 1e12).as("sty"),
+      (col("ssy").cast("double") / 1e12).as("ssy"),
+      (col("syy").cast("double") / 1e12).as("syy"))
+    val det = col("n") * (col("stt") * col("sss") - col("sts") * col("sts")) -
+      col("st") * (col("st") * col("sss") - col("sts") * col("ss")) +
+      col("ss") * (col("st") * col("sts") - col("stt") * col("ss"))
+    val det0 = col("sy") * (col("stt") * col("sss") - col("sts") * col("sts")) -
+      col("st") * (col("sty") * col("sss") - col("sts") * col("ssy")) +
+      col("ss") * (col("sty") * col("sts") - col("stt") * col("ssy"))
+    val det1 = col("n") * (col("sty") * col("sss") - col("sts") * col("ssy")) -
+      col("sy") * (col("st") * col("sss") - col("sts") * col("ss")) +
+      col("ss") * (col("st") * col("ssy") - col("sty") * col("ss"))
+    val det2 = col("n") * (col("stt") * col("ssy") - col("sty") * col("sts")) -
+      col("st") * (col("st") * col("ssy") - col("sty") * col("ss")) +
+      col("sy") * (col("st") * col("sts") - col("stt") * col("ss"))
+    val solved = w
+      .withColumn("det", det)
+      .withColumn("b0", when(col("det") =!= 0.0, det0 / col("det")))
+      .withColumn("b1", when(col("det") =!= 0.0, det1 / col("det")))
+      .withColumn("b2", when(col("det") =!= 0.0, det2 / col("det")))
+      .withColumn("sse", col("syy") - col("b0") * col("sy")
+        - col("b1") * col("sty") - col("b2") * col("ssy"))
+      .withColumn("sst", col("syy") - col("sy") * col("sy") / col("n"))
+    solved.select(col("source"), col("n").cast("long").as("n_docs"),
+        round(col("b0"), 6).as("b_intercept"),
+        round(col("b1"), 6).as("b_ttr"),
+        round(col("b2"), 6).as("b_stop_share"),
+        when(col("sst") > 0, round(lit(1.0) - col("sse") / col("sst"), 6))
+          .as("r2"))
+      .orderBy("source")
+  }
 }

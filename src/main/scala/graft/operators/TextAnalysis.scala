@@ -1566,6 +1566,94 @@ object TextAnalysis {
         Portable.fingerprint(Portable.tokenize(col("text"))).as("fp"))
       .orderBy("doc_id")
 
+  /** Winnowing k-gram width (q33's shingle width — the same gram
+    * universe, so the full-resolution baseline IS the q33 candidate
+    * space) and the window sweep: w is the winnowing GUARANTEE knob —
+    * any two docs sharing ≥ w+k−1 consecutive words share a selected
+    * fingerprint (Schleimer et al. 2003, thm 1). */
+  val WinnowK = 4
+  val WinnowWindows: Seq[Int] = Seq(4, 8, 16)
+
+  /** q250: winnowed (minimizer) fingerprints — the MOSS/winnowing
+    * selection (Schleimer, Wilkerson & Aiken, SIGMOD 2003; the same
+    * minimizer trick genomics calls minimap): instead of storing every
+    * k-gram hash per document (q33/q70's full-resolution signature),
+    * keep only each w-window's MINIMUM hash — a deterministic ~2/(w+1)
+    * sample that still guarantees any match of length ≥ w+k−1 words is
+    * caught. THE signature-size lever for corpus-scale near-dup
+    * candidate generation: the q33 gram table is the largest artifact
+    * an exact-overlap dedup materializes, and winnowing shrinks it by
+    * w/2× BEFORE the shuffle, not after.
+    *
+    * Reported per window size w ∈ [[WinnowWindows]]: the stored-hash
+    * bill (distinct grams vs distinct selected), and candidate-pair
+    * recall vs the full-gram truth — pairs sharing a selected hash
+    * over pairs sharing ANY (frequency-capped, the q33 df ≤ 50 rule)
+    * gram. Winnowed pairs are a SUBSET of truth pairs by construction
+    * (every selected hash is one of the doc's gram hashes, and the cap
+    * comes from the FULL table on both sides), so recall is a plain
+    * count ratio — no intersection join.
+    *
+    * Scale shape: gram hashing and window-min selection are per-row
+    * array kernels inside one scan (positional poly-131 rolling hashes
+    * — the q38 fingerprint chain, windowed; NOT the set-semantics
+    * ShingleHashes, positions must survive for the window min); the
+    * only shuffles are the hash-df count and the df-capped pair joins
+    * — each bucket ≤ 50 docs, the q33 bound. The sweep shares the one
+    * gram pass across all three w. Everything is exact integer
+    * counts + terminal rounding → oracle-replayed end to end. */
+  def q250WinnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val k = WinnowK
+    val ghCol = transform(
+      sequence(lit(1), greatest(size(col("ws")) - lit(k - 1), lit(1))),
+      i => aggregate(slice(col("ws"), i, lit(k)), lit(0L),
+        (acc, wd) => (acc * lit(131L) + Portable.tokenId(wd)) % lit(Portable.P)))
+    val base = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), ghCol.as("gh"))
+      .localCheckpoint(true) // one gram pass feeds truth + all three w
+    val full = base.select(col("doc_id"),
+      explode(array_distinct(col("gh"))).as("h"))
+    // frequency cap from the FULL gram table (the q33 df <= 50 rarity
+    // rule) applied to BOTH sides, keeping winnowed pairs a subset
+    val rare = full.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50).select("h")
+    val fullRare = full.join(rare, "h")
+    val truth = fullRare.as("a").join(fullRare.as("b"), col("a.h") === col("b.h")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+      .agg(count(lit(1)).as("n_truth_pairs"))
+    val perW = WinnowWindows.map { w =>
+      val sig = array_distinct(transform(
+        sequence(lit(1), greatest(size(col("gh")) - lit(w - 1), lit(1))),
+        j => array_min(slice(col("gh"), j, lit(w)))))
+      val counts = base.select(col("doc_id"),
+          size(array_distinct(col("gh"))).cast("long").as("ng"), sig.as("sig"))
+        .select(col("ng"), size(col("sig")).cast("long").as("ns"))
+        .agg(count(lit(1)).as("n_docs"), sum("ng").as("n_gram_hashes"),
+          sum("ns").as("n_selected"))
+      val wp = base.select(col("doc_id"), explode(sig).as("h"))
+        .join(rare, "h")
+      val wpairs = wp.as("a").join(wp.as("b"), col("a.h") === col("b.h")
+          && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+        .agg(count(lit(1)).as("n_winnow_pairs"))
+      counts.crossJoin(wpairs).crossJoin(truth)
+        .select(lit(w.toLong).as("w"), col("n_docs"), col("n_gram_hashes"),
+          col("n_selected"),
+          round(col("n_selected").cast("double") / col("n_gram_hashes"), 6)
+            .as("keep_ratio"),
+          col("n_truth_pairs"), col("n_winnow_pairs"),
+          when(col("n_truth_pairs") > 0,
+            round(col("n_winnow_pairs").cast("double") / col("n_truth_pairs"), 6))
+            .as("pair_recall"))
+    }
+    perW.reduce(_.union(_)).orderBy("w")
+  }
+
   /** q142: sliding-window chunker with overlap — the RAG/embedding
     * preprocessing step that turns documents into fixed-budget chunks
     * (window 200 chars, stride 150 ⇒ 50-char overlap so no sentence is

@@ -1040,7 +1040,8 @@ class QueriesSpec extends AnyFunSuite {
       "q232_budget_allocator" -> "allocation folds over the O(sources) frame (q181 convention)",
       "q243_budget_sample" -> "the q232 allocation folds over the same O(sources) frame; the corpus-side windows are hash-partitioned",
       "q233_stationary_dist" -> "power-iteration renormalizers + rate fold over the O(event types) state frame",
-      "q238_length_adjusted_quality" -> "corpus-total fold over the O(sources x 10) bucket cell frame")
+      "q238_length_adjusted_quality" -> "corpus-total fold over the O(sources x 10) bucket cell frame",
+      "q251_balanced_pq" -> "snake rank over the O(dim) variance frame (64 rows)")
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => bounded.contains(q._1))
@@ -1153,7 +1154,8 @@ class QueriesSpec extends AnyFunSuite {
       // round 10
       "q243_budget_sample",
       // round 11 (reads documents + the clean embeddings above)
-      "q246_election_regret", "q248_eval_containment")
+      "q246_election_regret", "q248_eval_containment",
+      "q250_winnow_fingerprint", "q253_ols_quality")
     val failures = docQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -1221,7 +1223,9 @@ class QueriesSpec extends AnyFunSuite {
       // round 9
       "q216_cuped", "q217_mann_whitney", "q218_ks_test", "q220_autocorr",
       "q233_stationary_dist", "q235_burstiness", "q236_type_cooccurrence",
-      "q239_deseasonalized_anomaly", "q240_daily_latency")
+      "q239_deseasonalized_anomaly", "q240_daily_latency",
+      // round 11
+      "q254_diff_in_diff")
     val failures = eventQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -1280,7 +1284,8 @@ class QueriesSpec extends AnyFunSuite {
       // round 10
       "q242_k_sweep",
       // round 11
-      "q244_ivf_adc", "q245_ivfpq_residual", "q247_residual_distortion")
+      "q244_ivf_adc", "q245_ivfpq_residual", "q247_residual_distortion",
+      "q249_sq8_knn", "q251_balanced_pq")
     val failures = vecQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -3889,6 +3894,181 @@ class QueriesSpec extends AnyFunSuite {
       "residual encoding must not reduce aggregate recall at equal bill")
   }
 
+  test("q250 winnowing: nested-selection monotonicity and the match-length guarantee") {
+    val got = run("q250_winnow_fingerprint").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == graft.operators.TextAnalysis.WinnowWindows.map(_.toLong))
+    got.foreach { case (w, nDocs, ng, ns, keep, tp, wp) =>
+      assert(nDocs > 0 && ns <= ng, s"w=$w selected can't exceed grams")
+      assert(math.abs(keep - ns.toDouble / ng) < 5.1e-7) // keep is 6-dp rounded
+      assert(wp <= tp, s"w=$w winnow pairs must be a subset of truth pairs")
+    }
+    // truth is w-independent; doubling w nests the selected sets
+    // (a 2w-window min is one of the two w-window mins), so bills and
+    // pair counts are monotone non-increasing in w
+    assert(got.map(_._6).distinct.length == 1, "truth pair count is shared")
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 <= a._4 && b._7 <= a._7, "selection must shrink with w")
+    }
+    // the winnowing guarantee (Schleimer et al. thm 1): two docs
+    // sharing >= w+k-1 consecutive words always share a selected hash
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-winnow").toString
+    val shared = (1 to 30).map(i => s"shared$i").mkString(" ")
+    Seq(
+      (1L, s"alpha beta $shared gamma", "s1", "en", 10L, 1L),
+      (2L, s"$shared delta epsilon zeta", "s2", "en", 10L, 1L),
+      (3L, "totally unrelated words only here", "s1", "en", 5L, 1L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars", "rev")
+      .write.parquet(s"$dir/documents.parquet")
+    val p = graft.operators.TextAnalysis.q250WinnowFingerprint(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(6)).toMap
+    graft.operators.TextAnalysis.WinnowWindows.foreach { w =>
+      assert(p(w.toLong) >= 1L, s"w=$w must catch the 30-word shared run")
+    }
+  }
+
+  test("q254 diff-in-diff: cell-mean identity on the corpus, planted effect recovered") {
+    val r = run("q254_diff_in_diff").collect().head
+    // the paired did IS the cell-mean double difference exactly
+    // (same denominators), up to the 6-dp output rounding
+    val cellDid = (r.getDouble(3) - r.getDouble(2)) - (r.getDouble(5) - r.getDouble(4))
+    assert(math.abs(r.getDouble(6) - cellDid) < 3e-6, s"did vs cells: $r")
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+    if (!r.isNullAt(7)) assert(r.getDouble(7) > 0, "se positive when defined")
+    // plant: treated users' post-period lifts by ~10 with small noise,
+    // control flat — did must recover the lift
+    import spark.implicits._
+    def arm(u: Long): Boolean = ((u % 1000000007L) * 1000003L) % 1000000007L % 2 == 1
+    val users = (1L to 40L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-did").toString
+    val rows = users.flatMap { u =>
+      val noise = (u % 3).toDouble // same pre/post -> cancels in d
+      // vary d WITHIN each arm (armOf(u) is u's parity at small ids,
+      // so u%2 would be constant per arm -> zero variance -> null t)
+      val lift = if (arm(u)) 10.0 + (u / 2 % 2) else 0.0 + (u / 2 % 2) * 0.5
+      Seq(
+        (u * 10 + 1, u, "view", 5.0 + noise, "2021-01-02 00:00:00"),
+        (u * 10 + 2, u, "view", 5.0 + noise + lift, "2021-01-20 00:00:00"))
+    }
+    rows.toDF("event_id", "user_id", "event_type", "value", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .withColumn("props", lit("""{}"""))
+      .write.parquet(s"$dir/events.parquet")
+    val p = graft.operators.Stats.q254DiffInDiff(spark, dir).collect().head
+    // treated d = 10 + (u%2), control d = (u%2)*0.5: did = E[d_T]-E[d_C]
+    assert(p.getDouble(6) > 9.0 && p.getDouble(6) < 11.5, s"planted did: $p")
+    assert(!p.isNullAt(8) && p.getDouble(8) > 2.0, "planted effect must be significant")
+  }
+
+  test("q253 OLS replays from exact grid moments; fit beats the mean baseline") {
+    // replay: same 1e-6 grid ints, same exact sums, same Cramer tree
+    val feats = run("q37_quality_score").collect().map(r =>
+      (math.round(r.getDouble(3) * 1e6), math.round(r.getDouble(5) * 1e6),
+        math.round(r.getDouble(6) * 1e6)))
+    val srcOf = Tables.documents(spark, sf0001).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ids = run("q37_quality_score").collect().map(_.getLong(0))
+    val bySrc = ids.zip(feats).groupBy(x => srcOf(x._1))
+    val got = run("q253_ols_quality").collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        if (r.isNullAt(5)) Double.NaN else r.getDouble(5))).toMap
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (src, xs) =>
+      val g = xs.map(_._2)
+      val n = g.length.toDouble
+      def s(f: ((Long, Long, Long)) => Double) = g.map(f).sum
+      val (st, ss, sy) = (s(_._1.toDouble) / 1e6, s(_._2.toDouble) / 1e6, s(_._3.toDouble) / 1e6)
+      val stt = g.map(x => x._1.toDouble * x._1).sum / 1e12
+      val sss = g.map(x => x._2.toDouble * x._2).sum / 1e12
+      val sts = g.map(x => x._1.toDouble * x._2).sum / 1e12
+      val sty = g.map(x => x._1.toDouble * x._3).sum / 1e12
+      val ssy = g.map(x => x._2.toDouble * x._3).sum / 1e12
+      val syy = g.map(x => x._3.toDouble * x._3).sum / 1e12
+      val det = n * (stt * sss - sts * sts) - st * (st * sss - sts * ss) +
+        ss * (st * sts - stt * ss)
+      val det0 = sy * (stt * sss - sts * sts) - st * (sty * sss - sts * ssy) +
+        ss * (sty * sts - stt * ssy)
+      val det1 = n * (sty * sss - sts * ssy) - sy * (st * sss - sts * ss) +
+        ss * (st * ssy - sty * ss)
+      val det2 = n * (stt * ssy - sty * sts) - st * (st * ssy - sty * ss) +
+        sy * (st * sts - stt * ss)
+      val (b0, b1, b2) = (det0 / det, det1 / det, det2 / det)
+      val sse = syy - b0 * sy - b1 * sty - b2 * ssy
+      val sst = syy - sy * sy / n
+      val (gn, gb0, gb1, gb2, gr2) = got(src)
+      assert(gn == g.length.toLong)
+      assert(math.abs(gb0 - b0) < 1e-5 && math.abs(gb1 - b1) < 1e-5
+        && math.abs(gb2 - b2) < 1e-5, s"$src coefficients")
+      assert(math.abs(gr2 - (1.0 - sse / sst)) < 1e-5, s"$src r2")
+      // a 3-param fit can't lose to the mean-only model
+      assert(gr2 >= -1e-6 && gr2 <= 1.0 + 1e-6, s"$src r2 range")
+    }
+  }
+
+  test("q251 balanced PQ: variance conservation, and the snake beats natural slicing on a concentrated plant") {
+    val got = run("q251_balanced_pq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == (0L until graft.operators.Quantize.PqM.toLong))
+    // both assignments partition the same 64 dims: total variance is
+    // conserved across the two groupings (each sub sum is 6-dp rounded)
+    val natTot = got.map(_._3).sum
+    val balTot = got.map(_._4).sum
+    assert(math.abs(natTot - balTot) < 8 * 5.1e-7, s"$natTot vs $balTot")
+    got.foreach { case (s, n, vn, vb, mn, mb) =>
+      assert(n > 0 && vn >= 0 && vb >= 0 && mn >= 0 && mb >= 0, s"sub $s")
+    }
+    assert(got.map(_._2).distinct.length == 1, "every sub codes every vector")
+    // planted concentration: all the energy in dims 0..7 (the first
+    // NATURAL subspace). The snake deals those 8 wild dims one per
+    // subspace, so the worst balanced subspace must beat the worst
+    // natural one, and the balanced variance spread must be tighter.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-balpq").toString
+    (1 to 40).map { i =>
+      (i.toLong, Seq.tabulate(64) { j =>
+        if (j < 8) (((i * 31 + j * 7) % 17) - 8).toFloat
+        else ((i + j) % 3) * 0.01f
+      }, 0)
+    }.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val p = graft.operators.Quantize.q251BalancedPq(spark, dir).collect()
+      .map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(p.map(_._4).max < p.map(_._3).max,
+      "balanced worst-subspace MSE must beat natural on the concentrated plant")
+    def spread(xs: Array[Double]) = xs.max - xs.min
+    assert(spread(p.map(_._2)) < spread(p.map(_._1)),
+      "snake must tighten the per-subspace variance spread")
+  }
+
+  test("q249 SQ8 retrieval: rank contract, near-lossless recall, dominates the 1-bit tier") {
+    val got = run("q249_sq8_knn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    val byQ = got.groupBy(_._1)
+    assert(byQ.size == graft.operators.KMeans.EvalBlock)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to 10L), s"q=$q ranks")
+      // l2q non-decreasing in rank (the quantized ordering is real)
+      rs.sortBy(_._2).map(_._4).sliding(2).foreach { w =>
+        if (w.length == 2) assert(w(0) <= w(1), s"q=$q l2q must be sorted")
+      }
+      rs.foreach { case (_, _, _, l2q, hit) =>
+        assert(l2q >= 0.0 && (hit == 0L || hit == 1L))
+      }
+    }
+    // int8 at 8 bits/dim is near-lossless on the fixture: aggregate
+    // recall@10 stays high, and must dominate the 1-bit sign tier (q84)
+    val sqHits = got.map(_._5).sum
+    assert(sqHits >= 80L, s"SQ8 recall collapsed: $sqHits/100")
+    val bqHits = run("q84_binary_quant_knn").collect().map(_.getLong(5)).sum
+    assert(sqHits >= bqHits, "8-bit SQ must not lose to 1-bit BQ")
+  }
+
   test("q246 election regret replays q204's election and q68's membership") {
     // sf0.01: the smallest corpus where the q68 cluster set is non-empty
     val corpus = "/root/testdata/sf0.01"
@@ -4103,6 +4283,58 @@ class QueriesSpec extends AnyFunSuite {
     // risk is monotone in the bar
     val shares = Seq(2L, 3L, 5L).map(b => got(b).getDouble(6))
     assert(shares.sliding(2).forall(w => w(1) >= w(0) - 1e-12))
+  }
+
+  test("q252 t-closeness replays from the customer QI cells; skewed plant flagged") {
+    // driver-side replay: per (nation, band) class, t = half the
+    // variational distance between the class and global segment
+    // distributions, folded in segment order like both engines
+    val rows = Tables.customer(spark, sf0001)
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("band"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val nTotal = rows.length.toDouble
+    val globalBySeg = rows.groupBy(_._2).map { case (s, xs) => s -> xs.length }
+    val segs = globalBySeg.keys.toSeq.sorted
+    val classes = rows.groupBy(x => (x._1, x._3)).toSeq.map { case (_, xs) =>
+      val sz = xs.length
+      val bySeg = xs.groupBy(_._2).map { case (s, ys) => s -> ys.length }
+      val t = segs.map(s => math.abs(
+        bySeg.getOrElse(s, 0).toDouble / sz
+          - globalBySeg(s).toDouble / nTotal)).sum / 2.0
+      (sz.toLong, t)
+    }
+    val got = run("q252_t_closeness").collect().map(r => r.getDouble(0) -> r).toMap
+    assert(got.keySet == Set(0.1, 0.2, 0.3))
+    got.foreach { case (bar, r) =>
+      val above = classes.filter(_._2 > bar + 1e-12)
+      assert(r.getLong(1) == classes.length.toLong)
+      assert(r.getLong(2) == classes.map(_._1).sum)
+      assert(r.getLong(3) == above.length.toLong, s"bar $bar classes")
+      assert(r.getLong(4) == above.map(_._1).sum, s"bar $bar rows")
+      assert(math.abs(r.getDouble(5) - classes.map(_._2).max) < 2e-6)
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
+    }
+    // risk is monotone DOWN in the bar (a looser bar flags fewer classes)
+    val shares = Seq(0.1, 0.2, 0.3).map(b => got(b).getDouble(6))
+    assert(shares.sliding(2).forall(w => w(1) <= w(0) + 1e-12))
+    // planted skew: one class entirely segment A in a 50/50 population
+    // has t = |1 - 0.52| /2 + |0 - 0.48| /2 exactly
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tclose").toString
+    val plant =
+      (1 to 26).map(i => (i.toLong, s"c$i", 1, 500.0, "AUTOMOBILE")) ++
+      (27 to 50).map(i => (i.toLong, s"c$i", 2, 500.0, "BUILDING"))
+    plant.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    val p = graft.operators.Profile.q252TCloseness(spark, dir)
+      .collect().map(r => r.getDouble(0) -> r).toMap
+    // class 1: all AUTOMOBILE vs global 26/50 -> t = 24/50; class 2:
+    // all BUILDING vs 24/50 -> t = 26/50; both above every bar
+    assert(math.abs(p(0.1).getDouble(5) - 26.0 / 50.0) < 1e-9)
+    Seq(0.1, 0.2, 0.3).foreach { b =>
+      assert(p(b).getLong(3) == 2L && p(b).getLong(4) == 50L, s"bar $b")
+    }
   }
 
   test("q231 template similarity replays from plain-Scala shingle sets") {
