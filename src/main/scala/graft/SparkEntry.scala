@@ -104,6 +104,7 @@ object SparkEntry {
     "q102_event_funnel"  -> (Relational.q102EventFunnel _),
     "q108_day_bounded_window" -> (Relational.q108DayBoundedWindow _),
     "q109_heavy_hitters" -> (HeavyHitters.q109HeavyHitters _),
+    "q256_cms_freq"      -> (HeavyHitters.q256CmsFreq _),
     "q110_textrank"      -> (Graph.q110TextRank _),
     "q111_scd2"          -> (Temporal.q111Scd2 _),
     "q112_markov_transitions" -> (Temporal.q112MarkovTransitions _),
@@ -237,6 +238,7 @@ object SparkEntry {
     "q247_residual_distortion" -> (Quantize.q247ResidualDistortion _),
     "q249_sq8_knn"        -> (Quantize.q249Sq8Knn _),
     "q251_balanced_pq"    -> (Quantize.q251BalancedPq _),
+    "q255_kcenter"        -> (KMeans.q255KCenter _),
     "q225_pq_distortion"  -> (Quantize.q225PqDistortion _),
     "q226_encoder_consistency" -> (Dedup.q226EncoderConsistency _),
     "q227_signal_agreement" -> (Dedup.q227SignalAgreement _),
@@ -730,6 +732,33 @@ object SparkEntry {
          |GROUP BY word, tot.n
          |HAVING count(*) * 32 > tot.n
          |ORDER BY cnt DESC, word""".stripMargin,
+
+    // Count-Min: row/width constants interpolated from the operator
+    // (HeavyHitters.CmsRows/CmsWidth); cells and probes replay the same
+    // ((h*a + b) % P) % width arithmetic, est = min over depth rows
+    "q256_cms_freq" -> {
+      val width = HeavyHitters.CmsWidth
+      def cellRows(src: String, extra: String) = HeavyHitters.CmsRows.map {
+        case (r, a, b) =>
+          s"SELECT $extra$r AS r, ((h * $a + $b) % 1000000007) % $width AS bkt FROM $src"
+      }.mkString(" UNION ALL ")
+      s"""WITH w AS (SELECT unnest(${tok("text")}) AS word FROM documents),
+         |th AS (SELECT word, ${tokenId("word")} AS h FROM w),
+         |cellsrc AS (${cellRows("th", "")}),
+         |cells AS (SELECT r, bkt, count(*) AS cnt FROM cellsrc GROUP BY 1, 2),
+         |top AS (SELECT word, count(*) AS exact_count, max(h) AS h
+         |        FROM th GROUP BY 1 ORDER BY exact_count DESC, word LIMIT 20),
+         |probes AS (${cellRows("top", "word, exact_count, ")}),
+         |est AS (SELECT p.word, max(p.exact_count) AS exact_count,
+         |          min(c.cnt) AS cms_est
+         |        FROM probes p JOIN cells c ON c.r = p.r AND c.bkt = p.bkt
+         |        GROUP BY 1)
+         |SELECT word, CAST(exact_count AS BIGINT) AS exact_count,
+         |  CAST(cms_est AS BIGINT) AS cms_est,
+         |  CAST(cms_est - exact_count AS BIGINT) AS overestimate,
+         |  round(CAST(cms_est - exact_count AS DOUBLE) / exact_count, 6) AS rel_err
+         |FROM est ORDER BY exact_count DESC, word""".stripMargin
+    },
 
     // fixed-iteration PageRank unrolled to 10 chained CTEs (recursive
     // CTEs disallow aggregation in the recursive term). Each prK
@@ -5561,6 +5590,48 @@ object SparkEntry {
          |       CAST(CASE WHEN t.n_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_exact_topk
          |FROM rk LEFT JOIN truth t ON rk.q_id = t.q_id AND rk.n_id = t.n_id
          |WHERE rk.rank <= 10 ORDER BY rk.q_id, rk.rank""".stripMargin,
+
+    // k-center: the greedy farthest-point chain unrolled as KCenterK
+    // chained CTEs — each round folds cover = least(cover, dist to the
+    // newest pick) and takes the rounded-cover/vec_id argmax, exactly
+    // the engine's incremental loop
+    "q255_kcenter" -> {
+      val k = operators.KMeans.KCenterK
+      val steps = (1 until k).map { r =>
+        // MATERIALIZED everywhere: picks are referenced by every later
+        // exclusion list and the final row set, and cover frames chain —
+        // inlined, the evaluation tree re-runs each prefix exponentially
+        // (the q132 single-reference rule, enforced here by
+        // materialization instead)
+        val coverSrc =
+          if (r == 1)
+            s"""c1 AS MATERIALIZED (SELECT e.vec_id, e.v, round(${sqDistSql("e.v", "p.v")}, 6) AS cover
+               |  FROM e CROSS JOIN p0 p)""".stripMargin
+          else
+            s"""c$r AS MATERIALIZED (SELECT c.vec_id, c.v,
+               |    least(c.cover, round(${sqDistSql("c.v", "pv.v")}, 6)) AS cover
+               |  FROM c${r - 1} c CROSS JOIN
+               |    (SELECT e.v FROM e JOIN p${r - 1} q ON e.vec_id = q.vec_id) pv)""".stripMargin
+        val excl = (0 until r).map(i => s"SELECT vec_id FROM p$i").mkString(" UNION ALL ")
+        s"""$coverSrc,
+           |p$r AS MATERIALIZED (SELECT vec_id, cover FROM c$r
+           |  WHERE vec_id NOT IN ($excl)
+           |    AND cover IS NOT NULL AND NOT isnan(cover)
+           |  ORDER BY cover DESC, vec_id LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val rows = (Seq(
+        "SELECT CAST(0 AS BIGINT) AS pick_round, (SELECT vec_id FROM p0) AS vec_id, CAST(NULL AS DOUBLE) AS radius") ++
+        (1 until k).map(r =>
+          s"SELECT CAST($r AS BIGINT), (SELECT vec_id FROM p$r), (SELECT cover FROM p$r)"))
+        .mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |           WHERE embedding IS NOT NULL AND len(embedding) > 0),
+         |p0 AS MATERIALIZED (SELECT vec_id, v FROM e
+         |  WHERE vec_id = (SELECT min(vec_id) FROM e)),
+         |$steps
+         |$rows
+         |ORDER BY pick_round""".stripMargin
+    },
 
     // balanced-PQ: the per-dim variance KEY is an exact integer
     // (n·Σx̂² − (Σx̂)² on the floor-pinned 1e-6 grid — raw doubles can

@@ -41,4 +41,65 @@ object HeavyHitters {
       .filter(col("cnt") * 32 > sk.n)
       .orderBy(desc("cnt"), asc("word"))
   }
+
+  /** Count-Min geometry: depth rows × width buckets plus the per-row
+    * pairwise-independent hash constants — operator-owned literals the
+    * oracle interpolates (the q31 minhash-constant rule, so the two
+    * sides can never drift). */
+  val CmsRows: Seq[(Int, Long, Long)] = Seq(
+    (0, 920526339L, 678146635L),
+    (1, 560807425L, 41187505L),
+    (2, 886955217L, 789535159L),
+    (3, 611099529L, 335801489L))
+  val CmsWidth = 1024
+
+  /** q256: Count-Min sketch point queries vs exact counts — the fourth
+    * sketch family beside HLL (distinct, q130b), Misra-Gries (heavy
+    * hitters, q109) and GK (quantiles, q140b): a depth×width counter
+    * grid where est(x) = min over rows of counter[r][h_r(x)] (Cormode &
+    * Muthukrishnan 2005). CMS is the MERGEABLE fixed-size counting
+    * backbone — 4×1024 longs however large the corpus, overestimate-
+    * only (collisions ADD), expected error ≤ n/width per row and the
+    * min over depth rows makes a large error exponentially unlikely.
+    * Reported for the exact top-20 tokens: exact count, CMS estimate,
+    * the overestimate (≥ 0 ALWAYS — the one-sided guarantee a consumer
+    * leans on) and the relative error. The exact side is the
+    * CALIBRATION pass (the q77/q84 pattern): a production consumer
+    * keeps only the 4096-cell sketch.
+    *
+    * Scale shape: the sketch pass is ONE token scan partial-aggregated
+    * to depth×width cells (map-side combine does the heavy lifting —
+    * shuffle bytes are O(4096) per partition regardless of corpus);
+    * the estimate join is 20 candidates × depth against the broadcast
+    * cell frame. All integer arithmetic mod 1e9+7 → exact everywhere. */
+  def q256CmsFreq(spark: SparkSession, dir: String): DataFrame = {
+    val P = Portable.P
+    val toks = Tables.documents(spark, dir)
+      .select(explode(Portable.tokenize(col("text"))).as("word"))
+      .withColumn("h", Portable.tokenId(col("word")))
+    def bucketOf(h: org.apache.spark.sql.Column, a: Long, b: Long) =
+      ((h * a + b) % P) % CmsWidth
+    val cells = toks.select(explode(array(CmsRows.map { case (r, a, b) =>
+        struct(lit(r.toLong).as("r"), bucketOf(col("h"), a, b).as("bkt"))
+      }: _*)).as("c"))
+      .groupBy(col("c.r").as("r"), col("c.bkt").as("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = toks.groupBy("word")
+      .agg(count(lit(1)).as("exact_count"), max("h").as("h"))
+      .orderBy(desc("exact_count"), asc("word")).limit(20)
+    val probes = top.select(col("word"), col("exact_count"),
+      explode(array(CmsRows.map { case (r, a, b) =>
+        struct(lit(r.toLong).as("r"), bucketOf(col("h"), a, b).as("bkt"))
+      }: _*)).as("c"))
+      .select(col("word"), col("exact_count"),
+        col("c.r").as("r"), col("c.bkt").as("bkt"))
+    probes.join(broadcast(cells), Seq("r", "bkt"))
+      .groupBy("word")
+      .agg(max("exact_count").as("exact_count"), min("cnt").as("cms_est"))
+      .select(col("word"), col("exact_count"), col("cms_est"),
+        (col("cms_est") - col("exact_count")).as("overestimate"),
+        round((col("cms_est") - col("exact_count")).cast("double")
+          / col("exact_count"), 6).as("rel_err"))
+      .orderBy(desc("exact_count"), asc("word"))
+  }
 }

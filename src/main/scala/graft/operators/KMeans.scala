@@ -81,6 +81,73 @@ object KMeans {
     cents
   }
 
+  /** k-center exemplar count (q255). */
+  val KCenterK = 8
+
+  /** q255: greedy k-center (farthest-point) coreset — the diversity
+    * SELECTOR the sampling family lacked: q158 samples uniformly
+    * within IVF cells (representativeness), this picks the
+    * [[KCenterK]] exemplars that MINIMIZE the maximum distance from
+    * any corpus vector to its nearest exemplar (the classic 2-approx
+    * greedy for the k-center objective — Gonzalez 1985; the coreset
+    * selector of Sener & Savarese's active learning, ICLR 2018, and
+    * the facility-location pattern behind "pick maximally diverse
+    * training exemplars"). The emitted radius sequence is the
+    * COVERAGE CURVE: radius_r = the corpus's covering radius after r
+    * exemplars, non-increasing by construction — how fast diversity
+    * saturates, the readout that sizes an exemplar budget.
+    *
+    * Scale shape: the standard incremental trick — each round scans
+    * the corpus ONCE against the single newest exemplar (broadcast
+    * 1-row) folding cover = least(cover, dist), so k exemplars cost k
+    * corpus scans with no k×corpus join; the running cover frame is
+    * localCheckpointed per round (the Lloyd lineage rule) and the
+    * per-round argmax is a TakeOrdered limit(1) — the driver only
+    * ever holds the k picked rows (bounded-by-construction collect,
+    * the IVF-cell-ids rule). Determinism: covers 6-dp-rounded before
+    * comparison, argmax ties break on vec_id asc, NaN/null covers
+    * (corrupt vectors) are filtered from candidacy — oracle-replayed
+    * by an unrolled k-step CTE chain. */
+  def q255KCenter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val seedRow = e.agg(min("vec_id").as("m")).head()
+    if (seedRow.isNullAt(0))
+      return Seq.empty[(Long, Long, Option[Double])]
+        .toDF("pick_round", "vec_id", "radius")
+    val seed = seedRow.getLong(0)
+    def centerOf(id: Long) =
+      broadcast(e.filter(col("vec_id") === id).select(col("v").as("cv")))
+    var chosen = Vector((0L, seed, Option.empty[Double]))
+    var cur = e.crossJoin(centerOf(seed))
+      .select(col("vec_id"), col("v"),
+        round(sqDist(col("v"), col("cv")), 6).as("cover"))
+      .localCheckpoint(true)
+    var r = 1L
+    var exhausted = false
+    while (r < KCenterK && !exhausted) {
+      val nxt = cur.filter(!col("vec_id").isin(chosen.map(_._2): _*))
+        .filter(col("cover").isNotNull && !isnan(col("cover")))
+        .orderBy(desc("cover"), asc("vec_id")).limit(1)
+        .select("vec_id", "cover").collect()
+      if (nxt.isEmpty) exhausted = true
+      else {
+        val id = nxt(0).getLong(0)
+        chosen = chosen :+ ((r, id, Some(nxt(0).getDouble(1))))
+        if (r < KCenterK - 1)
+          cur = cur.crossJoin(centerOf(id))
+            .select(col("vec_id"), col("v"),
+              least(col("cover"), round(sqDist(col("v"), col("cv")), 6))
+                .as("cover"))
+            .localCheckpoint(true)
+        r += 1
+      }
+    }
+    chosen.toDF("pick_round", "vec_id", "radius").orderBy("pick_round")
+  }
+
   /** Cells probed per query in q119 (of K = 16). */
   val Nprobe = 4
 

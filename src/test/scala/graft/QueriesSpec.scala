@@ -1155,7 +1155,7 @@ class QueriesSpec extends AnyFunSuite {
       "q243_budget_sample",
       // round 11 (reads documents + the clean embeddings above)
       "q246_election_regret", "q248_eval_containment",
-      "q250_winnow_fingerprint", "q253_ols_quality")
+      "q250_winnow_fingerprint", "q253_ols_quality", "q256_cms_freq")
     val failures = docQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -1285,7 +1285,7 @@ class QueriesSpec extends AnyFunSuite {
       "q242_k_sweep",
       // round 11
       "q244_ivf_adc", "q245_ivfpq_residual", "q247_residual_distortion",
-      "q249_sq8_knn", "q251_balanced_pq")
+      "q249_sq8_knn", "q251_balanced_pq", "q255_kcenter")
     val failures = vecQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -3927,6 +3927,67 @@ class QueriesSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(6)).toMap
     graft.operators.TextAnalysis.WinnowWindows.foreach { w =>
       assert(p(w.toLong) >= 1L, s"w=$w must catch the 30-word shared run")
+    }
+  }
+
+  test("q255 k-center: coverage curve contract, one exemplar per planted cluster") {
+    val got = run("q255_kcenter").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == (0L until graft.operators.KMeans.KCenterK.toLong))
+    assert(got.map(_._2).distinct.length == got.length, "exemplars are distinct")
+    assert(got.head._3.isNaN, "seed round has no radius")
+    val radii = got.tail.map(_._3)
+    radii.foreach(r => assert(r >= 0.0))
+    // the covering radius is non-increasing: each pick is the argmax of
+    // a cover that only shrinks
+    radii.sliding(2).foreach { case Array(a, b) => assert(b <= a + 1e-12) }
+    // plant: 8 tight clusters on 8 disjoint axes — greedy farthest-point
+    // must take exactly one exemplar per cluster before any second
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-kcenter").toString
+    (1 to 40).map { i =>
+      val g = (i - 1) / 5
+      (i.toLong, Seq.tabulate(64)(j =>
+        if (j == g) 100.0f + (i % 5) * 0.1f else 0.0f), 0)
+    }.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val picks = graft.operators.KMeans.q255KCenter(spark, dir).collect()
+      .map(_.getLong(1))
+    assert(picks.map(id => (id - 1) / 5).distinct.length == 8,
+      s"one exemplar per planted cluster, got ${picks.mkString(",")}")
+  }
+
+  test("q256 CMS estimates replay bit-exact from a plain-Scala sketch; one-sided error") {
+    val P = 1000000007L
+    val toks = Tables.documents(spark, sf0001)
+      .select(explode(graft.functions.Portable.tokenize(col("text"))).as("w"))
+      .collect().map(_.getString(0))
+    def tid(w: String) = w.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P)
+    val width = graft.operators.HeavyHitters.CmsWidth
+    val cells = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    toks.foreach { w =>
+      val h = tid(w)
+      graft.operators.HeavyHitters.CmsRows.foreach { case (r, a, b) =>
+        val k = (r, ((h * a + b) % P) % width)
+        cells(k) = cells.getOrElse(k, 0L) + 1
+      }
+    }
+    val exact = toks.groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    def est(w: String) = {
+      val h = tid(w)
+      graft.operators.HeavyHitters.CmsRows.map { case (r, a, b) =>
+        cells.getOrElse((r, ((h * a + b) % P) % width), 0L)
+      }.min
+    }
+    val got = run("q256_cms_freq").collect()
+    assert(got.length <= 20 && got.nonEmpty)
+    got.foreach { r =>
+      val (w, ex, ce, ov) = (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(exact(w) == ex, s"$w exact")
+      assert(est(w) == ce, s"$w estimate must replay the Scala sketch")
+      assert(ce >= ex && ov == ce - ex && ov >= 0, s"$w one-sided error")
     }
   }
 
