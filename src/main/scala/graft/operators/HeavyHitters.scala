@@ -72,28 +72,36 @@ object HeavyHitters {
     * shuffle bytes are O(4096) per partition regardless of corpus);
     * the estimate join is 20 candidates × depth against the broadcast
     * cell frame. All integer arithmetic mod 1e9+7 → exact everywhere. */
-  def q256CmsFreq(spark: SparkSession, dir: String): DataFrame = {
+  /** The depth (r, bkt) probe rows for a token-hash column — the one
+    * definition of the hash grid, shared by cells, probes, batch and
+    * the streaming twin. */
+  private def cmsProbes(h: org.apache.spark.sql.Column) = {
     val P = Portable.P
-    val toks = Tables.documents(spark, dir)
-      .select(explode(Portable.tokenize(col("text"))).as("word"))
-      .withColumn("h", Portable.tokenId(col("word")))
-    def bucketOf(h: org.apache.spark.sql.Column, a: Long, b: Long) =
-      ((h * a + b) % P) % CmsWidth
-    val cells = toks.select(explode(array(CmsRows.map { case (r, a, b) =>
-        struct(lit(r.toLong).as("r"), bucketOf(col("h"), a, b).as("bkt"))
-      }: _*)).as("c"))
+    explode(array(CmsRows.map { case (r, a, b) =>
+      struct(lit(r.toLong).as("r"), (((h * a + b) % P) % CmsWidth).as("bkt"))
+    }: _*))
+  }
+
+  /** The CMS cell frame over a one-column (word) frame — shared by
+    * batch q256 and [[graft.streaming.DocStream.cmsCells]]: ONE
+    * partial-aggregated pass to depth×width counters (the mergeable
+    * fixed-size state CMS exists for). */
+  def cmsCells(words: DataFrame): DataFrame =
+    words.withColumn("h", Portable.tokenId(col("word")))
+      .select(cmsProbes(col("h")).as("c"))
       .groupBy(col("c.r").as("r"), col("c.bkt").as("bkt"))
       .agg(count(lit(1)).as("cnt"))
-    val top = toks.groupBy("word")
-      .agg(count(lit(1)).as("exact_count"), max("h").as("h"))
-      .orderBy(desc("exact_count"), asc("word")).limit(20)
-    val probes = top.select(col("word"), col("exact_count"),
-      explode(array(CmsRows.map { case (r, a, b) =>
-        struct(lit(r.toLong).as("r"), bucketOf(col("h"), a, b).as("bkt"))
-      }: _*)).as("c"))
+
+  /** Point-query fold over a prepared cell frame: for each candidate
+    * (word, exact_count), est = min over depth rows, plus the
+    * one-sided error columns. Shared by batch q256 and the streaming
+    * twin's readout (parity by construction). */
+  def cmsEstimates(cells: DataFrame, top: DataFrame): DataFrame =
+    top.withColumn("h", Portable.tokenId(col("word")))
+      .select(col("word"), col("exact_count"), cmsProbes(col("h")).as("c"))
       .select(col("word"), col("exact_count"),
         col("c.r").as("r"), col("c.bkt").as("bkt"))
-    probes.join(broadcast(cells), Seq("r", "bkt"))
+      .join(broadcast(cells), Seq("r", "bkt"))
       .groupBy("word")
       .agg(max("exact_count").as("exact_count"), min("cnt").as("cms_est"))
       .select(col("word"), col("exact_count"), col("cms_est"),
@@ -101,5 +109,13 @@ object HeavyHitters {
         round((col("cms_est") - col("exact_count")).cast("double")
           / col("exact_count"), 6).as("rel_err"))
       .orderBy(desc("exact_count"), asc("word"))
+
+  def q256CmsFreq(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(Portable.tokenize(col("text"))).as("word"))
+    val top = toks.groupBy("word")
+      .agg(count(lit(1)).as("exact_count"))
+      .orderBy(desc("exact_count"), asc("word")).limit(20)
+    cmsEstimates(cmsCells(toks), top)
   }
 }

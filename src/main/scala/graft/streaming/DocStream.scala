@@ -119,6 +119,24 @@ object DocStream {
       .toDF("source", "sk")
   }
 
+  /** Streaming twin of q256's sketch pass: the SAME Count-Min cell
+    * frame ([[graft.operators.HeavyHitters.cmsCells]] — one definition
+    * of the hash grid serves both engines) maintained over the
+    * arriving token stream in complete mode. This is what CMS exists
+    * for at ingest: state is the FIXED depth×width counter grid —
+    * O(4096) forever, whatever the corpus — and counts are Spark's own
+    * mergeable aggregate, so the stream snapshot equals the batch
+    * cells EXACTLY under any delivery order (StreamingSpec pins
+    * cell-for-cell equality under seeded-shuffle delivery, then folds
+    * the shared [[graft.operators.HeavyHitters.cmsEstimates]] to the
+    * batch q256 rows verbatim). */
+  def cmsCells(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode}
+    graft.operators.HeavyHitters.cmsCells(
+      droppingNullDocKeys(docs)
+        .select(explode(graft.functions.Portable.tokenize(col("text"))).as("word")))
+  }
+
   /** Streaming twin of the batch q59 line dedup: segment every arriving
     * document into 10-word pseudo-sentences (the SAME segmentation, via
     * [[TextAnalysis.segments]]) and keep each segment text only the

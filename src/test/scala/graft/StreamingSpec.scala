@@ -2248,6 +2248,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CMS cells equal batch cell-for-cell under shuffled delivery; estimates fold to q256") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val shuffled = new scala.util.Random(43).shuffle(docs)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStream.cmsCells(
+        ms.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_cells_stream")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-cms-ckpt").toString)
+      .start()
+    try {
+      shuffled.grouped(9).foreach { chunk =>
+        ms.addData(chunk: _*); q.processAllAvailable()
+      }
+      val toks = Tables.documents(spark, sf0001)
+        .select(explode(graft.functions.Portable.tokenize(col("text"))).as("word"))
+      val want = graft.operators.HeavyHitters.cmsCells(toks)
+      val got = spark.table("cms_cells_stream")
+      // cell-for-cell: counts are mergeable, so delivery order is moot
+      assert(got.count() == want.count())
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+      // the shared point-query fold over the STREAM cells reproduces
+      // the batch q256 report verbatim
+      val top = toks.groupBy("word")
+        .agg(count(lit(1)).as("exact_count"))
+        .orderBy(desc("exact_count"), asc("word")).limit(20)
+      val streamEst = graft.operators.HeavyHitters
+        .cmsEstimates(got, top).collect().map(_.toSeq)
+      val batchEst = SparkEntry.queries("q256_cms_freq")(spark, sf0001)
+        .collect().map(_.toSeq)
+      assert(streamEst.toSeq == batchEst.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming EWMA monitor equals batch q113 on every closed day") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ewma-stream")
