@@ -78,6 +78,7 @@ object SparkEntry {
     "q250_winnow_fingerprint" -> (TextAnalysis.q250WinnowFingerprint _),
     "q253_ols_quality"   -> (Stats.q253OlsQuality _),
     "q254_diff_in_diff"  -> (Stats.q254DiffInDiff _),
+    "q258_holt_backtest" -> (Temporal.q258HoltBacktest _),
     "q47_edit_distance"  -> (TextAnalysis.q47EditDistance _),
     "q59_line_dedup"     -> (TextAnalysis.q59LineDedup _),
     "q62_corpus_split"   -> (TextAnalysis.q62CorpusSplit _),
@@ -239,6 +240,7 @@ object SparkEntry {
     "q249_sq8_knn"        -> (Quantize.q249Sq8Knn _),
     "q251_balanced_pq"    -> (Quantize.q251BalancedPq _),
     "q255_kcenter"        -> (KMeans.q255KCenter _),
+    "q257_cell_refined_blocking" -> (Dedup.q257CellRefinedBlocking _),
     "q225_pq_distortion"  -> (Quantize.q225PqDistortion _),
     "q226_encoder_consistency" -> (Dedup.q226EncoderConsistency _),
     "q227_signal_agreement" -> (Dedup.q227SignalAgreement _),
@@ -4976,7 +4978,55 @@ object SparkEntry {
         |  CASE WHEN se2 > 0 THEN round(se2 * se2 /
         |    (vt * vt / (nt * nt * (nt - 1)) + vc * vc / (nc * nc * (nc - 1))), 4)
         |    + 0.0 END AS welch_df
-        |FROM h""".stripMargin,
+        |FROM h ORDER BY n_treat""".stripMargin,
+
+    // Holt backtest: the same level/trend recurrence as the Spark fold,
+    // replayed as a LINEAR recursive CTE keyed (event_type, rn) — one
+    // reference to rec per step, aggregation-free recursive term; alpha/
+    // beta and their complements interpolated from Temporal so the two
+    // expression trees are literal-identical
+    "q258_holt_backtest" -> {
+      val a = Temporal.HoltAlpha
+      val bta = Temporal.HoltBeta
+      s"""WITH RECURSIVE daily AS (SELECT event_type,
+         |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+         |      AS day,
+         |    CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS DOUBLE) AS y
+         |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+         |  GROUP BY 1, 2),
+         |mid AS (SELECT CAST(floor((min(day) + max(day)) / 2) AS BIGINT) AS mid
+         |        FROM daily),
+         |rows0 AS (SELECT event_type, day, y,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+         |  FROM daily),
+         |rec AS (
+         |  SELECT event_type, rn, day, y AS prev, y AS l,
+         |         CAST(0 AS DOUBLE) AS b, CAST(0 AS DOUBLE) AS aeh,
+         |         CAST(0 AS DOUBLE) AS aen, CAST(0 AS BIGINT) AS ne
+         |  FROM rows0 WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.event_type, x.rn, x.day, x.y,
+         |    $a * x.y + ${1 - a} * (r.l + r.b),
+         |    $bta * (($a * x.y + ${1 - a} * (r.l + r.b)) - r.l) + ${1 - bta} * r.b,
+         |    r.aeh + CASE WHEN x.day > m.mid
+         |      THEN abs(x.y - (r.l + r.b)) ELSE 0 END,
+         |    r.aen + CASE WHEN x.day > m.mid
+         |      THEN abs(x.y - r.prev) ELSE 0 END,
+         |    r.ne + CASE WHEN x.day > m.mid THEN 1 ELSE 0 END
+         |  FROM rec r JOIN rows0 x
+         |    ON x.event_type = r.event_type AND x.rn = r.rn + 1
+         |  CROSS JOIN mid m),
+         |fin AS (SELECT r.* FROM rec r
+         |  JOIN (SELECT event_type, max(rn) AS mr FROM rec GROUP BY 1) q
+         |    ON q.event_type = r.event_type AND q.mr = r.rn)
+         |SELECT event_type, CAST(ne AS BIGINT) AS n_eval,
+         |  CASE WHEN ne > 0 THEN round(aeh / ne / 1000.0, 4) + 0.0 END AS mae_holt,
+         |  CASE WHEN ne > 0 THEN round(aen / ne / 1000.0, 4) + 0.0 END AS mae_naive,
+         |  CASE WHEN aen > 0 THEN round(1.0 - aeh / aen, 6) + 0.0 END AS improvement,
+         |  CASE WHEN ne = 0 THEN 'no_eval' WHEN aeh < aen THEN 'holt'
+         |       WHEN aen < aeh THEN 'naive' ELSE 'tie' END AS best
+         |FROM fin ORDER BY event_type""".stripMargin
+    },
 
     "q216_cuped" ->
       """WITH ev AS (SELECT user_id,
@@ -5590,6 +5640,32 @@ object SparkEntry {
          |       CAST(CASE WHEN t.n_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_exact_topk
          |FROM rk LEFT JOIN truth t ON rk.q_id = t.q_id AND rk.n_id = t.n_id
          |WHERE rk.rank <= 10 ORDER BY rk.q_id, rk.rank""".stripMargin,
+
+    // cell-refined blocking audit: the shared simhash-candidate chain
+    // (e, sig, ub, sized, cand) + the shared seeded-Lloyd chain (c0..af
+    // — reuses the SAME e) -> one verdict frame -> one fold
+    "q257_cell_refined_blocking" ->
+      s"""WITH $simhashCandCte,
+         |${kmeansChain(operators.KMeans.K, "")},
+         |cc AS (SELECT
+         |    CASE WHEN fa.cluster = fb.cluster THEN 1 ELSE 0 END AS same_cell,
+         |    CASE WHEN round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.45
+         |      THEN 1 ELSE 0 END AS is_dup
+         |  FROM cand ca
+         |  JOIN af fa ON fa.vec_id = ca.id_a
+         |  JOIN af fb ON fb.vec_id = ca.id_b
+         |  JOIN e ea ON ea.vec_id = ca.id_a
+         |  JOIN e eb ON eb.vec_id = ca.id_b)
+         |SELECT CAST(count(*) AS BIGINT) AS n_cand_band,
+         |  CAST(sum(same_cell) AS BIGINT) AS n_cand_refined,
+         |  round(CAST(sum(same_cell) AS DOUBLE) / count(*), 6) AS cand_kept_ratio,
+         |  CAST(sum(is_dup) AS BIGINT) AS n_dups_band,
+         |  CAST(sum(same_cell * is_dup) AS BIGINT) AS n_dups_refined,
+         |  CAST(sum(is_dup) - sum(same_cell * is_dup) AS BIGINT) AS n_dups_lost,
+         |  CASE WHEN sum(is_dup) > 0
+         |    THEN round(CAST(sum(same_cell * is_dup) AS DOUBLE) / sum(is_dup), 6)
+         |  END AS dup_kept_ratio
+         |FROM cc ORDER BY n_cand_band""".stripMargin,
 
     // k-center: the greedy farthest-point chain unrolled as KCenterK
     // chained CTEs — each round folds cover = least(cover, dist to the

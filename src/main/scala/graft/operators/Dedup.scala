@@ -294,6 +294,54 @@ object Dedup {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
       minCosine = 0.45)
 
+  /** q257: coarse-quantizer refinement audit for the banded blocker —
+    * the composition question a 100 TB dedup owner actually asks: if
+    * the q49 candidate join ANDed a cheap IVF-cell agreement onto the
+    * simhash-band match (candidates must share a band value AND the
+    * seeded Lloyd cell), how much of the exact-rescore bill disappears,
+    * and how many found duplicates walk out with it? Refined candidates
+    * are a strict SUBSET of the banded set (the filter applies on top
+    * of the SAME capped generator), so both deltas are plain count
+    * arithmetic on one verdict frame: cand_kept_ratio prices the
+    * cosine-kernel bill cut, dup_kept_ratio prices the recall — dups
+    * lost are exactly the high-cosine pairs straddling a Voronoi
+    * boundary, the classic blocking tension quantified. One row out.
+    *
+    * Scale shape: the q49 generator + ONE seeded fit/assignment (both
+    * already-audited plans), one |candidates|-row verdict projection,
+    * one global fold — nothing new shuffles. Deterministic end to end
+    * (seeded fit, capped buckets, 6-dp cosines) → oracle-replayed by
+    * the shared simhash-candidate + kmeans CTE chains. */
+  def q257CellRefinedBlocking(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.CosineSim
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cells = KMeans.assign(e, KMeans.fit(e))
+      .select(col("vec_id"), col("cluster"))
+    val verdicts = candidatePairs(simhashBandTable(e))
+      .join(cells.select(col("vec_id").as("id_a"), col("cluster").as("ca")), "id_a")
+      .join(cells.select(col("vec_id").as("id_b"), col("cluster").as("cb")), "id_b")
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(
+        (col("ca") === col("cb")).cast("long").as("same_cell"),
+        (round(CosineSim.cosine(col("va"), col("vb")), 6) >= 0.45)
+          .cast("long").as("is_dup"))
+    verdicts.agg(
+        count(lit(1)).as("n_cand_band"),
+        sum("same_cell").as("n_cand_refined"),
+        sum("is_dup").as("n_dups_band"),
+        sum(col("same_cell") * col("is_dup")).as("n_dups_refined"))
+      .select(col("n_cand_band"), col("n_cand_refined"),
+        round(col("n_cand_refined").cast("double") / col("n_cand_band"), 6)
+          .as("cand_kept_ratio"),
+        col("n_dups_band"), col("n_dups_refined"),
+        (col("n_dups_band") - col("n_dups_refined")).as("n_dups_lost"),
+        when(col("n_dups_band") > 0,
+          round(col("n_dups_refined").cast("double") / col("n_dups_band"), 6))
+          .as("dup_kept_ratio"))
+  }
+
   /** q68: dedup CLUSTER resolution — the step after pair generation
     * that an actual dedup pipeline needs: near-dup pairs (the q49 edge
     * list) resolved into groups via [[Graph.connectedComponents]], with

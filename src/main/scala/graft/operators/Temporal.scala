@@ -913,6 +913,81 @@ object Temporal {
       .orderBy("event_type")
   }
 
+  /** Holt smoothing constants (q258) — interpolated into the oracle. */
+  val HoltAlpha = 0.3
+  val HoltBeta = 0.1
+
+  /** q258: Holt double-exponential (trend-aware) forecast backtest —
+    * the rung ABOVE q190's naive/seasonal-naive baselines: per event
+    * type, fold Holt's level+trend recurrences (l′ = α·y + (1−α)(l+b),
+    * b′ = β(l′−l) + (1−β)b; Holt 1957) over the day-ordered daily
+    * series and score one-step-ahead forecasts on the post-mid
+    * evaluation half against the lag-1 naive in the SAME fold. A type
+    * whose daily volume trends (growing users, decaying feature) beats
+    * naive exactly where q190 shows seasonal-naive losing; a type
+    * where Holt LOSES to naive is noise-dominated — don't fit trends
+    * to it. This is the model-selection readout a forecasting consumer
+    * wants next after q190's baseline table.
+    *
+    * Scale shape: the corpus collapses to the O(types × days) daily
+    * frame first (one partial-agged scan — events amplify by user, the
+    * day range is fixed), then the recurrence folds per type over a
+    * sorted bounded array — sequential BY DESIGN (the recurrence is
+    * inherently ordered), exactly the q233 bounded-fold convention.
+    * Determinism: y values are exact 1e-3 grid ints in doubles, the
+    * fold is the same IEEE expression tree in both engines (the oracle
+    * replays it as a linear recursive CTE keyed (type, rn)), maes
+    * round at output only. */
+  def q258HoltBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val a = HoltAlpha
+    val bta = HoltBeta
+    val daily = Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        round(col("value") * 1000, 0).cast("long").as("v3"),
+        datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+          .cast("long").as("day"))
+      .groupBy("event_type", "day")
+      .agg(sum("v3").cast("double").as("y"))
+      .localCheckpoint() // O(types × days); mid + series both read it
+    val mid = daily.agg(floor((min("day") + max("day")) / 2)
+      .cast("long").as("mid"))
+    val folded = daily.crossJoin(broadcast(mid))
+      .groupBy("event_type", "mid")
+      .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("s"))
+      .withColumn("st", expr(
+        s"""aggregate(s,
+           |  named_struct('l', 0D, 'b', 0D, 'n', 0L, 'prev', 0D,
+           |               'aeh', 0D, 'aen', 0D, 'ne', 0L),
+           |  (acc, x) -> named_struct(
+           |    'l', CASE WHEN acc.n = 0 THEN x.y
+           |              ELSE $a * x.y + ${1 - a} * (acc.l + acc.b) END,
+           |    'b', CASE WHEN acc.n = 0 THEN 0D
+           |              ELSE $bta * (($a * x.y + ${1 - a} * (acc.l + acc.b)) - acc.l)
+           |                   + ${1 - bta} * acc.b END,
+           |    'n', acc.n + 1L,
+           |    'prev', x.y,
+           |    'aeh', acc.aeh + CASE WHEN acc.n > 0 AND x.day > mid
+           |      THEN abs(x.y - (acc.l + acc.b)) ELSE 0D END,
+           |    'aen', acc.aen + CASE WHEN acc.n > 0 AND x.day > mid
+           |      THEN abs(x.y - acc.prev) ELSE 0D END,
+           |    'ne', acc.ne + CASE WHEN acc.n > 0 AND x.day > mid
+           |      THEN 1L ELSE 0L END))""".stripMargin))
+    folded.select(col("event_type"),
+        col("st.ne").as("n_eval"),
+        when(col("st.ne") > 0,
+          round(col("st.aeh") / col("st.ne") / 1000.0, 4)).as("mae_holt"),
+        when(col("st.ne") > 0,
+          round(col("st.aen") / col("st.ne") / 1000.0, 4)).as("mae_naive"),
+        when(col("st.aen") > 0,
+          round(lit(1.0) - col("st.aeh") / col("st.aen"), 6)).as("improvement"),
+        when(col("st.ne") === 0, "no_eval")
+          .when(col("st.aeh") < col("st.aen"), "holt")
+          .when(col("st.aen") < col("st.aeh"), "naive")
+          .otherwise("tie").as("best"))
+      .orderBy("event_type")
+  }
+
   /** q200: journey predictability — conditional next-event entropy
     * H(next | prev) per source state, from the q112 transition counts:
     * the UNCERTAINTY companion to q185's argmax accuracy (accuracy

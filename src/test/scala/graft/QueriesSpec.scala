@@ -1225,7 +1225,7 @@ class QueriesSpec extends AnyFunSuite {
       "q233_stationary_dist", "q235_burstiness", "q236_type_cooccurrence",
       "q239_deseasonalized_anomaly", "q240_daily_latency",
       // round 11
-      "q254_diff_in_diff")
+      "q254_diff_in_diff", "q258_holt_backtest")
     val failures = eventQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -1285,7 +1285,8 @@ class QueriesSpec extends AnyFunSuite {
       "q242_k_sweep",
       // round 11
       "q244_ivf_adc", "q245_ivfpq_residual", "q247_residual_distortion",
-      "q249_sq8_knn", "q251_balanced_pq", "q255_kcenter")
+      "q249_sq8_knn", "q251_balanced_pq", "q255_kcenter",
+      "q257_cell_refined_blocking")
     val failures = vecQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -3928,6 +3929,63 @@ class QueriesSpec extends AnyFunSuite {
     graft.operators.TextAnalysis.WinnowWindows.foreach { w =>
       assert(p(w.toLong) >= 1L, s"w=$w must catch the 30-word shared run")
     }
+  }
+
+  test("q258 Holt backtest replays from a plain-Scala recurrence") {
+    val a = graft.operators.Temporal.HoltAlpha
+    val bt = graft.operators.Temporal.HoltBeta
+    val daily = Tables.events(spark, sf0001)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        round(col("value") * 1000, 0).cast("long").as("v3"),
+        datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+          .cast("long").as("day"))
+      .groupBy("event_type", "day").agg(sum("v3").cast("double").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val mid = math.floor((daily.map(_._2).min + daily.map(_._2).max) / 2.0).toLong
+    val got = run("q258_holt_backtest").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val byType = daily.groupBy(_._1)
+    assert(got.keySet == byType.keySet)
+    byType.foreach { case (t, xs) =>
+      val s = xs.sortBy(_._2)
+      var (l, b, prev) = (s.head._3, 0.0, s.head._3)
+      var (aeh, aen, ne) = (0.0, 0.0, 0L)
+      s.tail.foreach { case (_, d, y) =>
+        if (d > mid) {
+          aeh += math.abs(y - (l + b)); aen += math.abs(y - prev); ne += 1
+        }
+        val l2 = a * y + (1 - a) * (l + b)
+        b = bt * (l2 - l) + (1 - bt) * b
+        l = l2; prev = y
+      }
+      val r = got(t)
+      assert(r.getLong(1) == ne, s"$t n_eval")
+      if (ne > 0) {
+        assert(math.abs(r.getDouble(2) - aeh / ne / 1000.0) < 1e-4, s"$t mae_holt")
+        assert(math.abs(r.getDouble(3) - aen / ne / 1000.0) < 1e-4, s"$t mae_naive")
+        val best = if (aeh < aen) "holt" else if (aen < aeh) "naive" else "tie"
+        assert(r.getString(5) == best, s"$t best")
+      }
+    }
+  }
+
+  test("q257 cell-refined blocking: subset arithmetic, dup count folds q49's row count") {
+    // sf0.01: the smallest corpus where the banded candidate set is
+    // non-trivial (the q246 convention)
+    val corpus = "/root/testdata/sf0.01"
+    val r = SparkEntry.queries("q257_cell_refined_blocking")(spark, corpus)
+      .collect().head
+    val (cb, cr, db, dr, dl) =
+      (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(cb > 0 && cr <= cb, "refined candidates are a subset")
+    assert(dr <= db && dl == db - dr, "dup arithmetic")
+    assert(math.abs(r.getDouble(2) - cr.toDouble / cb) < 5.1e-7)
+    if (db > 0) assert(math.abs(r.getDouble(6) - dr.toDouble / db) < 5.1e-7)
+    // the banded dup count IS q49's output row count (same generator,
+    // same threshold) — pins the composition to the verified rung
+    val q49n = SparkEntry.queries("q49_embedding_neardup")(spark, corpus).count()
+    assert(db == q49n, s"banded dups $db must equal q49's $q49n rows")
   }
 
   test("q255 k-center: coverage curve contract, one exemplar per planted cluster") {
