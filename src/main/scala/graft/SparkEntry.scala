@@ -241,6 +241,7 @@ object SparkEntry {
     "q251_balanced_pq"    -> (Quantize.q251BalancedPq _),
     "q255_kcenter"        -> (KMeans.q255KCenter _),
     "q257_cell_refined_blocking" -> (Dedup.q257CellRefinedBlocking _),
+    "q259_group_kfold"    -> (Dedup.q259GroupKfold _),
     "q225_pq_distortion"  -> (Quantize.q225PqDistortion _),
     "q226_encoder_consistency" -> (Dedup.q226EncoderConsistency _),
     "q227_signal_agreement" -> (Dedup.q227SignalAgreement _),
@@ -5640,6 +5641,54 @@ object SparkEntry {
          |       CAST(CASE WHEN t.n_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_exact_topk
          |FROM rk LEFT JOIN truth t ON rk.q_id = t.q_id AND rk.n_id = t.n_id
          |WHERE rk.rank <= 10 ORDER BY rk.q_id, rk.rank""".stripMargin,
+
+    // cluster-aware k-fold: the q68 closure chain -> group fold = the
+    // q216 arm hash on the cluster canonical, mod KFoldK; singletons
+    // key on their own doc_id; audit over the O(clusters) multi frame
+    "q259_group_kfold" -> {
+      val k = operators.Dedup.KFoldK
+      s"""WITH RECURSIVE $simhashCandCte,
+         |pairs AS (SELECT id_a, id_b
+         |          FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+         |                    JOIN e eb ON eb.vec_id = cand.id_b
+         |          WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.45),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (SELECT DISTINCT a, a FROM edges
+         |                 UNION
+         |                 SELECT ed.a, reach.r FROM edges ed JOIN reach ON reach.id = ed.b),
+         |comp AS (SELECT id, min(r) AS grp0 FROM reach GROUP BY id),
+         |docs AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents WHERE text IS NOT NULL),
+         |f AS (SELECT d.doc_id, d.n_tokens,
+         |    coalesce(c.grp0, d.doc_id) AS grp,
+         |    CASE WHEN c.grp0 IS NOT NULL THEN 1 ELSE 0 END AS clustered,
+         |    ((coalesce(c.grp0, d.doc_id) % 1000000007) * 1000003)
+         |      % 1000000007 % $k AS fold,
+         |    ((d.doc_id % 1000000007) * 1000003) % 1000000007 % $k AS nfold
+         |  FROM docs d LEFT JOIN comp c ON c.id = d.doc_id),
+         |multi AS (SELECT grp, count(*) AS sz,
+         |    count(DISTINCT fold) AS gdf, count(DISTINCT nfold) AS ndf
+         |  FROM f GROUP BY grp HAVING count(*) >= 2),
+         |aud AS (SELECT CAST(count(*) AS BIGINT) AS n_clusters_multi,
+         |    CAST(coalesce(sum(CASE WHEN ndf > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |      AS n_split_naive,
+         |    CAST(coalesce(sum(CASE WHEN gdf > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |      AS n_split_group,
+         |    CAST(coalesce(sum(CASE WHEN ndf > 1 THEN sz ELSE 0 END), 0) AS BIGINT)
+         |      AS n_docs_in_split_naive
+         |  FROM multi)
+         |SELECT f.fold, count(*) AS n_docs,
+         |  CAST(sum(f.n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(f.clustered) AS BIGINT) AS n_clustered_docs,
+         |  a.n_clusters_multi, a.n_split_naive, a.n_split_group,
+         |  a.n_docs_in_split_naive
+         |FROM f CROSS JOIN aud a
+         |GROUP BY f.fold, a.n_clusters_multi, a.n_split_naive,
+         |         a.n_split_group, a.n_docs_in_split_naive
+         |ORDER BY f.fold""".stripMargin
+    },
 
     // cell-refined blocking audit: the shared simhash-candidate chain
     // (e, sig, ub, sized, cand) + the shared seeded-Lloyd chain (c0..af

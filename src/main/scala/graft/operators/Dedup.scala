@@ -342,6 +342,65 @@ object Dedup {
           .as("dup_kept_ratio"))
   }
 
+  /** Fold count for the q259 cluster-aware split. */
+  val KFoldK = 5
+
+  /** q259: cluster-aware (group) k-fold assignment — sklearn's
+    * GroupKFold applied to the dedup graph, the train/eval hygiene
+    * step the split family was missing: q62 buckets docs by CONTENT
+    * hash, but two near-duplicates have different content hashes and
+    * can land in different folds, leaking one fold's answers into
+    * another's training half. Here the fold key is the q68 CLUSTER
+    * canonical (connected near-dup groups travel as one unit; every
+    * unpaired doc is its own singleton group), so cross-fold leakage
+    * through the near-dup graph is ZERO BY CONSTRUCTION — and the
+    * report prices what the naive per-doc split would have leaked
+    * beside it (clusters straddling naive folds and the docs in them).
+    * Per fold: docs, tokens, clustered docs; the audit constants ride
+    * every row.
+    *
+    * Scale shape: the q49/q68 machinery (already audited), one hash
+    * projection per doc, an O(clusters) audit fold and an O(k) output
+    * group — nothing new shuffles beyond the cluster join. Hash =
+    * the q216 arm chain on the group id, mod [[KFoldK]] — exact
+    * integer arithmetic both engines replay. */
+  def q259GroupKfold(spark: SparkSession, dir: String): DataFrame = {
+    val P = 1000000007L
+    val docs = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val mem = Graph.connectedComponents(
+        q49EmbeddingNearDup(spark, dir).select("id_a", "id_b"))
+      .select(col("id").as("doc_id"), col("label").as("grp0"))
+    val f = docs.join(mem, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("grp0"), col("doc_id")).as("grp"),
+        col("grp0").isNotNull.cast("long").as("clustered"))
+      .withColumn("fold",
+        pmod(pmod(col("grp"), lit(P)) * lit(1000003L), lit(P)) % KFoldK)
+      .withColumn("nfold",
+        pmod(pmod(col("doc_id"), lit(P)) * lit(1000003L), lit(P)) % KFoldK)
+      .localCheckpoint(true) // the closure feeds folds + the audit
+    val multi = f.groupBy("grp")
+      .agg(count(lit(1)).as("sz"),
+        countDistinct("fold").as("gdf"),
+        countDistinct("nfold").as("ndf"))
+      .filter(col("sz") >= 2)
+    val aud = multi.agg(
+      count(lit(1)).as("n_clusters_multi"),
+      coalesce(sum((col("ndf") > 1).cast("long")), lit(0L)).as("n_split_naive"),
+      coalesce(sum((col("gdf") > 1).cast("long")), lit(0L)).as("n_split_group"),
+      coalesce(sum(when(col("ndf") > 1, col("sz")).otherwise(0L)), lit(0L))
+        .as("n_docs_in_split_naive"))
+    f.groupBy("fold")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum("clustered").as("n_clustered_docs"))
+      .crossJoin(broadcast(aud))
+      .orderBy("fold")
+  }
+
   /** q68: dedup CLUSTER resolution — the step after pair generation
     * that an actual dedup pipeline needs: near-dup pairs (the q49 edge
     * list) resolved into groups via [[Graph.connectedComponents]], with

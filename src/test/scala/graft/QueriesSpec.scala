@@ -1286,7 +1286,7 @@ class QueriesSpec extends AnyFunSuite {
       // round 11
       "q244_ivf_adc", "q245_ivfpq_residual", "q247_residual_distortion",
       "q249_sq8_knn", "q251_balanced_pq", "q255_kcenter",
-      "q257_cell_refined_blocking")
+      "q257_cell_refined_blocking", "q259_group_kfold")
     val failures = vecQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -3929,6 +3929,40 @@ class QueriesSpec extends AnyFunSuite {
     graft.operators.TextAnalysis.WinnowWindows.foreach { w =>
       assert(p(w.toLong) >= 1L, s"w=$w must catch the 30-word shared run")
     }
+  }
+
+  test("q259 group k-fold: zero group leakage, naive leakage priced, planted pair travels together") {
+    // corpus checks at sf0.01 (smallest corpus with non-empty q68 clusters)
+    val corpus = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q259_group_kfold")(spark, corpus).collect()
+    assert(rows.nonEmpty && rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 5))
+    // group splits are impossible by construction
+    rows.foreach(r => assert(r.getLong(6) == 0L, "group split must be zero"))
+    // audit constants agree with q68's cluster set
+    val q68rows = SparkEntry.queries("q68_dedup_clusters")(spark, corpus).collect()
+    val nClusters = q68rows.map(_.getLong(1)).distinct.length.toLong
+    val nClustered = q68rows.length.toLong
+    assert(rows.head.getLong(4) == nClusters, "n_clusters_multi folds q68")
+    assert(rows.map(_.getLong(3)).sum == nClustered, "clustered docs fold q68")
+    // planted: two identical vectors (ids 1, 2 — different naive folds)
+    // must travel in ONE fold; the naive split would separate them
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-kfold").toString
+    val vecs = (1 to 22).map { i =>
+      val v = if (i <= 2) Seq.tabulate(64)(j => if (j == 0) 1.0f else 0.0f)
+      else Seq.tabulate(64)(j => if (j == i % 60 + 3) 1.0f + i * 0.01f else 0.0f)
+      (i.toLong, v, 0)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    (1 to 22).map(i => (i.toLong, s"doc number $i words", "s1", "en", 10L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val p = graft.operators.Dedup.q259GroupKfold(spark, dir).collect()
+    assert(p.map(_.getLong(1)).sum == 22L, "doc conservation")
+    assert(p.head.getLong(4) == 1L && p.head.getLong(5) == 1L,
+      "the planted pair is one multi cluster the naive split separates")
+    assert(p.head.getLong(6) == 0L && p.head.getLong(7) == 2L)
   }
 
   test("q258 Holt backtest replays from a plain-Scala recurrence") {
