@@ -79,6 +79,7 @@ object SparkEntry {
     "q253_ols_quality"   -> (Stats.q253OlsQuality _),
     "q254_diff_in_diff"  -> (Stats.q254DiffInDiff _),
     "q258_holt_backtest" -> (Temporal.q258HoltBacktest _),
+    "q260_dispersion"    -> (Stats.q260DispersionIndex _),
     "q47_edit_distance"  -> (TextAnalysis.q47EditDistance _),
     "q59_line_dedup"     -> (TextAnalysis.q59LineDedup _),
     "q62_corpus_split"   -> (TextAnalysis.q62CorpusSplit _),
@@ -4980,6 +4981,39 @@ object SparkEntry {
         |    (vt * vt / (nt * nt * (nt - 1)) + vc * vc / (nc * nc * (nc - 1))), 4)
         |    + 0.0 END AS welch_df
         |FROM h ORDER BY n_treat""".stripMargin,
+
+    // dispersion index: zero days add nothing to the exact count
+    // moments, only to the global span N — identical double trees
+    // after the HUGEINT sums
+    "q260_dispersion" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+        |      AS day
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |span AS (SELECT max(day) - min(day) + 1 AS n_days FROM ev),
+        |daily AS (SELECT event_type, day, count(*) AS c FROM ev GROUP BY 1, 2),
+        |m AS (SELECT event_type, count(*) AS n_obs_days, sum(c) AS s1,
+        |        sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS s2
+        |      FROM daily GROUP BY 1),
+        |j AS (SELECT m.*, CAST(s.n_days AS BIGINT) AS n_days,
+        |        CAST(s.n_days AS DOUBLE) AS nd
+        |      FROM m CROSS JOIN span s),
+        |k AS (SELECT *, CAST(s1 AS DOUBLE) / nd AS mean,
+        |        CASE WHEN n_days > 1
+        |          THEN (CAST(s2 AS DOUBLE) * nd
+        |                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |               / (nd * (nd - 1)) END AS vr
+        |      FROM j)
+        |SELECT event_type, n_days, CAST(n_obs_days AS BIGINT) AS n_obs_days,
+        |  CAST(s1 AS BIGINT) AS n_events,
+        |  round(mean, 4) AS mean_daily,
+        |  round(vr, 4) + 0.0 AS var_daily,
+        |  CASE WHEN mean > 0 AND vr IS NOT NULL
+        |    THEN round(vr / mean, 6) + 0.0 END AS dispersion,
+        |  CASE WHEN mean > 0 AND vr IS NOT NULL
+        |    THEN CAST(CASE WHEN vr / mean > 1.0 + 2.0 * sqrt(2.0 / (nd - 1))
+        |              THEN 1 ELSE 0 END AS BIGINT) END AS overdispersed
+        |FROM k ORDER BY event_type""".stripMargin,
 
     // Holt backtest: the same level/trend recurrence as the Spark fold,
     // replayed as a LINEAR recursive CTE keyed (event_type, rn) — one

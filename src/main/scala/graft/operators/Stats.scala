@@ -1256,6 +1256,56 @@ object Stats {
       .orderBy("source")
   }
 
+  /** q260: Poisson overdispersion index — the model-validity check
+    * BEFORE anyone alerts on count rates: per event type, the
+    * variance-to-mean ratio (Fisher's dispersion index) of DAILY event
+    * counts over the corpus's full day span (absent days count zero —
+    * computable from the observed rows alone: zeros add nothing to
+    * Σc or Σc², only to N). Poisson counts have D = 1; D ≫ 1
+    * (overdispersion — bursty arrivals, mixed subpopulations) means
+    * Poisson-rate thresholds (the q113-family alerts) fire spuriously
+    * and a negative-binomial model is needed. Flagged when D exceeds
+    * 1 + 2·√(2/(N−1)) — two SDs of χ²/(N−1) under the Poisson null
+    * (normal approximation). Complements q235 (inter-event gap
+    * burstiness) at the day grain and q125 (seasonality).
+    *
+    * Scale shape: one partial-agged scan to the O(types × days) daily
+    * frame, then O(types) exact decimal moments — doubles only after
+    * aggregation, identical expression trees both engines (the q216
+    * discipline). */
+  def q260DispersionIndex(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isNotNull && col("ts").isNotNull)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+    val span = ev.agg((max("day") - min("day") + 1L).as("n_days"))
+    val daily = ev.groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+    val m = daily.groupBy("event_type").agg(
+        count(lit(1)).as("n_obs_days"),
+        sum(dec(col("c"))).as("s1"),
+        sum(dec(col("c") * col("c"))).as("s2"))
+      .crossJoin(broadcast(span))
+    val nd = col("n_days").cast("double")
+    val mean = col("s1").cast("double") / nd
+    val vr = when(col("n_days") > 1,
+      (col("s2").cast("double") * nd
+        - col("s1").cast("double") * col("s1").cast("double"))
+        / (nd * (nd - 1)))
+    val g = m.withColumn("mean", mean).withColumn("vr", vr)
+    g.select(col("event_type"), col("n_days"), col("n_obs_days"),
+        col("s1").cast("long").as("n_events"),
+        round(col("mean"), 4).as("mean_daily"),
+        round(col("vr"), 4).as("var_daily"),
+        when(col("mean") > 0 && col("vr").isNotNull,
+          round(col("vr") / col("mean"), 6)).as("dispersion"),
+        when(col("mean") > 0 && col("vr").isNotNull,
+          (col("vr") / col("mean") >
+            lit(1.0) + lit(2.0) * sqrt(lit(2.0) / (nd - 1))).cast("long"))
+          .as("overdispersed"))
+      .orderBy("event_type")
+  }
+
   /** q254: difference-in-differences — the OBSERVATIONAL-causal
     * estimator the experimentation family lacked: when a change ships
     * at a known cutover (the q190/q216 mid-day split) to one user

@@ -1225,7 +1225,7 @@ class QueriesSpec extends AnyFunSuite {
       "q233_stationary_dist", "q235_burstiness", "q236_type_cooccurrence",
       "q239_deseasonalized_anomaly", "q240_daily_latency",
       // round 11
-      "q254_diff_in_diff", "q258_holt_backtest")
+      "q254_diff_in_diff", "q258_holt_backtest", "q260_dispersion")
     val failures = eventQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -3929,6 +3929,45 @@ class QueriesSpec extends AnyFunSuite {
     graft.operators.TextAnalysis.WinnowWindows.foreach { w =>
       assert(p(w.toLong) >= 1L, s"w=$w must catch the 30-word shared run")
     }
+  }
+
+  test("q260 dispersion index replays from zero-aware moments; planted burst flagged") {
+    // replay: zeros add nothing to the count moments, only to N
+    val ev = Tables.events(spark, sf0001)
+      .filter(col("event_type").isNotNull && col("ts").isNotNull)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val nDays = (ev.map(_._2).max - ev.map(_._2).min + 1).toDouble
+    val got = run("q260_dispersion").collect().map(r => r.getString(0) -> r).toMap
+    ev.groupBy(_._1).foreach { case (t, xs) =>
+      val counts = xs.groupBy(_._2).map(_._2.length.toLong)
+      val s1 = counts.sum.toDouble
+      val s2 = counts.map(c => c.toDouble * c).sum
+      val mean = s1 / nDays
+      val vr = (s2 * nDays - s1 * s1) / (nDays * (nDays - 1))
+      val r = got(t)
+      assert(r.getLong(1) == nDays.toLong && r.getLong(3) == s1.toLong)
+      assert(math.abs(r.getDouble(4) - mean) < 1e-3 && math.abs(r.getDouble(5) - vr) < 1e-3)
+      assert(math.abs(r.getDouble(6) - vr / mean) < 1e-5, s"$t dispersion")
+    }
+    // planted burst: one type with all events on one day of a 10-day
+    // span is maximally overdispersed; a one-per-day type is UNDER
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-disp").toString
+    val rows =
+      (1 to 50).map(i => (i.toLong, i.toLong, "burst", 1.0, "2021-01-05 00:00:00")) ++
+      (0 until 10).map(d => (100L + d, 100L + d, "steady", 1.0, f"2021-01-${d + 1}%02d 00:00:00"))
+    rows.toDF("event_id", "user_id", "event_type", "value", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .withColumn("props", lit("{}"))
+      .write.parquet(s"$dir/events.parquet")
+    val p = graft.operators.Stats.q260DispersionIndex(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(p("burst").getLong(7) == 1L, "burst type must flag overdispersed")
+    assert(p("steady").getDouble(6) < 1.0 && p("steady").getLong(7) == 0L,
+      "constant daily counts are underdispersed")
   }
 
   test("q259 group k-fold: zero group leakage, naive leakage priced, planted pair travels together") {
