@@ -80,6 +80,7 @@ object SparkEntry {
     "q254_diff_in_diff"  -> (Stats.q254DiffInDiff _),
     "q258_holt_backtest" -> (Temporal.q258HoltBacktest _),
     "q260_dispersion"    -> (Stats.q260DispersionIndex _),
+    "q261_index_staleness" -> (KMeans.q261IndexStaleness _),
     "q47_edit_distance"  -> (TextAnalysis.q47EditDistance _),
     "q59_line_dedup"     -> (TextAnalysis.q59LineDedup _),
     "q62_corpus_split"   -> (TextAnalysis.q62CorpusSplit _),
@@ -370,14 +371,18 @@ object SparkEntry {
     * so the chain stays linear under CTE inlining (mirrors
     * KMeans.fit/assign). The empty prefix yields the q116/q119 chain
     * at the shipped K; q242 instantiates four prefixed chains. */
-  private def kmeansChain(k: Int, p: String): String = {
+  /** `src` = the table the FIT iterates over (seeds + Lloyd rounds);
+    * the final `af` assignment always serves the FULL `e` — identical
+    * strings for the default src="e", and exactly the old-snapshot-
+    * centroids-serving-the-grown-corpus shape q261 audits otherwise. */
+  private def kmeansChain(k: Int, p: String, src: String = "e"): String = {
     val rounds = (1 to operators.KMeans.Iters).map { i =>
       s"""${p}a$i AS MATERIALIZED (SELECT vec_id, v, cluster, dist FROM (
          |    SELECT vec_id, v, cluster, dist,
          |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
-         |    FROM (SELECT e.vec_id, e.v, c.cluster,
-         |                 round(${sqDistSql("e.v", "c.cv")}, 6) AS dist
-         |          FROM e CROSS JOIN ${p}c${i - 1} c) s0) t WHERE rk = 1),
+         |    FROM (SELECT $src.vec_id, $src.v, c.cluster,
+         |                 round(${sqDistSql(s"$src.v", "c.cv")}, 6) AS dist
+         |          FROM $src CROSS JOIN ${p}c${i - 1} c) s0) t WHERE rk = 1),
          |${p}m$i AS (SELECT cluster, list(m ORDER BY pos) AS cv2 FROM (
          |    SELECT cluster, pos, round(avg(x), 6) AS m FROM (
          |      SELECT cluster, unnest(range(1, len(v)+1)) AS pos, unnest(v) AS x
@@ -385,7 +390,7 @@ object SparkEntry {
          |${p}c$i AS MATERIALIZED (SELECT c.cluster, coalesce(m.cv2, c.cv) AS cv
          |  FROM ${p}c${i - 1} c LEFT JOIN ${p}m$i m USING (cluster))""".stripMargin
     }.mkString(",\n")
-    s"""${p}c0 AS MATERIALIZED (SELECT vec_id AS cluster, v AS cv FROM e
+    s"""${p}c0 AS MATERIALIZED (SELECT vec_id AS cluster, v AS cv FROM $src
        |  WHERE vec_id < $k),
        |$rounds,
        |${p}af AS MATERIALIZED (SELECT vec_id, cluster, dist FROM (
@@ -5749,6 +5754,46 @@ object SparkEntry {
          |    THEN round(CAST(sum(same_cell * is_dup) AS DOUBLE) / sum(is_dup), 6)
          |  END AS dup_kept_ratio
          |FROM cc ORDER BY n_cand_band""".stripMargin,
+
+    // index staleness: two prefixed kmeans chains — the "o" chain's
+    // Lloyd iterates the old id-range snapshot while its final `oaf`
+    // assignment serves the FULL corpus (the kmeansChain src contract);
+    // cell ids are seed lineages shared by both fits
+    "q261_index_staleness" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |eold AS MATERIALIZED (SELECT * FROM e
+         |  WHERE vec_id <= (SELECT max(vec_id) // 2 FROM e)),
+         |${kmeansChain(operators.KMeans.K, "o", "eold")},
+         |${kmeansChain(operators.KMeans.K, "", "e")},
+         |j AS MATERIALIZED (SELECT s.vec_id, s.cluster AS sc, s.dist AS sd,
+         |    f.cluster AS fc, f.dist AS fd
+         |  FROM oaf s JOIN af f USING (vec_id)
+         |  WHERE s.dist IS NOT NULL AND f.dist IS NOT NULL
+         |    AND NOT isnan(s.dist) AND NOT isnan(f.dist)),
+         |g AS (SELECT count(*) AS nv,
+         |    sum(CASE WHEN sc <> fc THEN 1 ELSE 0 END) AS n_churned,
+         |    sum(CAST(round(sd * 1000000) AS BIGINT)) AS ssd,
+         |    sum(CAST(round(fd * 1000000) AS BIGINT)) AS sfd
+         |  FROM j),
+         |scx AS (SELECT sc AS cell, count(*) AS n_stale,
+         |    round(CAST(sum(CAST(round(sd * 1000000) AS BIGINT)) AS DOUBLE)
+         |      / count(*) / 1000000.0, 6) AS mean_dist_stale
+         |  FROM j GROUP BY 1),
+         |fcx AS (SELECT fc AS cell, count(*) AS n_fresh,
+         |    round(CAST(sum(CAST(round(fd * 1000000) AS BIGINT)) AS DOUBLE)
+         |      / count(*) / 1000000.0, 6) AS mean_dist_fresh
+         |  FROM j GROUP BY 1)
+         |SELECT coalesce(scx.cell, fcx.cell) AS cell,
+         |  CAST(coalesce(scx.n_stale, 0) AS BIGINT) AS n_stale,
+         |  scx.mean_dist_stale,
+         |  CAST(coalesce(fcx.n_fresh, 0) AS BIGINT) AS n_fresh,
+         |  fcx.mean_dist_fresh,
+         |  CAST(g.n_churned AS BIGINT) AS n_churned,
+         |  round(CAST(g.n_churned AS DOUBLE) / g.nv, 6) AS churn_share,
+         |  round((CAST(g.ssd AS DOUBLE) / g.nv - CAST(g.sfd AS DOUBLE) / g.nv)
+         |    / 1000000.0, 6) + 0.0 AS dist_delta
+         |FROM scx FULL OUTER JOIN fcx ON fcx.cell = scx.cell CROSS JOIN g
+         |ORDER BY cell""".stripMargin,
 
     // k-center: the greedy farthest-point chain unrolled as KCenterK
     // chained CTEs — each round folds cover = least(cover, dist to the

@@ -148,6 +148,73 @@ object KMeans {
     chosen.toDF("pick_round", "vec_id", "radius").orderBy("pick_round")
   }
 
+  /** q261: coarse-quantizer STALENESS audit — the index-maintenance
+    * decision q242 (how many cells) and q224 (how many probes) don't
+    * answer: the corpus has GROWN since the IVF was trained; is the
+    * old fit still serving well, or is it time to re-train and
+    * re-assign? Centroids fit on the old snapshot (the lower half of
+    * the id range — ids are mint-ordered, so this is "the corpus as
+    * of half the ids ago") serve the FULL corpus, side by side with a
+    * fresh fit: per cell, membership and mean assignment distance
+    * under each; globally, the churn (vectors whose cell id changes —
+    * cell ids are seed lineages shared by both fits) and the mean-
+    * distance delta the re-fit buys. High churn + a positive delta =
+    * re-encode; flat = the index ages well. This is THE recurring
+    * operational question for a 100 TB serving deployment, where a
+    * re-fit means re-assigning (and for q245, re-encoding) everything.
+    *
+    * Scale shape: two seeded Lloyd fits (the audited broadcast-
+    * centroid plan) + two full assignments, joined once on vec_id —
+    * all existing audited pieces; the report is O(K) rows + O(1)
+    * globals. Corrupt rows (null/NaN dists) drop from the audit (the
+    * q225 NaN rule). Deterministic end to end → oracle-replayed by
+    * two prefixed kmeans chains (the old chain's Lloyd iterates the
+    * snapshot, its final assignment serves the full corpus). */
+  def q261IndexStaleness(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val mx = e.agg(max("vec_id").as("m")).head() // 1 row by construction
+    val empty = e.select(lit(0L).as("cell"), lit(0L).as("n_stale"),
+      lit(0.0).as("mean_dist_stale"), lit(0L).as("n_fresh"),
+      lit(0.0).as("mean_dist_fresh"), lit(0L).as("n_churned"),
+      lit(0.0).as("churn_share"), lit(0.0).as("dist_delta")).limit(0)
+    if (mx.isNullAt(0)) return empty
+    val cutoff = Math.floorDiv(mx.getLong(0), 2L)
+    val old = e.filter(col("vec_id") <= cutoff)
+    val stale = assign(e, fit(old))
+      .select(col("vec_id"), col("cluster").as("sc"), col("dist").as("sd"))
+    val fresh = assign(e, fit(e))
+      .select(col("vec_id"), col("cluster").as("fc"), col("dist").as("fd"))
+    val j = stale.join(fresh, "vec_id")
+      .filter(col("sd").isNotNull && col("fd").isNotNull
+        && !isnan(col("sd")) && !isnan(col("fd")))
+      .localCheckpoint(true) // feeds the churn fold + both cell aggs
+    def grid(c: Column) = round(c * 1000000, 0).cast("long").cast("decimal(38,0)")
+    val g = j.agg(count(lit(1)).as("nv"),
+      sum((col("sc") =!= col("fc")).cast("long")).as("n_churned"),
+      sum(grid(col("sd"))).as("ssd"), sum(grid(col("fd"))).as("sfd"))
+    val scx = j.groupBy(col("sc").as("cell"))
+      .agg(count(lit(1)).as("n_stale"),
+        round(sum(grid(col("sd"))).cast("double") / count(lit(1)) / 1000000.0, 6)
+          .as("mean_dist_stale"))
+    val fcx = j.groupBy(col("fc").as("cell"))
+      .agg(count(lit(1)).as("n_fresh"),
+        round(sum(grid(col("fd"))).cast("double") / count(lit(1)) / 1000000.0, 6)
+          .as("mean_dist_fresh"))
+    scx.join(fcx, Seq("cell"), "full_outer")
+      .crossJoin(broadcast(g))
+      .select(col("cell"),
+        coalesce(col("n_stale"), lit(0L)).as("n_stale"),
+        col("mean_dist_stale"),
+        coalesce(col("n_fresh"), lit(0L)).as("n_fresh"),
+        col("mean_dist_fresh"),
+        col("n_churned"),
+        round(col("n_churned").cast("double") / col("nv"), 6).as("churn_share"),
+        round((col("ssd").cast("double") / col("nv")
+          - col("sfd").cast("double") / col("nv")) / 1000000.0, 6).as("dist_delta"))
+      .orderBy("cell")
+  }
+
   /** Cells probed per query in q119 (of K = 16). */
   val Nprobe = 4
 

@@ -1286,7 +1286,8 @@ class QueriesSpec extends AnyFunSuite {
       // round 11
       "q244_ivf_adc", "q245_ivfpq_residual", "q247_residual_distortion",
       "q249_sq8_knn", "q251_balanced_pq", "q255_kcenter",
-      "q257_cell_refined_blocking", "q259_group_kfold")
+      "q257_cell_refined_blocking", "q259_group_kfold",
+      "q261_index_staleness")
     val failures = vecQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -3929,6 +3930,40 @@ class QueriesSpec extends AnyFunSuite {
     graft.operators.TextAnalysis.WinnowWindows.foreach { w =>
       assert(p(w.toLong) >= 1L, s"w=$w must catch the 30-word shared run")
     }
+  }
+
+  test("q261 index staleness: conservation, fresh side folds q116, planted drift churns") {
+    val got = run("q261_index_staleness").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(5),
+        r.getDouble(6), r.getDouble(7)))
+    assert(got.nonEmpty && got.forall(_._1 < graft.operators.KMeans.K))
+    // both fits assign every audited vector exactly once
+    assert(got.map(_._2).sum == got.map(_._3).sum, "stale/fresh conservation")
+    val nv = got.map(_._2).sum
+    got.foreach { case (_, _, _, churned, share, _) =>
+      assert(churned >= 0 && churned <= nv)
+      assert(math.abs(share - churned.toDouble / nv) < 5.1e-7)
+    }
+    // the fresh side IS q116's fit: member counts fold cell-for-cell
+    val q116 = run("q116_kmeans_fit").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.filter(_._3 > 0).foreach { case (cell, _, nFresh, _, _, _) =>
+      assert(q116(cell) == nFresh, s"cell $cell must fold q116's membership")
+    }
+    // plant: old snapshot (ids <= 20) lives on axis 0; the grown half
+    // lives on axis 1 — the stale centroids mis-serve it, so the
+    // re-fit must churn cells and cut mean distance
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stale").toString
+    (0 to 40).map { i =>
+      val axis = if (i <= 20) 0 else 1
+      (i.toLong, Seq.tabulate(64)(j =>
+        if (j == axis) 10.0f + (i % 7) * 0.3f else 0.0f), 0)
+    }.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val p = graft.operators.KMeans.q261IndexStaleness(spark, dir).collect()
+    assert(p.head.getLong(5) > 0L, "planted drift must churn")
+    assert(p.head.getDouble(7) > 0.0, "the re-fit must cut mean distance")
   }
 
   test("q260 dispersion index replays from zero-aware moments; planted burst flagged") {
