@@ -5033,6 +5033,7 @@ object SparkEntry {
          |      AS day,
          |    CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS DOUBLE) AS y
          |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+         |    AND ts IS NOT NULL
          |  GROUP BY 1, 2),
          |mid AS (SELECT CAST(floor((min(day) + max(day)) / 2) AS BIGINT) AS mid
          |        FROM daily),

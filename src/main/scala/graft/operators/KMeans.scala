@@ -113,14 +113,20 @@ object KMeans {
     val e = Tables.embeddings(spark, dir)
       .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // Degenerate corpora still emit exactly KCenterK rows: the oracle's
+    // unrolled UNION ALL always produces k rows — an exhausted round's
+    // scalar subqueries become (r, NULL, NULL) — so the Spark side pads
+    // to the same row set rather than truncating (ADVICE r11)
+    def padded(rows: Vector[(Long, Option[Long], Option[Double])]) =
+      (rows ++ (rows.length.toLong until KCenterK.toLong)
+          .map(r => (r, Option.empty[Long], Option.empty[Double])))
+        .toDF("pick_round", "vec_id", "radius").orderBy("pick_round")
     val seedRow = e.agg(min("vec_id").as("m")).head()
-    if (seedRow.isNullAt(0))
-      return Seq.empty[(Long, Long, Option[Double])]
-        .toDF("pick_round", "vec_id", "radius")
+    if (seedRow.isNullAt(0)) return padded(Vector.empty)
     val seed = seedRow.getLong(0)
     def centerOf(id: Long) =
       broadcast(e.filter(col("vec_id") === id).select(col("v").as("cv")))
-    var chosen = Vector((0L, seed, Option.empty[Double]))
+    var chosen = Vector((0L, Option(seed), Option.empty[Double]))
     var cur = e.crossJoin(centerOf(seed))
       .select(col("vec_id"), col("v"),
         round(sqDist(col("v"), col("cv")), 6).as("cover"))
@@ -128,14 +134,14 @@ object KMeans {
     var r = 1L
     var exhausted = false
     while (r < KCenterK && !exhausted) {
-      val nxt = cur.filter(!col("vec_id").isin(chosen.map(_._2): _*))
+      val nxt = cur.filter(!col("vec_id").isin(chosen.flatMap(_._2): _*))
         .filter(col("cover").isNotNull && !isnan(col("cover")))
         .orderBy(desc("cover"), asc("vec_id")).limit(1)
         .select("vec_id", "cover").collect()
       if (nxt.isEmpty) exhausted = true
       else {
         val id = nxt(0).getLong(0)
-        chosen = chosen :+ ((r, id, Some(nxt(0).getDouble(1))))
+        chosen = chosen :+ ((r, Option(id), Some(nxt(0).getDouble(1))))
         if (r < KCenterK - 1)
           cur = cur.crossJoin(centerOf(id))
             .select(col("vec_id"), col("v"),
@@ -145,7 +151,7 @@ object KMeans {
         r += 1
       }
     }
-    chosen.toDF("pick_round", "vec_id", "radius").orderBy("pick_round")
+    padded(chosen)
   }
 
   /** q261: coarse-quantizer STALENESS audit — the index-maintenance

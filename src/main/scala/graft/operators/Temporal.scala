@@ -941,8 +941,13 @@ object Temporal {
   def q258HoltBacktest(spark: SparkSession, dir: String): DataFrame = {
     val a = HoltAlpha
     val bta = HoltBeta
+    // ts IS NOT NULL on BOTH sides (the q254/q260 convention): a null ts
+    // yields a null day whose sort position differs across engines (Spark
+    // sort_array NULLS FIRST would seed the Holt level from it; DuckDB
+    // row_number ORDER BY day places it LAST), diverging the recurrence
     val daily = Tables.events(spark, dir)
-      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .filter(col("value").isNotNull && col("event_type").isNotNull &&
+        col("ts").isNotNull)
       .select(col("event_type"),
         round(col("value") * 1000, 0).cast("long").as("v3"),
         datediff(to_date(col("ts")), to_date(lit("1970-01-01")))

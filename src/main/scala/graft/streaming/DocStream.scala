@@ -132,8 +132,14 @@ object DocStream {
     * batch q256 rows verbatim). */
   def cmsCells(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, explode}
+    // NO droppingNullDocKeys here: the CMS grid keys on (r, bkt), never a
+    // doc key, and batch q256 tokenizes ALL documents including null-
+    // doc_id rows — dropping them would break the cell-exact parity
+    // claim on any corpus with a null-doc_id doc that has text. The
+    // text filter alone is a no-op vs batch (tokenize(null) explodes to
+    // zero rows) and just spares the explode the null rows.
     graft.operators.HeavyHitters.cmsCells(
-      droppingNullDocKeys(docs)
+      docs.filter(col("text").isNotNull)
         .select(explode(graft.functions.Portable.tokenize(col("text"))).as("word")))
   }
 

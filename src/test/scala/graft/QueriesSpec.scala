@@ -4043,7 +4043,8 @@ class QueriesSpec extends AnyFunSuite {
     val a = graft.operators.Temporal.HoltAlpha
     val bt = graft.operators.Temporal.HoltBeta
     val daily = Tables.events(spark, sf0001)
-      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .filter(col("value").isNotNull && col("event_type").isNotNull &&
+        col("ts").isNotNull)
       .select(col("event_type"),
         round(col("value") * 1000, 0).cast("long").as("v3"),
         datediff(to_date(col("ts")), to_date(lit("1970-01-01")))

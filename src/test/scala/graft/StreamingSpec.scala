@@ -2288,6 +2288,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CMS keeps null-doc_id docs: cell parity with batch on a planted null-key doc") {
+    // The CMS grid keys on (r, bkt), never a doc key, so the stream must
+    // NOT drop null-doc_id rows the way keyed folds do — batch q256
+    // tokenizes every document. A planted null-doc_id doc with text and
+    // a null-text doc both flow through identically to batch (ADVICE r11).
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.lang.Long, String)]
+    val q = graft.streaming.DocStream.cmsCells(
+        ms.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_nullkey_stream")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-cms-null-ckpt").toString)
+      .start()
+    try {
+      ms.addData(
+        (java.lang.Long.valueOf(7L), "alpha beta alpha"),
+        (null: java.lang.Long, "beta gamma gamma"),
+        (java.lang.Long.valueOf(8L), null: String))
+      q.processAllAvailable()
+      val batch = graft.operators.HeavyHitters.cmsCells(
+        Seq((Option(7L), Option("alpha beta alpha")),
+            (Option.empty[Long], Option("beta gamma gamma")),
+            (Option(8L), Option.empty[String]))
+          .toDF("doc_id", "text")
+          .select(explode(graft.functions.Portable.tokenize(col("text"))).as("word")))
+      val got = spark.table("cms_nullkey_stream")
+      assert(got.count() == batch.count())
+      assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming EWMA monitor equals batch q113 on every closed day") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ewma-stream")
