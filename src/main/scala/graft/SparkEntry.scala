@@ -81,6 +81,7 @@ object SparkEntry {
     "q258_holt_backtest" -> (Temporal.q258HoltBacktest _),
     "q260_dispersion"    -> (Stats.q260DispersionIndex _),
     "q261_index_staleness" -> (KMeans.q261IndexStaleness _),
+    "q262_ivf_served_store" -> (sources.IvfStore.q262IvfServedStore _),
     "q47_edit_distance"  -> (TextAnalysis.q47EditDistance _),
     "q59_line_dedup"     -> (TextAnalysis.q59LineDedup _),
     "q62_corpus_split"   -> (TextAnalysis.q62CorpusSplit _),
@@ -5795,6 +5796,48 @@ object SparkEntry {
          |    / 1000000.0, 6) + 0.0 AS dist_delta
          |FROM scx FULL OUTER JOIN fcx ON fcx.cell = scx.cell CROSS JOIN g
          |ORDER BY cell""".stripMargin,
+
+    // served-from-store IVF+ADC+refine: the q244 probe/ADC/refine chain
+    // emitting the refined top-10 rows themselves — the oracle replays
+    // the MATH over the embeddings table; the engine answers from the
+    // cell-partitioned store, so the hash match proves the persisted
+    // layout is answer-invariant (ScaleSpec separately proves it prunes)
+    "q262_ivf_served_store" ->
+      s"""WITH $kmeansCte,
+         |$pqTailCte,
+         |qq AS (SELECT vec_id AS q_id, v AS qv FROM e
+         |       WHERE vec_id < ${operators.KMeans.EvalBlock}),
+         |qr AS (SELECT q_id, cluster FROM (
+         |    SELECT q_id, cluster, row_number() OVER
+         |      (PARTITION BY q_id ORDER BY cdist, cluster) AS crk
+         |    FROM (SELECT qq.q_id, c.cluster,
+         |                 round(${sqDistSql("qq.qv", "c.cv")}, 6) AS cdist
+         |          FROM qq CROSS JOIN $kmeansLast c) s0) t
+         |  WHERE crk <= ${operators.KMeans.Nprobe}),
+         |cand AS (SELECT qr.q_id, a.vec_id AS n_id
+         |         FROM qr JOIN af a USING (cluster) WHERE a.vec_id <> qr.q_id),
+         |lut AS (SELECT f.vec_id AS q_id, f.sub, cb.code,
+         |          round(${sqDistSql("f.sv", "cb.cv")}, 6) AS d
+         |        FROM flat f JOIN cb ON cb.sub = f.sub
+         |        WHERE f.vec_id < ${operators.KMeans.EvalBlock}),
+         |adc AS (SELECT c.q_id, c.n_id, round(sum(l.d), 6) AS adc
+         |        FROM cand c JOIN codes k ON k.vec_id = c.n_id
+         |        JOIN lut l ON l.q_id = c.q_id AND l.sub = k.sub
+         |          AND l.code = k.code
+         |        GROUP BY 1, 2),
+         |short AS (SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, row_number() OVER
+         |      (PARTITION BY q_id ORDER BY adc, n_id) AS ark
+         |    FROM adc) t WHERE ark <= ${operators.Quantize.RefineR}),
+         |res AS (SELECT q_id, rank, n_id, l2sq FROM (
+         |    SELECT s.q_id, s.n_id,
+         |           round(${sqDistSql("qq.qv", "e.v")}, 6) AS l2sq,
+         |           row_number() OVER (PARTITION BY s.q_id ORDER BY
+         |             round(${sqDistSql("qq.qv", "e.v")}, 6), s.n_id) AS rank
+         |    FROM short s JOIN qq ON qq.q_id = s.q_id
+         |    JOIN e ON e.vec_id = s.n_id) t WHERE rank <= 10)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, l2sq + 0.0 AS l2sq
+         |FROM res ORDER BY q_id, rank""".stripMargin,
 
     // k-center: the greedy farthest-point chain unrolled as KCenterK
     // chained CTEs — each round folds cover = least(cover, dist to the

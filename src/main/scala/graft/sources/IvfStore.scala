@@ -1,0 +1,134 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{KMeans, Quantize}
+
+/** Cell-partitioned PERSISTENCE for the composed IVF+ADC+refine index
+  * (the q244 serving artifacts) — the q108 partition-pruning lesson
+  * applied to the ANN family.
+  *
+  * The in-memory [[Quantize.IvfAdcIndex]] filters probed-cell members
+  * out of an UNPARTITIONED frame, so at 100 TB every probe still scans
+  * the full membership/code/float tables to discard (K−nprobe)/K of
+  * them. This layout writes the corpus-sized artifacts as ONE
+  * `cell=`-partitioned parquet tree — FAISS's inverted lists as
+  * directories, codes and floats inline per posting:
+  *
+  * {{{
+  *   path/cents/           (cluster, cv)                O(K), hot
+  *   path/codebook/        (sub, code, cv)              O(PqM·PqK), hot
+  *   path/lists/cell=N/    (n_id, codes: array, v)      corpus-sized
+  * }}}
+  *
+  * A probe pushes its cell set as a STATIC `IN` filter on the
+  * partition column, so Catalyst prunes to the probed DIRECTORIES
+  * (`PartitionFilters` on every list scan — asserted in ScaleSpec with
+  * `numFiles` ≤ the probed-cell count): an nprobe-of-K probe reads
+  * nprobe/K of the index, on all three stages. The cell set is known
+  * BEFORE any corpus-sized read (queries × O(K) broadcast centroids),
+  * which is why a static filter works where a join would need runtime
+  * DPP. WITHIN the pruned directories, parquet column pruning gives
+  * each stage only its bytes: candidate generation reads `n_id` alone,
+  * the ADC rank reads `n_id, codes` (never a float — the q114b
+  * codes-only contract now holds at the STORAGE layer too), and only
+  * the top-[[Quantize.RefineR]] rescore touches `v`. ScaleSpec pins
+  * the candidate scan's `ReadSchema` to the id column.
+  *
+  * Each cell is written by one task (`repartition(col("cell"))`), so
+  * a cell is one file at test scale and a directory of co-written
+  * files at 100 TB; readers never depend on the file count. Results
+  * are BIT-EQUAL to the in-memory path: parquet round-trips doubles
+  * and longs exactly, the codes array is sub-ordered so its posexplode
+  * reproduces the (n_id, sub, code) frame verbatim, and the serve
+  * below reuses the very same [[Quantize.ivfAdcTop10]] stage code over
+  * the pruned frames.
+  */
+object IvfStore {
+
+  /** Persist a built index at `path` (overwrite). One corpus-sized
+    * inverted-list tree; cents/codebook are the O(K) / O(PqM·PqK) hot
+    * metadata every probe broadcasts anyway. The PQ codes pivot to a
+    * sub-ordered array per posting (PqM bytes of payload per vector —
+    * the FAISS list entry), so the tree carries one row per vector. */
+  def write(idx: Quantize.IvfAdcIndex, path: String): Unit = {
+    val codesArr = idx.codes.groupBy("n_id")
+      .agg(expr("transform(sort_array(collect_list(struct(sub, code))), p -> p.code)")
+        .as("codes"))
+    idx.floats.select(col("vec_id").as("n_id"), col("v"))
+      .join(codesArr, Seq("n_id"), "left")
+      .join(idx.members.select(col("n_id"), col("cluster").as("cell")), "n_id")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/lists")
+    idx.cents.write.mode("overwrite").parquet(s"$path/cents")
+    idx.codebook.write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** Serve the q244 query path (probe → ADC → refine, top-10 per
+    * query) from a stored index, reading ONLY the probed cells'
+    * directories. `queries` is (q_id, qv), broadcast-sized by the
+    * q34 contract. Returns (q_id, rank, n_id, l2sq), bit-equal to
+    * [[Quantize.ivfAdcSearch]] over the same index.
+    *
+    * The probed-cell collect is O(|q|·Nprobe) ≤ O(K) distinct values —
+    * bounded by construction (the IVF-cell-ids rule): it exists
+    * precisely so the cell bound reaches the scans as a literal
+    * partition filter instead of a join Catalyst can't prune by. */
+  def servedTop10(spark: SparkSession, path: String,
+                  queries: DataFrame): DataFrame = {
+    val cents = spark.read.parquet(s"$path/cents")
+    val wq = Window.partitionBy("q_id").orderBy(asc("cdist"), asc("cluster"))
+    val qcells = queries.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("cluster"),
+        round(graft.plans.L2Dist.sqDist(col("qv"), col("cv")), 6).as("cdist"))
+      .withColumn("crk", row_number().over(wq))
+      .filter(col("crk") <= KMeans.Nprobe)
+      .select("q_id", "cluster")
+      .localCheckpoint(true) // read twice: the cell collect + the join
+    val cellSet = qcells.select("cluster").distinct()
+      .collect().map(_.getLong(0)) // O(K) bounded by construction
+    // three scans of ONE tree: each prunes to the probed dirs AND to
+    // its own columns (ids / ids+codes / ids+floats)
+    def lists: DataFrame = spark.read.parquet(s"$path/lists")
+      .filter(col("cell").isin(cellSet: _*))
+    val members = lists.select(col("n_id"), col("cell").cast("long").as("cluster"))
+    val cand = members.join(broadcast(qcells), "cluster")
+      .filter(col("n_id") =!= col("q_id"))
+      .select("q_id", "n_id")
+    val codes = lists
+      .select(col("n_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+      .select(col("n_id"), col("sub").cast("long").as("sub"), col("code"))
+    val served = Quantize.IvfAdcIndex(
+      cents,
+      members,
+      codes,
+      spark.read.parquet(s"$path/codebook"),
+      lists.select(col("n_id").as("vec_id"), col("v")))
+    Quantize.ivfAdcTop10(served, queries, cand)
+  }
+
+  /** q262: the composed index SERVED FROM THE STORE — build the q244
+    * artifacts, persist them cell-partitioned, and answer the standard
+    * EvalBlock query block from disk with directory pruning. The
+    * output is the refined top-10 (q_id, rank, n_id, l2sq), which the
+    * oracle replays with the q244 probe/ADC/refine chain directly over
+    * the embeddings table — the store is an ENGINE layout choice the
+    * results must be invariant to, and that invariance IS the check
+    * (same two-paths-one-answer shape as q131). ScaleSpec separately
+    * proves the scans prune (`PartitionFilters`, `numFiles` ≤ probed
+    * cells) and that the served rows are bit-equal to the in-memory
+    * [[Quantize.ivfAdcSearch]]. */
+  def q262IvfServedStore(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < KMeans.EvalBlock)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivf-store").toString
+    write(Quantize.buildIvfAdcIndex(e, materialized = true), path)
+    servedTop10(spark, path, q).orderBy("q_id", "rank")
+  }
+}

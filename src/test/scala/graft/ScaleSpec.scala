@@ -995,6 +995,81 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("stored IVF index prunes to the probed cell directories and serves bit-equal results") {
+    // the q108 partition-pruning lesson applied to the ANN family: a
+    // probe of nprobe-of-K cells against the persisted index must read
+    // nprobe DIRECTORIES (PartitionFilters on every store scan), not
+    // scan-and-discard the full membership/code/float tables — and the
+    // served rows must be bit-equal to the in-memory q244 query path
+    import graft.operators.{KMeans, Quantize}
+    import graft.sources.IvfStore
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val idx = Quantize.buildIvfAdcIndex(e, materialized = true)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfstore").toString
+    IvfStore.write(idx, path)
+    // every cell directory exists (one per non-empty cell)
+    val memberDirs = new java.io.File(s"$path/lists").listFiles()
+      .count(_.getName.startsWith("cell="))
+    assert(memberDirs > KMeans.Nprobe,
+      s"fixture must spread over more cells than one probe reads, got $memberDirs")
+    // a single query probes Nprobe cells; AQE off so the executed scans
+    // (and their metrics) are directly inspectable
+    val q1 = e.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val served = IvfStore.servedTop10(spark, path, q1).orderBy("q_id", "rank")
+      val rows = served.collect().map(_.toSeq).toSeq
+      val mem = Quantize.ivfAdcSearch(idx, q1).collect().map(_.toSeq).toSeq
+      assert(rows.nonEmpty && rows == mem,
+        "served-from-store top-10 must be bit-equal to the in-memory path")
+      val scans = served.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      val storeScans = scans.filter(
+        _.relation.location.rootPaths.exists(_.toString.contains("lists")))
+      assert(storeScans.size == 3,
+        s"expected candidates+codes+floats scans of the list tree, got ${storeScans.size}")
+      storeScans.foreach { s =>
+        val readCols = s.requiredSchema.fieldNames.toSeq
+        assert(s.partitionFilters.nonEmpty,
+          s"cell bound must reach the scan as PartitionFilters (cols $readCols)")
+        assert(s.metrics("numFiles").value <= KMeans.Nprobe,
+          s"scan of $readCols read ${s.metrics("numFiles").value} files, " +
+            s"expected <= ${KMeans.Nprobe} probed cell dirs of $memberDirs")
+      }
+      // column pruning inside the pruned dirs: the candidate scan reads
+      // the id column alone — neither codes nor floats leave disk until
+      // their stage needs them (the q114b codes-only contract at the
+      // storage layer)
+      assert(storeScans.exists(_.requiredSchema.fieldNames.toSeq == Seq("n_id")),
+        s"candidate scan must read only n_id, got " +
+          storeScans.map(_.requiredSchema.fieldNames.toSeq).mkString(" | "))
+      assert(!storeScans.exists(s =>
+          s.requiredSchema.fieldNames.contains("v") &&
+            s.requiredSchema.fieldNames.contains("codes")),
+        "no stage needs both codes and floats from one scan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("q262 served-from-store equals the full in-memory search on the EvalBlock block") {
+    // the declared query answers from the persisted layout; the layout
+    // must be answer-invariant vs Quantize.ivfAdcSearch over the same
+    // built index (two paths, one answer — the q131 shape)
+    import graft.operators.Quantize
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < graft.operators.KMeans.EvalBlock)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val idx = Quantize.buildIvfAdcIndex(e, materialized = true)
+    val want = Quantize.ivfAdcSearch(idx, q).collect().map(_.toSeq).toSeq
+    val got = SparkEntry.queries("q262_ivf_served_store")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("q193 RFM scores by broadcast boundaries, never an ntile window") {
     // the q140 boundary contract applied to segmentation: ONE percentile
     // aggregate broadcasts all nine cutpoints back; a Window here would
