@@ -82,6 +82,7 @@ object SparkEntry {
     "q260_dispersion"    -> (Stats.q260DispersionIndex _),
     "q261_index_staleness" -> (KMeans.q261IndexStaleness _),
     "q262_ivf_served_store" -> (sources.IvfStore.q262IvfServedStore _),
+    "q263_incremental_reindex" -> (sources.IvfStore.q263IncrementalReindex _),
     "q47_edit_distance"  -> (TextAnalysis.q47EditDistance _),
     "q59_line_dedup"     -> (TextAnalysis.q59LineDedup _),
     "q62_corpus_split"   -> (TextAnalysis.q62CorpusSplit _),
@@ -5838,6 +5839,28 @@ object SparkEntry {
          |    JOIN e ON e.vec_id = s.n_id) t WHERE rank <= 10)
          |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, l2sq + 0.0 AS l2sq
          |FROM res ORDER BY q_id, rank""".stripMargin,
+
+    // incremental re-index: the q261 old-snapshot chain — centroids fit
+    // on vec_id <= max/2 serve the FULL corpus (oaf) — aggregated per
+    // cell with the before/added split on the id cutoff. The oracle
+    // never sees the engine's store: a merge that lost, duplicated, or
+    // misfiled a posting breaks the hash
+    "q263_incremental_reindex" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |eold AS MATERIALIZED (SELECT * FROM e
+         |  WHERE vec_id <= (SELECT max(vec_id) // 2 FROM e)),
+         |${kmeansChain(operators.KMeans.K, "o", "eold")},
+         |mx AS (SELECT max(vec_id) // 2 AS cutoff FROM e)
+         |SELECT cluster AS cell,
+         |  CAST(sum(CASE WHEN vec_id <= mx.cutoff THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_before,
+         |  CAST(sum(CASE WHEN vec_id > mx.cutoff THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_added,
+         |  CAST(count(*) AS BIGINT) AS n_after,
+         |  round(CAST(sum(CASE WHEN vec_id > mx.cutoff THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 6) + 0.0 AS added_share
+         |FROM oaf CROSS JOIN mx
+         |GROUP BY cluster ORDER BY cell""".stripMargin,
 
     // k-center: the greedy farthest-point chain unrolled as KCenterK
     // chained CTEs — each round folds cover = least(cover, dist to the

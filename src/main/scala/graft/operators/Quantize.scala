@@ -265,10 +265,17 @@ object Quantize {
     * per-(vector, subspace) rank window, and at production scale even
     * that disappears (argmin over K=16 is a per-row loop — the window
     * form keeps the plan declarative and oracle-matched). */
-  def pqCodes(e: DataFrame): DataFrame = {
+  def pqCodes(e: DataFrame): DataFrame = pqCodesWith(pqCodebook(e), e)
+
+  /** The same code assignment against a FROZEN codebook — the index-
+    * maintenance form (q263): new arrivals encode under the STORED
+    * codebook exactly as the original corpus did, so incrementally
+    * appended postings are bit-identical to what a from-scratch
+    * rebuild under the same artifacts would produce. */
+  def pqCodesWith(cb: DataFrame, e: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("vec_id", "sub").orderBy(asc("dist"), asc("code"))
-    pqFlat(e).join(broadcast(pqCodebook(e)), "sub")
+    pqFlat(e).join(broadcast(cb), "sub")
       .select(col("vec_id"), col("sub"), col("code"),
         round(sqDist(col("sv"), col("cv")), 6).as("dist"))
       .withColumn("rk", row_number().over(w))

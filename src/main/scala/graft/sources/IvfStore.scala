@@ -54,17 +54,55 @@ object IvfStore {
     * metadata every probe broadcasts anyway. The PQ codes pivot to a
     * sub-ordered array per posting (PqM bytes of payload per vector —
     * the FAISS list entry), so the tree carries one row per vector. */
-  def write(idx: Quantize.IvfAdcIndex, path: String): Unit = {
-    val codesArr = idx.codes.groupBy("n_id")
+  /** Assemble the inverted-list posting frame (n_id, codes, v, cell)
+    * from the three index pieces — shared by the from-scratch write
+    * and the incremental append, so both paths produce bit-identical
+    * postings by construction. */
+  private def postings(members: DataFrame, codes: DataFrame,
+                       floats: DataFrame): DataFrame = {
+    val codesArr = codes.groupBy("n_id")
       .agg(expr("transform(sort_array(collect_list(struct(sub, code))), p -> p.code)")
         .as("codes"))
-    idx.floats.select(col("vec_id").as("n_id"), col("v"))
+    floats.select(col("vec_id").as("n_id"), col("v"))
       .join(codesArr, Seq("n_id"), "left")
-      .join(idx.members.select(col("n_id"), col("cluster").as("cell")), "n_id")
+      .join(members.select(col("n_id"), col("cluster").as("cell")), "n_id")
+  }
+
+  def write(idx: Quantize.IvfAdcIndex, path: String): Unit = {
+    postings(idx.members, idx.codes, idx.floats)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/lists")
     idx.cents.write.mode("overwrite").parquet(s"$path/cents")
     idx.codebook.write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** INCREMENTAL index maintenance — the act q261's staleness audit
+    * decides about, for the no-retrain branch: new arrivals are
+    * assigned under the STORED centroids, encoded under the STORED
+    * codebook, and their postings APPENDED into the existing
+    * `cell=` directories. The maintenance job's inputs are the new
+    * vectors and the O(K)/O(PqM·PqK) sidecars alone — the stored
+    * corpus is never read, so maintaining a 100 TB index costs
+    * O(arrivals), not O(corpus). Append (not dynamic overwrite) is
+    * the correct parquet op for postings: untouched cells' files are
+    * physically untouched (ScaleSpec pins their file lists), touched
+    * cells gain files, and the merged tree is bit-equal to a
+    * from-scratch rebuild under the same frozen artifacts because
+    * per-posting content depends only on (vector, cents, codebook).
+    * Returns the touched cell ids (O(K) bounded). */
+  def append(spark: SparkSession, path: String, arrivals: DataFrame): Array[Long] = {
+    val cents = spark.read.parquet(s"$path/cents")
+    val cb = spark.read.parquet(s"$path/codebook")
+    val asg = KMeans.assign(arrivals, cents)
+      .select(col("vec_id").as("n_id"), col("cluster"))
+      .localCheckpoint(true) // feeds the postings join + the touched set
+    postings(asg,
+        Quantize.pqCodesWith(cb, arrivals)
+          .select(col("vec_id").as("n_id"), col("sub"), col("code")),
+        arrivals.select(col("vec_id"), col("v")))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/lists")
+    asg.select("cluster").distinct().collect().map(_.getLong(0)) // O(K)
   }
 
   /** Serve the q244 query path (probe → ADC → refine, top-10 per
@@ -121,6 +159,59 @@ object IvfStore {
     * proves the scans prune (`PartitionFilters`, `numFiles` ≤ probed
     * cells) and that the served rows are bit-equal to the in-memory
     * [[Quantize.ivfAdcSearch]]. */
+  /** q263: the incremental re-index ACT — the plan→act loop q261's
+    * staleness audit left open, closed for the no-retrain branch the
+    * way q243 closed it for mix planning. The index was built when
+    * the corpus was half its current size (the q261 old-id-snapshot
+    * convention: centroids fit and codebook seeded on vec_id ≤
+    * max/2); the arrivals since then are assigned under the STORED
+    * centroids, encoded under the STORED codebook, and their postings
+    * APPENDED into the existing cell directories — the stored corpus
+    * is never read, so the maintenance job costs O(arrivals), not
+    * O(corpus). The report then reads the MERGED tree: per cell, the
+    * resident postings before, the arrivals appended, and the total
+    * after — so the declared output flows THROUGH the persisted
+    * store, and the oracle hash (the q261 old-fit assignment chain
+    * over raw embeddings, which never sees the store) fails if the
+    * merge ever lost, duplicated, or misfiled a posting. ScaleSpec
+    * additionally pins the physical contract: untouched cells' files
+    * are untouched, and the merged tree serves bit-equal to a
+    * from-scratch rebuild under the same frozen artifacts (two paths,
+    * one answer — the q131 shape). */
+  def q263IncrementalReindex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val mx = e.agg(max("vec_id")).head() // 1 row by construction
+    if (mx.isNullAt(0))
+      return Seq.empty[(Long, Long, Long, Long, Double)]
+        .toDF("cell", "n_before", "n_added", "n_after", "added_share")
+    val cutoff = Math.floorDiv(mx.getLong(0), 2L)
+    val old = e.filter(col("vec_id") <= cutoff)
+    val cents = KMeans.fit(old)
+    val cb = Quantize.pqCodebook(old)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivf-maint").toString
+    write(Quantize.IvfAdcIndex(
+      cents,
+      KMeans.assign(old, cents).select(col("vec_id").as("n_id"), col("cluster")),
+      Quantize.pqCodesWith(cb, old)
+        .select(col("vec_id").as("n_id"), col("sub"), col("code")),
+      cb,
+      old), path)
+    append(spark, path, e.filter(col("vec_id") > cutoff))
+    spark.read.parquet(s"$path/lists")
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_after"),
+        sum((col("n_id") > cutoff).cast("long")).as("n_added"))
+      .select(col("cell"),
+        (col("n_after") - col("n_added")).as("n_before"),
+        col("n_added"), col("n_after"),
+        round(col("n_added").cast("double") / col("n_after"), 6)
+          .as("added_share"))
+      .orderBy("cell")
+  }
+
   def q262IvfServedStore(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

@@ -1070,6 +1070,71 @@ class ScaleSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("incremental append touches only the arrivals' cells; merged tree equals a rebuild") {
+    // the q263 physical contract: maintenance is O(arrivals) — the two
+    // appended vectors' postings land in their cells' directories,
+    // every other cell keeps EXACTLY its original files, and the
+    // merged tree is bit-equal (content and serving) to a from-scratch
+    // rebuild under the same frozen centroids/codebook
+    import graft.operators.{KMeans, Quantize}
+    import graft.sources.IvfStore
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val maxId = e.agg(max("vec_id")).head().getLong(0)
+    val old = e.filter(col("vec_id") <= maxId - 2)
+    val arrivals = e.filter(col("vec_id") > maxId - 2)
+    assert(arrivals.count() == 2)
+    val cents = KMeans.fit(old)
+    val cb = Quantize.pqCodebook(old)
+    def idxOf(corpus: org.apache.spark.sql.DataFrame) = Quantize.IvfAdcIndex(
+      cents,
+      KMeans.assign(corpus, cents).select(col("vec_id").as("n_id"), col("cluster")),
+      Quantize.pqCodesWith(cb, corpus)
+        .select(col("vec_id").as("n_id"), col("sub"), col("code")),
+      cb, corpus)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-inc").toString
+    IvfStore.write(idxOf(old), path)
+    def filesByCell = new java.io.File(s"$path/lists").listFiles()
+      .filter(_.getName.startsWith("cell=")).map { d =>
+        d.getName -> d.listFiles().map(_.getName).sorted.toSeq
+      }.toMap
+    val before = filesByCell
+    val touched = IvfStore.append(spark, path, arrivals).map(c => s"cell=$c").toSet
+    assert(touched.nonEmpty && touched.size <= 2,
+      s"two arrivals touch at most two cells, got $touched")
+    val after = filesByCell
+    before.keys.filterNot(touched).foreach { c =>
+      assert(after(c) == before(c), s"untouched $c must keep exactly its files")
+    }
+    touched.foreach { c =>
+      assert(after(c).size > before.getOrElse(c, Seq.empty).size,
+        s"touched $c must gain posting files")
+    }
+    // merged tree == from-scratch rebuild under the same artifacts
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-ivf-reb").toString
+    IvfStore.write(idxOf(e), rebuilt)
+    val m = spark.read.parquet(s"$path/lists")
+    val r = spark.read.parquet(s"$rebuilt/lists")
+    assert(m.count() == r.count() &&
+      m.exceptAll(r).isEmpty && r.exceptAll(m).isEmpty,
+      "merged postings must equal the rebuild bit-for-bit")
+    // and the maintained index SERVES identically
+    val q = e.filter(col("vec_id") < KMeans.EvalBlock)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val sm = IvfStore.servedTop10(spark, path, q)
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    val sr = IvfStore.servedTop10(spark, rebuilt, q)
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    assert(sm.nonEmpty && sm == sr)
+    // the declared report conserves postings across the cutoff split
+    val rep = SparkEntry.queries("q263_incremental_reindex")(spark, sf0001).collect()
+    assert(rep.nonEmpty)
+    rep.foreach(row => assert(row.getLong(1) + row.getLong(2) == row.getLong(3),
+      s"n_before + n_added must equal n_after in ${row.toSeq}"))
+    assert(rep.map(_.getLong(3)).sum == e.count(),
+      "every vector must be filed in exactly one cell")
+  }
+
   test("q193 RFM scores by broadcast boundaries, never an ntile window") {
     // the q140 boundary contract applied to segmentation: ONE percentile
     // aggregate broadcasts all nine cutpoints back; a Window here would
