@@ -83,6 +83,7 @@ object SparkEntry {
     "q261_index_staleness" -> (KMeans.q261IndexStaleness _),
     "q262_ivf_served_store" -> (sources.IvfStore.q262IvfServedStore _),
     "q263_incremental_reindex" -> (sources.IvfStore.q263IncrementalReindex _),
+    "q264_winnowed_dedup" -> (Dedup.q264WinnowedDedup _),
     "q47_edit_distance"  -> (TextAnalysis.q47EditDistance _),
     "q59_line_dedup"     -> (TextAnalysis.q59LineDedup _),
     "q62_corpus_split"   -> (TextAnalysis.q62CorpusSplit _),
@@ -5861,6 +5862,36 @@ object SparkEntry {
          |    AS DOUBLE) / count(*), 6) + 0.0 AS added_share
          |FROM oaf CROSS JOIN mx
          |GROUP BY cluster ORDER BY cell""".stripMargin,
+
+    // winnowed dedup: the q250 gram/window-min chain at the shipped
+    // w, df-capped inverted index on the SELECTED hashes, exact
+    // Jaccard rescore of the candidates on full distinct-gram sets,
+    // top-20 on the total (jaccard desc, id_a, id_b) order
+    "q264_winnowed_dedup" -> {
+      val k = operators.TextAnalysis.WinnowK
+      val w = operators.Dedup.WinnowDedupW
+      s"""WITH wds AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM documents WHERE text IS NOT NULL),
+         |g AS (SELECT doc_id, list_transform(range(1, greatest(len(ws)-${k - 1}, 1)+1),
+         |  gi -> ${fingerprint(s"ws[gi:gi+${k - 1}]")}) AS gh FROM wds),
+         |s AS MATERIALIZED (SELECT doc_id, list_distinct(gh) AS dg,
+         |  list_distinct(list_transform(range(1, greatest(len(gh)-$w+1, 1)+1),
+         |    j -> list_aggregate(gh[j:j+${w - 1}], 'min'))) AS sig FROM g),
+         |wf AS (SELECT doc_id, unnest(sig) AS h FROM s),
+         |rare AS (SELECT h FROM wf GROUP BY h
+         |         HAVING count(*) BETWEEN 2 AND 50),
+         |wr AS (SELECT wf.doc_id, wf.h FROM wf JOIN rare USING (h)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM wr a JOIN wr b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |j AS (SELECT id_a, id_b,
+         |        len(list_intersect(sa.dg, sb.dg)) AS n_common,
+         |        len(sa.dg) AS na, len(sb.dg) AS nb
+         |      FROM cand JOIN s sa ON sa.doc_id = cand.id_a
+         |      JOIN s sb ON sb.doc_id = cand.id_b)
+         |SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+         |  round(n_common * 1.0 / (na + nb - n_common), 6) AS jaccard
+         |FROM j ORDER BY jaccard DESC, id_a, id_b LIMIT 20""".stripMargin
+    },
 
     // k-center: the greedy farthest-point chain unrolled as KCenterK
     // chained CTEs — each round folds cover = least(cover, dist to the

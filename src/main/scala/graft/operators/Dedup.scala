@@ -660,6 +660,61 @@ object Dedup {
         round(col("inter") / (col("size_a") + col("size_b") - col("inter")), 6).as("jaccard"))
   }
 
+  /** Shipped winnowing window for the q264 dedup mode — the q250
+    * sweep's middle rung (keep_ratio ≈ 2/(w+1) ≈ 0.22, guarantee: any
+    * shared run of ≥ w+WinnowK−1 = 11 words is caught). */
+  val WinnowDedupW = 8
+
+  /** q264: winnowed near-dup dedup — the q250 signature-size lever
+    * APPLIED inside the q33 family, not just measured: candidate
+    * generation runs on the winnowed minimizer signatures (the
+    * ~2/(w+1) deterministic sample; at 100 TB the gram table is the
+    * biggest artifact a shingle dedup shuffles, and this mode never
+    * builds it — the selected hashes are ALL that is stored and ALL
+    * that shuffles), then the exact Jaccard rescores the candidates
+    * alone on their full distinct-gram sets, top-20 out (the q33
+    * contract). The df ≤ 50 rarity cap applies to the STORED table —
+    * the selected hashes — because in the production mode the full
+    * gram table never exists to cap against.
+    *
+    * Contract (QueriesSpec): candidates are a SUBSET of the uncapped
+    * shared-gram truth (every selected hash IS one of the doc's gram
+    * hashes), and a planted duplicate pair sharing ≥ [[WinnowDedupW]]
+    * +WinnowK−1 consecutive words is ALWAYS caught (Schleimer et al.
+    * 2003, thm 1) with its exact Jaccard.
+    *
+    * Scale shape: grams + window-min are per-row kernels in one scan;
+    * the inverted index shuffles ~0.22× of q33's bytes; buckets are
+    * df-capped so pair fanout is bounded; the rescore joins the
+    * candidate pairs (≪ N²) back to the per-doc gram arrays. */
+  def q264WinnowedDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = TextAnalysis.winnowGrams(Tables.documents(spark, dir))
+      .select(col("doc_id"), array_distinct(col("gh")).as("dg"),
+        TextAnalysis.winnowSig(WinnowDedupW).as("sig"))
+      .localCheckpoint(true) // feeds the inverted index + both rescore sides
+    val cand = base.select(col("doc_id"), explode(col("sig")).as("h"))
+      .groupBy("h")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, 50))
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a AS id_a, b AS id_b))))"
+      )).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("doc_id").as("id_a"), col("dg").as("dga")), "id_a")
+      .join(base.select(col("doc_id").as("id_b"), col("dg").as("dgb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("dga"), col("dgb"))).cast("long").as("n_common"),
+        size(col("dga")).cast("long").as("n_a"),
+        size(col("dgb")).cast("long").as("n_b"))
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        round(col("n_common").cast("double")
+          / (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
+      .orderBy(desc("jaccard"), asc("id_a"), asc("id_b"))
+      .limit(20)
+  }
+
   /** q86: multi-signal dedup resolution — real pipelines run SEVERAL
     * near-dup detectors (surface text, semantic embedding, URL, exact
     * hash) and must resolve the UNION of their edge lists into one

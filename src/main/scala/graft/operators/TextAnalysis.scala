@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1602,16 +1602,32 @@ object TextAnalysis {
     * — each bucket ≤ 50 docs, the q33 bound. The sweep shares the one
     * gram pass across all three w. Everything is exact integer
     * counts + terminal rounding → oracle-replayed end to end. */
-  def q250WinnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
+  /** Positional poly-131 [[WinnowK]]-gram hashes per document —
+    * (doc_id, gh: array&lt;long&gt;), position-ordered so a window min can
+    * select over it. The q38 fingerprint chain windowed; shared by the
+    * q250 sweep and the q264 winnowed dedup mode so both speak the
+    * same gram universe. One per-row kernel, no shuffle. */
+  def winnowGrams(docs: DataFrame): DataFrame = {
     val k = WinnowK
     val ghCol = transform(
       sequence(lit(1), greatest(size(col("ws")) - lit(k - 1), lit(1))),
       i => aggregate(slice(col("ws"), i, lit(k)), lit(0L),
         (acc, wd) => (acc * lit(131L) + Portable.tokenId(wd)) % lit(Portable.P)))
-    val base = Tables.documents(spark, dir)
-      .filter(col("text").isNotNull)
+    docs.filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), ghCol.as("gh"))
+  }
+
+  /** The winnowing selection over a position-ordered `gh` column: the
+    * distinct w-window minima (Schleimer et al. 2003) — a ~2/(w+1)
+    * deterministic sample that still catches any match of length ≥
+    * w+[[WinnowK]]−1 words. Per-row kernel, no shuffle. */
+  def winnowSig(w: Int): Column = array_distinct(transform(
+    sequence(lit(1), greatest(size(col("gh")) - lit(w - 1), lit(1))),
+    j => array_min(slice(col("gh"), j, lit(w)))))
+
+  def q250WinnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val base = winnowGrams(Tables.documents(spark, dir))
       .localCheckpoint(true) // one gram pass feeds truth + all three w
     val full = base.select(col("doc_id"),
       explode(array_distinct(col("gh"))).as("h"))
@@ -1626,9 +1642,7 @@ object TextAnalysis {
       .distinct()
       .agg(count(lit(1)).as("n_truth_pairs"))
     val perW = WinnowWindows.map { w =>
-      val sig = array_distinct(transform(
-        sequence(lit(1), greatest(size(col("gh")) - lit(w - 1), lit(1))),
-        j => array_min(slice(col("gh"), j, lit(w)))))
+      val sig = winnowSig(w)
       val counts = base.select(col("doc_id"),
           size(array_distinct(col("gh"))).cast("long").as("ng"), sig.as("sig"))
         .select(col("ng"), size(col("sig")).cast("long").as("ns"))

@@ -3932,6 +3932,41 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q264 winnowed dedup: pairs share real grams, planted long-run dup always caught exactly") {
+    // every emitted pair must share at least one actual gram (winnowed
+    // candidates are a subset of the shared-gram truth: a selected hash
+    // IS one of the doc's gram hashes) and carry a valid Jaccard
+    val got = run("q264_winnowed_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty && got.length <= 20)
+    got.foreach { case (a, b, nc, j) =>
+      assert(a < b, "pairs are ordered")
+      assert(nc >= 1L, s"($a,$b) must share a real gram")
+      assert(j > 0.0 && j <= 1.0, s"($a,$b) jaccard $j out of range")
+    }
+    // the winnowing guarantee carried into the MODE: a planted pair
+    // sharing >= WinnowDedupW + WinnowK - 1 consecutive words is always
+    // a candidate, and its exact full-gram Jaccard survives the rescore
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-windedup").toString
+    val shared = (1 to 12).map(i => s"shared$i").mkString(" ") // 12 >= 8+4-1
+    val noise = (1 to 30).map(i =>
+      (100L + i, (1 to 20).map(j => s"filler${i}x$j").mkString(" "), "s1", "en", 20L, 1L))
+    (noise ++ Seq(
+      (1L, s"alpha beta $shared gamma delta", "s1", "en", 17L, 1L),
+      (2L, s"$shared epsilon zeta", "s2", "en", 14L, 1L)))
+      .toDF("doc_id", "text", "source", "lang", "n_chars", "rev")
+      .write.parquet(s"$dir/documents.parquet")
+    val planted = graft.operators.Dedup.q264WinnowedDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val hit = planted.find(p => p._1 == 1L && p._2 == 2L)
+    assert(hit.isDefined, s"planted 12-word run must be caught, got ${planted.toSeq}")
+    // exact full-gram Jaccard: doc1 has 16 words -> 13 grams, doc2 has
+    // 14 -> 11 grams, shared grams = the 9 inside the common run
+    assert(hit.get._3 == 9L, s"expected 9 common grams, got ${hit.get._3}")
+    assert(math.abs(hit.get._4 - 9.0 / (13 + 11 - 9)) < 5.1e-7)
+  }
+
   test("q261 index staleness: conservation, fresh side folds q116, planted drift churns") {
     val got = run("q261_index_staleness").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(5),
