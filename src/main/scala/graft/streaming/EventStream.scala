@@ -1033,9 +1033,10 @@ object EventStream {
     * beyond N days are out-of-SLA-window anyway), trading exact parity
     * on >-horizon conversions for O(active users) state. The twin
     * keeps NoTimeout so StreamingSpec's fold-to-batch contract stays
-    * exact; the horizon variant is the one-line
-    * `GroupStateTimeout.EventTimeTimeout` + `setTimeoutTimestamp`
-    * change documented here rather than silently approximated. */
+    * exact; the horizon variant is
+    * [[conversionLatencySightingsBounded]] — EventTimeTimeout with the
+    * horizon enforced in the fold, state physically reaped once the
+    * watermark passes it. */
   def conversionLatencySightings(
       events: Dataset[TypedEvent]): Dataset[LatencySighting] = {
     import events.sparkSession.implicits._
@@ -1063,6 +1064,78 @@ object EventStream {
           }
           st.foreach(state.update)
           out.result().iterator
+        })
+  }
+
+  /** Attribution horizon for [[conversionLatencySightingsBounded]] —
+    * conversions more than this many days after the first view are
+    * out-of-SLA-window by business rule. */
+  val ConversionHorizonDays = 7
+
+  /** PRODUCTION variant of [[conversionLatencySightings]] — the
+    * EventTimeTimeout horizon bound that twin documents, implemented:
+    * per-user state carries an event-time timeout at first-view +
+    * `horizonDays`, so once the watermark passes a user's horizon the
+    * state is PHYSICALLY removed (StreamingSpec reads the state store
+    * back to pin the absence) and the store holds O(users active
+    * within one horizon) instead of the user universe — the bound a
+    * months-long stream needs.
+    *
+    * Two deliberate semantics choices keep the output DETERMINISTIC
+    * (event-time-defined, independent of watermark/batch races):
+    * the horizon is enforced in the FOLD — a purchase qualifies only
+    * if `us − fv ≤ horizon`, so a beyond-horizon conversion never
+    * emits even while its user's state still awaits GC — and the
+    * timeout is purely a state-GC mechanism, never a decision point.
+    * Within the horizon the emitted sightings are identical to the
+    * unbounded twin's (StreamingSpec: a wide-horizon run folds to the
+    * batch q240 answer verbatim). A view arriving after its user's
+    * state was reaped starts a FRESH attribution window — the
+    * documented trade for bounded state. Requires a watermark on `ts`
+    * (the EventTimeTimeout contract). */
+  def conversionLatencySightingsBounded(
+      events: Dataset[TypedEvent],
+      horizonDays: Int = ConversionHorizonDays): Dataset[LatencySighting] = {
+    import events.sparkSession.implicits._
+    val horizonUs = horizonDays * 86400000000L
+    val horizonMs = horizonDays * 86400000L
+    droppingNullKeys(events)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, rows: Iterator[TypedEvent], state: GroupState[ConvState]) => {
+          if (state.hasTimedOut) {
+            // GC only: the fold below never emitted past the horizon,
+            // so removal cannot change any reachable answer
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption
+            val out = Vector.newBuilder[LatencySighting]
+            rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id)).foreach { e =>
+              val us = eventMicros(e.ts)
+              e.event_type match {
+                case "view" if st.isEmpty =>
+                  st = Some(ConvState(us, done = false))
+                case "purchase" if st.exists(s =>
+                    !s.done && us > s.fv && us - s.fv <= horizonUs) =>
+                  out += LatencySighting(uid, Math.floorDiv(us, 86400000000L),
+                    roundHalfUp((us - st.get.fv) / 1000000.0, 6))
+                  st = st.map(_.copy(done = true))
+                case _ =>
+              }
+            }
+            st.foreach { s =>
+              val tOut = Math.floorDiv(s.fv, 1000L) + horizonMs
+              if (state.getCurrentWatermarkMs() < tOut) {
+                state.update(s)
+                state.setTimeoutTimestamp(tOut)
+              } else if (state.exists) state.remove()
+              // horizon already behind the watermark and never stored:
+              // nothing to keep — the user's window is over
+            }
+            out.result().iterator
+          }
         })
   }
 

@@ -2949,6 +2949,101 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty && got == want)
   }
 
+  test("bounded latency twin: horizon enforced in the fold, expired state physically reaped") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the production variant's two claims, each invisible to the
+    // parity tests: a beyond-horizon conversion never emits (the
+    // horizon lives in the FOLD, so no watermark race can change the
+    // answer), and once the watermark passes a user's horizon its
+    // state is GONE from the state store, not just inert
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def us(day: Long) = base.plusSeconds(day * 86400).toEpochMilli * 1000L
+    val ck = java.nio.file.Files.createTempDirectory("graft-convb-ckpt").toString
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long, String, Double)]
+    val q = EventStream.conversionLatencySightingsBounded(
+        ms.toDF().toDF("event_id", "us", "user_id", "event_type", "value")
+          .select(col("user_id"), col("event_id"),
+            expr("timestamp_micros(us)").as("ts"), col("event_type"), col("value"))
+          .withWatermark("ts", "1 minute")
+          .as[EventStream.TypedEvent],
+        horizonDays = 7)
+      .writeStream.outputMode("append").format("memory").queryName("conv_bounded")
+      .option("checkpointLocation", ck)
+      .start()
+    try {
+      // A: u1 converts inside the horizon; u2 views and never buys;
+      // u3 views now, buys beyond the horizon later
+      ms.addData(Seq((1L, us(0), 1L, "view", 1.0), (2L, us(2), 1L, "purchase", 1.0),
+        (3L, us(0), 2L, "view", 1.0), (4L, us(0), 3L, "view", 1.0)))
+      q.processAllAvailable()
+      // B: watermark pusher well past everyone's day-7 horizon
+      ms.addData(Seq((5L, us(20), 9L, "view", 1.0)))
+      q.processAllAvailable()
+      // C: u3's purchase at day 10 — 3 days beyond its horizon: the
+      // FOLD rejects it (state may still exist; the answer must not
+      // depend on GC timing); u1/u2 have no data, so their timeouts
+      // fire this batch and reap their state
+      ms.addData(Seq((6L, us(10), 3L, "purchase", 1.0)))
+      q.processAllAvailable()
+      // D: one more push so any straggler timeout fires
+      ms.addData(Seq((7L, us(21), 9L, "view", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("conv_bounded")
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.toSeq == Seq(1L -> 172800.0),
+      s"only u1's in-horizon conversion may emit: ${got.toSeq}")
+    // expired users are PHYSICALLY absent: only the wm-pusher remains
+    val live = spark.read.format("statestore").load(ck)
+      .selectExpr("key.value AS user_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(live == Set(9L),
+      s"u1 (done), u2 (never converted) and u3 (out of horizon) must be reaped: $live")
+  }
+
+  test("bounded latency twin at a wide horizon folds to batch q240 verbatim") {
+    import spark.implicits._
+    // within the horizon the bounded variant IS the unbounded twin:
+    // a horizon wider than the corpus span reproduces the q240 fold
+    // row-for-row over the same ordered two-file delivery
+    val rows = Tables.events(spark, sf0001)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        if (r.isNullAt(4)) 1.0 else r.getDouble(4), "{}"))
+      .sortBy(r => (r._2, r._1))
+    val dir = java.nio.file.Files.createTempDirectory("graft-convb-wide")
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    writeFlatEvents(dir, "a.parquet", h1.toSeq)
+    writeFlatEvents(dir, "b.parquet", h2.toSeq)
+    val stream = spark.readStream
+      .schema(EventStream.rawSchema(org.apache.spark.sql.types.TimestampNTZType))
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = EventStream.conversionLatencySightingsBounded(
+        Tables.normalizeTs(stream)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"), col("value"))
+          .withWatermark("ts", "10 minutes")
+          .as[EventStream.TypedEvent],
+        horizonDays = 3650)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("conv_bounded_wide")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-convb-wide-ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = EventStream.dailyLatencyReport(spark.table("conv_bounded_wide"))
+      .collect().map(_.toSeq).toSeq
+    val want = SparkEntry.queries("q240_daily_latency")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty && got == want,
+      "wide-horizon bounded fold must equal batch q240 row-for-row")
+  }
+
   test("streaming daily totals fold to batch q239 under arbitrary delivery") {
     import spark.implicits._
     // the live deseasonalized-anomaly monitor's contract: running
