@@ -84,6 +84,9 @@ object SparkEntry {
     "q262_ivf_served_store" -> (sources.IvfStore.q262IvfServedStore _),
     "q263_incremental_reindex" -> (sources.IvfStore.q263IncrementalReindex _),
     "q264_winnowed_dedup" -> (Dedup.q264WinnowedDedup _),
+    // rows-only (the q89/q146 iterative-fit contract): the OPQ
+    // alternation's SVD has no DuckDB replay
+    "q265_opq_rotation"  -> (Quantize.q265OpqRotation _),
     "q47_edit_distance"  -> (TextAnalysis.q47EditDistance _),
     "q59_line_dedup"     -> (TextAnalysis.q59LineDedup _),
     "q62_corpus_split"   -> (TextAnalysis.q62CorpusSplit _),

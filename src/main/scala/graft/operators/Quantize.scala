@@ -709,6 +709,127 @@ object Quantize {
       .orderBy("sub")
   }
 
+  /** OPQ alternation count (q265): rotation updates after the
+    * identity baseline. Two suffice to show the alternation converging
+    * on the trace; each update costs one corpus × dim² outer-product
+    * fold. */
+  val OpqIters = 2
+
+  /** q265: OPQ learned rotation — the one PQ-family rung q251's
+    * deterministic permutation left open (Ge et al., "Optimized
+    * Product Quantization", CVPR '13, the non-parametric alternation;
+    * FAISS's `OPQ` pre-transform): alternately (a) encode the rotated
+    * corpus with the family's seeded codebook rule and (b) solve the
+    * orthogonal Procrustes problem R = argmin ‖XR − Ŷ‖² = VUᵀ from
+    * the SVD of the corpus×reconstruction cross-Gram G = Σ x ŷᵀ. A
+    * full rotation can decorrelate dimensions a permutation can only
+    * regroup — this is the ceiling the q251 shortcut approximates.
+    *
+    * Output: the per-(iteration, subspace) distortion TRACE (iter 0 =
+    * identity = the natural q225 chain verbatim; iter t = after t
+    * rotation updates), so the readout shows what each alternation
+    * bought. Rows-only by the q89/q146 iterative-fit contract — the
+    * SVD has no DuckDB replay — but the engine side is deterministic
+    * end to end: G folds on the exact 1e-6 grid (order-independent
+    * decimal sums, the q155 rule), LAPACK's SVD is deterministic for
+    * a fixed G, and the per-sub MSEs follow the q225 readout.
+    *
+    * Scale shape: the rotation artifact is O(dim²) driver state (the
+    * q251 bounded-collect rule); per alternation the corpus is
+    * touched by (1) the rotate projection (a tight per-partition
+    * matvec kernel — the dense dim×dim multiply is genuine imperative
+    * per-row work no Catalyst expression does without a dim²-term
+    * tree, the sanctioned mapPartitions case), (2) the
+    * broadcast-codebook coding pass (the audited q114 plan), (3) the
+    * reconstruction join (corpus×PqM → corpus, one exchange) and
+    * (4) the cross-Gram fold — a per-partition dim²-long accumulator
+    * treeReduced to ONE 32 KB matrix (MLlib's own Gramian shape):
+    * zero row explosion, exact gridded-long sums so the fold is
+    * order-independent. Nothing iterates on the driver but the 64×64
+    * SVD. */
+  def q265OpqRotation(spark: SparkSession, dir: String): DataFrame = {
+    val dim = PqM * subDim
+    val spark0 = spark
+    import spark0.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === dim)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(!exists(col("v"), x => isnan(x)))
+      .localCheckpoint(true) // scanned once per alternation
+    var rot = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    def mseBlock(codes: DataFrame, iter: Int): DataFrame =
+      codes.filter(!isnan(col("dist")))
+        .groupBy("sub")
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(round(col("dist") * 1000000, 0).cast("long").cast("decimal(38,0)"))
+            .as("s6"))
+        .select(lit(iter.toLong).as("iter"), col("sub"), col("n_vectors"),
+          round(col("s6").cast("double") / col("n_vectors") / 1000000.0, 6)
+            .as("mse"))
+    val blocks = Vector.newBuilder[DataFrame]
+    for (it <- 0 to OpqIters) {
+      val r0 = rot // stable capture for the closure
+      val y = e.as[(Long, Seq[Double])].mapPartitions { rows =>
+        rows.map { case (id, x) =>
+          val out = new Array[Double](dim)
+          var i = 0
+          while (i < dim) {
+            val ri = r0(i); var j = 0; var s = 0.0
+            while (j < dim) { s += ri(j) * x(j); j += 1 }
+            out(i) = s; i += 1
+          }
+          (id, out.toSeq)
+        }
+      }.toDF("vec_id", "v")
+        .localCheckpoint(true) // codebook + codes + recon all read it
+      val cb = pqCodebook(y)
+      val codes = pqCodesWith(cb, y)
+      blocks += mseBlock(codes, it).localCheckpoint(true)
+      if (it < OpqIters) {
+        // ŷ: reconstruction from the chosen codes, sub-ordered
+        val recon = codes.join(broadcast(cb), Seq("sub", "code"))
+          .groupBy("vec_id")
+          .agg(expr("flatten(transform(sort_array(collect_list(struct(sub, cv))), p -> p.cv))")
+            .as("yhat"))
+        // cross-Gram G[i][j] = Σ x_i·ŷ_j on the exact 1e-6 grid: each
+        // partition folds into one dim²-long accumulator, treeReduce
+        // merges O(partitions) 32 KB arrays — exact long sums, so the
+        // fit is run-stable regardless of partition order
+        val gArr = e.join(recon, "vec_id").select(col("v"), col("yhat"))
+          .as[(Seq[Double], Seq[Double])].rdd
+          .mapPartitions { it0 =>
+            val acc = new Array[Long](dim * dim)
+            it0.foreach { case (x, yh) =>
+              var i = 0
+              while (i < dim) {
+                val xi = x(i); var j = 0
+                while (j < dim) {
+                  acc(i * dim + j) += Math.round(xi * yh(j) * 1e6); j += 1
+                }
+                i += 1
+              }
+            }
+            Iterator.single(acc)
+          }.treeReduce { (a, b) =>
+            var k = 0; while (k < a.length) { a(k) += b(k); k += 1 }; a
+          }
+        import breeze.linalg.{svd, DenseMatrix}
+        // degenerate corpora (fewer vectors than dims — the dirty
+        // sweep's 65-row fixture) can hand LAPACK a cross-Gram it
+        // refuses to converge on; the contract is degrade, never
+        // crash: keep the current rotation and let the remaining
+        // trace rows repeat it (still deterministic)
+        try {
+          val s = svd(DenseMatrix.tabulate(dim, dim)((i, j) =>
+            gArr(i * dim + j) / 1e6))
+          val rNew = s.Vt.t * s.U.t // orthogonal Procrustes: R = V·Uᵀ
+          rot = Array.tabulate(dim, dim)((i, j) => rNew(i, j))
+        } catch { case _: breeze.linalg.NotConvergedException => }
+      }
+    }
+    blocks.result().reduce(_.union(_)).orderBy("iter", "sub")
+  }
+
   /** q245: RESIDUAL-encoded IVF+PQ — [[q244IvfAdc]] with the PQ
     * codebook trained on residuals `v − centroid(cell)` instead of raw
     * vectors, FAISS's `by_residual=true` DEFAULT and the reason IVF-PQ

@@ -1155,7 +1155,9 @@ class QueriesSpec extends AnyFunSuite {
       "q243_budget_sample",
       // round 11 (reads documents + the clean embeddings above)
       "q246_election_regret", "q248_eval_containment",
-      "q250_winnow_fingerprint", "q253_ols_quality", "q256_cms_freq")
+      "q250_winnow_fingerprint", "q253_ols_quality", "q256_cms_freq",
+      // round 12
+      "q264_winnowed_dedup")
     val failures = docQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -1287,7 +1289,10 @@ class QueriesSpec extends AnyFunSuite {
       "q244_ivf_adc", "q245_ivfpq_residual", "q247_residual_distortion",
       "q249_sq8_knn", "q251_balanced_pq", "q255_kcenter",
       "q257_cell_refined_blocking", "q259_group_kfold",
-      "q261_index_staleness")
+      "q261_index_staleness",
+      // round 12
+      "q262_ivf_served_store", "q263_incremental_reindex",
+      "q265_opq_rotation")
     val failures = vecQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -3965,6 +3970,42 @@ class QueriesSpec extends AnyFunSuite {
     // 14 -> 11 grams, shared grams = the 9 inside the common run
     assert(hit.get._3 == 9L, s"expected 9 common grams, got ${hit.get._3}")
     assert(math.abs(hit.get._4 - 9.0 / (13 + 11 - 9)) < 5.1e-7)
+  }
+
+  test("q265 OPQ rotation: identity baseline folds q251's natural chain, alternation improves, beats the permutation") {
+    val got = run("q265_opq_rotation").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val iters = got.map(_._1).distinct.sorted.toSeq
+    assert(iters == (0L to graft.operators.Quantize.OpqIters.toLong))
+    // iter 0 (identity rotation) IS the natural q225/q251 chain —
+    // per-subspace MSEs must match q251's natural side exactly
+    val q251 = run("q251_balanced_pq").collect()
+      .map(r => (r.getLong(0), r.getDouble(4), r.getDouble(5)))
+    val it0 = got.filter(_._1 == 0L).map(t => t._2 -> t._4).toMap
+    q251.foreach { case (sub, natMse, _) =>
+      assert(it0(sub) == natMse, s"iter-0 sub $sub must fold the natural chain")
+    }
+    // the alternation is a descent: each update's total distortion is
+    // no worse than the previous (Procrustes minimizes ||XR - Yhat||)
+    val totals = iters.map(i => got.filter(_._1 == i).map(_._4).sum)
+    totals.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-9, s"alternation must not regress: $totals")
+    }
+    // and the LEARNED rotation beats both the natural slicing and
+    // q251's deterministic permutation on this corpus — the ceiling
+    // the cheap cousin approximates
+    val natTotal = q251.map(_._2).sum
+    val balTotal = q251.map(_._3).sum
+    assert(totals.last < natTotal,
+      s"OPQ must improve on natural slicing: ${totals.last} vs $natTotal")
+    assert(totals.last <= balTotal,
+      s"OPQ must be at least as good as the balanced permutation: " +
+        s"${totals.last} vs $balTotal")
+    // seeded chain + gridded-long Gram fold + deterministic SVD: a
+    // second run reproduces the trace bit-for-bit
+    val again = run("q265_opq_rotation").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(again.toSeq == got.toSeq, "the fit must be reproducible")
   }
 
   test("q261 index staleness: conservation, fresh side folds q116, planted drift churns") {
