@@ -298,4 +298,41 @@ object VecStream {
       .select(col("vec_id"), col("best.cluster").as("cluster"),
         col("best.dist").as("dist"))
   }
+
+  /** Streaming STORE maintenance — the q263 incremental append run at
+    * INGEST: a `foreachBatch` body that files each micro-batch of
+    * arriving vectors into the persisted cell-partitioned index
+    * ([[graft.sources.IvfStore.append]] — assignment under the STORED
+    * centroids, codes under the STORED codebook, postings appended
+    * into the touched `cell=` directories only). Because per-posting
+    * content depends only on (vector, cents, codebook), appends
+    * commute across micro-batches: after any drain order the lists
+    * tree is bit-equal to a from-scratch batch rebuild under the same
+    * frozen artifacts (StreamingSpec pins content AND serving
+    * equality).
+    *
+    * Replay contract: `foreachBatch` is at-least-once — a batch
+    * retried after a sink-side failure would double-file its
+    * postings. The `batchId` marker (one empty file per committed
+    * batch under `_batches/`) makes replays of COMMITTED batches
+    * no-ops — StreamingSpec replays a batch id and asserts the tree
+    * is unchanged. The marker lands after the append, so a crash
+    * between the two can still duplicate that one batch — the
+    * standard non-transactional-sink window; a production deployment
+    * closes it with deterministic posting file names or a
+    * transactional table format, and q263's rebuild-equality check is
+    * the audit that would catch it. */
+  def appendArrivals(spark: SparkSession, path: String,
+                     batch: DataFrame, batchId: Long): Unit = {
+    val marker = new java.io.File(s"$path/_batches/$batchId")
+    if (marker.exists()) return
+    val arrivals = batch
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    if (!arrivals.isEmpty)
+      graft.sources.IvfStore.append(spark, path, arrivals)
+    marker.getParentFile.mkdirs()
+    marker.createNewFile()
+    ()
+  }
 }

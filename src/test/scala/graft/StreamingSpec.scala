@@ -3044,6 +3044,70 @@ class StreamingSpec extends AnyFunSuite {
       "wide-horizon bounded fold must equal batch q240 row-for-row")
   }
 
+  test("streaming arrivals maintain the stored IVF index; replayed batches are no-ops") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{KMeans, Quantize}
+    import graft.sources.IvfStore
+    // index built when the corpus was smaller; the last ten vectors
+    // arrive as a stream and are filed at ingest via foreachBatch
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val maxId = e.agg(max("vec_id")).head().getLong(0)
+    val old = e.filter(col("vec_id") <= maxId - 10)
+    val cents = KMeans.fit(old)
+    val cb = Quantize.pqCodebook(old)
+    def idxOf(corpus: org.apache.spark.sql.DataFrame) = Quantize.IvfAdcIndex(
+      cents,
+      KMeans.assign(corpus, cents).select(col("vec_id").as("n_id"), col("cluster")),
+      Quantize.pqCodesWith(cb, corpus)
+        .select(col("vec_id").as("n_id"), col("sub"), col("code")),
+      cb, corpus)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-stream").toString
+    IvfStore.write(idxOf(old), path)
+    val arrivals = e.filter(col("vec_id") > maxId - 10)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val q = ms.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          graft.streaming.VecStream.appendArrivals(spark, path, b, id)
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ivf-stream-ckpt").toString)
+      .start()
+    try {
+      arrivals.grouped(4).foreach { chunk =>
+        ms.addData(chunk.toSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // drained tree == from-scratch rebuild under the same artifacts
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-ivf-stream-reb").toString
+    IvfStore.write(idxOf(e), rebuilt)
+    val m = spark.read.parquet(s"$path/lists")
+    val r = spark.read.parquet(s"$rebuilt/lists")
+    assert(m.count() == r.count() &&
+      m.exceptAll(r).isEmpty && r.exceptAll(m).isEmpty,
+      "ingest-maintained postings must equal the batch rebuild bit-for-bit")
+    // and it SERVES identically
+    val qs = e.filter(col("vec_id") < KMeans.EvalBlock)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val sm = IvfStore.servedTop10(spark, path, qs)
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    val sr = IvfStore.servedTop10(spark, rebuilt, qs)
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    assert(sm.nonEmpty && sm == sr)
+    // at-least-once replay: re-delivering a COMMITTED batch id must
+    // change nothing (the _batches marker short-circuits it)
+    val before = m.count()
+    graft.streaming.VecStream.appendArrivals(spark, path,
+      arrivals.take(4).toSeq.toDF("vec_id", "embedding"), 0L)
+    assert(spark.read.parquet(s"$path/lists").count() == before,
+      "a replayed committed batch must be a no-op")
+  }
+
   test("streaming daily totals fold to batch q239 under arbitrary delivery") {
     import spark.implicits._
     // the live deseasonalized-anomaly monitor's contract: running
