@@ -159,6 +159,56 @@ object IvfStore {
     * proves the scans prune (`PartitionFilters`, `numFiles` ≤ probed
     * cells) and that the served rows are bit-equal to the in-memory
     * [[Quantize.ivfAdcSearch]]. */
+  /** Compact the inverted-list tree — the small-files half of index
+    * maintenance: every [[append]] adds files to its touched cells, so
+    * a long-running ingest leaves each hot cell a directory of many
+    * small postings files (more open/seek cost per probe, more
+    * namenode/listing pressure at 100 TB). Compaction rewrites ONLY
+    * the cells whose file count exceeds `maxFilesPerCell`, each back
+    * to a single co-written file set, through a temp directory with
+    * an atomic-per-cell swap (write `cell=N` under `.compact-…`, then
+    * move it over the old directory) — untouched cells keep their
+    * exact files, readers never see a partial cell, and the tree's
+    * CONTENT is bit-identical before and after (postings are
+    * row-identical; only their file layout changes — ScaleSpec pins
+    * content, serving, and the untouched cells' file lists).
+    * Returns (cell, files_before, files_after) for the rewritten
+    * cells — O(K) bounded. */
+  def compact(spark: SparkSession, path: String,
+              maxFilesPerCell: Int = 4): Seq[(Long, Int, Int)] = {
+    require(maxFilesPerCell >= 1)
+    val root = new java.io.File(s"$path/lists")
+    val cells = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("cell="))
+    val out = Vector.newBuilder[(Long, Int, Int)]
+    cells.foreach { dir =>
+      def parts = dir.listFiles().filter(f => f.getName.endsWith(".parquet")
+        || f.getName.startsWith("part-"))
+      val before = parts.length
+      if (before > maxFilesPerCell) {
+        val cellId = dir.getName.stripPrefix("cell=").toLong
+        val tmp = new java.io.File(root, s".compact-${dir.getName}")
+        // one task writes the merged cell (a cell is one task's worth
+        // by the write() contract; a TB-scale hot cell would raise
+        // the coalesce count the way filesPerDay salts q108's days)
+        spark.read.parquet(dir.toString)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        new java.io.File(tmp, "_SUCCESS").delete()
+        val old = new java.io.File(root, s".old-${dir.getName}")
+        if (!dir.renameTo(old))
+          throw new IllegalStateException(s"compact: cannot swap $dir")
+        if (!tmp.renameTo(dir)) {
+          old.renameTo(dir) // roll back — the old cell is still intact
+          throw new IllegalStateException(s"compact: cannot promote $tmp")
+        }
+        old.listFiles().foreach(_.delete()); old.delete()
+        out += ((cellId, before, parts.length))
+      }
+    }
+    out.result()
+  }
+
   /** q263: the incremental re-index ACT — the plan→act loop q261's
     * staleness audit left open, closed for the no-retrain branch the
     * way q243 closed it for mix planning. The index was built when

@@ -1135,6 +1135,64 @@ class ScaleSpec extends AnyFunSuite {
       "every vector must be filed in exactly one cell")
   }
 
+  test("store compaction merges small cell files; content, serving and untouched cells invariant") {
+    // appends leave hot cells as directories of small files; compaction
+    // must rewrite ONLY the over-threshold cells, keep postings
+    // row-identical, leave other cells' files untouched, and serve the
+    // same answers
+    import graft.operators.{KMeans, Quantize}
+    import graft.sources.IvfStore
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val maxId = e.agg(max("vec_id")).head().getLong(0)
+    val old = e.filter(col("vec_id") <= maxId - 30)
+    val cents = KMeans.fit(old)
+    val cb = Quantize.pqCodebook(old)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-compact").toString
+    IvfStore.write(Quantize.IvfAdcIndex(
+      cents,
+      KMeans.assign(old, cents).select(col("vec_id").as("n_id"), col("cluster")),
+      Quantize.pqCodesWith(cb, old)
+        .select(col("vec_id").as("n_id"), col("sub"), col("code")),
+      cb, old), path)
+    // three appends -> touched cells accumulate up to 4 files
+    (0 until 3).foreach { i =>
+      IvfStore.append(spark, path,
+        e.filter(col("vec_id") > maxId - 30 + i * 10 &&
+          col("vec_id") <= maxId - 30 + (i + 1) * 10))
+    }
+    def filesByCell = new java.io.File(s"$path/lists").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("cell=")).map { d =>
+        d.getName -> d.listFiles().map(_.getName).filter(_.startsWith("part-")).sorted.toSeq
+      }.toMap
+    val before = filesByCell
+    assert(before.values.exists(_.size > 2), "appends must have fragmented some cell")
+    val content = spark.read.parquet(s"$path/lists").collect().map(_.toSeq)
+    val q = e.filter(col("vec_id") < KMeans.EvalBlock)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val servedBefore = IvfStore.servedTop10(spark, path, q)
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    val report = IvfStore.compact(spark, path, maxFilesPerCell = 2)
+    assert(report.nonEmpty, "over-threshold cells must be compacted")
+    report.foreach { case (cell, nb, na) =>
+      assert(nb > 2 && na == 1, s"cell=$cell: $nb files -> $na")
+    }
+    val after = filesByCell
+    val rewritten = report.map(r => s"cell=${r._1}").toSet
+    before.keys.filterNot(rewritten).foreach { c =>
+      assert(after(c) == before(c), s"untouched $c must keep exactly its files")
+    }
+    // content row-identical, serving identical
+    val content2 = spark.read.parquet(s"$path/lists").collect().map(_.toSeq)
+    assert(content2.length == content.length &&
+      content2.groupBy(identity).view.mapValues(_.length).toMap ==
+        content.groupBy(identity).view.mapValues(_.length).toMap,
+      "compaction must not change a single posting")
+    val servedAfter = IvfStore.servedTop10(spark, path, q)
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    assert(servedAfter == servedBefore)
+  }
+
   test("q193 RFM scores by broadcast boundaries, never an ntile window") {
     // the q140 boundary contract applied to segmentation: ONE percentile
     // aggregate broadcasts all nine cutpoints back; a Window here would
