@@ -795,7 +795,7 @@ object Quantize {
         // partition folds into one dim²-long accumulator, treeReduce
         // merges O(partitions) 32 KB arrays — exact long sums, so the
         // fit is run-stable regardless of partition order
-        val gArr = e.join(recon, "vec_id").select(col("v"), col("yhat"))
+        val gParts = e.join(recon, "vec_id").select(col("v"), col("yhat"))
           .as[(Seq[Double], Seq[Double])].rdd
           .mapPartitions { it0 =>
             val acc = new Array[Long](dim * dim)
@@ -810,7 +810,13 @@ object Quantize {
               }
             }
             Iterator.single(acc)
-          }.treeReduce { (a, b) =>
+          }
+        // an empty corpus has no Gram to fold (treeReduce throws on
+        // zero partitions) — keep the identity rotation, the trace is
+        // empty anyway (the empty-corpus sweep)
+        val gArr =
+          if (gParts.isEmpty()) new Array[Long](dim * dim)
+          else gParts.treeReduce { (a, b) =>
             var k = 0; while (k < a.length) { a(k) += b(k); k += 1 }; a
           }
         import breeze.linalg.{svd, DenseMatrix}

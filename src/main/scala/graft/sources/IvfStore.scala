@@ -49,11 +49,6 @@ import graft.operators.{KMeans, Quantize}
   */
 object IvfStore {
 
-  /** Persist a built index at `path` (overwrite). One corpus-sized
-    * inverted-list tree; cents/codebook are the O(K) / O(PqM·PqK) hot
-    * metadata every probe broadcasts anyway. The PQ codes pivot to a
-    * sub-ordered array per posting (PqM bytes of payload per vector —
-    * the FAISS list entry), so the tree carries one row per vector. */
   /** Assemble the inverted-list posting frame (n_id, codes, v, cell)
     * from the three index pieces — shared by the from-scratch write
     * and the incremental append, so both paths produce bit-identical
@@ -68,6 +63,11 @@ object IvfStore {
       .join(members.select(col("n_id"), col("cluster").as("cell")), "n_id")
   }
 
+  /** Persist a built index at `path` (overwrite). One corpus-sized
+    * inverted-list tree; cents/codebook are the O(K) / O(PqM·PqK) hot
+    * metadata every probe broadcasts anyway. The PQ codes pivot to a
+    * sub-ordered array per posting (PqM bytes of payload per vector —
+    * the FAISS list entry), so the tree carries one row per vector. */
   def write(idx: Quantize.IvfAdcIndex, path: String): Unit = {
     postings(idx.members, idx.codes, idx.floats)
       .repartition(col("cell"))
@@ -263,8 +263,15 @@ object IvfStore {
   }
 
   def q262IvfServedStore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // empty-corpus guard: a partitionBy write of zero rows creates no
+    // files, so the store would be unreadable — an empty corpus has an
+    // empty answer, not a broken store (the empty-corpus sweep)
+    if (e.agg(max("vec_id")).head().isNullAt(0))
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("q_id", "rank", "n_id", "l2sq")
     val q = e.filter(col("vec_id") < KMeans.EvalBlock)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val path = java.nio.file.Files

@@ -322,6 +322,27 @@ object VecStream {
     * closes it with deterministic posting file names or a
     * transactional table format, and q263's rebuild-equality check is
     * the audit that would catch it. */
+  /** Online probes against the PERSISTED index — [[ivfAdcProbe]]'s
+    * store-backed twin and the serving half of the q262/q263/append
+    * lifecycle: each micro-batch of arriving query vectors is answered
+    * by [[graft.sources.IvfStore.servedTop10]], which pushes the
+    * batch's probed-cell set as a static partition filter, so an
+    * online probe reads nprobe-of-K cell DIRECTORIES (and only the
+    * columns its stage needs) rather than holding a corpus-sized
+    * index in executor memory. Stateless foreachBatch body (per-query
+    * top-k windows are batch-local, the [[ivfAdcProbe]] rationale);
+    * answers are bit-equal to the batch q262 rows for the same store
+    * (StreamingSpec). Index refresh = pointing `path` at a new store
+    * — or the SAME store [[appendArrivals]] is growing: a probe batch
+    * sees every posting committed before its trigger. */
+  def storedProbe(spark: SparkSession, path: String,
+                  queryBatch: DataFrame): DataFrame =
+    graft.sources.IvfStore.servedTop10(spark, path,
+      queryBatch
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+        .select(col("vec_id").as("q_id"),
+          col("embedding").cast("array<double>").as("qv")))
+
   def appendArrivals(spark: SparkSession, path: String,
                      batch: DataFrame, batchId: Long): Unit = {
     val marker = new java.io.File(s"$path/_batches/$batchId")

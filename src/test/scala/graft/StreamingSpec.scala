@@ -3355,6 +3355,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_._1).distinct.length == 10, "every query answered once")
   }
 
+  test("store-backed online probe answers equal batch q262 row-for-row") {
+    // the serving half of the persisted-index lifecycle: the store is
+    // written once, query vectors arrive as a stream, and each
+    // micro-batch is answered FROM DISK with the probed-cell partition
+    // filter — answers bit-equal to the batch served-from-store rows.
+    // A dirty null-embedding row drops (the null-key contract).
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val idx = graft.operators.Quantize.buildIvfAdcIndex(e, materialized = true)
+    val path = java.nio.file.Files.createTempDirectory("graft-storeprobe").toString
+    graft.sources.IvfStore.write(idx, path)
+    val queries = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (java.lang.Long.valueOf(r.getLong(0)), r.getSeq[Double](1).toArray))
+    val dir = java.nio.file.Files.createTempDirectory("graft-storeprobe-src")
+    writeVecFile(dir, "a.parquet", queries.take(5).toSeq)
+    writeVecFile(dir, "b.parquet",
+      queries.drop(5).toSeq :+ ((null: java.lang.Long, queries.head._2)))
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val q = spark.readStream.schema(graft.streaming.VecStream.vecSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val out = graft.streaming.VecStream.storedProbe(spark, path, batch)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        rows.synchronized { rows ++= out }
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-storeprobe-ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = rows.synchronized(rows.toSeq).sortBy(r => (r._1, r._2))
+    val want = graft.sources.IvfStore.servedTop10(spark, path,
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(r => (r._1, r._2))
+    assert(want.nonEmpty && got == want,
+      "online store-backed answers must equal the batch served-from-store rows")
+    assert(got.map(_._1).distinct.length == 10, "every query answered once")
+  }
+
   test("a bridging near-dup merges two live clusters across a checkpoint restart") {
     // THE production event the twin exists for: clusters {A, A2} and
     // {B, B2} form in run 1; the stream restarts; a single bridging
