@@ -82,6 +82,7 @@ object SparkEntry {
     "q260_dispersion"    -> (Stats.q260DispersionIndex _),
     "q261_index_staleness" -> (KMeans.q261IndexStaleness _),
     "q262_ivf_served_store" -> (sources.IvfStore.q262IvfServedStore _),
+    "q266_maintenance_policy" -> (KMeans.q266MaintenancePolicy _),
     "q263_incremental_reindex" -> (sources.IvfStore.q263IncrementalReindex _),
     "q264_winnowed_dedup" -> (Dedup.q264WinnowedDedup _),
     // rows-only (the q89/q146 iterative-fit contract): the OPQ
@@ -5865,6 +5866,36 @@ object SparkEntry {
          |    AS DOUBLE) / count(*), 6) + 0.0 AS added_share
          |FROM oaf CROSS JOIN mx
          |GROUP BY cluster ORDER BY cell""".stripMargin,
+
+    // maintenance policy: the q261 chains + a CASE-gated union — the
+    // churn scalar picks which assignment's per-cell report is emitted,
+    // mirroring the engine's append/retrain decision
+    "q266_maintenance_policy" -> {
+      val thr = operators.KMeans.ReindexChurnThreshold
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |eold AS MATERIALIZED (SELECT * FROM e
+         |  WHERE vec_id <= (SELECT max(vec_id) // 2 FROM e)),
+         |${kmeansChain(operators.KMeans.K, "o", "eold")},
+         |${kmeansChain(operators.KMeans.K, "")},
+         |j AS MATERIALIZED (SELECT s.vec_id, s.cluster AS sc, s.dist AS sd,
+         |    f.cluster AS fc, f.dist AS fd
+         |  FROM oaf s JOIN af f USING (vec_id)
+         |  WHERE s.dist IS NOT NULL AND f.dist IS NOT NULL
+         |    AND NOT isnan(s.dist) AND NOT isnan(f.dist)),
+         |g AS (SELECT CAST(sum(CASE WHEN sc <> fc THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*) AS churn FROM j),
+         |chosen AS (
+         |  SELECT sc AS cell, sd AS d FROM j WHERE (SELECT churn FROM g) <= $thr
+         |  UNION ALL
+         |  SELECT fc AS cell, fd AS d FROM j WHERE (SELECT churn FROM g) > $thr)
+         |SELECT CASE WHEN (SELECT churn FROM g) > $thr
+         |    THEN 'retrain' ELSE 'append' END AS decision,
+         |  round((SELECT churn FROM g), 6) + 0.0 AS churn_share,
+         |  cell, CAST(count(*) AS BIGINT) AS n_members,
+         |  round(CAST(sum(CAST(round(d * 1000000) AS BIGINT)) AS DOUBLE)
+         |    / count(*) / 1000000.0, 6) AS mean_dist
+         |FROM chosen GROUP BY cell ORDER BY cell""".stripMargin
+    },
 
     // winnowed dedup: the q250 gram/window-min chain at the shipped
     // w, df-capped inverted index on the SELECTED hashes, exact

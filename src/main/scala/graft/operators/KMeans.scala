@@ -221,6 +221,69 @@ object KMeans {
       .orderBy("cell")
   }
 
+  /** Churn share above which [[q266MaintenancePolicy]] retrains +
+    * re-encodes instead of appending under the stale artifacts — the
+    * operating point a deployment tunes against q261's audit (both
+    * driver corpora sit at 0.35-0.39: the index ages well enough to
+    * keep appending; the spec's planted axis-drift corpus crosses it). */
+  val ReindexChurnThreshold = 0.5
+
+  /** q266: the maintenance POLICY gate — the decision step between
+    * q261's audit (is the index stale?) and the two acts (q263's
+    * O(arrivals) append vs a full retrain + re-encode), closing the
+    * plan→act loop the way q243 closed it for mix planning: compute
+    * the churn a fresh fit would cause, compare against
+    * [[ReindexChurnThreshold]], and emit the per-cell health report of
+    * the index the policy actually KEEPS — the stale centroids (the
+    * append branch: arrivals keep filing into the existing cells, the
+    * q263 path) or the fresh ones (the retrain branch: every vector
+    * re-assigned, and for a PQ store re-encoded). One row per cell of
+    * the chosen index: (decision, churn_share, cell, n_members,
+    * mean_dist).
+    *
+    * Scale shape: exactly q261's two audited fits + two assignments +
+    * one vec_id join (the audit is the expensive part — the decision
+    * and the report are O(K) folds over the same joined frame); the
+    * branch SELECTION is a scalar predicate, not a third pass.
+    * Deterministic end to end → oracle-replayed with the two prefixed
+    * kmeans chains and a CASE-gated union. */
+  def q266MaintenancePolicy(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val mx = e.agg(max("vec_id").as("m")).head() // 1 row by construction
+    val empty = e.select(lit("append").as("decision"),
+      lit(0.0).as("churn_share"), lit(0L).as("cell"),
+      lit(0L).as("n_members"), lit(0.0).as("mean_dist")).limit(0)
+    if (mx.isNullAt(0)) return empty
+    val cutoff = Math.floorDiv(mx.getLong(0), 2L)
+    val old = e.filter(col("vec_id") <= cutoff)
+    val stale = assign(e, fit(old))
+      .select(col("vec_id"), col("cluster").as("sc"), col("dist").as("sd"))
+    val fresh = assign(e, fit(e))
+      .select(col("vec_id"), col("cluster").as("fc"), col("dist").as("fd"))
+    val j = stale.join(fresh, "vec_id")
+      .filter(col("sd").isNotNull && col("fd").isNotNull
+        && !isnan(col("sd")) && !isnan(col("fd")))
+      .localCheckpoint(true) // feeds the churn fold + the chosen report
+    def grid(c: Column) = round(c * 1000000, 0).cast("long").cast("decimal(38,0)")
+    val churnRow = j.agg((sum((col("sc") =!= col("fc")).cast("long"))
+        .cast("double") / count(lit(1))).as("churn")).head()
+    if (churnRow.isNullAt(0)) return empty
+    val churn = churnRow.getDouble(0)
+    val retrain = churn > ReindexChurnThreshold
+    val chosen =
+      if (retrain) j.select(col("fc").as("cell"), col("fd").as("d"))
+      else j.select(col("sc").as("cell"), col("sd").as("d"))
+    chosen.groupBy("cell")
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(grid(col("d"))).cast("double") / count(lit(1)) / 1000000.0, 6)
+          .as("mean_dist"))
+      .select(lit(if (retrain) "retrain" else "append").as("decision"),
+        round(lit(churn), 6).as("churn_share"),
+        col("cell"), col("n_members"), col("mean_dist"))
+      .orderBy("cell")
+  }
+
   /** Cells probed per query in q119 (of K = 16). */
   val Nprobe = 4
 

@@ -4047,6 +4047,56 @@ class QueriesSpec extends AnyFunSuite {
     assert(p.head.getDouble(7) > 0.0, "the re-fit must cut mean distance")
   }
 
+  test("q266 maintenance policy: append branch folds q261's stale side, planted drift flips to retrain") {
+    // gate corpora sit below the threshold: the policy keeps the STALE
+    // index (append), and its per-cell report must fold q261's
+    // stale-side columns cell-for-cell
+    val got = run("q266_maintenance_policy").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    assert(got.map(_._1).distinct.toSeq == Seq("append"),
+      s"gate corpus churn ${got.head._2} sits below the threshold")
+    assert(got.head._2 <= graft.operators.KMeans.ReindexChurnThreshold)
+    val q261 = run("q261_index_staleness").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    got.foreach { case (_, _, cell, n, d) =>
+      assert(q261(cell) == ((n, d)),
+        s"cell $cell must fold q261's stale membership/distance")
+    }
+    // planted regime change: the old snapshot is a unit blob at the
+    // origin; the grown half is a far shifted blob. The fresh fit
+    // migrates centroids to the new mass, reorganizing the majority of
+    // assignments -> churn crosses the threshold, policy flips to
+    // retrain
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260816L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-policy").toString
+    (0 to 200).map { i =>
+      val shift = if (i <= 100) 0.0 else 15.0
+      (i.toLong, Seq.tabulate(64)(_ =>
+        (rnd.nextGaussian() + shift).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val p = graft.operators.KMeans.q266MaintenancePolicy(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(p.nonEmpty && p.forall(_._1 == "retrain"),
+      s"planted drift must flip the decision: ${p.toSeq}")
+    assert(p.head._2 > graft.operators.KMeans.ReindexChurnThreshold)
+    // retrain branch = the fresh fit's report: its mean distances must
+    // match a direct fresh assignment fold
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val freshCells = graft.operators.KMeans
+      .assign(e, graft.operators.KMeans.fit(e))
+      .groupBy("cluster").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    p.foreach { case (_, _, cell, n, _) =>
+      assert(freshCells(cell) == n, s"cell $cell must fold the fresh fit")
+    }
+  }
+
   test("q260 dispersion index replays from zero-aware moments; planted burst flagged") {
     // replay: zeros add nothing to the count moments, only to N
     val ev = Tables.events(spark, sf0001)
