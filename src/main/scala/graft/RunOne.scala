@@ -73,6 +73,31 @@ object RunOne {
       }
       spark.stop(); return
     }
+    // ivf_serve: build + persist the composed index ONCE outside the
+    // timed loop, then time ONLY the served probe — the steady-state
+    // number a serving deployment actually pays per query block once
+    // the index exists (the declared q262 deliberately prices the
+    // whole lifecycle; this isolates its serve stage)
+    if (name == "ivf_serve") {
+      import org.apache.spark.sql.functions._
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = e.filter(col("vec_id") < operators.KMeans.EvalBlock)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        .localCheckpoint(true)
+      val path = java.nio.file.Files.createTempDirectory("runone-ivf-store").toString
+      val t0 = System.nanoTime()
+      sources.IvfStore.write(
+        operators.Quantize.buildIvfAdcIndex(e, materialized = true), path)
+      println(f"[runone] index build+write: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      (1 to iters).foreach { i =>
+        val t1 = System.nanoTime()
+        sources.IvfStore.servedTop10(spark, path, q)
+          .write.format("noop").mode("overwrite").save()
+        println(f"[runone] iter $i: ${(System.nanoTime() - t1) / 1e9}%.2f s")
+      }
+      spark.stop(); return
+    }
     // dev probe: time ONLY q124's basket-build stage (the one
     // order-keyed exchange + collect_set), no persist, no consumers —
     // isolates where the 100× wall time lives
