@@ -79,6 +79,7 @@ object SparkEntry {
     "q253_ols_quality"   -> (Stats.q253OlsQuality _),
     "q254_diff_in_diff"  -> (Stats.q254DiffInDiff _),
     "q258_holt_backtest" -> (Temporal.q258HoltBacktest _),
+    "q267_cusum_changepoint" -> (Temporal.q267CusumChangepoint _),
     "q260_dispersion"    -> (Stats.q260DispersionIndex _),
     "q261_index_staleness" -> (KMeans.q261IndexStaleness _),
     "q262_ivf_served_store" -> (sources.IvfStore.q262IvfServedStore _),
@@ -5074,6 +5075,90 @@ object SparkEntry {
          |  CASE WHEN ne = 0 THEN 'no_eval' WHEN aeh < aen THEN 'holt'
          |       WHEN aen < aeh THEN 'naive' ELSE 'tie' END AS best
          |FROM fin ORDER BY event_type""".stripMargin
+    },
+
+    // CUSUM change-point: pre-period moments from exact grid integers,
+    // then Page's two-sided recurrence replayed as a LINEAR recursive
+    // CTE keyed (type, rn) — the q258 pattern; sigma0 = 0 types emit
+    // the 'flat' row without folding a divide-by-zero
+    "q267_cusum_changepoint" -> {
+      val k = Temporal.CusumK
+      val h = Temporal.CusumH
+      s"""WITH RECURSIVE daily AS (SELECT event_type,
+         |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+         |      AS day,
+         |    sum(CAST(round(value * 1000) AS BIGINT)) AS y3
+         |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+         |    AND ts IS NOT NULL
+         |  GROUP BY 1, 2),
+         |mid AS (SELECT CAST(floor((min(day) + max(day)) / 2) AS BIGINT) AS mid
+         |        FROM daily),
+         |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+         |       FROM daily GROUP BY 1),
+         |pre AS (SELECT event_type, count(*) AS n0,
+         |    sum(CAST(y3 AS HUGEINT)) AS s1,
+         |    sum(CAST(y3 AS HUGEINT) * CAST(y3 AS HUGEINT)) AS s2
+         |  FROM daily CROSS JOIN mid WHERE day <= mid GROUP BY 1),
+         |mo AS (SELECT event_type,
+         |    CAST(s1 AS DOUBLE) / n0 / 1000.0 AS mu0,
+         |    sqrt((CAST(s2 AS DOUBLE) * n0
+         |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+         |      / (CAST(n0 AS DOUBLE) * n0)) / 1000.0 AS sig0
+         |  FROM pre),
+         |rows0 AS (SELECT d.event_type, d.day, d.y3, m.mu0, m.sig0,
+         |    row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS rn
+         |  FROM daily d JOIN mo m USING (event_type) WHERE m.sig0 > 0),
+         |rec AS (
+         |  SELECT event_type, rn, mu0, sig0,
+         |    greatest(CAST(0 AS DOUBLE), (y3 / 1000.0 - mu0) / sig0 - $k) AS sp,
+         |    greatest(CAST(0 AS DOUBLE), -(y3 / 1000.0 - mu0) / sig0 - $k) AS sn,
+         |    CASE WHEN greatest(CAST(0 AS DOUBLE), (y3 / 1000.0 - mu0) / sig0 - $k) > $h
+         |           OR greatest(CAST(0 AS DOUBLE), -(y3 / 1000.0 - mu0) / sig0 - $k) > $h
+         |         THEN day ELSE CAST(-1 AS BIGINT) END AS fd,
+         |    CASE WHEN greatest(CAST(0 AS DOUBLE), (y3 / 1000.0 - mu0) / sig0 - $k) > $h
+         |         THEN CAST(1 AS BIGINT)
+         |         WHEN greatest(CAST(0 AS DOUBLE), -(y3 / 1000.0 - mu0) / sig0 - $k) > $h
+         |         THEN CAST(2 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS dir,
+         |    greatest(CAST(0 AS DOUBLE), (y3 / 1000.0 - mu0) / sig0 - $k) AS mxp,
+         |    greatest(CAST(0 AS DOUBLE), -(y3 / 1000.0 - mu0) / sig0 - $k) AS mxn
+         |  FROM rows0 WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.event_type, x.rn, r.mu0, r.sig0,
+         |    greatest(CAST(0 AS DOUBLE), r.sp + (x.y3 / 1000.0 - r.mu0) / r.sig0 - $k),
+         |    greatest(CAST(0 AS DOUBLE), r.sn - (x.y3 / 1000.0 - r.mu0) / r.sig0 - $k),
+         |    CASE WHEN r.fd >= 0 THEN r.fd
+         |      WHEN greatest(CAST(0 AS DOUBLE), r.sp + (x.y3 / 1000.0 - r.mu0) / r.sig0 - $k) > $h
+         |        OR greatest(CAST(0 AS DOUBLE), r.sn - (x.y3 / 1000.0 - r.mu0) / r.sig0 - $k) > $h
+         |      THEN x.day ELSE CAST(-1 AS BIGINT) END,
+         |    CASE WHEN r.fd >= 0 THEN r.dir
+         |      WHEN greatest(CAST(0 AS DOUBLE), r.sp + (x.y3 / 1000.0 - r.mu0) / r.sig0 - $k) > $h
+         |      THEN CAST(1 AS BIGINT)
+         |      WHEN greatest(CAST(0 AS DOUBLE), r.sn - (x.y3 / 1000.0 - r.mu0) / r.sig0 - $k) > $h
+         |      THEN CAST(2 AS BIGINT) ELSE CAST(0 AS BIGINT) END,
+         |    greatest(r.mxp,
+         |      greatest(CAST(0 AS DOUBLE), r.sp + (x.y3 / 1000.0 - r.mu0) / r.sig0 - $k)),
+         |    greatest(r.mxn,
+         |      greatest(CAST(0 AS DOUBLE), r.sn - (x.y3 / 1000.0 - r.mu0) / r.sig0 - $k))
+         |  FROM rec r JOIN rows0 x
+         |    ON x.event_type = r.event_type AND x.rn = r.rn + 1),
+         |fin AS (SELECT r.* FROM rec r
+         |  JOIN (SELECT event_type, max(rn) AS mr FROM rec GROUP BY 1) q
+         |    ON q.event_type = r.event_type AND q.mr = r.rn)
+         |SELECT f.event_type, nd.n_days,
+         |  round(f.mu0, 6) + 0.0 AS mu0,
+         |  round(f.sig0, 6) + 0.0 AS sigma0,
+         |  CASE WHEN f.fd >= 0 THEN f.fd END AS first_alarm_day,
+         |  CASE WHEN f.dir = 1 THEN 'up' WHEN f.dir = 2 THEN 'down'
+         |       ELSE 'none' END AS alarm_dir,
+         |  round(f.mxp, 6) + 0.0 AS max_cusum_up,
+         |  round(f.mxn, 6) + 0.0 AS max_cusum_down
+         |FROM fin f JOIN nd USING (event_type)
+         |UNION ALL
+         |SELECT m.event_type, nd.n_days,
+         |  round(m.mu0, 6) + 0.0, round(m.sig0, 6) + 0.0,
+         |  NULL, 'flat', NULL, NULL
+         |FROM mo m JOIN nd USING (event_type) WHERE NOT (m.sig0 > 0)
+         |ORDER BY event_type""".stripMargin
     },
 
     "q216_cuped" ->

@@ -993,6 +993,100 @@ object Temporal {
       .orderBy("event_type")
   }
 
+  /** CUSUM reference slack (in pre-period σ units) and decision
+    * interval — the textbook (k, h) = (0.5, 5) operating point: detect
+    * a ~1σ mean shift with ~5σ cumulative evidence (Page 1954). */
+  val CusumK = 0.5
+  val CusumH = 5.0
+
+  /** q267: CUSUM change-point detection — the regime-shift rung the
+    * monitoring ladder lacked: q113 flags single anomalous DAYS
+    * (EWMA), q235 flags bursty ARRIVALS, q258 fits a trend, q260
+    * validates the Poisson assumption — none answers "did this
+    * metric's LEVEL shift, and when?". Per event type: standardize
+    * the daily totals by the PRE-period (days ≤ mid, the q190/q258
+    * convention) mean/σ, then fold Page's two-sided CUSUM over the
+    * day-ordered series — s⁺ = max(0, s⁺ + z − k), s⁻ = max(0, s⁻ −
+    * z − k) — and report the FIRST day either side crosses h, its
+    * direction, and the max excursions. A type that alarms 'up' right
+    * after mid shifted level (launch, bot wave); one that never
+    * alarms is stationary to ±kσ.
+    *
+    * Scale shape: the corpus collapses to the O(types × days) daily
+    * frame in one partial-agged scan (the q113/q258 contract); the
+    * pre-period moments are exact 1e-3-grid integers (decimal cast
+    * BEFORE the square — the q190 overflow lesson); the recurrence
+    * folds per type over a sorted bounded array, sequential BY DESIGN
+    * (the q233 convention). σ₀ = 0 types (constant pre-period) carry
+    * null alarm fields rather than folding a divide-by-zero.
+    * Deterministic: identical IEEE expression trees both engines, the
+    * oracle replays the fold as a linear recursive CTE keyed
+    * (type, rn) — the q258 pattern. */
+  def q267CusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val k = CusumK
+    val h = CusumH
+    val daily = Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("event_type").isNotNull &&
+        col("ts").isNotNull)
+      .select(col("event_type"),
+        round(col("value") * 1000, 0).cast("long").as("v3"),
+        datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+          .cast("long").as("day"))
+      .groupBy("event_type", "day")
+      .agg(sum("v3").as("y3"))
+      .localCheckpoint() // O(types × days); mid + moments + fold read it
+    val mid = daily.agg(floor((min("day") + max("day")) / 2)
+      .cast("long").as("mid"))
+    val pre = daily.crossJoin(broadcast(mid))
+      .filter(col("day") <= col("mid"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n0"),
+        sum(col("y3").cast("decimal(38,0)")).as("s1"),
+        sum((col("y3").cast("decimal(38,0)")
+          * col("y3").cast("decimal(38,0)"))).as("s2"))
+      .select(col("event_type"), col("n0"),
+        (col("s1").cast("double") / col("n0") / 1000.0).as("mu0"),
+        (sqrt((col("s2").cast("double") * col("n0")
+            - col("s1").cast("double") * col("s1").cast("double"))
+          / (col("n0").cast("double") * col("n0"))) / 1000.0).as("sig0"))
+    val folded = daily.crossJoin(broadcast(mid))
+      .groupBy("event_type", "mid")
+      .agg(count(lit(1)).as("n_days"),
+        sort_array(collect_list(struct(col("day"), col("y3")))).as("s"))
+      .join(pre, "event_type")
+      .withColumn("st", when(col("sig0") > 0, expr(
+        s"""aggregate(s,
+           |  named_struct('sp', 0D, 'sn', 0D, 'fd', CAST(-1 AS BIGINT),
+           |               'dir', CAST(0 AS BIGINT), 'mxp', 0D, 'mxn', 0D),
+           |  (acc, x) -> named_struct(
+           |    'sp', greatest(0D, acc.sp + (x.y3 / 1000.0 - mu0) / sig0 - $k),
+           |    'sn', greatest(0D, acc.sn - (x.y3 / 1000.0 - mu0) / sig0 - $k),
+           |    'fd', CASE WHEN acc.fd >= 0 THEN acc.fd
+           |      WHEN greatest(0D, acc.sp + (x.y3 / 1000.0 - mu0) / sig0 - $k) > $h
+           |        OR greatest(0D, acc.sn - (x.y3 / 1000.0 - mu0) / sig0 - $k) > $h
+           |      THEN x.day ELSE CAST(-1 AS BIGINT) END,
+           |    'dir', CASE WHEN acc.fd >= 0 THEN acc.dir
+           |      WHEN greatest(0D, acc.sp + (x.y3 / 1000.0 - mu0) / sig0 - $k) > $h
+           |      THEN CAST(1 AS BIGINT)
+           |      WHEN greatest(0D, acc.sn - (x.y3 / 1000.0 - mu0) / sig0 - $k) > $h
+           |      THEN CAST(2 AS BIGINT) ELSE CAST(0 AS BIGINT) END,
+           |    'mxp', greatest(acc.mxp,
+           |      greatest(0D, acc.sp + (x.y3 / 1000.0 - mu0) / sig0 - $k)),
+           |    'mxn', greatest(acc.mxn,
+           |      greatest(0D, acc.sn - (x.y3 / 1000.0 - mu0) / sig0 - $k))))""".stripMargin)))
+    folded.select(col("event_type"), col("n_days"),
+        round(col("mu0"), 6).as("mu0"),
+        round(col("sig0"), 6).as("sigma0"),
+        when(col("st.fd") >= 0, col("st.fd")).as("first_alarm_day"),
+        when(col("st").isNull, "flat")
+          .when(col("st.dir") === 1, "up")
+          .when(col("st.dir") === 2, "down")
+          .otherwise("none").as("alarm_dir"),
+        when(col("st").isNotNull, round(col("st.mxp"), 6)).as("max_cusum_up"),
+        when(col("st").isNotNull, round(col("st.mxn"), 6)).as("max_cusum_down"))
+      .orderBy("event_type")
+  }
+
   /** q200: journey predictability — conditional next-event entropy
     * H(next | prev) per source state, from the q112 transition counts:
     * the UNCERTAINTY companion to q185's argmax accuracy (accuracy

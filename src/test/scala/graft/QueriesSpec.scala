@@ -1232,7 +1232,9 @@ class QueriesSpec extends AnyFunSuite {
       "q233_stationary_dist", "q235_burstiness", "q236_type_cooccurrence",
       "q239_deseasonalized_anomaly", "q240_daily_latency",
       // round 11
-      "q254_diff_in_diff", "q258_holt_backtest", "q260_dispersion")
+      "q254_diff_in_diff", "q258_holt_backtest", "q260_dispersion",
+      // round 12
+      "q267_cusum_changepoint")
     val failures = eventQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>
@@ -4209,6 +4211,74 @@ class QueriesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q267 CUSUM replays from a plain-Scala recurrence; planted level shift alarms up, constant series reads flat") {
+    val k = graft.operators.Temporal.CusumK
+    val h = graft.operators.Temporal.CusumH
+    val daily = Tables.events(spark, sf0001)
+      .filter(col("value").isNotNull && col("event_type").isNotNull &&
+        col("ts").isNotNull)
+      .select(col("event_type"),
+        round(col("value") * 1000, 0).cast("long").as("v3"),
+        datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+          .cast("long").as("day"))
+      .groupBy("event_type", "day").agg(sum("v3").as("y3"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val mid = math.floor((daily.map(_._2).min + daily.map(_._2).max) / 2.0).toLong
+    val got = run("q267_cusum_changepoint").collect()
+      .map(r => r.getString(0) -> r).toMap
+    daily.groupBy(_._1).foreach { case (t, xs) =>
+      val s = xs.sortBy(_._2)
+      val pre = s.filter(_._2 <= mid).map(_._3)
+      val n0 = pre.length.toDouble
+      val mu0 = pre.map(BigInt(_)).sum.toDouble / n0 / 1000.0
+      val sig0 = math.sqrt(
+        (pre.map(y => BigInt(y) * BigInt(y)).sum.toDouble * n0
+          - pre.map(BigInt(_)).sum.toDouble * pre.map(BigInt(_)).sum.toDouble)
+          / (n0 * n0)) / 1000.0
+      var (sp, sn, fd, dir, mxp, mxn) = (0.0, 0.0, -1L, 0L, 0.0, 0.0)
+      s.foreach { case (_, d, y3) =>
+        val z = (y3 / 1000.0 - mu0) / sig0
+        sp = math.max(0.0, sp + z - k); sn = math.max(0.0, sn - z - k)
+        if (fd < 0 && (sp > h || sn > h)) { fd = d; dir = if (sp > h) 1 else 2 }
+        mxp = math.max(mxp, sp); mxn = math.max(mxn, sn)
+      }
+      val r = got(t)
+      assert(r.getLong(1) == s.length, s"$t n_days")
+      assert(math.abs(r.getDouble(2) - mu0) < 1e-5, s"$t mu0")
+      assert(math.abs(r.getDouble(3) - sig0) < 1e-5, s"$t sigma0")
+      if (fd >= 0) assert(r.getLong(4) == fd, s"$t first_alarm_day")
+      else assert(r.isNullAt(4), s"$t must not alarm")
+      assert(r.getString(5) == Seq("none", "up", "down")(dir.toInt), s"$t dir")
+      assert(math.abs(r.getDouble(6) - mxp) < 1e-5, s"$t max up")
+      assert(math.abs(r.getDouble(7) - mxn) < 1e-5, s"$t max down")
+    }
+    // planted: 'shift' doubles its level right after mid -> alarms up
+    // within a few post-mid days; 'steady' is constant pre-period ->
+    // sigma0 = 0 -> flat, no fold, no divide-by-zero
+    import spark.implicits._
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-cusum").toString
+    val base = java.time.LocalDate.parse("2024-01-01")
+    val rows = (0 until 30).flatMap { d =>
+      val ts = java.sql.Timestamp.valueOf(base.plusDays(d).atTime(12, 0))
+      Seq(
+        (d * 2 + 1L, 1L, ts, "shift", if (d <= 14) 10.0 + (d % 3) else 25.0, "{}"),
+        (d * 2 + 2L, 2L, ts, "steady", 7.0, "{}"))
+    }
+    rows.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .write.parquet(s"$dir2/events.parquet")
+    val p = graft.operators.Temporal.q267CusumChangepoint(spark, dir2).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val sh = p("shift")
+    assert(sh.getString(5) == "up" && !sh.isNullAt(4), "planted shift must alarm up")
+    assert(sh.getLong(4) > mid0(base) + 14, "alarm must land after the jump")
+    val st = p("steady")
+    assert(st.getDouble(3) == 0.0 && st.getString(5) == "flat" && st.isNullAt(4),
+      "constant pre-period must read flat, not divide by zero")
+  }
+
+  private def mid0(base: java.time.LocalDate): Long =
+    base.toEpochDay // day index of the fixture's first day
 
   test("q257 cell-refined blocking: subset arithmetic, dup count folds q49's row count") {
     // sf0.01: the smallest corpus where the banded candidate set is
