@@ -85,7 +85,7 @@ object RunOne {
       val q = e.filter(col("vec_id") < operators.KMeans.EvalBlock)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
         .localCheckpoint(true)
-      val path = java.nio.file.Files.createTempDirectory("runone-ivf-store").toString
+      val path = Scratch.dir("runone-ivf-serve")
       val t0 = System.nanoTime()
       sources.IvfStore.write(
         operators.Quantize.buildIvfAdcIndex(e, materialized = true), path)

@@ -85,6 +85,7 @@ object SparkEntry {
     "q262_ivf_served_store" -> (sources.IvfStore.q262IvfServedStore _),
     "q266_maintenance_policy" -> (KMeans.q266MaintenancePolicy _),
     "q263_incremental_reindex" -> (sources.IvfStore.q263IncrementalReindex _),
+    "q268_retrain_act"   -> (sources.IvfStore.q268RetrainActStore _),
     "q264_winnowed_dedup" -> (Dedup.q264WinnowedDedup _),
     // rows-only (the q89/q146 iterative-fit contract): the OPQ
     // alternation's SVD has no DuckDB replay
@@ -504,6 +505,48 @@ object SparkEntry {
   private def pqCodesCte: String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |$pqTailCte""".stripMargin
+
+  /** DuckDB: the full q244 probe→ADC→refine chain over fresh full-corpus
+    * artifacts, emitting the refined top-10 rows — the shared oracle of
+    * q262 (served from the persisted store) and q268 (served after the
+    * stale-build → append → retrain lifecycle): both engine paths must
+    * be answer-invariant to this store-free replay of the math. */
+  private def ivfServedChainSql: String =
+    s"""WITH $kmeansCte,
+       |$pqTailCte,
+       |qq AS (SELECT vec_id AS q_id, v AS qv FROM e
+       |       WHERE vec_id < ${operators.KMeans.EvalBlock}),
+       |qr AS (SELECT q_id, cluster FROM (
+       |    SELECT q_id, cluster, row_number() OVER
+       |      (PARTITION BY q_id ORDER BY cdist, cluster) AS crk
+       |    FROM (SELECT qq.q_id, c.cluster,
+       |                 round(${sqDistSql("qq.qv", "c.cv")}, 6) AS cdist
+       |          FROM qq CROSS JOIN $kmeansLast c) s0) t
+       |  WHERE crk <= ${operators.KMeans.Nprobe}),
+       |cand AS (SELECT qr.q_id, a.vec_id AS n_id
+       |         FROM qr JOIN af a USING (cluster) WHERE a.vec_id <> qr.q_id),
+       |lut AS (SELECT f.vec_id AS q_id, f.sub, cb.code,
+       |          round(${sqDistSql("f.sv", "cb.cv")}, 6) AS d
+       |        FROM flat f JOIN cb ON cb.sub = f.sub
+       |        WHERE f.vec_id < ${operators.KMeans.EvalBlock}),
+       |adc AS (SELECT c.q_id, c.n_id, round(sum(l.d), 6) AS adc
+       |        FROM cand c JOIN codes k ON k.vec_id = c.n_id
+       |        JOIN lut l ON l.q_id = c.q_id AND l.sub = k.sub
+       |          AND l.code = k.code
+       |        GROUP BY 1, 2),
+       |short AS (SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id, row_number() OVER
+       |      (PARTITION BY q_id ORDER BY adc, n_id) AS ark
+       |    FROM adc) t WHERE ark <= ${operators.Quantize.RefineR}),
+       |res AS (SELECT q_id, rank, n_id, l2sq FROM (
+       |    SELECT s.q_id, s.n_id,
+       |           round(${sqDistSql("qq.qv", "e.v")}, 6) AS l2sq,
+       |           row_number() OVER (PARTITION BY s.q_id ORDER BY
+       |             round(${sqDistSql("qq.qv", "e.v")}, 6), s.n_id) AS rank
+       |    FROM short s JOIN qq ON qq.q_id = s.q_id
+       |    JOIN e ON e.vec_id = s.n_id) t WHERE rank <= 10)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, l2sq + 0.0 AS l2sq
+       |FROM res ORDER BY q_id, rank""".stripMargin
 
   /** [[pqCodesCte]] minus its leading `e` CTE — for composing with
     * chains that already define `e` (q244 stacks it on [[kmeansCte]]). */
@@ -5893,42 +5936,17 @@ object SparkEntry {
     // the MATH over the embeddings table; the engine answers from the
     // cell-partitioned store, so the hash match proves the persisted
     // layout is answer-invariant (ScaleSpec separately proves it prunes)
-    "q262_ivf_served_store" ->
-      s"""WITH $kmeansCte,
-         |$pqTailCte,
-         |qq AS (SELECT vec_id AS q_id, v AS qv FROM e
-         |       WHERE vec_id < ${operators.KMeans.EvalBlock}),
-         |qr AS (SELECT q_id, cluster FROM (
-         |    SELECT q_id, cluster, row_number() OVER
-         |      (PARTITION BY q_id ORDER BY cdist, cluster) AS crk
-         |    FROM (SELECT qq.q_id, c.cluster,
-         |                 round(${sqDistSql("qq.qv", "c.cv")}, 6) AS cdist
-         |          FROM qq CROSS JOIN $kmeansLast c) s0) t
-         |  WHERE crk <= ${operators.KMeans.Nprobe}),
-         |cand AS (SELECT qr.q_id, a.vec_id AS n_id
-         |         FROM qr JOIN af a USING (cluster) WHERE a.vec_id <> qr.q_id),
-         |lut AS (SELECT f.vec_id AS q_id, f.sub, cb.code,
-         |          round(${sqDistSql("f.sv", "cb.cv")}, 6) AS d
-         |        FROM flat f JOIN cb ON cb.sub = f.sub
-         |        WHERE f.vec_id < ${operators.KMeans.EvalBlock}),
-         |adc AS (SELECT c.q_id, c.n_id, round(sum(l.d), 6) AS adc
-         |        FROM cand c JOIN codes k ON k.vec_id = c.n_id
-         |        JOIN lut l ON l.q_id = c.q_id AND l.sub = k.sub
-         |          AND l.code = k.code
-         |        GROUP BY 1, 2),
-         |short AS (SELECT q_id, n_id FROM (
-         |    SELECT q_id, n_id, row_number() OVER
-         |      (PARTITION BY q_id ORDER BY adc, n_id) AS ark
-         |    FROM adc) t WHERE ark <= ${operators.Quantize.RefineR}),
-         |res AS (SELECT q_id, rank, n_id, l2sq FROM (
-         |    SELECT s.q_id, s.n_id,
-         |           round(${sqDistSql("qq.qv", "e.v")}, 6) AS l2sq,
-         |           row_number() OVER (PARTITION BY s.q_id ORDER BY
-         |             round(${sqDistSql("qq.qv", "e.v")}, 6), s.n_id) AS rank
-         |    FROM short s JOIN qq ON qq.q_id = s.q_id
-         |    JOIN e ON e.vec_id = s.n_id) t WHERE rank <= 10)
-         |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, l2sq + 0.0 AS l2sq
-         |FROM res ORDER BY q_id, rank""".stripMargin,
+    "q262_ivf_served_store" -> ivfServedChainSql,
+
+    // retrain act: stale-build → append → RETRAIN (generation swap) →
+    // serve. The retrained artifacts are re-fit on the store's full
+    // postings = the full corpus, and the seeded fit/codebook are pure
+    // functions of the vector SET — so the oracle is the very q262
+    // chain (fresh artifacts over raw embeddings): two paths across
+    // the store's whole mutation lifecycle, one answer. A retrain that
+    // read a stale generation, lost an appended posting, or published
+    // a partial tree breaks the hash
+    "q268_retrain_act" -> ivfServedChainSql,
 
     // incremental re-index: the q261 old-snapshot chain — centroids fit
     // on vec_id <= max/2 serve the FULL corpus (oaf) — aggregated per

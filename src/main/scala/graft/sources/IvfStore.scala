@@ -1,5 +1,8 @@
 package graft.sources
 
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -19,9 +22,14 @@ import graft.operators.{KMeans, Quantize}
   * directories, codes and floats inline per posting:
   *
   * {{{
-  *   path/cents/           (cluster, cv)                O(K), hot
-  *   path/codebook/        (sub, code, cv)              O(PqM·PqK), hot
-  *   path/lists/cell=N/    (n_id, codes: array, v)      corpus-sized
+  *   path/_current            (optional) generation pointer — one small
+  *                            file naming the live tree; absent = flat
+  *   path[/gen-G]/cents/      (cluster, cv)                O(K), hot
+  *   path[/gen-G]/codebook/   (sub, code, cv)              O(PqM·PqK), hot
+  *   path[/gen-G]/lists/cell=N/ (n_id, codes: array, v)    corpus-sized
+  *   path/_batches/<lineage>/<id>   streaming commit markers (store-level:
+  *                            they survive a retrain, which rebuilds FROM
+  *                            the already-filed postings)
   * }}}
   *
   * A probe pushes its cell set as a STATIC `IN` filter on the
@@ -46,8 +54,135 @@ import graft.operators.{KMeans, Quantize}
   * reproduces the (n_id, sub, code) frame verbatim, and the serve
   * below reuses the very same [[Quantize.ivfAdcTop10]] stage code over
   * the pruned frames.
+  *
+  * ==Maintenance durability contract==
+  *
+  * All maintenance paths go through the Hadoop `FileSystem` API (the
+  * `Tables` footer-probe precedent), so they carry HDFS semantics, not
+  * just the local-FS ones the sandbox runs on. Three mechanisms, three
+  * different guarantees:
+  *
+  *  - '''Generation publish''' ([[retrain]]): a whole new tree is
+  *    written beside the live one and published by atomically
+  *    replacing the one-line `_current` pointer file
+  *    (`FileContext.rename(OVERWRITE)` — atomic on HDFS and POSIX;
+  *    on an object store a single-key PUT has the same effect). A
+  *    crash at ANY point leaves either the old pointer (unpublished
+  *    tree is garbage [[recover]] deletes) or the new one (superseded
+  *    tree is garbage) — readers never see a partial index.
+  *  - '''Streaming batch commit''' ([[commitBatch]]): arrivals are
+  *    staged, then moved into the live cells under DETERMINISTIC
+  *    names (`b-<lineage>-<batchId>-<i>.parquet`) with any same-name
+  *    leftovers deleted first, then the lineage-scoped marker lands.
+  *    Replays of committed batches no-op on the marker; replays of a
+  *    crashed half-commit DELETE-then-rename the same names, so the
+  *    drained tree converges to exactly-once filing with no
+  *    duplicate-posting window.
+  *  - '''Compaction''' ([[compact]]): an in-place per-cell rewrite —
+  *    two directory renames per cell, which HDFS makes individually
+  *    atomic but with a window between them where the cell is absent.
+  *    Compaction is therefore OFFLINE, SINGLE-WRITER maintenance (run
+  *    it with serving quiesced, never concurrently with append/
+  *    retrain); [[recover]] rolls a crashed swap back from its
+  *    `.old-` twin on the next maintenance open. On object stores,
+  *    where directory rename is copy+delete (not atomic), prefer
+  *    retrain-style generation rewrites or a transactional table
+  *    format over in-place compaction.
   */
 object IvfStore {
+
+  // ------------------------------------------------------------------
+  // Filesystem plumbing — Hadoop FileSystem throughout (never
+  // java.io.File: store paths live on HDFS/object stores at the scale
+  // the scaladoc claims; the sandbox's local FS is just one backend).
+  // ------------------------------------------------------------------
+
+  private def hconf(spark: SparkSession) = spark.sessionState.newHadoopConf()
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(hconf(spark))
+
+  private def readSmall(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), UTF_8).trim finally in.close()
+  }
+
+  /** The live tree root: `path/<gen>` when the `_current` pointer
+    * exists, else `path` itself (the flat layout [[write]] produces —
+    * a store only grows a generation once [[retrain]] publishes one).
+    * Every reader and every maintenance entry resolves through this. */
+  def resolveRoot(spark: SparkSession, path: String): String = {
+    val p = new Path(path)
+    val fs = fsOf(spark, p)
+    val cur = new Path(p, "_current")
+    if (fs.exists(cur)) new Path(p, readSmall(fs, cur)).toString else path
+  }
+
+  private def currentGen(spark: SparkSession, path: String): Option[String] = {
+    val p = new Path(path)
+    val fs = fsOf(spark, p)
+    val cur = new Path(p, "_current")
+    if (fs.exists(cur)) Some(readSmall(fs, cur)) else None
+  }
+
+  /** Atomically publish generation `gen` as the live tree: write the
+    * pointer beside itself, then rename OVER the old pointer in one
+    * `FileContext.rename(OVERWRITE)` — the single atomic step of the
+    * whole retrain. */
+  private def publish(spark: SparkSession, path: String, gen: String): Unit = {
+    val p = new Path(path)
+    val fs = fsOf(spark, p)
+    val tmp = new Path(p, "_current.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(gen.getBytes(UTF_8)) finally out.close()
+    val qualified = fs.makeQualified(p)
+    val fc = FileContext.getFileContext(qualified.toUri, hconf(spark))
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(new Path(p, "_current")),
+      Options.Rename.OVERWRITE)
+  }
+
+  /** Crash recovery for the maintenance paths — run on every
+    * maintenance open ([[compact]]/[[retrain]] call it first), cheap
+    * O(K) directory listings:
+    *
+    *  - a `gen-*` tree not named by `_current` (crash between tree
+    *    write and publish, or between publish and old-tree retire) is
+    *    deleted; with `_current` published, a leftover FLAT tree
+    *    (`lists`/`cents`/`codebook` directly under `path`) is the
+    *    retired pre-generation layout and is deleted too;
+    *  - a `.old-cell=N` whose `cell=N` twin is ABSENT is a compaction
+    *    that crashed between its two renames — rolled BACK (the old
+    *    files are intact by construction); one whose twin exists is a
+    *    completed swap whose cleanup crashed — deleted;
+    *  - `.compact-*` temp trees and `_current.tmp` are deleted. */
+  def recover(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return
+    val cur = currentGen(spark, path)
+    fs.listStatus(p).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("gen-") && !cur.contains(n)) fs.delete(s.getPath, true)
+      else if (n == "_current.tmp") fs.delete(s.getPath, false)
+      else if (cur.isDefined && (n == "lists" || n == "cents" || n == "codebook"))
+        fs.delete(s.getPath, true)
+    }
+    val lists = new Path(resolveRoot(spark, path), "lists")
+    if (fs.exists(lists)) {
+      fs.listStatus(lists).foreach { s =>
+        val n = s.getPath.getName
+        if (n.startsWith(".old-cell=")) {
+          val cell = new Path(lists, n.stripPrefix(".old-"))
+          if (!fs.exists(cell)) { fs.rename(s.getPath, cell); () }
+          else fs.delete(s.getPath, true)
+        }
+      }
+      fs.listStatus(lists).foreach { s =>
+        if (s.getPath.getName.startsWith(".compact-"))
+          fs.delete(s.getPath, true)
+      }
+    }
+  }
 
   /** Assemble the inverted-list posting frame (n_id, codes, v, cell)
     * from the three index pieces — shared by the from-scratch write
@@ -63,11 +198,12 @@ object IvfStore {
       .join(members.select(col("n_id"), col("cluster").as("cell")), "n_id")
   }
 
-  /** Persist a built index at `path` (overwrite). One corpus-sized
-    * inverted-list tree; cents/codebook are the O(K) / O(PqM·PqK) hot
-    * metadata every probe broadcasts anyway. The PQ codes pivot to a
-    * sub-ordered array per posting (PqM bytes of payload per vector —
-    * the FAISS list entry), so the tree carries one row per vector. */
+  /** Persist a built index at `path` (overwrite, flat layout). One
+    * corpus-sized inverted-list tree; cents/codebook are the O(K) /
+    * O(PqM·PqK) hot metadata every probe broadcasts anyway. The PQ
+    * codes pivot to a sub-ordered array per posting (PqM bytes of
+    * payload per vector — the FAISS list entry), so the tree carries
+    * one row per vector. */
   def write(idx: Quantize.IvfAdcIndex, path: String): Unit = {
     postings(idx.members, idx.codes, idx.floats)
       .repartition(col("cell"))
@@ -89,10 +225,17 @@ object IvfStore {
     * cells gain files, and the merged tree is bit-equal to a
     * from-scratch rebuild under the same frozen artifacts because
     * per-posting content depends only on (vector, cents, codebook).
-    * Returns the touched cell ids (O(K) bounded). */
+    * Returns the touched cell ids (O(K) bounded).
+    *
+    * This is the BATCH maintenance form: it assumes its caller runs
+    * once (a replay re-files the same arrivals — there is no marker
+    * at this layer). Streaming ingest goes through [[commitBatch]],
+    * whose staged deterministic-name commit makes replays converge
+    * to exactly-once filing. */
   def append(spark: SparkSession, path: String, arrivals: DataFrame): Array[Long] = {
-    val cents = spark.read.parquet(s"$path/cents")
-    val cb = spark.read.parquet(s"$path/codebook")
+    val root = resolveRoot(spark, path)
+    val cents = spark.read.parquet(s"$root/cents")
+    val cb = spark.read.parquet(s"$root/codebook")
     val asg = KMeans.assign(arrivals, cents)
       .select(col("vec_id").as("n_id"), col("cluster"))
       .localCheckpoint(true) // feeds the postings join + the touched set
@@ -101,8 +244,79 @@ object IvfStore {
           .select(col("vec_id").as("n_id"), col("sub"), col("code")),
         arrivals.select(col("vec_id"), col("v")))
       .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/lists")
+      .write.mode("append").partitionBy("cell").parquet(s"$root/lists")
     asg.select("cluster").distinct().collect().map(_.getLong(0)) // O(K)
+  }
+
+  /** EXACTLY-ONCE streaming filing — [[append]] hardened for the
+    * at-least-once `foreachBatch` replay contract. The marker is
+    * namespaced by the streaming query's LINEAGE (its checkpoint
+    * identity), not the bare batchId: batch ids restart at 0 for
+    * every new checkpoint, so an unscoped marker would silently skip
+    * a new query's first batches against a pre-existing store (data
+    * loss the rebuild-equality audit would only catch offline).
+    *
+    * Filing is a three-step staged commit, each step replay-idempotent:
+    *
+    *  1. STAGE: the batch's postings are written (overwrite) under
+    *     `path/_staging/<lineage>/<batchId>`, partitioned by cell —
+    *     the same frozen-artifact encode as [[append]];
+    *  2. MOVE: per staged cell, any prior `b-<lineage>-<batchId>-*`
+    *     files in the live cell directory are deleted (a crashed
+    *     half-commit's leftovers), then the staged files are renamed
+    *     in under those DETERMINISTIC names — so a replayed commit
+    *     overwrites itself instead of duplicating postings;
+    *  3. MARK: the `path/_batches/<lineage>/<batchId>` marker lands
+    *     and the staging tree is deleted. Markers live at STORE level
+    *     (not inside a generation): a retrain rebuilds FROM the filed
+    *     postings, so committed batches must stay committed across it.
+    *
+    * A marker hit short-circuits everything (committed batches
+    * re-deliver as no-ops); any crash before the marker re-runs the
+    * whole staged commit and converges on the same file names.
+    * StreamingSpec drives both replay shapes and the new-lineage
+    * regression. */
+  def commitBatch(spark: SparkSession, path: String, arrivals: DataFrame,
+                  lineage: String, batchId: Long): Unit = {
+    val safe = lineage.replaceAll("[^A-Za-z0-9._-]", "_")
+    require(safe.nonEmpty, "commitBatch: lineage must be non-empty")
+    val p = new Path(path)
+    val fs = fsOf(spark, p)
+    val marker = new Path(p, s"_batches/$safe/$batchId")
+    if (fs.exists(marker)) return
+    val root = new Path(resolveRoot(spark, path))
+    val staging = new Path(p, s"_staging/$safe/$batchId")
+    val cents = spark.read.parquet(new Path(root, "cents").toString)
+    val cb = spark.read.parquet(new Path(root, "codebook").toString)
+    val asg = KMeans.assign(arrivals, cents)
+      .select(col("vec_id").as("n_id"), col("cluster"))
+    postings(asg,
+        Quantize.pqCodesWith(cb, arrivals)
+          .select(col("vec_id").as("n_id"), col("sub"), col("code")),
+        arrivals.select(col("vec_id"), col("v")))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+    val lists = new Path(root, "lists")
+    val prefix = s"b-$safe-$batchId-"
+    fs.listStatus(staging)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .foreach { cellDir =>
+        val dst = new Path(lists, cellDir.getPath.getName)
+        fs.mkdirs(dst)
+        fs.listStatus(dst).filter(_.getPath.getName.startsWith(prefix))
+          .foreach(f => fs.delete(f.getPath, false))
+        fs.listStatus(cellDir.getPath).map(_.getPath)
+          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+          .zipWithIndex.foreach { case (src, i) =>
+            if (!fs.rename(src, new Path(dst, s"$prefix$i.parquet")))
+              throw new IllegalStateException(
+                s"commitBatch: cannot move $src into $dst")
+          }
+      }
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+    fs.delete(staging, true)
+    ()
   }
 
   /** Serve the q244 query path (probe → ADC → refine, top-10 per
@@ -117,7 +331,8 @@ object IvfStore {
     * partition filter instead of a join Catalyst can't prune by. */
   def servedTop10(spark: SparkSession, path: String,
                   queries: DataFrame): DataFrame = {
-    val cents = spark.read.parquet(s"$path/cents")
+    val root = resolveRoot(spark, path)
+    val cents = spark.read.parquet(s"$root/cents")
     val wq = Window.partitionBy("q_id").orderBy(asc("cdist"), asc("cluster"))
     val qcells = queries.crossJoin(broadcast(cents))
       .select(col("q_id"), col("cluster"),
@@ -130,7 +345,7 @@ object IvfStore {
       .collect().map(_.getLong(0)) // O(K) bounded by construction
     // three scans of ONE tree: each prunes to the probed dirs AND to
     // its own columns (ids / ids+codes / ids+floats)
-    def lists: DataFrame = spark.read.parquet(s"$path/lists")
+    def lists: DataFrame = spark.read.parquet(s"$root/lists")
       .filter(col("cell").isin(cellSet: _*))
     val members = lists.select(col("n_id"), col("cell").cast("long").as("cluster"))
     val cand = members.join(broadcast(qcells), "cluster")
@@ -143,9 +358,123 @@ object IvfStore {
       cents,
       members,
       codes,
-      spark.read.parquet(s"$path/codebook"),
+      spark.read.parquet(s"$root/codebook"),
       lists.select(col("n_id").as("vec_id"), col("v")))
     Quantize.ivfAdcTop10(served, queries, cand)
+  }
+
+  /** Compact the inverted-list tree — the small-files half of index
+    * maintenance: every [[append]]/[[commitBatch]] adds files to its
+    * touched cells, so a long-running ingest leaves each hot cell a
+    * directory of many small postings files (more open/seek cost per
+    * probe, more namenode/listing pressure at 100 TB). Compaction
+    * rewrites ONLY the cells whose file count exceeds
+    * `maxFilesPerCell`, each back to a single co-written file set,
+    * through a temp directory with a per-cell rename swap — untouched
+    * cells keep their exact files, and the tree's CONTENT is
+    * bit-identical before and after (postings are row-identical; only
+    * their file layout changes — ScaleSpec pins content, serving, and
+    * the untouched cells' file lists).
+    *
+    * OFFLINE, SINGLE-WRITER (see the object scaladoc): the two renames
+    * are each atomic on HDFS but the cell is absent between them, so
+    * serving must be quiesced for the cells being rewritten; a crash
+    * in the window is rolled back by the [[recover]] pass every
+    * maintenance entry (this one included) runs first. Returns
+    * (cell, files_before, files_after) for the rewritten cells —
+    * O(K) bounded. */
+  def compact(spark: SparkSession, path: String,
+              maxFilesPerCell: Int = 4): Seq[(Long, Int, Int)] = {
+    require(maxFilesPerCell >= 1)
+    recover(spark, path)
+    val root = new Path(resolveRoot(spark, path), "lists")
+    val fs = fsOf(spark, root)
+    val cells = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+    val out = Vector.newBuilder[(Long, Int, Int)]
+    cells.foreach { c =>
+      val dir = c.getPath
+      def parts = fs.listStatus(dir).map(_.getPath.getName)
+        .filter(n => n.endsWith(".parquet") || n.startsWith("part-"))
+      val before = parts.length
+      if (before > maxFilesPerCell) {
+        val cellId = dir.getName.stripPrefix("cell=").toLong
+        val tmp = new Path(root, s".compact-${dir.getName}")
+        // one task writes the merged cell (a cell is one task's worth
+        // by the write() contract; a TB-scale hot cell would raise
+        // the coalesce count the way filesPerDay salts q108's days)
+        spark.read.parquet(dir.toString)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(new Path(tmp, "_SUCCESS"), false)
+        val old = new Path(root, s".old-${dir.getName}")
+        if (!fs.rename(dir, old))
+          throw new IllegalStateException(s"compact: cannot swap $dir")
+        if (!fs.rename(tmp, dir)) {
+          fs.rename(old, dir) // roll back — the old cell is still intact
+          throw new IllegalStateException(s"compact: cannot promote $tmp")
+        }
+        fs.delete(old, true)
+        out += ((cellId, before, parts.length))
+      }
+    }
+    out.result()
+  }
+
+  /** The RETRAIN act — the branch of the q266 maintenance gate
+    * [[append]] does not cover: when churn says the stored centroids
+    * no longer describe the corpus, re-fit EVERYTHING from the store's
+    * own postings and atomically swap the whole tree.
+    *
+    *  1. read the stored vectors (`n_id, v` — the one corpus-sized
+    *     read a retrain fundamentally requires; codes/cells are NOT
+    *     read, they are superseded by construction);
+    *  2. seeded-Lloyd re-fit + PQ codebook re-seed on the full stored
+    *     corpus, re-assign and re-encode every vector — the exact
+    *     [[Quantize.buildIvfAdcIndex]] artifacts, so a retrained store
+    *     is indistinguishable from one built fresh on today's corpus;
+    *  3. write the new tree into the NEXT generation directory beside
+    *     the live one, then [[publish]] it by atomically replacing the
+    *     `_current` pointer — readers resolve the pointer per query,
+    *     so they see the old index until the instant they see the new
+    *     one, never a mixture;
+    *  4. retire the superseded tree (a crash between publish and
+    *     retire leaves garbage [[recover]] deletes, never a wrong
+    *     answer).
+    *
+    * Scale shape: one full corpus scan + the q262 build cost — the
+    * honest price of a retrain, paid only when the q266 gate's
+    * measured churn demands it (the append branch stays O(arrivals)).
+    * Returns the published generation name. */
+  def retrain(spark: SparkSession, path: String): String = {
+    recover(spark, path)
+    val p = new Path(path)
+    val fs = fsOf(spark, p)
+    val oldGen = currentGen(spark, path)
+    val root = resolveRoot(spark, path)
+    val stored = spark.read.parquet(s"$root/lists")
+      .select(col("n_id").as("vec_id"), col("v"))
+    val cents = KMeans.fit(stored)
+    val cb = Quantize.pqCodebook(stored)
+    val nextNum = oldGen.map(_.stripPrefix("gen-").toLong + 1L).getOrElse(1L)
+    val gen = f"gen-$nextNum%06d"
+    write(Quantize.IvfAdcIndex(
+      cents,
+      KMeans.assign(stored, cents)
+        .select(col("vec_id").as("n_id"), col("cluster")),
+      Quantize.pqCodesWith(cb, stored)
+        .select(col("vec_id").as("n_id"), col("sub"), col("code")),
+      cb,
+      stored.localCheckpoint(true)), // cut lineage BEFORE the old tree retires
+      new Path(p, gen).toString)
+    publish(spark, path, gen)
+    oldGen match {
+      case Some(g) => fs.delete(new Path(p, g), true)
+      case None =>
+        Seq("lists", "cents", "codebook")
+          .foreach(d => fs.delete(new Path(p, d), true))
+    }
+    gen
   }
 
   /** q262: the composed index SERVED FROM THE STORE — build the q244
@@ -159,54 +488,21 @@ object IvfStore {
     * proves the scans prune (`PartitionFilters`, `numFiles` ≤ probed
     * cells) and that the served rows are bit-equal to the in-memory
     * [[Quantize.ivfAdcSearch]]. */
-  /** Compact the inverted-list tree — the small-files half of index
-    * maintenance: every [[append]] adds files to its touched cells, so
-    * a long-running ingest leaves each hot cell a directory of many
-    * small postings files (more open/seek cost per probe, more
-    * namenode/listing pressure at 100 TB). Compaction rewrites ONLY
-    * the cells whose file count exceeds `maxFilesPerCell`, each back
-    * to a single co-written file set, through a temp directory with
-    * an atomic-per-cell swap (write `cell=N` under `.compact-…`, then
-    * move it over the old directory) — untouched cells keep their
-    * exact files, readers never see a partial cell, and the tree's
-    * CONTENT is bit-identical before and after (postings are
-    * row-identical; only their file layout changes — ScaleSpec pins
-    * content, serving, and the untouched cells' file lists).
-    * Returns (cell, files_before, files_after) for the rewritten
-    * cells — O(K) bounded. */
-  def compact(spark: SparkSession, path: String,
-              maxFilesPerCell: Int = 4): Seq[(Long, Int, Int)] = {
-    require(maxFilesPerCell >= 1)
-    val root = new java.io.File(s"$path/lists")
-    val cells = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith("cell="))
-    val out = Vector.newBuilder[(Long, Int, Int)]
-    cells.foreach { dir =>
-      def parts = dir.listFiles().filter(f => f.getName.endsWith(".parquet")
-        || f.getName.startsWith("part-"))
-      val before = parts.length
-      if (before > maxFilesPerCell) {
-        val cellId = dir.getName.stripPrefix("cell=").toLong
-        val tmp = new java.io.File(root, s".compact-${dir.getName}")
-        // one task writes the merged cell (a cell is one task's worth
-        // by the write() contract; a TB-scale hot cell would raise
-        // the coalesce count the way filesPerDay salts q108's days)
-        spark.read.parquet(dir.toString)
-          .coalesce(1)
-          .write.mode("overwrite").parquet(tmp.toString)
-        new java.io.File(tmp, "_SUCCESS").delete()
-        val old = new java.io.File(root, s".old-${dir.getName}")
-        if (!dir.renameTo(old))
-          throw new IllegalStateException(s"compact: cannot swap $dir")
-        if (!tmp.renameTo(dir)) {
-          old.renameTo(dir) // roll back — the old cell is still intact
-          throw new IllegalStateException(s"compact: cannot promote $tmp")
-        }
-        old.listFiles().foreach(_.delete()); old.delete()
-        out += ((cellId, before, parts.length))
-      }
-    }
-    out.result()
+  def q262IvfServedStore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // empty-corpus guard: a partitionBy write of zero rows creates no
+    // files, so the store would be unreadable — an empty corpus has an
+    // empty answer, not a broken store (the empty-corpus sweep)
+    if (e.agg(max("vec_id")).head().isNullAt(0))
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("q_id", "rank", "n_id", "l2sq")
+    val q = e.filter(col("vec_id") < KMeans.EvalBlock)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val path = graft.Scratch.dir("q262-ivf-store")
+    write(Quantize.buildIvfAdcIndex(e, materialized = true), path)
+    servedTop10(spark, path, q).orderBy("q_id", "rank")
   }
 
   /** q263: the incremental re-index ACT — the plan→act loop q261's
@@ -240,8 +536,7 @@ object IvfStore {
     val old = e.filter(col("vec_id") <= cutoff)
     val cents = KMeans.fit(old)
     val cb = Quantize.pqCodebook(old)
-    val path = java.nio.file.Files
-      .createTempDirectory("graft-ivf-maint").toString
+    val path = graft.Scratch.dir("q263-ivf-maint")
     write(Quantize.IvfAdcIndex(
       cents,
       KMeans.assign(old, cents).select(col("vec_id").as("n_id"), col("cluster")),
@@ -262,21 +557,50 @@ object IvfStore {
       .orderBy("cell")
   }
 
-  def q262IvfServedStore(spark: SparkSession, dir: String): DataFrame = {
+  /** q268: the RETRAIN act run end-to-end through the persisted store
+    * — the branch of the q266 maintenance gate q263 left open, so the
+    * plan→act loop is now closed for BOTH of its decisions. The full
+    * lifecycle the query prices: build the store under the STALE
+    * artifacts (fit on the old half — the q261/q263 snapshot
+    * convention), file the arrivals incrementally into it (the q263
+    * append act), then EXECUTE the retrain the q266 gate's churn
+    * measurement calls for on exactly this scenario: re-fit + re-encode
+    * everything from the store's own postings, publish the new
+    * generation via the atomic `_current` pointer swap, retire the old
+    * tree, and serve the EvalBlock query block from the retrained
+    * store. The oracle replays the q262 chain — probe/ADC/refine under
+    * artifacts fit on the FULL corpus — over raw embeddings: it never
+    * sees the store, the generations, or the append, so the hash
+    * proves the retrained store is answer-identical to an index built
+    * fresh on today's corpus (stale-build → append → retrain → serve
+    * and fresh-build → serve are two paths to one answer — the q131
+    * shape, across the store's whole mutation lifecycle). ScaleSpec
+    * separately pins the physical swap: pointer flipped, exactly one
+    * live generation, superseded tree gone, crash garbage recovered. */
+  def q268RetrainActStore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    // empty-corpus guard: a partitionBy write of zero rows creates no
-    // files, so the store would be unreadable — an empty corpus has an
-    // empty answer, not a broken store (the empty-corpus sweep)
-    if (e.agg(max("vec_id")).head().isNullAt(0))
+    val mx = e.agg(max("vec_id")).head() // 1 row by construction
+    if (mx.isNullAt(0))
       return Seq.empty[(Long, Long, Long, Double)]
         .toDF("q_id", "rank", "n_id", "l2sq")
+    val cutoff = Math.floorDiv(mx.getLong(0), 2L)
+    val old = e.filter(col("vec_id") <= cutoff)
+    val cents = KMeans.fit(old)
+    val cb = Quantize.pqCodebook(old)
+    val path = graft.Scratch.dir("q268-retrain")
+    write(Quantize.IvfAdcIndex(
+      cents,
+      KMeans.assign(old, cents).select(col("vec_id").as("n_id"), col("cluster")),
+      Quantize.pqCodesWith(cb, old)
+        .select(col("vec_id").as("n_id"), col("sub"), col("code")),
+      cb,
+      old), path)
+    append(spark, path, e.filter(col("vec_id") > cutoff))
+    retrain(spark, path)
     val q = e.filter(col("vec_id") < KMeans.EvalBlock)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val path = java.nio.file.Files
-      .createTempDirectory("graft-ivf-store").toString
-    write(Quantize.buildIvfAdcIndex(e, materialized = true), path)
     servedTop10(spark, path, q).orderBy("q_id", "rank")
   }
 }

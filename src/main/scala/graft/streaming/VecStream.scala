@@ -299,29 +299,6 @@ object VecStream {
         col("best.dist").as("dist"))
   }
 
-  /** Streaming STORE maintenance — the q263 incremental append run at
-    * INGEST: a `foreachBatch` body that files each micro-batch of
-    * arriving vectors into the persisted cell-partitioned index
-    * ([[graft.sources.IvfStore.append]] — assignment under the STORED
-    * centroids, codes under the STORED codebook, postings appended
-    * into the touched `cell=` directories only). Because per-posting
-    * content depends only on (vector, cents, codebook), appends
-    * commute across micro-batches: after any drain order the lists
-    * tree is bit-equal to a from-scratch batch rebuild under the same
-    * frozen artifacts (StreamingSpec pins content AND serving
-    * equality).
-    *
-    * Replay contract: `foreachBatch` is at-least-once — a batch
-    * retried after a sink-side failure would double-file its
-    * postings. The `batchId` marker (one empty file per committed
-    * batch under `_batches/`) makes replays of COMMITTED batches
-    * no-ops — StreamingSpec replays a batch id and asserts the tree
-    * is unchanged. The marker lands after the append, so a crash
-    * between the two can still duplicate that one batch — the
-    * standard non-transactional-sink window; a production deployment
-    * closes it with deterministic posting file names or a
-    * transactional table format, and q263's rebuild-equality check is
-    * the audit that would catch it. */
   /** Online probes against the PERSISTED index — [[ivfAdcProbe]]'s
     * store-backed twin and the serving half of the q262/q263/append
     * lifecycle: each micro-batch of arriving query vectors is answered
@@ -343,17 +320,37 @@ object VecStream {
         .select(col("vec_id").as("q_id"),
           col("embedding").cast("array<double>").as("qv")))
 
+  /** Streaming STORE maintenance — the q263 incremental append run at
+    * INGEST: a `foreachBatch` body that files each micro-batch of
+    * arriving vectors into the persisted cell-partitioned index
+    * (assignment under the STORED centroids, codes under the STORED
+    * codebook, postings filed into the touched `cell=` directories
+    * only — [[graft.sources.IvfStore.commitBatch]]). Because
+    * per-posting content depends only on (vector, cents, codebook),
+    * appends commute across micro-batches: after any drain order the
+    * lists tree is bit-equal to a from-scratch batch rebuild under the
+    * same frozen artifacts (StreamingSpec pins content AND serving
+    * equality).
+    *
+    * Replay contract: `foreachBatch` is at-least-once, and batch ids
+    * restart at 0 for every new checkpoint — so `lineage` (the
+    * query's checkpoint identity: its checkpoint location or query
+    * name, anything 1:1 with the offset log) scopes the committed-
+    * batch markers. A bare-batchId marker would make a NEW query's
+    * first batches against an existing store silently skip as
+    * "already committed" — data loss (ADVICE r12). Replays of
+    * committed batches no-op on the lineage-scoped marker; a batch
+    * that crashed mid-commit re-runs its staged commit onto the SAME
+    * deterministic file names, so the drained tree converges to
+    * exactly-once filing with no duplicate-posting window
+    * (StreamingSpec drives replay, half-commit replay, and the
+    * new-lineage regression). */
   def appendArrivals(spark: SparkSession, path: String,
-                     batch: DataFrame, batchId: Long): Unit = {
-    val marker = new java.io.File(s"$path/_batches/$batchId")
-    if (marker.exists()) return
+                     batch: DataFrame, batchId: Long,
+                     lineage: String): Unit = {
     val arrivals = batch
       .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    if (!arrivals.isEmpty)
-      graft.sources.IvfStore.append(spark, path, arrivals)
-    marker.getParentFile.mkdirs()
-    marker.createNewFile()
-    ()
+    graft.sources.IvfStore.commitBatch(spark, path, arrivals, lineage, batchId)
   }
 }

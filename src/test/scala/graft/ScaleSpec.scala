@@ -1193,6 +1193,92 @@ class ScaleSpec extends AnyFunSuite {
     assert(servedAfter == servedBefore)
   }
 
+  test("retrain publishes a new generation atomically and serves the fresh-build answer") {
+    // the q266 gate's RETRAIN branch as a physical act: stale-build →
+    // append → retrain must leave ONE live generation, named by the
+    // _current pointer, whose answers are bit-equal to an index built
+    // fresh on today's corpus — and the superseded tree must be gone
+    import graft.operators.{KMeans, Quantize}
+    import graft.sources.IvfStore
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val maxId = e.agg(max("vec_id")).head().getLong(0)
+    val cutoff = maxId / 2
+    val old = e.filter(col("vec_id") <= cutoff)
+    val cents = KMeans.fit(old)
+    val cb = Quantize.pqCodebook(old)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-retrain").toString
+    IvfStore.write(Quantize.IvfAdcIndex(
+      cents,
+      KMeans.assign(old, cents).select(col("vec_id").as("n_id"), col("cluster")),
+      Quantize.pqCodesWith(cb, old)
+        .select(col("vec_id").as("n_id"), col("sub"), col("code")),
+      cb, old), path)
+    IvfStore.append(spark, path, e.filter(col("vec_id") > cutoff))
+    val gen = IvfStore.retrain(spark, path)
+    // physical swap: pointer names the generation, flat tree retired
+    def f(n: String) = new java.io.File(s"$path/$n")
+    assert(f("_current").exists()
+      && java.nio.file.Files.readString(f("_current").toPath).trim == gen)
+    assert(f(s"$gen/lists").isDirectory && f(s"$gen/cents").isDirectory)
+    assert(!f("lists").exists() && !f("cents").exists() && !f("codebook").exists(),
+      "the superseded flat tree must be retired after publish")
+    // answers = fresh full-corpus build, bit-for-bit (the q268 contract)
+    val q = e.filter(col("vec_id") < KMeans.EvalBlock)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val want = Quantize.ivfAdcSearch(
+      Quantize.buildIvfAdcIndex(e, materialized = true), q)
+      .collect().map(_.toSeq).toSeq
+    val got = IvfStore.servedTop10(spark, path, q)
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want,
+      "retrained store must serve the fresh-build answer")
+    // a second retrain bumps the generation and retires the first
+    val gen2 = IvfStore.retrain(spark, path)
+    assert(gen2 != gen && !f(gen).exists(),
+      "retrain must retire the superseded generation")
+    assert(IvfStore.servedTop10(spark, path, q)
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq == want)
+    // and the declared q268 lifecycle query equals the same answer
+    val q268 = SparkEntry.queries("q268_retrain_act")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(q268 == want)
+  }
+
+  test("recover rolls back crashed maintenance: orphaned compaction swaps and unpublished generations") {
+    import graft.operators.{KMeans, Quantize}
+    import graft.sources.IvfStore
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-recover").toString
+    IvfStore.write(Quantize.buildIvfAdcIndex(e, materialized = true), path)
+    val q = e.filter(col("vec_id") < KMeans.EvalBlock)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val want = IvfStore.servedTop10(spark, path, q)
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    def f(n: String) = new java.io.File(s"$path/$n")
+    // crash state 1: compaction died between its two renames — the cell
+    // directory is ABSENT, its .old- twin holds the intact postings
+    // (the ADVICE r12 window: a probe would silently miss the cell)
+    val cell = f("lists").listFiles().filter(_.getName.startsWith("cell=")).head
+    val orphan = new java.io.File(f("lists"), s".old-${cell.getName}")
+    assert(cell.renameTo(orphan))
+    // crash state 2: a retrain died before publish — a full unpublished
+    // generation tree exists but no _current points at it
+    val stray = f("gen-000007/lists"); stray.mkdirs()
+    java.nio.file.Files.writeString(f("gen-000007/junk").toPath, "x")
+    // crash state 3: a torn pointer write
+    java.nio.file.Files.writeString(f("_current.tmp").toPath, "gen-000007")
+    IvfStore.recover(spark, path)
+    assert(new java.io.File(f("lists"), cell.getName).isDirectory
+      && !orphan.exists(), "crashed swap must roll back to the intact cell")
+    assert(!f("gen-000007").exists(), "unpublished generation must be deleted")
+    assert(!f("_current.tmp").exists())
+    val got = IvfStore.servedTop10(spark, path, q)
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    assert(got == want, "recovered store must serve the pre-crash answers")
+  }
+
   test("q193 RFM scores by broadcast boundaries, never an ntile window") {
     // the q140 boundary contract applied to segmentation: ONE percentile
     // aggregate broadcasts all nine cutpoints back; a Window here would

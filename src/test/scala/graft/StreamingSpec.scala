@@ -3073,7 +3073,7 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream
       .foreachBatch {
         (b: org.apache.spark.sql.DataFrame, id: Long) =>
-          graft.streaming.VecStream.appendArrivals(spark, path, b, id)
+          graft.streaming.VecStream.appendArrivals(spark, path, b, id, "ingest-a")
       }
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("graft-ivf-stream-ckpt").toString)
@@ -3103,9 +3103,29 @@ class StreamingSpec extends AnyFunSuite {
     // change nothing (the _batches marker short-circuits it)
     val before = m.count()
     graft.streaming.VecStream.appendArrivals(spark, path,
-      arrivals.take(4).toSeq.toDF("vec_id", "embedding"), 0L)
+      arrivals.take(4).toSeq.toDF("vec_id", "embedding"), 0L, "ingest-a")
     assert(spark.read.parquet(s"$path/lists").count() == before,
       "a replayed committed batch must be a no-op")
+    // the ADVICE r12 data-loss regression: a NEW lineage (fresh
+    // checkpoint) restarts batch ids at 0 — its batch 0 must FILE, not
+    // short-circuit on the old lineage's marker
+    val extraDf = arrivals.take(4).toSeq
+      .map { case (id, v) => (id + 100000L, v) }.toDF("vec_id", "embedding")
+    graft.streaming.VecStream.appendArrivals(spark, path, extraDf, 0L, "ingest-b")
+    assert(spark.read.parquet(s"$path/lists").count() == before + 4,
+      "a new lineage's batch 0 must file its arrivals")
+    // half-commit replay converges to exactly-once: drop the marker
+    // (simulating a crash before it landed) and re-deliver — the staged
+    // commit overwrites its own deterministic file names, so the tree
+    // neither duplicates nor loses a posting
+    val markerFs = new java.io.File(s"$path/_batches/ingest-b/0")
+    assert(markerFs.exists(), "commit marker must exist under the lineage")
+    assert(markerFs.delete())
+    graft.streaming.VecStream.appendArrivals(spark, path, extraDf, 0L, "ingest-b")
+    val afterReplay = spark.read.parquet(s"$path/lists")
+    assert(afterReplay.count() == before + 4,
+      "replaying a half-committed batch must converge, not duplicate")
+    assert(afterReplay.filter(col("n_id") >= 100000L).count() == 4)
   }
 
   test("streaming daily totals fold to batch q239 under arbitrary delivery") {
