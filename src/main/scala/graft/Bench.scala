@@ -46,6 +46,54 @@ object Bench {
     // not the code.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     def loadAvg(): Double = osBean.getSystemLoadAverage
+    // Absolute anchors (round 13): fixed-point workloads whose cost is
+    // independent of SF and of the query surface, so every bench file
+    // carries its own host-speed measurement. Rounds 10-12 each
+    // attributed a uniform ~1.1-1.2x cross-round drift to the host with
+    // only round-over-round ratios as evidence (bench_compare can only
+    // compare rounds to each other); dividing two rounds' anchor times
+    // gives the host factor DIRECTLY, and any residual per-query ratio
+    // after normalizing by it is code. Two anchors because the fleet
+    // has two failure modes: anchor_jvm is a single-thread xorshift64*
+    // fold (JIT scalar loop, no allocation — pins single-core speed,
+    // immune to Spark), anchor_spark hashes a fixed 128M-row range
+    // across all partitions through the noop sink (pins the
+    // whole-stage-codegen + scheduler + all-cores path a bench query
+    // actually exercises). Best-of-3 each, sampled BEFORE and AFTER the
+    // query loop: a host that degrades mid-run shows up as start/end
+    // disagreement inside one file instead of poisoning a whole round's
+    // comparisons silently.
+    def anchorJvm(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        var x = 0x9E3779B97F4A7C15L
+        var acc = 0L
+        var i = 0
+        while (i < 400000000) {
+          x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+          acc += x * 0x2545F4914F6CDD1DL
+          i += 1
+        }
+        if (acc == 42L) System.err.println("[bench] anchor collision")
+        (System.nanoTime() - t0) / 1e9
+      }
+      (1 to 3).map(_ => once()).min
+    }
+    def anchorSpark(): Double = {
+      import org.apache.spark.sql.functions._
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0L, 128000000L, 1L, cpus.toInt)
+          .select(xxhash64(col("id")).as("h"))
+          .agg(sum("h"))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      (1 to 3).map(_ => once()).min
+    }
+    val aJvm0 = anchorJvm(); val aSpark0 = anchorSpark()
+    System.err.println(
+      s"[bench] anchors(start) jvm ${r3(aJvm0)}s spark ${r3(aSpark0)}s")
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Load is sampled BEFORE the cold run and after EVERY warm run,
@@ -83,6 +131,11 @@ object Bench {
         s"[bench] $name cold ${r3(cold)}s warm ${warm.map(r3).mkString("/")}s → ${r3(sec)}s load ${r3(load)}")
       (name, sec, load)
     }
+    val aJvm1 = anchorJvm(); val aSpark1 = anchorSpark()
+    System.err.println(
+      s"[bench] anchors(end) jvm ${r3(aJvm1)}s spark ${r3(aSpark1)}s")
+    val anchors = s"""{"jvm_start":${r3(aJvm0)},"spark_start":${r3(aSpark0)},""" +
+      s""""jvm_end":${r3(aJvm1)},"spark_end":${r3(aSpark1)}}"""
     val distinctFailed = failed.distinct // both warm runs of one query can fail
     if (distinctFailed.nonEmpty)
       System.err.println(
@@ -104,12 +157,12 @@ object Bench {
       .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fullQs,"loads":$fullLoads,"sf":"$sfDir","failures":$fails}""" + "\n")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fullQs,"loads":$fullLoads,"anchors":$anchors,"sf":"$sfDir","failures":$fails}""" + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file dump failed: ${e.getMessage}") }
     def shortId(name: String) = name.takeWhile(_ != '_')
     val shortQs = results.map { case (k, v, _) => "\"" + shortId(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$shortQs,"sf":"$sfDir","failures":$fails}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$shortQs,"anchors":$anchors,"sf":"$sfDir","failures":$fails}""")
     spark.stop()
   }
 }

@@ -46,14 +46,15 @@ def load(path):
         return k.split("_")[0]
     return ({short(k): v for k, v in qs.items()},
             {short(k): v for k, v in loads.items()},
-            d.get("value"))
+            d.get("value"),
+            d.get("anchors"))
 
 
 def main():
     if len(sys.argv) != 3:
         sys.exit(__doc__)
-    bq, bl, btot = load(sys.argv[1])
-    sq, sl, stot = load(sys.argv[2])
+    bq, bl, btot, ba = load(sys.argv[1])
+    sq, sl, stot, sa = load(sys.argv[2])
     common = sorted(set(bq) & set(sq), key=lambda k: (len(k), k))
     if not common:
         sys.exit("no common queries between the two files")
@@ -63,6 +64,20 @@ def main():
     stot = stot if stot is not None else sum(sq[k] for k in common)
     print(f"median per-query ratio {med:.3f}x over {len(common)} queries "
           f"(total {stot:.2f}s vs {btot:.2f}s)")
+    # Absolute anchors (Bench.scala writes them since round 13): the
+    # host factor measured directly by fixed work, not inferred from
+    # round-over-round query ratios. Residual = median / spark-anchor
+    # ratio; residual ~1.0x means the whole drift was the host.
+    if ba and sa:
+        def mid(a, k):
+            return (a[f"{k}_start"] + a[f"{k}_end"]) / 2.0
+        jr = mid(sa, "jvm") / mid(ba, "jvm")
+        sr = mid(sa, "spark") / mid(ba, "spark")
+        print(f"anchor ratio: jvm {jr:.3f}x spark {sr:.3f}x "
+              f"(sample drift within run: "
+              f"{sa['spark_end'] / max(sa['spark_start'], 1e-9):.2f}x)")
+        print(f"host-normalized median: {med / sr:.3f}x "
+              f"({'host explains the drift' if abs(med / sr - 1.0) < 0.05 else 'residual is code or mixed'})")
     outliers = sorted((k for k in common if ratios[k] > 2.0),
                       key=lambda k: -ratios[k])
     if not outliers:
