@@ -83,8 +83,9 @@ object Bench {
       import org.apache.spark.sql.functions._
       def once(): Double = {
         val t0 = System.nanoTime()
+        // pmod keeps the ANSI-mode sum bounded (128M x 1e9 << Long.Max)
         spark.range(0L, 128000000L, 1L, cpus.toInt)
-          .select(xxhash64(col("id")).as("h"))
+          .select(pmod(xxhash64(col("id")), lit(1000000007L)).as("h"))
           .agg(sum("h"))
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9

@@ -164,6 +164,13 @@ object IvfStore {
       val n = s.getPath.getName
       if (n.startsWith("gen-") && !cur.contains(n)) fs.delete(s.getPath, true)
       else if (n == "_current.tmp") fs.delete(s.getPath, false)
+      // abandoned half-staged batches (a writer that crashed mid-stage
+      // and never re-delivered): recover only runs at offline
+      // single-writer maintenance entries, where no commit can be
+      // in flight by contract, so the whole staging area is garbage.
+      // Committed batches are untouched — their markers and filed
+      // postings live outside _staging.
+      else if (n == "_staging") fs.delete(s.getPath, true)
       else if (cur.isDefined && (n == "lists" || n == "cents" || n == "codebook"))
         fs.delete(s.getPath, true)
     }

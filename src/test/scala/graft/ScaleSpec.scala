@@ -1239,6 +1239,33 @@ class ScaleSpec extends AnyFunSuite {
       "retrain must retire the superseded generation")
     assert(IvfStore.servedTop10(spark, path, q)
       .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq == want)
+    // the q262 physical contract survives the layout move into a
+    // generation directory: a probe of the RETRAINED store must still
+    // prune to the probed cell directories of path/<gen>/lists
+    val q1 = e.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      assert(f(s"$gen2/lists").listFiles()
+        .count(_.getName.startsWith("cell=")) > KMeans.Nprobe,
+        "fixture must spread over more cells than one probe reads")
+      val served = IvfStore.servedTop10(spark, path, q1).orderBy("q_id", "rank")
+      served.collect()
+      val storeScans = served.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains(s"$gen2/lists")) => s
+      }
+      assert(storeScans.size == 3,
+        s"expected 3 scans of the generation list tree, got ${storeScans.size}")
+      storeScans.foreach { s =>
+        assert(s.partitionFilters.nonEmpty,
+          "cell bound must reach the generation-tree scan as PartitionFilters")
+        assert(s.metrics("numFiles").value <= KMeans.Nprobe,
+          s"generation-tree scan read ${s.metrics("numFiles").value} files, " +
+            s"expected <= ${KMeans.Nprobe} probed cell dirs")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     // and the declared q268 lifecycle query equals the same answer
     val q268 = SparkEntry.queries("q268_retrain_act")(spark, sf0001)
       .collect().map(_.toSeq).toSeq
