@@ -86,6 +86,7 @@ object SparkEntry {
     "q266_maintenance_policy" -> (KMeans.q266MaintenancePolicy _),
     "q263_incremental_reindex" -> (sources.IvfStore.q263IncrementalReindex _),
     "q268_retrain_act"   -> (sources.IvfStore.q268RetrainActStore _),
+    "q269_rebuild_audit" -> (sources.IvfStore.q269RebuildAudit _),
     "q264_winnowed_dedup" -> (Dedup.q264WinnowedDedup _),
     // rows-only (the q89/q146 iterative-fit contract): the OPQ
     // alternation's SVD has no DuckDB replay
@@ -5947,6 +5948,20 @@ object SparkEntry {
     // read a stale generation, lost an appended posting, or published
     // a partial tree breaks the hash
     "q268_retrain_act" -> ivfServedChainSql,
+
+    // rebuild-equality audit: the q261 old-fit chain gives the per-cell
+    // counts a CLEAN store must hold, and both diff columns are pinned
+    // to literal zero — the engine's multiset compare must come back
+    // empty for the hash to match
+    "q269_rebuild_audit" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |eold AS MATERIALIZED (SELECT * FROM e
+         |  WHERE vec_id <= (SELECT max(vec_id) // 2 FROM e)),
+         |${kmeansChain(operators.KMeans.K, "o", "eold")}
+         |SELECT cluster AS cell, CAST(count(*) AS BIGINT) AS n_stored,
+         |  CAST(0 AS BIGINT) AS n_only_stored,
+         |  CAST(0 AS BIGINT) AS n_only_rebuilt
+         |FROM oaf GROUP BY cluster ORDER BY cell""".stripMargin,
 
     // incremental re-index: the q261 old-snapshot chain — centroids fit
     // on vec_id <= max/2 serve the FULL corpus (oaf) — aggregated per

@@ -484,6 +484,93 @@ object IvfStore {
     gen
   }
 
+  /** The REBUILD-EQUALITY audit — the offline check every maintenance
+    * scaladoc above defers to, as a first-class API: re-derive every
+    * posting from the store's own floats under the store's own frozen
+    * artifacts (assign under stored cents, encode under stored
+    * codebook — postings depend only on (vector, cents, codebook), the
+    * q263 contract) and compare the result MULTISET-wise against what
+    * the tree actually holds. Duplicated postings (a replayed
+    * non-transactional append), lost postings (a swap that dropped a
+    * file), misfiled postings (filed under the wrong cell) and
+    * corrupted codes all surface as nonzero diff columns; a clean
+    * store reads (cell, n, 0, 0) on every row.
+    *
+    * Cost is O(corpus) by definition — one stored-tree scan, one
+    * re-encode, and two multiset anti-joins keyed on the full posting
+    * (cell, n_id, codes) — which is exactly why it is an AUDIT (run
+    * scheduled or after suspected crashes), while the per-batch
+    * exactly-once filing ([[commitBatch]]) keeps the hot path from
+    * needing it. Returns (cell, n_stored, n_only_stored,
+    * n_only_rebuilt) ordered by cell. */
+  def auditRebuild(spark: SparkSession, path: String): DataFrame = {
+    val root = resolveRoot(spark, path)
+    def lists = spark.read.parquet(s"$root/lists")
+      .select(col("n_id"), col("cell").cast("long").as("cell"), col("codes"),
+        col("v"))
+    val cents = spark.read.parquet(s"$root/cents")
+    val cb = spark.read.parquet(s"$root/codebook")
+    // DISTINCT vectors: the reference tree is one posting per distinct
+    // (id, vector). Without this, a duplicated stored posting would
+    // duplicate the rebuild too (and multiply through the join),
+    // flagging in the wrong column or not at all — the audit's teeth
+    // test in ScaleSpec pins the duplicated-file case to n_only_stored.
+    val floats = lists.select(col("n_id").as("vec_id"), col("v")).distinct()
+    val rebuilt = postings(
+        KMeans.assign(floats, cents)
+          .select(col("vec_id").as("n_id"), col("cluster")),
+        Quantize.pqCodesWith(cb, floats)
+          .select(col("vec_id").as("n_id"), col("sub"), col("code")),
+        floats)
+      .select(col("cell").cast("long").as("cell"), col("n_id"), col("codes"))
+    val stored = lists.select(col("cell"), col("n_id"), col("codes"))
+    val onlyS = stored.exceptAll(rebuilt)
+      .groupBy("cell").agg(count(lit(1)).as("n_only_stored"))
+    val onlyR = rebuilt.exceptAll(stored)
+      .groupBy("cell").agg(count(lit(1)).as("n_only_rebuilt"))
+    stored.groupBy("cell").agg(count(lit(1)).as("n_stored"))
+      .join(onlyS, Seq("cell"), "left")
+      .join(onlyR, Seq("cell"), "left")
+      .select(col("cell"), col("n_stored"),
+        coalesce(col("n_only_stored"), lit(0L)).as("n_only_stored"),
+        coalesce(col("n_only_rebuilt"), lit(0L)).as("n_only_rebuilt"))
+      .orderBy("cell")
+  }
+
+  /** q269: the rebuild-equality audit run on the q263 maintenance
+    * scenario — build under the old-half artifacts, append the
+    * arrivals, then [[auditRebuild]] the merged tree. The engine-side
+    * multiset compare is the content check; the oracle replays the
+    * q261 old-fit assignment chain over raw embeddings for the
+    * per-cell counts AND pins both diff columns to literal zero — so a
+    * maintenance path that ever duplicated, lost, misfiled or
+    * re-encoded a posting breaks the hash (nonzero diffs or shifted
+    * counts), closing the "the audit would catch it" claim the r12
+    * ADVICE leaned on with an actually-declared audit. */
+  def q269RebuildAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val mx = e.agg(max("vec_id")).head() // 1 row by construction
+    if (mx.isNullAt(0))
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("cell", "n_stored", "n_only_stored", "n_only_rebuilt")
+    val cutoff = Math.floorDiv(mx.getLong(0), 2L)
+    val old = e.filter(col("vec_id") <= cutoff)
+    val cents = KMeans.fit(old)
+    val cb = Quantize.pqCodebook(old)
+    val path = graft.Scratch.dir("q269-audit")
+    write(Quantize.IvfAdcIndex(
+      cents,
+      KMeans.assign(old, cents).select(col("vec_id").as("n_id"), col("cluster")),
+      Quantize.pqCodesWith(cb, old)
+        .select(col("vec_id").as("n_id"), col("sub"), col("code")),
+      cb,
+      old), path)
+    append(spark, path, e.filter(col("vec_id") > cutoff))
+    auditRebuild(spark, path)
+  }
+
   /** q262: the composed index SERVED FROM THE STORE — build the q244
     * artifacts, persist them cell-partitioned, and answer the standard
     * EvalBlock query block from disk with directory pruning. The

@@ -1299,7 +1299,9 @@ class QueriesSpec extends AnyFunSuite {
       "q261_index_staleness",
       // round 12
       "q262_ivf_served_store", "q263_incremental_reindex",
-      "q265_opq_rotation")
+      "q265_opq_rotation",
+      // round 13
+      "q268_retrain_act", "q269_rebuild_audit")
     val failures = vecQueries.flatMap { name =>
       try { SparkEntry.queries(name)(spark, dir).collect(); None }
       catch { case e: Throwable =>

@@ -1272,6 +1272,53 @@ class ScaleSpec extends AnyFunSuite {
     assert(q268 == want)
   }
 
+  test("rebuild audit reads clean on a maintained store and flags a duplicated posting file") {
+    // the audit's teeth: a clean build+append store must read
+    // (cell, n, 0, 0) everywhere; physically duplicating one posting
+    // file (the exact artifact of a replayed non-transactional append)
+    // must surface as extra stored rows the rebuild does not have
+    import graft.operators.{KMeans, Quantize}
+    import graft.sources.IvfStore
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val maxId = e.agg(max("vec_id")).head().getLong(0)
+    val cutoff = maxId / 2
+    val old = e.filter(col("vec_id") <= cutoff)
+    val cents = KMeans.fit(old)
+    val cb = Quantize.pqCodebook(old)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-audit").toString
+    IvfStore.write(Quantize.IvfAdcIndex(
+      cents,
+      KMeans.assign(old, cents).select(col("vec_id").as("n_id"), col("cluster")),
+      Quantize.pqCodesWith(cb, old)
+        .select(col("vec_id").as("n_id"), col("sub"), col("code")),
+      cb, old), path)
+    IvfStore.append(spark, path, e.filter(col("vec_id") > cutoff))
+    val clean = IvfStore.auditRebuild(spark, path).collect()
+    assert(clean.nonEmpty)
+    clean.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getLong(3) == 0L,
+        s"clean store must audit to zero diffs, got ${r.toSeq}")
+    }
+    assert(clean.map(_.getLong(1)).sum == e.count(),
+      "audit must account for every vector exactly once")
+    // corrupt: duplicate one cell's posting file under a new name —
+    // the replayed-append artifact commitBatch exists to prevent
+    val cells = new java.io.File(s"$path/lists").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("cell="))
+    val victim = cells.map(d => (d, d.listFiles().filter(_.getName.startsWith("part-"))))
+      .filter(_._2.nonEmpty).head
+    val src = victim._2.head
+    java.nio.file.Files.copy(src.toPath,
+      new java.io.File(victim._1, "b-dup-replay-0.parquet").toPath)
+    val dirty = IvfStore.auditRebuild(spark, path).collect()
+    val flagged = dirty.filter(_.getLong(2) > 0L)
+    assert(flagged.nonEmpty,
+      "a duplicated posting file must surface as stored-only rows")
+    assert(dirty.map(_.getLong(1)).sum > e.count(),
+      "the duplicated postings must also inflate the stored count")
+  }
+
   test("recover rolls back crashed maintenance: orphaned compaction swaps and unpublished generations") {
     import graft.operators.{KMeans, Quantize}
     import graft.sources.IvfStore
