@@ -3126,6 +3126,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(afterReplay.count() == before + 4,
       "replaying a half-committed batch must converge, not duplicate")
     assert(afterReplay.filter(col("n_id") >= 100000L).count() == 4)
+    // markers live at STORE level so committed batches stay committed
+    // ACROSS a retrain (the new generation is rebuilt FROM the filed
+    // postings — re-filing them would duplicate): re-delivering both
+    // committed batches after the generation swap must no-op, and a
+    // genuinely new batch must file into the NEW generation's tree
+    val total = before + 4
+    val gen = IvfStore.retrain(spark, path)
+    def genLists = spark.read.parquet(s"$path/$gen/lists")
+    assert(genLists.count() == total,
+      "retrain must carry every filed posting into the new generation")
+    graft.streaming.VecStream.appendArrivals(spark, path,
+      arrivals.take(4).toSeq.toDF("vec_id", "embedding"), 0L, "ingest-a")
+    graft.streaming.VecStream.appendArrivals(spark, path, extraDf, 0L, "ingest-b")
+    assert(genLists.count() == total,
+      "committed batches must stay committed across the generation swap")
+    val extra2 = arrivals.take(2).toSeq
+      .map { case (id, v) => (id + 200000L, v) }.toDF("vec_id", "embedding")
+    graft.streaming.VecStream.appendArrivals(spark, path, extra2, 1L, "ingest-b")
+    assert(genLists.filter(col("n_id") >= 200000L).count() == 2,
+      "a new batch after retrain must file into the new generation's tree")
   }
 
   test("streaming daily totals fold to batch q239 under arbitrary delivery") {
