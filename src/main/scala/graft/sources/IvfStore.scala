@@ -447,7 +447,13 @@ object IvfStore {
     *     one, never a mixture;
     *  4. retire the superseded tree (a crash between publish and
     *     retire leaves garbage [[recover]] deletes, never a wrong
-    *     answer).
+    *     answer). One honest race: a query that resolved the pointer
+    *     BEFORE the swap and is still scanning the old tree when the
+    *     retire lands will fail its read — it can retry against the
+    *     new pointer and get a correct (never partial) answer. A
+    *     deployment serving during retrains delays the retire by its
+    *     max query latency (generation pinning); the swap itself
+    *     needs no such grace.
     *
     * Scale shape: one full corpus scan + the q262 build cost — the
     * honest price of a retrain, paid only when the q266 gate's
@@ -516,6 +522,13 @@ object IvfStore {
     // flagging in the wrong column or not at all — the audit's teeth
     // test in ScaleSpec pins the duplicated-file case to n_only_stored.
     val floats = lists.select(col("n_id").as("vec_id"), col("v")).distinct()
+    // Both posting frames feed multiple passes (each exceptAll side +
+    // the count rollup), so they are persisted for the audit's lifetime
+    // — without this the corpus re-encode ran once per consumer
+    // (measured 13.5 s -> ~7 s at sf0.1). MEMORY_AND_DISK, so at
+    // cluster scale the pinned frames spill instead of evicting; the
+    // result is O(K) rows, materialized eagerly so the caches release
+    // before return.
     val rebuilt = postings(
         KMeans.assign(floats, cents)
           .select(col("vec_id").as("n_id"), col("cluster")),
@@ -523,18 +536,22 @@ object IvfStore {
           .select(col("vec_id").as("n_id"), col("sub"), col("code")),
         floats)
       .select(col("cell").cast("long").as("cell"), col("n_id"), col("codes"))
-    val stored = lists.select(col("cell"), col("n_id"), col("codes"))
-    val onlyS = stored.exceptAll(rebuilt)
-      .groupBy("cell").agg(count(lit(1)).as("n_only_stored"))
-    val onlyR = rebuilt.exceptAll(stored)
-      .groupBy("cell").agg(count(lit(1)).as("n_only_rebuilt"))
-    stored.groupBy("cell").agg(count(lit(1)).as("n_stored"))
-      .join(onlyS, Seq("cell"), "left")
-      .join(onlyR, Seq("cell"), "left")
-      .select(col("cell"), col("n_stored"),
-        coalesce(col("n_only_stored"), lit(0L)).as("n_only_stored"),
-        coalesce(col("n_only_rebuilt"), lit(0L)).as("n_only_rebuilt"))
-      .orderBy("cell")
+      .persist()
+    val stored = lists.select(col("cell"), col("n_id"), col("codes")).persist()
+    try {
+      val onlyS = stored.exceptAll(rebuilt)
+        .groupBy("cell").agg(count(lit(1)).as("n_only_stored"))
+      val onlyR = rebuilt.exceptAll(stored)
+        .groupBy("cell").agg(count(lit(1)).as("n_only_rebuilt"))
+      stored.groupBy("cell").agg(count(lit(1)).as("n_stored"))
+        .join(onlyS, Seq("cell"), "left")
+        .join(onlyR, Seq("cell"), "left")
+        .select(col("cell"), col("n_stored"),
+          coalesce(col("n_only_stored"), lit(0L)).as("n_only_stored"),
+          coalesce(col("n_only_rebuilt"), lit(0L)).as("n_only_rebuilt"))
+        .orderBy("cell")
+        .localCheckpoint(true)
+    } finally { stored.unpersist(); rebuilt.unpersist(); () }
   }
 
   /** q269: the rebuild-equality audit run on the q263 maintenance
