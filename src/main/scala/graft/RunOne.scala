@@ -98,6 +98,61 @@ object RunOne {
       }
       spark.stop(); return
     }
+    // ivf_lifecycle: stage-cost breakdown of the WHOLE persisted-store
+    // lifecycle on one store — build(old half) → four streaming-style
+    // exactly-once commits → compaction → rebuild audit (must read
+    // clean) → retrain (generation swap) → timed serves. The declared
+    // q262/q263/q268/q269 each deliberately price a full lifecycle per
+    // query; this probe prices each STAGE once, at any corpus scale
+    if (name == "ivf_lifecycle") {
+      import org.apache.spark.sql.functions._
+      def timed(label: String)(f: => Unit): Unit = {
+        val t0 = System.nanoTime(); f
+        println(f"[runone] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .localCheckpoint(true)
+      val cut = e.agg(max("vec_id")).head().getLong(0) / 2
+      val old = e.filter(col("vec_id") <= cut)
+      val path = Scratch.dir("runone-ivf-lifecycle")
+      timed("build old-half store") {
+        val cents = operators.KMeans.fit(old)
+        val cb = operators.Quantize.pqCodebook(old)
+        sources.IvfStore.write(operators.Quantize.IvfAdcIndex(cents,
+          operators.KMeans.assign(old, cents)
+            .select(col("vec_id").as("n_id"), col("cluster")),
+          operators.Quantize.pqCodesWith(cb, old)
+            .select(col("vec_id").as("n_id"), col("sub"), col("code")),
+          cb, old), path)
+      }
+      val arr = e.filter(col("vec_id") > cut)
+      (0 until 4).foreach { i =>
+        timed(s"commitBatch $i") {
+          sources.IvfStore.commitBatch(spark, path,
+            arr.filter(pmod(col("vec_id"), lit(4)) === i), "lifecycle", i.toLong)
+        }
+      }
+      timed("compact") {
+        val r = sources.IvfStore.compact(spark, path, maxFilesPerCell = 2)
+        println(s"[runone]   compacted ${r.size} cells")
+      }
+      timed("audit") {
+        val bad = sources.IvfStore.auditRebuild(spark, path)
+          .filter(col("n_only_stored") > 0 || col("n_only_rebuilt") > 0).count()
+        println(s"[runone]   audit dirty cells: $bad")
+      }
+      timed("retrain") { sources.IvfStore.retrain(spark, path); () }
+      val q = e.filter(col("vec_id") < operators.KMeans.EvalBlock)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      (1 to iters).foreach { i =>
+        timed(s"serve iter $i") {
+          sources.IvfStore.servedTop10(spark, path, q)
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+      spark.stop(); return
+    }
     // dev probe: time ONLY q124's basket-build stage (the one
     // order-keyed exchange + collect_set), no persist, no consumers —
     // isolates where the 100× wall time lives
