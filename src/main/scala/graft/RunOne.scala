@@ -116,16 +116,7 @@ object RunOne {
       val cut = e.agg(max("vec_id")).head().getLong(0) / 2
       val old = e.filter(col("vec_id") <= cut)
       val path = Scratch.dir("runone-ivf-lifecycle")
-      timed("build old-half store") {
-        val cents = operators.KMeans.fit(old)
-        val cb = operators.Quantize.pqCodebook(old)
-        sources.IvfStore.write(operators.Quantize.IvfAdcIndex(cents,
-          operators.KMeans.assign(old, cents)
-            .select(col("vec_id").as("n_id"), col("cluster")),
-          operators.Quantize.pqCodesWith(cb, old)
-            .select(col("vec_id").as("n_id"), col("sub"), col("code")),
-          cb, old), path)
-      }
+      timed("build old-half store") { sources.IvfStore.writeFitted(old, path) }
       val arr = e.filter(col("vec_id") > cut)
       (0 until 4).foreach { i =>
         timed(s"commitBatch $i") {

@@ -27,9 +27,12 @@ import graft.operators.{KMeans, Quantize}
   *   path[/gen-G]/cents/      (cluster, cv)                O(K), hot
   *   path[/gen-G]/codebook/   (sub, code, cv)              O(PqM·PqK), hot
   *   path[/gen-G]/lists/cell=N/ (n_id, codes: array, v)    corpus-sized
-  *   path/_batches/<lineage>/<id>   streaming commit markers (store-level:
+  *   path/_batches/<tag>/<id> streaming commit markers, keyed by the
+  *                            fixed-width [[lineageTag]] (store-level:
   *                            they survive a retrain, which rebuilds FROM
-  *                            the already-filed postings)
+  *                            the already-filed postings; `<id>.inflight`
+  *                            intent markers flag half-committed batches
+  *                            for [[recover]])
   * }}}
   *
   * A probe pushes its cell set as a STATIC `IN` filter on the
@@ -70,14 +73,16 @@ import graft.operators.{KMeans, Quantize}
   *    crash at ANY point leaves either the old pointer (unpublished
   *    tree is garbage [[recover]] deletes) or the new one (superseded
   *    tree is garbage) — readers never see a partial index.
-  *  - '''Streaming batch commit''' ([[commitBatch]]): arrivals are
-  *    staged, then moved into the live cells under DETERMINISTIC
-  *    names (`b-<lineage>-<batchId>-<i>.parquet`) with any same-name
-  *    leftovers deleted first, then the lineage-scoped marker lands.
-  *    Replays of committed batches no-op on the marker; replays of a
-  *    crashed half-commit DELETE-then-rename the same names, so the
-  *    drained tree converges to exactly-once filing with no
-  *    duplicate-posting window.
+  *  - '''Streaming batch commit''' ([[commitBatch]]): an intent marker
+  *    lands, arrivals are staged, then moved into the live cells under
+  *    DETERMINISTIC names (`b-<tag>-<batchId>-<i>.parquet`) with any
+  *    same-name leftovers deleted first, then the lineage-scoped final
+  *    marker lands. Replays of committed batches no-op on the marker;
+  *    replays of a crashed half-commit DELETE-then-rename the same
+  *    names; a half-commit that maintenance reaches BEFORE the replay
+  *    is rolled back by [[recover]]'s inflight sweep — so the drained
+  *    tree converges to exactly-once filing with no duplicate-posting
+  *    window in either ordering.
   *  - '''Compaction''' ([[compact]]): an in-place per-cell rewrite —
   *    two directory renames per cell, which HDFS makes individually
   *    atomic but with a window between them where the cell is absent.
@@ -111,11 +116,26 @@ object IvfStore {
     * exists, else `path` itself (the flat layout [[write]] produces —
     * a store only grows a generation once [[retrain]] publishes one).
     * Every reader and every maintenance entry resolves through this. */
-  def resolveRoot(spark: SparkSession, path: String): String = {
-    val p = new Path(path)
-    val fs = fsOf(spark, p)
-    val cur = new Path(p, "_current")
-    if (fs.exists(cur)) new Path(p, readSmall(fs, cur)).toString else path
+  def resolveRoot(spark: SparkSession, path: String): String =
+    currentGen(spark, path)
+      .map(g => new Path(new Path(path), g).toString)
+      .getOrElse(path)
+
+  /** The filesystem-safe identity of a streaming lineage: a fixed-width
+    * md5 prefix of the RAW lineage string. Injective for all practical
+    * purposes where a readable sanitization is not — replacing
+    * disallowed chars maps distinct lineages ("a/b", "a_b") to one
+    * marker namespace (skipped batches = data loss), and a variable-
+    * length name embedded in a file-name prefix is ambiguous (lineage
+    * "a" batch 1's cleanup prefix `b-a-1-` matches lineage "a-1" batch
+    * 2's files). Fixed-width hex + digit batch ids make the
+    * `b-<tag>-<batchId>-` prefix unambiguous. Public: operational
+    * tooling needs it to locate a query's markers. */
+  def lineageTag(lineage: String): String = {
+    require(lineage.nonEmpty, "lineage must be non-empty")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(lineage.getBytes(UTF_8)).take(8)
+      .map(b => f"$b%02x").mkString
   }
 
   private def currentGen(spark: SparkSession, path: String): Option[String] = {
@@ -180,13 +200,45 @@ object IvfStore {
         val n = s.getPath.getName
         if (n.startsWith(".old-cell=")) {
           val cell = new Path(lists, n.stripPrefix(".old-"))
-          if (!fs.exists(cell)) { fs.rename(s.getPath, cell); () }
-          else fs.delete(s.getPath, true)
+          if (!fs.exists(cell)) {
+            if (!fs.rename(s.getPath, cell))
+              throw new IllegalStateException(
+                s"recover: cannot roll back ${s.getPath} to $cell — " +
+                  "the cell would stay absent and probes would silently " +
+                  "miss its postings")
+          } else fs.delete(s.getPath, true)
         }
       }
       fs.listStatus(lists).foreach { s =>
         if (s.getPath.getName.startsWith(".compact-"))
           fs.delete(s.getPath, true)
+      }
+    }
+    // half-committed streaming batches: an inflight marker without its
+    // final twin means the commit crashed after touching the live tree
+    // (or before — either way its files, still identifiable by their
+    // batch prefix, must go BEFORE compaction/retrain folds them into
+    // anonymous files the replay's delete-by-prefix can no longer see).
+    // The batch's eventual replay then re-files it exactly once.
+    val batches = new Path(p, "_batches")
+    if (fs.exists(batches)) {
+      fs.listStatus(batches).filter(_.isDirectory).foreach { lin =>
+        fs.listStatus(lin.getPath)
+          .filter(_.getPath.getName.endsWith(".inflight")).foreach { m =>
+            val id = m.getPath.getName.stripSuffix(".inflight")
+            val committed = fs.exists(new Path(lin.getPath, id))
+            if (!committed && fs.exists(lists)) {
+              val prefix = batchPrefix(lin.getPath.getName, id.toLong)
+              fs.listStatus(lists)
+                .filter(c => c.isDirectory && c.getPath.getName.startsWith("cell="))
+                .foreach { c =>
+                  fs.listStatus(c.getPath)
+                    .filter(_.getPath.getName.startsWith(prefix))
+                    .foreach(f => fs.delete(f.getPath, false))
+                }
+            }
+            fs.delete(m.getPath, false)
+          }
       }
     }
   }
@@ -217,6 +269,24 @@ object IvfStore {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/lists")
     idx.cents.write.mode("overwrite").parquet(s"$path/cents")
     idx.codebook.write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** Fit-and-persist: seeded-Lloyd centroids + seeded PQ codebook on
+    * `corpus`, every vector assigned and encoded under them, the whole
+    * tree written at `path` — the build step shared by the q263/q268/
+    * q269 lifecycle scenarios (one definition of the build convention,
+    * not a copy per query). */
+  def writeFitted(corpus: DataFrame, path: String): Unit = {
+    val cents = KMeans.fit(corpus)
+    val cb = Quantize.pqCodebook(corpus)
+    write(Quantize.IvfAdcIndex(
+      cents,
+      KMeans.assign(corpus, cents)
+        .select(col("vec_id").as("n_id"), col("cluster")),
+      Quantize.pqCodesWith(cb, corpus)
+        .select(col("vec_id").as("n_id"), col("sub"), col("code")),
+      cb,
+      corpus), path)
   }
 
   /** INCREMENTAL index maintenance — the act q261's staleness audit
@@ -263,36 +333,62 @@ object IvfStore {
     * a new query's first batches against a pre-existing store (data
     * loss the rebuild-equality audit would only catch offline).
     *
-    * Filing is a three-step staged commit, each step replay-idempotent:
+    * Filing is a staged commit, each step replay-idempotent, keyed by
+    * the fixed-width [[lineageTag]] (injective where a readable
+    * sanitization is not — see its scaladoc):
     *
-    *  1. STAGE: the batch's postings are written (overwrite) under
-    *     `path/_staging/<lineage>/<batchId>`, partitioned by cell —
-    *     the same frozen-artifact encode as [[append]];
-    *  2. MOVE: per staged cell, any prior `b-<lineage>-<batchId>-*`
-    *     files in the live cell directory are deleted (a crashed
+    *  1. INTENT: `path/_batches/<tag>/<batchId>.inflight` lands before
+    *     any live-tree mutation, so [[recover]] can identify and roll
+    *     back a half-committed batch even after a crash;
+    *  2. STAGE: the batch's postings are written (overwrite) under
+    *     `path/_staging/<tag>/<batchId>`, partitioned by cell — the
+    *     same frozen-artifact encode as [[append]];
+    *  3. MOVE: per staged cell, any prior `b-<tag>-<batchId>-*` files
+    *     in the live cell directory are deleted (a replayed
     *     half-commit's leftovers), then the staged files are renamed
     *     in under those DETERMINISTIC names — so a replayed commit
     *     overwrites itself instead of duplicating postings;
-    *  3. MARK: the `path/_batches/<lineage>/<batchId>` marker lands
-    *     and the staging tree is deleted. Markers live at STORE level
-    *     (not inside a generation): a retrain rebuilds FROM the filed
-    *     postings, so committed batches must stay committed across it.
+    *  4. MARK: the `path/_batches/<tag>/<batchId>` marker lands, the
+    *     intent marker and staging tree are deleted. Markers live at
+    *     STORE level (not inside a generation): a retrain rebuilds
+    *     FROM the filed postings, so committed batches must stay
+    *     committed across it.
     *
     * A marker hit short-circuits everything (committed batches
-    * re-deliver as no-ops); any crash before the marker re-runs the
-    * whole staged commit and converges on the same file names.
-    * StreamingSpec drives both replay shapes and the new-lineage
-    * regression. */
+    * re-deliver as no-ops; empty batches land only their marker); any
+    * crash before the marker either re-runs the whole staged commit
+    * onto the same file names (stream replays first) or is rolled
+    * back by [[recover]]'s inflight sweep (maintenance runs first —
+    * without the intent marker, compaction would fold the orphaned
+    * postings into anonymous files the replay's delete-by-prefix can
+    * no longer see, and the replay would duplicate them).
+    * StreamingSpec drives both replay shapes, the new-lineage
+    * regression, and the maintenance-before-replay rollback. */
   def commitBatch(spark: SparkSession, path: String, arrivals: DataFrame,
                   lineage: String, batchId: Long): Unit = {
-    val safe = lineage.replaceAll("[^A-Za-z0-9._-]", "_")
-    require(safe.nonEmpty, "commitBatch: lineage must be non-empty")
+    val tag = lineageTag(lineage)
     val p = new Path(path)
     val fs = fsOf(spark, p)
-    val marker = new Path(p, s"_batches/$safe/$batchId")
+    val marker = new Path(p, s"_batches/$tag/$batchId")
     if (fs.exists(marker)) return
+    // empty-batch fast path: a low-traffic stream triggers mostly-empty
+    // batches — land the marker alone, no assign/encode/staging jobs
+    if (arrivals.isEmpty) {
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, true).close()
+      return
+    }
     val root = new Path(resolveRoot(spark, path))
-    val staging = new Path(p, s"_staging/$safe/$batchId")
+    val staging = new Path(p, s"_staging/$tag/$batchId")
+    // INTENT marker before any live-tree mutation: if this commit
+    // crashes half-way, [[recover]] finds the inflight marker without
+    // its final twin and deletes the batch's (prefix-named, so still
+    // identifiable) files — restoring the exactly-once contract even
+    // when compaction/retrain would otherwise have folded the orphans
+    // into anonymous files before the stream replays
+    val inflight = new Path(p, s"_batches/$tag/$batchId.inflight")
+    fs.mkdirs(inflight.getParent)
+    fs.create(inflight, true).close()
     val cents = spark.read.parquet(new Path(root, "cents").toString)
     val cb = spark.read.parquet(new Path(root, "codebook").toString)
     val asg = KMeans.assign(arrivals, cents)
@@ -304,7 +400,7 @@ object IvfStore {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
     val lists = new Path(root, "lists")
-    val prefix = s"b-$safe-$batchId-"
+    val prefix = batchPrefix(tag, batchId)
     fs.listStatus(staging)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
       .foreach { cellDir =>
@@ -320,11 +416,17 @@ object IvfStore {
                 s"commitBatch: cannot move $src into $dst")
           }
       }
-    fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()
+    fs.delete(inflight, false)
     fs.delete(staging, true)
     ()
   }
+
+  /** File-name prefix of one committed batch's postings — fixed-width
+    * [[lineageTag]] + digit batch id, so no batch's prefix is a prefix
+    * of another batch's file names. */
+  private def batchPrefix(tag: String, batchId: Long): String =
+    s"b-$tag-$batchId-"
 
   /** Serve the q244 query path (probe → ADC → refine, top-10 per
     * query) from a stored index, reading ONLY the probed cells'
@@ -573,17 +675,8 @@ object IvfStore {
       return Seq.empty[(Long, Long, Long, Long)]
         .toDF("cell", "n_stored", "n_only_stored", "n_only_rebuilt")
     val cutoff = Math.floorDiv(mx.getLong(0), 2L)
-    val old = e.filter(col("vec_id") <= cutoff)
-    val cents = KMeans.fit(old)
-    val cb = Quantize.pqCodebook(old)
     val path = graft.Scratch.dir("q269-audit")
-    write(Quantize.IvfAdcIndex(
-      cents,
-      KMeans.assign(old, cents).select(col("vec_id").as("n_id"), col("cluster")),
-      Quantize.pqCodesWith(cb, old)
-        .select(col("vec_id").as("n_id"), col("sub"), col("code")),
-      cb,
-      old), path)
+    writeFitted(e.filter(col("vec_id") <= cutoff), path)
     append(spark, path, e.filter(col("vec_id") > cutoff))
     auditRebuild(spark, path)
   }
@@ -644,17 +737,8 @@ object IvfStore {
       return Seq.empty[(Long, Long, Long, Long, Double)]
         .toDF("cell", "n_before", "n_added", "n_after", "added_share")
     val cutoff = Math.floorDiv(mx.getLong(0), 2L)
-    val old = e.filter(col("vec_id") <= cutoff)
-    val cents = KMeans.fit(old)
-    val cb = Quantize.pqCodebook(old)
     val path = graft.Scratch.dir("q263-ivf-maint")
-    write(Quantize.IvfAdcIndex(
-      cents,
-      KMeans.assign(old, cents).select(col("vec_id").as("n_id"), col("cluster")),
-      Quantize.pqCodesWith(cb, old)
-        .select(col("vec_id").as("n_id"), col("sub"), col("code")),
-      cb,
-      old), path)
+    writeFitted(e.filter(col("vec_id") <= cutoff), path)
     append(spark, path, e.filter(col("vec_id") > cutoff))
     spark.read.parquet(s"$path/lists")
       .groupBy(col("cell").cast("long").as("cell"))
@@ -697,17 +781,8 @@ object IvfStore {
       return Seq.empty[(Long, Long, Long, Double)]
         .toDF("q_id", "rank", "n_id", "l2sq")
     val cutoff = Math.floorDiv(mx.getLong(0), 2L)
-    val old = e.filter(col("vec_id") <= cutoff)
-    val cents = KMeans.fit(old)
-    val cb = Quantize.pqCodebook(old)
     val path = graft.Scratch.dir("q268-retrain")
-    write(Quantize.IvfAdcIndex(
-      cents,
-      KMeans.assign(old, cents).select(col("vec_id").as("n_id"), col("cluster")),
-      Quantize.pqCodesWith(cb, old)
-        .select(col("vec_id").as("n_id"), col("sub"), col("code")),
-      cb,
-      old), path)
+    writeFitted(e.filter(col("vec_id") <= cutoff), path)
     append(spark, path, e.filter(col("vec_id") > cutoff))
     retrain(spark, path)
     val q = e.filter(col("vec_id") < KMeans.EvalBlock)

@@ -3118,8 +3118,9 @@ class StreamingSpec extends AnyFunSuite {
     // (simulating a crash before it landed) and re-deliver — the staged
     // commit overwrites its own deterministic file names, so the tree
     // neither duplicates nor loses a posting
-    val markerFs = new java.io.File(s"$path/_batches/ingest-b/0")
-    assert(markerFs.exists(), "commit marker must exist under the lineage")
+    val tagB = IvfStore.lineageTag("ingest-b")
+    val markerFs = new java.io.File(s"$path/_batches/$tagB/0")
+    assert(markerFs.exists(), "commit marker must exist under the lineage tag")
     assert(markerFs.delete())
     graft.streaming.VecStream.appendArrivals(spark, path, extraDf, 0L, "ingest-b")
     val afterReplay = spark.read.parquet(s"$path/lists")
@@ -3146,6 +3147,35 @@ class StreamingSpec extends AnyFunSuite {
     graft.streaming.VecStream.appendArrivals(spark, path, extra2, 1L, "ingest-b")
     assert(genLists.filter(col("n_id") >= 200000L).count() == 2,
       "a new batch after retrain must file into the new generation's tree")
+    // maintenance-before-replay rollback: a batch that crashed between
+    // its live-tree moves and the final marker leaves an .inflight
+    // intent without a final twin. If MAINTENANCE runs before the
+    // stream replays, recover must delete that batch's (still
+    // prefix-named) files — otherwise compaction would fold them into
+    // anonymous files and the replay would duplicate them forever.
+    val nowTotal = genLists.count()
+    val extra3 = arrivals.take(3).toSeq
+      .map { case (id, v) => (id + 300000L, v) }.toDF("vec_id", "embedding")
+    graft.streaming.VecStream.appendArrivals(spark, path, extra3, 2L, "ingest-b")
+    assert(genLists.filter(col("n_id") >= 300000L).count() == 3)
+    // simulate the crash window: final marker gone, intent restored
+    assert(new java.io.File(s"$path/_batches/$tagB/2").delete())
+    new java.io.File(s"$path/_batches/$tagB/2.inflight").createNewFile()
+    graft.sources.IvfStore.recover(spark, path)
+    assert(genLists.filter(col("n_id") >= 300000L).count() == 0,
+      "recover must roll back the half-committed batch's postings")
+    assert(genLists.count() == nowTotal)
+    // the stream's eventual replay re-files it exactly once
+    graft.streaming.VecStream.appendArrivals(spark, path, extra3, 2L, "ingest-b")
+    assert(genLists.filter(col("n_id") >= 300000L).count() == 3
+      && genLists.count() == nowTotal + 3,
+      "the replay after rollback must converge to exactly-once filing")
+    // empty-batch fast path: marker lands, tree untouched
+    graft.streaming.VecStream.appendArrivals(spark, path,
+      Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding"), 3L, "ingest-b")
+    assert(new java.io.File(s"$path/_batches/$tagB/3").exists()
+      && genLists.count() == nowTotal + 3,
+      "an empty batch must land only its marker")
   }
 
   test("streaming daily totals fold to batch q239 under arbitrary delivery") {
